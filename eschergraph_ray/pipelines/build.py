@@ -1,0 +1,261 @@
+"""The flagship build pipeline — ``Graph.build(files)`` restated.
+
+Reference lifecycle (``eschergraph/graph/graph.py:237-273`` +
+``eschergraph/builder/build_pipeline.py:55-100``) as a streaming Ray
+Data job:
+
+    read_parquet(transcript shards)                       # source
+    -> map_batches(add_turn_tokens)                       # vectorized
+    -> groupby(conv_id, salt).map_groups(chunk)           # shuffle 1
+    -> map_batches(ExtractorActor)        [checkpoint: build_logs/]
+    -> groupby(conv_id).map_groups(build_graph_group)     # shuffle 2
+    -> write_parquet(graph/, partition_cols=["kind"])     # sink
+
+Two phases, each checkpointed per commit group (state/checkpoint.py):
+phase "extract" persists build_logs (the expensive LLM stage at scale),
+phase "graph" persists the union graph table partitioned by row kind —
+so each logical output table (nodes/edges/properties/triples) lands in
+its own directory from ONE pass, no re-execution per table.
+
+Partition unit = input shard span (files), commit unit = group of
+partitions; a conversation must not span input shards (generator
+guarantees it; production transcript exports are laid out this way).
+A killed run rerun with the same arguments resumes after the last
+committed group and, within a group, after the extract phase if that
+completed.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from ..llm import DeterministicMockLLM, LLMClient
+from ..stages.chunking import MAX_TOKENS, chunk_conversations
+from ..stages.extraction import extract_build_logs
+from ..stages.graph_build import build_graph
+from ..state.checkpoint import Manifest, atomic_dir_write
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    graph_dirs: list[str]
+    lineage: pa.Table
+
+
+def _input_files(input_path: str) -> list[str]:
+    if os.path.isfile(input_path):
+        return [input_path]
+    files = []
+    for root, _dirs, names in os.walk(input_path):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+    return sorted(files)
+
+
+def _logs_stats(logs_dir: str) -> dict:
+    import duckdb
+
+    con = duckdb.connect()
+    row = con.execute(
+        f"""
+        SELECT count(DISTINCT conv_id),
+               count(*),
+               coalesce(sum(span), 0)
+        FROM (
+          SELECT conv_id, turn_first, turn_last,
+                 max(turn_last - turn_first + 1) AS span
+          FROM read_parquet('{logs_dir}/**/*.parquet')
+          GROUP BY 1, 2, 3
+        )
+        """
+    ).fetchone()
+    con.close()
+    return {"conv_count": row[0], "chunk_count": row[1], "turn_count": int(row[2])}
+
+
+def _graph_stats(graph_dir: str) -> dict:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT kind, count(*) FROM read_parquet('{graph_dir}/**/*.parquet',
+                                                hive_partitioning=1)
+        GROUP BY kind
+        """
+    ).fetchall()
+    con.close()
+    by_kind = dict(rows)
+    return {
+        "triple_count": int(by_kind.get("triple", 0)),
+        "node_count": int(by_kind.get("node", 0)),
+        "edge_count": int(by_kind.get("edge", 0)),
+    }
+
+
+def build(
+    input_path: str,
+    out_dir: str,
+    llm_factory: Callable[[], LLMClient] = DeterministicMockLLM,
+    commit_groups: int = 1,
+    max_tokens: int = MAX_TOKENS,
+    extract_batch_size: int = 256,
+    fail_after_group: int | None = None,
+) -> BuildResult:
+    """Run (or resume) the full build. ``fail_after_group`` injects a
+    crash after N committed groups — used by the kill/resume test."""
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = Manifest(out_dir)
+    files = _input_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet under {input_path}")
+    # The partition→input-shard assignment is itself checkpointed: a
+    # resume must keep the original assignment even if called with a
+    # different commit_groups, or committed-partition bookkeeping would
+    # silently skip shards.
+    stored = manifest.data.get("groups")
+    if stored is not None:
+        if sorted(f for g in stored for f in g) != files:
+            raise ValueError(
+                f"input shard set under {input_path} changed since the "
+                "checkpointed run; use a fresh out_dir"
+            )
+        groups = stored
+    else:
+        groups = [files[g::commit_groups] for g in range(commit_groups)]
+        groups = [g for g in groups if g]
+        manifest.data["groups"] = groups
+        manifest._save()
+
+    graph_dirs: list[str] = []
+    done = 0
+    for gid, group_files in enumerate(groups):
+        pid = f"part-{gid:04d}"
+        logs_dir = os.path.join(out_dir, "build_logs", pid)
+        graph_dir = os.path.join(out_dir, "graph", pid)
+        graph_dirs.append(graph_dir)
+        if manifest.phase_done(pid, "graph"):
+            continue
+        t0 = time.monotonic()
+
+        if not manifest.phase_done(pid, "extract"):
+            transcripts = rd.read_parquet(group_files)
+            chunks = chunk_conversations(transcripts, max_tokens=max_tokens)
+            logs = extract_build_logs(
+                chunks, llm_factory=llm_factory, batch_size=extract_batch_size
+            )
+            atomic_dir_write(logs_dir, lambda tmp: logs.write_parquet(tmp))
+            manifest.mark(pid, "extracted", **_logs_stats(logs_dir))
+
+        logs_ds = rd.read_parquet(logs_dir)
+        graph = build_graph(logs_ds, llm_factory=llm_factory)
+        atomic_dir_write(
+            graph_dir,
+            lambda tmp: graph.write_parquet(tmp, partition_cols=["kind"]),
+        )
+        wall_ms = int(1000 * (time.monotonic() - t0))
+        prev_ms = int(manifest.get(pid).get("wall_ms", 0))
+        manifest.mark(
+            pid, "committed", wall_ms=prev_ms + wall_ms, **_graph_stats(graph_dir)
+        )
+        done += 1
+        if fail_after_group is not None and done >= fail_after_group:
+            raise RuntimeError(f"injected failure after {done} committed group(s)")
+
+    lineage = manifest.lineage_table()
+    import pyarrow.parquet as pq
+
+    pq.write_table(lineage, os.path.join(out_dir, "lineage.parquet"))
+    return BuildResult(out_dir=out_dir, graph_dirs=graph_dirs, lineage=lineage)
+
+
+# ---- readers over the partitioned graph output ------------------------
+
+_KIND_COLUMNS = {
+    "node": {
+        "id": "node_id",
+        "conv_id": "conv_id",
+        "name": "name",
+        "description": "description",
+        "level": "level",
+        "properties": "properties",
+        "is_visual": "is_visual",
+        "community_id": "community_id",
+        "child_node_ids": "child_node_ids",
+        "metadata": "metadata",
+    },
+    "edge": {
+        "id": "edge_id",
+        "conv_id": "conv_id",
+        "frm": "frm",
+        "to": "to",
+        "frm_name": "frm_name",
+        "to_name": "to_name",
+        "level": "level",
+        "description": "description",
+        "metadata": "metadata",
+    },
+    "property": {
+        "id": "property_id",
+        "node_id": "node_id",
+        "conv_id": "conv_id",
+        "node_name": "node_name",
+        "description": "description",
+        "metadata": "metadata",
+    },
+    "triple": {
+        "conv_id": "conv_id",
+        "subj": "subj",
+        "pred": "pred",
+        "obj": "obj",
+        "chunk_id": "chunk_id",
+    },
+}
+
+
+def load_kind(out_dir: str, kind: str):
+    """Read one logical output table back as a Dataset (column-pruned)."""
+    import ray.data as rd
+
+    cols = _KIND_COLUMNS[kind]
+    paths = []
+    graph_root = os.path.join(out_dir, "graph")
+    for pid in sorted(os.listdir(graph_root)):
+        p = os.path.join(graph_root, pid, f"kind={kind}")
+        if os.path.isdir(p):
+            paths.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+    ds = rd.read_parquet(paths, columns=list(cols))
+    if any(k != v for k, v in cols.items()):
+        ds = ds.map_batches(
+            lambda t, c=cols: t.rename_columns([c[name] for name in t.column_names]),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def load_kind_arrow(out_dir: str, kind: str) -> pa.Table:
+    """Driver-side Arrow read for small results (tests/oracle checks)."""
+    cols = _KIND_COLUMNS[kind]
+    graph_root = os.path.join(out_dir, "graph")
+    tables = []
+    for pid in sorted(os.listdir(graph_root)):
+        p = os.path.join(graph_root, pid, f"kind={kind}")
+        if os.path.isdir(p):
+            t = pads.dataset(p).to_table(columns=list(cols))
+            tables.append(t)
+    tab = pa.concat_tables(tables) if tables else None
+    if tab is None:
+        return pa.table({v: [] for v in cols.values()})
+    return tab.rename_columns([cols[name] for name in tab.column_names])

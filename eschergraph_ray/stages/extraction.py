@@ -1,0 +1,151 @@
+"""Per-chunk triple extraction — the hot path, as an actor pool.
+
+Reference: ``BuildPipeline._handle_nodes_edges_chunk`` (M3,
+``eschergraph/builder/build_pipeline.py:172-189``) and
+``_extract_properties`` (M4, ``build_pipeline.py:191-225``), which run
+as two ThreadPool(10) passes of one LLM call per chunk. Here both are
+one ``map_batches`` actor-pool stage over Arrow chunk batches: the
+client (mock or real provider + retry state) is built once per actor in
+``__init__`` (SURVEY.md §2.9); property extraction is chunk-local so it
+needs no extra shuffle — fusing M3+M4 into one stage halves the passes
+over chunk text (documented deviation from the reference's two
+sequential ThreadPool sweeps; semantics are identical because the
+property prompt only sees the chunk's own extracted node names,
+``json_property.jinja:30-40``).
+
+Validation mirrors ``BuildingTools.check_node_edge_ext``
+(``eschergraph/builder/building_tools.py:105-121``); a malformed
+extraction quarantines the row (empty extraction + ``quarantined=True``)
+instead of silently dropping it (the reference prints and drops,
+``build_pipeline.py:108-112``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+
+from ..llm import DeterministicMockLLM, LLMClient
+from ..schemas import BUILD_LOGS
+
+
+def check_node_edge_ext(ext: dict) -> bool:
+    """building_tools.py:105-121 analogue: shape-check the LLM JSON."""
+    if not isinstance(ext, dict):
+        return False
+    ents, rels = ext.get("entities"), ext.get("relationships")
+    if not isinstance(ents, list) or not isinstance(rels, list):
+        return False
+    for e in ents:
+        if not isinstance(e, dict) or "name" not in e or "description" not in e:
+            return False
+    for r in rels:
+        if not isinstance(r, dict) or not {"source", "target", "relationship"} <= r.keys():
+            return False
+    return True
+
+
+BUILD_LOGS_Q = BUILD_LOGS.append(pa.field("quarantined", pa.bool_()))
+
+
+class ExtractorActor:
+    """chunks -> build_logs. One client per actor; vector-free but the
+    per-row work IS the model call (the mock is regex inversion)."""
+
+    def __init__(self, llm_factory: Callable[[], LLMClient] = DeterministicMockLLM):
+        self.llm = llm_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch["conv_id"].to_pylist()
+        chunk_ids = batch["chunk_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+
+        nodes_col: list[list[dict]] = []
+        edges_col: list[list[dict]] = []
+        props_col: list[list[dict]] = []
+        quarantined: list[bool] = []
+        for text in texts:
+            try:
+                ext = self.llm.extract_nodes_edges(text)
+                ok = check_node_edge_ext(ext)
+            except Exception:
+                ext, ok = None, False
+            if not ok:
+                nodes_col.append([])
+                edges_col.append([])
+                props_col.append([])
+                quarantined.append(True)
+                continue
+            node_names = [e["name"] for e in ext["entities"]]
+            try:
+                props = self.llm.extract_properties(text, node_names)
+            except Exception:
+                props = []
+            nodes_col.append(
+                [{"name": e["name"], "description": e["description"]} for e in ext["entities"]]
+            )
+            edges_col.append(
+                [
+                    {
+                        "source": r["source"],
+                        "target": r["target"],
+                        "relationship": r["relationship"],
+                    }
+                    for r in ext["relationships"]
+                ]
+            )
+            props_col.append(
+                [
+                    {"entity_name": p["entity_name"], "properties": list(p["properties"])}
+                    for p in props
+                ]
+            )
+            quarantined.append(False)
+
+        out = pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "chunk_id": pa.array(chunk_ids, pa.int32()),
+                "chunk_text": pa.array(texts, pa.large_string()),
+                "nodes": pa.array(nodes_col, BUILD_LOGS.field("nodes").type),
+                "edges": pa.array(edges_col, BUILD_LOGS.field("edges").type),
+                "properties": pa.array(props_col, BUILD_LOGS.field("properties").type),
+                "quarantined": pa.array(quarantined, pa.bool_()),
+            },
+            schema=BUILD_LOGS_Q,
+        )
+        # Carry turn spans through for lineage (covered-turn counts).
+        for col in ("turn_first", "turn_last"):
+            if col in batch.column_names:
+                out = out.append_column(col, batch[col])
+        return out
+
+
+def extract_build_logs(
+    chunks,
+    llm_factory: Callable[[], LLMClient] = DeterministicMockLLM,
+    concurrency=None,
+    batch_size: int = 256,
+):
+    """chunks Dataset -> build_logs Dataset (actor pool, Arrow in/out).
+
+    ``concurrency`` bounds the pool — with a real provider this is the
+    rate-limit control (the reference caps at 10 threads,
+    ``eschergraph/agents/llm.py:38``); the mock is CPU-bound so we
+    default to letting Ray size the pool by available CPUs.
+    """
+    if concurrency is None:
+        # Autoscaling pool up to the session's CPU count (actor pools
+        # need an explicit bound; with a real provider this is also the
+        # rate-limit control).
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(1, cpus))
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+    return chunks.map_batches(
+        ExtractorActor,
+        fn_constructor_kwargs={"llm_factory": llm_factory},
+        **kwargs,
+    )

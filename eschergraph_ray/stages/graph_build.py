@@ -1,0 +1,441 @@
+"""Entity canonicalization + graph materialization + communities.
+
+This is the Ray-native restatement of reference steps 4–7
+(``eschergraph/builder/build_pipeline.py:227-308``,
+``eschergraph/tools/fuzzy_matcher.py``, ``eschergraph/tools/node_matcher.py``,
+``eschergraph/tools/community_builder.py``): everything after extraction
+is scoped to one document — our conversation — because level-0 node
+identity is ``(document_id, lower(name))``
+(``eschergraph/graph/node.py:90-105``) and Leiden runs over one
+document's subgraph at a time (``community_alg.py:25-50``; cross-document
+community merging does not exist in the reference either,
+``prepare_sync_data.py:99-101``). That scoping means the *entire*
+post-extraction build is ONE ``groupby(conv_id).map_groups`` shuffle;
+within a group everything is numpy/pure-Python over tens of rows.
+
+Stage internals (reference analogues):
+
+- D1 distinct names: nodes ∪ edge endpoints ∪ property owners,
+  lowercased (``build_pipeline.py:227-247``).
+- D2 fuzzy match sets: cosine blocking over deterministic name
+  embeddings (one numpy matmul per conversation) prunes the pair space,
+  then ``token_set_ratio >= 95`` (``fuzzy_matcher.py:48-58``) and
+  union-find transitive closure (``fuzzy_matcher.py:79-131``).
+- D3/M8 resolver: canonical = names not strictly token-contained in
+  another ("always return the full name", identifying_nodes.jinja:6);
+  an alias may map to multiple canonicals (jinja:20-27).
+- M9/D5 per-mention disambiguation: ambiguous alias mentions are
+  assigned by cosine similarity between the mention's chunk text and
+  each candidate's context document (name + description — the
+  reference reranks ``"entity---desc"`` docs, ``node_matcher.py:81-102``),
+  then the rename map rewrites the logs (``node_matcher.py:199-297``).
+- D6 node merge: first non-empty description, metadata union
+  (``node.py:90-105``, ``simple_repository.py:283-295``).
+- D7/D8 edge/property resolution incl. self-loop → property downgrade
+  (``build_pipeline.py:274-308``); undirected edge dedup
+  (``edge.py:87-104``).
+- G1–G3 communities: Louvain (networkx, seeded) over the conversation
+  subgraph standing in for leidenalg ModularityVertexPartition
+  (``community_alg.py:25-50``; leidenalg/igraph unavailable here —
+  documented deviation, same modularity family, deterministic via seed);
+  community nodes + inter-community edges (one per community pair,
+  ``community_builder.py:60-73``) + ordered findings (M7,
+  ``community_builder.py:164-214``).
+- G4 conversation node at level 2 with keyword properties and community
+  children (``build_pipeline.py:132-170``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import normalize_name, token_set_ratio
+from ..ids import edge_id, node_id, property_id
+from ..llm import DeterministicMockLLM, HashEmbedder, LLMClient
+from ..schemas import GRAPH_UNION
+
+FUZZY_THRESHOLD = 95.0
+COSINE_BLOCK_THRESHOLD = 0.25
+
+# map_groups runs as stateless tasks; model/client state is amortized
+# per worker process via a module cache (the actor-pool analogue for
+# grouped stages).
+_WORKER_STATE: dict = {}
+
+
+def _worker_llm(factory: Callable[[], LLMClient]) -> LLMClient:
+    llm = _WORKER_STATE.get("llm")
+    if llm is None or _WORKER_STATE.get("llm_factory") is not factory:
+        llm = factory()
+        _WORKER_STATE["llm"] = llm
+        _WORKER_STATE["llm_factory"] = factory
+    return llm
+
+
+def _worker_embedder() -> HashEmbedder:
+    emb = _WORKER_STATE.get("embedder")
+    if emb is None:
+        emb = HashEmbedder()
+        _WORKER_STATE["embedder"] = emb
+    return emb
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x = p
+        return x
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def _match_sets(names: list[str], embedder: HashEmbedder) -> list[list[str]]:
+    """D2: cosine-blocked fuzzy clustering (transitive closure)."""
+    if not names:
+        return []
+    vecs = embedder.embed(names)  # unit vectors
+    sims = vecs @ vecs.T
+    uf = _UnionFind()
+    for n in names:
+        uf.find(n)
+    ii, jj = np.nonzero(np.triu(sims >= COSINE_BLOCK_THRESHOLD, k=1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        if token_set_ratio(names[i], names[j]) >= FUZZY_THRESHOLD:
+            uf.union(names[i], names[j])
+    clusters: dict[str, list[str]] = {}
+    for n in names:
+        clusters.setdefault(uf.find(n), []).append(n)
+    return [sorted(v) for _, v in sorted(clusters.items())]
+
+
+def build_rename_map(
+    names: list[str], llm: LLMClient, embedder: HashEmbedder
+) -> tuple[dict[str, list[str]], list[list[str]]]:
+    """D2+D3: alias -> candidate canonical names (may be several)."""
+    clusters = _match_sets(names, embedder)
+    rename: dict[str, list[str]] = {}
+    for cluster in clusters:
+        if len(cluster) == 1:
+            rename[cluster[0]] = [cluster[0]]
+            continue
+        resolved = llm.resolve_entities(cluster)
+        canon_of: dict[str, list[str]] = {a: [] for a in cluster}
+        canon_names = {normalize_name(e["name"]) for e in resolved}
+        for c in canon_names:
+            if c in canon_of:
+                canon_of[c] = [c]
+        for entry in resolved:
+            c = normalize_name(entry["name"])
+            for alias in entry.get("merged entities", []):
+                alias = normalize_name(alias)
+                if alias in canon_of and alias not in canon_names:
+                    canon_of[alias].append(c)
+        for alias, canons in canon_of.items():
+            rename[alias] = sorted(set(canons)) if canons else [alias]
+    return rename, clusters
+
+
+def _disambiguate(
+    alias: str,
+    candidates: list[str],
+    chunk_text: str,
+    contexts: dict[str, str],
+    embedder: HashEmbedder,
+) -> str:
+    """M9 analogue: cosine(chunk text, candidate context doc), top-1."""
+    if len(candidates) == 1:
+        return candidates[0]
+    q = embedder.embed([chunk_text])[0]
+    docs = embedder.embed([contexts.get(c, c) for c in candidates])
+    scores = docs @ q
+    order = np.argsort(-scores, kind="stable")
+    return candidates[int(order[0])]
+
+
+def build_graph_group(
+    group: pa.Table,
+    llm_factory: Callable[[], LLMClient] = DeterministicMockLLM,
+    louvain_seed: int = 42,
+) -> pa.Table:
+    """One conversation's build_logs -> union graph rows (pa.Table)."""
+    llm = _worker_llm(llm_factory)
+    embedder = _worker_embedder()
+
+    order = pc.sort_indices(group["chunk_id"])
+    group = group.take(order)
+    conv_id = group["conv_id"][0].as_py()
+    chunk_ids = group["chunk_id"].to_pylist()
+    chunk_texts = group["chunk_text"].to_pylist()
+    logs_nodes = group["nodes"].to_pylist()
+    logs_edges = group["edges"].to_pylist()
+    logs_props = group["properties"].to_pylist()
+
+    # ---- D1: distinct normalized names across all logs -------------
+    names_seen: dict[str, None] = {}
+    for nodes, edges, props in zip(logs_nodes, logs_edges, logs_props):
+        for n in nodes or []:
+            names_seen.setdefault(normalize_name(n["name"]))
+        for e in edges or []:
+            names_seen.setdefault(normalize_name(e["source"]))
+            names_seen.setdefault(normalize_name(e["target"]))
+        for p in props or []:
+            names_seen.setdefault(normalize_name(p["entity_name"]))
+    all_names = list(names_seen)
+
+    # ---- D2/D3: rename map ----------------------------------------
+    rename, _ = build_rename_map(all_names, llm, embedder)
+
+    # Context docs for disambiguation: canonical name + first known
+    # description ("entity---descriptions" docs, node_matcher.py:91-94).
+    desc_of: dict[str, str] = {}
+    for nodes in logs_nodes:
+        for n in nodes or []:
+            nn = normalize_name(n["name"])
+            for canon in rename.get(nn, [nn]):
+                if n["description"] and canon not in desc_of and len(rename.get(nn, [])) == 1:
+                    desc_of[canon] = n["description"]
+    contexts = {c: f"{c} --- {desc_of.get(c, '')}" for rs in rename.values() for c in rs}
+
+    def canon(name: str, chunk_text: str) -> str:
+        nn = normalize_name(name)
+        cands = rename.get(nn, [nn])
+        return _disambiguate(nn, cands, chunk_text, contexts, embedder)
+
+    # ---- D5 rewrite + D6 node merge + D7/D8 resolution -------------
+    node_desc: dict[str, str] = {}
+    node_meta: dict[str, dict[int, None]] = {}
+    edge_rows: dict[tuple[str, str, str], dict] = {}
+    prop_rows: dict[tuple[str, str], dict] = {}
+    triple_rows: dict[tuple[str, str, str, int], None] = {}
+
+    def touch_node(cn: str, chunk_id: int, desc: str = "") -> None:
+        node_meta.setdefault(cn, {}).setdefault(chunk_id)
+        if desc and not node_desc.get(cn):
+            node_desc[cn] = desc
+        else:
+            node_desc.setdefault(cn, "")
+
+    for chunk_id, text, nodes, edges, props in zip(
+        chunk_ids, chunk_texts, logs_nodes, logs_edges, logs_props
+    ):
+        for n in nodes or []:
+            cn = canon(n["name"], text)
+            touch_node(cn, chunk_id, n["description"] or "")
+        for e in edges or []:
+            src = canon(e["source"], text)
+            dst = canon(e["target"], text)
+            rel = e["relationship"]
+            touch_node(src, chunk_id)
+            touch_node(dst, chunk_id)
+            if src == dst:
+                # self-loop extraction downgraded to a property
+                # (build_pipeline.py:286-291)
+                key = (src, rel)
+                prop_rows.setdefault(key, {"meta": {}})["meta"].setdefault(chunk_id)
+                continue
+            key = (*sorted((src, dst)), rel)
+            row = edge_rows.setdefault(
+                key, {"frm": src, "to": dst, "rel": rel, "meta": {}}
+            )
+            row["meta"].setdefault(chunk_id)
+            triple_rows.setdefault((src, rel, dst, chunk_id))
+        for p in props or []:
+            cn = canon(p["entity_name"], text)
+            touch_node(cn, chunk_id)
+            for desc in p["properties"] or []:
+                prop_rows.setdefault((cn, desc), {"meta": {}})["meta"].setdefault(chunk_id)
+
+    nid = {cn: node_id(conv_id, 0, cn) for cn in node_desc}
+    props_by_node: dict[str, list[str]] = {}
+    for (cn, desc) in prop_rows:
+        props_by_node.setdefault(cn, []).append(desc)
+
+    rows: list[dict] = []
+
+    def meta_list(meta: dict[int, None]) -> list[dict]:
+        return [
+            {"document_id": conv_id, "chunk_id": c} for c in sorted(meta)
+        ]
+
+    # ---- G1-G3: communities over the level-0 subgraph ---------------
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(node_desc)
+    for (a, b, _rel) in edge_rows:
+        g.add_edge(a, b)
+    if g.number_of_nodes() > 0:
+        partitions = nx.community.louvain_communities(g, seed=louvain_seed)
+        partitions = [sorted(p) for p in partitions]
+        partitions.sort(key=lambda p: p[0])
+    else:
+        partitions = []
+
+    comm_of: dict[str, int] = {}
+    for k, part in enumerate(partitions):
+        for cn in part:
+            comm_of[cn] = k
+
+    comm_node_ids: list[str] = []
+    comm_names: list[str] = []
+    for k, part in enumerate(partitions):
+        # Gather incident edges / member properties for the findings
+        # prompt (CSV shapes, community_builder.py:139-187).
+        member = set(part)
+        edges_csv = [
+            f"{r['frm']},{r['rel']},{r['to']}"
+            for key, r in sorted(edge_rows.items())
+            if r["frm"] in member or r["to"] in member
+        ]
+        props_csv = [f"{cn},{d}" for (cn, d) in sorted(prop_rows) if cn in member]
+        findings = llm.summarize_community(edges_csv, props_csv)
+        cname = normalize_name(findings["title"]) or f"community {k}"
+        cid = node_id(conv_id, 1, f"{cname}#{k}")
+        comm_node_ids.append(cid)
+        comm_names.append(cname)
+        rows.append(
+            {
+                "kind": "node",
+                "conv_id": conv_id,
+                "id": cid,
+                "name": cname,
+                "description": findings["summary"],
+                "level": 1,
+                "properties": [f["explanation"] for f in findings["findings"]],
+                "is_visual": False,
+                "community_id": None,
+                "child_node_ids": [nid[cn] for cn in part],
+                "metadata": [],
+            }
+        )
+
+    # Inter-community edges: exactly one per crossing community pair
+    # (community_builder.py:60-73, dedup per test_community_builder.py:169-182).
+    seen_pairs: dict[tuple[int, int], None] = {}
+    for key, r in sorted(edge_rows.items()):
+        ka, kb = comm_of.get(r["frm"]), comm_of.get(r["to"])
+        if ka is None or kb is None or ka == kb:
+            continue
+        pair = (min(ka, kb), max(ka, kb))
+        if pair in seen_pairs:
+            continue
+        seen_pairs.setdefault(pair)
+        rows.append(
+            {
+                "kind": "edge",
+                "conv_id": conv_id,
+                "id": edge_id(comm_node_ids[pair[0]], comm_node_ids[pair[1]], r["rel"]),
+                "frm": comm_node_ids[pair[0]],
+                "to": comm_node_ids[pair[1]],
+                "frm_name": comm_names[pair[0]],
+                "to_name": comm_names[pair[1]],
+                "level": 1,
+                "description": r["rel"],
+                "metadata": [],
+            }
+        )
+
+    # ---- level-0 nodes ----------------------------------------------
+    for cn in sorted(node_desc):
+        k = comm_of.get(cn)
+        rows.append(
+            {
+                "kind": "node",
+                "conv_id": conv_id,
+                "id": nid[cn],
+                "name": cn,
+                "description": node_desc[cn],
+                "level": 0,
+                "properties": sorted(props_by_node.get(cn, [])),
+                "is_visual": False,
+                "community_id": comm_node_ids[k] if k is not None else None,
+                "child_node_ids": [],
+                "metadata": meta_list(node_meta[cn]),
+            }
+        )
+
+    # ---- level-0 edges + triples ------------------------------------
+    for key, r in sorted(edge_rows.items()):
+        rows.append(
+            {
+                "kind": "edge",
+                "conv_id": conv_id,
+                "id": edge_id(nid[r["frm"]], nid[r["to"]], r["rel"]),
+                "frm": nid[r["frm"]],
+                "to": nid[r["to"]],
+                "frm_name": r["frm"],
+                "to_name": r["to"],
+                "level": 0,
+                "description": r["rel"],
+                "metadata": meta_list(r["meta"]),
+            }
+        )
+    for (s, p, o, c) in sorted(triple_rows):
+        rows.append(
+            {
+                "kind": "triple",
+                "conv_id": conv_id,
+                "subj": s,
+                "pred": p,
+                "obj": o,
+                "chunk_id": c,
+            }
+        )
+
+    # ---- properties --------------------------------------------------
+    for (cn, desc), r in sorted(prop_rows.items()):
+        rows.append(
+            {
+                "kind": "property",
+                "conv_id": conv_id,
+                "id": property_id(nid[cn], desc),
+                "node_id": nid[cn],
+                "node_name": cn,
+                "description": desc,
+                "metadata": meta_list(r["meta"]),
+            }
+        )
+
+    # ---- G4: level-2 conversation node ------------------------------
+    full_text_head = " ".join(chunk_texts)[:4000]
+    rows.append(
+        {
+            "kind": "node",
+            "conv_id": conv_id,
+            "id": node_id(conv_id, 2, conv_id),
+            "name": conv_id,
+            "description": llm.summarize_conversation(full_text_head),
+            "level": 2,
+            "properties": llm.keywords(full_text_head),
+            "is_visual": False,
+            "community_id": None,
+            "child_node_ids": comm_node_ids,
+            "metadata": [],
+        }
+    )
+
+    return pa.Table.from_pylist(rows, schema=GRAPH_UNION)
+
+
+def build_graph(build_logs, llm_factory: Callable[[], LLMClient] = DeterministicMockLLM):
+    """build_logs Dataset -> union graph Dataset (one conv_id shuffle)."""
+    if "quarantined" in build_logs.schema().names:
+        build_logs = build_logs.map_batches(
+            lambda t: t.filter(pc.invert(t["quarantined"])).drop_columns(["quarantined"]),
+            batch_format="pyarrow",
+        )
+    return build_logs.groupby("conv_id").map_groups(
+        lambda g: build_graph_group(g, llm_factory), batch_format="pyarrow"
+    )

@@ -1,0 +1,77 @@
+"""End-to-end build: P/R vs the generator's ground truth, and
+checkpoint/resume equivalence (north_rule)."""
+
+import json
+import shutil
+
+import pytest
+
+from eschergraph_ray.pipelines.build import build, load_kind_arrow
+from eschergraph_ray.sources.transcripts import (
+    generate_transcripts_table,
+    oracle_properties_table,
+    oracle_triples_table,
+    transcripts_parquet_dir,
+)
+
+N = 30
+SRC_ROOT = "/tmp/eschergraph_ray_test"
+
+
+@pytest.fixture(scope="module")
+def src_dir():
+    return transcripts_parquet_dir(N, root=SRC_ROOT)
+
+
+def _triple_set(out_dir):
+    t = load_kind_arrow(out_dir, "triple").to_pandas()
+    return set(map(tuple, t[["conv_id", "subj", "pred", "obj"]].values))
+
+
+def test_build_pr_vs_oracle(src_dir):
+    out = "/tmp/eg_t_e2e"
+    shutil.rmtree(out, ignore_errors=True)
+    res = build(src_dir, out)
+    got = _triple_set(out)
+    exp = set(map(tuple, oracle_triples_table(N).to_pandas().values))
+    tp = len(got & exp)
+    precision = tp / max(1, len(got))
+    recall = tp / max(1, len(exp))
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+    # properties too (incl. self-loop downgrades)
+    props = load_kind_arrow(out, "property").to_pandas()
+    gotp = set(map(tuple, props[["conv_id", "node_name", "description"]].values))
+    expp = set(map(tuple, oracle_properties_table(N).to_pandas().values))
+    tpp = len(gotp & expp)
+    assert tpp / max(1, len(gotp)) >= 0.95
+    assert tpp / max(1, len(expp)) >= 0.95
+    # lineage recorded per partition
+    lin = res.lineage.to_pylist()
+    assert lin and all(r["status"] == "committed" for r in lin)
+    assert sum(r["triple_count"] for r in lin) == len(got)
+
+
+def test_killed_run_resumes_from_committed_partition(src_dir):
+    out = "/tmp/eg_t_resume"
+    shutil.rmtree(out, ignore_errors=True)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build(src_dir, out, commit_groups=3, fail_after_group=1)
+    manifest = json.load(open(out + "/manifest.json"))
+    statuses = sorted(v["status"] for v in manifest["partitions"].values())
+    assert "committed" in statuses and len(statuses) < 3 or statuses.count("committed") == 1
+    # resume completes the remaining groups only
+    build(src_dir, out, commit_groups=3)
+    manifest = json.load(open(out + "/manifest.json"))
+    assert all(v["status"] == "committed" for v in manifest["partitions"].values())
+    # identical output to a single-shot run (deterministic IDs)
+    out2 = "/tmp/eg_t_single"
+    shutil.rmtree(out2, ignore_errors=True)
+    build(src_dir, out2, commit_groups=1)
+    assert _triple_set(out) == _triple_set(out2)
+
+
+def test_generator_deterministic():
+    a = generate_transcripts_table(4)
+    b = generate_transcripts_table(4)
+    assert a.equals(b)
