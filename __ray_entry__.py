@@ -5,8 +5,9 @@ transcript corpus sized from sf0.001 (the transcript table is the
 driver-mandated input shape, synthesized deterministically — see
 eschergraph_ray/sources/transcripts.py). ``queries()`` exposes each
 implemented operator; SQL-expressible ones have a DuckDB oracle in
-``oracle_sql()``, the KG/graph ones are checked rows-only (their oracle
-is the generator ground truth, asserted in tests/).
+``oracle_sql()``, the KG/graph and approximate ones are checked
+rows-only (their oracles are the generator ground truth and the exact
+baselines, asserted in tests/).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -14,6 +15,7 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
 import shutil
 from collections.abc import Callable
 from typing import Any
@@ -30,8 +32,8 @@ def _context():
 
 
 def _build_for(sf_dir: str, tag: str):
-    """Run (once per process invocation) the full build for a corpus
-    scaled to sf_dir; returns the output directory."""
+    """Run (once per corpus size) the full build for a corpus scaled to
+    sf_dir; returns the output directory."""
     from eschergraph_ray.pipelines.build import build
     from eschergraph_ray.sources.transcripts import (
         sf_to_n_convs,
@@ -43,8 +45,6 @@ def _build_for(sf_dir: str, tag: str):
     src = transcripts_parquet_dir(n, seed=SEED)
     out = f"/tmp/eschergraph_ray/build-{tag}-n{n}"
     done = out + "/_QUERY_DONE"
-    import os
-
     if not os.path.exists(done):
         shutil.rmtree(out, ignore_errors=True)
         build(src, out, commit_groups=2)
@@ -62,7 +62,7 @@ def entry() -> Any:
 
 
 # ---------------------------------------------------------------------------
-# queries
+# KG pipeline queries (oracle = generator ground truth; rows-only here)
 # ---------------------------------------------------------------------------
 
 
@@ -72,7 +72,6 @@ def _q_kg(kind: str):
 
         out = _build_for(sf_dir, "q")
         t = load_kind_arrow(out, kind)
-        # stable, list-free projection for the driver's hasher
         drop = [
             c
             for c in ("properties", "child_node_ids", "metadata", "is_visual")
@@ -90,29 +89,83 @@ def _q_chunks(sf_dir: str):
         sf_to_n_convs,
         transcripts_parquet_dir,
     )
-    from eschergraph_ray.stages.chunking import chunk_conversations
+    from eschergraph_ray.stages.chunking import chunk_conversations_sharded
 
     _context()
     src = transcripts_parquet_dir(sf_to_n_convs(sf_dir), seed=SEED)
-    return chunk_conversations(rd.read_parquet(src))
+    return chunk_conversations_sharded(rd.read_parquet(src))
 
 
 def _q_lineage(sf_dir: str):
-    from eschergraph_ray.pipelines.build import _input_files  # noqa: F401
     import pyarrow.parquet as pq
 
     out = _build_for(sf_dir, "q")
     return pq.read_table(out + "/lineage.parquet")
 
 
-def _q_doc_token_counts(sf_dir: str):
-    """Token counting (F8/S7 analogue) over the documents table."""
-    import pyarrow as pa
+def _q_kg_embeddings(sf_dir: str):
     import ray.data as rd
 
-    from eschergraph_ray.functions.text import _TOKEN_RE
+    from eschergraph_ray.stages.embed import embed_graph
 
     _context()
+    out = _build_for(sf_dir, "q")
+    graph_files = []
+    root = os.path.join(out, "graph")
+    for pid in sorted(os.listdir(root)):
+        for kind in ("node", "edge", "property"):
+            d = os.path.join(root, pid, f"kind={kind}")
+            if os.path.isdir(d):
+                graph_files.extend(
+                    os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+                )
+
+    ds = rd.read_parquet(graph_files)
+    emb = embed_graph(ds)
+    return emb.drop_columns(["embedding"])  # driver-hashable projection
+
+
+def _q_quick_search(sf_dir: str):
+    import ray.data as rd
+
+    from eschergraph_ray.stages.embed import embed_graph
+    from eschergraph_ray.pipelines.search import quick_search
+
+    _context()
+    out = _build_for(sf_dir, "q")
+    from eschergraph_ray.pipelines.build import load_kind
+
+    # embeddings over nodes only for a compact search surface
+    graph_files = []
+    root = os.path.join(out, "graph")
+    for pid in sorted(os.listdir(root)):
+        d = os.path.join(root, pid, "kind=node")
+        if os.path.isdir(d):
+            graph_files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    ds = rd.read_parquet(graph_files)
+    emb = embed_graph(ds)
+    res = quick_search(emb, "lennart timmermans the senior engineer")
+    return res.drop_columns(["embedding"])
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text analysis over the driver's sf tables
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    _context()
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _q_doc_token_counts(sf_dir: str):
+    import pyarrow as pa
+
+    from eschergraph_ray.functions.text import _TOKEN_RE
 
     def f(batch: pa.Table) -> pa.Table:
         counts = [len(_TOKEN_RE.findall(t)) for t in batch["text"].to_pylist()]
@@ -120,40 +173,115 @@ def _q_doc_token_counts(sf_dir: str):
             {"doc_id": batch["doc_id"], "n_tokens": pa.array(counts, pa.int64())}
         )
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow"
-    )
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
 def _q_dedup_exact(sf_dir: str):
-    """Exact dedup: one survivor (min doc_id) per identical text (D1/D6
-    pattern: hash-partition + per-group first)."""
-    import pyarrow as pa
+    from eschergraph_ray.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir), "doc_id", "text")
+
+
+def _q_quality(sf_dir: str):
+    from eschergraph_ray.functions.textstats import quality_counts
+
+    return quality_counts(_docs(sf_dir), "doc_id", "text")
+
+
+def _q_lang_id(sf_dir: str):
+    from eschergraph_ray.functions.textstats import lang_id
+
+    return lang_id(_docs(sf_dir), "doc_id", "text")
+
+
+def _q_fingerprints(sf_dir: str):
+    from eschergraph_ray.functions.textstats import fingerprint_docs
+
+    return fingerprint_docs(_docs(sf_dir), "doc_id", "text")
+
+
+def _q_simhash(sf_dir: str):
+    from eschergraph_ray.functions.dedup import simhash_values
+
+    return simhash_values(_docs(sf_dir), "doc_id", "text")
+
+
+def _q_minhash_neardup(sf_dir: str):
+    from eschergraph_ray.functions.dedup import (
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = _docs(sf_dir)
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    return jaccard_verify_pairs(cand, docs, "doc_id", "text", threshold=0.5)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from eschergraph_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), "doc_id", "text", n=3, threshold=0.5)
+
+
+def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
-    from ray.data.aggregate import Min
+
+    from eschergraph_ray.functions.dedup import embedding_near_dup_pairs
 
     _context()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, "vec_id", "embedding", threshold=0.4)
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        import hashlib
 
-        h = [
-            hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
-        return batch.append_column("h", pa.array(h, pa.string())).drop_columns(["text"])
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
+    from eschergraph_ray.functions.similarity import brute_force_topk
+
+    _context()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, qvec, "vec_id", "embedding", k=10)
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import lsh_topk
+
+    _context()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, qvec, "vec_id", "embedding", k=10)
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.multimodal import (
+        extract_media_features,
+        synthetic_media_table,
     )
+
+    _context()
+    ds = rd.from_arrow(synthetic_media_table(32))
+    out = extract_media_features(ds, concurrency=2)
+    return out.drop_columns(["features"])
+
+
+# ---------------------------------------------------------------------------
+# relational / windowed operators over the sf tables
+# ---------------------------------------------------------------------------
 
 
 def _q_lineitem_pricing(sf_dir: str):
-    """TPC-H Q1-style grouped aggregate (A1/A5 pattern)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -180,30 +308,162 @@ def _q_lineitem_pricing(sf_dir: str):
     )
 
     def rounded(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.column_names.index("sum_revenue"),
-            "sum_revenue",
-            pc.round(batch["sum_revenue"], 2),
-        ).set_column(
-            batch.column_names.index("sum_qty"),
-            "sum_qty",
-            pc.round(batch["sum_qty"], 2),
-        )
+        for col in ("sum_revenue", "sum_qty"):
+            batch = batch.set_column(
+                batch.column_names.index(col), col, pc.round(batch[col], 2)
+            )
+        return batch
 
     return out.map_batches(rounded, batch_format="pyarrow")
 
 
+def _q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join orders x customer (small dim side), grouped
+    revenue per market segment (J1 pattern: ray.put once, lookup per
+    batch)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    _context()
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(seg_of)
+
+    class AddSegment:
+        def __init__(self):
+            self.seg = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
+            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    out = (
+        ds.map_batches(AddSegment, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue", pc.round(t["revenue"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped op as
+    groupby over event-time buckets)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return batch.append_column("hour", hour).drop_columns(["ts"])
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"), "sum_value", pc.round(t["sum_value"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_top_users(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    out = ds.groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
+    out = out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total_value"),
+            "total_value",
+            pc.round(t["total_value"], 2),
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort(["total_value", "user_id"], descending=[True, False]).limit(10)
+
+
+def _q_sessionize(sf_dir: str):
+    """Session windows per user (gap > 30 min) — ordered per-group
+    processing via groupby(user).map_groups (the reference's stateful
+    sequential-accumulator shape, S5)."""
+    import pandas as pd
+    import ray.data as rd
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum() + 1
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id")
+            .agg(session_start=("ts", "min"), n_events=("ts", "count"))
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "session_start", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
         "kg_edges": _q_kg("edge"),
         "kg_properties": _q_kg("property"),
         "kg_chunks": _q_chunks,
         "kg_lineage": _q_lineage,
+        "kg_embeddings": _q_kg_embeddings,
+        "kg_quick_search": _q_quick_search,
+        # text analysis
         "doc_token_counts": _q_doc_token_counts,
+        "doc_quality_counts": _q_quality,
+        "doc_lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        # dedup family
         "dedup_exact_documents": _q_dedup_exact,
+        "dedup_simhash_documents": _q_simhash,
+        "dedup_minhash_neardup": _q_minhash_neardup,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_embedding_cosine": _q_embedding_neardup,
+        # similarity search
+        "ann_topk_cosine": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        # multimodal plumbing
+        "media_features": _q_media_features,
+        # relational / windows
         "lineitem_pricing_summary": _q_lineitem_pricing,
+        "orders_by_segment": _q_orders_by_segment,
+        "events_hourly": _q_events_hourly,
+        "top_users_by_value": _q_top_users,
+        "sessionize_events": _q_sessionize,
     }
 
 
@@ -215,8 +475,59 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+(''[A-Za-z]+)?|\d+|[^\w\s]')) AS BIGINT) AS n_tokens
             FROM documents
         """,
+        "doc_quality_counts": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(array_length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+                   CAST(array_length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+                   CAST(array_length(regexp_extract_all(lower(text), '[a-z'']+')) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                        x -> x IN ('the','and','of','a','to','in','is','it','that','for','on','with'))) AS BIGINT)
+                        AS n_stopwords
+            FROM documents
+        """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS w,
+                     generate_subscripts(string_split(lower(text), ' '), 1) AS i
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+              FROM words a
+              JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT 10
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -225,5 +536,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "top_users_by_value": """
+            SELECT user_id, round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY user_id
+            ORDER BY total_value DESC, user_id
+            LIMIT 10
+        """,
+        "sessionize_events": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM e
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
     }

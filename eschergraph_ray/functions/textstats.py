@@ -1,0 +1,120 @@
+"""Text analysis operators: quality metrics, language-ID heuristic,
+token counting, rolling-hash fingerprinting (winnowing).
+
+Quality metrics are emitted as exact integer counts (not ratios) so the
+DuckDB oracle comparison is float-free. Language-ID is an n-gram /
+stopword-profile heuristic (rows-only check; unit-tested on known
+samples). Fingerprinting follows the published winnowing scheme
+(Schleimer et al. 2003): k-gram rolling hashes, per-window minimum.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_ALPHA = re.compile(r"[A-Za-z]")
+_PUNCT = re.compile(r"[^\w\s]")
+_WORD = re.compile(r"[A-Za-z']+")
+
+EN_STOP = {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "with"}
+
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "with", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"},
+    "es": {"el", "la", "los", "las", "y", "es", "que", "de", "un", "una", "por"},
+    "fr": {"le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"},
+    "it": {"il", "la", "che", "di", "e", "un", "una", "per", "con", "sono"},
+}
+
+
+def quality_counts(ds, id_col: str, text_col: str):
+    """Integer quality metrics per doc (length/punct/stopword family)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n_chars, n_alpha, n_punct, n_words, n_stop = [], [], [], [], []
+        for t in texts:
+            t = t or ""
+            n_chars.append(len(t))
+            n_alpha.append(len(_ALPHA.findall(t)))
+            n_punct.append(len(_PUNCT.findall(t)))
+            words = _WORD.findall(t.lower())
+            n_words.append(len(words))
+            n_stop.append(sum(1 for w in words if w in EN_STOP))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_alpha": pa.array(n_alpha, pa.int64()),
+                "n_punct": pa.array(n_punct, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def detect_language(text: str) -> str:
+    """Stopword-profile argmax; 'und' for undetermined."""
+    words = set(_WORD.findall((text or "").lower()))
+    best, best_score = "und", 0
+    for lang in sorted(_LANG_PROFILES):
+        score = len(words & _LANG_PROFILES[lang])
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+def lang_id(ds, id_col: str, text_col: str):
+    def f(batch: pa.Table) -> pa.Table:
+        langs = [detect_language(t) for t in batch[text_col].to_pylist()]
+        return pa.table({id_col: batch[id_col], "lang_pred": pa.array(langs, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing fingerprints over character k-grams."""
+    t = (text or "").lower()
+    if len(t) < k:
+        return []
+    hashes = [
+        int.from_bytes(hashlib.blake2b(t[i : i + k].encode(), digest_size=8).digest(), "big")
+        for i in range(len(t) - k + 1)
+    ]
+    if len(hashes) <= window:
+        return [min(hashes)]
+    out = []
+    prev = -1
+    h = np.array(hashes, dtype=np.uint64)
+    for i in range(len(hashes) - window + 1):
+        j = i + int(np.argmin(h[i : i + window]))
+        if j != prev:
+            out.append(int(h[j]))
+            prev = j
+    return out
+
+
+def fingerprint_docs(ds, id_col: str, text_col: str, k: int = 5, window: int = 4):
+    """Per-doc winnowing fingerprint set (count + min/max as scalars)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n, mn = [], []
+        for t in batch[text_col].to_pylist():
+            fp = winnow_fingerprints(t, k, window)
+            n.append(len(fp))
+            mn.append(min(fp) - (1 << 63) if fp else None)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_fingerprints": pa.array(n, pa.int64()),
+                "min_fingerprint": pa.array(mn, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

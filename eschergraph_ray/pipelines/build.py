@@ -36,9 +36,13 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 
 from ..llm import DeterministicMockLLM, LLMClient
-from ..stages.chunking import MAX_TOKENS, chunk_conversations
+from ..stages.chunking import (
+    MAX_TOKENS,
+    chunk_conversations,
+    chunk_conversations_sharded,
+)
 from ..stages.extraction import extract_build_logs
-from ..stages.graph_build import build_graph
+from ..stages.graph_build import build_graph, build_graph_sharded
 from ..state.checkpoint import Manifest, atomic_dir_write
 
 
@@ -61,44 +65,57 @@ def _input_files(input_path: str) -> list[str]:
 
 
 def _logs_stats(logs_dir: str) -> dict:
+    """Lineage counts for the extraction checkpoint. chunk_count comes
+    from Parquet footers (no data scan); conv/turn counts from a light
+    two-column DuckDB scan (covered turns = up to each conversation's
+    last chunked turn)."""
     import duckdb
+    import pyarrow.parquet as pq
 
+    chunk_count = sum(
+        pq.ParquetFile(os.path.join(logs_dir, f)).metadata.num_rows
+        for f in os.listdir(logs_dir)
+        if f.endswith(".parquet")
+    )
     con = duckdb.connect()
     row = con.execute(
         f"""
-        SELECT count(DISTINCT conv_id),
-               count(*),
-               coalesce(sum(span), 0)
-        FROM (
-          SELECT conv_id, turn_first, turn_last,
-                 max(turn_last - turn_first + 1) AS span
+        SELECT count(*), coalesce(sum(mx + 1), 0) FROM (
+          SELECT conv_id, max(turn_last) AS mx
           FROM read_parquet('{logs_dir}/**/*.parquet')
-          GROUP BY 1, 2, 3
+          GROUP BY conv_id
         )
         """
     ).fetchone()
     con.close()
-    return {"conv_count": row[0], "chunk_count": row[1], "turn_count": int(row[2])}
+    return {"conv_count": row[0], "chunk_count": chunk_count, "turn_count": int(row[1])}
 
 
 def _graph_stats(graph_dir: str) -> dict:
-    import duckdb
+    """Row counts per output kind straight from Parquet footers, plus
+    conv/chunk/turn lineage counters from the tiny kind=stats partition
+    (emitted inline by the graph stage — no build_logs re-scan)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
 
-    con = duckdb.connect()
-    rows = con.execute(
-        f"""
-        SELECT kind, count(*) FROM read_parquet('{graph_dir}/**/*.parquet',
-                                                hive_partitioning=1)
-        GROUP BY kind
-        """
-    ).fetchall()
-    con.close()
-    by_kind = dict(rows)
-    return {
-        "triple_count": int(by_kind.get("triple", 0)),
-        "node_count": int(by_kind.get("node", 0)),
-        "edge_count": int(by_kind.get("edge", 0)),
-    }
+    out = {"triple_count": 0, "node_count": 0, "edge_count": 0}
+    for kind in ("triple", "node", "edge"):
+        d = os.path.join(graph_dir, f"kind={kind}")
+        if os.path.isdir(d):
+            out[f"{kind}_count"] = sum(
+                pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+    sd = os.path.join(graph_dir, "kind=stats")
+    if os.path.isdir(sd):
+        t = pads.dataset(sd).to_table(columns=["stat_convs", "stat_chunks", "stat_turns"])
+        import pyarrow.compute as pc
+
+        out["conv_count"] = int(pc.sum(t["stat_convs"]).as_py() or 0)
+        out["chunk_count"] = int(pc.sum(t["stat_chunks"]).as_py() or 0)
+        out["turn_count"] = int(pc.sum(t["stat_turns"]).as_py() or 0)
+    return out
 
 
 def build(
@@ -109,9 +126,16 @@ def build(
     max_tokens: int = MAX_TOKENS,
     extract_batch_size: int = 256,
     fail_after_group: int | None = None,
+    conv_complete_shards: bool = True,
 ) -> BuildResult:
     """Run (or resume) the full build. ``fail_after_group`` injects a
-    crash after N committed groups — used by the kill/resume test."""
+    crash after N committed groups — used by the kill/resume test.
+
+    ``conv_complete_shards=True`` (default, and the layout the
+    checkpoint partitioning already requires): each input shard holds
+    whole conversations, so reassembly/chunking and graph-build run as
+    per-block ``map_batches`` with ZERO all-to-all shuffles. Set False
+    for arbitrary row layouts to use the groupby(conv_id) exchange."""
     import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)
@@ -148,26 +172,67 @@ def build(
             continue
         t0 = time.monotonic()
 
-        if not manifest.phase_done(pid, "extract"):
-            transcripts = rd.read_parquet(group_files)
-            chunks = chunk_conversations(transcripts, max_tokens=max_tokens)
-            logs = extract_build_logs(
-                chunks, llm_factory=llm_factory, batch_size=extract_batch_size
-            )
-            atomic_dir_write(logs_dir, lambda tmp: logs.write_parquet(tmp))
-            manifest.mark(pid, "extracted", **_logs_stats(logs_dir))
+        extracted = manifest.phase_done(pid, "extract")
+        if conv_complete_shards and not extracted:
+            # Fused single streaming execution for the whole group:
+            # read -> chunk -> extract(actor pool, side-writes the
+            # build_logs checkpoint per block) -> graph -> write(graph).
+            # 1 block per file + batch_size=None keeps every block
+            # conversation-complete end to end, so no shuffle is needed.
+            import shutil
 
-        logs_ds = rd.read_parquet(logs_dir)
-        graph = build_graph(logs_ds, llm_factory=llm_factory)
-        atomic_dir_write(
-            graph_dir,
-            lambda tmp: graph.write_parquet(tmp, partition_cols=["kind"]),
-        )
+            logs_tmp = logs_dir + ".tmp"
+            shutil.rmtree(logs_tmp, ignore_errors=True)
+            # ~2 shards per block: fewer, larger tasks (less per-task
+            # overhead) while unions of conv-complete shards stay
+            # conv-complete.
+            transcripts = rd.read_parquet(
+                group_files, override_num_blocks=max(1, len(group_files) // 2)
+            )
+            chunks = chunk_conversations_sharded(transcripts, max_tokens=max_tokens)
+            logs = extract_build_logs(
+                chunks, llm_factory=llm_factory, batch_size=None, side_write_dir=logs_tmp
+            )
+            graph = build_graph_sharded(logs, llm_factory=llm_factory)
+            atomic_dir_write(
+                graph_dir,
+                lambda tmp: graph.write_parquet(tmp, partition_cols=["kind"]),
+            )
+            shutil.rmtree(logs_dir, ignore_errors=True)
+            os.replace(logs_tmp, logs_dir)
+        else:
+            if not extracted:
+                transcripts = rd.read_parquet(group_files)
+                chunks = chunk_conversations(transcripts, max_tokens=max_tokens)
+                logs = extract_build_logs(
+                    chunks, llm_factory=llm_factory, batch_size=extract_batch_size
+                )
+                atomic_dir_write(logs_dir, lambda tmp: logs.write_parquet(tmp))
+                manifest.mark(pid, "extracted", **_logs_stats(logs_dir))
+            logs_files = [
+                os.path.join(logs_dir, f)
+                for f in sorted(os.listdir(logs_dir))
+                if f.endswith(".parquet")
+            ]
+            if conv_complete_shards:
+                logs_ds = rd.read_parquet(logs_files, override_num_blocks=len(logs_files))
+                graph = build_graph_sharded(logs_ds, llm_factory=llm_factory)
+            else:
+                logs_ds = rd.read_parquet(logs_files)
+                graph = build_graph(logs_ds, llm_factory=llm_factory)
+            atomic_dir_write(
+                graph_dir,
+                lambda tmp: graph.write_parquet(tmp, partition_cols=["kind"]),
+            )
         wall_ms = int(1000 * (time.monotonic() - t0))
         prev_ms = int(manifest.get(pid).get("wall_ms", 0))
-        manifest.mark(
-            pid, "committed", wall_ms=prev_ms + wall_ms, **_graph_stats(graph_dir)
-        )
+        stats = dict(manifest.get(pid))
+        stats.pop("status", None)
+        stats.update(_graph_stats(graph_dir))
+        if "conv_count" not in stats:  # non-fused path has no stats rows
+            stats.update(_logs_stats(logs_dir))
+        stats["wall_ms"] = prev_ms + wall_ms
+        manifest.mark(pid, "committed", **stats)
         done += 1
         if fail_after_group is not None and done >= fail_after_group:
             raise RuntimeError(f"injected failure after {done} committed group(s)")

@@ -1,0 +1,90 @@
+"""Batch search jobs over the materialized graph + embeddings tables.
+
+Reference entry points restated as Dataset queries (SURVEY.md §3.2/3.3):
+
+- ``quick_search`` (``eschergraph/graph/search/quick_search.py:33-75``):
+  vector search top_n=40 at level 0 (optional document filter), rerank,
+  keep while score > 0.1 (``quick_search.py:139,145,180-209``).
+- ``global_search`` (``eschergraph/graph/search/global_search.py:19-46``):
+  top_n=15 at level 1, threshold 0 (``global_search.py:70,74-77``).
+
+The reranker (Jina in the reference) is replaced by embedding cosine
+(north-star allows this; the ordering+threshold semantics A6 are kept:
+sort desc, filter score > t, limit k). The query embedding is computed
+once on the driver and broadcast into the scoring stage via closure
+capture of a small numpy vector — no shuffle; scoring is one numpy
+matmul per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..llm import Embedder, HashEmbedder
+
+QUICK_TOP_N = 40
+QUICK_THRESHOLD = 0.1
+GLOBAL_TOP_N = 15
+GLOBAL_THRESHOLD = 0.0
+
+
+def _score_stage(qvec: np.ndarray):
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        emb = batch["embedding"]
+        n = len(batch)
+        mat = np.asarray(emb.combine_chunks().flatten(), dtype=np.float32).reshape(n, -1)
+        scores = mat @ qvec.astype(np.float32)
+        return batch.append_column("score", pa.array(scores.astype(np.float64)))
+
+    return score
+
+
+def attribute_search(
+    embeddings_ds,
+    query: str,
+    level: int,
+    top_n: int,
+    threshold: float,
+    document_id: str | None = None,
+    embedder: Embedder | None = None,
+):
+    """vector search -> rerank -> threshold -> top_n (A6 semantics)."""
+    embedder = embedder or HashEmbedder()
+    qvec = embedder.embed([query])[0]
+    ds = embeddings_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["level"], level)), batch_format="pyarrow"
+    )
+    if document_id is not None:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["document_id"], document_id)),
+            batch_format="pyarrow",
+        )
+    scored = ds.map_batches(_score_stage(qvec), batch_format="pyarrow")
+    scored = scored.map_batches(
+        lambda t: t.filter(pc.greater(t["score"], threshold)), batch_format="pyarrow"
+    )
+    return scored.sort("score", descending=True).limit(top_n)
+
+
+def quick_search(embeddings_ds, query: str, document_id: str | None = None,
+                 embedder: Embedder | None = None):
+    """Level-0 attribute search (quick_search.py semantics)."""
+    if not query.strip():
+        return embeddings_ds.limit(0)  # empty-query guard (quick_search.py:44-46)
+    return attribute_search(
+        embeddings_ds, query, level=0, top_n=QUICK_TOP_N,
+        threshold=QUICK_THRESHOLD, document_id=document_id, embedder=embedder,
+    )
+
+
+def global_search(embeddings_ds, query: str, embedder: Embedder | None = None):
+    """Level-1 (community) search (global_search.py semantics)."""
+    return attribute_search(
+        embeddings_ds, query, level=1, top_n=GLOBAL_TOP_N,
+        threshold=GLOBAL_THRESHOLD, embedder=embedder,
+    )

@@ -170,5 +170,10 @@ GRAPH_UNION = pa.schema(
         ("community_id", pa.string()),
         ("child_node_ids", pa.list_(pa.string())),
         ("metadata", _METADATA),
+        # kind="stats" rows only: per-block lineage counters, so the
+        # checkpoint manifest needs no post-hoc scan of build_logs
+        ("stat_convs", pa.int64()),
+        ("stat_chunks", pa.int64()),
+        ("stat_turns", pa.int64()),
     ]
 )

@@ -270,9 +270,12 @@ def transcripts_parquet_dir(n_convs: int, seed: int = 42, root: str = "/tmp/esch
             rows.extend(conv_rows(seed, i))
         return _rows_to_table(rows, random.Random((seed << 16) ^ (idxs[0] + 1)))
 
-    n_blocks = max(4, min(64, n_convs // 8 or 1))
+    # enough shards for load balance (giant convs skew shard sizes)
+    n_blocks = max(4, min(512, n_convs // 200 or 1))
     ds = rd.range(n_convs, override_num_blocks=n_blocks)
-    ds.map_batches(gen, batch_format="pyarrow").write_parquet(tmp)
+    # batch_size=None -> one task per block, so generation parallelizes
+    # across the worker pool instead of bundling into few huge batches
+    ds.map_batches(gen, batch_format="pyarrow", batch_size=None).write_parquet(tmp)
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
     with open(done, "w") as f:
@@ -314,5 +317,8 @@ def sf_to_n_convs(sf_dir: str) -> int:
     see proportionally sized transcript corpora."""
     import pyarrow.parquet as pq
 
-    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    return max(20, n_docs // 5)
+    n_rows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    # sf0.001 -> 1200 convs (smoke), sf0.01 -> 12k (correctness),
+    # sf0.1 -> 120k convs (~4M turns) so bench compute dominates fixed
+    # orchestration cost and the two-parallelism scaling signal is real.
+    return max(20, n_rows // 5)

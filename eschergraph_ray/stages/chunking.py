@@ -46,9 +46,28 @@ CHUNKS_PER_SALT = 100_000
 
 _SENTENCE_RE = re.compile(r"(?<=[.!?])\s+")
 
+_ARROW_PINNED = False
+
+
+def pin_arrow_threads() -> None:
+    """Pin pyarrow's internal thread pool to 1 inside Ray workers.
+
+    Arrow kernels (take / sort_indices / cast) default to a pool sized
+    to ALL machine cores; with N Ray workers that is N x cores threads
+    fighting the scheduler — observed as 10-20x UDF slowdown dominated
+    by sys time. Each worker is already a single parallelism unit; its
+    kernels must be single-threaded. Called once per process from every
+    batch UDF."""
+    global _ARROW_PINNED
+    if not _ARROW_PINNED:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _ARROW_PINNED = True
+
 
 def add_turn_tokens(batch: pa.Table) -> pa.Table:
     """Vectorized per-turn token count + salt key (pre-shuffle stage)."""
+    pin_arrow_threads()
     texts = batch["text"].to_pylist()
     n_tokens = pa.array([len(_TOKEN_RE.findall(t or "")) for t in texts], pa.int32())
     salt = pc.cast(
@@ -138,8 +157,47 @@ def chunk_group(group: pa.Table, max_tokens: int = MAX_TOKENS) -> pa.Table:
 
 
 def chunk_conversations(transcripts, max_tokens: int = MAX_TOKENS):
-    """transcripts Dataset -> chunks Dataset (one shuffle, key=(conv_id, salt))."""
+    """transcripts Dataset -> chunks Dataset (one shuffle, key=(conv_id, salt)).
+
+    The general path: works for any row layout. When input shards are
+    conversation-complete use ``chunk_conversations_sharded`` — same
+    semantics, zero shuffle.
+    """
     with_tokens = transcripts.map_batches(add_turn_tokens, batch_format="pyarrow")
     return with_tokens.groupby(["conv_id", "salt"]).map_groups(
         lambda g: chunk_group(g, max_tokens), batch_format="pyarrow"
+    )
+
+
+def chunk_batch(batch: pa.Table, max_tokens: int = MAX_TOKENS) -> pa.Table:
+    """Chunk every conversation contained in one conv-complete batch.
+
+    Shuffle-free fast path: when each input shard holds whole
+    conversations (the layout the checkpoint partitioning already
+    requires — a conversation must not span shards), the
+    groupby(conv_id) exchange is unnecessary; we group within the block.
+    Semantics are identical to ``chunk_conversations`` (asserted by
+    tests/test_chunking.py::test_sharded_path_equals_groupby_path).
+    """
+    batch = add_turn_tokens(batch)
+    out: list[pa.Table] = []
+    # sort by (conv_id, turn_idx) once, then slice runs per conv
+    batch = batch.take(
+        pc.sort_indices(
+            batch, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    boundaries = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(conv)]])
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        out.append(chunk_group(batch.slice(s, e - s), max_tokens))
+    return pa.concat_tables(out) if out else chunk_group(batch, max_tokens)
+
+
+def chunk_conversations_sharded(transcripts, max_tokens: int = MAX_TOKENS):
+    """Zero-shuffle chunking over conv-complete blocks (batch = block)."""
+    return transcripts.map_batches(
+        lambda b: chunk_batch(b, max_tokens), batch_format="pyarrow", batch_size=None
     )

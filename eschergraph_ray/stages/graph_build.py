@@ -270,18 +270,12 @@ def build_graph_group(
         ]
 
     # ---- G1-G3: communities over the level-0 subgraph ---------------
-    import networkx as nx
+    from ..functions.community import louvain_communities
 
-    g = nx.Graph()
-    g.add_nodes_from(node_desc)
-    for (a, b, _rel) in edge_rows:
-        g.add_edge(a, b)
-    if g.number_of_nodes() > 0:
-        partitions = nx.community.louvain_communities(g, seed=louvain_seed)
-        partitions = [sorted(p) for p in partitions]
-        partitions.sort(key=lambda p: p[0])
-    else:
-        partitions = []
+    partitions = louvain_communities(
+        list(node_desc), [(a, b) for (a, b, _rel) in edge_rows], seed=louvain_seed
+    )
+    partitions.sort(key=lambda p: p[0])
 
     comm_of: dict[str, int] = {}
     for k, part in enumerate(partitions):
@@ -429,13 +423,83 @@ def build_graph_group(
     return pa.Table.from_pylist(rows, schema=GRAPH_UNION)
 
 
-def build_graph(build_logs, llm_factory: Callable[[], LLMClient] = DeterministicMockLLM):
-    """build_logs Dataset -> union graph Dataset (one conv_id shuffle)."""
+def _drop_quarantined(build_logs):
     if "quarantined" in build_logs.schema().names:
         build_logs = build_logs.map_batches(
             lambda t: t.filter(pc.invert(t["quarantined"])).drop_columns(["quarantined"]),
             batch_format="pyarrow",
         )
-    return build_logs.groupby("conv_id").map_groups(
+    return build_logs
+
+
+def build_graph(build_logs, llm_factory: Callable[[], LLMClient] = DeterministicMockLLM):
+    """build_logs Dataset -> union graph Dataset (one conv_id shuffle).
+
+    General path for arbitrary row layout; prefer
+    ``build_graph_sharded`` when blocks are conversation-complete.
+    """
+    return _drop_quarantined(build_logs).groupby("conv_id").map_groups(
         lambda g: build_graph_group(g, llm_factory), batch_format="pyarrow"
+    )
+
+
+def build_graph_batch(
+    batch: pa.Table, llm_factory: Callable[[], LLMClient] = DeterministicMockLLM
+) -> pa.Table:
+    """Graph-build every conversation contained in one conv-complete
+    batch — the zero-shuffle analogue of ``build_graph`` (same
+    per-conversation function; equivalence asserted in tests)."""
+    import numpy as np  # noqa: F811
+
+    from .chunking import pin_arrow_threads
+
+    pin_arrow_threads()
+    n_chunks_total = batch.num_rows
+    if "quarantined" in batch.column_names:
+        batch = batch.filter(pc.invert(batch["quarantined"])).drop_columns(["quarantined"])
+    batch = batch.take(
+        pc.sort_indices(
+            batch, sort_keys=[("conv_id", "ascending"), ("chunk_id", "ascending")]
+        )
+    )
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    if len(conv) == 0:
+        return pa.Table.from_pylist([], schema=GRAPH_UNION)
+    boundaries = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(conv)]])
+    out = [
+        build_graph_group(batch.slice(s, e - s), llm_factory)
+        for s, e in zip(starts.tolist(), ends.tolist())
+    ]
+    # per-block lineage counters as a kind="stats" row (read from the
+    # sink's footers/partition instead of re-scanning build_logs)
+    n_turns = 0
+    if "turn_last" in batch.column_names:
+        tl = batch["turn_last"].to_numpy(zero_copy_only=False)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            n_turns += int(tl[s:e].max()) + 1
+    out.append(
+        pa.Table.from_pylist(
+            [
+                {
+                    "kind": "stats",
+                    "stat_convs": len(starts),
+                    "stat_chunks": n_chunks_total,
+                    "stat_turns": n_turns,
+                }
+            ],
+            schema=GRAPH_UNION,
+        )
+    )
+    return pa.concat_tables(out)
+
+
+def build_graph_sharded(
+    build_logs, llm_factory: Callable[[], LLMClient] = DeterministicMockLLM
+):
+    return build_logs.map_batches(
+        lambda b: build_graph_batch(b, llm_factory),
+        batch_format="pyarrow",
+        batch_size=None,
     )

@@ -1,0 +1,75 @@
+"""Zero-shuffle (conv-complete-shard) paths must match the general
+groupby paths, and the Louvain replacement must behave."""
+
+import random
+
+import pyarrow as pa
+import ray.data as rd
+
+from eschergraph_ray.functions.community import louvain_communities
+from eschergraph_ray.sources.transcripts import generate_transcripts_table
+from eschergraph_ray.stages.chunking import (
+    chunk_batch,
+    chunk_conversations,
+)
+from eschergraph_ray.stages.extraction import ExtractorActor
+from eschergraph_ray.stages.graph_build import build_graph_batch, build_graph
+
+
+def test_sharded_chunking_equals_groupby_chunking():
+    tbl = generate_transcripts_table(8)
+    ds = rd.from_arrow(tbl)
+    via_groupby = (
+        chunk_conversations(ds).to_pandas().sort_values(["conv_id", "chunk_id"]).reset_index(drop=True)
+    )
+    via_batch = (
+        chunk_batch(tbl).to_pandas().sort_values(["conv_id", "chunk_id"]).reset_index(drop=True)
+    )
+    assert via_groupby.equals(via_batch)
+
+
+def test_sharded_graph_equals_groupby_graph():
+    tbl = generate_transcripts_table(6)
+    logs = ExtractorActor()(chunk_batch(tbl))
+    via_batch = build_graph_batch(logs)
+    via_groupby = build_graph(rd.from_arrow(logs)).to_pandas()
+    a = via_batch.to_pandas()
+    # the sharded path additionally emits per-block lineage stats rows
+    stats = a[a["kind"] == "stats"]
+    assert len(stats) == 1 and stats["stat_convs"].iloc[0] == 6
+    a = a[a["kind"] != "stats"]
+    a = a.sort_values(["kind", "conv_id", "id", "subj", "chunk_id"], na_position="first").reset_index(drop=True)
+    b = via_groupby.sort_values(["kind", "conv_id", "id", "subj", "chunk_id"], na_position="first").reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a["kind"].tolist() == b["kind"].tolist()
+    assert a["id"].tolist() == b["id"].tolist()
+    trip_a = a[a["kind"] == "triple"][["conv_id", "subj", "pred", "obj"]]
+    trip_b = b[b["kind"] == "triple"][["conv_id", "subj", "pred", "obj"]]
+    assert set(map(tuple, trip_a.values)) == set(map(tuple, trip_b.values))
+
+
+def test_louvain_covers_and_partitions():
+    rng = random.Random(11)
+    names = [f"x{i} y{i}" for i in range(50)]
+    edges = [tuple(rng.sample(names, 2)) for _ in range(120)]
+    parts = louvain_communities(names, edges)
+    flat = sorted(n for p in parts for n in p)
+    assert flat == sorted(names)          # covers all nodes
+    assert 1 <= len(parts) < len(names)   # fewer communities than nodes
+    assert parts == louvain_communities(names, edges)  # deterministic
+
+
+def test_louvain_recovers_planted_communities():
+    # two dense cliques joined by one edge -> exactly two communities
+    a = [f"a{i}" for i in range(6)]
+    b = [f"b{i}" for i in range(6)]
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges.append((a[0], b[0]))
+    parts = louvain_communities(a + b, edges)
+    assert sorted(map(sorted, parts)) == [sorted(a), sorted(b)]
+
+
+def test_louvain_isolated_nodes_are_singletons():
+    parts = louvain_communities(["p", "q", "r"], [])
+    assert parts == [["p"], ["q"], ["r"]]

@@ -1,0 +1,118 @@
+"""ANN top-k, embed stage, and search-pipeline semantics."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from eschergraph_ray.functions.similarity import brute_force_topk, lsh_topk
+from eschergraph_ray.llm import HashEmbedder
+from eschergraph_ray.pipelines.search import global_search, quick_search
+from eschergraph_ray.stages.embed import EmbedActor
+
+
+def _emb_table(n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": list(range(n)),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    ), m
+
+
+def test_brute_force_topk_matches_numpy():
+    tbl, m = _emb_table()
+    q = m[0]
+    out = brute_force_topk(rd.from_arrow(tbl), q, "vec_id", "embedding", k=5).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    exact = np.argsort(-(mn @ qn), kind="stable")[:5]
+    assert out["vec_id"].tolist() == exact.tolist()
+    assert out["cosine"].iloc[0] == 1.0  # self-match
+
+
+def test_lsh_topk_recall():
+    tbl, m = _emb_table(n=500)
+    q = m[7]
+    exact = set(
+        brute_force_topk(rd.from_arrow(tbl), q, "vec_id", "embedding", k=10)
+        .to_pandas()["vec_id"]
+    )
+    approx = set(
+        lsh_topk(rd.from_arrow(tbl), q, "vec_id", "embedding", k=10).to_pandas()["vec_id"]
+    )
+    assert len(exact & approx) >= 7  # recall >= 0.7 on random data
+
+
+def _embeddings_ds():
+    rows = pa.table(
+        {
+            "kind": ["node", "node", "property", "edge"],
+            "conv_id": ["c1"] * 4,
+            "id": ["n1", "n2", "p1", "e1"],
+            "name": ["lennart timmermans", "unrelated concept", None, None],
+            "description": [
+                "a senior engineer",
+                "a gardening hobby",
+                "keeps the runbook",
+                "mentors",
+            ],
+            "node_name": [None, None, "lennart timmermans", None],
+            "level": [0, 0, 0, 0],
+        }
+    )
+    emb = EmbedActor()(rows)
+    assert emb.num_rows == 4
+    # add a level-1 community row for global search
+    comm = pa.table(
+        {
+            "kind": ["node"],
+            "conv_id": ["c1"],
+            "id": ["comm1"],
+            "name": ["lennart timmermans community"],
+            "description": ["community of engineers"],
+            "node_name": [None],
+            "level": [1],
+        }
+    )
+    emb2 = EmbedActor()(comm)
+    return rd.from_arrow(pa.concat_tables([emb, emb2]))
+
+
+def test_embed_doc_strings():
+    rows = pa.table(
+        {
+            "kind": ["node", "property"],
+            "conv_id": ["c1", "c1"],
+            "id": ["n1", "p1"],
+            "name": ["alice", None],
+            "description": ["an engineer", "likes coffee"],
+            "node_name": [None, "alice"],
+            "level": [0, 0],
+        }
+    )
+    out = EmbedActor()(rows)
+    # F2: node -> "name, description"; property -> "node_name, description"
+    assert out["text"].to_pylist() == ["alice, an engineer", "alice, likes coffee"]
+
+
+def test_quick_search_ranks_matching_node_first():
+    ds = _embeddings_ds()
+    res = quick_search(ds, "lennart timmermans the engineer").to_pandas()
+    assert len(res) >= 1
+    assert res.iloc[0]["id"] in ("n1", "p1")  # lennart rows outrank gardening
+    assert (res["score"] > 0.1).all()  # threshold (quick_search.py:145)
+    assert (res["level"] == 0).all()
+
+
+def test_global_search_level1_only():
+    ds = _embeddings_ds()
+    res = global_search(ds, "engineers community").to_pandas()
+    assert (res["level"] == 1).all()
+    assert res.iloc[0]["id"] == "comm1"
+
+
+def test_quick_search_empty_query_returns_nothing():
+    ds = _embeddings_ds()
+    assert quick_search(ds, "   ").count() == 0

@@ -1,0 +1,79 @@
+"""Text analysis + multimodal plumbing tests."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from eschergraph_ray.functions.multimodal import (
+    MediaFeatureActor,
+    extract_media_features,
+    synthetic_media_table,
+)
+from eschergraph_ray.functions.textstats import (
+    detect_language,
+    fingerprint_docs,
+    lang_id,
+    quality_counts,
+    winnow_fingerprints,
+)
+
+
+def test_quality_counts_exact():
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["The cat, and a dog!"]}))
+    out = quality_counts(ds, "doc_id", "text").to_pandas().iloc[0]
+    assert out["n_chars"] == 19
+    assert out["n_alpha"] == 13  # Thecatandadog
+    assert out["n_punct"] == 2  # , !
+    assert out["n_words"] == 5
+    assert out["n_stopwords"] == 3  # the, and, a
+
+
+def test_detect_language_samples():
+    assert detect_language("the cat is on the mat and it is happy") == "en"
+    assert detect_language("der hund ist nicht mit der katze") == "de"
+    assert detect_language("el perro es que la casa de un gato") == "es"
+    assert detect_language("xyzzy plugh") == "und"
+
+
+def test_lang_id_dataset():
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["the dog is here and it is fine", "der hund ist nicht da und"]})
+    )
+    out = lang_id(ds, "doc_id", "text").to_pandas()
+    assert out.sort_values("doc_id")["lang_pred"].tolist() == ["en", "de"]
+
+
+def test_winnowing_properties():
+    fp1 = winnow_fingerprints("abcdefghijklmnop")
+    fp2 = winnow_fingerprints("abcdefghijklmnop")
+    assert fp1 == fp2 and len(fp1) > 0
+    # containment: substring shares most fingerprints
+    big = winnow_fingerprints("XXXX abcdefghijklmnop YYYY")
+    assert len(set(fp1) & set(big)) > 0
+    assert winnow_fingerprints("ab") == []
+
+
+def test_fingerprint_docs_columns():
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["hello world document", ""]}))
+    out = fingerprint_docs(ds, "doc_id", "text").to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_fingerprints"] > 0
+    assert out.loc[2, "n_fingerprints"] == 0
+
+
+def test_media_feature_plumbing():
+    tbl = synthetic_media_table(12)
+    out = extract_media_features(rd.from_arrow(tbl), concurrency=2).to_pandas()
+    assert len(out) == 12
+    assert "payload" not in out.columns  # blobs not carried forward
+    assert all(len(f) == 32 for f in out["features"])
+    # deterministic
+    out2 = extract_media_features(rd.from_arrow(tbl), concurrency=2).to_pandas()
+    a = sorted(map(tuple, out["features"].map(tuple).items()))
+    b = sorted(map(tuple, out2["features"].map(tuple).items()))
+    assert a == b
+
+
+def test_media_strict_raises():
+    actor = MediaFeatureActor(strict=True)
+    with pytest.raises(NotImplementedError):
+        actor(synthetic_media_table(2))
