@@ -431,6 +431,98 @@ def _q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def _q_events_props_filter(sf_dir: str):
+    """Semi-structured tag/props predicate filter (J4 analogue,
+    filter_documents_by_tags, simple_repository.py:692-723) over the
+    events JSON props column."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, ks = [], []
+        for i, p in zip(batch["event_id"].to_pylist(), batch["props"].to_pylist()):
+            k = json.loads(p).get("k")
+            if k is not None and k > 80:
+                ids.append(i)
+                ks.append(k)
+        return pa.table({"event_id": pa.array(ids, pa.int64()), "k": pa.array(ks, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_changelog_sync(sf_dir: str):
+    """Change-log action algebra (A4, prepare_sync_data.py:80-93) over a
+    changes stream derived from events."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.changelog import sync_actions
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+
+    def to_changes(batch: pa.Table) -> pa.Table:
+        # pseudo object ids so per-id logs hold a realistic mix of
+        # 1-3 actions (user_id alone collapses to all-cancelled)
+        import numpy as np
+
+        ids = pa.array(batch["event_id"].to_numpy() % 4999, pa.int64())
+        actions = [
+            "CREATE" if t == "signup" else ("DELETE" if t == "error" else "UPDATE")
+            for t in batch["event_type"].to_pylist()
+        ]
+        return pa.table({"id": ids, "action": pa.array(actions, pa.string())})
+
+    changes = ds.map_batches(to_changes, batch_format="pyarrow")
+    return sync_actions(changes)
+
+
+def _q_kg_dashboard(sf_dir: str):
+    """DashboardMaker analogue (G6) over the built graph."""
+    import pyarrow as pa
+
+    from eschergraph_ray.pipelines.dashboard import gather_dashboard
+
+    out = _build_for(sf_dir, "q")
+    d = gather_dashboard(out)
+    rows = [
+        {"metric": "node_count", "value": d["node_count"]},
+        {"metric": "edge_count", "value": d["edge_count"]},
+        {"metric": "property_count", "value": d["property_count"]},
+    ]
+    for lvl, n in d["nodes_by_level"].items():
+        rows.append({"metric": f"nodes_level_{lvl}", "value": n})
+    for i, r in enumerate(d["top_nodes_by_degree"]):
+        rows.append({"metric": f"top_degree_{i}:{r['name']}", "value": r["degree"]})
+    return pa.Table.from_pylist(rows)
+
+
+def _q_build_estimate(sf_dir: str):
+    """Estimator analogue (estimator.py:8-78) from the chunks Dataset."""
+    import pyarrow as pa
+
+    from eschergraph_ray.functions.estimator import estimate_build
+
+    est = estimate_build(_q_chunks(sf_dir))
+    return pa.Table.from_pylist(
+        [
+            {
+                "chunks": est.chunks,
+                "tokens": est.tokens,
+                "llm_calls": est.llm_calls,
+                "est_seconds_reference": est.est_seconds_reference,
+                "est_seconds_ray": est.est_seconds_ray,
+                "est_cost_usd": est.est_cost_usd,
+            }
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG pipeline
@@ -458,7 +550,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "kg_dashboard": _q_kg_dashboard,
+        "kg_build_estimate": _q_build_estimate,
         # relational / windows
+        "events_props_filter": _q_events_props_filter,
+        "changelog_sync_actions": _q_changelog_sync,
         "lineitem_pricing_summary": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
         "events_hourly": _q_events_hourly,
@@ -528,6 +624,33 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY cosine DESC, e.vec_id
             LIMIT 10
+        """,
+        "events_props_filter": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+            WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 80
+        """,
+        "changelog_sync_actions": """
+            WITH c AS (
+              SELECT event_id % 4999 AS id,
+                     CASE event_type WHEN 'signup' THEN 'CREATE'
+                                     WHEN 'error' THEN 'DELETE'
+                                     ELSE 'UPDATE' END AS action
+              FROM events
+            ),
+            f AS (
+              SELECT id,
+                     max(CASE WHEN action IN ('CREATE','UPDATE') THEN 1 ELSE 0 END) AS cre_upd,
+                     max(CASE WHEN action = 'DELETE' THEN 1 ELSE 0 END) AS dele,
+                     max(CASE WHEN action = 'CREATE' THEN 1 ELSE 0 END) AS cre
+              FROM c GROUP BY id
+            )
+            SELECT id,
+                   CASE WHEN cre_upd = 1 AND dele = 0 THEN 'upsert'
+                        WHEN dele = 1 AND cre = 0 THEN 'delete' END AS sync_action
+            FROM f
+            WHERE (cre_upd = 1 AND dele = 0) OR (dele = 1 AND cre = 0)
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

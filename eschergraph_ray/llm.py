@@ -122,6 +122,15 @@ class DeterministicMockLLM:
         words = text.split()
         return " ".join(words[:40])
 
+    def answer(self, question: str, contexts: list[str]) -> str:
+        """question_with_context.jinja analogue — deterministic."""
+        if not contexts:
+            return "I could not find relevant information."
+        return (
+            f"Based on {len(contexts)} sources, regarding '{question}': "
+            + contexts[0]
+        )
+
     def keywords(self, text: str) -> list[str]:
         seen: list[str] = []
         for m in _ENTITY_RE.finditer(text):

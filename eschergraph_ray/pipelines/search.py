@@ -88,3 +88,32 @@ def global_search(embeddings_ds, query: str, embedder: Embedder | None = None):
         embeddings_ds, query, level=1, top_n=GLOBAL_TOP_N,
         threshold=GLOBAL_THRESHOLD, embedder=embedder,
     )
+
+
+def rag_answer(embeddings_ds, query: str, llm=None, document_id: str | None = None,
+               embedder: Embedder | None = None) -> dict:
+    """RAGAnswer analogue (``quick_search.py:24-30,33-75``): attribute
+    search -> ordered context -> LLM answer. Returns
+    ``{"answer": str, "sources": [ids]}`` (visuals: none for
+    transcripts)."""
+    from ..llm import DeterministicMockLLM
+
+    llm = llm or DeterministicMockLLM()
+    hits = quick_search(embeddings_ds, query, document_id=document_id,
+                        embedder=embedder).take_all()
+    contexts = [h["text"] for h in hits]
+    return {
+        "answer": llm.answer(query, contexts),
+        "sources": [h["id"] for h in hits],
+        "visuals": [],
+    }
+
+
+def global_answer(embeddings_ds, query: str, llm=None,
+                  embedder: Embedder | None = None) -> str:
+    """global_search.py:19-46 analogue: community context join + answer."""
+    from ..llm import DeterministicMockLLM
+
+    llm = llm or DeterministicMockLLM()
+    hits = global_search(embeddings_ds, query, embedder=embedder).take_all()
+    return llm.answer(query, [h["text"] for h in hits])
