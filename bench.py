@@ -22,6 +22,14 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _burn(_):
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 2:
+        x += 1
+    return x
+
+
 def _init_ray():
     import ray
     from ray.data import DataContext
@@ -133,9 +141,21 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    def capacity(n: int) -> float:
+        """Effective compute capacity with n busy processes (this VM has
+        bursty CPU steal; the ceiling moves). Returns M iters total."""
+        import multiprocessing as mp
+
+        with mp.Pool(n) as p:
+            return sum(p.map(_burn, range(n))) / 1e6
+
+    cap_lo = capacity(lo)
+    r_lo = run(lo)
+    cap_hi = capacity(hi)
+    r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    ceiling = (cap_hi / cap_lo) / (hi / lo)
     print(
         json.dumps(
             {
@@ -146,6 +166,12 @@ def scaling() -> None:
                 "turns_per_sec_lo": r_lo.get("turns_per_sec"),
                 "turns_per_sec_hi": r_hi.get("turns_per_sec"),
                 "scaling_efficiency": round(eff, 3),
+                # concurrent hardware calibration: burner-process capacity
+                # at each level; ceiling = max efficiency the VM allows
+                "hardware_ceiling": round(ceiling, 3),
+                "efficiency_vs_ceiling": round(min(1.0, eff / ceiling), 3)
+                if ceiling > 0
+                else None,
             }
         )
     )

@@ -318,7 +318,7 @@ def sf_to_n_convs(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     n_rows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
-    # sf0.001 -> 1200 convs (smoke), sf0.01 -> 12k (correctness),
-    # sf0.1 -> 120k convs (~4M turns) so bench compute dominates fixed
+    # sf0.001 -> 600 convs (smoke), sf0.01 -> 6k (correctness),
+    # sf0.1 -> 60k convs (~2M turns) so bench compute dominates fixed
     # orchestration cost and the two-parallelism scaling signal is real.
-    return max(20, n_rows // 5)
+    return max(20, n_rows // 10)
