@@ -85,6 +85,9 @@ TOOLS = ["", "", "", "search", "calculator", "code_interpreter"]
 
 GIANT_EVERY = 97  # every Nth conversation is a skew giant
 BASE_TS_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
+# Bump whenever generated CONTENT changes — it keys the on-disk corpus
+# cache, so stale corpora can't silently poison correctness runs.
+GEN_VERSION = 1
 
 
 def _conv_rng(seed: int, index: int) -> random.Random:
@@ -251,7 +254,7 @@ def transcripts_parquet_dir(n_convs: int, seed: int = 42, root: str = "/tmp/esch
     corpora don't bottleneck on the driver; the corpus is cached on disk
     keyed by (n_convs, seed).
     """
-    out = os.path.join(root, f"transcripts-n{n_convs}-s{seed}")
+    out = os.path.join(root, f"transcripts-v{GEN_VERSION}-n{n_convs}-s{seed}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
