@@ -294,27 +294,45 @@ def _q_lineitem_pricing(sf_dir: str):
     )
 
     def revenue(batch: pa.Table) -> pa.Table:
+        # integer-cents aggregation: distributed float sums are
+        # accumulation-order-dependent and hash-mismatch the sequential
+        # SQL oracle; summing exact int64 micros/cents is order-free
         rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return batch.append_column("rev", rev)
+        rev_micros = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        qty_cents = pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "rev_micros": rev_micros,
+                "qty_cents": qty_cents,
+            }
+        )
 
     out = (
         ds.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("rev", alias_name="sum_revenue"),
+            Sum("qty_cents", alias_name="qty_cents"),
+            Sum("rev_micros", alias_name="rev_micros"),
             Count(alias_name="n_rows"),
         )
     )
 
-    def rounded(batch: pa.Table) -> pa.Table:
-        for col in ("sum_revenue", "sum_qty"):
-            batch = batch.set_column(
-                batch.column_names.index(col), col, pc.round(batch[col], 2)
-            )
-        return batch
+    def finalize(batch: pa.Table) -> pa.Table:
+        sum_qty = pc.round(pc.divide(pc.cast(batch["qty_cents"], pa.float64()), 100.0), 2)
+        sum_rev = pc.round(pc.divide(pc.cast(batch["rev_micros"], pa.float64()), 10000.0), 2)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": sum_qty,
+                "sum_revenue": sum_rev,
+                "n_rows": batch["n_rows"],
+            }
+        )
 
-    return out.map_batches(rounded, batch_format="pyarrow")
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def _q_orders_by_segment(sf_dir: str):
@@ -342,17 +360,24 @@ def _q_orders_by_segment(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
-            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+            cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+            return pa.table(
+                {"c_mktsegment": pa.array(segs, pa.string()), "cents": cents}
+            )
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     out = (
         ds.map_batches(AddSegment, batch_format="pyarrow", concurrency=2)
         .groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .aggregate(Sum("cents", alias_name="cents"), Count(alias_name="n_orders"))
     )
     return out.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("revenue"), "revenue", pc.round(t["revenue"], 2)
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "revenue": pc.round(pc.divide(pc.cast(t["cents"], pa.float64()), 100.0), 2),
+                "n_orders": t["n_orders"],
+            }
         ),
         batch_format="pyarrow",
     )
@@ -371,16 +396,24 @@ def _q_events_hourly(sf_dir: str):
 
     def bucket(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        return batch.append_column("hour", hour).drop_columns(["ts"])
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"event_type": batch["event_type"], "hour": hour, "cents": cents}
+        )
 
     out = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
     )
     return out.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("sum_value"), "sum_value", pc.round(t["sum_value"], 2)
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": t["hour"],
+                "n_events": t["n_events"],
+                "sum_value": pc.round(pc.divide(pc.cast(t["cents"], pa.float64()), 100.0), 2),
+            }
         ),
         batch_format="pyarrow",
     )
@@ -392,13 +425,25 @@ def _q_top_users(sf_dir: str):
     from ray.data.aggregate import Sum
 
     _context()
+    import pyarrow as pa
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
-    out = ds.groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("user_id").aggregate(Sum("cents", alias_name="cents"))
     out = out.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("total_value"),
-            "total_value",
-            pc.round(t["total_value"], 2),
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "total_value": pc.round(pc.divide(pc.cast(t["cents"], pa.float64()), 100.0), 2),
+            }
         ),
         batch_format="pyarrow",
     )
@@ -654,15 +699,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
+                   round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS sum_revenue,
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
         """,
         "orders_by_segment": """
             SELECT c_mktsegment,
-                   round(sum(o_totalprice), 2) AS revenue,
+                   round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -670,12 +715,13 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
         "top_users_by_value": """
-            SELECT user_id, round(sum(value), 2) AS total_value
+            SELECT user_id,
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_value
             FROM events
             GROUP BY user_id
             ORDER BY total_value DESC, user_id

@@ -109,12 +109,14 @@ def _graph_stats(graph_dir: str) -> dict:
             )
     sd = os.path.join(graph_dir, "kind=stats")
     if os.path.isdir(sd):
-        t = pads.dataset(sd).to_table(columns=["stat_convs", "stat_chunks", "stat_turns"])
+        cols = ["stat_convs", "stat_chunks", "stat_turns", "stat_quarantined"]
+        t = pads.dataset(sd).to_table(columns=cols)
         import pyarrow.compute as pc
 
         out["conv_count"] = int(pc.sum(t["stat_convs"]).as_py() or 0)
         out["chunk_count"] = int(pc.sum(t["stat_chunks"]).as_py() or 0)
         out["turn_count"] = int(pc.sum(t["stat_turns"]).as_py() or 0)
+        out["quarantined_count"] = int(pc.sum(t["stat_quarantined"]).as_py() or 0)
     return out
 
 

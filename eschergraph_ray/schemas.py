@@ -139,6 +139,7 @@ LINEAGE = pa.schema(
         ("triple_count", pa.int64()),
         ("node_count", pa.int64()),
         ("edge_count", pa.int64()),
+        ("quarantined_count", pa.int64()),
         ("wall_ms", pa.int64()),
     ]
 )
@@ -175,5 +176,6 @@ GRAPH_UNION = pa.schema(
         ("stat_convs", pa.int64()),
         ("stat_chunks", pa.int64()),
         ("stat_turns", pa.int64()),
+        ("stat_quarantined", pa.int64()),
     ]
 )

@@ -455,7 +455,9 @@ def build_graph_batch(
 
     pin_arrow_threads()
     n_chunks_total = batch.num_rows
+    n_quarantined = 0
     if "quarantined" in batch.column_names:
+        n_quarantined = int(pc.sum(pc.cast(batch["quarantined"], pa.int64())).as_py() or 0)
         batch = batch.filter(pc.invert(batch["quarantined"])).drop_columns(["quarantined"])
     batch = batch.take(
         pc.sort_indices(
@@ -487,6 +489,7 @@ def build_graph_batch(
                     "stat_convs": len(starts),
                     "stat_chunks": n_chunks_total,
                     "stat_turns": n_turns,
+                    "stat_quarantined": n_quarantined,
                 }
             ],
             schema=GRAPH_UNION,

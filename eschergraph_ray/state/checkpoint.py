@@ -74,6 +74,7 @@ class Manifest:
                     "triple_count": int(rec.get("triple_count", 0)),
                     "node_count": int(rec.get("node_count", 0)),
                     "edge_count": int(rec.get("edge_count", 0)),
+                    "quarantined_count": int(rec.get("quarantined_count", 0)),
                     "wall_ms": int(rec.get("wall_ms", 0)),
                 }
             )
