@@ -40,10 +40,14 @@ def _build_for(sf_dir: str, tag: str):
         transcripts_parquet_dir,
     )
 
+    from eschergraph_ray.sources.transcripts import GEN_VERSION
+
     _context()
     n = sf_to_n_convs(sf_dir)
     src = transcripts_parquet_dir(n, seed=SEED)
-    out = f"/tmp/eschergraph_ray/build-{tag}-n{n}"
+    # cache key carries generator version + seed: bumping GEN_VERSION
+    # must invalidate built graphs, not only the corpus (ADVICE r1)
+    out = f"/tmp/eschergraph_ray/build-{tag}-v{GEN_VERSION}-n{n}-s{SEED}"
     done = out + "/_QUERY_DONE"
     if not os.path.exists(done):
         shutil.rmtree(out, ignore_errors=True)
@@ -93,7 +97,15 @@ def _q_chunks(sf_dir: str):
 
     _context()
     src = transcripts_parquet_dir(sf_to_n_convs(sf_dir), seed=SEED)
-    return chunk_conversations_sharded(rd.read_parquet(src))
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    # one block per file: the sharded (zero-shuffle) path requires
+    # conversation-complete blocks; a default read lets Ray SPLIT files
+    # into cpu-dependent sub-blocks, which breaks that invariant (and
+    # made this row count vary with num_cpus)
+    ds = rd.read_parquet(files, override_num_blocks=len(files))
+    return chunk_conversations_sharded(ds)
 
 
 def _q_lineage(sf_dir: str):
@@ -231,6 +243,16 @@ def _q_embedding_neardup(sf_dir: str):
     _context()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_near_dup_pairs(ds, "vec_id", "embedding", threshold=0.4)
+
+
+def _q_embedding_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.dedup import embedding_lsh_near_dup_pairs
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_lsh_near_dup_pairs(ds, "vec_id", "embedding", threshold=0.4)
 
 
 def _q_ann_topk(sf_dir: str):
@@ -590,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_neardup": _q_minhash_neardup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding_cosine": _q_embedding_neardup,
+        "dedup_embedding_lsh": _q_embedding_lsh,
         # similarity search
         "ann_topk_cosine": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,

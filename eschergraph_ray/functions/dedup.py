@@ -9,10 +9,12 @@ standard published constructions (MinHash+LSH banding, SimHash, n-gram
 Jaccard) implemented on numpy inside ``map_batches``.
 
 Scale notes: candidate generation is always a groupby on a small key
-(content hash / band bucket / simhash band); pair verification joins
-text back by hashing the id — at sandbox scale the text side is
-broadcast, at 100 TB it becomes a hash join on doc id. Candidate-pair
-outputs are deduplicated per unordered pair.
+(content hash / band bucket / simhash band); pair verification is a
+distributed hash join of the candidate pairs against a per-doc
+signature table (``Dataset.join`` on id_a, then id_b) — nothing is
+materialized on the driver. Candidate-pair outputs are deduplicated
+per unordered pair. Signature payloads ride through the join as packed
+``large_binary`` (Acero joins reject list-typed non-key columns).
 """
 
 from __future__ import annotations
@@ -24,6 +26,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
+# Hash-join fan-out for pair-verification joins. At sandbox scale any
+# small value works; on a cluster size ~= total cores.
+DEFAULT_JOIN_PARTITIONS = 8
 
 
 def _text_hash(texts: list[str]) -> list[str]:
@@ -153,54 +158,88 @@ def minhash_lsh_candidates(
     )
 
 
+def _pack_u64(values: np.ndarray) -> bytes:
+    return np.ascontiguousarray(values, dtype=np.uint64).tobytes()
+
+
+def _attach_payload(pairs_ds, payload_ds, pair_key: str, id_col: str,
+                    payload_col: str, out_col: str,
+                    num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+    """Distributed hash join: pairs_ds[pair_key] == payload_ds[id_col],
+    bringing ``payload_col`` in as ``out_col``. The payload table must
+    carry its payload as a join-safe type (binary/fixed-width)."""
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, payload_col]).rename_columns([id_col, out_col])
+
+    side = payload_ds.map_batches(rename, batch_format="pyarrow")
+    return pairs_ds.join(
+        side,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(pair_key,),
+        right_on=(id_col,),
+    )
+
+
+def shingle_signatures(docs_ds, id_col: str, text_col: str, shingle_k: int = 3):
+    """Per-doc sorted-unique shingle hashes packed as large_binary
+    (join-safe payload; unpack with np.frombuffer(uint64))."""
+
+    def sig(batch: pa.Table) -> pa.Table:
+        packed = []
+        for t in batch[text_col].to_pylist():
+            sh = np.fromiter(_word_shingles(t, shingle_k), dtype=np.uint64)
+            sh.sort()
+            packed.append(_pack_u64(sh))
+        return pa.table(
+            {id_col: batch[id_col], "shingles": pa.array(packed, pa.large_binary())}
+        )
+
+    return docs_ds.map_batches(sig, batch_format="pyarrow")
+
+
 def jaccard_verify_pairs(pairs_ds, docs_ds, id_col: str, text_col: str,
-                         shingle_k: int = 3, threshold: float = 0.7):
-    """Verify candidate pairs by exact shingle Jaccard.
+                         shingle_k: int = 3, threshold: float = 0.7,
+                         num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+    """Verify candidate pairs by exact shingle Jaccard — fully
+    distributed: pairs ⨝ shingle-signatures on id_a, then id_b (two
+    hash joins), then a vectorized per-pair intersection. No driver
+    materialization, no broadcast of the doc side."""
+    sigs = shingle_signatures(docs_ds, id_col, text_col, shingle_k)
+    j1 = _attach_payload(pairs_ds, sigs, "id_a", id_col, "shingles", "sh_a",
+                         num_partitions)
+    j2 = _attach_payload(j1, sigs, "id_b", id_col, "shingles", "sh_b",
+                         num_partitions)
 
-    The doc side is broadcast via ``ray.put`` (small-side lookup read
-    once per task, not re-shipped per batch); at 100 TB this becomes a
-    hash join of pairs against docs on id."""
-    import ray
+    def verify(batch: pa.Table) -> pa.Table:
+        keep_a, keep_b, jac = [], [], []
+        for a, b, ba, bb in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(round(j, 6))
+        id_type = batch["id_a"].type
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, id_type),
+                "id_b": pa.array(keep_b, id_type),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
 
-    id_to_text = {}
-    for b in docs_ds.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            id_to_text[i] = t
-    ref = ray.put(id_to_text)
-
-    class Verify:
-        def __init__(self):
-            self.docs = ray.get(ref)
-            self.cache: dict = {}
-
-        def _sh(self, i):
-            s = self.cache.get(i)
-            if s is None:
-                s = _word_shingles(self.docs.get(i, ""), shingle_k)
-                self.cache[i] = s
-            return s
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep_a, keep_b, jac = [], [], []
-            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-                sa, sb = self._sh(a), self._sh(b)
-                if not sa or not sb:
-                    continue
-                inter = len(sa & sb)
-                j = inter / (len(sa) + len(sb) - inter)
-                if j >= threshold:
-                    keep_a.append(a)
-                    keep_b.append(b)
-                    jac.append(round(j, 6))
-            return pa.table(
-                {
-                    "id_a": pa.array(keep_a),
-                    "id_b": pa.array(keep_b),
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
-
-    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_values(ds, id_col: str, text_col: str):
@@ -276,13 +315,24 @@ def simhash_near_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
     )
 
 
-def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5):
-    """EXACT n-gram (word) Jaccard similar pairs — SQL-checkable.
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
+                        threshold: float = 0.5, df_cutoff: int = 2000,
+                        num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+    """EXACT n-gram (word) Jaccard similar pairs — SQL-checkable and
+    fully distributed.
 
-    explode distinct n-grams -> groupby n-gram -> pairs -> count common
-    (one groupby-pairs shuffle) -> jaccard vs per-doc distinct counts
-    (broadcast small map)."""
-    import ray
+    explode distinct n-grams -> groupby(gram) pairs (THE shuffle; a
+    gram bucket larger than ``df_cutoff`` docs is skipped — the
+    document-frequency cut that kills the hot-gram O(df^2) reducer) ->
+    count common per pair -> two hash joins against the per-doc
+    distinct-gram counts -> jaccard.
+
+    ``df_cutoff`` semantics: per-doc gram counts stay exact; only the
+    *pairing* of ubiquitous grams is cut, so when the cut is active the
+    reported jaccard is a lower bound (an all-docs stop-phrase can only
+    have pushed pairs DOWN toward threshold, never created false
+    positives). With the default cutoff no gram at sandbox scale is
+    cut and the output is byte-exact vs the SQL oracle."""
     from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -293,25 +343,23 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
             for g in grams:
                 ids.append(i)
                 gs.append(g)
-        return pa.table({id_col: pa.array(ids), "gram": pa.array(gs, pa.string())})
+        return pa.table(
+            {id_col: pa.array(ids, batch[id_col].type), "gram": pa.array(gs, pa.string())}
+        )
 
     grams = ds.map_batches(explode, batch_format="pyarrow")
-    counts = {}
-    for b in grams.groupby(id_col).aggregate(Count(alias_name="n_grams")).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for i, c in zip(b[id_col].to_pylist(), b["n_grams"].to_pylist()):
-            counts[i] = c
-    ref = ray.put(counts)
+    sizes = grams.groupby(id_col).aggregate(Count(alias_name="n_grams"))
 
     def gram_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group[id_col].to_pylist()))
         a_, b_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_.append(ids[i])
-                b_.append(ids[j])
-        return pa.table({"id_a": pa.array(a_), "id_b": pa.array(b_)})
+        if len(ids) <= df_cutoff:  # document-frequency cut
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_.append(ids[i])
+                    b_.append(ids[j])
+        t = group[id_col].type
+        return pa.table({"id_a": pa.array(a_, t), "id_b": pa.array(b_, t)})
 
     inter = (
         grams.groupby("gram")
@@ -319,88 +367,261 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="n_common"))
     )
+    j1 = _attach_payload(inter, sizes, "id_a", id_col, "n_grams", "n_a",
+                         num_partitions)
+    j2 = _attach_payload(j1, sizes, "id_b", id_col, "n_grams", "n_b",
+                         num_partitions)
 
-    class Jac:
-        def __init__(self):
-            self.counts = ray.get(ref)
+    def jac(batch: pa.Table) -> pa.Table:
+        union = pc.subtract(pc.add(batch["n_a"], batch["n_b"]), batch["n_common"])
+        j = pc.divide(
+            pc.cast(batch["n_common"], pa.float64()), pc.cast(union, pa.float64())
+        )
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                # half-away-from-zero matches DuckDB round() exactly
+                "jaccard": pc.round(j, 6, round_mode="half_towards_infinity"),
+            }
+        )
+        return out.filter(pc.greater_equal(j, threshold))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["id_a"].to_pylist()
-            b = batch["id_b"].to_pylist()
-            c = batch["n_common"].to_pylist()
-            jac = [
-                ci / (self.counts[ai] + self.counts[bi] - ci)
-                for ai, bi, ci in zip(a, b, c)
-            ]
-            out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+    return j2.map_batches(jac, batch_format="pyarrow")
 
-    def round6(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.column_names.index("jaccard"),
-            "jaccard",
-            pc.round(batch["jaccard"], 6),
+
+def _id_chunk(ids: list, num_chunks: int) -> list[int]:
+    """Deterministic chunk assignment per id (blake2, not Python hash)."""
+    return [
+        int.from_bytes(
+            hashlib.blake2b(str(i).encode(), digest_size=4).digest(), "big"
+        )
+        % num_chunks
+        for i in ids
+    ]
+
+
+def _unpack_f64(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype=np.float64)
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    return m / norms
+
+
+def embedding_near_dup_pairs(ds, id_col: str, vec_col: str,
+                             threshold: float = 0.9, num_chunks: int = 4):
+    """EXACT cosine near-dup pairs over an embedding column — the
+    distributed block-nested-loop shape (exact all-pairs similarity is
+    inherently O(N^2) work; this spreads it over C*(C+1)/2 independent
+    reducers instead of materializing anything on the driver):
+
+    each vector is assigned a chunk c = blake2(id) % C and replicated
+    to every unordered chunk pair containing c; one groupby((ca, cb))
+    shuffle; each group does a single numpy matmul between its two
+    chunk matrices. Data through the shuffle = C x input. For the
+    sub-quadratic scale path see ``embedding_lsh_near_dup_pairs``."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch[id_col].to_pylist()
+        chunks = _id_chunk(ids, num_chunks)
+        mat = np.asarray(
+            batch[vec_col].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(n, -1)
+        out_id, out_ca, out_cb, out_c, out_vec = [], [], [], [], []
+        for r in range(n):
+            c = chunks[r]
+            buf = mat[r].tobytes()
+            for other in range(num_chunks):
+                out_id.append(ids[r])
+                out_ca.append(min(c, other))
+                out_cb.append(max(c, other))
+                out_c.append(c)
+                out_vec.append(buf)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch[id_col].type),
+                "ca": pa.array(out_ca, pa.int32()),
+                "cb": pa.array(out_cb, pa.int32()),
+                "chunk": pa.array(out_c, pa.int32()),
+                "vec": pa.array(out_vec, pa.large_binary()),
+            }
+        )
+
+    def score_group(group: pa.Table) -> pa.Table:
+        ca = group["ca"][0].as_py()
+        cb = group["cb"][0].as_py()
+        ids = group[id_col].to_pylist()
+        chunks = group["chunk"].to_pylist()
+        vecs = np.vstack([_unpack_f64(b) for b in group["vec"].to_pylist()])
+        a_, b_, s_ = [], [], []
+        if ca == cb:
+            m = _norm_rows(vecs)
+            # round(4) before thresholding: keeps the cut bit-identical
+            # with the float32-accumulating SQL oracle
+            sims = np.round(m @ m.T, 4)
+            for i in range(len(ids)):
+                for j in np.nonzero(sims[i] >= threshold)[0]:
+                    if ids[i] < ids[j]:
+                        a_.append(ids[i])
+                        b_.append(ids[j])
+                        s_.append(float(sims[i, j]))
+        else:
+            ia = [r for r, c in enumerate(chunks) if c == ca]
+            ib = [r for r, c in enumerate(chunks) if c == cb]
+            if ia and ib:
+                ma = _norm_rows(vecs[ia])
+                mb = _norm_rows(vecs[ib])
+                sims = np.round(ma @ mb.T, 4)
+                for x in range(len(ia)):
+                    for y in np.nonzero(sims[x] >= threshold)[0]:
+                        qid, oid = ids[ia[x]], ids[ib[y]]
+                        lo, hi = (qid, oid) if qid < oid else (oid, qid)
+                        a_.append(lo)
+                        b_.append(hi)
+                        s_.append(float(sims[x, y]))
+        t = group[id_col].type
+        return pa.table(
+            {
+                "id_a": pa.array(a_, t),
+                "id_b": pa.array(b_, t),
+                "cosine": pa.array(s_, pa.float64()),
+            }
         )
 
     return (
-        inter.map_batches(Jac, batch_format="pyarrow", concurrency=2)
-        .map_batches(round6, batch_format="pyarrow")
-        .select_columns(["id_a", "id_b", "jaccard"])
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["ca", "cb"])
+        .map_groups(score_group, batch_format="pyarrow")
     )
 
 
-def embedding_near_dup_pairs(ds, id_col: str, vec_col: str, threshold: float = 0.9):
-    """Cosine near-dup pairs over an embedding column.
+def packed_vectors(ds, id_col: str, vec_col: str):
+    """(id, vec as packed float64 large_binary) — join-safe payload."""
 
-    Sandbox path: broadcast the (small) normalized matrix once via
-    ``ray.put`` and scan batches against it (numpy matmul) — no O(n^2)
-    shuffle. Scale path: LSH-bucket by hyperplane signs first (same
-    banding shape as simhash) then pair within buckets."""
-    import ray
+    def pack(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        mat = np.asarray(
+            batch[vec_col].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(n, -1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "vec": pa.array([mat[r].tobytes() for r in range(n)], pa.large_binary()),
+            }
+        )
 
-    ids_all, vecs = [], []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
-        ids_all.extend(b[id_col].to_pylist())
-        n = len(b)
-        m = np.asarray(b[vec_col].combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
-        vecs.append(m)
-    mat = np.vstack(vecs)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1
-    mat = mat / norms
-    ref = ray.put((ids_all, mat))
+    return ds.map_batches(pack, batch_format="pyarrow")
 
-    class Score:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
-            self.pos = {i: k for k, i in enumerate(self.ids)}
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            q = np.asarray(
-                batch[vec_col].combine_chunks().flatten(), dtype=np.float64
-            ).reshape(n, -1)
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            qn[qn == 0] = 1
-            q = q / qn
-            # round(4) before thresholding: keeps the cut bit-identical
-            # with the float32-accumulating SQL oracle
-            sims = np.round(q @ self.mat.T, 4)
-            a_, b_, s_ = [], [], []
-            for r, qid in enumerate(batch[id_col].to_pylist()):
-                hits = np.nonzero(sims[r] >= threshold)[0]
-                for h in hits:
-                    oid = self.ids[h]
-                    if qid < oid:  # unordered pair once, no self
-                        a_.append(qid)
-                        b_.append(oid)
-                        s_.append(float(sims[r, h]))
-            return pa.table(
-                {
-                    "id_a": pa.array(a_),
-                    "id_b": pa.array(b_),
-                    "cosine": pa.array(s_, pa.float64()),
-                }
-            )
+def embedding_lsh_candidates(ds, id_col: str, vec_col: str,
+                             num_planes: int = 64, bands: int = 16, seed: int = 7):
+    """Hyperplane-LSH candidate pairs (the sub-quadratic scale path):
+    sign-bit signature under ``num_planes`` seeded random hyperplanes,
+    banded into ``bands`` buckets; groupby (band_id, band_hash) is THE
+    shuffle; pairs within a bucket, distinct per unordered pair."""
+    bits_per_band = num_planes // bands
+    _plane_cache: dict = {}
 
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+    def _planes(dim: int) -> np.ndarray:
+        key = (seed, dim, num_planes)
+        p = _plane_cache.get(key)
+        if p is None:
+            p = np.random.default_rng(seed).standard_normal((dim, num_planes))
+            _plane_cache[key] = p
+        return p
+
+    def sig(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        mat = np.asarray(
+            batch[vec_col].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(n, -1)
+        planes = _planes(mat.shape[1])
+        bits = (mat @ planes) >= 0  # (n, num_planes) bool
+        ids, bids, bhash = [], [], []
+        weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+        for r, id_ in enumerate(batch[id_col].to_pylist()):
+            row = bits[r].astype(np.int64)
+            for bi in range(bands):
+                val = int(
+                    (row[bi * bits_per_band : (bi + 1) * bits_per_band] * weights).sum()
+                )
+                ids.append(id_)
+                bids.append(bi)
+                bhash.append(val)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "band_id": pa.array(bids, pa.int32()),
+                "band_hash": pa.array(bhash, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group[id_col].to_pylist()))
+        a_, b_ = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_.append(ids[i])
+                b_.append(ids[j])
+        t = group[id_col].type
+        return pa.table({"id_a": pa.array(a_, t), "id_b": pa.array(b_, t)})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(sig, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+
+def embedding_lsh_near_dup_pairs(ds, id_col: str, vec_col: str,
+                                 threshold: float = 0.9, num_planes: int = 64,
+                                 bands: int = 16, seed: int = 7,
+                                 num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+    """LSH-bucketed cosine near-dup: candidates from hyperplane banding,
+    then exact-cosine verification via two hash joins of the candidate
+    pairs against the packed-vector table (same join shape as
+    ``jaccard_verify_pairs``). Probabilistic recall (tested >= brute
+    force on the sandbox corpora); use ``embedding_near_dup_pairs`` for
+    the exact result."""
+    cand = embedding_lsh_candidates(ds, id_col, vec_col, num_planes, bands, seed)
+    vecs = packed_vectors(ds, id_col, vec_col)
+    j1 = _attach_payload(cand, vecs, "id_a", id_col, "vec", "vec_a", num_partitions)
+    j2 = _attach_payload(j1, vecs, "id_b", id_col, "vec", "vec_b", num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_, b_, s_ = [], [], []
+        for a, b, va, vb in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["vec_a"].to_pylist(),
+            batch["vec_b"].to_pylist(),
+        ):
+            x = _unpack_f64(va)
+            y = _unpack_f64(vb)
+            nx = np.linalg.norm(x) or 1.0
+            ny = np.linalg.norm(y) or 1.0
+            # np.round: value-parity with embedding_near_dup_pairs
+            sim = float(np.round((x / nx) @ (y / ny), 4))
+            if sim >= threshold:
+                a_.append(a)
+                b_.append(b)
+                s_.append(sim)
+        t = batch["id_a"].type
+        return pa.table(
+            {
+                "id_a": pa.array(a_, t),
+                "id_b": pa.array(b_, t),
+                "cosine": pa.array(s_, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")

@@ -87,8 +87,19 @@ def _logs_stats(logs_dir: str) -> dict:
         )
         """
     ).fetchone()
+    quarantined = con.execute(
+        f"""
+        SELECT coalesce(sum(CAST(quarantined AS BIGINT)), 0)
+        FROM read_parquet('{logs_dir}/**/*.parquet')
+        """
+    ).fetchone()[0]
     con.close()
-    return {"conv_count": row[0], "chunk_count": chunk_count, "turn_count": int(row[1])}
+    return {
+        "conv_count": row[0],
+        "chunk_count": chunk_count,
+        "turn_count": int(row[1]),
+        "quarantined_count": int(quarantined),
+    }
 
 
 def _graph_stats(graph_dir: str) -> dict:

@@ -96,10 +96,18 @@ def _split_long_turn(text: str, max_tokens: int) -> list[str]:
 
 def chunk_group(group: pa.Table, max_tokens: int = MAX_TOKENS) -> pa.Table:
     """Chunk one (conv_id, salt) group. Pure function: pa.Table in/out."""
+    if group.num_rows == 0:
+        return pa.Table.from_pydict({}, schema=CHUNKS)
     order = pc.sort_indices(group["turn_idx"])
     group = group.take(order)
     conv_id = group["conv_id"][0].as_py()
     salt = group["salt"][0].as_py() if "salt" in group.column_names else 0
+    if "salt" in group.column_names:
+        # a group must be single-salt: the sharded fast path slices on
+        # (conv_id, salt) and must agree with groupby(conv_id, salt)
+        mx = pc.max(group["salt"]).as_py()
+        if mx != salt:
+            raise ValueError(f"multi-salt group for {conv_id}: {salt}..{mx}")
     turn_idx = group["turn_idx"].to_pylist()
     texts = group["text"].to_pylist()
     roles = group["role"].to_pylist()
@@ -180,20 +188,27 @@ def chunk_batch(batch: pa.Table, max_tokens: int = MAX_TOKENS) -> pa.Table:
     tests/test_chunking.py::test_sharded_path_equals_groupby_path).
     """
     batch = add_turn_tokens(batch)
+    if batch.num_rows == 0:
+        return pa.Table.from_pydict({}, schema=CHUNKS)
     out: list[pa.Table] = []
-    # sort by (conv_id, turn_idx) once, then slice runs per conv
+    # sort by (conv_id, turn_idx) once, then slice runs per
+    # (conv_id, salt) — salt boundaries are contiguous under turn order,
+    # and slicing on them keeps giant conversations byte-identical with
+    # the groupby(conv_id, salt) path (ADVICE r1)
     batch = batch.take(
         pc.sort_indices(
             batch, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
     )
     conv = batch["conv_id"].to_numpy(zero_copy_only=False)
-    boundaries = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+    salt = batch["salt"].to_numpy(zero_copy_only=False)
+    new_run = (conv[1:] != conv[:-1]) | (salt[1:] != salt[:-1])
+    boundaries = np.flatnonzero(new_run) + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [len(conv)]])
     for s, e in zip(starts.tolist(), ends.tolist()):
         out.append(chunk_group(batch.slice(s, e - s), max_tokens))
-    return pa.concat_tables(out) if out else chunk_group(batch, max_tokens)
+    return pa.concat_tables(out)
 
 
 def chunk_conversations_sharded(transcripts, max_tokens: int = MAX_TOKENS):

@@ -133,14 +133,19 @@ class ExtractorActor:
             if col in batch.column_names:
                 out = out.append_column(col, batch[col])
         if self.side_write_dir is not None and out.num_rows > 0:
-            import uuid
+            import hashlib
 
             import pyarrow.parquet as pq
 
             os.makedirs(self.side_write_dir, exist_ok=True)
-            pq.write_table(
-                out, os.path.join(self.side_write_dir, f"{uuid.uuid4().hex}.parquet")
-            )
+            # deterministic name from the block's content span: a Ray
+            # task retry overwrites its own file instead of duplicating
+            # checkpoint rows (ADVICE r1)
+            span = f"{conv_ids[0]}:{chunk_ids[0]}:{conv_ids[-1]}:{chunk_ids[-1]}:{len(conv_ids)}"
+            name = hashlib.blake2b(span.encode(), digest_size=12).hexdigest()
+            tmp = os.path.join(self.side_write_dir, f".{name}.tmp")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(self.side_write_dir, f"{name}.parquet"))
         return out
 
 

@@ -466,7 +466,20 @@ def build_graph_batch(
     )
     conv = batch["conv_id"].to_numpy(zero_copy_only=False)
     if len(conv) == 0:
-        return pa.Table.from_pylist([], schema=GRAPH_UNION)
+        # still emit the stats row: an all-quarantined block must not
+        # lose its chunk/quarantine lineage counters (ADVICE r1)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "kind": "stats",
+                    "stat_convs": 0,
+                    "stat_chunks": n_chunks_total,
+                    "stat_turns": 0,
+                    "stat_quarantined": n_quarantined,
+                }
+            ],
+            schema=GRAPH_UNION,
+        )
     boundaries = np.flatnonzero(conv[1:] != conv[:-1]) + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [len(conv)]])

@@ -84,3 +84,104 @@ def test_embedding_near_dup():
     out = embedding_near_dup_pairs(rd.from_arrow(vecs), "vec_id", "embedding", 0.9).to_pandas()
     pairs = set(map(tuple, out[["id_a", "id_b"]].values))
     assert pairs == {(1, 2)}
+
+
+def _rand_vec_table(n=40, dim=16, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n // 2, dim))
+    # pair each base vector with a slightly-perturbed near-dup
+    near = base + 0.05 * rng.standard_normal((n // 2, dim))
+    mat = np.vstack([base, near])
+    return pa.table(
+        {
+            "vec_id": list(range(n)),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+        }
+    )
+
+
+def _exact_pairs_numpy(tbl, threshold):
+    import numpy as np
+
+    ids = tbl["vec_id"].to_pylist()
+    mat = np.asarray(tbl["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(
+        len(ids), -1
+    )
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    m = mat / norms
+    sims = np.round(m @ m.T, 4)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, float(sims[i, j])))
+    return out
+
+
+def test_embedding_chunk_pair_exact_matches_numpy():
+    """The distributed block-nested-loop result == the single-matrix
+    all-pairs result, for several chunk counts (incl. chunks > rows-per
+    -chunk edge cases)."""
+    tbl = _rand_vec_table()
+    want = _exact_pairs_numpy(tbl, 0.9)
+    for chunks in (1, 3, 7):
+        got = embedding_near_dup_pairs(
+            rd.from_arrow(tbl), "vec_id", "embedding", 0.9, num_chunks=chunks
+        ).to_pandas()
+        assert set(map(tuple, got[["id_a", "id_b", "cosine"]].values)) == want, chunks
+
+
+def test_embedding_lsh_recall_vs_exact():
+    from eschergraph_ray.functions.dedup import embedding_lsh_near_dup_pairs
+
+    tbl = _rand_vec_table()
+    exact = {(a, b) for a, b, _ in _exact_pairs_numpy(tbl, 0.9)}
+    got = embedding_lsh_near_dup_pairs(
+        rd.from_arrow(tbl), "vec_id", "embedding", 0.9
+    ).to_pandas()
+    lsh = set(map(tuple, got[["id_a", "id_b"]].values))
+    # verification is exact-cosine, so no false positives ever
+    assert lsh <= exact
+    # high-cosine near-dups collide with overwhelming probability
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_ngram_df_cutoff_kills_hot_gram():
+    """A gram present in every doc is excluded from pairing when its
+    document frequency exceeds the cutoff; per-doc sizes stay exact so
+    the reported jaccard is a lower bound (never a false positive)."""
+    hot = "alpha beta gamma"  # planted ubiquitous trigram
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                f"{hot} one two three four",
+                f"{hot} one two three five",
+                f"{hot} six seven eight nine",
+                f"{hot} ten eleven twelve thirteen",
+                f"{hot} fourteen fifteen sixteen seventeen",
+                f"{hot} eighteen nineteen twenty twentyone",
+            ],
+        }
+    )
+    # cutoff below df(hot)=6: the hot gram pairs no one
+    out = ngram_jaccard_pairs(
+        rd.from_arrow(docs), "doc_id", "text", n=3, threshold=0.3, df_cutoff=5
+    ).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].values))
+    # docs 1,2 still reach threshold through their shared rare grams
+    assert (1, 2) in pairs
+    # docs sharing ONLY the hot gram never pair at all
+    assert all(p == (1, 2) for p in pairs)
+    # without the cutoff the hot gram pairs everyone above 0.3? no -
+    # jaccard (1 common / 13) stays below threshold, but (1,2) rises
+    full = ngram_jaccard_pairs(
+        rd.from_arrow(docs), "doc_id", "text", n=3, threshold=0.3
+    ).to_pandas()
+    j_cut = out[(out.id_a == 1) & (out.id_b == 2)]["jaccard"].iloc[0]
+    j_full = full[(full.id_a == 1) & (full.id_b == 2)]["jaccard"].iloc[0]
+    assert j_cut <= j_full  # lower bound when the cut is active

@@ -28,6 +28,35 @@ def test_sharded_chunking_equals_groupby_chunking():
     assert via_groupby.equals(via_batch)
 
 
+def test_sharded_chunking_equals_groupby_for_giant_conversation():
+    """A conversation longer than SALT_SPAN (1024) turns spans several
+    salt groups; the sharded path must slice on (conv_id, salt) and
+    produce the exact chunk ids the groupby(conv_id, salt) path does
+    (ADVICE r1 divergence)."""
+    from eschergraph_ray.sources.transcripts import conv_rows, _rows_to_table
+    from eschergraph_ray.stages.chunking import SALT_SPAN
+
+    rows = conv_rows(42, 388)  # 1280-turn giant
+    assert len(rows) > SALT_SPAN
+    rows += conv_rows(42, 1)  # plus a small conversation in the block
+    tbl = _rows_to_table(list(rows), random.Random(7))
+    via_groupby = (
+        chunk_conversations(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["conv_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    via_batch = (
+        chunk_batch(tbl)
+        .to_pandas()
+        .sort_values(["conv_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert via_groupby.equals(via_batch)
+    # salt-offset chunk ids present (second salt bucket starts at 100000)
+    assert (via_batch["chunk_id"] >= 100000).any()
+
+
 def test_sharded_graph_equals_groupby_graph():
     tbl = generate_transcripts_table(6)
     logs = ExtractorActor()(chunk_batch(tbl))
