@@ -1,0 +1,91 @@
+"""Document tags + tag filtering (J4).
+
+Reference: ``Document.tags`` (``eschergraph/persistence/document.py:10-29``)
+and ``filter_documents_by_tags``
+(``eschergraph/persistence/adapters/simple_repository/simple_repository.py:693-723``):
+a document is included iff, for EVERY requested (key, value) filter,
+either the document carries the key with exactly that value, or the key
+is missing and ``ignore_missing_tags`` is True. Missing-tag documents
+are excluded by default.
+
+Ray-native: tags ride as one canonical compact-JSON string column
+(``canonical_tags``: sorted keys, no whitespace), and the filter is a
+VECTORIZED ``map_batches`` — one ``pc.extract_regex`` per requested key
+against the canonical encoding, no per-row ``json.loads`` in the hot
+path. Works for string / int / bool / null tag values.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KEY_RE = re.compile(r'^[A-Za-z0-9_\-]+$')
+
+
+def canonical_tags(tags: dict[str, Any]) -> str:
+    """Compact canonical JSON for a tags dict (sorted keys)."""
+    return json.dumps(tags, sort_keys=True, separators=(",", ":"))
+
+
+def _value_literal(value: Any) -> str:
+    return json.dumps(value, separators=(",", ":"))
+
+
+def _key_pattern(key: str) -> str:
+    if not _KEY_RE.match(key):
+        raise ValueError(f"unsupported tag key for vectorized filter: {key!r}")
+    # value = string (no escapes in our canonical tags) | number | bool | null
+    return f'"{key}":(?P<v>"(?:[^"\\\\]|\\\\.)*"|-?[0-9.]+|true|false|null)'
+
+
+def filter_by_tags(ds, filter_tags: dict[str, Any], tags_col: str = "tags",
+                   ignore_missing_tags: bool = False):
+    """Dataset filter with the reference's per-key semantics."""
+    patterns = {k: _key_pattern(k) for k in filter_tags}
+    literals = {k: _value_literal(v) for k, v in filter_tags.items()}
+
+    def f(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or not filter_tags:
+            return batch
+        col = pc.cast(batch[tags_col], pa.string())
+        keep = pa.array([True] * len(batch), pa.bool_())
+        for key, pat in patterns.items():
+            extracted = pc.extract_regex(col, pat)
+            present = pc.is_valid(extracted)
+            value = pc.struct_field(extracted, "v")
+            matches = pc.equal(value, literals[key])
+            # null (key absent) -> missing-tag policy
+            ok_present = pc.and_kleene(present, matches)
+            if ignore_missing_tags:
+                ok = pc.or_kleene(ok_present, pc.invert(present))
+            else:
+                ok = ok_present
+            keep = pc.and_kleene(keep, pc.fill_null(ok, False))
+        return batch.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def filter_table_by_tags(table: pa.Table, filter_tags: dict[str, Any],
+                         tags_col: str = "tags",
+                         ignore_missing_tags: bool = False) -> pa.Table:
+    """Arrow-table variant (driver-side sidecar reads)."""
+    rows = []
+    for i, s in enumerate(table[tags_col].to_pylist()):
+        tags = json.loads(s) if s else {}
+        include = True
+        for k, v in filter_tags.items():
+            if k not in tags and not ignore_missing_tags:
+                include = False
+            elif k in tags and tags[k] != v:
+                include = False
+            if not include:
+                break
+        if include:
+            rows.append(i)
+    return table.take(rows)

@@ -46,6 +46,12 @@ from ..stages.graph_build import build_graph, build_graph_sharded
 from ..state.checkpoint import Manifest, atomic_dir_write
 
 
+# Bump when the build's OUTPUT semantics change (chunk boundaries,
+# sidecars, graph columns): keys downstream on-disk caches of build
+# output so stale graphs cannot poison correctness runs.
+BUILD_FORMAT = 2
+
+
 @dataclass
 class BuildResult:
     out_dir: str
@@ -131,6 +137,146 @@ def _graph_stats(graph_dir: str) -> dict:
     return out
 
 
+class DocumentAlreadyExistsError(ValueError):
+    """Reference parity: DocumentAlreadyExistsException
+    (``eschergraph/graph/utils.py:13-41``)."""
+
+
+def _committed_doc_files(out_dir: str, manifest: "Manifest") -> list[str]:
+    docs_root = os.path.join(out_dir, "documents")
+    if not os.path.isdir(docs_root):
+        return []
+    committed = {
+        pid
+        for pid, rec in manifest.data.get("partitions", {}).items()
+        if rec.get("status") == "committed"
+    }
+    return sorted(
+        os.path.join(docs_root, f)
+        for f in os.listdir(docs_root)
+        if f.endswith(".parquet") and f[: -len(".parquet")] in committed
+    )
+
+
+def _partition_duplicates_from(part_convs: set[str], doc_files: list[str]) -> list[str]:
+    """conv_ids of this (new) partition that are already committed.
+
+    Distributed membership probe: the partition's own conv set (bounded
+    by one commit group, the small side) is broadcast into a filter over
+    the committed documents sidecar — the same small-side-broadcast
+    shape as the reference's per-file ``duplicate_document_check``
+    (``eschergraph/graph/utils.py:13-41``), never a scan of the data
+    itself (the sidecar holds one row per conversation)."""
+    if not doc_files or not part_convs:
+        return []
+    import ray.data as rd
+
+    def probe(batch: pa.Table) -> pa.Table:
+        mask = pa.array([c in part_convs for c in batch["conv_id"].to_pylist()])
+        return batch.filter(mask)
+
+    dup = (
+        rd.read_parquet(doc_files, columns=["conv_id"])
+        .map_batches(probe, batch_format="pyarrow")
+        .unique("conv_id")
+    )
+    return sorted(dup or [])  # unique() yields None on an empty result
+
+
+def _write_documents_sidecar(
+    out_dir: str, pid: str, logs_dir: str, tags_fn: Callable[[str], dict] | None
+) -> None:
+    """One Document record per committed conversation
+    (``eschergraph/persistence/document.py:10-29`` analogue), derived
+    from the partition's build_logs checkpoint (footer-light scan)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ..functions.tags import canonical_tags
+    from ..schemas import DOCUMENTS_TABLE
+
+    sample = next(
+        (f for f in sorted(os.listdir(logs_dir)) if f.endswith(".parquet")), None
+    )
+    if sample is None:
+        t = pa.table({"conv_id": [], "chunk_num": [], "token_num": [], "turn_num": []})
+    else:
+        names = pq.read_schema(os.path.join(logs_dir, sample)).names
+        tok = (
+            "coalesce(sum(CAST(n_tokens AS BIGINT)), 0)"
+            if "n_tokens" in names
+            else "CAST(0 AS BIGINT)"
+        )
+        con = duckdb.connect()
+        t = con.execute(
+            f"""
+            SELECT conv_id, count(*) AS chunk_num, {tok} AS token_num,
+                   max(turn_last) + 1 AS turn_num
+            FROM read_parquet('{logs_dir}/**/*.parquet')
+            GROUP BY conv_id ORDER BY conv_id
+            """
+        ).arrow()
+        con.close()
+    convs = t["conv_id"].to_pylist()
+    tags = [canonical_tags(tags_fn(c) if tags_fn else {}) for c in convs]
+    out = pa.Table.from_pydict(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "chunk_num": pa.array(t["chunk_num"].to_pylist(), pa.int64()),
+            "token_num": pa.array(t["token_num"].to_pylist(), pa.int64()),
+            "turn_num": pa.array(t["turn_num"].to_pylist(), pa.int64()),
+            "tags": pa.array(tags, pa.string()),
+        },
+        schema=DOCUMENTS_TABLE,
+    )
+    os.makedirs(os.path.join(out_dir, "documents"), exist_ok=True)
+    dst = os.path.join(out_dir, "documents", f"{pid}.parquet")
+    pq.write_table(out, dst + ".tmp")
+    os.replace(dst + ".tmp", dst)
+
+
+def _write_change_log(out_dir: str, pid: str, graph_dir: str) -> None:
+    """Emit the partition's ChangeLog — one CREATE per persisted node /
+    edge / property (``eschergraph/persistence/change_log.py:12-31``;
+    the reference logs every repository add on build). Deterministic
+    ids make re-emission after a crash idempotent (file overwritten)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..schemas import CHANGE_LOG
+
+    parts = []
+    for kind in ("node", "edge", "property"):
+        d = os.path.join(graph_dir, f"kind={kind}")
+        if not os.path.isdir(d):
+            continue
+        t = pads.dataset(d).to_table(columns=["id", "conv_id", "level"])
+        n = t.num_rows
+        parts.append(
+            pa.table(
+                {
+                    "id": t["id"],
+                    "action": pa.array(["CREATE"] * n, pa.string()),
+                    "type": pa.array([kind] * n, pa.string()),
+                    "level": pa.array(
+                        [v if v is not None else 0 for v in t["level"].to_pylist()],
+                        pa.int32(),
+                    ),
+                    "conv_id": t["conv_id"],
+                }
+            )
+        )
+    out = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.Table.from_pydict({}, schema=CHANGE_LOG)
+    )
+    os.makedirs(os.path.join(out_dir, "change_log"), exist_ok=True)
+    dst = os.path.join(out_dir, "change_log", f"{pid}.parquet")
+    pq.write_table(out.cast(CHANGE_LOG), dst + ".tmp")
+    os.replace(dst + ".tmp", dst)
+
+
 def build(
     input_path: str,
     out_dir: str,
@@ -140,15 +286,29 @@ def build(
     extract_batch_size: int = 256,
     fail_after_group: int | None = None,
     conv_complete_shards: bool = True,
+    tags_fn: Callable[[str], dict] | None = None,
+    on_duplicate: str = "skip",
 ) -> BuildResult:
-    """Run (or resume) the full build. ``fail_after_group`` injects a
-    crash after N committed groups — used by the kill/resume test.
+    """Run (or resume, or incrementally extend) the full build.
+    ``fail_after_group`` injects a crash after N committed groups —
+    used by the kill/resume test.
 
     ``conv_complete_shards=True`` (default, and the layout the
     checkpoint partitioning already requires): each input shard holds
     whole conversations, so reassembly/chunking and graph-build run as
     per-block ``map_batches`` with ZERO all-to-all shuffles. Set False
-    for arbitrary row layouts to use the groupby(conv_id) exchange."""
+    for arbitrary row layouts to use the groupby(conv_id) exchange.
+
+    Incremental add (reference ``Graph.build`` on an existing
+    repository, ``eschergraph/graph/graph.py:237-273``): re-running
+    with EXTRA shards under ``input_path`` appends them as new commit
+    groups; committed partitions are never touched (byte-identical).
+    Conversations already committed are detected against the documents
+    sidecar and, per ``on_duplicate``, either skipped with a logged
+    count (default) or raised as ``DocumentAlreadyExistsError``
+    (reference ``duplicate_document_check`` parity).
+
+    ``tags_fn(conv_id) -> dict`` attaches filterable Document tags."""
     import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)
@@ -159,15 +319,29 @@ def build(
     # The partition→input-shard assignment is itself checkpointed: a
     # resume must keep the original assignment even if called with a
     # different commit_groups, or committed-partition bookkeeping would
-    # silently skip shards.
+    # silently skip shards. NEW files (not in the stored assignment)
+    # are appended as new groups — the incremental-add path.
     stored = manifest.data.get("groups")
+    new_pids: set[str] = set()
     if stored is not None:
-        if sorted(f for g in stored for f in g) != files:
+        stored_files = sorted(f for g in stored for f in g)
+        missing = set(stored_files) - set(files)
+        if missing:
             raise ValueError(
-                f"input shard set under {input_path} changed since the "
-                "checkpointed run; use a fresh out_dir"
+                f"{len(missing)} checkpointed shard(s) vanished from "
+                f"{input_path} (e.g. {sorted(missing)[:2]}); use a fresh out_dir"
             )
-        groups = stored
+        groups = list(stored)
+        new_files = [f for f in files if f not in set(stored_files)]
+        if new_files:
+            extra = [new_files[g::commit_groups] for g in range(commit_groups)]
+            extra = [g for g in extra if g]
+            new_pids = {
+                f"part-{gid:04d}" for gid in range(len(groups), len(groups) + len(extra))
+            }
+            groups = groups + extra
+            manifest.data["groups"] = groups
+            manifest._save()
     else:
         groups = [files[g::commit_groups] for g in range(commit_groups)]
         groups = [g for g in groups if g]
@@ -185,6 +359,47 @@ def build(
             continue
         t0 = time.monotonic()
 
+        # Duplicate-document guard for incrementally added partitions
+        # (duplicate_document_check parity, utils.py:13-41).
+        dup_set: set[str] = set()
+        if pid in new_pids:
+            part_convs = set(
+                rd.read_parquet(group_files, columns=["conv_id"]).unique("conv_id")
+            )
+            dup_set = set(
+                _partition_duplicates_from(
+                    part_convs, _committed_doc_files(out_dir, manifest)
+                )
+            )
+            if dup_set and on_duplicate == "error":
+                raise DocumentAlreadyExistsError(
+                    f"{len(dup_set)} conversation(s) in {pid} already exist "
+                    f"in the graph (e.g. {sorted(dup_set)[:3]})"
+                )
+            if dup_set and dup_set >= part_convs:
+                # whole partition is a re-add: a logged no-op
+                manifest.mark(
+                    pid,
+                    "committed",
+                    skipped_duplicates=len(dup_set),
+                    conv_count=0,
+                    wall_ms=int(1000 * (time.monotonic() - t0)),
+                )
+                os.makedirs(graph_dir, exist_ok=True)
+                continue
+
+        def _drop_dups(ds):
+            if not dup_set:
+                return ds
+            keep = pa.array(sorted(dup_set), pa.string())
+
+            def f(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return t.filter(pc.invert(pc.is_in(t["conv_id"], value_set=keep)))
+
+            return ds.map_batches(f, batch_format="pyarrow")
+
         extracted = manifest.phase_done(pid, "extract")
         if conv_complete_shards and not extracted:
             # Fused single streaming execution for the whole group:
@@ -199,8 +414,10 @@ def build(
             # ~2 shards per block: fewer, larger tasks (less per-task
             # overhead) while unions of conv-complete shards stay
             # conv-complete.
-            transcripts = rd.read_parquet(
-                group_files, override_num_blocks=max(1, len(group_files) // 2)
+            transcripts = _drop_dups(
+                rd.read_parquet(
+                    group_files, override_num_blocks=max(1, len(group_files) // 2)
+                )
             )
             chunks = chunk_conversations_sharded(transcripts, max_tokens=max_tokens)
             logs = extract_build_logs(
@@ -215,7 +432,7 @@ def build(
             os.replace(logs_tmp, logs_dir)
         else:
             if not extracted:
-                transcripts = rd.read_parquet(group_files)
+                transcripts = _drop_dups(rd.read_parquet(group_files))
                 chunks = chunk_conversations(transcripts, max_tokens=max_tokens)
                 logs = extract_build_logs(
                     chunks, llm_factory=llm_factory, batch_size=extract_batch_size
@@ -237,6 +454,11 @@ def build(
                 graph_dir,
                 lambda tmp: graph.write_parquet(tmp, partition_cols=["kind"]),
             )
+        # Sidecars: Document records + ChangeLog for this partition.
+        # Written (idempotently) before the commit mark so a crash in
+        # between re-derives them on resume.
+        _write_documents_sidecar(out_dir, pid, logs_dir, tags_fn)
+        _write_change_log(out_dir, pid, graph_dir)
         wall_ms = int(1000 * (time.monotonic() - t0))
         prev_ms = int(manifest.get(pid).get("wall_ms", 0))
         stats = dict(manifest.get(pid))
@@ -244,6 +466,7 @@ def build(
         stats.update(_graph_stats(graph_dir))
         if "conv_count" not in stats:  # non-fused path has no stats rows
             stats.update(_logs_stats(logs_dir))
+        stats["skipped_duplicates"] = len(dup_set)
         stats["wall_ms"] = prev_ms + wall_ms
         manifest.mark(pid, "committed", **stats)
         done += 1
@@ -321,6 +544,62 @@ def load_kind(out_dir: str, kind: str):
             batch_format="pyarrow",
         )
     return ds
+
+
+def _sidecar_files(out_dir: str, name: str) -> list[str]:
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def load_documents_arrow(out_dir: str) -> pa.Table:
+    """The graph's Document records (conv_id, chunk/token/turn counts,
+    tags) — the reference's ``Repository.get_all_documents`` analogue."""
+    from ..schemas import DOCUMENTS_TABLE
+
+    files = _sidecar_files(out_dir, "documents")
+    if not files:
+        return pa.Table.from_pydict({}, schema=DOCUMENTS_TABLE)
+    import pyarrow.parquet as pq
+
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def load_change_log(out_dir: str):
+    """The build's ChangeLog as a Dataset (one CREATE per persisted
+    node/edge/property, per partition) — feeds ``sync_actions``."""
+    import ray.data as rd
+
+    from ..schemas import CHANGE_LOG
+
+    files = _sidecar_files(out_dir, "change_log")
+    if not files:
+        return rd.from_arrow(pa.Table.from_pydict({}, schema=CHANGE_LOG))
+    return rd.read_parquet(files)
+
+
+def get_max_level(out_dir: str) -> int:
+    """A7 (``simple_repository.py:570-576``): highest node level in the
+    graph — a footer-cheap column scan over the node partitions."""
+    files = []
+    graph_root = os.path.join(out_dir, "graph")
+    if os.path.isdir(graph_root):
+        for pid in sorted(os.listdir(graph_root)):
+            d = os.path.join(graph_root, pid, "kind=node")
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+    if not files:
+        return 0
+    import ray.data as rd
+
+    return int(rd.read_parquet(files, columns=["level"]).max("level") or 0)
 
 
 def load_kind_arrow(out_dir: str, kind: str) -> pa.Table:

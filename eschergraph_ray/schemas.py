@@ -140,7 +140,37 @@ LINEAGE = pa.schema(
         ("node_count", pa.int64()),
         ("edge_count", pa.int64()),
         ("quarantined_count", pa.int64()),
+        ("skipped_duplicates", pa.int64()),
         ("wall_ms", pa.int64()),
+    ]
+)
+
+# Document record analogue (eschergraph/persistence/document.py:10-29):
+# one row per committed conversation, written as a per-partition sidecar
+# (out_dir/documents/part-*.parquet). ``tags`` is a canonical compact
+# JSON object — the (semi-)structured metadata used for filtering
+# (filter_documents_by_tags, simple_repository.py:693-723).
+DOCUMENTS_TABLE = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("chunk_num", pa.int64()),
+        ("token_num", pa.int64()),
+        ("turn_num", pa.int64()),
+        ("tags", pa.string()),
+    ]
+)
+
+# ChangeLog analogue (eschergraph/persistence/change_log.py:12-31):
+# emitted per committed partition for every persisted node / edge /
+# property; consumed by the vector-sync planner
+# (tools/prepare_sync_data.py:13-93 via functions/changelog.py).
+CHANGE_LOG = pa.schema(
+    [
+        ("id", pa.string()),
+        ("action", pa.string()),  # CREATE | UPDATE | DELETE
+        ("type", pa.string()),  # node | edge | property
+        ("level", pa.int32()),
+        ("conv_id", pa.string()),
     ]
 )
 

@@ -128,8 +128,9 @@ class ExtractorActor:
             },
             schema=BUILD_LOGS_Q,
         )
-        # Carry turn spans through for lineage (covered-turn counts).
-        for col in ("turn_first", "turn_last"):
+        # Carry turn spans + token counts through for lineage and the
+        # per-conversation Document records (chunk/token/turn counts).
+        for col in ("turn_first", "turn_last", "n_tokens"):
             if col in batch.column_names:
                 out = out.append_column(col, batch[col])
         if self.side_write_dir is not None and out.num_rows > 0:

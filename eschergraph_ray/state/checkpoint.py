@@ -75,6 +75,7 @@ class Manifest:
                     "node_count": int(rec.get("node_count", 0)),
                     "edge_count": int(rec.get("edge_count", 0)),
                     "quarantined_count": int(rec.get("quarantined_count", 0)),
+                    "skipped_duplicates": int(rec.get("skipped_duplicates", 0)),
                     "wall_ms": int(rec.get("wall_ms", 0)),
                 }
             )

@@ -1,0 +1,217 @@
+"""Graph mutation lifecycle: ChangeLog emission, Document records +
+tags, incremental add, duplicate-document guard (VERDICT r1 items 3-5).
+
+Reference analogues: change_log.py:12-31 (CREATE logs on persist),
+graph.py:237-273 (re-add to an existing repository),
+utils.py:13-41 (duplicate_document_check), document.py:10-29 +
+simple_repository.py:693-723 (tags + filter_documents_by_tags)."""
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from eschergraph_ray.functions.changelog import sync_actions
+from eschergraph_ray.functions.tags import (
+    canonical_tags,
+    filter_by_tags,
+    filter_table_by_tags,
+)
+from eschergraph_ray.pipelines.build import (
+    DocumentAlreadyExistsError,
+    build,
+    get_max_level,
+    load_change_log,
+    load_documents_arrow,
+    load_kind_arrow,
+)
+from eschergraph_ray.sources.transcripts import conv_rows, _rows_to_table
+import random
+
+
+def _write_shards(root: str, conv_indices_per_shard: list[list[int]]) -> str:
+    os.makedirs(root, exist_ok=True)
+    for si, idxs in enumerate(conv_indices_per_shard):
+        rows = []
+        for i in idxs:
+            rows.extend(conv_rows(42, i))
+        tbl = _rows_to_table(rows, random.Random(si))
+        pq.write_table(tbl, os.path.join(root, f"shard-{si:03d}.parquet"))
+    return root
+
+
+def _dir_digest(d: str) -> dict[str, str]:
+    out = {}
+    for root, _dirs, names in os.walk(d):
+        for n in sorted(names):
+            p = os.path.join(root, n)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, d)] = hashlib.blake2b(
+                    f.read(), digest_size=16
+                ).hexdigest()
+    return out
+
+
+def _tags_fn(conv_id: str) -> dict:
+    n = int(conv_id.split("-")[1])
+    tags = {"team": ["infra", "search", "ml"][n % 3]}
+    if n % 4 != 0:
+        tags["tier"] = n % 2
+    return tags
+
+
+def test_build_emits_documents_and_changelog(tmp_path):
+    src = _write_shards(str(tmp_path / "src"), [[0, 1], [2, 3]])
+    out = str(tmp_path / "out")
+    build(src, out, commit_groups=2, tags_fn=_tags_fn)
+
+    docs = load_documents_arrow(out)
+    assert sorted(docs["conv_id"].to_pylist()) == [
+        "conv-0000000",
+        "conv-0000001",
+        "conv-0000002",
+        "conv-0000003",
+    ]
+    assert all(c > 0 for c in docs["chunk_num"].to_pylist())
+    assert all(t > 0 for t in docs["token_num"].to_pylist())
+    assert all(t > 0 for t in docs["turn_num"].to_pylist())
+    tags = dict(zip(docs["conv_id"].to_pylist(), docs["tags"].to_pylist()))
+    assert tags["conv-0000000"] == canonical_tags({"team": "infra"})
+    assert tags["conv-0000001"] == canonical_tags({"team": "search", "tier": 1})
+
+    # ChangeLog: one CREATE per persisted node/edge/property
+    log = load_change_log(out).to_pandas()
+    assert set(log["action"]) == {"CREATE"}
+    n_nodes = load_kind_arrow(out, "node").num_rows
+    n_edges = load_kind_arrow(out, "edge").num_rows
+    n_props = load_kind_arrow(out, "property").num_rows
+    assert len(log) == n_nodes + n_edges + n_props
+    assert (log["type"] == "node").sum() == n_nodes
+
+    # vector-sync plan over the REAL change log: every object upserted
+    plan = sync_actions(load_change_log(out)).to_pandas()
+    assert set(plan["sync_action"]) == {"upsert"}
+    assert len(plan) == len(log)  # ids unique => one action per object
+
+    assert get_max_level(out) == 2
+
+
+def test_incremental_add_keeps_old_partitions_byte_identical(tmp_path):
+    src = _write_shards(str(tmp_path / "src"), [[0, 1], [2, 3]])
+    out = str(tmp_path / "out")
+    build(src, out, commit_groups=2, tags_fn=_tags_fn)
+    before = _dir_digest(os.path.join(out, "graph"))
+
+    # add a NEW shard with new conversations into the same input dir
+    _write_shards(str(tmp_path / "src"), [[0, 1], [2, 3], [4, 5]])
+    build(src, out, commit_groups=2, tags_fn=_tags_fn)
+
+    after = _dir_digest(os.path.join(out, "graph"))
+    # every pre-existing file untouched, new partition appended
+    assert all(after[k] == v for k, v in before.items())
+    assert len(after) > len(before)
+    docs = load_documents_arrow(out)
+    assert "conv-0000004" in docs["conv_id"].to_pylist()
+    # incremental triples match a fresh single-shot build
+    fresh_out = str(tmp_path / "fresh")
+    fresh_src = _write_shards(str(tmp_path / "src2"), [[0, 1], [2, 3], [4, 5]])
+    build(fresh_src, fresh_out, commit_groups=1)
+    inc = load_kind_arrow(out, "triple")
+    fresh = load_kind_arrow(fresh_out, "triple")
+    key = ["conv_id", "subj", "pred", "obj"]
+    assert set(map(tuple, inc.select(key).to_pandas().values)) == set(
+        map(tuple, fresh.select(key).to_pandas().values)
+    )
+
+
+def test_duplicate_document_skip_and_error(tmp_path):
+    src = _write_shards(str(tmp_path / "src"), [[0, 1]])
+    out = str(tmp_path / "out")
+    build(src, out, tags_fn=_tags_fn)
+    before = _dir_digest(out)
+    n_docs = load_documents_arrow(out).num_rows
+
+    # re-add the same conversations in a NEW shard file: logged no-op
+    _write_shards(str(tmp_path / "src"), [[0, 1], [0, 1]])
+    res = build(src, out, tags_fn=_tags_fn)
+    lineage = res.lineage.to_pandas().set_index("partition_id")
+    assert lineage.loc["part-0001", "skipped_duplicates"] == 2
+    assert load_documents_arrow(out).num_rows == n_docs
+    after = _dir_digest(out)
+    assert all(after[k] == v for k, v in before.items() if k.startswith("graph/"))
+
+    # a shard mixing one duplicate and one new conversation: dup is
+    # dropped, the new conversation builds
+    _write_shards(str(tmp_path / "src"), [[0, 1], [0, 1], [0, 7]])
+    res = build(src, out, tags_fn=_tags_fn)
+    lineage = res.lineage.to_pandas().set_index("partition_id")
+    assert lineage.loc["part-0002", "skipped_duplicates"] == 1
+    docs = load_documents_arrow(out)
+    assert "conv-0000007" in docs["conv_id"].to_pylist()
+    assert docs["conv_id"].to_pylist().count("conv-0000000") == 1
+
+    # error policy: reference DocumentAlreadyExists parity
+    _write_shards(str(tmp_path / "src"), [[0, 1], [0, 1], [0, 7], [1, 9]])
+    with pytest.raises(DocumentAlreadyExistsError):
+        build(src, out, tags_fn=_tags_fn, on_duplicate="error")
+
+
+def _py_reference_filter(rows, filter_tags, ignore_missing):
+    """Literal transcription of simple_repository.py:706-723."""
+    out = []
+    for tags in rows:
+        include = True
+        for k, v in filter_tags.items():
+            if k not in tags and not ignore_missing:
+                include = False
+            elif k in tags and tags[k] != v:
+                include = False
+            if not include:
+                break
+        if include:
+            out.append(tags)
+    return out
+
+
+def test_filter_by_tags_reference_semantics():
+    tag_dicts = [
+        {"team": "ml", "tier": 1},
+        {"team": "ml"},
+        {"team": "infra", "tier": 1},
+        {"tier": 1},
+        {},
+        {"team": "ml", "tier": 2},
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(tag_dicts))),
+            "tags": [canonical_tags(t) for t in tag_dicts],
+        }
+    )
+    for filter_tags in ({"team": "ml"}, {"team": "ml", "tier": 1}, {"tier": 1}):
+        for ignore_missing in (False, True):
+            want = len(_py_reference_filter(tag_dicts, filter_tags, ignore_missing))
+            got_ds = filter_by_tags(
+                rd.from_arrow(tbl), filter_tags, ignore_missing_tags=ignore_missing
+            ).count()
+            got_tbl = filter_table_by_tags(
+                tbl, filter_tags, ignore_missing_tags=ignore_missing
+            ).num_rows
+            assert got_ds == want, (filter_tags, ignore_missing)
+            assert got_tbl == want, (filter_tags, ignore_missing)
+
+
+def test_kg_documents_tag_filter(tmp_path):
+    src = _write_shards(str(tmp_path / "src"), [[0, 1, 2, 3, 4, 5]])
+    out = str(tmp_path / "out")
+    build(src, out, tags_fn=_tags_fn)
+    docs = load_documents_arrow(out)
+    got = filter_table_by_tags(docs, {"team": "search", "tier": 1})
+    assert got["conv_id"].to_pylist() == ["conv-0000001"]
+    # missing-tag policy: conv-0 (n%4==0) has no tier tag
+    got2 = filter_table_by_tags(docs, {"team": "infra", "tier": 0},
+                                ignore_missing_tags=True)
+    assert "conv-0000000" in got2["conv_id"].to_pylist()
