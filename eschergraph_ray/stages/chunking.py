@@ -66,10 +66,19 @@ def pin_arrow_threads() -> None:
 
 
 def add_turn_tokens(batch: pa.Table) -> pa.Table:
-    """Vectorized per-turn token count + salt key (pre-shuffle stage)."""
+    """Vectorized per-turn token count + salt key (pre-shuffle stage).
+
+    ``pc.count_substring_regex`` with the exact Python token pattern —
+    verified byte-equal to ``len(_TOKEN_RE.findall(t))`` on both sandbox
+    corpora (RE2 and Python agree on this backreference-free pattern;
+    the SQL oracle uses the same regex)."""
     pin_arrow_threads()
-    texts = batch["text"].to_pylist()
-    n_tokens = pa.array([len(_TOKEN_RE.findall(t or "")) for t in texts], pa.int32())
+    n_tokens = pc.cast(
+        pc.count_substring_regex(
+            pc.fill_null(batch["text"], ""), _TOKEN_RE.pattern
+        ),
+        pa.int32(),
+    )
     salt = pc.cast(
         pc.floor(pc.divide(pc.cast(batch["turn_idx"], pa.float64()), SALT_SPAN)),
         pa.int32(),

@@ -133,6 +133,12 @@ class ExtractorActor:
         for col in ("turn_first", "turn_last", "n_tokens"):
             if col in batch.column_names:
                 out = out.append_column(col, batch[col])
+        # Text logs are never visual; the null column keeps the schema
+        # union-compatible with media_build_logs (M5/M6).
+        out = out.append_column(
+            "main_visual_entity_name",
+            pa.array([None] * out.num_rows, pa.string()),
+        )
         if self.side_write_dir is not None and out.num_rows > 0:
             import hashlib
 

@@ -181,10 +181,21 @@ def build_graph_group(
     logs_nodes = group["nodes"].to_pylist()
     logs_edges = group["edges"].to_pylist()
     logs_props = group["properties"].to_pylist()
+    if "main_visual_entity_name" in group.column_names:
+        logs_visual = group["main_visual_entity_name"].to_pylist()
+    else:
+        logs_visual = [None] * len(chunk_ids)
 
-    # ---- D1: distinct normalized names across all logs -------------
+    # ---- D1: distinct normalized names across all TEXT logs --------
+    # Visual logs are excluded from entity merging, exactly like
+    # ``_get_unique_entities`` skips logs with visual metadata
+    # (build_pipeline.py:227-235); their nodes persist as-is below.
     names_seen: dict[str, None] = {}
-    for nodes, edges, props in zip(logs_nodes, logs_edges, logs_props):
+    for nodes, edges, props, visual in zip(
+        logs_nodes, logs_edges, logs_props, logs_visual
+    ):
+        if visual is not None:
+            continue
         for n in nodes or []:
             names_seen.setdefault(normalize_name(n["name"]))
         for e in edges or []:
@@ -214,8 +225,14 @@ def build_graph_group(
         return _disambiguate(nn, cands, chunk_text, contexts, embedder)
 
     # ---- D5 rewrite + D6 node merge + D7/D8 resolution -------------
+    # Two passes, persist parity (build_pipeline.py:250-308): ALL nodes
+    # first (visual logs mark their main entity is_visual=True), then
+    # edges/properties — an edge or property whose endpoint was never
+    # extracted as an entity node is DROPPED, exactly like the
+    # reference's "Source or target node does not exist ... continue".
     node_desc: dict[str, str] = {}
     node_meta: dict[str, dict[int, None]] = {}
+    visual_nodes: set[str] = set()
     edge_rows: dict[tuple[str, str, str], dict] = {}
     prop_rows: dict[tuple[str, str], dict] = {}
     triple_rows: dict[tuple[str, str, str, int], None] = {}
@@ -227,16 +244,25 @@ def build_graph_group(
         else:
             node_desc.setdefault(cn, "")
 
-    for chunk_id, text, nodes, edges, props in zip(
-        chunk_ids, chunk_texts, logs_nodes, logs_edges, logs_props
+    for chunk_id, text, nodes, visual in zip(
+        chunk_ids, chunk_texts, logs_nodes, logs_visual
     ):
+        main_visual = normalize_name(visual) if visual is not None else None
         for n in nodes or []:
             cn = canon(n["name"], text)
             touch_node(cn, chunk_id, n["description"] or "")
+            if main_visual is not None and normalize_name(n["name"]) == main_visual:
+                visual_nodes.add(cn)
+
+    for chunk_id, text, edges, props in zip(
+        chunk_ids, chunk_texts, logs_edges, logs_props
+    ):
         for e in edges or []:
             src = canon(e["source"], text)
             dst = canon(e["target"], text)
             rel = e["relationship"]
+            if src not in node_desc or dst not in node_desc:
+                continue  # dangling endpoint: reference drops the edge
             touch_node(src, chunk_id)
             touch_node(dst, chunk_id)
             if src == dst:
@@ -253,6 +279,8 @@ def build_graph_group(
             triple_rows.setdefault((src, rel, dst, chunk_id))
         for p in props or []:
             cn = canon(p["entity_name"], text)
+            if cn not in node_desc:
+                continue  # unknown owner: reference drops the property
             touch_node(cn, chunk_id)
             for desc in p["properties"] or []:
                 prop_rows.setdefault((cn, desc), {"meta": {}})["meta"].setdefault(chunk_id)
@@ -353,7 +381,7 @@ def build_graph_group(
                 "description": node_desc[cn],
                 "level": 0,
                 "properties": sorted(props_by_node.get(cn, [])),
-                "is_visual": False,
+                "is_visual": cn in visual_nodes,
                 "community_id": comm_node_ids[k] if k is not None else None,
                 "child_node_ids": [],
                 "metadata": meta_list(node_meta[cn]),

@@ -181,7 +181,13 @@ def test_ambiguous_mention_resolved_by_context():
                 "conv_id": "c1",
                 "chunk_id": 1,
                 "chunk_text": "Then patrick spoke with the team again. " + FILLER,
-                "nodes": [{"name": "timmermans", "description": ""}],
+                "nodes": [
+                    {"name": "timmermans", "description": ""},
+                    # endpoint must be extracted somewhere or the edge is
+                    # dropped at persist (reference parity,
+                    # build_pipeline.py:279-284)
+                    {"name": "the team", "description": ""},
+                ],
                 "edges": [
                     {"source": "timmermans", "target": "the team", "relationship": "spoke with"}
                 ],

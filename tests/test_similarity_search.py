@@ -116,3 +116,50 @@ def test_global_search_level1_only():
 def test_quick_search_empty_query_returns_nothing():
     ds = _embeddings_ds()
     assert quick_search(ds, "   ").count() == 0
+
+
+def _multi_doc_embeddings():
+    rows = pa.table(
+        {
+            "kind": ["node"] * 6,
+            "conv_id": ["c1", "c1", "c2", "c2", "c3", "c3"],
+            "id": [f"n{i}" for i in range(6)],
+            "name": ["lennart timmermans"] * 6,
+            "description": ["a senior engineer"] * 6,
+            "node_name": [None] * 6,
+            "level": [0] * 6,
+        }
+    )
+    return rd.from_arrow(EmbedActor()(rows))
+
+
+def test_metadata_filter_scalar_equality():
+    res = quick_search(
+        _multi_doc_embeddings(), "lennart timmermans engineer",
+        metadata={"document_id": "c1"},
+    ).to_pandas()
+    assert set(res["document_id"]) == {"c1"}
+
+
+def test_metadata_filter_in_list():
+    """ChromaDB $in parity (chromadb.py:118-121): a list value is a
+    membership filter — the reference's multi-document search option."""
+    res = quick_search(
+        _multi_doc_embeddings(), "lennart timmermans engineer",
+        metadata={"document_id": ["c1", "c3"]},
+    ).to_pandas()
+    assert set(res["document_id"]) == {"c1", "c3"}
+
+
+def test_metadata_filter_and_combination():
+    """Multiple keys $and-combine (chromadb.py:124-128)."""
+    res = quick_search(
+        _multi_doc_embeddings(), "lennart timmermans engineer",
+        metadata={"document_id": ["c1", "c2"], "type": "node"},
+    ).to_pandas()
+    assert set(res["document_id"]) == {"c1", "c2"}
+    res2 = quick_search(
+        _multi_doc_embeddings(), "lennart timmermans engineer",
+        metadata={"document_id": ["c1"], "type": "edge"},
+    ).to_pandas()
+    assert len(res2) == 0
