@@ -479,8 +479,8 @@ def _q_lineitem_pricing(sf_dir: str):
         # accumulation-order-dependent and hash-mismatch the sequential
         # SQL oracle; summing exact int64 micros/cents is order-free
         rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        rev_micros = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
-        qty_cents = pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100.0)), pa.int64())
+        rev_micros = pc.cast(pc.round(pc.multiply(rev, 10000.0), round_mode="half_towards_infinity"), pa.int64())
+        qty_cents = pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100.0), round_mode="half_towards_infinity"), pa.int64())
         return pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
@@ -541,7 +541,7 @@ def _q_orders_by_segment(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
-            cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+            cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0), round_mode="half_towards_infinity"), pa.int64())
             return pa.table(
                 {"c_mktsegment": pa.array(segs, pa.string()), "cents": cents}
             )
@@ -577,7 +577,7 @@ def _q_events_hourly(sf_dir: str):
 
     def bucket(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0), round_mode="half_towards_infinity"), pa.int64())
         return pa.table(
             {"event_type": batch["event_type"], "hour": hour, "cents": cents}
         )
@@ -613,7 +613,7 @@ def _q_top_users(sf_dir: str):
         lambda t: pa.table(
             {
                 "user_id": t["user_id"],
-                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"), pa.int64()),
             }
         ),
         batch_format="pyarrow",
@@ -823,11 +823,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "dedup_ngram_jaccard": """
-            WITH words AS (
+            WITH wl AS (
+              -- parity with Python str.split(): any whitespace run,
+              -- empties dropped (ADVICE r1 latent divergence)
               SELECT doc_id,
-                     unnest(string_split(lower(text), ' ')) AS w,
-                     generate_subscripts(string_split(lower(text), ' '), 1) AS i
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
               FROM documents
+            ),
+            words AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM wl
             ),
             grams AS (
               SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram

@@ -217,7 +217,8 @@ def chunk_batch(batch: pa.Table, max_tokens: int = MAX_TOKENS) -> pa.Table:
     ends = np.concatenate([boundaries, [len(conv)]])
     for s, e in zip(starts.tolist(), ends.tolist()):
         out.append(chunk_group(batch.slice(s, e - s), max_tokens))
-    return pa.concat_tables(out)
+    # one chunk -> one parquet row group downstream (not one per conv)
+    return pa.concat_tables(out).combine_chunks()
 
 
 def chunk_conversations_sharded(transcripts, max_tokens: int = MAX_TOKENS):

@@ -151,7 +151,7 @@ class ExtractorActor:
             span = f"{conv_ids[0]}:{chunk_ids[0]}:{conv_ids[-1]}:{chunk_ids[-1]}:{len(conv_ids)}"
             name = hashlib.blake2b(span.encode(), digest_size=12).hexdigest()
             tmp = os.path.join(self.side_write_dir, f".{name}.tmp")
-            pq.write_table(out, tmp)
+            pq.write_table(out.combine_chunks(), tmp)
             os.replace(tmp, os.path.join(self.side_write_dir, f"{name}.parquet"))
         return out
 

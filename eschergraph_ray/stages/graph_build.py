@@ -536,7 +536,10 @@ def build_graph_batch(
             schema=GRAPH_UNION,
         )
     )
-    return pa.concat_tables(out)
+    # combine_chunks: without it the parquet writer emits one ROW GROUP
+    # per conversation (~25 cols x thousands of groups), making every
+    # downstream scan seconds instead of milliseconds
+    return pa.concat_tables(out).combine_chunks()
 
 
 def build_graph_sharded(
