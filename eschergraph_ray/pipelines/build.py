@@ -568,6 +568,141 @@ def build_graph_with_media(
     return build_graph(logs.union(mlogs), llm_factory=llm_factory)
 
 
+def remove_documents(out_dir: str, conv_ids: list[str]) -> dict:
+    """Remove conversations from a committed graph (the reference's
+    ``remove_node_by_id`` cascade, ``simple_repository.py:724-760``,
+    lifted to document granularity — level-0 identity is conv-scoped so
+    removing a conversation removes its whole subgraph).
+
+    Per affected partition: graph rows, build_logs rows and the
+    Document record are filtered out (atomic per-file rewrite), and a
+    DELETE ChangeLog row is appended for every removed node / edge /
+    property — so ``sync_actions`` over the full log yields the right
+    vector-store plan (created-then-deleted ids cancel out,
+    ``prepare_sync_data.py:85-90``). Returns removal counts. A removed
+    conversation can be re-added incrementally afterwards (the
+    duplicate guard consults the documents sidecar, which no longer
+    lists it)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..schemas import CHANGE_LOG
+
+    targets = set(conv_ids)
+    manifest = Manifest(out_dir)
+    removed = {"node": 0, "edge": 0, "property": 0, "triple": 0, "documents": 0}
+
+    # affected partitions via the documents sidecar (one row per conv)
+    affected: list[str] = []
+    for f in _sidecar_files(out_dir, "documents"):
+        t = pq.read_table(f, columns=["conv_id"])
+        if targets & set(t["conv_id"].to_pylist()):
+            affected.append(os.path.basename(f)[: -len(".parquet")])
+
+    for pid in affected:
+        delete_rows: list[dict] = []
+        docs_gone = 0
+        chunks_gone = 0
+        turns_gone = 0
+        graph_dir = os.path.join(out_dir, "graph", pid)
+        for kind in ("node", "edge", "property", "triple", "stats"):
+            d = os.path.join(graph_dir, f"kind={kind}")
+            if not os.path.isdir(d):
+                continue
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(d, name)
+                t = pq.read_table(p)
+                if "conv_id" not in t.column_names:
+                    continue
+                mask = pc.is_in(t["conv_id"], value_set=pa.array(sorted(targets)))
+                mask = pc.fill_null(mask, False)
+                n_gone = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+                if n_gone == 0:
+                    continue
+                if kind in ("node", "edge", "property"):
+                    gone = t.filter(mask)
+                    for i_, c_, l_ in zip(
+                        gone["id"].to_pylist(),
+                        gone["conv_id"].to_pylist(),
+                        gone["level"].to_pylist(),
+                    ):
+                        delete_rows.append(
+                            {
+                                "id": i_,
+                                "action": "DELETE",
+                                "type": kind,
+                                "level": l_ if l_ is not None else 0,
+                                "conv_id": c_,
+                            }
+                        )
+                if kind in removed:
+                    removed[kind] += n_gone
+                kept = t.filter(pc.invert(mask))
+                pq.write_table(kept.combine_chunks(), p + ".tmp")
+                os.replace(p + ".tmp", p)
+        # build_logs checkpoint stays consistent with the graph
+        logs_dir = os.path.join(out_dir, "build_logs", pid)
+        if os.path.isdir(logs_dir):
+            for name in sorted(os.listdir(logs_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(logs_dir, name)
+                t = pq.read_table(p)
+                mask = pc.fill_null(
+                    pc.is_in(t["conv_id"], value_set=pa.array(sorted(targets))), False
+                )
+                n_gone = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+                if n_gone == 0:
+                    continue
+                chunks_gone += n_gone
+                pq.write_table(t.filter(pc.invert(mask)).combine_chunks(), p + ".tmp")
+                os.replace(p + ".tmp", p)
+        # Document records
+        docp = os.path.join(out_dir, "documents", f"{pid}.parquet")
+        t = pq.read_table(docp)
+        mask = pc.fill_null(
+            pc.is_in(t["conv_id"], value_set=pa.array(sorted(targets))), False
+        )
+        docs_gone = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        removed["documents"] += docs_gone
+        turns_gone = int(
+            pc.sum(t.filter(mask)["turn_num"]).as_py() or 0
+        )
+        pq.write_table(t.filter(pc.invert(mask)).combine_chunks(), docp + ".tmp")
+        os.replace(docp + ".tmp", docp)
+        # append the DELETE change log (idempotent name from content)
+        if delete_rows:
+            import hashlib
+
+            logt = pa.Table.from_pylist(delete_rows, schema=CHANGE_LOG)
+            digest = hashlib.blake2b(
+                "".join(sorted(r["id"] for r in delete_rows)).encode(), digest_size=8
+            ).hexdigest()
+            dst = os.path.join(out_dir, "change_log", f"{pid}-delete-{digest}.parquet")
+            pq.write_table(logt, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+        # lineage counters: footer counts reflect the rewrite; the
+        # kind=stats rows are build-time, so conv/chunk/turn counters
+        # are adjusted by what this removal took out
+        rec = dict(manifest.get(pid))
+        rec.pop("status", None)
+        stats = _graph_stats(graph_dir)
+        for key, gone in (
+            ("conv_count", docs_gone),
+            ("chunk_count", chunks_gone),
+            ("turn_count", turns_gone),
+        ):
+            if key in stats:
+                stats[key] = max(0, stats[key] - gone)
+        rec.update(stats)
+        manifest.mark(pid, "committed", **rec)
+    lineage = manifest.lineage_table()
+    pq.write_table(lineage, os.path.join(out_dir, "lineage.parquet"))
+    return removed
+
+
 def load_graph_union(out_dir: str, kinds: tuple = ("node", "edge", "property")):
     """Graph rows as one Dataset with the ``kind`` column re-attached
     explicitly from the partition directory (the hive partition column

@@ -215,3 +215,47 @@ def test_kg_documents_tag_filter(tmp_path):
     got2 = filter_table_by_tags(docs, {"team": "infra", "tier": 0},
                                 ignore_missing_tags=True)
     assert "conv-0000000" in got2["conv_id"].to_pylist()
+
+
+def test_remove_documents_and_readd(tmp_path):
+    """Delete path: removing a conversation filters its subgraph,
+    emits DELETE change logs (sync algebra cancels created-then-deleted
+    ids), and the conversation can be re-added incrementally."""
+    from eschergraph_ray.pipelines.build import remove_documents
+
+    src = _write_shards(str(tmp_path / "src"), [[0, 1], [2, 3]])
+    out = str(tmp_path / "out")
+    build(src, out, commit_groups=2, tags_fn=_tags_fn)
+    n_log_before = load_change_log(out).count()
+
+    res = remove_documents(out, ["conv-0000002"])
+    assert res["documents"] == 1
+    assert res["node"] > 0 and res["edge"] > 0
+
+    # subgraph gone from every kind
+    for kind in ("node", "edge", "property", "triple"):
+        t = load_kind_arrow(out, kind)
+        assert "conv-0000002" not in set(t["conv_id"].to_pylist()), kind
+    assert "conv-0000002" not in set(load_documents_arrow(out)["conv_id"].to_pylist())
+
+    # DELETE rows appended; sync plan: deleted ids cancel (CREATE+DELETE)
+    log = load_change_log(out).to_pandas()
+    dels = log[log["action"] == "DELETE"]
+    assert len(dels) == res["node"] + res["edge"] + res["property"]
+    assert len(log) == n_log_before + len(dels)
+    plan = sync_actions(load_change_log(out)).to_pandas()
+    deleted_ids = set(dels["id"])
+    assert deleted_ids.isdisjoint(set(plan["id"]))  # cancelled out
+    assert set(plan["sync_action"]) == {"upsert"}
+
+    # lineage counters dropped
+    lineage = remove_documents.__globals__["Manifest"](out).lineage_table().to_pandas()
+    assert lineage["conv_count"].sum() == 3
+
+    # re-add: the duplicate guard no longer blocks the removed conv
+    _write_shards(str(tmp_path / "src"), [[0, 1], [2, 3], [2]])
+    build(src, out, commit_groups=1, tags_fn=_tags_fn)
+    docs = load_documents_arrow(out)
+    assert docs["conv_id"].to_pylist().count("conv-0000002") == 1
+    t = load_kind_arrow(out, "triple")
+    assert "conv-0000002" in set(t["conv_id"].to_pylist())
