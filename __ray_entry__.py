@@ -284,6 +284,52 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(ds, qvec, "vec_id", "embedding", k=10)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import ivf_topk
+
+    _context()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, qvec, "vec_id", "embedding", k=10)
+
+
+def _q_ann_lsh_indexed(sf_dir: str):
+    """Signature-partitioned LSH index: queries read ONLY the probed
+    buckets' parquet partitions (IO pruning — the round-1 gap)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import (
+        build_lsh_partitioned_index,
+        lsh_index_topk,
+    )
+
+    _context()
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    idx = f"/tmp/eschergraph_ray/lsh-index-n{n}"
+    if not os.path.exists(idx + "/_DONE"):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        build_lsh_partitioned_index(ds, idx, "vec_id", "embedding")
+        with open(idx + "/_DONE", "w") as f:
+            f.write("ok")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py()
+    return lsh_index_topk(idx, qvec, "vec_id", "embedding", k=10)
+
+
 def _q_media_kg_nodes(sf_dir: str):
     """Visual elements -> graph nodes (M5/M6, build_pipeline.py:310-413):
     a media-enabled build over a small transcript slice; returns the
@@ -775,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_cosine": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_indexed": _q_ann_lsh_indexed,
         # multimodal plumbing
         "media_features": _q_media_features,
         "media_kg_nodes": _q_media_kg_nodes,

@@ -50,6 +50,140 @@ def brute_force_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10):
     ).limit(k)
 
 
+def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                     seed: int = 11) -> np.ndarray:
+    """Tiny deterministic k-means (numpy, driver-side on a SAMPLE —
+    centroids are broadcast model state, not data)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    n_centroids = min(n_centroids, n)
+    cent = sample[rng.choice(n, size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        d = sample @ cent.T  # cosine affinity on normalized rows
+        assign = np.argmax(d, axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def ivf_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, sample_size: int = 2048,
+             seed: int = 11):
+    """IVF-style approximate top-k (the coarse-quantizer scale path):
+    train centroids on a sample (driver-side k-means, broadcast), then
+    one vectorized pass keeps only vectors whose nearest centroid is in
+    the query's ``n_probe`` closest cells. Compute is pruned to
+    ~n_probe/n_centroids of the corpus; for the IO-pruned variant see
+    ``build_lsh_partitioned_index``."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = _normalize(
+        np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    )
+    cent = kmeans_centroids(sample, n_centroids, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe = set(np.argsort(-(cent @ q), kind="stable")[:n_probe].tolist())
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        m = _normalize(_batch_matrix(batch, vec_col))
+        assign = np.argmax(m @ cent.T, axis=1)
+        mask = np.isin(assign, list(probe))
+        s = np.round(m[mask] @ q, 4)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)[mask]
+        return pa.table(
+            {id_col: pa.array(ids.tolist()), "cosine": pa.array(s, pa.float64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(
+        ["cosine", id_col], descending=[True, False]
+    ).limit(k)
+
+
+def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def build_lsh_partitioned_index(ds, index_dir: str, id_col: str, vec_col: str,
+                                n_planes: int = 8, seed: int = 5) -> str:
+    """Materialize a SIGNATURE-PARTITIONED embedding layout: one
+    parquet partition per hyperplane-sign bucket. Queries then read
+    ONLY the probed buckets' files — IO pruning, not just compute
+    pruning (the round-1 gap in ``lsh_topk``). At cluster scale the
+    bucket directories are the unit of storage pruning."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        m = _normalize(_batch_matrix(batch, vec_col))
+        planes = _lsh_planes(m.shape[1], n_planes, seed)
+        sigs = np.packbits(
+            (m @ planes.T > 0).astype(np.uint8), axis=1, bitorder="little"
+        )[:, 0]
+        return batch.append_column("bucket", pa.array(sigs.astype(np.int32)))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    return index_dir
+
+
+def lsh_index_topk(index_dir: str, query_vec, id_col: str, vec_col: str,
+                   k: int = 10, n_planes: int = 8, probe_hamming: int = 2,
+                   seed: int = 5):
+    """Top-k over a signature-partitioned index: list the probe
+    buckets' directories and read only THOSE parquet files (storage
+    never ships non-probed buckets)."""
+    import os
+
+    import ray.data as rd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    planes = _lsh_planes(len(q), n_planes, seed)
+    qsig = int(np.packbits((planes @ q > 0).astype(np.uint8), bitorder="little")[0])
+    probe = {
+        s for s in range(1 << n_planes) if bin(s ^ qsig).count("1") <= probe_hamming
+    }
+    files = []
+    for b in sorted(probe):
+        d = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    if not files:
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        m = _normalize(_batch_matrix(batch, vec_col))
+        s = np.round(m @ q, 4)
+        return pa.table({id_col: batch[id_col], "cosine": pa.array(s, pa.float64())})
+
+    # note: columns= + partitioning=None trips a Ray 2.49 reader bug
+    # (UnboundLocalError); explicit columns already exclude the hive
+    # partition column, so default partitioning is safe here
+    return (
+        rd.read_parquet(files, columns=[id_col, vec_col])
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["cosine", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
 def lsh_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10,
              n_planes: int = 8, probe_hamming: int = 2, seed: int = 5):
     """Approximate top-k: hyperplane-sign buckets, multi-probe."""

@@ -163,3 +163,45 @@ def test_metadata_filter_and_combination():
         metadata={"document_id": ["c1"], "type": "edge"},
     ).to_pandas()
     assert len(res2) == 0
+
+
+def test_ivf_topk_recall():
+    from eschergraph_ray.functions.similarity import ivf_topk
+
+    tbl, m = _emb_table(n=500)
+    q = m[3]
+    exact = brute_force_topk(
+        rd.from_arrow(tbl), q, "vec_id", "embedding", k=10
+    ).to_pandas()["vec_id"]
+    approx = ivf_topk(
+        rd.from_arrow(tbl), q, "vec_id", "embedding", k=10,
+        n_centroids=8, n_probe=4,
+    ).to_pandas()["vec_id"]
+    assert len(set(exact) & set(approx)) >= 6  # recall >= 0.6 on random data
+    # self-match always survives probing (its own cell is the closest)
+    assert 3 in set(approx)
+
+
+def test_lsh_partitioned_index_io_pruning(tmp_path):
+    import os
+
+    from eschergraph_ray.functions.similarity import (
+        build_lsh_partitioned_index,
+        lsh_index_topk,
+        lsh_topk,
+    )
+
+    tbl, m = _emb_table(n=400)
+    idx = build_lsh_partitioned_index(
+        rd.from_arrow(tbl), str(tmp_path / "idx"), "vec_id", "embedding"
+    )
+    # physical layout: one directory per sign bucket
+    buckets = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert len(buckets) > 4
+    q = m[11]
+    got = lsh_index_topk(idx, q, "vec_id", "embedding", k=10).to_pandas()
+    ref = lsh_topk(rd.from_arrow(tbl), q, "vec_id", "embedding", k=10).to_pandas()
+    # identical probe set => identical results, but reading ONLY the
+    # probed buckets' files
+    assert got["vec_id"].tolist() == ref["vec_id"].tolist()
+    assert got["cosine"].tolist() == ref["cosine"].tolist()
