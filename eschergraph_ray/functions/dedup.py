@@ -162,6 +162,33 @@ def _pack_u64(values: np.ndarray) -> bytes:
     return np.ascontiguousarray(values, dtype=np.uint64).tobytes()
 
 
+def _nonempty_pairs(pairs_ds):
+    """Materialize the (small) candidate-pair set and return it, or
+    None when empty — Ray's hash join loses the schema of an empty
+    left side and raises; callers short-circuit to an empty result.
+    Candidate pairs are the SMALL intermediate of every near-dup
+    pipeline, so pinning them in the object store is cheap and also
+    avoids recomputing candidate generation for the second join."""
+    mat = pairs_ds.materialize()
+    n = mat.count()
+    if n == 0:
+        return None
+    # repartition: an upstream aggregate with sparse keys can emit
+    # schema-less EMPTY blocks alongside real ones, which crash the
+    # Acero join ("No match for FieldRef"); coalescing normalizes them
+    return mat.repartition(max(1, min(DEFAULT_JOIN_PARTITIONS, n // 256 + 1)))
+
+
+def _empty_pairs_table(id_type: pa.DataType, value_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], id_type),
+            "id_b": pa.array([], id_type),
+            value_col: pa.array([], pa.float64()),
+        }
+    )
+
+
 def _attach_payload(pairs_ds, payload_ds, pair_key: str, id_col: str,
                     payload_col: str, out_col: str,
                     num_partitions: int = DEFAULT_JOIN_PARTITIONS):
@@ -206,7 +233,13 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, id_col: str, text_col: str,
     distributed: pairs ⨝ shingle-signatures on id_a, then id_b (two
     hash joins), then a vectorized per-pair intersection. No driver
     materialization, no broadcast of the doc side."""
+    import ray.data as rd
+
     sigs = shingle_signatures(docs_ds, id_col, text_col, shingle_k)
+    pairs_ds = _nonempty_pairs(pairs_ds)
+    if pairs_ds is None:
+        id_type = docs_ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(_empty_pairs_table(id_type, "jaccard"))
     j1 = _attach_payload(pairs_ds, sigs, "id_a", id_col, "shingles", "sh_a",
                          num_partitions)
     j2 = _attach_payload(j1, sigs, "id_b", id_col, "shingles", "sh_b",
@@ -367,6 +400,12 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="n_common"))
     )
+    inter = _nonempty_pairs(inter)
+    if inter is None:
+        import ray.data as rd
+
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(_empty_pairs_table(id_type, "jaccard"))
     j1 = _attach_payload(inter, sizes, "id_a", id_col, "n_grams", "n_a",
                          num_partitions)
     j2 = _attach_payload(j1, sizes, "id_b", id_col, "n_grams", "n_b",
@@ -592,7 +631,14 @@ def embedding_lsh_near_dup_pairs(ds, id_col: str, vec_col: str,
     ``jaccard_verify_pairs``). Probabilistic recall (tested >= brute
     force on the sandbox corpora); use ``embedding_near_dup_pairs`` for
     the exact result."""
-    cand = embedding_lsh_candidates(ds, id_col, vec_col, num_planes, bands, seed)
+    cand = _nonempty_pairs(
+        embedding_lsh_candidates(ds, id_col, vec_col, num_planes, bands, seed)
+    )
+    if cand is None:
+        import ray.data as rd
+
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(_empty_pairs_table(id_type, "cosine"))
     vecs = packed_vectors(ds, id_col, vec_col)
     j1 = _attach_payload(cand, vecs, "id_a", id_col, "vec", "vec_a", num_partitions)
     j2 = _attach_payload(j1, vecs, "id_b", id_col, "vec", "vec_b", num_partitions)
