@@ -99,7 +99,15 @@ def main() -> None:
     kg_sec, kg_info = bench_kg_build()
     queries["kg_build"] = round(kg_sec, 3)
     qmap = E.queries()
-    for name in ("doc_token_counts", "dedup_exact_documents", "lineitem_pricing_summary"):
+    for name in (
+        "doc_token_counts",
+        "dedup_exact_documents",
+        "dedup_minhash_neardup",
+        "lineitem_pricing_summary",
+        "events_hourly",
+        "sessionize_events",
+        "ann_topk_cosine",
+    ):
         if name in qmap:
             queries[name] = round(bench_query(qmap[name]), 3)
     result = {

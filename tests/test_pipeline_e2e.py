@@ -69,6 +69,26 @@ def test_killed_run_resumes_from_committed_partition(src_dir):
     shutil.rmtree(out2, ignore_errors=True)
     build(src_dir, out2, commit_groups=1)
     assert _triple_set(out) == _triple_set(out2)
+    # sidecars are complete after resume: one Document record per
+    # conversation, change log covers every persisted object
+    from eschergraph_ray.pipelines.build import (
+        load_change_log,
+        load_documents_arrow,
+    )
+
+    docs_resumed = load_documents_arrow(out)
+    docs_single = load_documents_arrow(out2)
+    assert sorted(docs_resumed["conv_id"].to_pylist()) == sorted(
+        docs_single["conv_id"].to_pylist()
+    )
+    n_objects = sum(
+        load_kind_arrow(out, k).num_rows for k in ("node", "edge", "property")
+    )
+    log = load_change_log(out).to_pandas()
+    assert len(log) == n_objects
+    assert sorted(log["id"]) == sorted(
+        load_change_log(out2).to_pandas()["id"]
+    )
 
 
 def test_generator_deterministic():
