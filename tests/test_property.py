@@ -79,3 +79,54 @@ def test_louvain_total_partition(args):
     flat = sorted(x for p in parts for x in p)
     assert flat == sorted(names)  # exact cover, no dup, no loss
     assert parts == louvain_communities(names, edges)  # deterministic
+
+
+TAG_KEY = st.text(alphabet="abcdefgh_", min_size=1, max_size=6)
+TAG_VAL = st.one_of(
+    st.text(alphabet="abc xyz", max_size=8),
+    st.integers(min_value=-99, max_value=99),
+    st.booleans(),
+    st.none(),
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.dictionaries(TAG_KEY, TAG_VAL, max_size=4), max_size=8),
+    st.dictionaries(TAG_KEY, TAG_VAL, min_size=1, max_size=3),
+    st.booleans(),
+)
+def test_tag_regex_filter_equals_reference_semantics(tag_dicts, filter_tags, ignore_missing):
+    """The vectorized per-key regex over canonical JSON implements
+    exactly the reference's filter_documents_by_tags loop
+    (simple_repository.py:706-723), for string/int/bool/null values."""
+    import json
+    import re
+
+    from eschergraph_ray.functions.tags import _key_pattern, canonical_tags
+
+    def regex_filter(tags_json: str) -> bool:
+        for k, v in filter_tags.items():
+            m = re.search(_key_pattern(k), tags_json)
+            if m is None:
+                if not ignore_missing:
+                    return False
+            elif m.group("v") != json.dumps(v, separators=(",", ":")):
+                return False
+        return True
+
+    def reference_filter(tags: dict) -> bool:
+        include = True
+        for k, v in filter_tags.items():
+            if k not in tags and not ignore_missing:
+                include = False
+            elif k in tags and tags[k] != v:
+                include = False
+            if not include:
+                break
+        return include
+
+    for tags in tag_dicts:
+        got = regex_filter(canonical_tags(tags))
+        want = reference_filter(tags)
+        assert got == want, (tags, filter_tags, ignore_missing)
