@@ -766,6 +766,8 @@ def _q_kg_dashboard(sf_dir: str):
         {"metric": "node_count", "value": d["node_count"]},
         {"metric": "edge_count", "value": d["edge_count"]},
         {"metric": "property_count", "value": d["property_count"]},
+        {"metric": "document_count", "value": d["document_count"]},
+        {"metric": "change_log_count", "value": d["change_log_count"]},
     ]
     for lvl, n in d["nodes_by_level"].items():
         rows.append({"metric": f"nodes_level_{lvl}", "value": n})

@@ -75,11 +75,27 @@ def gather_dashboard(out_dir: str) -> dict:
         .take_all()
     )
 
+    # sidecar counts (footer-only scans)
+    import pyarrow.parquet as pq
+
+    from .build import _sidecar_files
+
+    doc_count = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _sidecar_files(out_dir, "documents")
+    )
+    log_count = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _sidecar_files(out_dir, "change_log")
+    )
+
     return {
         "node_count": int(sum(level_counts.values())),
         "nodes_by_level": {int(k): int(v) for k, v in sorted(level_counts.items())},
         "edge_count": edges.count(),
         "property_count": props.count(),
+        "document_count": doc_count,
+        "change_log_count": log_count,
         "top_nodes_by_degree": [
             {"node_id": r["node_id"], "name": r["name"], "degree": int(r["degree"])}
             for r in deg
