@@ -470,6 +470,67 @@ def _q_kg_max_level(sf_dir: str):
     return pa.table({"max_level": pa.array([get_max_level(out)], pa.int64())})
 
 
+def _q_transcript_conv_stats(sf_dir: str):
+    """ORACLE over the real transcript input: per-conversation turn and
+    token counts THROUGH the actual pre-shuffle hot-path stage
+    (add_turn_tokens, S7) — DuckDB recomputes both from the same
+    parquet shards with the same token regex."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from eschergraph_ray.sources.transcripts import (
+        sf_to_n_convs,
+        transcripts_parquet_dir,
+    )
+    from eschergraph_ray.stages.chunking import add_turn_tokens
+
+    _context()
+    src = transcripts_parquet_dir(sf_to_n_convs(sf_dir), seed=SEED)
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, override_num_blocks=len(files))
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = add_turn_tokens(batch)
+        return t.select(["conv_id", "n_tokens"])
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Count(alias_name="n_turns"), Sum("n_tokens", alias_name="n_tokens"))
+    )
+
+    def cast64(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_turns": pc.cast(t["n_turns"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast64, batch_format="pyarrow")
+
+
+def _transcripts_glob_sf001() -> str:
+    """Corpus glob for the sf0.01 correctness scale (the driver runs
+    oracles at sf=0.01 by contract); generation is triggered by the
+    paired Ray query before the SQL runs."""
+    from eschergraph_ray.sources.transcripts import (
+        sf_to_n_convs,
+        transcripts_parquet_dir,
+    )
+
+    n = sf_to_n_convs("/root/testdata/sf0.01")
+    from eschergraph_ray.sources.transcripts import GEN_VERSION
+
+    return f"/tmp/eschergraph_ray/transcripts-v{GEN_VERSION}-n{n}-s{SEED}/*.parquet"
+
+
 def _q_docs_tag_filter(sf_dir: str):
     """Tag filtering with the reference's missing-tag policy as an
     ORACLE query: tags are assembled from the documents table's real
@@ -839,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rag_answer": _q_kg_rag_answer,
         "kg_max_level": _q_kg_max_level,
         "docs_tag_filter": _q_docs_tag_filter,
+        "transcript_conv_stats": _q_transcript_conv_stats,
         # relational / windows
         "events_props_filter": _q_events_props_filter,
         "changelog_sync_actions": _q_changelog_sync,
@@ -974,6 +1036,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY total_value DESC, user_id
             LIMIT 10
+        """,
+        "transcript_conv_stats": f"""
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(array_length(regexp_extract_all(text,
+                        '[A-Za-z]+(''[A-Za-z]+)?|\d+|[^\w\s]'))) AS BIGINT) AS n_tokens
+            FROM read_parquet('{_transcripts_glob_sf001()}')
+            GROUP BY conv_id
         """,
         "docs_tag_filter": """
             SELECT doc_id,
