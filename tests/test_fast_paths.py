@@ -102,3 +102,33 @@ def test_louvain_recovers_planted_communities():
 def test_louvain_isolated_nodes_are_singletons():
     parts = louvain_communities(["p", "q", "r"], [])
     assert parts == [["p"], ["q"], ["r"]]
+
+
+def test_nonfused_build_matches_fused_build(tmp_path):
+    """build(conv_complete_shards=False) — the groupby-exchange path for
+    arbitrary row layouts — must produce the same triple set as the
+    fused zero-shuffle default, including a giant (multi-salt)
+    conversation (ADVICE r1 divergence, now fixed)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from eschergraph_ray.pipelines.build import build, load_kind_arrow
+    from eschergraph_ray.sources.transcripts import conv_rows, _rows_to_table
+
+    rows = []
+    for i in (1, 2, 388):  # 388 = 1280-turn giant spanning two salts
+        rows.extend(conv_rows(42, i))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(_rows_to_table(rows, random.Random(3)), src + "/shard-000.parquet")
+
+    def triples(out):
+        t = load_kind_arrow(out, "triple").to_pandas()
+        return set(map(tuple, t[["conv_id", "subj", "pred", "obj", "chunk_id"]].values))
+
+    fused = str(tmp_path / "fused")
+    build(src, fused)
+    nonfused = str(tmp_path / "nonfused")
+    build(src, nonfused, conv_complete_shards=False)
+    assert triples(fused) == triples(nonfused)
