@@ -460,6 +460,22 @@ def _q_kg_rag_answer(sf_dir: str):
     )
 
 
+def _q_kg_global_answer(sf_dir: str):
+    """global_search + answer synthesis over community context
+    (global_search.py:19-46) as one row."""
+    import pyarrow as pa
+
+    from eschergraph_ray.pipelines.search import global_answer
+    from eschergraph_ray.stages.embed import embed_graph
+    from eschergraph_ray.pipelines.build import load_graph_union
+
+    _context()
+    out = _build_for(sf_dir, "q")
+    emb = embed_graph(load_graph_union(out, kinds=("node",)))
+    ans = global_answer(emb, "what collaboration patterns exist among engineers")
+    return pa.table({"answer": pa.array([ans], pa.large_string())})
+
+
 def _q_kg_max_level(sf_dir: str):
     """A7 get_max_level (simple_repository.py:570-576)."""
     import pyarrow as pa
@@ -898,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sync_plan": _q_kg_sync_plan,
         "kg_global_search": _q_kg_global_search,
         "kg_rag_answer": _q_kg_rag_answer,
+        "kg_global_answer": _q_kg_global_answer,
         "kg_max_level": _q_kg_max_level,
         "docs_tag_filter": _q_docs_tag_filter,
         "transcript_conv_stats": _q_transcript_conv_stats,

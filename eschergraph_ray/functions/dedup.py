@@ -630,7 +630,16 @@ def embedding_lsh_near_dup_pairs(ds, id_col: str, vec_col: str,
     pairs against the packed-vector table (same join shape as
     ``jaccard_verify_pairs``). Probabilistic recall (tested >= brute
     force on the sandbox corpora); use ``embedding_near_dup_pairs`` for
-    the exact result."""
+    the exact result.
+
+    Banding guidance: recall at threshold t needs band-match probability
+    p^bits with p = 1 - arccos(t)/pi. The default (16 bands x 4 bits)
+    targets LOW thresholds (~0.4, ~94% recall) at the cost of large
+    buckets on big corpora; for true near-dup thresholds (>= 0.8) use
+    ``bands=8`` (8-bit bands — buckets shrink ~16x, recall ~94% at
+    cosine 0.9). Sign-LSH cannot be both sharp and high-recall at low
+    thresholds — that regime is what ``embedding_near_dup_pairs``'s
+    exact chunk-pair path is for."""
     cand = _nonempty_pairs(
         embedding_lsh_candidates(ds, id_col, vec_col, num_planes, bands, seed)
     )
