@@ -212,6 +212,16 @@ def _q_fingerprints(sf_dir: str):
     return fingerprint_docs(_docs(sf_dir), "doc_id", "text")
 
 
+def _q_fingerprint_pairs(sf_dir: str):
+    """Winnowing copy-detection pairs; 0.7 overlap cuts the corpus's
+    shared-boilerplate plateau (~0.5-0.56) from genuine near-copies."""
+    from eschergraph_ray.functions.textstats import fingerprint_near_pairs
+
+    return fingerprint_near_pairs(
+        _docs(sf_dir), "doc_id", "text", min_common=10, min_overlap=0.7
+    )
+
+
 def _q_simhash(sf_dir: str):
     from eschergraph_ray.functions.dedup import simhash_values
 
@@ -890,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_counts": _q_quality,
         "doc_lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
+        "dedup_fingerprint_pairs": _q_fingerprint_pairs,
         # dedup family
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_simhash_documents": _q_simhash,

@@ -77,3 +77,54 @@ def test_media_strict_raises():
     actor = MediaFeatureActor(strict=True)
     with pytest.raises(NotImplementedError):
         actor(synthetic_media_table(2))
+
+
+def test_fingerprint_near_pairs_detects_copy():
+    """A document sharing a long run of text with another produces a
+    high-overlap fingerprint pair; unrelated docs don't pair."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.textstats import fingerprint_near_pairs
+
+    base = (
+        "the scheduler assigns work to executors in waves while the "
+        "object store spills cold blocks to disk under memory pressure "
+        "and lineage tracks every transformation for recovery"
+    )
+    copied = base + " with a short appended remark at the end"
+    other = (
+        "gardening in midsummer requires regular watering of tomato "
+        "plants and careful pruning of lower leaves to avoid blight "
+        "spreading upward through the foliage canopy"
+    )
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": [base, copied, other]})
+    )
+    out = fingerprint_near_pairs(docs, "doc_id", "text").to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    row = out[(out.id_a == 1) & (out.id_b == 2)].iloc[0]
+    assert row["overlap"] >= 0.8
+
+
+def test_fingerprint_near_pairs_empty_when_no_overlap():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.textstats import fingerprint_near_pairs
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "completely unrelated first document about compilers",
+                    "second text concerning marine biology and tides",
+                ],
+            }
+        )
+    )
+    out = fingerprint_near_pairs(docs, "doc_id", "text").to_pandas()
+    assert len(out) == 0
