@@ -397,12 +397,15 @@ def _q_kg_documents(sf_dir: str):
 def _q_kg_documents_tag_filter(sf_dir: str):
     """filter_documents_by_tags over the build's Document records
     (simple_repository.py:693-723 semantics, incl. missing-tag policy)."""
-    from eschergraph_ray.functions.tags import filter_table_by_tags
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tags import filter_by_tags
     from eschergraph_ray.pipelines.build import load_documents_arrow
 
     out = _build_for(sf_dir, "q")
-    docs = load_documents_arrow(out)
-    return filter_table_by_tags(
+    # vectorized distributed filter over the documents sidecar
+    docs = rd.from_arrow(load_documents_arrow(out))
+    return filter_by_tags(
         docs, {"team": "search", "tier": 1}, ignore_missing_tags=False
     )
 

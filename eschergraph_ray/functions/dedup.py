@@ -235,7 +235,10 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, id_col: str, text_col: str,
     materialization, no broadcast of the doc side."""
     import ray.data as rd
 
-    sigs = shingle_signatures(docs_ds, id_col, text_col, shingle_k)
+    # materialize: both joins consume the signature table; without
+    # pinning it, the docs scan + shingling would re-execute per join
+    # (signatures are ~20-50x smaller than the text they summarize)
+    sigs = shingle_signatures(docs_ds, id_col, text_col, shingle_k).materialize()
     pairs_ds = _nonempty_pairs(pairs_ds)
     if pairs_ds is None:
         id_type = docs_ds.schema().base_schema.field(id_col).type
@@ -381,7 +384,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
         )
 
     grams = ds.map_batches(explode, batch_format="pyarrow")
-    sizes = grams.groupby(id_col).aggregate(Count(alias_name="n_grams"))
+    # pinned: consumed by two joins (see jaccard_verify_pairs note)
+    sizes = grams.groupby(id_col).aggregate(Count(alias_name="n_grams")).materialize()
 
     def gram_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group[id_col].to_pylist()))
@@ -648,7 +652,8 @@ def embedding_lsh_near_dup_pairs(ds, id_col: str, vec_col: str,
 
         id_type = ds.schema().base_schema.field(id_col).type
         return rd.from_arrow(_empty_pairs_table(id_type, "cosine"))
-    vecs = packed_vectors(ds, id_col, vec_col)
+    # pinned: consumed by two joins (see jaccard_verify_pairs note)
+    vecs = packed_vectors(ds, id_col, vec_col).materialize()
     j1 = _attach_payload(cand, vecs, "id_a", id_col, "vec", "vec_a", num_partitions)
     j2 = _attach_payload(j1, vecs, "id_b", id_col, "vec", "vec_b", num_partitions)
 

@@ -147,7 +147,8 @@ def fingerprint_near_pairs(ds, id_col: str, text_col: str, k: int = 5,
         )
 
     fps = ds.map_batches(explode, batch_format="pyarrow")
-    sizes = fps.groupby(id_col).aggregate(Count(alias_name="n_fp"))
+    # pinned: consumed by two joins (see dedup.jaccard_verify_pairs)
+    sizes = fps.groupby(id_col).aggregate(Count(alias_name="n_fp")).materialize()
 
     def fp_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group[id_col].to_pylist()))
