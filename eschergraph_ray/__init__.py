@@ -15,4 +15,42 @@ Nothing in this package calls ``ray.init()``/``ray.shutdown()`` — the
 session is owned by the caller (driver, bench.py, or the test fixture).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .pipelines.build import (  # noqa: E402
+    build,
+    build_graph_with_media,
+    get_max_level,
+    load_change_log,
+    load_documents_arrow,
+    load_graph_union,
+    load_kind,
+    load_kind_arrow,
+    remove_documents,
+)
+from .pipelines.dashboard import gather_dashboard  # noqa: E402
+from .pipelines.search import (  # noqa: E402
+    attribute_search,
+    global_answer,
+    global_search,
+    quick_search,
+    rag_answer,
+)
+
+__all__ = [
+    "build",
+    "build_graph_with_media",
+    "remove_documents",
+    "get_max_level",
+    "load_kind",
+    "load_kind_arrow",
+    "load_graph_union",
+    "load_documents_arrow",
+    "load_change_log",
+    "gather_dashboard",
+    "quick_search",
+    "global_search",
+    "attribute_search",
+    "rag_answer",
+    "global_answer",
+]

@@ -179,6 +179,13 @@ def _nonempty_pairs(pairs_ds):
     return mat.repartition(max(1, min(DEFAULT_JOIN_PARTITIONS, n // 256 + 1)))
 
 
+def _pinned_payload(ds, num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+    """Pin a join payload table AND coalesce its blocks: aggregate
+    outputs can contain schema-less empty blocks that crash the Acero
+    join on EITHER side; repartition normalizes them."""
+    return ds.materialize().repartition(num_partitions)
+
+
 def _empty_pairs_table(id_type: pa.DataType, value_col: str) -> pa.Table:
     return pa.table(
         {
@@ -384,8 +391,9 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
         )
 
     grams = ds.map_batches(explode, batch_format="pyarrow")
-    # pinned: consumed by two joins (see jaccard_verify_pairs note)
-    sizes = grams.groupby(id_col).aggregate(Count(alias_name="n_grams")).materialize()
+    # pinned + coalesced: consumed by two joins; aggregate outputs can
+    # carry degenerate empty blocks (see _pinned_payload)
+    sizes = _pinned_payload(grams.groupby(id_col).aggregate(Count(alias_name="n_grams")))
 
     def gram_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group[id_col].to_pylist()))

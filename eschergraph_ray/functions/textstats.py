@@ -133,7 +133,12 @@ def fingerprint_near_pairs(ds, id_col: str, text_col: str, k: int = 5,
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
-    from .dedup import _attach_payload, _empty_pairs_table, _nonempty_pairs
+    from .dedup import (
+        _attach_payload,
+        _empty_pairs_table,
+        _nonempty_pairs,
+        _pinned_payload,
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, fps = [], []
@@ -147,8 +152,8 @@ def fingerprint_near_pairs(ds, id_col: str, text_col: str, k: int = 5,
         )
 
     fps = ds.map_batches(explode, batch_format="pyarrow")
-    # pinned: consumed by two joins (see dedup.jaccard_verify_pairs)
-    sizes = fps.groupby(id_col).aggregate(Count(alias_name="n_fp")).materialize()
+    # pinned + coalesced: consumed by two joins (see _pinned_payload)
+    sizes = _pinned_payload(fps.groupby(id_col).aggregate(Count(alias_name="n_fp")))
 
     def fp_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group[id_col].to_pylist()))
