@@ -793,6 +793,89 @@ def _q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def _q_events_sliding_window(sf_dir: str):
+    """SLIDING window aggregate (1h window, 15min slide): each event is
+    exploded into the 4 windows containing it (vectorized epoch math),
+    then one groupby — the streaming-window shape the Dataset API lacks
+    natively, expressed as explode + groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    SLIDE = 900  # seconds
+    WINDOW = 3600
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)  # us -> s
+        base = pc.multiply(pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), SLIDE)), pa.int64()), SLIDE)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        parts = []
+        for i in range(WINDOW // SLIDE):
+            start = pc.subtract(base, i * SLIDE)
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": batch["event_type"],
+                        "window_start": pc.cast(pc.multiply(start, 1_000_000), pa.timestamp("us")),
+                        "cents": cents,
+                    }
+                )
+            )
+        return pa.concat_tables(parts).combine_chunks()
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": t["window_start"],
+                "n_events": t["n_events"],
+                "sum_value": pc.round(
+                    pc.divide(pc.cast(t["cents"], pa.float64()), 100.0), 2
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_events_topk_per_type(sf_dir: str):
+    """Per-group top-k (row_number window analogue): 3 highest-value
+    events per event_type via groupby.map_groups (tiny per-group sort),
+    deterministic tie-break on event_id."""
+    import pandas as pd
+    import ray.data as rd
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index + 1
+        # integer cents out: float 'value' stays oracle-hashable
+        import numpy as np
+
+        # half-away-from-zero to match DuckDB round() on exact ties
+        g["value_cents"] = np.floor(g["value"] * 100 + 0.5).astype("int64")
+        return g[["event_type", "rank", "event_id", "value_cents"]]
+
+    return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
 def _q_events_props_filter(sf_dir: str):
     """Semi-structured tag/props predicate filter (J4 analogue,
     filter_documents_by_tags, simple_repository.py:692-723) over the
@@ -938,6 +1021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
         "events_hourly": _q_events_hourly,
+        "events_sliding_window": _q_events_sliding_window,
+        "events_topk_per_type": _q_events_topk_per_type,
         "top_users_by_value": _q_top_users,
         "sessionize_events": _q_sessionize,
     }
@@ -1052,6 +1137,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "events_sliding_window": """
+            WITH e AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - u.i * 900) AS ws,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events, unnest([0, 1, 2, 3]) AS u(i)
+            )
+            SELECT event_type,
+                   make_timestamp(ws * 1000000) AS window_start,
+                   count(*) AS n_events,
+                   round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_value
+            FROM e
+            GROUP BY 1, 2
+        """,
+        "events_topk_per_type": """
+            WITH r AS (
+              SELECT event_type, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rank
+              FROM events
+            )
+            SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value_cents
+            FROM r WHERE rank <= 3
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
