@@ -876,6 +876,54 @@ def _q_events_topk_per_type(sf_dir: str):
     return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
 
 
+def _q_events_asof_join(sf_dir: str):
+    """As-of join (a custom temporal operator the Dataset API lacks):
+    each purchase matched to the same user's most recent click at or
+    before it; DuckDB's native ASOF JOIN is the oracle. Output carries
+    an exact integer microsecond gap."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.joins import asof_join
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_time="ts", right_time="ts",
+        left_cols=["event_id"], right_cols=["event_id"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(t["ts_right"], pa.int64())
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "click_event_id": t["event_id_right"],
+                "gap_us": gap,
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def _q_events_props_filter(sf_dir: str):
     """Semi-structured tag/props predicate filter (J4 analogue,
     filter_documents_by_tags, simple_repository.py:692-723) over the
@@ -1022,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "events_hourly": _q_events_hourly,
         "events_sliding_window": _q_events_sliding_window,
+        "events_asof_join": _q_events_asof_join,
         "events_topk_per_type": _q_events_topk_per_type,
         "top_users_by_value": _q_top_users,
         "sessionize_events": _q_sessionize,
@@ -1137,6 +1186,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "events_asof_join": """
+            SELECT p.user_id, p.event_id,
+                   c.event_id AS click_event_id,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "events_sliding_window": """
             WITH e AS (

@@ -1,0 +1,105 @@
+"""Temporal join operators the Dataset API lacks natively.
+
+``asof_join``: for every left row, the single right row with the same
+key and the greatest right time <= left time (backward as-of,
+exact-match allowed — DuckDB ``ASOF JOIN`` semantics). Ray Data has no
+as-of join; the distributed construction is the standard one:
+
+    tag both streams with a side column -> union -> groupby(key)
+    (THE shuffle; both streams co-partition on the join key) ->
+    per-group pandas merge_asof over time-sorted frames.
+
+Partitioning assumption (documented per the brief): per-key history
+fits one reducer. For skewed keys, range-bucket time within key
+(key, time_bucket) and carry the last right row of bucket b-1 into
+bucket b — the same salting shape as the conversation chunker.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_suffix: str = "_right",
+):
+    """Backward as-of join (inner: left rows with no prior right row are
+    dropped, matching DuckDB ``ASOF JOIN``). Column layout out:
+    ``[key] + left_cols + [left_time] + right_cols_suffixed``."""
+
+    def tag(side: int, time_col: str, cols: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            out = {
+                key: batch[key],
+                "_t": pa.compute.cast(batch[time_col], pa.int64()),
+                "_side": pa.array([side] * len(batch), pa.int8()),
+            }
+            for c in cols:
+                out[f"c{side}_{c}"] = batch[c]
+            # the union needs one schema: null-fill the other side's cols
+            other = left_cols if side == 1 else right_cols
+            for c in other:
+                out[f"c{1 - side}_{c}"] = pa.nulls(
+                    len(batch),
+                    (left_ds if side == 1 else right_ds).schema().base_schema.field(c).type,
+                )
+            return pa.table(out)
+
+        return f
+
+    tagged_l = left_ds.map_batches(tag(0, left_time, left_cols), batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(tag(1, right_time, right_cols), batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group[group["_side"] == 0].sort_values("_t", kind="mergesort")
+        rf = group[group["_side"] == 1].sort_values("_t", kind="mergesort")
+        if len(lf) == 0 or len(rf) == 0:
+            return pd.DataFrame(
+                columns=[key]
+                + [f"c0_{c}" for c in left_cols]
+                + ["_t", "_rt"]
+                + [f"c1_{c}" for c in right_cols]
+            )
+        rf = rf.assign(_rt=rf["_t"])
+        m = pd.merge_asof(
+            lf[[key, "_t"] + [f"c0_{c}" for c in left_cols]],
+            rf[["_t", "_rt"] + [f"c1_{c}" for c in right_cols]],
+            on="_t",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m["_rt"].notna()]  # inner semantics
+        return m[
+            [key]
+            + [f"c0_{c}" for c in left_cols]
+            + ["_t", "_rt"]
+            + [f"c1_{c}" for c in right_cols]
+        ]
+
+    out = (
+        tagged_l.union(tagged_r)
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {key: batch[key]}
+        for c in left_cols:
+            cols[c] = batch[f"c0_{c}"]
+        cols[left_time] = pa.compute.cast(batch["_t"], pa.timestamp("us"))
+        cols[f"{right_time}{right_suffix}"] = pa.compute.cast(
+            pa.compute.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
+        )
+        for c in right_cols:
+            cols[f"{c}{right_suffix}"] = batch[f"c1_{c}"]
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
