@@ -924,6 +924,51 @@ def _q_events_asof_join(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def _q_events_range_join(sf_dir: str):
+    """Range (interval) join: every click within 10 minutes before a
+    purchase by the same user — the bucket-probe construction; DuckDB's
+    native range join is the oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.joins import interval_join
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def typed(t):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], t)).drop_columns(["event_type"])
+
+        return f
+
+    purchases = ev.map_batches(typed("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(typed("click"), batch_format="pyarrow")
+    joined = interval_join(
+        purchases, clicks, key="user_id", left_time="ts", right_time="ts",
+        lo_us=-600_000_000, hi_us=0,  # click in (purchase-10min, purchase]
+        left_cols=["event_id"], right_cols=["event_id"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(t["ts_right"], pa.int64())
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "click_event_id": t["event_id_right"],
+                "gap_us": gap,
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def _q_events_props_filter(sf_dir: str):
     """Semi-structured tag/props predicate filter (J4 analogue,
     filter_documents_by_tags, simple_repository.py:692-723) over the
@@ -1071,6 +1116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding_window": _q_events_sliding_window,
         "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
         "events_topk_per_type": _q_events_topk_per_type,
         "top_users_by_value": _q_top_users,
         "sessionize_events": _q_sessionize,
@@ -1194,6 +1240,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "events_range_join": """
+            SELECT p.user_id, p.event_id,
+                   c.event_id AS click_event_id,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts > p.ts - INTERVAL 10 MINUTE
+             AND c.ts <= p.ts
         """,
         "events_sliding_window": """
             WITH e AS (

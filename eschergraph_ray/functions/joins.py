@@ -21,6 +21,122 @@ import pandas as pd
 import pyarrow as pa
 
 
+def interval_join(
+    left_ds,
+    right_ds,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lo_us: int,
+    hi_us: int,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_suffix: str = "_right",
+    bucket_us: int | None = None,
+):
+    """Range (interval) join: all (left, right) pairs with the same key
+    and ``left_time + lo_us < right_time <= left_time + hi_us``
+    (half-open lower bound — tie-safe on integer microseconds).
+
+    Distributed construction: right rows land in ONE time bucket
+    (floor(t / B)); each left row probes every bucket its interval
+    covers (ceil(span/B)+1 replicas, B = span by default), so a
+    matching pair meets in exactly one (key, bucket) reducer — no
+    dedup pass needed. The shuffle key is (key, bucket); skewed keys
+    shrink B."""
+    span = hi_us - lo_us
+    B = bucket_us or max(span, 1)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pc.cast(batch[left_time], pa.int64())
+        tables = []
+        lo_b = pc.floor(pc.divide(pc.cast(pc.add(t, lo_us + 1), pa.float64()), B))
+        hi_b = pc.floor(pc.divide(pc.cast(pc.add(t, hi_us), pa.float64()), B))
+        n_buckets = (span // B) + 2
+        for i in range(n_buckets):
+            b = pc.add(pc.cast(lo_b, pa.int64()), i)
+            keep = pc.less_equal(b, pc.cast(hi_b, pa.int64()))
+            sub = {
+                key: batch[key],
+                "_b": b,
+                "_t": t,
+                "_side": pa.array([0] * len(batch), pa.int8()),
+            }
+            for c in left_cols:
+                sub[f"c0_{c}"] = batch[c]
+            for c in right_cols:
+                sub[f"c1_{c}"] = pa.nulls(
+                    len(batch), right_ds.schema().base_schema.field(c).type
+                )
+            tables.append(pa.table(sub).filter(keep))
+        return pa.concat_tables(tables).combine_chunks()
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pc.cast(batch[right_time], pa.int64())
+        out = {
+            key: batch[key],
+            "_b": pc.cast(
+                pc.floor(pc.divide(pc.cast(t, pa.float64()), B)), pa.int64()
+            ),
+            "_t": t,
+            "_side": pa.array([1] * len(batch), pa.int8()),
+        }
+        for c in left_cols:
+            out[f"c0_{c}"] = pa.nulls(
+                len(batch), left_ds.schema().base_schema.field(c).type
+            )
+        for c in right_cols:
+            out[f"c1_{c}"] = batch[c]
+        return pa.table(out)
+
+    tl = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    tr = right_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    def pair(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group[group["_side"] == 0]
+        rf = group[group["_side"] == 1]
+        if len(lf) == 0 or len(rf) == 0:
+            return pd.DataFrame(
+                columns=[key]
+                + [f"c0_{c}" for c in left_cols]
+                + ["_t", "_rt"]
+                + [f"c1_{c}" for c in right_cols]
+            )
+        m = lf[[key, "_t"] + [f"c0_{c}" for c in left_cols]].merge(
+            rf[["_t"] + [f"c1_{c}" for c in right_cols]].rename(columns={"_t": "_rt"}),
+            how="cross",
+        )
+        m = m[(m["_rt"] > m["_t"] + lo_us) & (m["_rt"] <= m["_t"] + hi_us)]
+        return m[
+            [key]
+            + [f"c0_{c}" for c in left_cols]
+            + ["_t", "_rt"]
+            + [f"c1_{c}" for c in right_cols]
+        ]
+
+    out = tl.union(tr).groupby([key, "_b"]).map_groups(pair, batch_format="pandas")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {key: batch[key]}
+        for c in left_cols:
+            cols[c] = batch[f"c0_{c}"]
+        cols[left_time] = pc.cast(batch["_t"], pa.timestamp("us"))
+        cols[f"{right_time}{right_suffix}"] = pc.cast(
+            pc.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
+        )
+        for c in right_cols:
+            cols[f"{c}{right_suffix}"] = batch[f"c1_{c}"]
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def asof_join(
     left_ds,
     right_ds,

@@ -46,3 +46,49 @@ def test_asof_backward_exact_and_inner():
     assert out["rid_right"].tolist() == [20, 20, 30]
     gaps_us = ((out["t"] - out["t_right"]).dt.total_seconds() * 1e6).round()
     assert gaps_us.tolist() == [0.0, 100.0, 10.0]
+
+
+def test_interval_join_matches_bruteforce():
+    """Bucketed range join == brute-force O(n^2) reference, across
+    bucket sizes (incl. buckets smaller than the span)."""
+    import itertools
+    import random
+
+    rng = random.Random(9)
+    keys = ["a", "b"]
+    lrows = [(rng.choice(keys), i, rng.randint(0, 5000)) for i in range(40)]
+    rrows = [(rng.choice(keys), 100 + i, rng.randint(0, 5000)) for i in range(40)]
+    LO, HI = -300, 200  # right time in (t-300, t+200]
+    want = {
+        (lk, lid, rid)
+        for (lk, lid, lt), (rk, rid, rt) in itertools.product(lrows, rrows)
+        if lk == rk and lt + LO < rt <= lt + HI
+    }
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": [r[0] for r in lrows],
+                "lid": [r[1] for r in lrows],
+                "t": _ts([r[2] for r in lrows]),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": [r[0] for r in rrows],
+                "rid": [r[1] for r in rrows],
+                "t": _ts([r[2] for r in rrows]),
+            }
+        )
+    )
+    from eschergraph_ray.functions.joins import interval_join
+
+    for bucket in (None, 100, 1000):
+        out = interval_join(
+            left, right, key="k", left_time="t", right_time="t",
+            lo_us=LO, hi_us=HI, left_cols=["lid"], right_cols=["rid"],
+            bucket_us=bucket,
+        ).to_pandas()
+        got = set(map(tuple, out[["k", "lid", "rid_right"]].values))
+        assert got == want, bucket
