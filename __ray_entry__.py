@@ -489,6 +489,50 @@ def _q_kg_global_answer(sf_dir: str):
     return pa.table({"answer": pa.array([ans], pa.large_string())})
 
 
+def _q_kg_entity_frequency(sf_dir: str):
+    """Cross-conversation entity analytics (beyond the reference's
+    per-document scope): top-25 canonical entity names by the number of
+    conversations they appear in, deterministic ordering."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+    nodes = load_kind(out, "node")
+    lvl0 = nodes.map_batches(
+        lambda t: t.filter(pc.equal(t["level"], 0)).select(["name"]),
+        batch_format="pyarrow",
+    )
+    return (
+        lvl0.groupby("name")
+        .aggregate(Count(alias_name="n_conversations"))
+        .sort(["n_conversations", "name"], descending=[True, False])
+        .limit(25)
+    )
+
+
+def _q_kg_predicate_histogram(sf_dir: str):
+    """Relationship-type distribution over all extracted triples."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+    triples = load_kind(out, "triple")
+    return (
+        triples.map_batches(lambda t: t.select(["pred"]), batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_triples"))
+        .sort(["n_triples", "pred"], descending=[True, False])
+    )
+
+
 def _q_kg_max_level(sf_dir: str):
     """A7 get_max_level (simple_repository.py:570-576)."""
     import pyarrow as pa
@@ -1106,6 +1150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rag_answer": _q_kg_rag_answer,
         "kg_global_answer": _q_kg_global_answer,
         "kg_max_level": _q_kg_max_level,
+        "kg_entity_frequency": _q_kg_entity_frequency,
+        "kg_predicate_histogram": _q_kg_predicate_histogram,
         "docs_tag_filter": _q_docs_tag_filter,
         "transcript_conv_stats": _q_transcript_conv_stats,
         # relational / windows
