@@ -760,6 +760,20 @@ def load_documents_arrow(out_dir: str) -> pa.Table:
     return pa.concat_tables([pq.read_table(f) for f in files])
 
 
+def list_available_tags(out_dir: str) -> dict[str, str]:
+    """Tag name -> value type name over all Document records
+    (``simple_repository.py:684-690`` parity: the repository tracks the
+    type of each tag for filter building)."""
+    import json
+
+    out: dict[str, str] = {}
+    t = load_documents_arrow(out_dir)
+    for s in t["tags"].to_pylist():
+        for k, v in (json.loads(s) if s else {}).items():
+            out.setdefault(k, type(v).__name__)
+    return out
+
+
 def load_change_log(out_dir: str):
     """The build's ChangeLog as a Dataset (one CREATE per persisted
     node/edge/property, per partition) — feeds ``sync_actions``."""

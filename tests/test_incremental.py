@@ -259,3 +259,13 @@ def test_remove_documents_and_readd(tmp_path):
     assert docs["conv_id"].to_pylist().count("conv-0000002") == 1
     t = load_kind_arrow(out, "triple")
     assert "conv-0000002" in set(t["conv_id"].to_pylist())
+
+
+def test_list_available_tags(tmp_path):
+    from eschergraph_ray.pipelines.build import list_available_tags
+
+    src = _write_shards(str(tmp_path / "src"), [[0, 1, 2]])
+    out = str(tmp_path / "out")
+    build(src, out, tags_fn=_tags_fn)
+    tags = list_available_tags(out)
+    assert tags == {"team": "str", "tier": "int"}
