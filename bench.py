@@ -98,7 +98,7 @@ def main() -> None:
     queries: dict[str, float] = {}
     kg_sec, kg_info = bench_kg_build()
     queries["kg_build"] = round(kg_sec, 3)
-    qmap = E.queries()
+    qmap = E.queries() if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0" else {}
     for name in (
         "doc_token_counts",
         "dedup_exact_documents",
@@ -138,7 +138,9 @@ def scaling() -> None:
     )
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling measures the flagship only; skip the query suite so
+        # the low-cpu level doesn't pay minutes of unrelated work
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
