@@ -54,6 +54,11 @@ class DeterministicMockLLM:
     def extract_nodes_edges(self, chunk_text: str) -> dict:
         """NodeEdgeExt analogue (eschergraph/builder/build_log.py:33-37):
         entities with descriptions + free-text relationships."""
+        if "[[" not in chunk_text:
+            # marker-free filler chunk: the regex passes cannot match —
+            # a substring probe skips them (same output, ~3x less regex
+            # work on filler-heavy transcripts)
+            return {"entities": [], "relationships": []}
         nodes: dict[str, str] = {}
         for m in _ENTITY_RE.finditer(chunk_text):
             name, desc = m.group(1).strip(), (m.group(2) or "").strip()
@@ -76,6 +81,8 @@ class DeterministicMockLLM:
     def extract_properties(self, chunk_text: str, node_names: list[str]) -> list[dict]:
         """json_property.jinja semantics: match properties to existing
         nodes only (eschergraph/builder/build_pipeline.py:191-225)."""
+        if "{{" not in chunk_text:
+            return []
         allowed = {n.lower() for n in node_names}
         by_entity: dict[str, list[str]] = {}
         for m in _PROP_RE.finditer(chunk_text):
