@@ -46,6 +46,11 @@ def interval_join(
     shrink B."""
     span = hi_us - lo_us
     B = bucket_us or max(span, 1)
+    # resolve the other side's column types up front: capturing a
+    # Dataset handle inside a UDF closure would serialize the whole
+    # plan into every task
+    left_types = {c: left_ds.schema().base_schema.field(c).type for c in left_cols}
+    right_types = {c: right_ds.schema().base_schema.field(c).type for c in right_cols}
 
     def tag_left(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -67,9 +72,7 @@ def interval_join(
             for c in left_cols:
                 sub[f"c0_{c}"] = batch[c]
             for c in right_cols:
-                sub[f"c1_{c}"] = pa.nulls(
-                    len(batch), right_ds.schema().base_schema.field(c).type
-                )
+                sub[f"c1_{c}"] = pa.nulls(len(batch), right_types[c])
             tables.append(pa.table(sub).filter(keep))
         return pa.concat_tables(tables).combine_chunks()
 
@@ -86,9 +89,7 @@ def interval_join(
             "_side": pa.array([1] * len(batch), pa.int8()),
         }
         for c in left_cols:
-            out[f"c0_{c}"] = pa.nulls(
-                len(batch), left_ds.schema().base_schema.field(c).type
-            )
+            out[f"c0_{c}"] = pa.nulls(len(batch), left_types[c])
         for c in right_cols:
             out[f"c1_{c}"] = batch[c]
         return pa.table(out)
@@ -151,7 +152,12 @@ def asof_join(
     dropped, matching DuckDB ``ASOF JOIN``). Column layout out:
     ``[key] + left_cols + [left_time] + right_cols_suffixed``."""
 
+    left_types = {c: left_ds.schema().base_schema.field(c).type for c in left_cols}
+    right_types = {c: right_ds.schema().base_schema.field(c).type for c in right_cols}
+
     def tag(side: int, time_col: str, cols: list[str]):
+        other_types = left_types if side == 1 else right_types
+
         def f(batch: pa.Table) -> pa.Table:
             out = {
                 key: batch[key],
@@ -161,12 +167,8 @@ def asof_join(
             for c in cols:
                 out[f"c{side}_{c}"] = batch[c]
             # the union needs one schema: null-fill the other side's cols
-            other = left_cols if side == 1 else right_cols
-            for c in other:
-                out[f"c{1 - side}_{c}"] = pa.nulls(
-                    len(batch),
-                    (left_ds if side == 1 else right_ds).schema().base_schema.field(c).type,
-                )
+            for c, t in other_types.items():
+                out[f"c{1 - side}_{c}"] = pa.nulls(len(batch), t)
             return pa.table(out)
 
         return f
