@@ -28,6 +28,7 @@ from .pipelines.build import (  # noqa: E402
     load_kind_arrow,
     remove_documents,
 )
+from .functions.joins import asof_join, interval_join  # noqa: E402
 from .pipelines.dashboard import gather_dashboard  # noqa: E402
 from .pipelines.search import (  # noqa: E402
     attribute_search,
@@ -53,4 +54,6 @@ __all__ = [
     "attribute_search",
     "rag_answer",
     "global_answer",
+    "asof_join",
+    "interval_join",
 ]
