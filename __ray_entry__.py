@@ -950,6 +950,7 @@ def _q_events_asof_join(sf_dir: str):
     joined = asof_join(
         purchases, clicks, key="user_id", left_time="ts", right_time="ts",
         left_cols=["event_id"], right_cols=["event_id"],
+        bucket_us=3_600_000_000,  # skew-safe path: (user, hour) shuffle
     )
 
     def project(t: pa.Table) -> pa.Table:

@@ -9,10 +9,12 @@ as-of join; the distributed construction is the standard one:
     (THE shuffle; both streams co-partition on the join key) ->
     per-group pandas merge_asof over time-sorted frames.
 
-Partitioning assumption (documented per the brief): per-key history
-fits one reducer. For skewed keys, range-bucket time within key
-(key, time_bucket) and carry the last right row of bucket b-1 into
-bucket b — the same salting shape as the conversation chunker.
+Partitioning: the default path assumes per-key history fits one
+reducer; ``asof_join(bucket_us=B)`` removes that assumption — rows
+shuffle on (key, floor(t/B)) and a per-key carry pass over tiny bucket
+summaries injects each bucket's latest preceding right row (the same
+salting shape as the conversation chunker). Proven equal to the plain
+path across bucket sizes in tests/test_joins.py.
 """
 
 from __future__ import annotations
@@ -147,10 +149,25 @@ def asof_join(
     left_cols: list[str],
     right_cols: list[str],
     right_suffix: str = "_right",
+    bucket_us: int | None = None,
 ):
     """Backward as-of join (inner: left rows with no prior right row are
     dropped, matching DuckDB ``ASOF JOIN``). Column layout out:
-    ``[key] + left_cols + [left_time] + right_cols_suffixed``."""
+    ``[key] + left_cols + [left_time] + right_cols_suffixed``.
+
+    ``bucket_us=None``: one reducer per key (assumes per-key history
+    fits a worker). ``bucket_us=B``: the SKEW-SAFE path — rows shuffle
+    on (key, floor(t/B)); per-bucket matching misses only rights from
+    earlier buckets, so a carry pass computes, per key, each bucket's
+    latest preceding right row from tiny per-bucket summaries (one row
+    per non-empty bucket) and injects it into the bucket's reducer. A
+    million-event key then costs max(bucket population) per reducer,
+    never the whole history."""
+    if bucket_us is not None:
+        return _asof_join_bucketed(
+            left_ds, right_ds, key, left_time, right_time,
+            left_cols, right_cols, right_suffix, bucket_us,
+        )
 
     left_types = {c: left_ds.schema().base_schema.field(c).type for c in left_cols}
     right_types = {c: right_ds.schema().base_schema.field(c).type for c in right_cols}
@@ -215,6 +232,166 @@ def asof_join(
         cols[left_time] = pa.compute.cast(batch["_t"], pa.timestamp("us"))
         cols[f"{right_time}{right_suffix}"] = pa.compute.cast(
             pa.compute.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
+        )
+        for c in right_cols:
+            cols[f"{c}{right_suffix}"] = batch[f"c1_{c}"]
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
+                        left_cols, right_cols, right_suffix, bucket_us):
+    """Skew-safe as-of join (see ``asof_join``).
+
+    Stages (all distributed):
+    1. tag both sides with (key, bucket=floor(t/B));
+    2. bucket summaries: per (key, bucket) the latest right row, plus
+       which buckets contain left rows — both TINY (<= one row per
+       non-empty bucket);
+    3. per-key carry walk over the summaries (bounded by #buckets per
+       key, not rows): for every left bucket, the latest right row from
+       any EARLIER bucket -> a carry row injected into that bucket;
+    4. groupby (key, bucket): pandas merge_asof over the bucket's own
+       rights plus the carry."""
+    import pyarrow.compute as pc
+
+    left_types = {c: left_ds.schema().base_schema.field(c).type for c in left_cols}
+    right_types = {c: right_ds.schema().base_schema.field(c).type for c in right_cols}
+
+    def tag(side, time_col, cols, other_types):
+        def f(batch: pa.Table) -> pa.Table:
+            t = pc.cast(batch[time_col], pa.int64())
+            out = {
+                key: batch[key],
+                "_b": pc.cast(
+                    pc.floor(pc.divide(pc.cast(t, pa.float64()), bucket_us)),
+                    pa.int64(),
+                ),
+                "_t": t,
+                "_side": pa.array([side] * len(batch), pa.int8()),
+            }
+            for c in cols:
+                out[f"c{side}_{c}"] = batch[c]
+            for c, ty in other_types.items():
+                out[f"c{1 - side}_{c}"] = pa.nulls(len(batch), ty)
+            return pa.table(out)
+
+        return f
+
+    tl = left_ds.map_batches(
+        tag(0, left_time, left_cols, right_types), batch_format="pyarrow"
+    )
+    tr = right_ds.map_batches(
+        tag(1, right_time, right_cols, left_types), batch_format="pyarrow"
+    )
+    both = tl.union(tr)
+
+    # 2. per-(key, bucket) summaries: latest right row (full payload) and
+    # a left-presence marker, in ONE grouped pass
+    def summarize(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        rf = group[group["_side"] == 1]
+        if len(rf):
+            rows.append(rf.loc[rf["_t"].idxmax()])
+        lf = group[group["_side"] == 0]
+        if len(lf):
+            marker = lf.iloc[0].copy()
+            marker["_side"] = 0  # left-presence marker
+            rows.append(marker)
+        return pd.DataFrame(rows)
+
+    summaries = both.groupby([key, "_b"]).map_groups(
+        summarize, batch_format="pandas"
+    )
+
+    # 3. per-key carry walk (input: <= 2 rows per non-empty bucket)
+    def carry(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_b", "_side"], kind="mergesort")
+        out = []
+        last_right = None
+        for _, row in g.iterrows():
+            if row["_side"] == 0 and last_right is not None:
+                c = last_right.copy()
+                c["_b"] = row["_b"]  # inject into the left bucket's reducer
+                out.append(c)
+            elif row["_side"] == 1:
+                last_right = row
+        return pd.DataFrame(out, columns=list(group.columns))
+
+    carries = summaries.groupby(key).map_groups(carry, batch_format="pandas")
+
+    # back to arrow blocks with the tagged schema: the union below mixes
+    # block types otherwise, and pandas NaN-promotes the null side's
+    # columns to float
+    key_type = left_ds.schema().base_schema.field(key).type
+    tagged_schema = pa.schema(
+        [(key, key_type), ("_b", pa.int64()), ("_t", pa.int64()), ("_side", pa.int8())]
+        + [(f"c0_{c}", left_types[c]) for c in left_cols]
+        + [(f"c1_{c}", right_types[c]) for c in right_cols]
+    )
+
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        arrays = []
+        for field in tagged_schema:
+            if field.name in df.columns:
+                arrays.append(
+                    pa.array(
+                        [None if pd.isna(v) else v for v in df[field.name]],
+                        field.type,
+                    )
+                )
+            else:
+                arrays.append(pa.nulls(len(df), field.type))
+        return pa.Table.from_arrays(arrays, schema=tagged_schema)
+
+    carries = carries.map_batches(to_arrow, batch_format="pandas")
+
+    def align(batch: pa.Table) -> pa.Table:
+        return batch.select(tagged_schema.names).cast(tagged_schema)
+
+    both = both.map_batches(align, batch_format="pyarrow")
+
+    # 4. per-(key, bucket) merge with carries injected as right rows
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group[group["_side"] == 0].sort_values("_t", kind="mergesort")
+        rf = group[group["_side"] == 1].sort_values("_t", kind="mergesort")
+        if len(lf) == 0 or len(rf) == 0:
+            return pd.DataFrame(
+                columns=[key]
+                + [f"c0_{c}" for c in left_cols]
+                + ["_t", "_rt"]
+                + [f"c1_{c}" for c in right_cols]
+            )
+        rf = rf.assign(_rt=rf["_t"])
+        m = pd.merge_asof(
+            lf[[key, "_t"] + [f"c0_{c}" for c in left_cols]],
+            rf[["_t", "_rt"] + [f"c1_{c}" for c in right_cols]],
+            on="_t",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m["_rt"].notna()]
+        return m[
+            [key]
+            + [f"c0_{c}" for c in left_cols]
+            + ["_t", "_rt"]
+            + [f"c1_{c}" for c in right_cols]
+        ]
+
+    out = (
+        both.union(carries)
+        .groupby([key, "_b"])
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {key: batch[key]}
+        for c in left_cols:
+            cols[c] = batch[f"c0_{c}"]
+        cols[left_time] = pc.cast(batch["_t"], pa.timestamp("us"))
+        cols[f"{right_time}{right_suffix}"] = pc.cast(
+            pc.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
         )
         for c in right_cols:
             cols[f"{c}{right_suffix}"] = batch[f"c1_{c}"]

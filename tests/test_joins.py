@@ -92,3 +92,49 @@ def test_interval_join_matches_bruteforce():
         ).to_pandas()
         got = set(map(tuple, out[["k", "lid", "rid_right"]].values))
         assert got == want, bucket
+
+
+def test_bucketed_asof_equals_plain():
+    """The skew-safe (key, time-bucket) as-of path == the per-key path,
+    across bucket sizes — including buckets so small that most matches
+    come from the carry pass."""
+    import random
+
+    rng = random.Random(17)
+    lrows = [(rng.choice(["a", "b", "c"]), i, rng.randint(0, 10_000)) for i in range(60)]
+    rrows = [(rng.choice(["a", "b", "c"]), 100 + i, rng.randint(0, 10_000)) for i in range(60)]
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": [r[0] for r in lrows],
+                "lid": [r[1] for r in lrows],
+                "t": _ts([r[2] for r in lrows]),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": [r[0] for r in rrows],
+                "rid": [r[1] for r in rrows],
+                "t": _ts([r[2] for r in rrows]),
+            }
+        )
+    )
+    plain = (
+        asof_join(left, right, key="k", left_time="t", right_time="t",
+                  left_cols=["lid"], right_cols=["rid"])
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    for bucket in (100, 1000, 100_000):
+        bucketed = (
+            asof_join(left, right, key="k", left_time="t", right_time="t",
+                      left_cols=["lid"], right_cols=["rid"], bucket_us=bucket)
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        assert bucketed["lid"].tolist() == plain["lid"].tolist(), bucket
+        assert bucketed["rid_right"].tolist() == plain["rid_right"].tolist(), bucket
