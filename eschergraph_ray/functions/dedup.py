@@ -207,13 +207,16 @@ def _attach_payload(pairs_ds, payload_ds, pair_key: str, id_col: str,
         return batch.select([id_col, payload_col]).rename_columns([id_col, out_col])
 
     side = payload_ds.map_batches(rename, batch_format="pyarrow")
-    return pairs_ds.join(
+    joined = pairs_ds.join(
         side,
         join_type="inner",
         num_partitions=num_partitions,
         on=(pair_key,),
         right_on=(id_col,),
     )
+    # the join itself can emit schema-less empty partitions, which
+    # crash a CHAINED second join; coalescing normalizes them
+    return joined.repartition(num_partitions)
 
 
 def shingle_signatures(docs_ds, id_col: str, text_col: str, shingle_k: int = 3):

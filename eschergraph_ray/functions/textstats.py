@@ -122,14 +122,21 @@ def fingerprint_docs(ds, id_col: str, text_col: str, k: int = 5, window: int = 4
 
 def fingerprint_near_pairs(ds, id_col: str, text_col: str, k: int = 5,
                            window: int = 4, min_common: int = 5,
-                           min_overlap: float = 0.5, df_cutoff: int = 2000):
+                           min_overlap: float = 0.5, df_cutoff: int = 256):
     """MOSS-style copy detection over winnowing fingerprints
     (Schleimer et al. 2003 §4): explode per-doc fingerprint sets ->
     groupby(fingerprint) pairs (the shuffle; buckets over ``df_cutoff``
     docs are cut like ngram_jaccard_pairs' hot grams) -> count shared
     fingerprints per pair -> join per-doc set sizes back by id ->
     overlap coefficient n_common / min(n_a, n_b). Fully distributed;
-    same join infrastructure as the other near-dup verifiers."""
+    same join infrastructure as the other near-dup verifiers.
+
+    ``df_cutoff`` matters more here than for word n-grams: 5-char-gram
+    winnowing fingerprints recur across template-heavy corpora, and a
+    boilerplate fingerprint shared by df docs costs O(df^2) pairs in
+    its reducer. A fingerprint present in >256 documents is template
+    noise, not copy evidence (MOSS makes the same exclusion for
+    over-shared fingerprints)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
