@@ -906,6 +906,17 @@ def _q_events_topk_per_type(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
     )
 
+    def partial_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # per-block partial top-3 per type: a low-cardinality groupby key
+        # (~5 event types) must never hold 20% of the corpus in one
+        # in-memory group — combine inside map_batches first, then the
+        # tiny (blocks x types x 3 rows) global merge
+        return (
+            g.sort_values(["value", "event_id"], ascending=[False, True])
+            .groupby("event_type", sort=False)
+            .head(3)
+        )
+
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
         g = g.reset_index(drop=True)
@@ -914,10 +925,17 @@ def _q_events_topk_per_type(sf_dir: str):
         import numpy as np
 
         # half-away-from-zero to match DuckDB round() on exact ties
-        g["value_cents"] = np.floor(g["value"] * 100 + 0.5).astype("int64")
+        # (np.floor(v*100+0.5) is half-UP and diverges on negative .5s)
+        g["value_cents"] = np.copysign(
+            np.floor(np.abs(g["value"]) * 100 + 0.5), g["value"]
+        ).astype("int64")
         return g[["event_type", "rank", "event_id", "value_cents"]]
 
-    return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(topk, batch_format="pandas")
+    )
 
 
 def _q_events_asof_join(sf_dir: str):

@@ -126,15 +126,18 @@ def interval_join(
     def finalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # pandas map_groups NaN-promotes nullable ints to float64; cast
+        # every payload column back to its resolved Arrow type so the
+        # output schema matches the inputs byte-for-byte
         cols = {key: batch[key]}
         for c in left_cols:
-            cols[c] = batch[f"c0_{c}"]
+            cols[c] = pc.cast(batch[f"c0_{c}"], left_types[c])
         cols[left_time] = pc.cast(batch["_t"], pa.timestamp("us"))
         cols[f"{right_time}{right_suffix}"] = pc.cast(
             pc.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
         )
         for c in right_cols:
-            cols[f"{c}{right_suffix}"] = batch[f"c1_{c}"]
+            cols[f"{c}{right_suffix}"] = pc.cast(batch[f"c1_{c}"], right_types[c])
         return pa.table(cols)
 
     return out.map_batches(finalize, batch_format="pyarrow")
@@ -195,7 +198,13 @@ def asof_join(
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lf = group[group["_side"] == 0].sort_values("_t", kind="mergesort")
-        rf = group[group["_side"] == 1].sort_values("_t", kind="mergesort")
+        # deterministic tie-break on duplicate right timestamps: sort by
+        # the payload columns too, so merge_asof (which picks the LAST
+        # equal-_t row) always picks the payload-max row, independent of
+        # shuffle arrival order
+        rf = group[group["_side"] == 1].sort_values(
+            ["_t"] + [f"c1_{c}" for c in right_cols], kind="mergesort"
+        )
         if len(lf) == 0 or len(rf) == 0:
             return pd.DataFrame(
                 columns=[key]
@@ -226,15 +235,19 @@ def asof_join(
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        # cast payload columns back to their Arrow types (pandas
+        # NaN-promotes nullable ints to float64 through merge_asof)
         cols = {key: batch[key]}
         for c in left_cols:
-            cols[c] = batch[f"c0_{c}"]
+            cols[c] = pa.compute.cast(batch[f"c0_{c}"], left_types[c])
         cols[left_time] = pa.compute.cast(batch["_t"], pa.timestamp("us"))
         cols[f"{right_time}{right_suffix}"] = pa.compute.cast(
             pa.compute.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
         )
         for c in right_cols:
-            cols[f"{c}{right_suffix}"] = batch[f"c1_{c}"]
+            cols[f"{c}{right_suffix}"] = pa.compute.cast(
+                batch[f"c1_{c}"], right_types[c]
+            )
         return pa.table(cols)
 
     return out.map_batches(finalize, batch_format="pyarrow")
@@ -293,7 +306,12 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
         rows = []
         rf = group[group["_side"] == 1]
         if len(rf):
-            rows.append(rf.loc[rf["_t"].idxmax()])
+            # deterministic on duplicate max-_t rows: payload-max wins
+            # (same tie-break as the merge pass)
+            rf = rf.sort_values(
+                ["_t"] + [f"c1_{c}" for c in right_cols], kind="mergesort"
+            )
+            rows.append(rf.iloc[-1])
         lf = group[group["_side"] == 0]
         if len(lf):
             marker = lf.iloc[0].copy()
@@ -355,7 +373,9 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
     # 4. per-(key, bucket) merge with carries injected as right rows
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lf = group[group["_side"] == 0].sort_values("_t", kind="mergesort")
-        rf = group[group["_side"] == 1].sort_values("_t", kind="mergesort")
+        rf = group[group["_side"] == 1].sort_values(
+            ["_t"] + [f"c1_{c}" for c in right_cols], kind="mergesort"
+        )
         if len(lf) == 0 or len(rf) == 0:
             return pd.DataFrame(
                 columns=[key]
@@ -386,15 +406,17 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        # cast payload columns back to their Arrow types (pandas
+        # NaN-promotes nullable ints to float64 through merge_asof)
         cols = {key: batch[key]}
         for c in left_cols:
-            cols[c] = batch[f"c0_{c}"]
+            cols[c] = pc.cast(batch[f"c0_{c}"], left_types[c])
         cols[left_time] = pc.cast(batch["_t"], pa.timestamp("us"))
         cols[f"{right_time}{right_suffix}"] = pc.cast(
             pc.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
         )
         for c in right_cols:
-            cols[f"{c}{right_suffix}"] = batch[f"c1_{c}"]
+            cols[f"{c}{right_suffix}"] = pc.cast(batch[f"c1_{c}"], right_types[c])
         return pa.table(cols)
 
     return out.map_batches(finalize, batch_format="pyarrow")
