@@ -110,11 +110,20 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 7,
+    df_cutoff: int = 2000,
 ):
     """Candidate near-dup pairs via LSH banding.
     Pipeline: signature (map) -> explode (band_id, band_hash, id) ->
     groupby band bucket (THE shuffle) -> pairs within bucket -> distinct
-    unordered pairs."""
+    unordered pairs.
+
+    ``df_cutoff``: a band bucket holding more than this many docs is
+    skipped instead of paired O(df^2) — the degenerate bucket exists by
+    construction (all empty/near-empty docs share one signature), and
+    at corpus scale one hot bucket would otherwise dominate the whole
+    job. True near-dups lost to a cut bucket still meet in one of the
+    other ``bands-1`` bands (same pigeonhole argument as the banding
+    itself), so recall loss is confined to pathological buckets."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle_k, seed)
 
@@ -138,10 +147,11 @@ def minhash_lsh_candidates(
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group[id_col].to_pylist()))
         a_, b_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_.append(ids[i])
-                b_.append(ids[j])
+        if len(ids) <= df_cutoff:  # hot-bucket cut (see docstring)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_.append(ids[i])
+                    b_.append(ids[j])
         return pa.table({"id_a": pa.array(a_), "id_b": pa.array(b_)})
 
     pairs = (
@@ -288,27 +298,65 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, id_col: str, text_col: str,
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+def _word_hash_u64(word: str) -> int:
+    """Word hash for SimHash: upper 8 bytes of md5, little-endian —
+    byte-identical to DuckDB's ``md5_number_lower(word)``, which makes
+    the whole SimHash recomputable by the SQL oracle."""
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[8:16], "little")
+
+
 def simhash_values(ds, id_col: str, text_col: str):
-    """64-bit SimHash per doc over word-token hashes."""
+    """64-bit SimHash per doc over word-token hashes (duplicate word
+    occurrences weighted by count). Vectorized: one hash per DISTINCT
+    word (per-worker cache across docs), then the 64 bit-sums for a
+    whole doc as a single counts @ bits matmul."""
 
-    def sh(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch[text_col].to_pylist():
-            acc = np.zeros(64, dtype=np.int64)
-            for w in (t or "").lower().split():
-                hv = int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+    class SimHasher:
+        def __init__(self):
+            from ..stages.chunking import pin_arrow_threads
+
+            pin_arrow_threads()
+            self._cache: dict[str, int] = {}
+
+        def _hashes(self, words: np.ndarray) -> np.ndarray:
+            c = self._cache
+            out = np.empty(len(words), dtype=np.uint64)
+            for i, w in enumerate(words):
+                hv = c.get(w)
+                if hv is None:
+                    hv = _word_hash_u64(w)
+                    c[w] = hv
+                out[i] = hv
+            return out
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for t in batch[text_col].to_pylist():
+                words, counts = np.unique((t or "").lower().split(), return_counts=True)
+                if len(words) == 0:
+                    out.append(-(1 << 63))
+                    continue
+                hv = self._hashes(words)
+                # (W, 64) bit matrix, bit i of value = column i
+                bits = np.unpackbits(
+                    hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).astype(np.int64)
+                acc = counts @ (2 * bits - 1)
+                v = int(
+                    np.bitwise_or.reduce(
+                        (np.uint64(1) << np.arange(64, dtype=np.uint64))[acc > 0],
+                        axis=None,
+                    )
+                    if (acc > 0).any()
+                    else 0
                 )
-                bits = np.fromiter(((hv >> i) & 1 for i in range(64)), dtype=np.int64)
-                acc += 2 * bits - 1
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            out.append(v - (1 << 63))  # store as signed int64
-        return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.int64())})
+                out.append(v - (1 << 63))  # store as signed int64
+            return pa.table(
+                {id_col: batch[id_col], "simhash": pa.array(out, pa.int64())}
+            )
 
-    return ds.map_batches(sh, batch_format="pyarrow")
+    # actor pool: the word-hash cache persists across batches
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=4)
 
 
 def simhash_near_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):

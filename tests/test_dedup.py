@@ -185,3 +185,70 @@ def test_ngram_df_cutoff_kills_hot_gram():
     j_cut = out[(out.id_a == 1) & (out.id_b == 2)]["jaccard"].iloc[0]
     j_full = full[(full.id_a == 1) & (full.id_b == 2)]["jaccard"].iloc[0]
     assert j_cut <= j_full  # lower bound when the cut is active
+
+
+def test_minhash_hot_bucket_cutoff():
+    """A degenerate band bucket (here: many EMPTY docs, which all share
+    the [0]*num_perm signature by construction) is skipped instead of
+    paired O(df^2); genuine near-dups outside the bucket still pair."""
+    empties = list(range(100, 110))
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2] + empties,
+                "text": [BASE, BASE] + [""] * len(empties),
+            }
+        )
+    )
+    out = minhash_lsh_candidates(
+        docs, "doc_id", "text", df_cutoff=5
+    ).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert (1, 2) in pairs  # real dup survives
+    assert not any(a in empties and b in empties for a, b in pairs)
+    # without the cutoff the degenerate bucket pairs all 10 empties
+    full = minhash_lsh_candidates(docs, "doc_id", "text").to_pandas()
+    fp = set(map(tuple, full[["id_a", "id_b"]].values))
+    assert (empties[0], empties[1]) in fp
+
+
+def test_simhash_matches_scalar_reference_and_duckdb_hash():
+    """The vectorized SimHash kernel equals a straightforward scalar
+    reference, and the word hash is byte-identical to DuckDB's
+    md5_number_lower (which is what makes the SQL oracle possible)."""
+    import hashlib
+
+    import duckdb
+
+    from eschergraph_ray.functions.dedup import _word_hash_u64
+
+    con = duckdb.connect()
+    for w in ["hello", "the", "Wört", "x'y", "123"]:
+        assert (
+            con.execute("select md5_number_lower(?)", [w]).fetchone()[0]
+            == _word_hash_u64(w)
+        )
+
+    def scalar_simhash(text: str) -> int:
+        acc = [0] * 64
+        for w in (text or "").lower().split():
+            hv = _word_hash_u64(w)
+            for i in range(64):
+                acc[i] += 1 if (hv >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 63)
+
+    texts = [BASE, NEAR, FAR, "", "one", "a a a b"]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = (
+        simhash_values(docs, "doc_id", "text")
+        .to_pandas()
+        .set_index("doc_id")["simhash"]
+    )
+    for i, t in enumerate(texts):
+        assert int(got[i]) == scalar_simhash(t), (i, t)
