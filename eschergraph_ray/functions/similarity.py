@@ -161,8 +161,19 @@ def lsh_index_topk(index_dir: str, query_vec, id_col: str, vec_col: str,
                 os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
             )
     if not files:
+        # empty result keeps the NON-empty path's schema: read the id
+        # type from the index itself instead of assuming int64 (ADVICE
+        # r2 — string ids would otherwise flip schema between paths)
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        any_files = sorted(_glob.glob(os.path.join(index_dir, "bucket=*", "*.parquet")))
+        id_type = (
+            pq.read_schema(any_files[0]).field(id_col).type if any_files else pa.int64()
+        )
         return rd.from_arrow(
-            pa.table({id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+            pa.table({id_col: pa.array([], id_type), "cosine": pa.array([], pa.float64())})
         )
 
     def score(batch: pa.Table) -> pa.Table:

@@ -32,22 +32,48 @@ def canonical_tags(tags: dict[str, Any]) -> str:
     return json.dumps(tags, sort_keys=True, separators=(",", ":"))
 
 
-def _value_literal(value: Any) -> str:
-    return json.dumps(value, separators=(",", ":"))
+def _value_literals(value: Any) -> list[str]:
+    """Every canonical-JSON encoding a tag value EQUAL to ``value`` can
+    have under Python ``==`` (the reference compares with ``!=``, where
+    ``1 == True == 1.0``), so the vectorized literal comparison matches
+    ``filter_documents_by_tags`` exactly. Equal Python numbers always
+    ``json.dumps`` to one string per type (int vs float), so the set is
+    at most {int-form, float-form, true/false}. NaN never equals
+    anything -> empty set."""
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        if value != value:  # NaN
+            return []
+    outs = {json.dumps(value, separators=(",", ":"))}
+    if isinstance(value, (bool, int, float)):
+        try:
+            if value == int(value):
+                outs.add(json.dumps(int(value)))
+                if int(value) == 1:
+                    outs.add("true")
+                elif int(value) == 0:
+                    outs.add("false")
+            outs.add(json.dumps(float(value)))
+        except (OverflowError, ValueError):
+            pass
+    return sorted(outs)
 
 
 def _key_pattern(key: str) -> str:
     if not _KEY_RE.match(key):
         raise ValueError(f"unsupported tag key for vectorized filter: {key!r}")
-    # value = string (no escapes in our canonical tags) | number | bool | null
-    return f'"{key}":(?P<v>"(?:[^"\\\\]|\\\\.)*"|-?[0-9.]+|true|false|null)'
+    # value = string (no escapes in our canonical tags) | number (incl.
+    # exponent form, e.g. json.dumps(1e-07) -> "1e-07") | bool | null
+    return (
+        f'"{key}":(?P<v>"(?:[^"\\\\]|\\\\.)*"'
+        r"|-?[0-9.]+(?:[eE][+-]?[0-9]+)?|true|false|null)"
+    )
 
 
 def filter_by_tags(ds, filter_tags: dict[str, Any], tags_col: str = "tags",
                    ignore_missing_tags: bool = False):
     """Dataset filter with the reference's per-key semantics."""
     patterns = {k: _key_pattern(k) for k in filter_tags}
-    literals = {k: _value_literal(v) for k, v in filter_tags.items()}
+    literals = {k: _value_literals(v) for k, v in filter_tags.items()}
 
     def f(batch: pa.Table) -> pa.Table:
         if len(batch) == 0 or not filter_tags:
@@ -58,7 +84,11 @@ def filter_by_tags(ds, filter_tags: dict[str, Any], tags_col: str = "tags",
             extracted = pc.extract_regex(col, pat)
             present = pc.is_valid(extracted)
             value = pc.struct_field(extracted, "v")
-            matches = pc.equal(value, literals[key])
+            lits = literals[key]
+            if lits:
+                matches = pc.is_in(value, value_set=pa.array(lits, pa.string()))
+            else:  # NaN filter value: equals nothing
+                matches = pa.array([False] * len(batch), pa.bool_())
             # null (key absent) -> missing-tag policy
             ok_present = pc.and_kleene(present, matches)
             if ignore_missing_tags:

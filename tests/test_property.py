@@ -100,10 +100,13 @@ def test_tag_regex_filter_equals_reference_semantics(tag_dicts, filter_tags, ign
     """The vectorized per-key regex over canonical JSON implements
     exactly the reference's filter_documents_by_tags loop
     (simple_repository.py:706-723), for string/int/bool/null values."""
-    import json
     import re
 
-    from eschergraph_ray.functions.tags import _key_pattern, canonical_tags
+    from eschergraph_ray.functions.tags import (
+        _key_pattern,
+        _value_literals,
+        canonical_tags,
+    )
 
     def regex_filter(tags_json: str) -> bool:
         for k, v in filter_tags.items():
@@ -111,7 +114,7 @@ def test_tag_regex_filter_equals_reference_semantics(tag_dicts, filter_tags, ign
             if m is None:
                 if not ignore_missing:
                     return False
-            elif m.group("v") != json.dumps(v, separators=(",", ":")):
+            elif m.group("v") not in _value_literals(v):
                 return False
         return True
 

@@ -205,3 +205,31 @@ def test_lsh_partitioned_index_io_pruning(tmp_path):
     # probed buckets' files
     assert got["vec_id"].tolist() == ref["vec_id"].tolist()
     assert got["cosine"].tolist() == ref["cosine"].tolist()
+
+
+def test_lsh_index_empty_probe_keeps_id_schema(tmp_path):
+    """The empty-probe fallback reads the id type from the index parquet
+    instead of assuming int64, so string-id indexes keep one schema on
+    both paths (ADVICE r2)."""
+    from eschergraph_ray.functions.similarity import (
+        build_lsh_partitioned_index,
+        lsh_index_topk,
+    )
+
+    tbl, m = _emb_table(n=50)
+    tbl = tbl.set_column(
+        0, "vec_id", pa.array([f"v{i}" for i in range(len(tbl))], pa.string())
+    )
+    idx = build_lsh_partitioned_index(
+        rd.from_arrow(tbl), str(tmp_path / "idx"), "vec_id", "embedding"
+    )
+    # probe_hamming=-1 -> empty probe set -> no files read
+    out = lsh_index_topk(
+        idx, m[0], "vec_id", "embedding", k=5, probe_hamming=-1
+    )
+    t = out.to_arrow_refs()
+    import ray as _ray
+
+    tab = pa.concat_tables([_ray.get(r) for r in t])
+    assert tab.num_rows == 0
+    assert tab.schema.field("vec_id").type == pa.string()
