@@ -277,6 +277,117 @@ def _write_change_log(out_dir: str, pid: str, graph_dir: str) -> None:
     os.replace(dst + ".tmp", dst)
 
 
+def _stage_pending_update(out_dir: str, pid: str, conv_ids: list[str]) -> None:
+    """Snapshot the EXISTING graph objects of conversations about to be
+    re-added with ``on_duplicate="update"`` into a crash-durable sidecar
+    (``pending_update/{pid}.parquet``). The snapshot is what lets the
+    re-add emit the reference's UPDATE actions
+    (``eschergraph/persistence/change_log.py:12-31``: the repository
+    logs UPDATE when an add merges into an existing object) instead of
+    pretending everything is a fresh CREATE. Merged with any earlier
+    snapshot so a crash between staging and removal never loses ids.
+    Size is bounded by the re-added conversations' object counts (the
+    same bound as the dup_set guard), not by the graph."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..schemas import CHANGE_LOG
+
+    targets = pa.array(sorted(conv_ids))
+    parts = []
+    graph_root = os.path.join(out_dir, "graph")
+    if os.path.isdir(graph_root):
+        for part in sorted(os.listdir(graph_root)):
+            if part == pid:
+                continue
+            for kind in ("node", "edge", "property"):
+                d = os.path.join(graph_root, part, f"kind={kind}")
+                if not os.path.isdir(d):
+                    continue
+                t = pads.dataset(d).to_table(columns=["id", "conv_id", "level"])
+                t = t.filter(pc.fill_null(pc.is_in(t["conv_id"], value_set=targets), False))
+                if t.num_rows:
+                    parts.append(
+                        pa.table(
+                            {
+                                "id": t["id"],
+                                "action": pa.array(["DELETE"] * t.num_rows, pa.string()),
+                                "type": pa.array([kind] * t.num_rows, pa.string()),
+                                "level": pc.fill_null(pc.cast(t["level"], pa.int32()), 0),
+                                "conv_id": t["conv_id"],
+                            }
+                        )
+                    )
+    pend_dir = os.path.join(out_dir, "pending_update")
+    os.makedirs(pend_dir, exist_ok=True)
+    dst = os.path.join(pend_dir, f"{pid}.parquet")
+    if os.path.exists(dst):  # crash-rerun: merge with the prior snapshot
+        parts.append(pq.read_table(dst))
+    snap = (
+        pa.concat_tables([p.cast(CHANGE_LOG) for p in parts])
+        if parts
+        else pa.Table.from_pydict({}, schema=CHANGE_LOG)
+    )
+    if snap.num_rows:
+        g = snap.group_by(["id", "type", "conv_id"]).aggregate([("level", "max")])
+        snap = pa.table(
+            {
+                "id": g["id"],
+                "action": pa.array(["DELETE"] * g.num_rows, pa.string()),
+                "type": g["type"],
+                "level": pc.cast(g["level_max"], pa.int32()),
+                "conv_id": g["conv_id"],
+            }
+        )
+    pq.write_table(snap.cast(CHANGE_LOG), dst + ".tmp")
+    os.replace(dst + ".tmp", dst)
+
+
+def _apply_pending_update(out_dir: str, pid: str) -> None:
+    """Finalize an ``on_duplicate="update"`` re-add after the partition's
+    CREATE log is written: ids that already existed flip CREATE->UPDATE
+    (A4 algebra: upsert), snapshot ids NOT re-created get DELETE rows
+    (object vanished in the new version). Idempotent; no-op without a
+    pending snapshot; runs on resume too (the snapshot is durable)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..schemas import CHANGE_LOG
+
+    pend = os.path.join(out_dir, "pending_update", f"{pid}.parquet")
+    if not os.path.exists(pend):
+        return
+    old = pq.read_table(pend)
+    log_path = os.path.join(out_dir, "change_log", f"{pid}.parquet")
+    logt = pq.read_table(log_path)
+    old_ids = pa.array(sorted(set(old["id"].to_pylist())))
+    carried = pc.is_in(logt["id"], value_set=old_ids)
+    action = pc.if_else(
+        pc.and_(carried, pc.equal(logt["action"], "CREATE")),
+        pa.scalar("UPDATE"),
+        logt["action"],
+    )
+    logt = logt.set_column(logt.schema.get_field_index("action"), "action", action)
+    pq.write_table(logt.cast(CHANGE_LOG).combine_chunks(), log_path + ".tmp")
+    os.replace(log_path + ".tmp", log_path)
+    # DELETE for old objects the new version no longer produces
+    new_ids = pa.array(sorted(set(logt["id"].to_pylist())))
+    gone = old.filter(
+        pc.invert(pc.fill_null(pc.is_in(old["id"], value_set=new_ids), False))
+    )
+    if gone.num_rows:
+        digest = hashlib.blake2b(
+            "".join(sorted(gone["id"].to_pylist())).encode(), digest_size=8
+        ).hexdigest()
+        dst = os.path.join(out_dir, "change_log", f"{pid}-update-delete-{digest}.parquet")
+        pq.write_table(gone.cast(CHANGE_LOG).combine_chunks(), dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+    # the snapshot is removed by the caller only AFTER the partition
+    # commits: a crash in between re-runs this (idempotent) flip
+
+
 def build(
     input_path: str,
     out_dir: str,
@@ -341,12 +452,22 @@ def build(
             }
             groups = groups + extra
             manifest.data["groups"] = groups
+            # Persist WHICH partitions are incremental adds together
+            # with the assignment (ADVICE r2): the duplicate-document
+            # guard must still fire when a crash lands between this
+            # append and the partition's commit — on the re-run these
+            # pids are no longer "new files" but remain un-committed.
+            prev_inc = set(manifest.data.get("incremental_pids", []))
+            manifest.data["incremental_pids"] = sorted(prev_inc | new_pids)
             manifest._save()
     else:
         groups = [files[g::commit_groups] for g in range(commit_groups)]
         groups = [g for g in groups if g]
         manifest.data["groups"] = groups
         manifest._save()
+    # un-committed incremental partitions from ANY invocation (persisted
+    # above) keep their duplicate guard across crashes/resumes
+    new_pids |= set(manifest.data.get("incremental_pids", []))
 
     graph_dirs: list[str] = []
     done = 0
@@ -355,7 +476,13 @@ def build(
         logs_dir = os.path.join(out_dir, "build_logs", pid)
         graph_dir = os.path.join(out_dir, "graph", pid)
         graph_dirs.append(graph_dir)
+        pend_file = os.path.join(out_dir, "pending_update", f"{pid}.parquet")
         if manifest.phase_done(pid, "graph"):
+            if os.path.exists(pend_file):
+                # crash landed between commit and snapshot cleanup:
+                # re-apply (idempotent) and clear
+                _apply_pending_update(out_dir, pid)
+                os.remove(pend_file)
             continue
         t0 = time.monotonic()
 
@@ -376,6 +503,18 @@ def build(
                     f"{len(dup_set)} conversation(s) in {pid} already exist "
                     f"in the graph (e.g. {sorted(dup_set)[:3]})"
                 )
+            if dup_set and on_duplicate == "update":
+                # Reference UPDATE semantics (change_log.py:12-31 via
+                # the repository's merge-on-add paths): re-added
+                # conversations REPLACE their old objects. Stage a
+                # durable snapshot of the old ids, remove the old rows
+                # (their DELETE emission deferred to the snapshot),
+                # then build the new version in THIS partition —
+                # _apply_pending_update flips carried ids to UPDATE
+                # and emits DELETE only for ids the new version lost.
+                _stage_pending_update(out_dir, pid, sorted(dup_set))
+                remove_documents(out_dir, sorted(dup_set), _defer_delete_log=True)
+                dup_set = set()
             if dup_set and dup_set >= part_convs:
                 # whole partition is a re-add: a logged no-op
                 manifest.mark(
@@ -459,6 +598,7 @@ def build(
         # between re-derives them on resume.
         _write_documents_sidecar(out_dir, pid, logs_dir, tags_fn)
         _write_change_log(out_dir, pid, graph_dir)
+        _apply_pending_update(out_dir, pid)
         wall_ms = int(1000 * (time.monotonic() - t0))
         prev_ms = int(manifest.get(pid).get("wall_ms", 0))
         stats = dict(manifest.get(pid))
@@ -469,6 +609,8 @@ def build(
         stats["skipped_duplicates"] = len(dup_set)
         stats["wall_ms"] = prev_ms + wall_ms
         manifest.mark(pid, "committed", **stats)
+        if os.path.exists(pend_file):
+            os.remove(pend_file)
         done += 1
         if fail_after_group is not None and done >= fail_after_group:
             raise RuntimeError(f"injected failure after {done} committed group(s)")
@@ -568,7 +710,9 @@ def build_graph_with_media(
     return build_graph(logs.union(mlogs), llm_factory=llm_factory)
 
 
-def remove_documents(out_dir: str, conv_ids: list[str]) -> dict:
+def remove_documents(
+    out_dir: str, conv_ids: list[str], _defer_delete_log: bool = False
+) -> dict:
     """Remove conversations from a committed graph (the reference's
     ``remove_node_by_id`` cascade, ``simple_repository.py:724-760``,
     lifted to document granularity — level-0 identity is conv-scoped so
@@ -672,8 +816,11 @@ def remove_documents(out_dir: str, conv_ids: list[str]) -> dict:
         )
         pq.write_table(t.filter(pc.invert(mask)).combine_chunks(), docp + ".tmp")
         os.replace(docp + ".tmp", docp)
-        # append the DELETE change log (idempotent name from content)
-        if delete_rows:
+        # append the DELETE change log (idempotent name from content);
+        # deferred when the caller manages the log itself (the
+        # on_duplicate="update" path, which already staged a durable
+        # snapshot and will emit UPDATE/DELETE after the re-add)
+        if delete_rows and not _defer_delete_log:
             import hashlib
 
             logt = pa.Table.from_pylist(delete_rows, schema=CHANGE_LOG)

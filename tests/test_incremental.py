@@ -269,3 +269,126 @@ def test_list_available_tags(tmp_path):
     build(src, out, tags_fn=_tags_fn)
     tags = list_available_tags(out)
     assert tags == {"team": "str", "tier": "int"}
+
+
+def test_update_readd_flips_create_to_update(tmp_path):
+    """on_duplicate="update": re-adding an existing conversation emits
+    the reference's UPDATE actions (change_log.py:12-31 merge-on-add)
+    for carried objects instead of pretending a fresh CREATE; the old
+    copy is replaced, the graph holds exactly one version."""
+    src = _write_shards(str(tmp_path / "src"), [[0, 1]])
+    out = str(tmp_path / "out")
+    build(src, out, tags_fn=_tags_fn)
+    log0 = load_change_log(out).to_pandas()
+    conv1_ids = set(log0[log0.conv_id == "conv-0000001"]["id"])
+    assert conv1_ids
+
+    # incremental re-add with IDENTICAL content -> every object carries
+    rows = conv_rows(42, 1)
+    pq.write_table(
+        _rows_to_table(rows, random.Random(9)),
+        os.path.join(src, "shard-900.parquet"),
+    )
+    build(src, out, tags_fn=_tags_fn, on_duplicate="update")
+
+    log = load_change_log(out).to_pandas()
+    upd = log[log.action == "UPDATE"]
+    assert set(upd["id"]) == conv1_ids  # same deterministic ids carried
+    assert not [
+        f
+        for f in os.listdir(os.path.join(out, "change_log"))
+        if "-update-delete-" in f
+    ]  # nothing lost on identical re-add
+
+    # graph holds the conversation exactly once
+    nodes = load_kind_arrow(out, "node").to_pandas()
+    c1 = nodes[(nodes.conv_id == "conv-0000001") & (nodes.level == 0)]
+    assert c1["name"].is_unique
+
+    docs = load_documents_arrow(out).to_pandas()
+    assert sorted(docs["conv_id"]) == ["conv-0000000", "conv-0000001"]
+
+    # A4 algebra over the REAL emitted log: CREATE+UPDATE -> upsert
+    plan = sync_actions(load_change_log(out)).to_pandas()
+    actions = dict(zip(plan["id"], plan["sync_action"]))
+    assert all(actions.get(i) == "upsert" for i in conv1_ids)
+
+
+def test_update_readd_changed_content_emits_deletes(tmp_path):
+    """A re-add whose new version LOST objects emits DELETE rows for
+    exactly the vanished ids; carried ids flip to UPDATE; the sync plan
+    cancels created-then-deleted ids (prepare_sync_data.py:85-90)."""
+    src = _write_shards(str(tmp_path / "src"), [[0, 1]])
+    out = str(tmp_path / "out")
+    build(src, out, tags_fn=_tags_fn)
+    old_ids = set(
+        load_change_log(out).to_pandas().query("conv_id == 'conv-0000001'")["id"]
+    )
+
+    # re-add conv 1 TRUNCATED to its first 2 turns
+    rows = conv_rows(42, 1)[:2]
+    assert rows
+    pq.write_table(
+        _rows_to_table(rows, random.Random(9)),
+        os.path.join(src, "shard-900.parquet"),
+    )
+    build(src, out, tags_fn=_tags_fn, on_duplicate="update")
+
+    # the NEW partition's own log (part-0000's historical CREATE rows
+    # stay in the append-only log by design)
+    newlog = pq.read_table(
+        os.path.join(out, "change_log", "part-0001.parquet")
+    ).to_pandas()
+    new_ids = set(newlog["id"])
+    carried = set(newlog[newlog.action == "UPDATE"]["id"])
+    assert carried == old_ids & new_ids
+    assert set(newlog[newlog.action == "CREATE"]["id"]) == new_ids - old_ids
+
+    log = load_change_log(out).to_pandas()
+    c1 = log[log.conv_id == "conv-0000001"]
+    deleted = set(c1[c1.action == "DELETE"]["id"])
+    assert deleted == old_ids - new_ids
+    assert deleted  # truncation really lost objects
+    # carried ids -> upsert; vanished ids cancel out of the sync plan
+    plan = sync_actions(load_change_log(out)).to_pandas()
+    actions = dict(zip(plan["id"], plan["sync_action"]))
+    for i in carried:
+        assert actions.get(i) == "upsert"
+    for i in deleted:
+        assert i not in actions
+
+
+def test_crash_during_incremental_add_keeps_dup_guard(tmp_path):
+    """ADVICE r2 (medium): the duplicate-document guard must survive a
+    crash between the incremental assignment append and the partition's
+    commit — the incremental pids are persisted in the manifest, not
+    only in memory."""
+    src = _write_shards(str(tmp_path / "src"), [[0, 1]])
+    out = str(tmp_path / "out")
+    build(src, out, tags_fn=_tags_fn)
+
+    # two NEW shards: a genuinely new conversation and a duplicate of
+    # conv 1; commit_groups=2 makes them two partitions, and the crash
+    # fires after the first commits, BEFORE the duplicate is examined
+    pq.write_table(
+        _rows_to_table(conv_rows(42, 4), random.Random(5)),
+        os.path.join(src, "shard-801.parquet"),
+    )
+    pq.write_table(
+        _rows_to_table(conv_rows(42, 1), random.Random(6)),
+        os.path.join(src, "shard-802.parquet"),
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build(src, out, tags_fn=_tags_fn, commit_groups=2, fail_after_group=1)
+
+    # resume: on the re-run the duplicate shard is no longer a "new
+    # file", but its partition must still be guarded
+    build(src, out, tags_fn=_tags_fn, commit_groups=2)
+    docs = load_documents_arrow(out).to_pandas()
+    assert sorted(docs["conv_id"]) == [
+        "conv-0000000",
+        "conv-0000001",
+        "conv-0000004",
+    ]  # conv 1 NOT added twice
+    lineage = pq.read_table(os.path.join(out, "lineage.parquet")).to_pandas()
+    assert lineage["skipped_duplicates"].sum() >= 1
