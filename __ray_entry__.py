@@ -234,6 +234,7 @@ def _q_minhash_neardup(sf_dir: str):
         minhash_lsh_candidates,
     )
 
+    _sidewrite_minhash_params()  # lets the SQL oracle replay the perms
     docs = _docs(sf_dir)
     cand = minhash_lsh_candidates(docs, "doc_id", "text")
     return jaccard_verify_pairs(cand, docs, "doc_id", "text", threshold=0.5)
@@ -261,6 +262,7 @@ def _q_embedding_lsh(sf_dir: str):
     from eschergraph_ray.functions.dedup import embedding_lsh_near_dup_pairs
 
     _context()
+    _sidewrite_dedup_planes(_embeddings_meta(sf_dir)[1])  # SQL replays banding
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_lsh_near_dup_pairs(ds, "vec_id", "embedding", threshold=0.4)
 
@@ -297,6 +299,7 @@ def _q_ann_lsh_topk(sf_dir: str):
 
     _context()
     qvec = _query_vec(sf_dir)
+    _sidewrite_ann_planes(len(qvec))  # SQL replays bucket probing
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return lsh_topk(ds, qvec, "vec_id", "embedding", k=10)
 
@@ -309,7 +312,17 @@ def _q_ann_ivf_topk(sf_dir: str):
     _context()
     qvec = _query_vec(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, qvec, "vec_id", "embedding", k=10)
+    # train the coarse quantizer once here and side-write it so the SQL
+    # oracle replays assignment + probing from the same centroids
+    from eschergraph_ray.functions.similarity import train_ivf_centroids
+
+    cent = train_ivf_centroids(ds, "embedding")
+    n, dim = _embeddings_meta(sf_dir)
+    _write_state_parquet(
+        _planes_long_table(cent).rename_columns(["centroid_id", "dim_id", "w"]),
+        _ivf_centroids_file(n, dim),
+    )
+    return ivf_topk(ds, qvec, "vec_id", "embedding", k=10, centroids=cent)
 
 
 def _q_ann_lsh_indexed(sf_dir: str):
@@ -339,6 +352,7 @@ def _q_ann_lsh_indexed(sf_dir: str):
         with open(idx + "/_DONE", "w") as f:
             f.write("ok")
     qvec = _query_vec(sf_dir)
+    _sidewrite_ann_planes(len(qvec))  # SQL replays bucket probing
     return lsh_index_topk(idx, qvec, "vec_id", "embedding", k=10)
 
 
@@ -623,6 +637,107 @@ def _build_dir_sf001() -> str:
 
     n = sf_to_n_convs("/root/testdata/sf0.01")
     return f"/tmp/eschergraph_ray/build-q-v{GEN_VERSION}.{BUILD_FORMAT}-n{n}-s{SEED}"
+
+
+# ---------------------------------------------------------------------------
+# Oracle model-state side-writes. The MinHash permutations, LSH
+# hyperplanes and IVF centroids are tiny seeded model state that SQL
+# cannot generate (numpy RNG); each paired Ray query writes them to a
+# deterministic /tmp parquet so DuckDB can REPLAY the full pipeline
+# (signatures, banding, bucket probing, verification) from the raw
+# tables — the same device as the /tmp transcript corpus reads
+# (pattern proven by transcript_conv_stats). Content is a pure
+# function of (seed, shape): writes are atomic and idempotent.
+# ---------------------------------------------------------------------------
+
+_ORACLE_STATE = "/tmp/eschergraph_ray/oracle-state"
+
+
+def _write_state_parquet(tbl, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(tbl, path + ".tmp")
+    os.replace(path + ".tmp", path)
+
+
+def _minhash_params_file() -> str:
+    return f"{_ORACLE_STATE}/minhash-params-p64-s7.parquet"
+
+
+def _sidewrite_minhash_params() -> None:
+    import pyarrow as pa
+
+    from eschergraph_ray.functions.dedup import _minhash_params
+
+    a, b = _minhash_params(64, seed=7)
+    _write_state_parquet(
+        pa.table(
+            {
+                "perm_id": pa.array(range(64), pa.int32()),
+                "av": pa.array(a.tolist(), pa.uint64()),
+                "bv": pa.array(b.tolist(), pa.uint64()),
+            }
+        ),
+        _minhash_params_file(),
+    )
+
+
+def _planes_long_table(planes):
+    """(plane_id, dim_id 1-based to match generate_subscripts, w)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n_planes, dim = planes.shape
+    pid = np.repeat(np.arange(n_planes), dim)
+    did = np.tile(np.arange(1, dim + 1), n_planes)
+    return pa.table(
+        {
+            "plane_id": pa.array(pid, pa.int32()),
+            "dim_id": pa.array(did, pa.int32()),
+            "w": pa.array(planes.reshape(-1), pa.float64()),
+        }
+    )
+
+
+def _dedup_planes_file(dim: int) -> str:
+    return f"{_ORACLE_STATE}/dedup-lsh-planes-d{dim}-p64-s7.parquet"
+
+
+def _sidewrite_dedup_planes(dim: int) -> None:
+    import numpy as np
+
+    # embedding_lsh_candidates: rng(seed).standard_normal((dim, num_planes))
+    planes = np.random.default_rng(7).standard_normal((dim, 64)).T
+    _write_state_parquet(_planes_long_table(planes), _dedup_planes_file(dim))
+
+
+def _ann_planes_file(dim: int) -> str:
+    return f"{_ORACLE_STATE}/ann-lsh-planes-d{dim}-p8-s5.parquet"
+
+
+def _sidewrite_ann_planes(dim: int) -> None:
+    from eschergraph_ray.functions.similarity import _lsh_planes
+
+    _write_state_parquet(
+        _planes_long_table(_lsh_planes(dim, 8, seed=5)), _ann_planes_file(dim)
+    )
+
+
+def _ivf_centroids_file(n_rows: int, dim: int) -> str:
+    return f"{_ORACLE_STATE}/ivf-centroids-n{n_rows}-d{dim}-c16-s11.parquet"
+
+
+def _embeddings_meta(sf_dir: str) -> tuple[int, int]:
+    """(num_rows, dim) of the sf embeddings table from parquet metadata
+    + one row — no full-table read."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n = f.metadata.num_rows
+    first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    return n, dim
 
 
 def _q_docs_tag_filter(sf_dir: str):
@@ -1214,6 +1329,13 @@ def oracle_sql() -> dict[str, str]:
     # kg_* oracles recompute build-derived aggregates in DuckDB from
     # the build's own parquet, independently of the Ray loaders
     _b = _build_dir_sf001()
+    # seeded model-state parquet side-written by the paired Ray queries
+    # (perms / hyperplanes / centroids — see the side-write helpers)
+    _mh = _minhash_params_file()
+    _n_emb, _dim_emb = _embeddings_meta("/root/testdata/sf0.01")
+    _dpl = _dedup_planes_file(_dim_emb)
+    _apl = _ann_planes_file(_dim_emb)
+    _ivf = _ivf_centroids_file(_n_emb, _dim_emb)
     _nodes = f"{_b}/graph/*/kind=node/*.parquet"
     _edges = f"{_b}/graph/*/kind=edge/*.parquet"
     _props = f"{_b}/graph/*/kind=property/*.parquet"
@@ -1580,5 +1702,297 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id AS doc_id,
                    CAST(coalesce(v.v, 0) - 9223372036854775808 AS BIGINT) AS simhash
             FROM wl w LEFT JOIN vals v ON w.doc_id = v.doc_id
+        """,
+        "doc_fingerprints": """
+            -- full winnowing replay (Schleimer et al. 2003): k=5 char
+            -- grams, window=4, per-window FIRST-min (argmin tie-break =
+            -- leftmost position, packed into one HUGEINT sort key);
+            -- md5_number_lower(gram) is byte-identical to the
+            -- pipeline's k-gram hash
+            WITH hpos AS (
+              SELECT doc_id, i,
+                     md5_number_lower(substr(lower(text), i, 5)) AS h,
+                     length(text) - 4 AS npos
+              FROM documents, unnest(generate_series(1, length(text) - 4)) AS t(i)
+              WHERE length(text) >= 5
+            ),
+            small AS (
+              SELECT doc_id, CAST(1 AS BIGINT) AS n_fp,
+                     CAST(CAST(min(h) AS HUGEINT) - 9223372036854775808 AS BIGINT) AS min_fp
+              FROM hpos WHERE npos <= 4 GROUP BY doc_id
+            ),
+            sel AS (
+              SELECT w.doc_id,
+                     arg_min(p.i, CAST(p.h AS HUGEINT) * 4294967296 + p.i) AS jsel,
+                     min(p.h) AS hsel
+              FROM (SELECT doc_id, i AS w FROM hpos WHERE npos > 4 AND i <= npos - 3) w
+              JOIN hpos p ON p.doc_id = w.doc_id AND p.i BETWEEN w.w AND w.w + 3
+              GROUP BY w.doc_id, w.w
+            ),
+            big AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+                     CAST(min(CAST(hsel AS HUGEINT) - 9223372036854775808) AS BIGINT) AS min_fp
+              FROM (SELECT DISTINCT doc_id, jsel, hsel FROM sel)
+              GROUP BY doc_id
+            ),
+            f AS (SELECT * FROM small UNION ALL SELECT * FROM big)
+            SELECT d.doc_id, coalesce(f.n_fp, 0) AS n_fingerprints,
+                   f.min_fp AS min_fingerprint
+            FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+        """,
+        "dedup_fingerprint_pairs": """
+            -- MOSS-style pair detection replayed in SQL: distinct
+            -- winnowing fingerprint VALUES per doc, document-frequency
+            -- cutoff 256, n_common >= 10, overlap >= 0.7
+            WITH hpos AS (
+              SELECT doc_id, i,
+                     md5_number_lower(substr(lower(text), i, 5)) AS h,
+                     length(text) - 4 AS npos
+              FROM documents, unnest(generate_series(1, length(text) - 4)) AS t(i)
+              WHERE length(text) >= 5
+            ),
+            small AS (
+              SELECT doc_id, min(h) AS hsel FROM hpos WHERE npos <= 4 GROUP BY doc_id
+            ),
+            sel AS (
+              SELECT w.doc_id,
+                     arg_min(p.i, CAST(p.h AS HUGEINT) * 4294967296 + p.i) AS jsel,
+                     min(p.h) AS hsel
+              FROM (SELECT doc_id, i AS w FROM hpos WHERE npos > 4 AND i <= npos - 3) w
+              JOIN hpos p ON p.doc_id = w.doc_id AND p.i BETWEEN w.w AND w.w + 3
+              GROUP BY w.doc_id, w.w
+            ),
+            fpv AS (
+              SELECT DISTINCT doc_id, hsel FROM sel
+              UNION SELECT doc_id, hsel FROM small
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM fpv GROUP BY doc_id),
+            df AS (SELECT hsel, count(*) AS df FROM fpv GROUP BY hsel),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM fpv a
+              JOIN df ON df.hsel = a.hsel AND df.df <= 256
+              JOIN fpv b ON b.hsel = a.hsel AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_common,
+                   round(n_common / least(sa.n, sb.n), 6) AS overlap
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common >= 10 AND n_common / least(sa.n, sb.n) >= 0.7
+        """,
+        "dedup_minhash_neardup": f"""
+            -- full MinHash+LSH replay: md5 word-3-gram shingles, 64
+            -- perms from the side-written coefficient table with the
+            -- uint64-wraparound arithmetic ((a*x mod 2^64)+b mod 2^64)
+            -- mod (2^61-1) in HUGEINT, 16 bands of 4 rows grouped by
+            -- VALUE tuple (band-hash equality == chunk equality), then
+            -- exact-Jaccard verification at 0.5
+            WITH wl AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ),
+            words AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM wl WHERE len(ws) >= 3
+            ),
+            grams AS (
+              SELECT DISTINCT a.doc_id,
+                     md5_number_lower(a.w || ' ' || b.w || ' ' || c.w) AS x
+              FROM words a
+              JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+            ),
+            short AS (
+              SELECT doc_id, md5_number_lower(array_to_string(ws, ' ')) AS x
+              FROM wl WHERE len(ws) BETWEEN 1 AND 2
+            ),
+            sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+            sig AS (
+              SELECT s.doc_id, p.perm_id,
+                     min(CAST(((CAST(p.av AS HUGEINT) * CAST(s.x AS HUGEINT))
+                               % 18446744073709551616 + p.bv)
+                              % 18446744073709551616
+                              % 2305843009213693951 AS BIGINT)) AS v
+              FROM sh s, read_parquet('{_mh}') p
+              GROUP BY s.doc_id, p.perm_id
+            ),
+            bands AS (
+              SELECT doc_id, perm_id // 4 AS band_id,
+                     list(v ORDER BY perm_id) AS bkey
+              FROM sig GROUP BY doc_id, perm_id // 4
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x
+              JOIN bands y ON x.band_id = y.band_id AND x.bkey = y.bkey
+                          AND x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n_common
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b2 ON b2.doc_id = c.id_b AND b2.x = a.x
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT c.id_a, c.id_b,
+                   round(coalesce(n_common, 0) / (sa.n + sb.n - coalesce(n_common, 0)), 6)
+                       AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE coalesce(n_common, 0) / (sa.n + sb.n - coalesce(n_common, 0)) >= 0.5
+        """,
+        "dedup_embedding_lsh": f"""
+            -- hyperplane-LSH replay: exact-double dot products against
+            -- the side-written planes (sign >= 0), 16 bands x 4 bits,
+            -- pairs per bucket, exact-cosine verification at 0.4
+            WITH ew AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT e.vec_id, p.plane_id,
+                     sum(CAST(e.v AS DOUBLE) * p.w) AS dot
+              FROM ew e JOIN read_parquet('{_dpl}') p ON p.dim_id = e.d
+              GROUP BY e.vec_id, p.plane_id
+            ),
+            sig AS (
+              SELECT vec_id, plane_id // 4 AS band_id,
+                     sum(CASE WHEN dot >= 0 THEN 1 << (plane_id % 4) ELSE 0 END)
+                         AS bval
+              FROM dots GROUP BY vec_id, plane_id // 4
+            ),
+            cand AS (
+              SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM sig x
+              JOIN sig y ON x.band_id = y.band_id AND x.bval = y.bval
+                        AND x.vec_id < y.vec_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 4) AS cosine
+            FROM cand
+            JOIN embeddings a ON a.vec_id = id_a
+            JOIN embeddings b ON b.vec_id = id_b
+            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                             AS DOUBLE), 4) >= 0.4
+        """,
+        "ann_lsh_topk": f"""
+            -- LSH bucket replay: 8 side-written hyperplanes, sign > 0,
+            -- probe all buckets within Hamming distance 2 of the query
+            -- bucket, cosine top-10
+            WITH ew AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT e.vec_id, p.plane_id,
+                     sum(CAST(e.v AS DOUBLE) * p.w) AS dot
+              FROM ew e JOIN read_parquet('{_apl}') p ON p.dim_id = e.d
+              GROUP BY e.vec_id, p.plane_id
+            ),
+            sig AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dot > 0 THEN 1 << plane_id ELSE 0 END)
+                          AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id
+            ),
+            q AS (SELECT bucket AS qb FROM sig WHERE vec_id = 0),
+            qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(CAST(list_cosine_similarity(e.embedding, qv.qe)
+                              AS DOUBLE), 4) AS cosine
+            FROM embeddings e
+            JOIN sig s ON s.vec_id = e.vec_id, q, qv
+            WHERE bit_count(xor(s.bucket, q.qb)) <= 2
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT 10
+        """,
+        "ann_lsh_indexed": f"""
+            -- same probe math as ann_lsh_topk (the indexed variant
+            -- changes IO pruning, not the result set)
+            WITH ew AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT e.vec_id, p.plane_id,
+                     sum(CAST(e.v AS DOUBLE) * p.w) AS dot
+              FROM ew e JOIN read_parquet('{_apl}') p ON p.dim_id = e.d
+              GROUP BY e.vec_id, p.plane_id
+            ),
+            sig AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dot > 0 THEN 1 << plane_id ELSE 0 END)
+                          AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id
+            ),
+            q AS (SELECT bucket AS qb FROM sig WHERE vec_id = 0),
+            qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(CAST(list_cosine_similarity(e.embedding, qv.qe)
+                              AS DOUBLE), 4) AS cosine
+            FROM embeddings e
+            JOIN sig s ON s.vec_id = e.vec_id, q, qv
+            WHERE bit_count(xor(s.bucket, q.qb)) <= 2
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_topk": f"""
+            -- IVF replay from the side-written trained centroids:
+            -- nearest-centroid assignment (argmax dot, first-index
+            -- tie-break), probe the query's 4 closest cells, cosine
+            -- top-10 over probed vectors
+            WITH ew AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM embeddings
+            ),
+            cd AS (
+              SELECT e.vec_id, c.centroid_id,
+                     sum(CAST(e.v AS DOUBLE) * c.w) AS dot
+              FROM ew e JOIN read_parquet('{_ivf}') c ON c.dim_id = e.d
+              GROUP BY e.vec_id, c.centroid_id
+            ),
+            assign AS (
+              SELECT vec_id, centroid_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dot DESC, centroid_id) AS rn
+              FROM cd
+            ),
+            probe AS (
+              SELECT centroid_id FROM cd WHERE vec_id = 0
+              ORDER BY dot DESC, centroid_id LIMIT 4
+            ),
+            qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(CAST(list_cosine_similarity(e.embedding, qv.qe)
+                              AS DOUBLE), 4) AS cosine
+            FROM embeddings e
+            JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+                         AND a.centroid_id IN (SELECT centroid_id FROM probe), qv
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT 10
+        """,
+        "media_features": """
+            -- the synthetic media corpus's metadata projection (the
+            -- feature vectors are dropped by the paired query; the
+            -- metadata layout is a pure function of the row index)
+            SELECT printf('m%04d', i) AS media_id,
+                   ['image/png', 'audio/wav', 'video/mp4'][(i % 3) + 1] AS media_type,
+                   CAST(CASE WHEN i % 3 = 0 THEN 64 ELSE 0 END AS INTEGER) AS width,
+                   CAST(CASE WHEN i % 3 = 0 THEN 64 ELSE 0 END AS INTEGER) AS height,
+                   CAST(CASE WHEN i % 3 = 0 THEN 0 ELSE 1000 + i END AS INTEGER)
+                       AS duration_ms
+            FROM (SELECT unnest(range(32)) AS i)
         """,
     }

@@ -53,20 +53,25 @@ def exact_dedup(ds, id_col: str, text_col: str):
 
 
 def _word_shingles(text: str, k: int) -> set[int]:
+    """Distinct word-k-gram hashes. Hash = upper 8 bytes of md5,
+    little-endian — byte-identical to DuckDB ``md5_number_lower(gram)``,
+    which lets the SQL oracle recompute MinHash signatures and exact
+    Jaccard verification from the raw documents (same device as
+    ``_word_hash_u64`` below for SimHash)."""
     words = (text or "").lower().split()
     if len(words) < k:
         if not words:
             return set()
         return {
             int.from_bytes(
-                hashlib.blake2b(" ".join(words).encode(), digest_size=8).digest(), "big"
+                hashlib.md5(" ".join(words).encode()).digest()[8:16], "little"
             )
         }
     out = set()
-    h = hashlib.blake2b
+    h = hashlib.md5
     for i in range(len(words) - k + 1):
         out.add(
-            int.from_bytes(h(" ".join(words[i : i + k]).encode(), digest_size=8).digest(), "big")
+            int.from_bytes(h(" ".join(words[i : i + k]).encode()).digest()[8:16], "little")
         )
     return out
 
@@ -285,7 +290,9 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, id_col: str, text_col: str,
             if j >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
-                jac.append(round(j, 6))
+                # half-away-from-zero = DuckDB round() (Python round()
+                # is banker's — diverges on exact .5 ulps)
+                jac.append(float(np.floor(j * 1e6 + 0.5) / 1e6))
         id_type = batch["id_a"].type
         return pa.table(
             {

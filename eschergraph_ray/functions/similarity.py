@@ -71,20 +71,32 @@ def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
     return cent
 
 
+def train_ivf_centroids(ds, vec_col: str, n_centroids: int = 16,
+                        sample_size: int = 2048, seed: int = 11) -> np.ndarray:
+    """Train the IVF coarse quantizer on a bounded sample (driver-side
+    k-means — centroids are broadcast model state, not data)."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = _normalize(
+        np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    )
+    return kmeans_centroids(sample, n_centroids, seed=seed)
+
+
 def ivf_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4, sample_size: int = 2048,
-             seed: int = 11):
+             seed: int = 11, centroids: np.ndarray | None = None):
     """IVF-style approximate top-k (the coarse-quantizer scale path):
     train centroids on a sample (driver-side k-means, broadcast), then
     one vectorized pass keeps only vectors whose nearest centroid is in
     the query's ``n_probe`` closest cells. Compute is pruned to
     ~n_probe/n_centroids of the corpus; for the IO-pruned variant see
-    ``build_lsh_partitioned_index``."""
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = _normalize(
-        np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    ``build_lsh_partitioned_index``. Pass precomputed ``centroids`` to
+    reuse a trained quantizer (also what the SQL oracle reads)."""
+    cent = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(ds, vec_col, n_centroids, sample_size, seed)
     )
-    cent = kmeans_centroids(sample, n_centroids, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     probe = set(np.argsort(-(cent @ q), kind="stable")[:n_probe].tolist())

@@ -79,12 +79,17 @@ def lang_id(ds, id_col: str, text_col: str):
 
 
 def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
-    """Winnowing fingerprints over character k-grams."""
+    """Winnowing fingerprints over character k-grams.
+
+    k-gram hash = upper 8 bytes of md5, little-endian — byte-identical
+    to DuckDB ``md5_number_lower(gram)``, so the SQL oracle can replay
+    the whole winnowing selection (per-window first-min) from the raw
+    text."""
     t = (text or "").lower()
     if len(t) < k:
         return []
     hashes = [
-        int.from_bytes(hashlib.blake2b(t[i : i + k].encode(), digest_size=8).digest(), "big")
+        int.from_bytes(hashlib.md5(t[i : i + k].encode()).digest()[8:16], "little")
         for i in range(len(t) - k + 1)
     ]
     if len(hashes) <= window:
