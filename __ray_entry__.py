@@ -140,19 +140,67 @@ def _q_kg_embeddings(sf_dir: str):
     return emb.drop_columns(["embedding"])  # driver-hashable projection
 
 
-def _q_quick_search(sf_dir: str):
+QUICK_QUERY = "lennart timmermans the senior engineer"
+GLOBAL_QUERY = "collaboration between engineers on the platform"
+GANSWER_QUERY = "what collaboration patterns exist among engineers"
+
+
+def _node_search_surface(sf_dir: str):
+    """Materialize the node-embedding search surface ONCE per build as
+    parquet (under the cache-keyed build dir) and return it as a
+    Dataset. Both the Ray search queries and the SQL oracles consume
+    THIS parquet, so the oracle replays filter/score/threshold/top-n
+    (the A6 semantics) over identical bytes."""
+    import glob as _glob
+
     import ray.data as rd
 
+    from eschergraph_ray.pipelines.build import load_graph_union
     from eschergraph_ray.stages.embed import embed_graph
-    from eschergraph_ray.pipelines.search import quick_search
 
     _context()
     out = _build_for(sf_dir, "q")
-    from eschergraph_ray.pipelines.build import load_graph_union
+    d = os.path.join(out, "search-surface-nodes")
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        shutil.rmtree(d, ignore_errors=True)
+        embed_graph(load_graph_union(out, kinds=("node",))).write_parquet(d)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    files = sorted(f for f in _glob.glob(d + "/*.parquet"))
+    return rd.read_parquet(files)
 
-    # embeddings over nodes only for a compact search surface
-    emb = embed_graph(load_graph_union(out, kinds=("node",)))
-    res = quick_search(emb, "lennart timmermans the senior engineer")
+
+def _qvec_file(slug: str) -> str:
+    return f"{_ORACLE_STATE}/qvec-{slug}.parquet"
+
+
+def _sidewrite_qvec(slug: str, query: str) -> None:
+    """Query embedding (HashEmbedder is numpy-seeded — SQL cannot
+    generate it) as a long (dim_id, w) table; w is the float32 value
+    widened to float64, exactly what the scorer multiplies."""
+    import numpy as np
+    import pyarrow as pa
+
+    from eschergraph_ray.llm import HashEmbedder
+
+    v = HashEmbedder().embed([query])[0].astype(np.float64)
+    _write_state_parquet(
+        pa.table(
+            {
+                "dim_id": pa.array(range(1, len(v) + 1), pa.int32()),
+                "w": pa.array(v, pa.float64()),
+            }
+        ),
+        _qvec_file(slug),
+    )
+
+
+def _q_quick_search(sf_dir: str):
+    from eschergraph_ray.pipelines.search import quick_search
+
+    _sidewrite_qvec("quick", QUICK_QUERY)
+    emb = _node_search_surface(sf_dir)
+    res = quick_search(emb, QUICK_QUERY)
     return res.drop_columns(["embedding"])
 
 
@@ -454,17 +502,11 @@ def _q_kg_sync_plan(sf_dir: str):
 def _q_kg_global_search(sf_dir: str):
     """global_search (level-1 community search, global_search.py:19-46)
     over the built graph's node embeddings."""
-    import ray.data as rd
-
     from eschergraph_ray.pipelines.search import global_search
-    from eschergraph_ray.stages.embed import embed_graph
 
-    _context()
-    out = _build_for(sf_dir, "q")
-    from eschergraph_ray.pipelines.build import load_graph_union
-
-    emb = embed_graph(load_graph_union(out, kinds=("node",)))
-    res = global_search(emb, "collaboration between engineers on the platform")
+    _sidewrite_qvec("global", GLOBAL_QUERY)
+    emb = _node_search_surface(sf_dir)
+    res = global_search(emb, GLOBAL_QUERY)
     return res.drop_columns(["embedding"])
 
 
@@ -472,17 +514,12 @@ def _q_kg_rag_answer(sf_dir: str):
     """RAGAnswer analogue surfaced as one row (answer + ordered source
     ids, quick_search.py:24-75)."""
     import pyarrow as pa
-    import ray.data as rd
 
     from eschergraph_ray.pipelines.search import rag_answer
-    from eschergraph_ray.stages.embed import embed_graph
 
-    _context()
-    out = _build_for(sf_dir, "q")
-    from eschergraph_ray.pipelines.build import load_graph_union
-
-    emb = embed_graph(load_graph_union(out, kinds=("node",)))
-    ans = rag_answer(emb, "lennart timmermans the senior engineer")
+    _sidewrite_qvec("quick", QUICK_QUERY)
+    emb = _node_search_surface(sf_dir)
+    ans = rag_answer(emb, QUICK_QUERY)
     return pa.table(
         {
             "answer": pa.array([ans["answer"]], pa.large_string()),
@@ -500,13 +537,10 @@ def _q_kg_global_answer(sf_dir: str):
     import pyarrow as pa
 
     from eschergraph_ray.pipelines.search import global_answer
-    from eschergraph_ray.stages.embed import embed_graph
-    from eschergraph_ray.pipelines.build import load_graph_union
 
-    _context()
-    out = _build_for(sf_dir, "q")
-    emb = embed_graph(load_graph_union(out, kinds=("node",)))
-    ans = global_answer(emb, "what collaboration patterns exist among engineers")
+    _sidewrite_qvec("ganswer", GANSWER_QUERY)
+    emb = _node_search_surface(sf_dir)
+    ans = global_answer(emb, GANSWER_QUERY)
     return pa.table({"answer": pa.array([ans], pa.large_string())})
 
 
@@ -1336,6 +1370,10 @@ def oracle_sql() -> dict[str, str]:
     _dpl = _dedup_planes_file(_dim_emb)
     _apl = _ann_planes_file(_dim_emb)
     _ivf = _ivf_centroids_file(_n_emb, _dim_emb)
+    _surf = f"{_b}/search-surface-nodes/*.parquet"
+    _qq = _qvec_file("quick")
+    _qg = _qvec_file("global")
+    _qa = _qvec_file("ganswer")
     _nodes = f"{_b}/graph/*/kind=node/*.parquet"
     _edges = f"{_b}/graph/*/kind=edge/*.parquet"
     _props = f"{_b}/graph/*/kind=property/*.parquet"
@@ -1994,5 +2032,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i % 3 = 0 THEN 0 ELSE 1000 + i END AS INTEGER)
                        AS duration_ms
             FROM (SELECT unnest(range(32)) AS i)
+        """,
+        "kg_quick_search": f"""
+            -- A6 rerank semantics replayed over the side-written node
+            -- surface: level filter, exact-double dot against the
+            -- side-written query embedding, round(4), threshold 0.1,
+            -- top-40 with id tie-break (quick_search.py:139,145)
+            WITH sv AS (SELECT * FROM read_parquet('{_surf}')),
+            ew AS (
+              SELECT id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM sv WHERE level = 0
+            ),
+            sc AS (
+              SELECT e.id, round(sum(CAST(e.v AS DOUBLE) * q.w), 4) AS score
+              FROM ew e JOIN read_parquet('{_qq}') q ON q.dim_id = e.d
+              GROUP BY e.id
+            )
+            SELECT sv.id, sv.text, sv.type, sv.level, sv.document_id, sc.score
+            FROM sv JOIN sc ON sc.id = sv.id
+            WHERE sc.score > 0.1
+            ORDER BY sc.score DESC, sv.id
+            LIMIT 40
+        """,
+        "kg_global_search": f"""
+            -- level-1 community search (global_search.py:70,74-77):
+            -- threshold 0, top-15
+            WITH sv AS (SELECT * FROM read_parquet('{_surf}')),
+            ew AS (
+              SELECT id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM sv WHERE level = 1
+            ),
+            sc AS (
+              SELECT e.id, round(sum(CAST(e.v AS DOUBLE) * q.w), 4) AS score
+              FROM ew e JOIN read_parquet('{_qg}') q ON q.dim_id = e.d
+              GROUP BY e.id
+            )
+            SELECT sv.id, sv.text, sv.type, sv.level, sv.document_id, sc.score
+            FROM sv JOIN sc ON sc.id = sv.id
+            WHERE sc.score > 0.0
+            ORDER BY sc.score DESC, sv.id
+            LIMIT 15
+        """,
+        "kg_rag_answer": f"""
+            -- RAGAnswer replay: quick_search hits -> ordered context ->
+            -- the deterministic answer template (llm.py answer())
+            WITH sv AS (SELECT * FROM read_parquet('{_surf}')),
+            ew AS (
+              SELECT id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM sv WHERE level = 0
+            ),
+            sc AS (
+              SELECT e.id, round(sum(CAST(e.v AS DOUBLE) * q.w), 4) AS score
+              FROM ew e JOIN read_parquet('{_qq}') q ON q.dim_id = e.d
+              GROUP BY e.id
+            ),
+            hits AS (
+              SELECT sv.id, sv.text, sc.score
+              FROM sv JOIN sc ON sc.id = sv.id
+              WHERE sc.score > 0.1
+              ORDER BY sc.score DESC, sv.id
+              LIMIT 40
+            ),
+            agg AS (SELECT count(*) AS n FROM hits),
+            first AS (SELECT id, text FROM hits ORDER BY score DESC, id LIMIT 1)
+            SELECT 'Based on ' || agg.n ||
+                   ' sources, regarding ''{QUICK_QUERY}'': ' || first.text AS answer,
+                   CAST(agg.n AS BIGINT) AS n_sources,
+                   first.id AS first_source
+            FROM agg, first
+        """,
+        "kg_global_answer": f"""
+            WITH sv AS (SELECT * FROM read_parquet('{_surf}')),
+            ew AS (
+              SELECT id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM sv WHERE level = 1
+            ),
+            sc AS (
+              SELECT e.id, round(sum(CAST(e.v AS DOUBLE) * q.w), 4) AS score
+              FROM ew e JOIN read_parquet('{_qa}') q ON q.dim_id = e.d
+              GROUP BY e.id
+            ),
+            hits AS (
+              SELECT sv.id, sv.text, sc.score
+              FROM sv JOIN sc ON sc.id = sv.id
+              WHERE sc.score > 0.0
+              ORDER BY sc.score DESC, sv.id
+              LIMIT 15
+            ),
+            agg AS (SELECT count(*) AS n FROM hits),
+            first AS (SELECT text FROM hits ORDER BY score DESC, id LIMIT 1)
+            SELECT 'Based on ' || agg.n ||
+                   ' sources, regarding ''{GANSWER_QUERY}'': ' || first.text AS answer
+            FROM agg, first
         """,
     }

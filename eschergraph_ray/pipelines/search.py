@@ -37,9 +37,14 @@ def _score_stage(qvec: np.ndarray):
         pin_arrow_threads()
         emb = batch["embedding"]
         n = len(batch)
-        mat = np.asarray(emb.combine_chunks().flatten(), dtype=np.float32).reshape(n, -1)
-        scores = mat @ qvec.astype(np.float32)
-        return batch.append_column("score", pa.array(scores.astype(np.float64)))
+        # float64 accumulation over the float32 embeddings, rounded
+        # half-away-from-zero to 4 decimals: deterministic across
+        # summation orders and byte-identical to the SQL oracle's
+        # exact-double dot + round() (same device as the ANN family)
+        mat = np.asarray(emb.combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
+        raw = mat @ qvec.astype(np.float64)
+        scores = np.copysign(np.floor(np.abs(raw) * 1e4 + 0.5), raw) / 1e4
+        return batch.append_column("score", pa.array(scores))
 
     return score
 
@@ -91,7 +96,9 @@ def attribute_search(
     scored = scored.map_batches(
         lambda t: t.filter(pc.greater(t["score"], threshold)), batch_format="pyarrow"
     )
-    return scored.sort("score", descending=True).limit(top_n)
+    # id tie-break: the top_n cut is deterministic (and SQL-replayable)
+    # when several hits share a rounded score
+    return scored.sort(["score", "id"], descending=[True, False]).limit(top_n)
 
 
 def quick_search(embeddings_ds, query: str, document_id: str | None = None,
