@@ -60,6 +60,17 @@ from ..schemas import GRAPH_UNION
 
 FUZZY_THRESHOLD = 95.0
 COSINE_BLOCK_THRESHOLD = 0.25
+# Above this many distinct names, the dense names x names cosine matrix
+# (O(n^2) memory/compute) is replaced by token-blocked candidate
+# generation — the giant-conversation guard. 4096 names -> 64 MiB of
+# float32 sims is the largest dense matrix a graph-build worker should
+# ever hold; typical conversations have tens of names.
+MATCH_DENSE_LIMIT = 4096
+# A token shared by more names than this generates no candidate pairs by
+# itself (df-cutoff, same policy as the dedup family's hot-gram cutoffs):
+# near-duplicate names agree on ~all tokens, so any real pair is still
+# produced by its rarer tokens unless EVERY shared token is stopword-hot.
+MATCH_BLOCK_DF_CUTOFF = 2048
 
 # map_groups runs as stateless tasks; model/client state is amortized
 # per worker process via a module cache (the actor-pool analogue for
@@ -101,17 +112,54 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
+def _dense_candidates(names: list[str], embedder: HashEmbedder):
+    """Index pairs passing the cosine block (the dense O(n^2) kernel)."""
+    vecs = embedder.embed(names)  # unit vectors
+    sims = vecs @ vecs.T
+    ii, jj = np.nonzero(np.triu(sims >= COSINE_BLOCK_THRESHOLD, k=1))
+    return zip(ii.tolist(), jj.tolist())
+
+
+def _blocked_candidates(names: list[str], embedder: HashEmbedder):
+    """Giant-conversation guard: candidate pairs via shared-token
+    blocking instead of one names x names matrix.
+
+    ``token_set_ratio >= 95`` needs the two token sets to agree on
+    essentially all tokens, so every mergeable pair shares at least one
+    token — running the dense kernel inside each token's block loses no
+    real pair (except pairs whose ONLY shared tokens exceed
+    ``MATCH_BLOCK_DF_CUTOFF``; documented approximation). Cost drops
+    from O(n^2) to sum of block^2 with blocks bounded by token df."""
+    blocks: dict[str, list[int]] = {}
+    for i, n in enumerate(names):
+        for tok in set(n.split()) or {""}:
+            blocks.setdefault(tok, []).append(i)
+    seen: set[tuple[int, int]] = set()
+    for tok in sorted(blocks):
+        idxs = blocks[tok]
+        if len(idxs) < 2 or len(idxs) > MATCH_BLOCK_DF_CUTOFF:
+            continue
+        sub = [names[i] for i in idxs]
+        for a, b in _dense_candidates(sub, embedder):
+            i, j = idxs[a], idxs[b]
+            pair = (i, j) if i < j else (j, i)
+            if pair not in seen:
+                seen.add(pair)
+                yield pair
+
+
 def _match_sets(names: list[str], embedder: HashEmbedder) -> list[list[str]]:
     """D2: cosine-blocked fuzzy clustering (transitive closure)."""
     if not names:
         return []
-    vecs = embedder.embed(names)  # unit vectors
-    sims = vecs @ vecs.T
     uf = _UnionFind()
     for n in names:
         uf.find(n)
-    ii, jj = np.nonzero(np.triu(sims >= COSINE_BLOCK_THRESHOLD, k=1))
-    for i, j in zip(ii.tolist(), jj.tolist()):
+    if len(names) <= MATCH_DENSE_LIMIT:
+        pairs = _dense_candidates(names, embedder)
+    else:
+        pairs = _blocked_candidates(names, embedder)
+    for i, j in pairs:
         if token_set_ratio(names[i], names[j]) >= FUZZY_THRESHOLD:
             uf.union(names[i], names[j])
     clusters: dict[str, list[str]] = {}

@@ -251,3 +251,55 @@ def test_community_invariants():
     assert sorted(level2["child_node_ids"]) == sorted(n["id"] for n in level1)
     # findings order preserved as properties (community_builder.py:205-206)
     assert all(isinstance(n["properties"], list) for n in level1)
+
+
+def test_blocked_match_sets_parity_and_scale(monkeypatch):
+    # Giant-conversation guard: the token-blocked candidate generator
+    # must produce the same clusters as the dense O(n^2) kernel whenever
+    # mergeable pairs share a token (token_set_ratio >= 95 implies they
+    # do), and must handle name counts where the dense matrix would be
+    # prohibitive.
+    import eschergraph_ray.stages.graph_build as gb
+
+    emb = HashEmbedder()
+    rng = random.Random(7)
+    firsts = ["lennart", "patrick", "maria", "chen", "yusuf", "aiko"]
+    lasts = ["timmermans", "garcia", "okafor", "novak", "larsen", "tanaka"]
+    names = sorted(
+        {
+            f"{f} {l}" if rng.random() < 0.7 else f
+            for f in firsts
+            for l in lasts
+            for _ in range(2)
+        }
+    )
+    dense = _match_sets(names, emb)
+    monkeypatch.setattr(gb, "MATCH_DENSE_LIMIT", 4)
+    blocked = _match_sets(names, emb)
+    assert blocked == dense
+
+    # scale: 12k distinct names -> dense would allocate a 12k x 12k
+    # matrix (~1.2 GB float64); blocked path stays within token blocks.
+    monkeypatch.setattr(gb, "MATCH_DENSE_LIMIT", 4096)
+    big = [f"entity {i:05d} {w}" for i, w in zip(range(12000, 0, -1),
+           (f"w{j % 900}" for j in range(12000)))]
+    clusters = _match_sets(big, emb)
+    assert len(clusters) == len(big)  # all distinct, no spurious merges
+
+
+def test_blocked_match_sets_df_cutoff(monkeypatch):
+    # A stopword-hot token alone generates no pairs; rare tokens still do.
+    import eschergraph_ray.stages.graph_build as gb
+
+    emb = HashEmbedder()
+    monkeypatch.setattr(gb, "MATCH_DENSE_LIMIT", 2)
+    monkeypatch.setattr(gb, "MATCH_BLOCK_DF_CUTOFF", 10)
+    names = [f"the item{i}" for i in range(50)] + [
+        "acme corporation",
+        "acme corporation inc",
+    ]
+    clusters = _match_sets(sorted(names), emb)
+    merged = next(c for c in clusters if len(c) > 1)
+    assert merged == ["acme corporation", "acme corporation inc"]
+    # "the" block (df=52 > cutoff) contributed nothing: item names unmerged
+    assert sum(len(c) > 1 for c in clusters) == 1
