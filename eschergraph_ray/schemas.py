@@ -207,5 +207,15 @@ GRAPH_UNION = pa.schema(
         ("stat_chunks", pa.int64()),
         ("stat_turns", pa.int64()),
         ("stat_quarantined", pa.int64()),
+        # kind="docrec" rows only (one per conversation, emitted inside
+        # the graph stage PRE quarantine-filter): the Document-record
+        # counters, so the documents sidecar needs no driver-side
+        # re-scan of the chunk-level build_logs (VERDICT r2 #8).
+        # stat_chunks / stat_turns are shared with kind="stats".
+        ("stat_tokens", pa.int64()),
+        # kind="changelog" rows only: the object type (node | edge |
+        # property) of an in-stage-emitted CREATE change-log row; id /
+        # conv_id / level are carried in their shared columns.
+        ("cl_type", pa.string()),
     ]
 )

@@ -519,6 +519,72 @@ def build_graph(build_logs, llm_factory: Callable[[], LLMClient] = Deterministic
     )
 
 
+def _docrec_rows(batch: pa.Table) -> pa.Table:
+    """kind="docrec" rows — per-conversation Document-record counters
+    (chunk / token / turn counts), computed from the sorted,
+    pre-quarantine-filter block. One row per conversation; byte-parity
+    with the former driver-side DuckDB aggregate over build_logs:
+    chunk_num = count(*), token_num = sum(n_tokens) (0 when the column
+    is absent, e.g. media logs), turn_num = max(turn_last) + 1."""
+    if batch.num_rows == 0:
+        return pa.Table.from_pydict({}, schema=GRAPH_UNION)
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    boundaries = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+    starts = np.concatenate([[0], boundaries]).astype(np.int64)
+    ends = np.concatenate([boundaries, [len(conv)]]).astype(np.int64)
+    has_tok = "n_tokens" in batch.column_names
+    has_turn = "turn_last" in batch.column_names
+    tok = (
+        np.nan_to_num(
+            batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        if has_tok
+        else None
+    )
+    tl = (
+        pc.fill_null(batch["turn_last"], -1).to_numpy(zero_copy_only=False)
+        if has_turn
+        else None
+    )
+    cum = np.concatenate([[0], np.cumsum(tok)]) if tok is not None else None
+    rows = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        rows.append(
+            {
+                "kind": "docrec",
+                "conv_id": str(conv[s]),
+                "stat_chunks": e - s,
+                "stat_tokens": int(cum[e] - cum[s]) if cum is not None else 0,
+                "stat_turns": int(tl[s:e].max()) + 1 if tl is not None else 0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=GRAPH_UNION)
+
+
+def _changelog_rows(graph: pa.Table) -> pa.Table:
+    """kind="changelog" rows — one CREATE per node / edge / property row
+    in ``graph`` (``eschergraph/persistence/change_log.py:12-31``), as a
+    vectorized projection: id / conv_id / level in their shared columns,
+    the object type in ``cl_type``. Null levels are pinned to 0 exactly
+    like the former driver-side projection did."""
+    mask = pc.is_in(
+        graph["kind"], value_set=pa.array(["node", "edge", "property"])
+    )
+    src = graph.filter(mask)
+    n = src.num_rows
+    if n == 0:
+        return pa.Table.from_pydict({}, schema=GRAPH_UNION)
+    filled = {
+        "kind": pa.array(["changelog"] * n, pa.string()),
+        "conv_id": src["conv_id"].combine_chunks().cast(pa.string()),
+        "id": src["id"].combine_chunks().cast(pa.string()),
+        "level": pc.fill_null(pc.cast(src["level"], pa.int32()), 0),
+        "cl_type": src["kind"].combine_chunks().cast(pa.string()),
+    }
+    cols = {f.name: filled.get(f.name, pa.nulls(n, f.type)) for f in GRAPH_UNION}
+    return pa.table(cols).cast(GRAPH_UNION)
+
+
 def build_graph_batch(
     batch: pa.Table, llm_factory: Callable[[], LLMClient] = DeterministicMockLLM
 ) -> pa.Table:
@@ -531,20 +597,27 @@ def build_graph_batch(
 
     pin_arrow_threads()
     n_chunks_total = batch.num_rows
-    n_quarantined = 0
-    if "quarantined" in batch.column_names:
-        n_quarantined = int(pc.sum(pc.cast(batch["quarantined"], pa.int64())).as_py() or 0)
-        batch = batch.filter(pc.invert(batch["quarantined"])).drop_columns(["quarantined"])
     batch = batch.take(
         pc.sort_indices(
             batch, sort_keys=[("conv_id", "ascending"), ("chunk_id", "ascending")]
         )
     )
+    # Document-record rows (kind="docrec"), one per conversation, from
+    # the PRE-quarantine-filter batch — the same per-conv counters the
+    # documents sidecar used to re-derive with a driver-side scan of the
+    # chunk-level build_logs (VERDICT r2 #8). A fully-quarantined
+    # conversation still gets its record, exactly like that scan did.
+    docrec = _docrec_rows(batch)
+    n_quarantined = 0
+    if "quarantined" in batch.column_names:
+        n_quarantined = int(pc.sum(pc.cast(batch["quarantined"], pa.int64())).as_py() or 0)
+        batch = batch.filter(pc.invert(batch["quarantined"])).drop_columns(["quarantined"])
     conv = batch["conv_id"].to_numpy(zero_copy_only=False)
     if len(conv) == 0:
         # still emit the stats row: an all-quarantined block must not
-        # lose its chunk/quarantine lineage counters (ADVICE r1)
-        return pa.Table.from_pylist(
+        # lose its chunk/quarantine lineage counters (ADVICE r1) — nor
+        # its conversations' Document records
+        stats_only = pa.Table.from_pylist(
             [
                 {
                     "kind": "stats",
@@ -556,6 +629,7 @@ def build_graph_batch(
             ],
             schema=GRAPH_UNION,
         )
+        return pa.concat_tables([stats_only, docrec]).combine_chunks()
     boundaries = np.flatnonzero(conv[1:] != conv[:-1]) + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [len(conv)]])
@@ -584,10 +658,17 @@ def build_graph_batch(
             schema=GRAPH_UNION,
         )
     )
+    out.append(docrec)
+    graph = pa.concat_tables(out)
+    # CREATE change-log rows (kind="changelog") as a vectorized
+    # projection of the node/edge/property rows this block just built —
+    # the sidecar writer relocates them instead of re-scanning the graph
+    # partitions on the driver (VERDICT r2 #8).
+    graph = pa.concat_tables([graph, _changelog_rows(graph)])
     # combine_chunks: without it the parquet writer emits one ROW GROUP
     # per conversation (~25 cols x thousands of groups), making every
     # downstream scan seconds instead of milliseconds
-    return pa.concat_tables(out).combine_chunks()
+    return graph.combine_chunks()
 
 
 def build_graph_sharded(

@@ -64,9 +64,14 @@ def test_sharded_graph_equals_groupby_graph():
     via_groupby = build_graph(rd.from_arrow(logs)).to_pandas()
     a = via_batch.to_pandas()
     # the sharded path additionally emits per-block lineage stats rows
+    # plus the in-stage sidecar rows (one docrec per conversation, one
+    # changelog CREATE per node/edge/property)
     stats = a[a["kind"] == "stats"]
     assert len(stats) == 1 and stats["stat_convs"].iloc[0] == 6
-    a = a[a["kind"] != "stats"]
+    assert len(a[a["kind"] == "docrec"]) == 6
+    n_objects = len(a[a["kind"].isin(["node", "edge", "property"])])
+    assert len(a[a["kind"] == "changelog"]) == n_objects
+    a = a[~a["kind"].isin(["stats", "docrec", "changelog"])]
     a = a.sort_values(["kind", "conv_id", "id", "subj", "chunk_id"], na_position="first").reset_index(drop=True)
     b = via_groupby.sort_values(["kind", "conv_id", "id", "subj", "chunk_id"], na_position="first").reset_index(drop=True)
     assert len(a) == len(b)
