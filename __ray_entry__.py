@@ -1358,6 +1358,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _chunks_replay_sql(corpus_glob: str) -> str:
+    """Full SQL replay of the stateful chunk packer (S2/S5,
+    stages/chunking.py:106-173) straight from the raw transcript corpus:
+    a recursive CTE walks each (conv_id, salt) group in turn order
+    carrying the open-chunk token count — break BEFORE a turn that would
+    exceed MAX_TOKENS=400, break AFTER an assistant/tool turn once
+    >= 0.7*400 tokens — then reassembles chunk text/spans and applies
+    the <100-chars / >40%-non-alpha filter and per-(conv,salt) chunk-id
+    numbering (+ salt*100000). Salting caps the recursion depth at
+    SALT_SPAN=1024. The over-long-turn sentence-split path (>400 tokens
+    in ONE turn) is not replayed — the synthetic corpus's max turn is
+    ~70 tokens; if it ever triggered, this oracle would mismatch (loud,
+    not masked)."""
+    # AS MATERIALIZED is load-bearing: without it DuckDB re-inlines the
+    # token-counting scan into every recursive iteration (~1024 x 200k
+    # regex extractions — effectively never finishes at sf0.01).
+    return f"""
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT conv_id,
+                     CAST(turn_idx // 1024 AS INT) AS salt,
+                     turn_idx, role, text,
+                     CAST(array_length(regexp_extract_all(text,
+                          '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS INT) AS ntok,
+                     CAST(row_number() OVER (PARTITION BY conv_id, turn_idx // 1024
+                                             ORDER BY turn_idx) AS INT) AS rn
+              FROM read_parquet('{corpus_glob}')
+            ),
+            walk AS (
+              SELECT conv_id, salt, rn, turn_idx, ntok,
+                     0 AS seq,
+                     CASE WHEN role IN ('assistant','tool') AND ntok >= 280
+                          THEN 0 ELSE ntok END AS cur
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.conv_id, t.salt, t.rn, t.turn_idx, t.ntok,
+                     CASE WHEN w.cur = 0 OR w.cur + t.ntok > 400
+                          THEN w.seq + 1 ELSE w.seq END AS seq,
+                     CASE WHEN t.role IN ('assistant','tool')
+                               AND (CASE WHEN w.cur = 0 OR w.cur + t.ntok > 400
+                                         THEN 0 ELSE w.cur END) + t.ntok >= 280
+                          THEN 0
+                          ELSE (CASE WHEN w.cur = 0 OR w.cur + t.ntok > 400
+                                     THEN 0 ELSE w.cur END) + t.ntok
+                     END AS cur
+              FROM walk w
+              JOIN t ON t.conv_id = w.conv_id AND t.salt = w.salt AND t.rn = w.rn + 1
+            ),
+            chunks AS (
+              SELECT w.conv_id, w.salt, w.seq,
+                     string_agg(t2.text, ' ' ORDER BY w.turn_idx) AS text,
+                     min(w.turn_idx) AS turn_first,
+                     max(w.turn_idx) AS turn_last,
+                     CAST(sum(w.ntok) AS INT) AS n_tokens
+              FROM walk w
+              JOIN t t2 ON t2.conv_id = w.conv_id AND t2.salt = w.salt AND t2.rn = w.rn
+              GROUP BY w.conv_id, w.salt, w.seq
+            ),
+            kept AS (
+              SELECT *, length(replace(text, ' ', '')) AS n_stripped,
+                     length(regexp_replace(replace(text, ' ', ''),
+                                           '[A-Za-z]', '', 'g')) AS n_non_alpha
+              FROM chunks
+              WHERE length(text) >= 100
+            )
+            SELECT conv_id,
+                   CAST(salt * 100000
+                        + row_number() OVER (PARTITION BY conv_id, salt ORDER BY seq)
+                        - 1 AS INT) AS chunk_id,
+                   text,
+                   CAST(turn_first AS INT) AS turn_first,
+                   CAST(turn_last AS INT) AS turn_last,
+                   n_tokens
+            FROM kept
+            WHERE n_stripped > 0 AND CAST(n_non_alpha AS DOUBLE) / n_stripped <= 0.4
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # globs over the sf0.01 build output (see _build_dir_sf001): the
     # kg_* oracles recompute build-derived aggregates in DuckDB from
@@ -1554,6 +1631,27 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+(''[A-Za-z]+)?|\d+|[^\w\s]'))) AS BIGINT) AS n_tokens
             FROM read_parquet('{_transcripts_glob_sf001()}')
             GROUP BY conv_id
+        """,
+        # Full SQL replay of the stateful chunk packer from the raw
+        # transcript corpus (see _chunks_replay_sql).
+        "kg_chunks": _chunks_replay_sql(_transcripts_glob_sf001()),
+        # Estimator (A1/F8, functions/estimator.py:38-60) over the SAME
+        # chunk replay: counts/token sums plus the published constants
+        # (2.5 calls/chunk, 2 s/call, $0.15/$0.60 per M, completion =
+        # prompt/4), with every float expression replicated in Python's
+        # evaluation order so the doubles match bit-for-bit.
+        "kg_build_estimate": f"""
+            SELECT CAST(c AS BIGINT) AS chunks,
+                   CAST(tok AS BIGINT) AS tokens,
+                   CAST(ceil(2.5 * c) AS BIGINT) AS llm_calls,
+                   round(ceil(c / 2.0) * 2.0 + 2 * c * 2.0, 1) AS est_seconds_reference,
+                   round(CAST(ceil(2.5 * c) AS BIGINT) * 2.0 / 10, 1) AS est_seconds_ray,
+                   round((tok * 2.5) / 1000000.0 * 0.15
+                         + ((tok * 2.5) / 4) / 1000000.0 * 0.60, 4) AS est_cost_usd
+            FROM (
+              SELECT count(*) AS c, CAST(sum(n_tokens) AS BIGINT) AS tok
+              FROM ({_chunks_replay_sql(_transcripts_glob_sf001())})
+            )
         """,
         "docs_tag_filter": """
             SELECT doc_id,
