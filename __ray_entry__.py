@@ -84,11 +84,41 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 
+def _resolution_sidecar(out: str) -> str:
+    """Side-write the build's mention-resolution provenance (one row per
+    ``(conv_id, chunk_id, alias, canon)``) under the cache-keyed build
+    dir, once per build. Computed by the SAME ``_conversation_canon_map``
+    the graph stage uses (stages/graph_build.py), distributed over the
+    conv-complete build_logs checkpoint blocks. The DuckDB kg_* oracles
+    treat this table as model state — the fuzzy-matching analogue of the
+    side-written MinHash perms / LSH hyperplanes — and replay everything
+    downstream (marker parsing, self-loop downgrade, dedup, dangling
+    drop) in SQL from the raw corpus."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from eschergraph_ray.stages.graph_build import resolution_batch
+
+    d = os.path.join(out, "oracle-resolution")
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        shutil.rmtree(d, ignore_errors=True)
+        files = sorted(_glob.glob(os.path.join(out, "build_logs", "*", "*.parquet")))
+        ds = rd.read_parquet(files, override_num_blocks=max(1, len(files)))
+        ds.map_batches(
+            resolution_batch, batch_format="pyarrow", batch_size=None
+        ).write_parquet(d)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    return os.path.join(d, "*.parquet")
+
+
 def _q_kg(kind: str):
     def run(sf_dir: str):
         from eschergraph_ray.pipelines.build import load_kind_arrow
 
         out = _build_for(sf_dir, "q")
+        _resolution_sidecar(out)  # oracle model state (cached)
         t = load_kind_arrow(out, kind)
         drop = [
             c
@@ -1635,6 +1665,122 @@ def oracle_sql() -> dict[str, str]:
         # Full SQL replay of the stateful chunk packer from the raw
         # transcript corpus (see _chunks_replay_sql).
         "kg_chunks": _chunks_replay_sql(_transcripts_glob_sf001()),
+        # End-to-end replay of the FLAGSHIP pipeline: raw corpus ->
+        # chunk packer (recursive CTE) -> marker-grammar edge parse
+        # (the mock extractor's exact regex, zipped multi-group
+        # unnest) -> mention resolution via the side-written canon
+        # provenance (model state) -> dangling-endpoint drop ->
+        # self-loop exclusion (those downgrade to properties) ->
+        # per-(subj,pred,obj,chunk) dedup. No id columns: the triple
+        # surface is fully value-checked with zero joins against the
+        # build output itself (stages/graph_build.py:398-431).
+        "kg_triples": f"""
+            WITH chunks AS MATERIALIZED (
+              SELECT conv_id, chunk_id, text FROM ({_chunks_replay_sql(_transcripts_glob_sf001())})
+            ),
+            res AS MATERIALIZED (
+              SELECT * FROM read_parquet('{_b}/oracle-resolution/*.parquet')
+            ),
+            ed AS (
+              SELECT conv_id, chunk_id,
+                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 1) AS srcs,
+                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 2) AS rels,
+                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 3) AS dsts
+              FROM chunks
+              WHERE contains(text, '[[')
+            ),
+            edges AS (
+              SELECT conv_id, chunk_id,
+                     unnest(srcs) AS src_raw,
+                     unnest(rels) AS rel_raw,
+                     unnest(dsts) AS dst_raw
+              FROM ed
+            ),
+            -- every [[x]] occurrence is an entity mention of its chunk
+            -- (the mock extracts entities from the same bracket grammar),
+            -- so the persisted-node set is all mentioned canons
+            nodeset AS (
+              SELECT DISTINCT conv_id, canon FROM res
+            ),
+            resolved AS (
+              SELECT e.conv_id, e.chunk_id,
+                     rs.canon AS subj, trim(e.rel_raw) AS pred, rd.canon AS obj
+              FROM edges e
+              JOIN res rs ON rs.conv_id = e.conv_id AND rs.chunk_id = e.chunk_id
+                         AND rs.alias = regexp_replace(trim(lower(e.src_raw)), '\\s+', ' ', 'g')
+              JOIN res rd ON rd.conv_id = e.conv_id AND rd.chunk_id = e.chunk_id
+                         AND rd.alias = regexp_replace(trim(lower(e.dst_raw)), '\\s+', ' ', 'g')
+              WHERE rs.canon <> rd.canon
+            )
+            SELECT DISTINCT r.conv_id, r.subj, r.pred, r.obj, r.chunk_id
+            FROM resolved r
+            JOIN nodeset ns ON ns.conv_id = r.conv_id AND ns.canon = r.subj
+            JOIN nodeset nd ON nd.conv_id = r.conv_id AND nd.canon = r.obj
+        """,
+        # Property surface replayed the same way: {{...}} markers parsed
+        # from the replayed chunks, owners resolved via the canon
+        # provenance, PLUS self-loop edge extractions downgraded to
+        # properties (build_pipeline.py:286-291 rule), deduped per
+        # (canon, description). blake2 ids are not computable in SQL, so
+        # they are translated via a LEFT JOIN on the natural key against
+        # the build's own property parquet — inert: a row the SQL
+        # derivation doesn't produce gets no id (null -> hash mismatch),
+        # and existence/row-count comes entirely from the replay.
+        "kg_properties": f"""
+            WITH chunks AS MATERIALIZED (
+              SELECT conv_id, chunk_id, text FROM ({_chunks_replay_sql(_transcripts_glob_sf001())})
+            ),
+            res AS MATERIALIZED (
+              SELECT * FROM read_parquet('{_b}/oracle-resolution/*.parquet')
+            ),
+            pr AS (
+              SELECT conv_id, chunk_id,
+                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*\\{{\\{{([^}}]+)\\}}\\}}', 1) AS owners,
+                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*\\{{\\{{([^}}]+)\\}}\\}}', 2) AS vals
+              FROM chunks
+              WHERE contains(text, '{{{{')
+            ),
+            props_parsed AS (
+              SELECT conv_id, chunk_id, unnest(owners) AS own_raw, unnest(vals) AS val_raw
+              FROM pr
+            ),
+            marker_props AS (
+              SELECT DISTINCT p.conv_id, r.canon AS node_name, trim(p.val_raw) AS description
+              FROM props_parsed p
+              JOIN res r ON r.conv_id = p.conv_id AND r.chunk_id = p.chunk_id
+                        AND r.alias = regexp_replace(trim(lower(p.own_raw)), '\\s+', ' ', 'g')
+            ),
+            ed AS (
+              SELECT conv_id, chunk_id,
+                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 1) AS srcs,
+                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 2) AS rels,
+                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 3) AS dsts
+              FROM chunks
+              WHERE contains(text, '[[')
+            ),
+            edges AS (
+              SELECT conv_id, chunk_id,
+                     unnest(srcs) AS src_raw, unnest(rels) AS rel_raw, unnest(dsts) AS dst_raw
+              FROM ed
+            ),
+            selfloop_props AS (
+              SELECT DISTINCT e.conv_id, rs.canon AS node_name, trim(e.rel_raw) AS description
+              FROM edges e
+              JOIN res rs ON rs.conv_id = e.conv_id AND rs.chunk_id = e.chunk_id
+                         AND rs.alias = regexp_replace(trim(lower(e.src_raw)), '\\s+', ' ', 'g')
+              JOIN res rd ON rd.conv_id = e.conv_id AND rd.chunk_id = e.chunk_id
+                         AND rd.alias = regexp_replace(trim(lower(e.dst_raw)), '\\s+', ' ', 'g')
+              WHERE rs.canon = rd.canon
+            ),
+            allprops AS (
+              SELECT * FROM marker_props UNION SELECT * FROM selfloop_props
+            )
+            SELECT bp.id AS property_id, bp.node_id, a.conv_id, a.node_name, a.description
+            FROM allprops a
+            LEFT JOIN read_parquet('{_props}') bp
+              ON bp.conv_id = a.conv_id AND bp.node_name = a.node_name
+                 AND bp.description = a.description
+        """,
         # Estimator (A1/F8, functions/estimator.py:38-60) over the SAME
         # chunk replay: counts/token sums plus the published constants
         # (2.5 calls/chunk, 2 s/call, $0.15/$0.60 per M, completion =

@@ -212,6 +212,138 @@ def _disambiguate(
     return candidates[int(order[0])]
 
 
+def _conversation_canon_map(
+    chunk_ids: list[int],
+    chunk_texts: list[str],
+    logs_nodes: list,
+    logs_edges: list,
+    logs_props: list,
+    logs_visual: list,
+    llm: LLMClient,
+    embedder: HashEmbedder,
+) -> dict[tuple[int, str], str]:
+    """D1-D3 + M9 for one conversation: every mentioned
+    ``(chunk_id, alias_norm)`` -> its canonical name.
+
+    Shared by the graph build AND the oracle resolution side-write
+    (``resolution_batch``), so the two cannot drift: the DuckDB replay
+    of the downstream graph semantics consumes exactly the resolution
+    the build used.
+
+    - D1: distinct normalized names across all TEXT logs. Visual logs
+      are excluded from entity merging, exactly like
+      ``_get_unique_entities`` skips logs with visual metadata
+      (build_pipeline.py:227-235); their mentions still resolve (to
+      themselves unless a text cluster claims them).
+    - D2/D3: rename map (cosine-blocked fuzzy clusters + mock resolver).
+    - M9: per-mention disambiguation against "canon --- description"
+      context docs (node_matcher.py:91-94), chunk text as the query.
+    """
+    names_seen: dict[str, None] = {}
+    per_chunk: dict[int, dict[str, None]] = {}
+    for cid, nodes, edges, props, visual in zip(
+        chunk_ids, logs_nodes, logs_edges, logs_props, logs_visual
+    ):
+        aliases = per_chunk.setdefault(cid, {})
+        mentions: list[str] = [n["name"] for n in nodes or []]
+        for e in edges or []:
+            mentions.append(e["source"])
+            mentions.append(e["target"])
+        for p in props or []:
+            mentions.append(p["entity_name"])
+        for raw in mentions:
+            nn = normalize_name(raw)
+            aliases.setdefault(nn)
+            if visual is None:
+                names_seen.setdefault(nn)
+
+    rename, _ = build_rename_map(list(names_seen), llm, embedder)
+
+    # Context docs for disambiguation: canonical name + first known
+    # description ("entity---descriptions" docs, node_matcher.py:91-94).
+    desc_of: dict[str, str] = {}
+    for nodes in logs_nodes:
+        for n in nodes or []:
+            nn = normalize_name(n["name"])
+            for canon in rename.get(nn, [nn]):
+                if n["description"] and canon not in desc_of and len(rename.get(nn, [])) == 1:
+                    desc_of[canon] = n["description"]
+    contexts = {c: f"{c} --- {desc_of.get(c, '')}" for rs in rename.values() for c in rs}
+
+    cmap: dict[tuple[int, str], str] = {}
+    for cid, text in zip(chunk_ids, chunk_texts):
+        for alias in per_chunk.get(cid, ()):
+            cands = rename.get(alias, [alias])
+            cmap[(cid, alias)] = _disambiguate(alias, cands, text, contexts, embedder)
+    return cmap
+
+
+def resolution_batch(
+    batch: pa.Table, llm_factory: Callable[[], LLMClient] = DeterministicMockLLM
+) -> pa.Table:
+    """Mention-resolution provenance over a conv-complete build_logs
+    block: one row per ``(conv_id, chunk_id, alias, canon)`` mention,
+    computed by the SAME ``_conversation_canon_map`` the graph build
+    uses. Side-written once per build for the DuckDB oracles, which
+    treat the fuzzy resolution as model state (like the MinHash perms /
+    LSH hyperplanes) and replay everything downstream in SQL."""
+    llm = _worker_llm(llm_factory)
+    embedder = _worker_embedder()
+    if "quarantined" in batch.column_names:
+        batch = batch.filter(pc.invert(batch["quarantined"])).drop_columns(["quarantined"])
+    batch = batch.take(
+        pc.sort_indices(
+            batch, sort_keys=[("conv_id", "ascending"), ("chunk_id", "ascending")]
+        )
+    )
+    out = {"conv_id": [], "chunk_id": [], "alias": [], "canon": []}
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    if len(conv) == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "chunk_id": pa.array([], pa.int32()),
+                "alias": pa.array([], pa.string()),
+                "canon": pa.array([], pa.string()),
+            }
+        )
+    boundaries = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(conv)]])
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        g = batch.slice(s, e - s)
+        cid_list = g["chunk_id"].to_pylist()
+        visual = (
+            g["main_visual_entity_name"].to_pylist()
+            if "main_visual_entity_name" in g.column_names
+            else [None] * len(cid_list)
+        )
+        cmap = _conversation_canon_map(
+            cid_list,
+            g["chunk_text"].to_pylist(),
+            g["nodes"].to_pylist(),
+            g["edges"].to_pylist(),
+            g["properties"].to_pylist(),
+            visual,
+            llm,
+            embedder,
+        )
+        cv = str(conv[s])
+        for (cid, alias), canon in sorted(cmap.items()):
+            out["conv_id"].append(cv)
+            out["chunk_id"].append(cid)
+            out["alias"].append(alias)
+            out["canon"].append(canon)
+    return pa.table(
+        {
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "chunk_id": pa.array(out["chunk_id"], pa.int32()),
+            "alias": pa.array(out["alias"], pa.string()),
+            "canon": pa.array(out["canon"], pa.string()),
+        }
+    )
+
+
 def build_graph_group(
     group: pa.Table,
     llm_factory: Callable[[], LLMClient] = DeterministicMockLLM,
@@ -234,43 +366,14 @@ def build_graph_group(
     else:
         logs_visual = [None] * len(chunk_ids)
 
-    # ---- D1: distinct normalized names across all TEXT logs --------
-    # Visual logs are excluded from entity merging, exactly like
-    # ``_get_unique_entities`` skips logs with visual metadata
-    # (build_pipeline.py:227-235); their nodes persist as-is below.
-    names_seen: dict[str, None] = {}
-    for nodes, edges, props, visual in zip(
-        logs_nodes, logs_edges, logs_props, logs_visual
-    ):
-        if visual is not None:
-            continue
-        for n in nodes or []:
-            names_seen.setdefault(normalize_name(n["name"]))
-        for e in edges or []:
-            names_seen.setdefault(normalize_name(e["source"]))
-            names_seen.setdefault(normalize_name(e["target"]))
-        for p in props or []:
-            names_seen.setdefault(normalize_name(p["entity_name"]))
-    all_names = list(names_seen)
+    # ---- D1-D3 + M9: per-mention canonical map ----------------------
+    cmap = _conversation_canon_map(
+        chunk_ids, chunk_texts, logs_nodes, logs_edges, logs_props, logs_visual,
+        llm, embedder,
+    )
 
-    # ---- D2/D3: rename map ----------------------------------------
-    rename, _ = build_rename_map(all_names, llm, embedder)
-
-    # Context docs for disambiguation: canonical name + first known
-    # description ("entity---descriptions" docs, node_matcher.py:91-94).
-    desc_of: dict[str, str] = {}
-    for nodes in logs_nodes:
-        for n in nodes or []:
-            nn = normalize_name(n["name"])
-            for canon in rename.get(nn, [nn]):
-                if n["description"] and canon not in desc_of and len(rename.get(nn, [])) == 1:
-                    desc_of[canon] = n["description"]
-    contexts = {c: f"{c} --- {desc_of.get(c, '')}" for rs in rename.values() for c in rs}
-
-    def canon(name: str, chunk_text: str) -> str:
-        nn = normalize_name(name)
-        cands = rename.get(nn, [nn])
-        return _disambiguate(nn, cands, chunk_text, contexts, embedder)
+    def canon(name: str, chunk_id: int) -> str:
+        return cmap[(chunk_id, normalize_name(name))]
 
     # ---- D5 rewrite + D6 node merge + D7/D8 resolution -------------
     # Two passes, persist parity (build_pipeline.py:250-308): ALL nodes
@@ -297,7 +400,7 @@ def build_graph_group(
     ):
         main_visual = normalize_name(visual) if visual is not None else None
         for n in nodes or []:
-            cn = canon(n["name"], text)
+            cn = canon(n["name"], chunk_id)
             touch_node(cn, chunk_id, n["description"] or "")
             if main_visual is not None and normalize_name(n["name"]) == main_visual:
                 visual_nodes.add(cn)
@@ -306,8 +409,8 @@ def build_graph_group(
         chunk_ids, chunk_texts, logs_edges, logs_props
     ):
         for e in edges or []:
-            src = canon(e["source"], text)
-            dst = canon(e["target"], text)
+            src = canon(e["source"], chunk_id)
+            dst = canon(e["target"], chunk_id)
             rel = e["relationship"]
             if src not in node_desc or dst not in node_desc:
                 continue  # dangling endpoint: reference drops the edge
@@ -326,7 +429,7 @@ def build_graph_group(
             row["meta"].setdefault(chunk_id)
             triple_rows.setdefault((src, rel, dst, chunk_id))
         for p in props or []:
-            cn = canon(p["entity_name"], text)
+            cn = canon(p["entity_name"], chunk_id)
             if cn not in node_desc:
                 continue  # unknown owner: reference drops the property
             touch_node(cn, chunk_id)
