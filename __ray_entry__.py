@@ -434,10 +434,19 @@ def _q_ann_lsh_indexed(sf_dir: str):
     return lsh_index_topk(idx, qvec, "vec_id", "embedding", k=10)
 
 
+def _media_state_file() -> str:
+    return f"{_ORACLE_STATE}/media-attached.parquet"
+
+
 def _q_media_kg_nodes(sf_dir: str):
     """Visual elements -> graph nodes (M5/M6, build_pipeline.py:310-413):
     a media-enabled build over a small transcript slice; returns the
-    is_visual nodes with their visual provenance."""
+    is_visual nodes. The attached-media table (the pipeline INPUT) is
+    side-written so the DuckDB oracle can recompute the expected visual
+    node names from the deterministic visual-stub semantics
+    (llm.py extract_visual: "{{media kind}} {{caption head}}"); the
+    blake2 node id is dropped from this surface so every remaining
+    column is value-checked."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -450,12 +459,15 @@ def _q_media_kg_nodes(sf_dir: str):
     tbl = generate_transcripts_table(12, seed=SEED)
     conv_ids = sorted(set(tbl["conv_id"].to_pylist()))
     media = synthetic_attached_media(conv_ids, per_conv=1, seed=SEED)
+    _write_state_parquet(
+        media.select(["conv_id", "media_type", "caption"]), _media_state_file()
+    )
     graph = build_graph_with_media(rd.from_arrow(tbl), rd.from_arrow(media))
 
     def vis_nodes(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.equal(t["kind"], "node"), pc.equal(t["is_visual"], True))
         t = t.filter(pc.fill_null(keep, False))
-        return t.select(["conv_id", "id", "name", "level"])
+        return t.select(["conv_id", "name", "level"])
 
     return graph.map_batches(vis_nodes, batch_format="pyarrow")
 
@@ -1465,6 +1477,176 @@ def _chunks_replay_sql(corpus_glob: str) -> str:
     """
 
 
+_ENT_RE_SQL = r"\[\[([^\]]+)\]\](?:\s*\(\(([^)]*)\)\))?"
+_EDGE_RE_SQL = r"\[\[([^\]]+)\]\]\s*<<([^>]+)>>\s*\[\[([^\]]+)\]\]"
+_PROP_RE_SQL = r"\[\[([^\]]+)\]\]\s*\{\{([^}]+)\}\}"
+_NORM_SQL = r"regexp_replace(trim(lower({x})), '\s+', ' ', 'g')"
+
+
+def _graph_replay_ctes(corpus_glob: str, build_dir: str) -> str:
+    """Shared WITH-clause body for the kg_nodes / kg_edges oracles: the
+    chunk replay, the side-written resolution provenance, ordered entity
+    mentions (first index + first non-empty description per alias, the
+    D6 merge inputs), D7 edge keys with first-occurrence orientation,
+    the derived property rows (D8 + self-loop downgrades), and the
+    community membership / index state read from the build's own level-1
+    nodes (Louvain partitions are model state, like the side-written
+    IVF centroids; names/descriptions/structure are what SQL verifies).
+    """
+    norm = lambda x: _NORM_SQL.format(x=x)  # noqa: E731
+    return f"""
+            chunks AS MATERIALIZED (
+              SELECT conv_id, chunk_id, text FROM ({_chunks_replay_sql(corpus_glob)})
+            ),
+            res AS MATERIALIZED (
+              SELECT * FROM read_parquet('{build_dir}/oracle-resolution/*.parquet')
+            ),
+            bn AS MATERIALIZED (
+              SELECT * FROM read_parquet('{build_dir}/graph/*/kind=node/*.parquet')
+            ),
+            en AS (
+              SELECT conv_id, chunk_id,
+                     regexp_extract_all(text, '{_ENT_RE_SQL}', 1) AS nms,
+                     regexp_extract_all(text, '{_ENT_RE_SQL}', 2) AS dscs
+              FROM chunks WHERE contains(text, '[[')
+            ),
+            ents AS (
+              SELECT conv_id, chunk_id,
+                     unnest(nms) AS nm_raw, unnest(dscs) AS dsc_raw,
+                     generate_subscripts(nms, 1) AS mi
+              FROM en
+            ),
+            alias_chunk AS (
+              -- per (conv, chunk, alias): first match index + the first
+              -- NON-EMPTY description by match order (llm.py:62-67)
+              SELECT conv_id, chunk_id,
+                     {norm("nm_raw")} AS alias,
+                     min(mi) AS first_mi,
+                     coalesce(arg_min(trim(dsc_raw), mi)
+                              FILTER (WHERE trim(dsc_raw) <> ''), '') AS dsc
+              FROM ents GROUP BY 1, 2, 3
+            ),
+            mention AS (
+              SELECT a.conv_id, a.chunk_id, a.alias, a.first_mi, a.dsc, r.canon
+              FROM alias_chunk a
+              JOIN res r ON r.conv_id = a.conv_id AND r.chunk_id = a.chunk_id
+                        AND r.alias = a.alias
+            ),
+            eparse AS (
+              SELECT conv_id, chunk_id,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 1) AS srcs,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 2) AS rels,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 3) AS dsts
+              FROM chunks WHERE contains(text, '[[')
+            ),
+            eflat AS (
+              SELECT conv_id, chunk_id,
+                     unnest(srcs) AS src_raw, unnest(rels) AS rel_raw,
+                     unnest(dsts) AS dst_raw,
+                     generate_subscripts(srcs, 1) AS mi
+              FROM eparse
+            ),
+            eresolved AS (
+              SELECT e.conv_id, e.chunk_id, e.mi,
+                     rs.canon AS subj, trim(e.rel_raw) AS rel, rd.canon AS obj
+              FROM eflat e
+              JOIN res rs ON rs.conv_id = e.conv_id AND rs.chunk_id = e.chunk_id
+                         AND rs.alias = {norm("e.src_raw")}
+              JOIN res rd ON rd.conv_id = e.conv_id AND rd.chunk_id = e.chunk_id
+                         AND rd.alias = {norm("e.dst_raw")}
+            ),
+            ekeys AS (
+              -- D7: undirected dedup on (sorted pair, rel); frm/to keep
+              -- the FIRST occurrence's orientation (chunk asc, match asc)
+              SELECT conv_id,
+                     least(subj, obj) AS a, greatest(subj, obj) AS b, rel,
+                     arg_min(subj, chunk_id * 100000 + mi) AS frm_name,
+                     arg_min(obj,  chunk_id * 100000 + mi) AS to_name
+              FROM eresolved WHERE subj <> obj
+              GROUP BY 1, 2, 3, 4
+            ),
+            pparse AS (
+              SELECT conv_id, chunk_id,
+                     regexp_extract_all(text, '{_PROP_RE_SQL}', 1) AS owners,
+                     regexp_extract_all(text, '{_PROP_RE_SQL}', 2) AS vals
+              FROM chunks WHERE contains(text, '{{{{')
+            ),
+            dprops AS (
+              -- D8 property rows + self-loop downgrades, deduped
+              SELECT DISTINCT p.conv_id, r.canon AS node_name, trim(p.val_raw) AS description
+              FROM (SELECT conv_id, chunk_id, unnest(owners) AS own_raw,
+                           unnest(vals) AS val_raw FROM pparse) p
+              JOIN res r ON r.conv_id = p.conv_id AND r.chunk_id = p.chunk_id
+                        AND r.alias = {norm("p.own_raw")}
+              UNION
+              SELECT DISTINCT conv_id, subj AS node_name, rel AS description
+              FROM eresolved WHERE subj = obj
+            ),
+            memb_named AS (
+              -- community membership = model state (Louvain output)
+              SELECT m.conv_id, m.comm_id, l0b.name AS member_name
+              FROM (SELECT conv_id, id AS comm_id, unnest(child_node_ids) AS child_id
+                    FROM bn WHERE level = 1) m
+              JOIN bn l0b ON l0b.conv_id = m.conv_id AND l0b.id = m.child_id
+            ),
+            kidx AS (
+              -- community index k: partitions sorted by min member name
+              -- (graph_build.py: partitions.sort(key=lambda p: p[0]))
+              SELECT conv_id, comm_id,
+                     CAST(row_number() OVER (PARTITION BY conv_id ORDER BY min_name)
+                          - 1 AS INT) AS k
+              FROM (SELECT conv_id, comm_id, min(member_name) AS min_name
+                    FROM memb_named GROUP BY 1, 2)
+            ),
+            incident AS (
+              SELECT DISTINCT c.conv_id, c.comm_id, e.a, e.b, e.rel,
+                     e.frm_name || ',' || e.rel || ',' || e.to_name AS csv
+              FROM ekeys e
+              JOIN memb_named c ON c.conv_id = e.conv_id
+                               AND (c.member_name = e.frm_name OR c.member_name = e.to_name)
+            ),
+            inc_ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, comm_id
+                                           ORDER BY a, b, rel) AS rnk
+              FROM incident
+            ),
+            comm_csv AS (
+              -- findings replay (llm.py:116-128): title = first field of
+              -- the first incident-edge CSV line, summary = first 3 joined
+              SELECT conv_id, comm_id,
+                     arg_min(split_part(csv, ',', 1), rnk) AS title_src,
+                     string_agg(csv, ' ; ' ORDER BY rnk)
+                       FILTER (WHERE rnk <= 3) AS summary3
+              FROM inc_ranked GROUP BY 1, 2
+            ),
+            prop_first AS (
+              -- properties_csv fallback: first (node_name, description)
+              -- in sorted order (llm.py:123: properties_csv[0])
+              SELECT conv_id, comm_id, node_name AS prop_cn
+              FROM (
+                SELECT c.conv_id, c.comm_id, p.node_name, p.description,
+                       row_number() OVER (PARTITION BY c.conv_id, c.comm_id
+                                          ORDER BY p.node_name, p.description) AS rnk
+                FROM dprops p
+                JOIN memb_named c ON c.conv_id = p.conv_id AND c.member_name = p.node_name
+              ) WHERE rnk = 1
+            ),
+            comm_named AS (
+              SELECT conv_id, comm_id, k,
+                     CASE WHEN nm0 = '' THEN 'community ' || k ELSE nm0 END AS cname,
+                     cdesc
+              FROM (
+                SELECT k.conv_id, k.comm_id, k.k,
+                       {norm("substr(coalesce(cc.title_src, pf.prop_cn, 'community'), 1, 60)")} AS nm0,
+                       coalesce(cc.summary3, 'an extracted community') AS cdesc
+                FROM kidx k
+                LEFT JOIN comm_csv cc ON cc.conv_id = k.conv_id AND cc.comm_id = k.comm_id
+                LEFT JOIN prop_first pf ON pf.conv_id = k.conv_id AND pf.comm_id = k.comm_id
+              )
+            )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # globs over the sf0.01 build output (see _build_dir_sf001): the
     # kg_* oracles recompute build-derived aggregates in DuckDB from
@@ -1665,6 +1847,20 @@ def oracle_sql() -> dict[str, str]:
         # Full SQL replay of the stateful chunk packer from the raw
         # transcript corpus (see _chunks_replay_sql).
         "kg_chunks": _chunks_replay_sql(_transcripts_glob_sf001()),
+        # Visual-node surface: the deterministic visual-stub naming
+        # (llm.py extract_visual, "{media kind} {caption head}",
+        # build_pipeline.py:375-413 main_node analogue) recomputed from
+        # the side-written attached-media input table. Visual names are
+        # excluded from entity merging (D1), so canon(name) = name.
+        "media_kg_nodes": f"""
+            SELECT conv_id,
+                   regexp_replace(trim(lower(
+                       coalesce(nullif(split_part(media_type, '/', 1), ''), 'figure')
+                       || ' ' || trim(lower(split_part(caption, ':', 1)))
+                   )), '\\s+', ' ', 'g') AS name,
+                   CAST(0 AS INT) AS level
+            FROM read_parquet('{_media_state_file()}')
+        """,
         # End-to-end replay of the FLAGSHIP pipeline: raw corpus ->
         # chunk packer (recursive CTE) -> marker-grammar edge parse
         # (the mock extractor's exact regex, zipped multi-group
@@ -1716,6 +1912,103 @@ def oracle_sql() -> dict[str, str]:
             FROM resolved r
             JOIN nodeset ns ON ns.conv_id = r.conv_id AND ns.canon = r.subj
             JOIN nodeset nd ON nd.conv_id = r.conv_id AND nd.canon = r.obj
+        """,
+        # Node surface replay (all three levels). Level 0: entity
+        # mentions parsed from the replayed chunks, D6 merge = first
+        # non-empty description in (chunk, match-order) iteration order;
+        # level 1: the mock community findings (title/summary) are
+        # recomputed in SQL from the DERIVED level-0 edges + property
+        # rows over the Louvain membership state; level 2: the
+        # conversation node with the first-40-words summary. blake2 ids
+        # and the level-0 community_id column are translated from the
+        # build's node parquet via inert natural-key joins (existence
+        # and every other value come from the replay).
+        "kg_nodes": f"""
+            WITH RECURSIVE {_graph_replay_ctes(_transcripts_glob_sf001(), _b)},
+            l0 AS (
+              SELECT conv_id, canon AS name,
+                     coalesce(arg_min(dsc, chunk_id * 100000 + first_mi)
+                              FILTER (WHERE dsc <> ''), '') AS description
+              FROM mention GROUP BY 1, 2
+            ),
+            l2 AS (
+              SELECT conv_id,
+                     array_to_string(list_slice(list_filter(
+                         regexp_split_to_array(substr(s, 1, 4000), '\\s+'),
+                         x -> x <> ''), 1, 40), ' ') AS description
+              FROM (SELECT conv_id, string_agg(text, ' ' ORDER BY chunk_id) AS s
+                    FROM chunks GROUP BY conv_id)
+            )
+            SELECT b0.id AS node_id, l0.conv_id, l0.name, l0.description,
+                   CAST(0 AS INT) AS level, b0.community_id
+            FROM l0
+            LEFT JOIN bn b0 ON b0.conv_id = l0.conv_id AND b0.name = l0.name
+                           AND b0.level = 0
+            UNION ALL
+            SELECT comm_id AS node_id, conv_id, cname AS name, cdesc AS description,
+                   CAST(1 AS INT) AS level, NULL AS community_id
+            FROM comm_named
+            UNION ALL
+            SELECT b2.id AS node_id, l2.conv_id, l2.conv_id AS name, l2.description,
+                   CAST(2 AS INT) AS level, NULL AS community_id
+            FROM l2
+            LEFT JOIN bn b2 ON b2.conv_id = l2.conv_id AND b2.level = 2
+        """,
+        # Edge surface replay. Level 0: the D7 edge keys (undirected
+        # dedup, first-occurrence orientation) derived entirely from the
+        # corpus + resolution state; endpoint/edge ids translated via
+        # natural-key joins. Level 1: exactly one edge per crossing
+        # community pair, carrying the relationship of the FIRST
+        # crossing edge in (a, b, rel) key order
+        # (graph_build.py inter-community dedup); community names come
+        # from the same derivation kg_nodes verifies.
+        "kg_edges": f"""
+            WITH RECURSIVE {_graph_replay_ctes(_transcripts_glob_sf001(), _b)},
+            crossing AS (
+              SELECT e.conv_id, e.a, e.b, e.rel,
+                     kf.k AS ka, kt.k AS kb,
+                     kf.comm_id AS ca, kt.comm_id AS cb
+              FROM ekeys e
+              JOIN memb_named cf ON cf.conv_id = e.conv_id AND cf.member_name = e.frm_name
+              JOIN kidx kf ON kf.conv_id = e.conv_id AND kf.comm_id = cf.comm_id
+              JOIN memb_named ct ON ct.conv_id = e.conv_id AND ct.member_name = e.to_name
+              JOIN kidx kt ON kt.conv_id = e.conv_id AND kt.comm_id = ct.comm_id
+              WHERE kf.k <> kt.k
+            ),
+            l1e AS (
+              SELECT conv_id,
+                     CASE WHEN ka < kb THEN ca ELSE cb END AS frm,
+                     CASE WHEN ka < kb THEN cb ELSE ca END AS "to",
+                     rel AS description
+              FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, least(ka, kb), greatest(ka, kb)
+                    ORDER BY a, b, rel) AS rnk
+                FROM crossing
+              ) WHERE rnk = 1
+            )
+            SELECT be.id AS edge_id, d.conv_id, bf.id AS frm, bt.id AS "to",
+                   d.frm_name, d.to_name, CAST(0 AS INT) AS level,
+                   d.rel AS description
+            FROM ekeys d
+            LEFT JOIN bn bf ON bf.conv_id = d.conv_id AND bf.name = d.frm_name
+                           AND bf.level = 0
+            LEFT JOIN bn bt ON bt.conv_id = d.conv_id AND bt.name = d.to_name
+                           AND bt.level = 0
+            LEFT JOIN read_parquet('{_edges}') be
+              ON be.conv_id = d.conv_id AND be.level = 0
+                 AND be.frm_name = d.frm_name AND be.to_name = d.to_name
+                 AND be.description = d.rel
+            UNION ALL
+            SELECT be1.id AS edge_id, l.conv_id, l.frm, l."to",
+                   nf.cname AS frm_name, nt.cname AS to_name,
+                   CAST(1 AS INT) AS level, l.description
+            FROM l1e l
+            JOIN comm_named nf ON nf.conv_id = l.conv_id AND nf.comm_id = l.frm
+            JOIN comm_named nt ON nt.conv_id = l.conv_id AND nt.comm_id = l."to"
+            LEFT JOIN read_parquet('{_edges}') be1
+              ON be1.conv_id = l.conv_id AND be1.level = 1
+                 AND be1.frm = l.frm AND be1."to" = l."to"
         """,
         # Property surface replayed the same way: {{...}} markers parsed
         # from the replayed chunks, owners resolved via the canon

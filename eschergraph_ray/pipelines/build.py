@@ -903,6 +903,167 @@ def remove_documents(
     return removed
 
 
+def remove_node_by_id(out_dir: str, node_id: str) -> dict:
+    """Node-granularity mutation — the reference's
+    ``Repository.remove_node_by_id`` edge/property cascade
+    (``eschergraph/persistence/adapters/simple_repository.py:724-760``):
+    delete ONE node, every edge incident to it, every property it owns,
+    and (beyond the reference, to keep our flat surfaces consistent)
+    its conversation's triples that reference the node's name and its
+    id in any community's ``child_node_ids``. A DELETE ChangeLog row is
+    appended per removed object so the sync algebra (A4) plans the
+    vector-store deletions. Atomic per-file rewrites, idempotent
+    (removing an absent id is a no-op returning zero counts)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..schemas import CHANGE_LOG
+
+    manifest = Manifest(out_dir)
+    removed = {"node": 0, "edge": 0, "property": 0, "triple": 0}
+    graph_root = os.path.join(out_dir, "graph")
+    if not os.path.isdir(graph_root):
+        return removed
+
+    # locate the node (its partition, conversation, name, level)
+    hit = None
+    for pid in sorted(os.listdir(graph_root)):
+        d = os.path.join(graph_root, pid, "kind=node")
+        if not os.path.isdir(d):
+            continue
+        t = pads.dataset(d).to_table(columns=["id", "conv_id", "name", "level"])
+        mask = pc.fill_null(pc.equal(t["id"], node_id), False)
+        if int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0):
+            row = t.filter(mask)
+            hit = (
+                pid,
+                row["conv_id"][0].as_py(),
+                row["name"][0].as_py(),
+                int(row["level"][0].as_py() or 0),
+            )
+            break
+    if hit is None:
+        return removed
+    pid, conv_id, name, level = hit
+    graph_dir = os.path.join(graph_root, pid)
+    delete_rows: list[dict] = []
+
+    def rewrite(kind: str, keep_fn) -> int:
+        """Filter every file of one kind partition; returns rows gone."""
+        d = os.path.join(graph_dir, f"kind={kind}")
+        gone_total = 0
+        if not os.path.isdir(d):
+            return 0
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            p = os.path.join(d, fname)
+            t = pq.read_table(p)
+            keep = keep_fn(t)
+            n_gone = t.num_rows - int(pc.sum(pc.cast(keep, pa.int64())).as_py() or 0)
+            if n_gone == 0:
+                continue
+            gone_total += n_gone
+            if kind in ("node", "edge", "property"):
+                gone = t.filter(pc.invert(keep))
+                for i_, c_, l_ in zip(
+                    gone["id"].to_pylist(),
+                    gone["conv_id"].to_pylist(),
+                    gone["level"].to_pylist(),
+                ):
+                    delete_rows.append(
+                        {
+                            "id": i_,
+                            "action": "DELETE",
+                            "type": kind,
+                            "level": l_ if l_ is not None else 0,
+                            "conv_id": c_,
+                        }
+                    )
+            pq.write_table(t.filter(keep).combine_chunks(), p + ".tmp")
+            os.replace(p + ".tmp", p)
+        return gone_total
+
+    removed["node"] = rewrite(
+        "node", lambda t: pc.invert(pc.fill_null(pc.equal(t["id"], node_id), False))
+    )
+    removed["edge"] = rewrite(
+        "edge",
+        lambda t: pc.invert(
+            pc.fill_null(
+                pc.or_(pc.equal(t["frm"], node_id), pc.equal(t["to"], node_id)), False
+            )
+        ),
+    )
+    removed["property"] = rewrite(
+        "property",
+        lambda t: pc.invert(pc.fill_null(pc.equal(t["node_id"], node_id), False)),
+    )
+    if level == 0:
+        removed["triple"] = rewrite(
+            "triple",
+            lambda t: pc.invert(
+                pc.fill_null(
+                    pc.and_(
+                        pc.equal(t["conv_id"], conv_id),
+                        pc.or_(pc.equal(t["subj"], name), pc.equal(t["obj"], name)),
+                    ),
+                    False,
+                )
+            ),
+        )
+    # drop the removed ids from the staged CREATE log partition so a
+    # (hypothetical) sidecar re-derivation cannot resurrect them —
+    # same policy as remove_documents' conv-scoped filter
+    gone_ids = pa.array(sorted({r["id"] for r in delete_rows}))
+    rewrite(
+        "changelog",
+        lambda t: pc.invert(pc.fill_null(pc.is_in(t["id"], value_set=gone_ids), False)),
+    )
+    # cascade out of community membership lists (child_node_ids)
+    d = os.path.join(graph_dir, "kind=node")
+    for fname in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+        if not fname.endswith(".parquet"):
+            continue
+        p = os.path.join(d, fname)
+        t = pq.read_table(p)
+        if "child_node_ids" not in t.column_names:
+            continue
+        kids = t["child_node_ids"].to_pylist()
+        if not any(kids_row and node_id in kids_row for kids_row in kids):
+            continue
+        new_kids = [
+            [k for k in (row or []) if k != node_id] if row is not None else None
+            for row in kids
+        ]
+        idx = t.schema.get_field_index("child_node_ids")
+        t = t.set_column(
+            idx, "child_node_ids", pa.array(new_kids, t.schema.field(idx).type)
+        )
+        pq.write_table(t.combine_chunks(), p + ".tmp")
+        os.replace(p + ".tmp", p)
+    # DELETE change log (idempotent, content-addressed name)
+    if delete_rows:
+        logt = pa.Table.from_pylist(delete_rows, schema=CHANGE_LOG)
+        digest = hashlib.blake2b(
+            "".join(sorted(r["id"] for r in delete_rows)).encode(), digest_size=8
+        ).hexdigest()
+        dst = os.path.join(out_dir, "change_log", f"{pid}-nodedel-{digest}.parquet")
+        pq.write_table(logt, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+    # lineage counters reflect the rewrite
+    rec = dict(manifest.get(pid))
+    rec.pop("status", None)
+    rec.update(_graph_stats(graph_dir))
+    manifest.mark(pid, "committed", **rec)
+    pq.write_table(
+        manifest.lineage_table(), os.path.join(out_dir, "lineage.parquet")
+    )
+    return removed
+
+
 def load_graph_union(out_dir: str, kinds: tuple = ("node", "edge", "property")):
     """Graph rows as one Dataset with the ``kind`` column re-attached
     explicitly from the partition directory (the hive partition column

@@ -392,3 +392,72 @@ def test_crash_during_incremental_add_keeps_dup_guard(tmp_path):
     ]  # conv 1 NOT added twice
     lineage = pq.read_table(os.path.join(out, "lineage.parquet")).to_pandas()
     assert lineage["skipped_duplicates"].sum() >= 1
+
+
+def test_remove_node_by_id_cascade(tmp_path):
+    # Reference Repository.remove_node_by_id (simple_repository.py:
+    # 724-760): delete one node + incident edges + owned properties,
+    # with DELETE change logs; plus our flat-surface cascades (triples
+    # by name, community child_node_ids).
+    from eschergraph_ray.pipelines.build import remove_node_by_id
+
+    src = _write_shards(str(tmp_path / "src"), [[0, 1, 2, 3]])
+    out = str(tmp_path / "out")
+    build(src, out, tags_fn=_tags_fn)
+
+    edges = load_kind_arrow(out, "edge").to_pandas()
+    props = load_kind_arrow(out, "property").to_pandas()
+    nodes = load_kind_arrow(out, "node").to_pandas()
+    # a level-0 node that has both incident edges and properties
+    l0_edges = edges[edges["level"] == 0]
+    cand = set(l0_edges["frm"]) & set(props["node_id"])
+    nid = sorted(cand)[0]
+    row = nodes[nodes["node_id"] == nid].iloc[0]
+    name, conv = row["name"], row["conv_id"]
+    exp_edges = len(l0_edges[(l0_edges["frm"] == nid) | (l0_edges["to"] == nid)])
+    exp_props = len(props[props["node_id"] == nid])
+    triples = load_kind_arrow(out, "triple").to_pandas()
+    exp_triples = len(
+        triples[
+            (triples["conv_id"] == conv)
+            & ((triples["subj"] == name) | (triples["obj"] == name))
+        ]
+    )
+    assert exp_edges > 0 and exp_props > 0
+
+    removed = remove_node_by_id(out, nid)
+    assert removed == {
+        "node": 1,
+        "edge": exp_edges,
+        "property": exp_props,
+        "triple": exp_triples,
+    }
+
+    nodes2 = load_kind_arrow(out, "node").to_pandas()
+    edges2 = load_kind_arrow(out, "edge").to_pandas()
+    props2 = load_kind_arrow(out, "property").to_pandas()
+    assert nid not in set(nodes2["node_id"])
+    assert not ((edges2["frm"] == nid) | (edges2["to"] == nid)).any()
+    assert not (props2["node_id"] == nid).any()
+    # no dangling reference in any community's children
+    for kids in nodes2["child_node_ids"]:
+        assert nid not in (kids if kids is not None else [])
+    # DELETE logs appended -> the sync algebra cancels the created-
+    # then-deleted ids (no upsert, no delete for a never-synced store)
+    log = load_change_log(out).to_pandas()
+    dele = log[log["action"] == "DELETE"]
+    assert nid in set(dele["id"])
+    assert len(dele) == 1 + exp_edges + exp_props
+    plan = sync_actions(load_change_log(out)).to_pandas()
+    assert nid not in set(plan["id"])
+    # idempotent: second removal is a no-op
+    assert remove_node_by_id(out, nid) == {
+        "node": 0,
+        "edge": 0,
+        "property": 0,
+        "triple": 0,
+    }
+    # lineage counters reflect the cascade
+    lin = pq.read_table(os.path.join(out, "lineage.parquet")).to_pylist()
+    assert sum(r["node_count"] for r in lin) == len(nodes2)
+    assert sum(r["edge_count"] for r in lin) == len(edges2)
