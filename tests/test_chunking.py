@@ -79,3 +79,20 @@ def test_oversized_turn_is_sentence_split():
     chunks = chunk_group(add_turn_tokens(tbl))
     assert chunks.num_rows > 1
     assert all(n <= MAX_TOKENS + 30 for n in chunks["n_tokens"].to_pylist())
+
+
+def test_corpus_turns_never_hit_overlong_split():
+    # The kg_chunks DuckDB oracle replays the packer WITHOUT the
+    # over-long-turn sentence-split path (>MAX_TOKENS in one turn); this
+    # pins the documented assumption that the synthetic corpus never
+    # triggers it. If generation ever changes, this fails before the
+    # oracle silently diverges.
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.text import _TOKEN_RE
+    from eschergraph_ray.sources.transcripts import generate_transcripts_table
+    from eschergraph_ray.stages.chunking import MAX_TOKENS
+
+    tbl = generate_transcripts_table(120)
+    counts = pc.count_substring_regex(tbl["text"], _TOKEN_RE.pattern)
+    assert pc.max(counts).as_py() < MAX_TOKENS
