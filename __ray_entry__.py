@@ -115,17 +115,23 @@ def _resolution_sidecar(out: str) -> str:
 
 def _q_kg(kind: str):
     def run(sf_dir: str):
-        from eschergraph_ray.pipelines.build import load_kind_arrow
+        from eschergraph_ray.pipelines.build import load_kind
 
         out = _build_for(sf_dir, "q")
         _resolution_sidecar(out)  # oracle model state (cached)
-        t = load_kind_arrow(out, kind)
-        drop = [
+        # stream the partitioned output as a Dataset — no driver-side
+        # concat of the full table (the driver consumes batches)
+        ds = load_kind(out, kind)
+        drop = tuple(
             c
             for c in ("properties", "child_node_ids", "metadata", "is_visual")
-            if c in t.column_names
-        ]
-        return t.drop_columns(drop)
+            if c in ds.schema().names
+        )
+        if drop:
+            ds = ds.map_batches(
+                lambda t, d=drop: t.drop_columns(list(d)), batch_format="pyarrow"
+            )
+        return ds
 
     return run
 

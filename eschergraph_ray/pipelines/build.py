@@ -1169,15 +1169,21 @@ def get_max_level(out_dir: str) -> int:
     return int(rd.read_parquet(files, columns=["level"]).max("level") or 0)
 
 
-def load_kind_arrow(out_dir: str, kind: str) -> pa.Table:
-    """Driver-side Arrow read for small results (tests/oracle checks)."""
+def load_kind_arrow(out_dir: str, kind: str, filter=None) -> pa.Table:
+    """Driver-side Arrow read for small results (tests/oracle checks).
+
+    ``filter`` is an optional ``pyarrow.dataset`` expression over the
+    PHYSICAL column names (e.g. ``pc.field("conv_id") == x``); it is
+    pushed into the parquet scan so only matching row groups decode —
+    use it whenever the caller wants a small slice of a large build.
+    """
     cols = _KIND_COLUMNS[kind]
     graph_root = os.path.join(out_dir, "graph")
     tables = []
     for pid in sorted(os.listdir(graph_root)):
         p = os.path.join(graph_root, pid, f"kind={kind}")
         if os.path.isdir(p):
-            t = pads.dataset(p).to_table(columns=list(cols))
+            t = pads.dataset(p).to_table(columns=list(cols), filter=filter)
             tables.append(t)
     tab = pa.concat_tables(tables) if tables else None
     if tab is None:

@@ -110,16 +110,15 @@ def gather_dashboard(out_dir: str) -> dict:
 def visualize_html(out_dir: str, conv_id: str, path: str) -> str:
     """Self-contained SVG visual of one conversation's level-0 graph
     (visualizer.py analogue; community-colored)."""
+    import pyarrow.dataset as pads
+
     from .build import load_kind_arrow
 
-    nodes = load_kind_arrow(out_dir, "node")
-    nodes = nodes.filter(
-        pc.and_(pc.equal(nodes["conv_id"], conv_id), pc.equal(nodes["level"], 0))
-    )
-    edges = load_kind_arrow(out_dir, "edge")
-    edges = edges.filter(
-        pc.and_(pc.equal(edges["conv_id"], conv_id), pc.equal(edges["level"], 0))
-    )
+    # predicate pushed into the parquet scan: only row groups containing
+    # this conversation decode — never the whole graph on the driver
+    conv_filter = (pads.field("conv_id") == conv_id) & (pads.field("level") == 0)
+    nodes = load_kind_arrow(out_dir, "node", filter=conv_filter)
+    edges = load_kind_arrow(out_dir, "edge", filter=conv_filter)
     n = nodes.num_rows
     ids = nodes["node_id"].to_pylist()
     names = nodes["name"].to_pylist()
