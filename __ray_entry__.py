@@ -492,6 +492,52 @@ def _q_media_features(sf_dir: str):
     return out.drop_columns(["features"])
 
 
+def _media_blobs_file() -> str:
+    return f"{_ORACLE_STATE}/media-blobs-n32.parquet"
+
+
+def _q_media_data_urls(sf_dir: str):
+    """F6 (openai.py:264-271 + 249-256): binary media payloads ->
+    base64 data URLs, the message-prep step of the visual LLM path.
+    The deterministic blob corpus is side-written once; BOTH the Ray
+    stage and the DuckDB oracle (to_base64) read the same parquet."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.multimodal import (
+        encode_media_data_urls,
+        synthetic_media_table,
+    )
+
+    _context()
+    _write_state_parquet(synthetic_media_table(32), _media_blobs_file())
+    ds = rd.read_parquet(_media_blobs_file())
+    return encode_media_data_urls(ds).select_columns(
+        ["media_id", "media_type", "data_url"]
+    )
+
+
+def _table_specs_file() -> str:
+    return f"{_ORACLE_STATE}/table-specs-n24.parquet"
+
+
+def _q_media_table_markdown(sf_dir: str):
+    """F7 (_generate_markdown_table + _handle_tables,
+    multi_modal_parser.py:93-112,196-230): sparse TABLE cell specs ->
+    caption + markdown-table visual-element content. Spec corpus
+    side-written once; the oracle rebuilds the dense grid in SQL."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.multimodal import (
+        render_table_elements,
+        synthetic_table_specs,
+    )
+
+    _context()
+    _write_state_parquet(synthetic_table_specs(24), _table_specs_file())
+    ds = rd.read_parquet(_table_specs_file())
+    return render_table_elements(ds).select_columns(["spec_id", "content"])
+
+
 # ---------------------------------------------------------------------------
 # relational / windowed operators over the sf tables
 # ---------------------------------------------------------------------------
@@ -1375,6 +1421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_indexed": _q_ann_lsh_indexed,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_data_urls": _q_media_data_urls,
+        "media_table_markdown": _q_media_table_markdown,
         "media_kg_nodes": _q_media_kg_nodes,
         "kg_dashboard": _q_kg_dashboard,
         "kg_build_estimate": _q_build_estimate,
@@ -2575,6 +2623,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i % 3 = 0 THEN 0 ELSE 1000 + i END AS INTEGER)
                        AS duration_ms
             FROM (SELECT unnest(range(32)) AS i)
+        """,
+        "media_data_urls": f"""
+            -- F6: the exact data-URL string the Ray stage emits,
+            -- recomputed from the shared side-written blob corpus
+            SELECT media_id, media_type,
+                   'data:' || media_type || ';base64,' || to_base64(payload)
+                       AS data_url
+            FROM read_parquet('{_ORACLE_STATE}/media-blobs-n32.parquet')
+        """,
+        "media_table_markdown": f"""
+            -- F7: rebuild the dense row x column grid (missing cells
+            -- render as ''), then assemble header / '---' separator /
+            -- content lines exactly as _generate_markdown_table does.
+            -- range(0,1024) is a constant upper bound (no lateral
+            -- generate_series(col) in DuckDB 1.0); specs cap at 4x4.
+            WITH specs AS (
+              SELECT spec_id, caption, row_count, column_count
+              FROM read_parquet('{_ORACLE_STATE}/table-specs-n24.parquet')
+            ),
+            cells AS (
+              SELECT spec_id, unnest(cells, recursive := true)
+              FROM read_parquet('{_ORACLE_STATE}/table-specs-n24.parquet')
+            ),
+            ri AS (SELECT s.spec_id, r.range::INT AS ri
+                   FROM specs s, range(0, 1024) r WHERE r.range < s.row_count),
+            ci AS (SELECT s.spec_id, c.range::INT AS ci
+                   FROM specs s, range(0, 1024) c WHERE c.range < s.column_count),
+            grid AS (SELECT ri.spec_id, ri.ri, ci.ci
+                     FROM ri JOIN ci ON ri.spec_id = ci.spec_id),
+            filled AS (
+              SELECT g.spec_id, g.ri, g.ci, coalesce(c.content, '') AS content
+              FROM grid g LEFT JOIN cells c
+                ON c.spec_id = g.spec_id AND c.row_index = g.ri
+               AND c.column_index = g.ci
+            ),
+            lines AS (
+              SELECT spec_id, ri,
+                     '| ' || string_agg(content, ' | ' ORDER BY ci) || ' |' AS line
+              FROM filled GROUP BY spec_id, ri
+            ),
+            seps AS (
+              SELECT spec_id,
+                     '| ' || string_agg('---', ' | ' ORDER BY ci) || ' |' AS line
+              FROM (SELECT DISTINCT spec_id, ci FROM grid) GROUP BY spec_id
+            ),
+            ordered AS (
+              SELECT spec_id, 0 AS k, line FROM lines WHERE ri = 0
+              UNION ALL SELECT spec_id, 1 AS k, line FROM seps
+              UNION ALL SELECT spec_id, ri * 2 AS k, line FROM lines WHERE ri > 0
+            ),
+            md AS (
+              SELECT spec_id, string_agg(line, chr(10) ORDER BY k) || chr(10) AS mdt
+              FROM ordered GROUP BY spec_id
+            )
+            SELECT s.spec_id, s.caption || chr(10) || m.mdt AS content
+            FROM specs s JOIN md m USING (spec_id)
         """,
         "kg_quick_search": f"""
             -- A6 rerank semantics replayed over the side-written node

@@ -18,6 +18,7 @@ sizing, output layout — and stub only the codec boundary:
 
 from __future__ import annotations
 
+import base64
 import hashlib
 
 import numpy as np
@@ -127,6 +128,133 @@ def synthetic_attached_media(conv_ids: list[str], per_conv: int = 1,
     return base.append_column("conv_id", pa.array(convs, pa.string())).append_column(
         "caption", pa.array(captions, pa.string())
     )
+
+
+def encode_image_b64(payload: bytes | None) -> str | None:
+    """F6 (``OpenAIProvider._encode_image``, reference
+    ``eschergraph/agents/providers/openai.py:264-271``): base64-encode
+    one image payload; ``None`` when the payload is missing (the
+    reference returns None on read error)."""
+    if payload is None:
+        return None
+    return base64.b64encode(payload).decode("utf-8")
+
+
+def encode_media_data_urls(ds, batch_size: int = 32):
+    """F6 message-prep stage (reference ``openai.py:249-271``): binary
+    ``payload`` -> ``data_url`` string column
+    ``data:{media_type};base64,{b64}`` — exactly the image part the
+    reference embeds in its multimodal prompt. base64 runs at C speed
+    per blob; the SMALL default batch size is deliberate (a data URL is
+    4/3 the blob size ON TOP of the blob, so batch x concurrency must
+    stay inside the worker heap). Blobs are dropped from the output —
+    only the encoded form travels downstream."""
+
+    def enc(batch: pa.Table) -> pa.Table:
+        urls = [
+            None if p is None else f"data:{m};base64,{encode_image_b64(p)}"
+            for p, m in zip(
+                batch["payload"].to_pylist(), batch["media_type"].to_pylist()
+            )
+        ]
+        return batch.drop_columns(["payload"]).append_column(
+            "data_url", pa.array(urls, pa.string())
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=batch_size)
+
+
+TABLE_CELL = pa.struct(
+    [
+        ("row_index", pa.int32()),
+        ("column_index", pa.int32()),
+        ("content", pa.string()),
+    ]
+)
+
+TABLE_SPEC_SCHEMA = pa.schema(
+    [
+        ("spec_id", pa.string()),
+        ("conv_id", pa.string()),
+        ("caption", pa.string()),
+        ("row_count", pa.int32()),
+        ("column_count", pa.int32()),
+        ("cells", pa.list_(TABLE_CELL)),
+    ]
+)
+
+
+def generate_markdown_table(row_count: int, column_count: int, cells) -> str:
+    """F7 (``_generate_markdown_table``, reference
+    ``eschergraph/builder/reader/multi_modal/multi_modal_parser.py:196-230``):
+    dense ``row_count x column_count`` grid defaulted to ``""``, filled
+    from sparse cells, rendered as a markdown table — header row, a
+    ``---`` separator, then content rows, each line ``| a | b |\\n``."""
+    grid = [["" for _ in range(column_count)] for _ in range(row_count)]
+    for cell in cells:
+        grid[cell["row_index"]][cell["column_index"]] = cell["content"]
+    out = "| " + " | ".join(grid[0]) + " |\n"
+    out += "| " + " | ".join(["---"] * column_count) + " |\n"
+    for row in grid[1:]:
+        out += "| " + " | ".join(row) + " |\n"
+    return out
+
+
+def render_table_elements(ds, batch_size: int = 256):
+    """TABLE spec rows -> visual-element ``content`` (caption + newline
+    + markdown table; ``_handle_tables``, reference
+    ``multi_modal_parser.py:93-112``). Per-row string assembly is
+    inherent here (each row builds one small ragged grid), but each
+    grid is tiny and the stage parallelizes across batches."""
+
+    def render(batch: pa.Table) -> pa.Table:
+        contents = [
+            f"{cap}\n" + generate_markdown_table(rc, cc, cells or [])
+            for cap, rc, cc, cells in zip(
+                batch["caption"].to_pylist(),
+                batch["row_count"].to_pylist(),
+                batch["column_count"].to_pylist(),
+                batch["cells"].to_pylist(),
+            )
+        ]
+        return batch.drop_columns(["cells"]).append_column(
+            "content", pa.array(contents, pa.string())
+        )
+
+    return ds.map_batches(render, batch_format="pyarrow", batch_size=batch_size)
+
+
+def synthetic_table_specs(n: int = 24, seed: int = 42) -> pa.Table:
+    """Deterministic sparse TABLE specs for tests/oracles: 2-4 rows x
+    2-4 columns, ~15% of cells absent (they must render as ``""``);
+    each (row, column) appears at most once."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rc = 2 + int(rng.integers(0, 3))
+        cc = 2 + int(rng.integers(0, 3))
+        cells = []
+        for r in range(rc):
+            for c in range(cc):
+                if rng.random() < 0.85:
+                    cells.append(
+                        {
+                            "row_index": r,
+                            "column_index": c,
+                            "content": f"r{r}c{c}v{int(rng.integers(0, 100))}",
+                        }
+                    )
+        rows.append(
+            {
+                "spec_id": f"t{i:04d}",
+                "conv_id": f"conv{i % 5}",
+                "caption": f"Table {i}: quarterly rollout metrics",
+                "row_count": rc,
+                "column_count": cc,
+                "cells": cells,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=TABLE_SPEC_SCHEMA)
 
 
 def transform_to_node_ext(answer: dict) -> tuple[list[dict], str | None]:

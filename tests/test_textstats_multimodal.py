@@ -128,3 +128,74 @@ def test_fingerprint_near_pairs_empty_when_no_overlap():
     )
     out = fingerprint_near_pairs(docs, "doc_id", "text").to_pandas()
     assert len(out) == 0
+
+
+def test_encode_image_b64_reference_parity():
+    # F6 (openai.py:264-271): plain b64, None passthrough on missing
+    import base64
+
+    from eschergraph_ray.functions.multimodal import encode_image_b64
+
+    assert encode_image_b64(b"\x00\x01pixels") == base64.b64encode(
+        b"\x00\x01pixels"
+    ).decode("utf-8")
+    assert encode_image_b64(None) is None
+
+
+def test_encode_media_data_urls_stage(ray_session):
+    from eschergraph_ray.functions.multimodal import (
+        encode_image_b64,
+        encode_media_data_urls,
+        synthetic_media_table,
+    )
+
+    tbl = synthetic_media_table(6)
+    out = encode_media_data_urls(rd.from_arrow(tbl)).take_all()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id) == 6
+    for mid, mtype, payload in zip(
+        tbl["media_id"].to_pylist(),
+        tbl["media_type"].to_pylist(),
+        tbl["payload"].to_pylist(),
+    ):
+        r = by_id[mid]
+        assert "payload" not in r  # blobs never travel past the encoder
+        assert r["data_url"] == f"data:{mtype};base64,{encode_image_b64(payload)}"
+
+
+def test_generate_markdown_table_golden():
+    # F7 (_generate_markdown_table, multi_modal_parser.py:196-230):
+    # header row, --- separator, dense grid with "" for absent cells
+    from eschergraph_ray.functions.multimodal import generate_markdown_table
+
+    cells = [
+        {"row_index": 0, "column_index": 0, "content": "name"},
+        {"row_index": 0, "column_index": 1, "content": "qty"},
+        {"row_index": 1, "column_index": 0, "content": "bolt"},
+        # (1,1) absent on purpose -> renders as ""
+        {"row_index": 2, "column_index": 1, "content": "7"},
+    ]
+    got = generate_markdown_table(3, 2, cells)
+    assert got == (
+        "| name | qty |\n"
+        "| --- | --- |\n"
+        "| bolt |  |\n"
+        "|  | 7 |\n"
+    )
+
+
+def test_render_table_elements_stage(ray_session):
+    from eschergraph_ray.functions.multimodal import (
+        generate_markdown_table,
+        render_table_elements,
+        synthetic_table_specs,
+    )
+
+    specs = synthetic_table_specs(10)
+    out = render_table_elements(rd.from_arrow(specs)).take_all()
+    by_id = {r["spec_id"]: r["content"] for r in out}
+    for row in specs.to_pylist():
+        expected = f"{row['caption']}\n" + generate_markdown_table(
+            row["row_count"], row["column_count"], row["cells"] or []
+        )
+        assert by_id[row["spec_id"]] == expected
