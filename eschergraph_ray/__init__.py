@@ -30,6 +30,16 @@ from .pipelines.build import (  # noqa: E402
 )
 from .functions.joins import asof_join, interval_join  # noqa: E402
 from .pipelines.dashboard import gather_dashboard  # noqa: E402
+from .pipelines.repository import (  # noqa: E402
+    clear_change_log,
+    get_document_by_id,
+    get_document_by_name,
+    get_edge_by_id,
+    get_node_by_id,
+    get_node_by_name,
+    get_property_by_id,
+    list_available_tags,
+)
 from .pipelines.search import (  # noqa: E402
     attribute_search,
     global_answer,
@@ -56,4 +66,12 @@ __all__ = [
     "global_answer",
     "asof_join",
     "interval_join",
+    "get_node_by_id",
+    "get_node_by_name",
+    "get_edge_by_id",
+    "get_property_by_id",
+    "get_document_by_id",
+    "get_document_by_name",
+    "list_available_tags",
+    "clear_change_log",
 ]

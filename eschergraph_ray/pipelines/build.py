@@ -322,7 +322,7 @@ def _write_change_log(out_dir: str, pid: str, graph_dir: str) -> None:
         out = (
             pa.concat_tables(parts)
             if parts
-            else pa.Table.from_pydict({}, schema=CHANGE_LOG)
+            else CHANGE_LOG.empty_table()
         )
     os.makedirs(os.path.join(out_dir, "change_log"), exist_ok=True)
     dst = os.path.join(out_dir, "change_log", f"{pid}.parquet")
@@ -379,7 +379,7 @@ def _stage_pending_update(out_dir: str, pid: str, conv_ids: list[str]) -> None:
     snap = (
         pa.concat_tables([p.cast(CHANGE_LOG) for p in parts])
         if parts
-        else pa.Table.from_pydict({}, schema=CHANGE_LOG)
+        else CHANGE_LOG.empty_table()
     )
     if snap.num_rows:
         g = snap.group_by(["id", "type", "conv_id"]).aggregate([("level", "max")])
@@ -1115,7 +1115,7 @@ def load_documents_arrow(out_dir: str) -> pa.Table:
 
     files = _sidecar_files(out_dir, "documents")
     if not files:
-        return pa.Table.from_pydict({}, schema=DOCUMENTS_TABLE)
+        return DOCUMENTS_TABLE.empty_table()
     import pyarrow.parquet as pq
 
     return pa.concat_tables([pq.read_table(f) for f in files])
@@ -1144,7 +1144,7 @@ def load_change_log(out_dir: str):
 
     files = _sidecar_files(out_dir, "change_log")
     if not files:
-        return rd.from_arrow(pa.Table.from_pydict({}, schema=CHANGE_LOG))
+        return rd.from_arrow(CHANGE_LOG.empty_table())
     return rd.read_parquet(files)
 
 

@@ -106,7 +106,7 @@ def _split_long_turn(text: str, max_tokens: int) -> list[str]:
 def chunk_group(group: pa.Table, max_tokens: int = MAX_TOKENS) -> pa.Table:
     """Chunk one (conv_id, salt) group. Pure function: pa.Table in/out."""
     if group.num_rows == 0:
-        return pa.Table.from_pydict({}, schema=CHUNKS)
+        return CHUNKS.empty_table()
     order = pc.sort_indices(group["turn_idx"])
     group = group.take(order)
     conv_id = group["conv_id"][0].as_py()
@@ -198,7 +198,7 @@ def chunk_batch(batch: pa.Table, max_tokens: int = MAX_TOKENS) -> pa.Table:
     """
     batch = add_turn_tokens(batch)
     if batch.num_rows == 0:
-        return pa.Table.from_pydict({}, schema=CHUNKS)
+        return CHUNKS.empty_table()
     out: list[pa.Table] = []
     # sort by (conv_id, turn_idx) once, then slice runs per
     # (conv_id, salt) — salt boundaries are contiguous under turn order,

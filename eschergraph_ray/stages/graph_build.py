@@ -630,7 +630,7 @@ def _docrec_rows(batch: pa.Table) -> pa.Table:
     chunk_num = count(*), token_num = sum(n_tokens) (0 when the column
     is absent, e.g. media logs), turn_num = max(turn_last) + 1."""
     if batch.num_rows == 0:
-        return pa.Table.from_pydict({}, schema=GRAPH_UNION)
+        return GRAPH_UNION.empty_table()
     conv = batch["conv_id"].to_numpy(zero_copy_only=False)
     boundaries = np.flatnonzero(conv[1:] != conv[:-1]) + 1
     starts = np.concatenate([[0], boundaries]).astype(np.int64)
@@ -676,7 +676,7 @@ def _changelog_rows(graph: pa.Table) -> pa.Table:
     src = graph.filter(mask)
     n = src.num_rows
     if n == 0:
-        return pa.Table.from_pydict({}, schema=GRAPH_UNION)
+        return GRAPH_UNION.empty_table()
     filled = {
         "kind": pa.array(["changelog"] * n, pa.string()),
         "conv_id": src["conv_id"].combine_chunks().cast(pa.string()),
