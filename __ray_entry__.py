@@ -272,6 +272,70 @@ def _q_doc_token_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _q_docs_sample(sf_dir: str):
+    """Deterministic hash-mod sampling (functions/sampling.py): keep
+    25% of documents by md5(doc_id) bucket — membership is a pure
+    function of the id, so the SQL oracle replays it exactly and
+    retries/cluster-size changes select the same rows."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import hash_sample
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", 0.25)
+
+
+def _q_docs_split_counts(sf_dir: str):
+    """Train/holdout split column (20% holdout) + per-split counts —
+    the standard eval-split op; assignments never reshuffle as the
+    corpus grows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import add_split_column
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    tagged = add_split_column(ds, "doc_id", holdout_fraction=0.2)
+    from ray.data.aggregate import Count
+
+    agg = tagged.groupby("split").aggregate(Count(alias_name="n_docs"))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_docs"),
+            "n_docs",
+            t["n_docs"].cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _pii_docs_file() -> str:
+    return f"{_ORACLE_STATE}/pii-docs-n40.parquet"
+
+
+def _q_docs_redact_pii(sf_dir: str):
+    """PII-style scrubbing (textstats.redact_text): planted
+    email/phone/long-number corpus -> per-pattern match counts +
+    redacted text. pyarrow.compute and DuckDB both run RE2, so the
+    oracle's regexp_replace chain replays the passes byte-identically
+    over the shared side-written corpus."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.textstats import (
+        redact_text,
+        synthetic_pii_documents,
+    )
+
+    _context()
+    _write_state_parquet(synthetic_pii_documents(40), _pii_docs_file())
+    ds = rd.read_parquet(_pii_docs_file())
+    return redact_text(ds, "text").select_columns(
+        ["row_id", "n_email", "n_phone", "n_num", "redacted"]
+    )
+
+
 def _q_dedup_exact(sf_dir: str):
     from eschergraph_ray.functions.dedup import exact_dedup
 
@@ -1405,6 +1469,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality_counts": _q_quality,
         "doc_lang_id": _q_lang_id,
+        "docs_sample": _q_docs_sample,
+        "docs_split_counts": _q_docs_split_counts,
+        "docs_redact_pii": _q_docs_redact_pii,
         "doc_fingerprints": _q_fingerprints,
         "dedup_fingerprint_pairs": _q_fingerprint_pairs,
         # dedup family
@@ -1724,6 +1791,36 @@ def oracle_sql() -> dict[str, str]:
     _docs = f"{_b}/documents/*.parquet"
     _logs = f"{_b}/change_log/*.parquet"
     return {
+        "docs_sample": """
+            -- hash-mod sampling replay: 0.25 -> int(0.25*65536) = 16384
+            -- = hex '4000'; membership is a pure function of doc_id
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        """,
+        "docs_split_counts": """
+            -- 20% holdout: int(0.2*65536) = 13107 = hex '3333'
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+                        THEN 'holdout' ELSE 'train' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "docs_redact_pii": f"""
+            -- RE2 on both sides: the regexp_replace chain replays the
+            -- pyarrow passes byte-identically (counts on the ORIGINAL
+            -- text, replacement order email -> phone -> num)
+            SELECT row_id,
+              CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+                  AS n_email,
+              CAST(len(regexp_extract_all(text,
+                   '\\+?\\d[\\d\\- ]{{6,}}\\d')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(text, '\\d{{6,}}')) AS BIGINT) AS n_num,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\+?\\d[\\d\\- ]{{6,}}\\d', '<PHONE>', 'g'),
+                 '\\d{{6,}}', '<NUM>', 'g') AS redacted
+            FROM read_parquet('{_ORACLE_STATE}/pii-docs-n40.parquet')
+        """,
         "doc_token_counts": r"""
             SELECT doc_id,
                    CAST(array_length(regexp_extract_all(text,

@@ -1,0 +1,73 @@
+"""Deterministic hash-based sampling / splitting (training-data ops).
+
+A 100-TB pipeline cannot sample with RNG state: membership must be a
+pure function of the row's identity so that re-runs, retried tasks and
+incremental additions agree, and so a DuckDB oracle can replay the
+selection exactly. The device: the first 4 hex chars of
+``md5(salt + id)`` compared against a threshold — 16 bits of uniform
+hash, stable everywhere (Python hashlib and DuckDB ``md5()`` produce
+identical digests), no shuffle, embarrassingly parallel.
+
+Not in the reference (its corpora fit in one pickle); standard
+training-data practice (hash-mod holdout splits). SQL replay:
+``substr(md5(salt || CAST(id AS VARCHAR)), 1, 4) < '<thr>'``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+
+def fraction_to_hex_threshold(fraction: float) -> str:
+    """Map a keep-fraction to the 4-hex-digit threshold. Granularity is
+    1/65536; the actual kept fraction is ``int(fraction * 65536) /
+    65536`` (document the rounding rather than hiding it)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(fraction * 65536)
+    if n >= 65536:
+        # comparison is LEXICOGRAPHIC (for SQL parity): "10000" would
+        # sort before most 4-char hex buckets, so keep-everything needs
+        # a sentinel that sorts after every hex digit
+        return "g"
+    return format(n, "04x")
+
+
+def _bucket(value: str, salt: str) -> str:
+    return hashlib.md5((salt + value).encode("utf-8")).hexdigest()[:4]
+
+
+def hash_sample(ds, id_col: str, fraction: float, salt: str = ""):
+    """Keep rows whose hash bucket falls below the fraction threshold.
+    Membership depends only on (salt, id): retries, resumes and other
+    cluster sizes select the SAME rows. Per-batch filter, no state, no
+    shuffle."""
+    thr = fraction_to_hex_threshold(fraction)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        mask = pa.array([_bucket(str(i), salt) < thr for i in ids], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def add_split_column(ds, id_col: str, holdout_fraction: float, salt: str = "",
+                     out_col: str = "split"):
+    """Train/holdout split as a column (the standard eval-holdout op):
+    ``holdout`` when the row's bucket is below the threshold, else
+    ``train``. Same hash device as ``hash_sample``, so a row's split is
+    immutable as the corpus grows — new data never reshuffles old
+    assignments."""
+    thr = fraction_to_hex_threshold(holdout_fraction)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        splits = [
+            "holdout" if _bucket(str(i), salt) < thr else "train" for i in ids
+        ]
+        return batch.append_column(out_col, pa.array(splits, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -213,3 +213,63 @@ def fingerprint_near_pairs(ds, id_col: str, text_col: str, k: int = 5,
         return out.filter(pc.greater_equal(ov, min_overlap))
 
     return j2.map_batches(overlap, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# RE2 patterns (pyarrow.compute and DuckDB both run RE2, so the SQL
+# oracle's regexp_replace(..., 'g') replays these byte-identically).
+# Order matters: PHONE before NUM, or a phone's digit runs are eaten
+# by the weaker pattern first.
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d\- ]{6,}\d", "<PHONE>"),
+    ("num", r"\d{6,}", "<NUM>"),
+)
+
+
+def redact_text(ds, text_col: str, out_col: str = "redacted",
+                patterns=REDACT_PATTERNS):
+    """Vectorized PII-style scrubbing: sequential
+    ``pc.replace_substring_regex`` passes over the column, plus an
+    integer match count per pattern (``n_<name>`` columns, counted
+    BEFORE replacement so the numbers describe the original text).
+    Pure per-batch compute — no state, no shuffle, kernels in C."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        for name, pat, _repl in patterns:
+            batch = batch.append_column(
+                f"n_{name}",
+                pc.cast(pc.count_substring_regex(col, pat), pa.int64()),
+            )
+        red = col
+        for _name, pat, repl in patterns:
+            red = pc.replace_substring_regex(red, pat, repl)
+        return batch.append_column(out_col, red)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def synthetic_pii_documents(n: int = 40, seed: int = 42) -> pa.Table:
+    """Deterministic corpus with planted emails / phone numbers / long
+    ids among filler words — redaction must find every plant and leave
+    the rest byte-identical."""
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+    rows = []
+    for i in range(n):
+        parts = [words[int(j)] for j in rng.integers(0, len(words), size=8)]
+        if i % 2 == 0:
+            parts.insert(3, f"user{i}@example{i % 7}.com")
+        if i % 3 == 0:
+            parts.insert(5, f"+1 {200 + i}-555-{1000 + i}")
+        if i % 5 == 0:
+            parts.insert(1, f"{10 ** 8 + i * 977}")
+        rows.append({"row_id": f"d{i:04d}", "text": " ".join(parts)})
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("row_id", pa.string()), ("text", pa.string())])
+    )

@@ -1,0 +1,86 @@
+"""Deterministic sampling/splitting and PII-style redaction."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from eschergraph_ray.functions.sampling import (
+    add_split_column,
+    fraction_to_hex_threshold,
+    hash_sample,
+)
+from eschergraph_ray.functions.textstats import (
+    redact_text,
+    synthetic_pii_documents,
+)
+
+
+def test_fraction_threshold_bounds():
+    assert fraction_to_hex_threshold(0.0) == "0000"
+    assert fraction_to_hex_threshold(0.25) == "4000"
+    assert fraction_to_hex_threshold(1.0) == "g"  # sorts after all hex
+    with pytest.raises(ValueError):
+        fraction_to_hex_threshold(1.5)
+
+
+def _ids_table(n):
+    return pa.table({"doc_id": pa.array(range(n), pa.int64())})
+
+
+def test_hash_sample_deterministic_and_block_invariant():
+    t = _ids_table(2000)
+    a = sorted(r["doc_id"] for r in hash_sample(rd.from_arrow(t), "doc_id", 0.3).take_all())
+    # different block structure must select the same rows
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(
+            rd.from_arrow(t).repartition(7), "doc_id", 0.3
+        ).take_all()
+    )
+    assert a == b
+    # roughly the requested fraction (16-bit hash, n=2000)
+    assert 0.25 < len(a) / 2000 < 0.35
+    # fraction=0 selects nothing; fraction=1 selects everything
+    assert hash_sample(rd.from_arrow(t), "doc_id", 0.0).count() == 0
+    assert hash_sample(rd.from_arrow(t), "doc_id", 1.0).count() == 2000
+
+
+def test_split_assignments_stable_under_growth():
+    small = add_split_column(rd.from_arrow(_ids_table(500)), "doc_id", 0.2).take_all()
+    big = add_split_column(rd.from_arrow(_ids_table(1500)), "doc_id", 0.2).take_all()
+    small_map = {r["doc_id"]: r["split"] for r in small}
+    big_map = {r["doc_id"]: r["split"] for r in big}
+    # growing the corpus never reshuffles earlier assignments
+    assert all(big_map[i] == small_map[i] for i in small_map)
+    assert set(big_map.values()) == {"train", "holdout"}
+
+
+def test_redact_text_plants_and_passthrough():
+    tbl = synthetic_pii_documents(30)
+    out = redact_text(rd.from_arrow(tbl), "text").take_all()
+    by_id = {r["row_id"]: r for r in out}
+    import re
+
+    for row in tbl.to_pylist():
+        r = by_id[row["row_id"]]
+        red = r["redacted"]
+        assert "@" not in red  # every planted email gone
+        assert not re.search(r"\d{6,}", red)  # no long digit runs survive
+        if r["n_email"] == r["n_phone"] == r["n_num"] == 0:
+            assert red == row["text"]  # clean text is byte-identical
+        else:
+            assert "<EMAIL>" in red or "<PHONE>" in red or "<NUM>" in red
+
+
+def test_redact_counts_exact():
+    t = pa.table(
+        {
+            "id": ["a"],
+            "text": ["mail me a@b.co or c@d.org, call +1 415-555-0000, id 1234567"],
+        }
+    )
+    r = redact_text(rd.from_arrow(t), "text").take_all()[0]
+    assert r["n_email"] == 2
+    assert r["n_phone"] == 1  # a 7-digit run is too short for the phone pattern
+    assert r["n_num"] == 1  # counted on the ORIGINAL text
+    assert r["redacted"] == "mail me <EMAIL> or <EMAIL>, call <PHONE>, id <NUM>"
