@@ -272,6 +272,17 @@ def _q_doc_token_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition metrics
+    (textstats.repetition_counts): total/distinct token and bigram
+    counts as exact integers; the oracle recomputes them with
+    regexp_extract_all + a positional self-join."""
+    from eschergraph_ray.functions.textstats import repetition_counts
+
+    _context()
+    return repetition_counts(_docs(sf_dir), "doc_id", "text")
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic hash-mod sampling (functions/sampling.py): keep
     25% of documents by md5(doc_id) bucket — membership is a pure
@@ -1469,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality_counts": _q_quality,
         "doc_lang_id": _q_lang_id,
+        "doc_repetition_counts": _q_doc_repetition,
         "docs_sample": _q_docs_sample,
         "docs_split_counts": _q_docs_split_counts,
         "docs_redact_pii": _q_docs_redact_pii,
@@ -1791,6 +1803,33 @@ def oracle_sql() -> dict[str, str]:
     _docs = f"{_b}/documents/*.parquet"
     _logs = f"{_b}/change_log/*.parquet"
     return {
+        "doc_repetition_counts": """
+            -- Gopher repetition rule replay: tokens via
+            -- regexp_extract_all, bigrams via a positional self-join
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok,
+                     generate_subscripts(
+                         regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
+              FROM documents
+            ),
+            t1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+                          CAST(count(DISTINCT tok) AS BIGINT) n_distinct_tokens
+                   FROM toks GROUP BY doc_id),
+            big AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                    FROM toks a JOIN toks b
+                      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            t2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+                          CAST(count(DISTINCT bg) AS BIGINT) n_distinct_bigrams
+                   FROM big GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(t1.n_tokens, 0) AS n_tokens,
+                   coalesce(t1.n_distinct_tokens, 0) AS n_distinct_tokens,
+                   coalesce(t2.n_bigrams, 0) AS n_bigrams,
+                   coalesce(t2.n_distinct_bigrams, 0) AS n_distinct_bigrams
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+        """,
         "docs_sample": """
             -- hash-mod sampling replay: 0.25 -> int(0.25*65536) = 16384
             -- = hex '4000'; membership is a pure function of doc_id

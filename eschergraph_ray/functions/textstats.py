@@ -273,3 +273,43 @@ def synthetic_pii_documents(n: int = 40, seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(
         rows, schema=pa.schema([("row_id", pa.string()), ("text", pa.string())])
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+_REP_WORD = re.compile(r"[a-z]+")
+
+
+def repetition_counts(ds, id_col: str, text_col: str):
+    """Within-doc repetition metrics (the Gopher corpus rules, Rae et
+    al. 2021 §A1.1: documents dominated by repeated n-grams are
+    filtered before training): per doc, total and DISTINCT token and
+    bigram counts, as exact integers so the SQL oracle is float-free
+    (consumers derive dup fractions). Distinct-per-row forces a per-row
+    kernel (a columnar distinct-within-list needs the token lists
+    materialized anyway); the compiled regex is module-cached and the
+    stage is embarrassingly parallel."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        n_tok, n_dtok, n_big, n_dbig = [], [], [], []
+        for t in batch[text_col].to_pylist():
+            toks = _REP_WORD.findall((t or "").lower())
+            bigrams = list(zip(toks, toks[1:]))
+            n_tok.append(len(toks))
+            n_dtok.append(len(set(toks)))
+            n_big.append(len(bigrams))
+            n_dbig.append(len(set(bigrams)))
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct_tokens": pa.array(n_dtok, pa.int64()),
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "n_distinct_bigrams": pa.array(n_dbig, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

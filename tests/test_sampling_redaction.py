@@ -84,3 +84,20 @@ def test_redact_counts_exact():
     assert r["n_phone"] == 1  # a 7-digit run is too short for the phone pattern
     assert r["n_num"] == 1  # counted on the ORIGINAL text
     assert r["redacted"] == "mail me <EMAIL> or <EMAIL>, call <PHONE>, id <NUM>"
+
+
+def test_repetition_counts_exact():
+    from eschergraph_ray.functions.textstats import repetition_counts
+
+    t = pa.table(
+        {
+            "id": ["a", "b", "c"],
+            "text": ["a b a b a", "one two three", ""],
+        }
+    )
+    rows = {r["id"]: r for r in repetition_counts(rd.from_arrow(t), "id", "text").take_all()}
+    # "a b a b a": tokens 5 (2 distinct), bigrams 4 (a b, b a, a b, b a -> 2 distinct)
+    assert rows["a"]["n_tokens"] == 5 and rows["a"]["n_distinct_tokens"] == 2
+    assert rows["a"]["n_bigrams"] == 4 and rows["a"]["n_distinct_bigrams"] == 2
+    assert rows["b"]["n_tokens"] == 3 and rows["b"]["n_distinct_bigrams"] == 2
+    assert rows["c"]["n_tokens"] == 0 and rows["c"]["n_bigrams"] == 0
