@@ -272,6 +272,42 @@ def _q_doc_token_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _q_doc_token_percentiles(sf_dir: str):
+    """Distributed exact percentiles of the per-doc token count via a
+    bounded histogram (textstats.int_column_percentiles): the shuffle
+    moves only (value, count) pairs, the driver inverts the tiny CDF
+    with the quantile_disc rule. Binary-exact p values (.25/.5/.75)
+    keep the boundary arithmetic unambiguous on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.text import _TOKEN_RE
+    from eschergraph_ray.functions.textstats import int_column_percentiles
+
+    _context()
+
+    def f(batch: pa.Table) -> pa.Table:
+        counts = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch["text"], ""), _TOKEN_RE.pattern
+            ),
+            pa.int64(),
+        )
+        return pa.table({"n_tokens": counts})
+
+    (p25, p50, p75), n = int_column_percentiles(
+        _docs(sf_dir).map_batches(f, batch_format="pyarrow"), "n_tokens"
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "p25": pa.array([p25], pa.int64()),
+            "p50": pa.array([p50], pa.int64()),
+            "p75": pa.array([p75], pa.int64()),
+        }
+    )
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style within-doc repetition metrics
     (textstats.repetition_counts): total/distinct token and bigram
@@ -1481,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_counts": _q_quality,
         "doc_lang_id": _q_lang_id,
         "doc_repetition_counts": _q_doc_repetition,
+        "doc_token_percentiles": _q_doc_token_percentiles,
         "docs_sample": _q_docs_sample,
         "docs_split_counts": _q_docs_split_counts,
         "docs_redact_pii": _q_docs_redact_pii,
@@ -1803,6 +1840,20 @@ def oracle_sql() -> dict[str, str]:
     _docs = f"{_b}/documents/*.parquet"
     _logs = f"{_b}/change_log/*.parquet"
     return {
+        "doc_token_percentiles": r"""
+            -- inverse-CDF percentiles of the per-doc token count;
+            -- quantile_disc matches histogram_percentiles' rule
+            WITH c AS (
+              SELECT CAST(array_length(regexp_extract_all(text,
+                   '[A-Za-z]+(''[A-Za-z]+)?|\d+|[^\w\s]')) AS BIGINT) AS n
+              FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   quantile_disc(n, 0.25) AS p25,
+                   quantile_disc(n, 0.5) AS p50,
+                   quantile_disc(n, 0.75) AS p75
+            FROM c
+        """,
         "doc_repetition_counts": """
             -- Gopher repetition rule replay: tokens via
             -- regexp_extract_all, bigrams via a positional self-join

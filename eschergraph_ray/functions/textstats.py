@@ -313,3 +313,44 @@ def repetition_counts(ds, id_col: str, text_col: str):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact percentiles via bounded histogram
+# ---------------------------------------------------------------------------
+
+
+def histogram_percentiles(hist: list[tuple[int, int]], ps: tuple[float, ...]):
+    """Exact discrete percentiles from a (value, count) histogram:
+    the smallest value whose cumulative count reaches ``p * n`` — the
+    classic inverse-CDF / SQL ``quantile_disc`` rule (probed against
+    DuckDB 1.0 across boundary cases). Call with BINARY-EXACT p values
+    (0.25, 0.5, 0.75, ...) so ``p * n`` has no float ambiguity at exact
+    multiples."""
+    hist = sorted(hist)
+    n = sum(c for _v, c in hist)
+    out = []
+    for p in ps:
+        target = p * n
+        cum = 0
+        pick = hist[-1][0] if hist else None
+        for v, c in hist:
+            cum += c
+            if cum >= target:
+                pick = v
+                break
+        out.append(pick)
+    return out
+
+
+def int_column_percentiles(ds, col: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75)):
+    """Distributed exact percentiles of a bounded-cardinality integer
+    column: groupby(value).count() is the ONLY shuffle (the histogram —
+    thousands of rows at most — not the data) and the driver inverts
+    the tiny CDF. The sketch-free exact path; for unbounded/continuous
+    columns you'd swap in a t-digest, same dataflow shape."""
+    from ray.data.aggregate import Count
+
+    hist_rows = ds.groupby(col).aggregate(Count(alias_name="cnt")).take_all()
+    hist = [(r[col], r["cnt"]) for r in hist_rows]
+    return histogram_percentiles(hist, ps), sum(c for _v, c in hist)

@@ -101,3 +101,38 @@ def test_repetition_counts_exact():
     assert rows["a"]["n_bigrams"] == 4 and rows["a"]["n_distinct_bigrams"] == 2
     assert rows["b"]["n_tokens"] == 3 and rows["b"]["n_distinct_bigrams"] == 2
     assert rows["c"]["n_tokens"] == 0 and rows["c"]["n_bigrams"] == 0
+
+
+def test_histogram_percentiles_matches_duckdb_rule():
+    import duckdb
+
+    from eschergraph_ray.functions.textstats import histogram_percentiles
+
+    cases = [
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+        [1, 1, 1, 1, 2, 100],
+        [5],
+        list(range(1, 12)),
+        [3, 3, 3, 7, 7, 9, 9, 9, 9],
+    ]
+    con = duckdb.connect()
+    for vals in cases:
+        hist = {}
+        for v in vals:
+            hist[v] = hist.get(v, 0) + 1
+        got = histogram_percentiles(sorted(hist.items()), (0.25, 0.5, 0.75))
+        exp = con.execute(
+            "SELECT quantile_disc(x,0.25), quantile_disc(x,0.5), quantile_disc(x,0.75)"
+            f" FROM (SELECT unnest({vals}) x)"
+        ).fetchone()
+        assert tuple(got) == exp, (vals, got, exp)
+
+
+def test_int_column_percentiles_distributed():
+    from eschergraph_ray.functions.textstats import int_column_percentiles
+
+    vals = [1] * 30 + [5] * 50 + [9] * 20
+    ds = rd.from_arrow(pa.table({"n": pa.array(vals, pa.int64())})).repartition(6)
+    (p25, p50, p75), n = int_column_percentiles(ds, "n")
+    assert n == 100
+    assert (p25, p50, p75) == (1, 5, 5)  # cum: 30, 80, 100
