@@ -272,6 +272,33 @@ def _q_doc_token_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _q_docs_pack_sequences(sf_dir: str):
+    """Greedy sequence packing (functions/packing.py): documents ->
+    fixed 512-token training bins. Hash-partitioned (doc_id % 8) so the
+    inherently-sequential greedy loop parallelizes across parts; within
+    a part, packing order is doc_id — deterministic, so the
+    recursive-CTE oracle replays the exact bin assignment."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.packing import pack_sequences
+    from eschergraph_ray.functions.text import _TOKEN_RE
+
+    _context()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch["text"], ""), _TOKEN_RE.pattern
+            ),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    ds = _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+    return pack_sequences(ds, "doc_id", "n_tokens", budget=512, num_parts=8)
+
+
 def _q_doc_token_percentiles(sf_dir: str):
     """Distributed exact percentiles of the per-doc token count via a
     bounded histogram (textstats.int_column_percentiles): the shuffle
@@ -1518,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_lang_id,
         "doc_repetition_counts": _q_doc_repetition,
         "doc_token_percentiles": _q_doc_token_percentiles,
+        "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_sample": _q_docs_sample,
         "docs_split_counts": _q_docs_split_counts,
         "docs_redact_pii": _q_docs_redact_pii,
@@ -1840,6 +1868,30 @@ def oracle_sql() -> dict[str, str]:
     _docs = f"{_b}/documents/*.parquet"
     _logs = f"{_b}/change_log/*.parquet"
     return {
+        "docs_pack_sequences": r"""
+            -- greedy packing replay: per hash-part, docs in id order,
+            -- new bin when the running total would exceed 512
+            WITH RECURSIVE c AS (
+              SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS part,
+                     CAST(array_length(regexp_extract_all(text,
+                          '[A-Za-z]+(''[A-Za-z]+)?|\d+|[^\w\s]')) AS BIGINT) AS n
+              FROM documents
+            ),
+            o AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY doc_id)
+                             AS rn FROM c),
+            pack AS (
+              SELECT part, rn, doc_id, n, 0::BIGINT AS bin_id, n AS running
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.part, o.rn, o.doc_id, o.n,
+                     CASE WHEN p.running > 0 AND p.running + o.n > 512
+                          THEN p.bin_id + 1 ELSE p.bin_id END,
+                     CASE WHEN p.running > 0 AND p.running + o.n > 512
+                          THEN o.n ELSE p.running + o.n END
+              FROM pack p JOIN o ON o.part = p.part AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, part, bin_id FROM pack
+        """,
         "doc_token_percentiles": r"""
             -- inverse-CDF percentiles of the per-doc token count;
             -- quantile_disc matches histogram_percentiles' rule

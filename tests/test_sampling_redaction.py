@@ -136,3 +136,49 @@ def test_int_column_percentiles_distributed():
     (p25, p50, p75), n = int_column_percentiles(ds, "n")
     assert n == 100
     assert (p25, p50, p75) == (1, 5, 5)  # cum: 30, 80, 100
+
+
+def test_pack_sequences_greedy_and_invariants():
+    from eschergraph_ray.functions.packing import pack_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            # token counts 10..400: forces multi-doc bins AND oversized
+            "n_tokens": pa.array([10 + (i * 37) % 391 for i in range(40)], pa.int64()),
+        }
+    )
+    out = pack_sequences(
+        rd.from_arrow(t).repartition(5), "doc_id", "n_tokens", budget=256, num_parts=4
+    ).take_all()
+    toks = dict(zip(t["doc_id"].to_pylist(), t["n_tokens"].to_pylist()))
+    # replay the greedy loop per part in id order
+    exp = {}
+    for part in range(4):
+        ids = sorted(d for d in toks if d % 4 == part)
+        bin_no, running = 0, 0
+        for d in ids:
+            if running > 0 and running + toks[d] > 256:
+                bin_no += 1
+                running = 0
+            running += toks[d]
+            exp[d] = (part, bin_no)
+    assert len(out) == 40
+    for r in out:
+        assert exp[r["doc_id"]] == (r["part"], r["bin_id"])
+    # invariant: no multi-doc bin exceeds the budget
+    from collections import defaultdict
+
+    fill = defaultdict(list)
+    for r in out:
+        fill[(r["part"], r["bin_id"])].append(toks[r["doc_id"]])
+    for members in fill.values():
+        assert sum(members) <= 256 or len(members) == 1  # oversized doc alone
+
+
+def test_pack_sequences_requires_power_of_two_parts():
+    from eschergraph_ray.functions.packing import pack_sequences
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "n_tokens": pa.array([5], pa.int64())})
+    with pytest.raises(ValueError):
+        pack_sequences(rd.from_arrow(t), "doc_id", "n_tokens", budget=10, num_parts=6)
