@@ -189,10 +189,19 @@ def generate_markdown_table(row_count: int, column_count: int, cells) -> str:
     ``eschergraph/builder/reader/multi_modal/multi_modal_parser.py:196-230``):
     dense ``row_count x column_count`` grid defaulted to ``""``, filled
     from sparse cells, rendered as a markdown table — header row, a
-    ``---`` separator, then content rows, each line ``| a | b |\\n``."""
+    ``---`` separator, then content rows, each line ``| a | b |\\n``.
+
+    Deviation from the reference (which trusts its parser's output and
+    would IndexError): out-of-range cells are SKIPPED and a
+    non-positive row_count yields ``""`` — a malformed spec row must
+    not kill a whole distributed stage."""
+    if row_count <= 0 or column_count <= 0:
+        return ""
     grid = [["" for _ in range(column_count)] for _ in range(row_count)]
     for cell in cells:
-        grid[cell["row_index"]][cell["column_index"]] = cell["content"]
+        r, c = cell["row_index"], cell["column_index"]
+        if 0 <= r < row_count and 0 <= c < column_count:
+            grid[r][c] = cell["content"]
     out = "| " + " | ".join(grid[0]) + " |\n"
     out += "| " + " | ".join(["---"] * column_count) + " |\n"
     for row in grid[1:]:

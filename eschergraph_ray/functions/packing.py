@@ -32,7 +32,7 @@ def pack_sequences(ds, id_col: str, tokens_col: str, budget: int,
     """id/token-count Dataset -> (id, part, bin_id) assignment.
     ``bin_id`` numbers bins within a part from 0."""
 
-    if num_parts & (num_parts - 1):
+    if num_parts < 1 or (num_parts & (num_parts - 1)):
         raise ValueError("num_parts must be a power of two (bitmask partitioning)")
 
     def add_part(batch: pa.Table) -> pa.Table:

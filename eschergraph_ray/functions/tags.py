@@ -52,7 +52,12 @@ def _value_literals(value: Any) -> list[str]:
                     outs.add("true")
                 elif int(value) == 0:
                     outs.add("false")
-            outs.add(json.dumps(float(value)))
+            # only a float form that is Python-EQUAL to the filter value:
+            # float(2**53+1) rounds to 2**53, and 2**53.0 != 2**53+1, so
+            # adding the lossy encoding would match documents the
+            # reference's != comparison rejects
+            if float(value) == value:
+                outs.add(json.dumps(float(value)))
         except (OverflowError, ValueError):
             pass
     return sorted(outs)

@@ -357,8 +357,13 @@ def _stage_pending_update(out_dir: str, pid: str, conv_ids: list[str]) -> None:
                 d = os.path.join(graph_root, part, f"kind={kind}")
                 if not os.path.isdir(d):
                     continue
-                t = pads.dataset(d).to_table(columns=["id", "conv_id", "level"])
-                t = t.filter(pc.fill_null(pc.is_in(t["conv_id"], value_set=targets), False))
+                # predicate pushed into the scan: only row groups whose
+                # conv_id stats admit a target decode (never the whole
+                # committed graph through the driver per re-add)
+                t = pads.dataset(d).to_table(
+                    columns=["id", "conv_id", "level"],
+                    filter=pads.field("conv_id").isin(targets),
+                )
                 if t.num_rows:
                     parts.append(
                         pa.table(

@@ -106,10 +106,16 @@ def get_document_by_name(out_dir: str, name: str) -> dict | None:
 def get_all_documents(out_dir: str):
     """``Repository.get_all_documents`` (repository.py:211-219) as a
     streaming Dataset over the documents sidecar (one row per
-    conversation — never a driver concat)."""
+    conversation — never a driver concat). Empty builds yield an empty
+    Dataset with the documents schema, like the other getters' None."""
     import ray.data as rd
 
-    return rd.read_parquet(_sidecar_files(out_dir, "documents"))
+    files = _sidecar_files(out_dir, "documents")
+    if not files:
+        from ..schemas import DOCUMENTS_TABLE
+
+        return rd.from_arrow(DOCUMENTS_TABLE.empty_table())
+    return rd.read_parquet(files)
 
 
 def clear_change_log(out_dir: str) -> int:
@@ -128,10 +134,14 @@ def clear_change_log(out_dir: str) -> int:
     moved = 0
     for f in files:
         target = os.path.join(dst, os.path.basename(f))
-        # a re-run after a crash mid-clear must not collide
+        # repeated clear cycles re-archive same-named sidecar files;
+        # probe until a FREE name so no earlier archive is overwritten
         if os.path.exists(target):
             root, ext = os.path.splitext(os.path.basename(f))
-            target = os.path.join(dst, f"{root}-{moved}{ext}")
+            k = 0
+            while os.path.exists(os.path.join(dst, f"{root}-{k}{ext}")):
+                k += 1
+            target = os.path.join(dst, f"{root}-{k}{ext}")
         os.replace(f, target)
         moved += 1
     # never remove the (now empty) change_log dir: incremental adds

@@ -124,12 +124,16 @@ def _blocked_candidates(names: list[str], embedder: HashEmbedder):
     """Giant-conversation guard: candidate pairs via shared-token
     blocking instead of one names x names matrix.
 
-    ``token_set_ratio >= 95`` needs the two token sets to agree on
-    essentially all tokens, so every mergeable pair shares at least one
-    token — running the dense kernel inside each token's block loses no
-    real pair (except pairs whose ONLY shared tokens exceed
-    ``MATCH_BLOCK_DF_CUTOFF``; documented approximation). Cost drops
-    from O(n^2) to sum of block^2 with blocks bounded by token df."""
+    APPROXIMATION (two documented recall losses vs the dense kernel):
+    (a) pairs whose ONLY shared tokens exceed ``MATCH_BLOCK_DF_CUTOFF``
+    are never generated; (b) ``token_set_ratio >= 95`` can hold for
+    names sharing ZERO tokens when difflib's char-level ratio bridges a
+    spacing/concatenation variant (e.g. "aaaaaaaaaa b" vs
+    "aaaaaaaaaab" scores 95.65) — such pairs are only found by the
+    dense path. Both losses are confined to conversations above
+    ``MATCH_DENSE_LIMIT`` distinct names, where an O(n^2) matrix is not
+    an option anyway. Cost drops from O(n^2) to sum of block^2 with
+    blocks bounded by token df."""
     blocks: dict[str, list[int]] = {}
     for i, n in enumerate(names):
         for tok in set(n.split()) or {""}:
@@ -287,6 +291,9 @@ def resolution_batch(
     uses. Side-written once per build for the DuckDB oracles, which
     treat the fuzzy resolution as model state (like the MinHash perms /
     LSH hyperplanes) and replay everything downstream in SQL."""
+    from .chunking import pin_arrow_threads
+
+    pin_arrow_threads()
     llm = _worker_llm(llm_factory)
     embedder = _worker_embedder()
     if "quarantined" in batch.column_names:

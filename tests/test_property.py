@@ -87,6 +87,10 @@ TAG_VAL = st.one_of(
     st.integers(min_value=-99, max_value=99),
     st.booleans(),
     st.none(),
+    # floats and float-precision-lossy ints: float(2**53+1) == 2**53,
+    # so the float-form literal must be guarded by Python equality
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.integers(min_value=2**53 - 2, max_value=2**53 + 4),
 )
 
 

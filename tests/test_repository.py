@@ -80,3 +80,9 @@ def test_clear_change_log(built):
     assert moved > 0
     assert load_change_log(built).count() == 0
     assert clear_change_log(built) == 0  # idempotent
+
+
+def test_get_all_documents_empty_build(tmp_path):
+    from eschergraph_ray.pipelines.repository import get_all_documents
+
+    assert get_all_documents(str(tmp_path)).count() == 0

@@ -182,3 +182,30 @@ def test_pack_sequences_requires_power_of_two_parts():
     t = pa.table({"doc_id": pa.array([1], pa.int64()), "n_tokens": pa.array([5], pa.int64())})
     with pytest.raises(ValueError):
         pack_sequences(rd.from_arrow(t), "doc_id", "n_tokens", budget=10, num_parts=6)
+
+
+def test_pack_sequences_rejects_zero_parts():
+    from eschergraph_ray.functions.packing import pack_sequences
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "n_tokens": pa.array([5], pa.int64())})
+    with pytest.raises(ValueError):
+        pack_sequences(rd.from_arrow(t), "doc_id", "n_tokens", budget=10, num_parts=0)
+
+
+def test_markdown_table_malformed_specs_do_not_crash():
+    from eschergraph_ray.functions.multimodal import generate_markdown_table
+
+    assert generate_markdown_table(0, 3, []) == ""
+    assert generate_markdown_table(2, 0, []) == ""
+    # out-of-range cells are skipped, in-range ones kept
+    got = generate_markdown_table(
+        2,
+        2,
+        [
+            {"row_index": 0, "column_index": 0, "content": "ok"},
+            {"row_index": 5, "column_index": 0, "content": "oob-row"},
+            {"row_index": 0, "column_index": 9, "content": "oob-col"},
+            {"row_index": -1, "column_index": 0, "content": "neg"},
+        ],
+    )
+    assert got == "| ok |  |\n| --- | --- |\n|  |  |\n"
