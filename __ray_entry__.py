@@ -2172,9 +2172,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             ed AS (
               SELECT conv_id, chunk_id,
-                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 1) AS srcs,
-                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 2) AS rels,
-                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 3) AS dsts
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 1) AS srcs,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 2) AS rels,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 3) AS dsts
               FROM chunks
               WHERE contains(text, '[[')
             ),
@@ -2321,8 +2321,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             pr AS (
               SELECT conv_id, chunk_id,
-                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*\\{{\\{{([^}}]+)\\}}\\}}', 1) AS owners,
-                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*\\{{\\{{([^}}]+)\\}}\\}}', 2) AS vals
+                     regexp_extract_all(text, '{_PROP_RE_SQL}', 1) AS owners,
+                     regexp_extract_all(text, '{_PROP_RE_SQL}', 2) AS vals
               FROM chunks
               WHERE contains(text, '{{{{')
             ),
@@ -2338,9 +2338,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             ed AS (
               SELECT conv_id, chunk_id,
-                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 1) AS srcs,
-                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 2) AS rels,
-                     regexp_extract_all(text, '\\[\\[([^\\]]+)\\]\\]\\s*<<([^>]+)>>\\s*\\[\\[([^\\]]+)\\]\\]', 3) AS dsts
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 1) AS srcs,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 2) AS rels,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 3) AS dsts
               FROM chunks
               WHERE contains(text, '[[')
             ),

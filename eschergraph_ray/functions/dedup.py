@@ -327,6 +327,10 @@ def simhash_values(ds, id_col: str, text_col: str):
 
         def _hashes(self, words: np.ndarray) -> np.ndarray:
             c = self._cache
+            if len(c) > 1_000_000:
+                # actor lives for the whole corpus; an unbounded vocab
+                # (ids, numbers, typos) must not grow the heap forever
+                c.clear()
             out = np.empty(len(words), dtype=np.uint64)
             for i, w in enumerate(words):
                 hv = c.get(w)

@@ -58,6 +58,8 @@ def _value_literals(value: Any) -> list[str]:
             # reference's != comparison rejects
             if float(value) == value:
                 outs.add(json.dumps(float(value)))
+                if value == 0:  # 0.0 and -0.0 are equal but encode apart
+                    outs.update(("0.0", "-0.0"))
         except (OverflowError, ValueError):
             pass
     return sorted(outs)

@@ -420,7 +420,9 @@ def _apply_pending_update(out_dir: str, pid: str) -> None:
     old = pq.read_table(pend)
     log_path = os.path.join(out_dir, "change_log", f"{pid}.parquet")
     logt = pq.read_table(log_path)
-    old_ids = pa.array(sorted(set(old["id"].to_pylist())))
+    # explicit string type: pa.array([]) is null-typed and pc.is_in
+    # rejects a null value_set (empty snapshot = zero-object conv)
+    old_ids = pa.array(sorted(set(old["id"].to_pylist())), pa.string())
     carried = pc.is_in(logt["id"], value_set=old_ids)
     action = pc.if_else(
         pc.and_(carried, pc.equal(logt["action"], "CREATE")),
@@ -431,7 +433,7 @@ def _apply_pending_update(out_dir: str, pid: str) -> None:
     pq.write_table(logt.cast(CHANGE_LOG).combine_chunks(), log_path + ".tmp")
     os.replace(log_path + ".tmp", log_path)
     # DELETE for old objects the new version no longer produces
-    new_ids = pa.array(sorted(set(logt["id"].to_pylist())))
+    new_ids = pa.array(sorted(set(logt["id"].to_pylist())), pa.string())
     gone = old.filter(
         pc.invert(pc.fill_null(pc.is_in(old["id"], value_set=new_ids), False))
     )
@@ -667,6 +669,13 @@ def build(
         stats["skipped_duplicates"] = len(dup_set)
         stats["wall_ms"] = prev_ms + wall_ms
         manifest.mark(pid, "committed", **stats)
+        # prune the committed pid from the crash-durable incremental
+        # list (the dup guard only matters while un-committed; without
+        # pruning the manifest grows with every incremental add forever)
+        inc = manifest.data.get("incremental_pids")
+        if inc and pid in inc:
+            manifest.data["incremental_pids"] = sorted(set(inc) - {pid})
+            manifest._save()
         if os.path.exists(pend_file):
             os.remove(pend_file)
         done += 1
@@ -938,10 +947,13 @@ def remove_node_by_id(out_dir: str, node_id: str) -> dict:
         d = os.path.join(graph_root, pid, "kind=node")
         if not os.path.isdir(d):
             continue
-        t = pads.dataset(d).to_table(columns=["id", "conv_id", "name", "level"])
-        mask = pc.fill_null(pc.equal(t["id"], node_id), False)
-        if int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0):
-            row = t.filter(mask)
+        # id predicate pushed into the scan: row-group statistics prune
+        # instead of decoding every partition's node surface
+        row = pads.dataset(d).to_table(
+            columns=["id", "conv_id", "name", "level"],
+            filter=pads.field("id") == node_id,
+        )
+        if row.num_rows:
             hit = (
                 pid,
                 row["conv_id"][0].as_py(),

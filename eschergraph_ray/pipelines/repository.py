@@ -73,10 +73,13 @@ def get_node_by_name(out_dir: str, name: str, conv_id: str) -> dict | None:
     """``Repository.get_node_by_name`` (repository.py:50-68,
     simple_repository.py:470-494): the level-0 node with this name
     extracted from this conversation (the reference's document). Names
-    are stored normalized (F1), so the lookup lowercases first."""
+    are stored F1-normalized (strip + whitespace-collapse + lower), so
+    the lookup applies the same normalization."""
+    from ..functions.text import normalize_name
+
     flt = (
         (pads.field("conv_id") == conv_id)
-        & (pads.field("name") == name.lower())
+        & (pads.field("name") == normalize_name(name))
         & (pads.field("level") == 0)
     )
     return _one(load_kind_arrow(out_dir, "node", filter=flt))

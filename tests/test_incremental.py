@@ -461,3 +461,57 @@ def test_remove_node_by_id_cascade(tmp_path):
     lin = pq.read_table(os.path.join(out, "lineage.parquet")).to_pylist()
     assert sum(r["node_count"] for r in lin) == len(nodes2)
     assert sum(r["edge_count"] for r in lin) == len(edges2)
+
+
+def test_apply_pending_update_empty_snapshot_and_empty_log(tmp_path):
+    """Regression: an empty pending snapshot (zero-object conversation)
+    or an empty CREATE log must not crash pc.is_in with a null-typed
+    value set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eschergraph_ray.pipelines.build import _apply_pending_update
+    from eschergraph_ray.schemas import CHANGE_LOG
+
+    out = str(tmp_path)
+    os_dirs = [f"{out}/pending_update", f"{out}/change_log"]
+    import os
+
+    for d in os_dirs:
+        os.makedirs(d, exist_ok=True)
+    # empty snapshot + non-empty log: all CREATEs stay CREATE
+    pq.write_table(CHANGE_LOG.empty_table(), f"{out}/pending_update/part-0000.parquet")
+    log = pa.table(
+        {
+            "id": ["n1"],
+            "action": ["CREATE"],
+            "type": ["node"],
+            "level": pa.array([0], pa.int32()),
+            "conv_id": ["c1"],
+        }
+    ).cast(CHANGE_LOG)
+    pq.write_table(log, f"{out}/change_log/part-0000.parquet")
+    _apply_pending_update(out, "part-0000")
+    got = pq.read_table(f"{out}/change_log/part-0000.parquet")
+    assert got["action"].to_pylist() == ["CREATE"]
+
+    # non-empty snapshot + EMPTY log: every old id gets a DELETE row
+    pq.write_table(
+        pa.table(
+            {
+                "id": ["old1"],
+                "action": ["DELETE"],
+                "type": ["node"],
+                "level": pa.array([0], pa.int32()),
+                "conv_id": ["c9"],
+            }
+        ).cast(CHANGE_LOG),
+        f"{out}/pending_update/part-0001.parquet",
+    )
+    pq.write_table(CHANGE_LOG.empty_table(), f"{out}/change_log/part-0001.parquet")
+    _apply_pending_update(out, "part-0001")
+    import glob
+
+    extra = glob.glob(f"{out}/change_log/part-0001-update-delete-*.parquet")
+    assert len(extra) == 1
+    assert pq.read_table(extra[0])["id"].to_pylist() == ["old1"]
