@@ -13,13 +13,37 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     n = len(batch)
+    if n == 0:  # reshape(0, -1) cannot infer a width
+        return np.empty((0, 1), dtype=np.float64)
     return np.asarray(
         batch[vec_col].combine_chunks().flatten(), dtype=np.float64
     ).reshape(n, -1)
+
+
+def _empty_scores(batch: pa.Table, id_col: str) -> pa.Table:
+    """Typed empty result — ids keep the input column's type so blocks
+    never alternate schema within one map stage (Ray 2.49 trap)."""
+    return pa.table(
+        {
+            id_col: pa.chunked_array([[]], type=batch[id_col].type),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _sig_weights(n_planes: int) -> np.ndarray:
+    """Bit weights for integer LSH signatures (little-bit order, so
+    n_planes <= 8 is byte-identical to the historical
+    ``np.packbits(bitorder="little")[:, 0]``; wider plane counts now
+    use EVERY plane instead of silently truncating to byte 0)."""
+    if n_planes > 62:
+        raise ValueError("n_planes must be <= 62 (int64 signature)")
+    return (np.int64(1) << np.arange(n_planes, dtype=np.int64))
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -37,6 +61,8 @@ def brute_force_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10):
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
+        if len(batch) == 0:
+            return _empty_scores(batch, id_col)
         m = _normalize(_batch_matrix(batch, vec_col))
         # round(4): DuckDB's list_cosine_similarity accumulates in
         # float32 (~1e-8 error); 4 decimals makes Ray and the SQL oracle
@@ -105,14 +131,15 @@ def ivf_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10,
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
+        if len(batch) == 0:
+            return _empty_scores(batch, id_col)
         m = _normalize(_batch_matrix(batch, vec_col))
         assign = np.argmax(m @ cent.T, axis=1)
         mask = np.isin(assign, list(probe))
         s = np.round(m[mask] @ q, 4)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)[mask]
-        return pa.table(
-            {id_col: pa.array(ids.tolist()), "cosine": pa.array(s, pa.float64())}
-        )
+        # Arrow-side filter keeps the id TYPE even when zero survive
+        ids = pc.filter(batch[id_col].combine_chunks(), pa.array(mask))
+        return pa.table({id_col: ids, "cosine": pa.array(s, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow").sort(
         ["cosine", id_col], descending=[True, False]
@@ -135,11 +162,11 @@ def build_lsh_partitioned_index(ds, index_dir: str, id_col: str, vec_col: str,
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
+        if len(batch) == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
         m = _normalize(_batch_matrix(batch, vec_col))
         planes = _lsh_planes(m.shape[1], n_planes, seed)
-        sigs = np.packbits(
-            (m @ planes.T > 0).astype(np.uint8), axis=1, bitorder="little"
-        )[:, 0]
+        sigs = (m @ planes.T > 0) @ _sig_weights(n_planes)
         return batch.append_column("bucket", pa.array(sigs.astype(np.int32)))
 
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
@@ -161,7 +188,7 @@ def lsh_index_topk(index_dir: str, query_vec, id_col: str, vec_col: str,
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     planes = _lsh_planes(len(q), n_planes, seed)
-    qsig = int(np.packbits((planes @ q > 0).astype(np.uint8), bitorder="little")[0])
+    qsig = int((planes @ q > 0) @ _sig_weights(n_planes))
     probe = {
         s for s in range(1 << n_planes) if bin(s ^ qsig).count("1") <= probe_hamming
     }
@@ -192,6 +219,8 @@ def lsh_index_topk(index_dir: str, query_vec, id_col: str, vec_col: str,
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
+        if len(batch) == 0:
+            return _empty_scores(batch, id_col)
         m = _normalize(_batch_matrix(batch, vec_col))
         s = np.round(m @ q, 4)
         return pa.table({id_col: batch[id_col], "cosine": pa.array(s, pa.float64())})
@@ -210,12 +239,11 @@ def lsh_index_topk(index_dir: str, query_vec, id_col: str, vec_col: str,
 def lsh_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10,
              n_planes: int = 8, probe_hamming: int = 2, seed: int = 5):
     """Approximate top-k: hyperplane-sign buckets, multi-probe."""
-    rng = np.random.default_rng(seed)
-    dim = len(query_vec)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = _lsh_planes(len(query_vec), n_planes, seed)  # shared with the indexed path
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
-    qsig = int(np.packbits((planes @ q > 0).astype(np.uint8), bitorder="little")[0])
+    weights = _sig_weights(n_planes)
+    qsig = int((planes @ q > 0) @ weights)
     probe = {
         s
         for s in range(1 << n_planes)
@@ -226,12 +254,14 @@ def lsh_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10,
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
+        if len(batch) == 0:
+            return _empty_scores(batch, id_col)
         m = _normalize(_batch_matrix(batch, vec_col))
-        sigs = np.packbits((m @ planes.T > 0).astype(np.uint8), axis=1, bitorder="little")[:, 0]
+        sigs = (m @ planes.T > 0) @ weights
         mask = np.isin(sigs, list(probe))
         s = np.round(m[mask] @ q, 4)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)[mask]
-        return pa.table({id_col: pa.array(ids.tolist()), "cosine": pa.array(s, pa.float64())})
+        ids = pc.filter(batch[id_col].combine_chunks(), pa.array(mask))
+        return pa.table({id_col: ids, "cosine": pa.array(s, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow").sort(
         ["cosine", id_col], descending=[True, False]

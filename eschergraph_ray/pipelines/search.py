@@ -31,12 +31,21 @@ GLOBAL_THRESHOLD = 0.0
 
 
 def _score_stage(qvec: np.ndarray):
+    """Dot-product scorer. CONTRACT: embeddings and the query must be
+    unit vectors (every Embedder in this repo emits them, as OpenAI's
+    API does) — the dot IS the cosine and the fixed A6 thresholds are
+    meaningful. A non-normalizing Embedder plugin must normalize before
+    storage; this stage deliberately does not re-normalize because the
+    SQL oracle replays the exact stored bytes."""
+
     def score(batch: pa.Table) -> pa.Table:
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
         emb = batch["embedding"]
         n = len(batch)
+        if n == 0:  # reshape(0, -1) cannot infer a width
+            return batch.append_column("score", pa.array([], pa.float64()))
         # float64 accumulation over the float32 embeddings, rounded
         # half-away-from-zero to 4 decimals: deterministic across
         # summation orders and byte-identical to the SQL oracle's
@@ -59,7 +68,15 @@ def metadata_predicate(metadata: dict):
         keep = None
         for key, value in metadata.items():
             if isinstance(value, (list, tuple, set)):
-                cond = pc.is_in(t[key], value_set=pa.array(sorted(value)))
+                if not value:  # ChromaDB $in [] matches nothing
+                    cond = pa.array([False] * len(t), pa.bool_())
+                else:
+                    # typed value set: pa.array([]) infers null and
+                    # pc.is_in rejects a null set against typed columns
+                    cond = pc.is_in(
+                        t[key],
+                        value_set=pa.array(sorted(value), type=t[key].type),
+                    )
             else:
                 cond = pc.equal(t[key], value)
             cond = pc.fill_null(cond, False)

@@ -269,6 +269,8 @@ def transcripts_parquet_dir(n_convs: int, seed: int = 42, root: str = "/tmp/esch
     def gen(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
         idxs = batch["id"].to_pylist()
+        if not idxs:  # n_convs < n_blocks leaves some blocks empty
+            return _rows_to_table([], random.Random(seed))
         for i in idxs:
             rows.extend(conv_rows(seed, i))
         return _rows_to_table(rows, random.Random((seed << 16) ^ (idxs[0] + 1)))

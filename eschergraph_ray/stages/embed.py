@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Callable
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..llm import Embedder, HashEmbedder
 from ..schemas import EMBEDDINGS
@@ -82,10 +81,16 @@ def embed_graph(graph_union, embedder_factory: Callable[[], Embedder] = HashEmbe
                 concurrency=None):
     """union graph Dataset -> embeddings Dataset (actor pool)."""
     if concurrency is None:
+        import os
+
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = max(1, int(cpus * 0.5))
+        # one pool-sizing policy for all actor stages (CLAUDE.md: a pool
+        # sized near ALL cpus starves downstream task stages) — same
+        # fraction + override knob as ExtractorActor
+        frac = float(os.environ.get("EG_POOL_FRACTION", "0.3"))
+        concurrency = max(1, int(round(cpus * frac)))
     return graph_union.map_batches(
         EmbedActor,
         fn_constructor_kwargs={"embedder_factory": embedder_factory},

@@ -233,3 +233,67 @@ def test_lsh_index_empty_probe_keeps_id_schema(tmp_path):
     tab = pa.concat_tables([_ray.get(r) for r in t])
     assert tab.num_rows == 0
     assert tab.schema.field("vec_id").type == pa.string()
+
+
+def test_metadata_filter_empty_in_list_matches_nothing():
+    # ChromaDB $in [] semantics: empty membership set = no matches,
+    # and the (null-typed) empty value set must not crash pc.is_in
+    import pyarrow as pa
+
+    from eschergraph_ray.pipelines.search import metadata_predicate
+
+    t = pa.table({"document_id": ["a", "b"], "level": [0, 0]})
+    pred = metadata_predicate({"document_id": []})
+    assert pred(t).to_pylist() == [False, False]
+
+
+def test_lsh_wide_signatures_use_all_planes(tmp_path, ray_session):
+    # n_planes > 8 historically truncated to byte 0 of packbits; wide
+    # signatures must spread past 255 and index/query math must agree
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import (
+        build_lsh_partitioned_index,
+        lsh_index_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+        }
+    )
+    idx = build_lsh_partitioned_index(
+        rd.from_arrow(t), str(tmp_path / "idx"), "vec_id", "embedding",
+        n_planes=12,
+    )
+    import glob
+    import os
+
+    buckets = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(str(tmp_path / "idx" / "bucket=*"))
+    }
+    assert max(buckets) > 255  # planes 9..12 actually contribute
+    q = vecs[0]
+    got = lsh_index_topk(idx, q, "vec_id", "embedding", k=5, n_planes=12).take_all()
+    assert got and got[0]["vec_id"] == 0  # self is its own nearest
+    got2 = lsh_topk(rd.from_arrow(t), q, "vec_id", "embedding", k=5, n_planes=12).take_all()
+    assert got2 and got2[0]["vec_id"] == 0
+
+
+def test_transcripts_tiny_corpus():
+    # n_convs < n_blocks floor used to IndexError on empty gen batches
+    import pyarrow.dataset as pads
+
+    from eschergraph_ray.sources.transcripts import transcripts_parquet_dir
+
+    d = transcripts_parquet_dir(3, root="/tmp/eschergraph_ray_test_tiny")
+    t = pads.dataset(d).to_table()
+    assert len(set(t["conv_id"].to_pylist())) == 3
