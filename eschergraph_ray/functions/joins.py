@@ -23,6 +23,25 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _scalar_tie_cols(right_cols: list[str], right_types: dict) -> list[str]:
+    """Deterministic duplicate-timestamp tie-break columns: only
+    SCALAR-typed right payloads participate (sorting pandas cells that
+    hold lists/arrays raises 'ambiguous truth value'). With zero scalar
+    right columns, equal-timestamp winners follow shuffle arrival order
+    — callers needing determinism there must add a scalar column."""
+    return [f"c1_{c}" for c in right_cols if not pa.types.is_nested(right_types[c])]
+
+
+def _isna_scalar(v) -> bool:
+    """pd.isna that is total over list/ndarray cells (returns False)."""
+    if v is None:
+        return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
 def interval_join(
     left_ds,
     right_ds,
@@ -53,10 +72,17 @@ def interval_join(
     # plan into every task
     left_types = {c: left_ds.schema().base_schema.field(c).type for c in left_cols}
     right_types = {c: right_ds.schema().base_schema.field(c).type for c in right_cols}
+    # output time columns keep the INPUT types (tz-aware timestamps /
+    # plain int64 epochs round-trip; naive us is just the common case)
+    lt_type = left_ds.schema().base_schema.field(left_time).type
+    rt_type = right_ds.schema().base_schema.field(right_time).type
 
     def tag_left(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
         t = pc.cast(batch[left_time], pa.int64())
         tables = []
         lo_b = pc.floor(pc.divide(pc.cast(pc.add(t, lo_us + 1), pa.float64()), B))
@@ -81,6 +107,9 @@ def interval_join(
     def tag_right(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
         t = pc.cast(batch[right_time], pa.int64())
         out = {
             key: batch[key],
@@ -126,15 +155,18 @@ def interval_join(
     def finalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
         # pandas map_groups NaN-promotes nullable ints to float64; cast
         # every payload column back to its resolved Arrow type so the
         # output schema matches the inputs byte-for-byte
         cols = {key: batch[key]}
         for c in left_cols:
             cols[c] = pc.cast(batch[f"c0_{c}"], left_types[c])
-        cols[left_time] = pc.cast(batch["_t"], pa.timestamp("us"))
+        cols[left_time] = pc.cast(batch["_t"], lt_type)
         cols[f"{right_time}{right_suffix}"] = pc.cast(
-            pc.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
+            pc.cast(batch["_rt"], pa.int64()), rt_type
         )
         for c in right_cols:
             cols[f"{c}{right_suffix}"] = pc.cast(batch[f"c1_{c}"], right_types[c])
@@ -174,6 +206,9 @@ def asof_join(
 
     left_types = {c: left_ds.schema().base_schema.field(c).type for c in left_cols}
     right_types = {c: right_ds.schema().base_schema.field(c).type for c in right_cols}
+    lt_type = left_ds.schema().base_schema.field(left_time).type
+    rt_type = right_ds.schema().base_schema.field(right_time).type
+    tie_cols = _scalar_tie_cols(right_cols, right_types)
 
     def tag(side: int, time_col: str, cols: list[str]):
         other_types = left_types if side == 1 else right_types
@@ -199,11 +234,12 @@ def asof_join(
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lf = group[group["_side"] == 0].sort_values("_t", kind="mergesort")
         # deterministic tie-break on duplicate right timestamps: sort by
-        # the payload columns too, so merge_asof (which picks the LAST
-        # equal-_t row) always picks the payload-max row, independent of
-        # shuffle arrival order
+        # the SCALAR payload columns too, so merge_asof (which picks the
+        # LAST equal-_t row) always picks the payload-max row,
+        # independent of shuffle arrival order (list-typed payloads
+        # cannot be sort keys — see _scalar_tie_cols)
         rf = group[group["_side"] == 1].sort_values(
-            ["_t"] + [f"c1_{c}" for c in right_cols], kind="mergesort"
+            ["_t"] + tie_cols, kind="mergesort"
         )
         if len(lf) == 0 or len(rf) == 0:
             return pd.DataFrame(
@@ -235,14 +271,17 @@ def asof_join(
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
         # cast payload columns back to their Arrow types (pandas
         # NaN-promotes nullable ints to float64 through merge_asof)
         cols = {key: batch[key]}
         for c in left_cols:
             cols[c] = pa.compute.cast(batch[f"c0_{c}"], left_types[c])
-        cols[left_time] = pa.compute.cast(batch["_t"], pa.timestamp("us"))
+        cols[left_time] = pa.compute.cast(batch["_t"], lt_type)
         cols[f"{right_time}{right_suffix}"] = pa.compute.cast(
-            pa.compute.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
+            pa.compute.cast(batch["_rt"], pa.int64()), rt_type
         )
         for c in right_cols:
             cols[f"{c}{right_suffix}"] = pa.compute.cast(
@@ -271,6 +310,9 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
 
     left_types = {c: left_ds.schema().base_schema.field(c).type for c in left_cols}
     right_types = {c: right_ds.schema().base_schema.field(c).type for c in right_cols}
+    lt_type = left_ds.schema().base_schema.field(left_time).type
+    rt_type = right_ds.schema().base_schema.field(right_time).type
+    tie_cols = _scalar_tie_cols(right_cols, right_types)
 
     def tag(side, time_col, cols, other_types):
         def f(batch: pa.Table) -> pa.Table:
@@ -298,7 +340,10 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
     tr = right_ds.map_batches(
         tag(1, right_time, right_cols, left_types), batch_format="pyarrow"
     )
-    both = tl.union(tr)
+    # materialized ONCE: `both` feeds two branches (summaries/carry and
+    # the final merge) — without pinning, Ray re-executes the whole
+    # tagged lineage per branch, doubling input IO and tag CPU
+    both = tl.union(tr).materialize()
 
     # 2. per-(key, bucket) summaries: latest right row (full payload) and
     # a left-presence marker, in ONE grouped pass
@@ -307,10 +352,8 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
         rf = group[group["_side"] == 1]
         if len(rf):
             # deterministic on duplicate max-_t rows: payload-max wins
-            # (same tie-break as the merge pass)
-            rf = rf.sort_values(
-                ["_t"] + [f"c1_{c}" for c in right_cols], kind="mergesort"
-            )
+            # (same scalar-only tie-break as the merge pass)
+            rf = rf.sort_values(["_t"] + tie_cols, kind="mergesort")
             rows.append(rf.iloc[-1])
         lf = group[group["_side"] == 0]
         if len(lf):
@@ -355,7 +398,9 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
             if field.name in df.columns:
                 arrays.append(
                     pa.array(
-                        [None if pd.isna(v) else v for v in df[field.name]],
+                        # _isna_scalar: pd.isna on a list/ndarray cell
+                        # returns an array (ambiguous truth value)
+                        [None if _isna_scalar(v) else v for v in df[field.name]],
                         field.type,
                     )
                 )
@@ -374,7 +419,7 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lf = group[group["_side"] == 0].sort_values("_t", kind="mergesort")
         rf = group[group["_side"] == 1].sort_values(
-            ["_t"] + [f"c1_{c}" for c in right_cols], kind="mergesort"
+            ["_t"] + tie_cols, kind="mergesort"
         )
         if len(lf) == 0 or len(rf) == 0:
             return pd.DataFrame(
@@ -406,14 +451,17 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
         # cast payload columns back to their Arrow types (pandas
         # NaN-promotes nullable ints to float64 through merge_asof)
         cols = {key: batch[key]}
         for c in left_cols:
             cols[c] = pc.cast(batch[f"c0_{c}"], left_types[c])
-        cols[left_time] = pc.cast(batch["_t"], pa.timestamp("us"))
+        cols[left_time] = pc.cast(batch["_t"], lt_type)
         cols[f"{right_time}{right_suffix}"] = pc.cast(
-            pc.cast(batch["_rt"], pa.int64()), pa.timestamp("us")
+            pc.cast(batch["_rt"], pa.int64()), rt_type
         )
         for c in right_cols:
             cols[f"{c}{right_suffix}"] = pc.cast(batch[f"c1_{c}"], right_types[c])

@@ -46,6 +46,7 @@ class LLMClient(Protocol):
     def keywords(self, text: str) -> list[str]: ...
     def extract_visual(self, caption: str, media_type: str,
                        features: list[float]) -> dict: ...
+    def answer(self, query: str, contexts: list[str]) -> str: ...  # RAG (search.py)
 
 
 class DeterministicMockLLM:

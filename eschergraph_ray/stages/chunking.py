@@ -140,6 +140,8 @@ def chunk_group(group: pa.Table, max_tokens: int = MAX_TOKENS) -> pa.Table:
         cur_parts, cur_tokens, cur_first, cur_last = [], 0, -1, -1
 
     for ti, text, role, ntok in zip(turn_idx, texts, roles, tokens):
+        if text is None:
+            text = ""  # token stage fill_null-counts null text as 0
         if ntok > max_tokens:
             # Over-long single turn: flush, then emit sentence-split pieces.
             flush()
@@ -159,6 +161,13 @@ def chunk_group(group: pa.Table, max_tokens: int = MAX_TOKENS) -> pa.Table:
     flush()
 
     kept = [(t, f, l, n) for (t, f, l, n) in chunks if chunk_passes_filter(t)]
+    if len(kept) > CHUNKS_PER_SALT:
+        # a silent spill into the next salt's id range would collide
+        # chunk_ids; fail loudly like the other invariant guards
+        raise ValueError(
+            f"{conv_id} salt {salt}: {len(kept)} chunks exceed the "
+            f"per-salt id range ({CHUNKS_PER_SALT}) — shrink SALT_SPAN"
+        )
     base = salt * CHUNKS_PER_SALT
     return pa.Table.from_pydict(
         {

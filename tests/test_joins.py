@@ -138,3 +138,44 @@ def test_bucketed_asof_equals_plain():
         )
         assert bucketed["lid"].tolist() == plain["lid"].tolist(), bucket
         assert bucketed["rid_right"].tolist() == plain["rid_right"].tolist(), bucket
+
+
+def test_asof_join_list_typed_right_payload(ray_session):
+    """Regression: list<float> right payloads crashed the duplicate-ts
+    tie-break sort and the bucketed path's NA scan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table(
+        {
+            "k": ["a", "a", "b"],
+            "lt": pa.array([10, 30, 20], pa.timestamp("us")),
+            "lv": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": ["a", "a", "b"],
+            "rt": pa.array([5, 25, 15], pa.timestamp("us")),
+            "emb": pa.array([[0.1, 0.2], [0.3, 0.4], [0.5, 0.6]]),
+        }
+    )
+    from eschergraph_ray.functions.joins import asof_join
+
+    for bucket in (None, 7):
+        out = asof_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            "k",
+            "lt",
+            "rt",
+            ["lv"],
+            ["emb"],
+            bucket_us=bucket,
+        ).take_all()
+        got = {(r["k"], r["lv"]): [round(x, 3) for x in r["emb_right"]] for r in out}
+        assert got == {
+            ("a", 1): [0.1, 0.2],
+            ("a", 2): [0.3, 0.4],
+            ("b", 3): [0.5, 0.6],
+        }, got
