@@ -129,6 +129,10 @@ def minhash_lsh_candidates(
     job. True near-dups lost to a cut bucket still meet in one of the
     other ``bands-1`` bands (same pigeonhole argument as the banding
     itself), so recall loss is confined to pathological buckets."""
+    if bands < 1 or num_perm % bands:
+        # silent truncation makes trailing perms dead weight; bands >
+        # num_perm makes EVERY band hash empty (one global bucket)
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle_k, seed)
 
@@ -157,7 +161,8 @@ def minhash_lsh_candidates(
                 for j in range(i + 1, len(ids)):
                     a_.append(ids[i])
                     b_.append(ids[j])
-        return pa.table({"id_a": pa.array(a_), "id_b": pa.array(b_)})
+        t = group[id_col].type  # typed: pa.array([]) infers null (schema trap)
+        return pa.table({"id_a": pa.array(a_, t), "id_b": pa.array(b_, t)})
 
     pairs = (
         sigs.map_batches(explode, batch_format="pyarrow")
@@ -366,8 +371,18 @@ def simhash_values(ds, id_col: str, text_col: str):
                 {id_col: batch[id_col], "simhash": pa.array(out, pa.int64())}
             )
 
-    # actor pool: the word-hash cache persists across batches
-    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=4)
+    # actor pool: the word-hash cache persists across batches; sized by
+    # the shared EG_POOL_FRACTION policy (a literal 4 idled 6x of the
+    # box on 32 cpus)
+    import os as _os
+
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
+    frac = float(_os.environ.get("EG_POOL_FRACTION", "0.3"))
+    return ds.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=max(1, int(round(cpus * frac)))
+    )
 
 
 def simhash_near_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
@@ -404,8 +419,13 @@ def simhash_near_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
                     a_.append(rows[i][0])
                     b_.append(rows[j][0])
                     d_.append(d)
+        t = group[id_col].type  # typed: pa.array([]) infers null (schema trap)
         return pa.table(
-            {"id_a": pa.array(a_), "id_b": pa.array(b_), "hamming": pa.array(d_, pa.int32())}
+            {
+                "id_a": pa.array(a_, t),
+                "id_b": pa.array(b_, t),
+                "hamming": pa.array(d_, pa.int32()),
+            }
         )
 
     from ray.data.aggregate import Min
@@ -636,6 +656,8 @@ def embedding_lsh_candidates(ds, id_col: str, vec_col: str,
     sign-bit signature under ``num_planes`` seeded random hyperplanes,
     banded into ``bands`` buckets; groupby (band_id, band_hash) is THE
     shuffle; pairs within a bucket, distinct per unordered pair."""
+    if bands < 1 or num_planes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_planes ({num_planes})")
     bits_per_band = num_planes // bands
     _plane_cache: dict = {}
 

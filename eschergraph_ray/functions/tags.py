@@ -28,7 +28,18 @@ _KEY_RE = re.compile(r'^[A-Za-z0-9_\-]+$')
 
 
 def canonical_tags(tags: dict[str, Any]) -> str:
-    """Compact canonical JSON for a tags dict (sorted keys)."""
+    """Compact canonical JSON for a tags dict (sorted keys).
+
+    Tag values are SCALARS ONLY (str / finite number / bool / None) —
+    enforced here, at the single write path, so the vectorized regex
+    filter is total over everything that can actually be stored
+    (nested arrays/objects would hijack the per-key extraction, and
+    inf/nan are not even valid JSON)."""
+    for k, v in tags.items():
+        if v is not None and not isinstance(v, (str, int, float, bool)):
+            raise TypeError(f"tag {k!r}: unsupported value type {type(v).__name__}")
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            raise ValueError(f"tag {k!r}: non-finite numbers are not valid JSON")
     return json.dumps(tags, sort_keys=True, separators=(",", ":"))
 
 
@@ -40,9 +51,15 @@ def _value_literals(value: Any) -> list[str]:
     ``json.dumps`` to one string per type (int vs float), so the set is
     at most {int-form, float-form, true/false}. NaN never equals
     anything -> empty set."""
+    if value is not None and not isinstance(value, (str, int, float, bool)):
+        # non-scalar filter values cannot exist in canonical tags
+        # (enforced at canonical_tags) — reject loudly, never silently
+        raise ValueError(f"unsupported tag filter value type: {type(value).__name__}")
     if isinstance(value, (int, float)) and not isinstance(value, bool):
-        if value != value:  # NaN
+        if value != value:  # NaN equals nothing
             return []
+        if isinstance(value, float) and value in (float("inf"), float("-inf")):
+            return []  # non-finite cannot be stored (canonical_tags) -> no match
     outs = {json.dumps(value, separators=(",", ":"))}
     if isinstance(value, (bool, int, float)):
         try:

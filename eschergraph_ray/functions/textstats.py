@@ -352,5 +352,6 @@ def int_column_percentiles(ds, col: str, ps: tuple[float, ...] = (0.25, 0.5, 0.7
     from ray.data.aggregate import Count
 
     hist_rows = ds.groupby(col).aggregate(Count(alias_name="cnt")).take_all()
-    hist = [(r[col], r["cnt"]) for r in hist_rows]
+    # drop the null group: None is not a value and cannot sort/compare
+    hist = [(r[col], r["cnt"]) for r in hist_rows if r[col] is not None]
     return histogram_percentiles(hist, ps), sum(c for _v, c in hist)

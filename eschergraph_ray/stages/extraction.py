@@ -31,6 +31,15 @@ from ..llm import DeterministicMockLLM, LLMClient
 from ..schemas import BUILD_LOGS
 
 
+def _req_str(v) -> str:
+    """Quarantine-boundary value check: shape-valid payloads with
+    non-string values must not reach pa.array (ArrowInvalid kills the
+    task instead of quarantining the row)."""
+    if not isinstance(v, str):
+        raise ValueError(f"expected string, got {type(v).__name__}")
+    return v
+
+
 def check_node_edge_ext(ext: dict) -> bool:
     """building_tools.py:105-121 analogue: shape-check the LLM JSON."""
     if not isinstance(ext, dict):
@@ -79,41 +88,52 @@ class ExtractorActor:
         props_col: list[list[dict]] = []
         quarantined: list[bool] = []
         for text in texts:
+            # ALL payload parsing sits inside the quarantine boundary:
+            # a real provider can return shape-valid JSON whose values
+            # are the wrong types (non-string names, "properties" as a
+            # bare string) — that must quarantine the ROW, never kill
+            # the task (the module's stated contract).
             try:
                 ext = self.llm.extract_nodes_edges(text)
-                ok = check_node_edge_ext(ext)
+                if not check_node_edge_ext(ext):
+                    raise ValueError("invalid NodeEdgeExt shape")
+                nodes = [
+                    {"name": _req_str(e["name"]), "description": _req_str(e["description"])}
+                    for e in ext["entities"]
+                ]
+                edges = [
+                    {
+                        "source": _req_str(r["source"]),
+                        "target": _req_str(r["target"]),
+                        "relationship": _req_str(r["relationship"]),
+                    }
+                    for r in ext["relationships"]
+                ]
+                node_names = [e["name"] for e in nodes]
+                try:
+                    props_raw = self.llm.extract_properties(text, node_names)
+                except Exception:
+                    props_raw = []
+                props = []
+                for p in props_raw:
+                    pl = p["properties"]
+                    if isinstance(pl, (str, bytes)) or not isinstance(pl, (list, tuple)):
+                        raise ValueError("'properties' must be a list of strings")
+                    props.append(
+                        {
+                            "entity_name": _req_str(p["entity_name"]),
+                            "properties": [_req_str(x) for x in pl],
+                        }
+                    )
             except Exception:
-                ext, ok = None, False
-            if not ok:
                 nodes_col.append([])
                 edges_col.append([])
                 props_col.append([])
                 quarantined.append(True)
                 continue
-            node_names = [e["name"] for e in ext["entities"]]
-            try:
-                props = self.llm.extract_properties(text, node_names)
-            except Exception:
-                props = []
-            nodes_col.append(
-                [{"name": e["name"], "description": e["description"]} for e in ext["entities"]]
-            )
-            edges_col.append(
-                [
-                    {
-                        "source": r["source"],
-                        "target": r["target"],
-                        "relationship": r["relationship"],
-                    }
-                    for r in ext["relationships"]
-                ]
-            )
-            props_col.append(
-                [
-                    {"entity_name": p["entity_name"], "properties": list(p["properties"])}
-                    for p in props
-                ]
-            )
+            nodes_col.append(nodes)
+            edges_col.append(edges)
+            props_col.append(props)
             quarantined.append(False)
 
         out = pa.Table.from_pydict(
