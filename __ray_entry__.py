@@ -562,7 +562,9 @@ def _q_ann_lsh_indexed(sf_dir: str):
 
     _context()
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    idx = f"/tmp/eschergraph_ray/lsh-index-n{n}"
+    # version-keyed like the build cache: a plane-count/seed/layout
+    # change must not silently reuse a stale partitioned index
+    idx = f"/tmp/eschergraph_ray/lsh-index-v2-p8-s5-n{n}"
     if not os.path.exists(idx + "/_DONE"):
         import shutil
 
@@ -973,8 +975,11 @@ def _dedup_planes_file(dim: int) -> str:
 def _sidewrite_dedup_planes(dim: int) -> None:
     import numpy as np
 
-    # embedding_lsh_candidates: rng(seed).standard_normal((dim, num_planes))
-    planes = np.random.default_rng(7).standard_normal((dim, 64)).T
+    from eschergraph_ray.functions.dedup import dedup_lsh_planes
+
+    # single-sourced with the pipeline's generator (seed/shape drift
+    # between the two would fail every dedup_embedding_lsh run)
+    planes = dedup_lsh_planes(dim, 64, seed=7).T
     _write_state_parquet(_planes_long_table(planes), _dedup_planes_file(dim))
 
 
@@ -2984,11 +2989,16 @@ def oracle_sql() -> dict[str, str]:
             ),
             agg AS (SELECT count(*) AS n FROM hits),
             first AS (SELECT id, text FROM hits ORDER BY score DESC, id LIMIT 1)
-            SELECT 'Based on ' || agg.n ||
-                   ' sources, regarding ''{QUICK_QUERY}'': ' || first.text AS answer,
+            -- LEFT JOIN keeps ONE row when hits is empty (the Ray side
+            -- always emits one row; a cross join would emit zero)
+            SELECT CASE WHEN agg.n = 0
+                        THEN 'I could not find relevant information.'
+                        ELSE 'Based on ' || agg.n ||
+                             ' sources, regarding ''{QUICK_QUERY}'': ' || first.text
+                   END AS answer,
                    CAST(agg.n AS BIGINT) AS n_sources,
                    first.id AS first_source
-            FROM agg, first
+            FROM agg LEFT JOIN first ON TRUE
         """,
         "kg_global_answer": f"""
             WITH sv AS (SELECT * FROM read_parquet('{_surf}')),
@@ -3011,8 +3021,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             agg AS (SELECT count(*) AS n FROM hits),
             first AS (SELECT text FROM hits ORDER BY score DESC, id LIMIT 1)
-            SELECT 'Based on ' || agg.n ||
-                   ' sources, regarding ''{GANSWER_QUERY}'': ' || first.text AS answer
-            FROM agg, first
+            SELECT CASE WHEN agg.n = 0
+                        THEN 'I could not find relevant information.'
+                        ELSE 'Based on ' || agg.n ||
+                             ' sources, regarding ''{GANSWER_QUERY}'': ' || first.text
+                   END AS answer
+            FROM agg LEFT JOIN first ON TRUE
         """,
     }

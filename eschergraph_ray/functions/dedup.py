@@ -650,6 +650,14 @@ def packed_vectors(ds, id_col: str, vec_col: str):
     return ds.map_batches(pack, batch_format="pyarrow")
 
 
+def dedup_lsh_planes(dim: int, num_planes: int = 64, seed: int = 7) -> np.ndarray:
+    """The near-dup LSH hyperplanes, (dim, num_planes) — the SINGLE
+    source for both the pipeline and the SQL oracle's model-state
+    side-write (__ray_entry__._sidewrite_dedup_planes); seed/shape
+    changes must flow through here so they cannot drift apart."""
+    return np.random.default_rng(seed).standard_normal((dim, num_planes))
+
+
 def embedding_lsh_candidates(ds, id_col: str, vec_col: str,
                              num_planes: int = 64, bands: int = 16, seed: int = 7):
     """Hyperplane-LSH candidate pairs (the sub-quadratic scale path):
@@ -665,7 +673,7 @@ def embedding_lsh_candidates(ds, id_col: str, vec_col: str,
         key = (seed, dim, num_planes)
         p = _plane_cache.get(key)
         if p is None:
-            p = np.random.default_rng(seed).standard_normal((dim, num_planes))
+            p = dedup_lsh_planes(dim, num_planes, seed)
             _plane_cache[key] = p
         return p
 

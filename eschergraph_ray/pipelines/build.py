@@ -49,7 +49,7 @@ from ..state.checkpoint import Manifest, atomic_dir_write
 # Bump when the build's OUTPUT semantics change (chunk boundaries,
 # sidecars, graph columns): keys downstream on-disk caches of build
 # output so stale graphs cannot poison correctness runs.
-BUILD_FORMAT = 4
+BUILD_FORMAT = 5  # v5: union-find transitive-closure fix (find returned grandparent)
 
 
 @dataclass
@@ -503,7 +503,8 @@ def build(
                 f"{input_path} (e.g. {sorted(missing)[:2]}); use a fresh out_dir"
             )
         groups = list(stored)
-        new_files = [f for f in files if f not in set(stored_files)]
+        stored_set = set(stored_files)
+        new_files = [f for f in files if f not in stored_set]
         if new_files:
             extra = [new_files[g::commit_groups] for g in range(commit_groups)]
             extra = [g for g in extra if g]
@@ -525,6 +526,15 @@ def build(
         groups = [g for g in groups if g]
         manifest.data["groups"] = groups
         manifest._save()
+    # The extract mode is part of the checkpoint's physical layout:
+    # build_logs written with conv_complete_shards=False slice across
+    # conversation boundaries, and resuming them through the sharded
+    # graph path would build straddling conversations TWICE. Persist the
+    # mode with the assignment and let the stored value win on resume.
+    stored_mode = manifest.data.setdefault("conv_complete_shards", conv_complete_shards)
+    if stored_mode != conv_complete_shards:
+        conv_complete_shards = stored_mode
+    manifest._save()
     # un-committed incremental partitions from ANY invocation (persisted
     # above) keep their duplicate guard across crashes/resumes
     new_pids |= set(manifest.data.get("incremental_pids", []))
@@ -584,6 +594,12 @@ def build(
                     conv_count=0,
                     wall_ms=int(1000 * (time.monotonic() - t0)),
                 )
+                # prune here too, or every fully-duplicate re-add leaves
+                # its pid in the crash-durable list forever
+                inc = manifest.data.get("incremental_pids")
+                if inc and pid in inc:
+                    manifest.data["incremental_pids"] = sorted(set(inc) - {pid})
+                    manifest._save()
                 os.makedirs(graph_dir, exist_ok=True)
                 continue
 

@@ -100,11 +100,16 @@ class _UnionFind:
         self.parent: dict[str, str] = {}
 
     def find(self, x: str) -> str:
-        p = self.parent.setdefault(x, x)
-        while p != x:
-            self.parent[x] = p = self.parent.setdefault(p, p)
-            x = p
-        return x
+        # full root walk THEN compression: the earlier path-halving loop
+        # compared the new parent against the just-advanced cursor, so a
+        # depth>=3 chain returned the grandparent and split a
+        # transitively-unioned cluster in two
+        root = self.parent.setdefault(x, x)
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
 
     def union(self, a: str, b: str) -> None:
         ra, rb = self.find(a), self.find(b)
@@ -718,28 +723,44 @@ def build_graph_batch(
     # chunk-level build_logs (VERDICT r2 #8). A fully-quarantined
     # conversation still gets its record, exactly like that scan did.
     docrec = _docrec_rows(batch)
+    # Lineage counters come from the PRE-quarantine-filter batch, like
+    # _logs_stats and the Document records — otherwise a quarantined
+    # tail chunk shrinks the fused path's conv/turn counts relative to
+    # the non-fused path and to sum(documents.turn_num)
+    pre_conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    pre_bounds = np.flatnonzero(pre_conv[1:] != pre_conv[:-1]) + 1
+    pre_starts = np.concatenate([[0], pre_bounds]) if len(pre_conv) else np.array([], int)
+    pre_ends = (
+        np.concatenate([pre_bounds, [len(pre_conv)]]) if len(pre_conv) else np.array([], int)
+    )
+    stat_convs = int(len(pre_starts))
+    stat_turns = 0
+    if "turn_last" in batch.column_names:
+        ptl = batch["turn_last"].to_numpy(zero_copy_only=False)
+        for s, e in zip(pre_starts.tolist(), pre_ends.tolist()):
+            stat_turns += int(ptl[s:e].max()) + 1
     n_quarantined = 0
     if "quarantined" in batch.column_names:
         n_quarantined = int(pc.sum(pc.cast(batch["quarantined"], pa.int64())).as_py() or 0)
         batch = batch.filter(pc.invert(batch["quarantined"])).drop_columns(["quarantined"])
+    stats_row = pa.Table.from_pylist(
+        [
+            {
+                "kind": "stats",
+                "stat_convs": stat_convs,
+                "stat_chunks": n_chunks_total,
+                "stat_turns": stat_turns,
+                "stat_quarantined": n_quarantined,
+            }
+        ],
+        schema=GRAPH_UNION,
+    )
     conv = batch["conv_id"].to_numpy(zero_copy_only=False)
     if len(conv) == 0:
         # still emit the stats row: an all-quarantined block must not
-        # lose its chunk/quarantine lineage counters (ADVICE r1) — nor
-        # its conversations' Document records
-        stats_only = pa.Table.from_pylist(
-            [
-                {
-                    "kind": "stats",
-                    "stat_convs": 0,
-                    "stat_chunks": n_chunks_total,
-                    "stat_turns": 0,
-                    "stat_quarantined": n_quarantined,
-                }
-            ],
-            schema=GRAPH_UNION,
-        )
-        return pa.concat_tables([stats_only, docrec]).combine_chunks()
+        # lose its lineage counters (ADVICE r1) — nor its conversations'
+        # Document records
+        return pa.concat_tables([stats_row, docrec]).combine_chunks()
     boundaries = np.flatnonzero(conv[1:] != conv[:-1]) + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [len(conv)]])
@@ -747,27 +768,7 @@ def build_graph_batch(
         build_graph_group(batch.slice(s, e - s), llm_factory)
         for s, e in zip(starts.tolist(), ends.tolist())
     ]
-    # per-block lineage counters as a kind="stats" row (read from the
-    # sink's footers/partition instead of re-scanning build_logs)
-    n_turns = 0
-    if "turn_last" in batch.column_names:
-        tl = batch["turn_last"].to_numpy(zero_copy_only=False)
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            n_turns += int(tl[s:e].max()) + 1
-    out.append(
-        pa.Table.from_pylist(
-            [
-                {
-                    "kind": "stats",
-                    "stat_convs": len(starts),
-                    "stat_chunks": n_chunks_total,
-                    "stat_turns": n_turns,
-                    "stat_quarantined": n_quarantined,
-                }
-            ],
-            schema=GRAPH_UNION,
-        )
-    )
+    out.append(stats_row)
     out.append(docrec)
     graph = pa.concat_tables(out)
     # CREATE change-log rows (kind="changelog") as a vectorized

@@ -303,3 +303,42 @@ def test_blocked_match_sets_df_cutoff(monkeypatch):
     assert merged == ["acme corporation", "acme corporation inc"]
     # "the" block (df=52 > cutoff) contributed nothing: item names unmerged
     assert sum(len(c) > 1 for c in clusters) == 1
+
+
+def test_union_find_transitive_chains():
+    """Regression: depth>=3 union chains must collapse to ONE cluster
+    (the old path-halving find returned the grandparent)."""
+    import random
+
+    from eschergraph_ray.stages.graph_build import _UnionFind
+
+    uf = _UnionFind()
+    for n in ["c", "b", "a", "0"]:
+        uf.find(n)
+    uf.union("c", "b")
+    uf.union("b", "a")
+    uf.union("a", "0")
+    assert len({uf.find(n) for n in ["c", "b", "a", "0"]}) == 1
+
+    for trial in range(50):
+        rng = random.Random(trial)
+        names = [f"n{i}" for i in range(25)]
+        uf = _UnionFind()
+        for n in names:
+            uf.find(n)
+        edges = [(rng.choice(names), rng.choice(names)) for _ in range(20)]
+        for a, b in edges:
+            uf.union(a, b)
+        comp = {n: {n} for n in names}
+        for a, b in edges:
+            ca, cb = comp[a], comp[b]
+            if ca is not cb:
+                ca |= cb
+                for m in cb:
+                    comp[m] = ca
+        got: dict = {}
+        for n in names:
+            got.setdefault(uf.find(n), set()).add(n)
+        assert {frozenset(s) for s in got.values()} == {
+            frozenset(s) for s in comp.values()
+        }
