@@ -342,3 +342,20 @@ def test_union_find_transitive_chains():
         assert {frozenset(s) for s in got.values()} == {
             frozenset(s) for s in comp.values()
         }
+
+
+def test_match_sets_transitive_chain_merges():
+    """D2 transitive closure: a~b and b~c above the fuzzy threshold must
+    merge a and c even though a~c scores BELOW it (93.8 here)."""
+    from eschergraph_ray.functions.text import token_set_ratio
+    from eschergraph_ray.llm import HashEmbedder
+    from eschergraph_ray.stages.graph_build import _match_sets
+
+    a = "international business machines corporation"
+    b = "international business machines corporatio"
+    c = "international business machines corpor"
+    assert token_set_ratio(a, b) >= 95
+    assert token_set_ratio(b, c) >= 95
+    assert token_set_ratio(a, c) < 95  # only transitively connected
+    clusters = _match_sets([a, b, c], HashEmbedder())
+    assert clusters == [sorted([a, b, c])]
