@@ -126,9 +126,14 @@ def minhash_lsh_candidates(
     skipped instead of paired O(df^2) — the degenerate bucket exists by
     construction (all empty/near-empty docs share one signature), and
     at corpus scale one hot bucket would otherwise dominate the whole
-    job. True near-dups lost to a cut bucket still meet in one of the
-    other ``bands-1`` bands (same pigeonhole argument as the banding
-    itself), so recall loss is confined to pathological buckets."""
+    job. The recall loss is PROBABILISTIC, not guaranteed-recovered: a
+    pair is lost outright only if EVERY band where its two signatures
+    collide lands in a hot (> cutoff) bucket; with independent bands
+    that is overwhelmingly unlikely for genuinely similar pairs, but it
+    is not a pigeonhole guarantee. The SQL oracle replays the same
+    cutoff (bucket sizes pre-computed, hot buckets excluded from the
+    candidate join) so Ray and oracle stay byte-equal even when a
+    bucket IS cut."""
     if bands < 1 or num_perm % bands:
         # silent truncation makes trailing perms dead weight; bands >
         # num_perm makes EVERY band hash empty (one global bucket)

@@ -63,8 +63,15 @@ def interval_join(
     (floor(t / B)); each left row probes every bucket its interval
     covers (ceil(span/B)+1 replicas, B = span by default), so a
     matching pair meets in exactly one (key, bucket) reducer — no
-    dedup pass needed. The shuffle key is (key, bucket); skewed keys
-    shrink B."""
+    dedup pass needed. The shuffle key is (key, bucket).
+
+    Hot-key safety: within a reducer the pairing is NOT a cross merge —
+    rights are time-sorted once and every left probes its (lo, hi]
+    range with vectorized searchsorted, so reducer memory is
+    O(rows + matching pairs), never O(nl*nr). A key with a million
+    rows in one bucket costs a sort plus its true output size; shrink
+    ``bucket_us`` only when the OUTPUT per (key, bucket) is itself too
+    large for one worker."""
     span = hi_us - lo_us
     B = bucket_us or max(span, 1)
     # resolve the other side's column types up front: capturing a
@@ -128,27 +135,45 @@ def interval_join(
     tl = left_ds.map_batches(tag_left, batch_format="pyarrow")
     tr = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
+    out_cols = (
+        [key]
+        + [f"c0_{c}" for c in left_cols]
+        + ["_t", "_rt"]
+        + [f"c1_{c}" for c in right_cols]
+    )
+
     def pair(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         lf = group[group["_side"] == 0]
         rf = group[group["_side"] == 1]
         if len(lf) == 0 or len(rf) == 0:
-            return pd.DataFrame(
-                columns=[key]
-                + [f"c0_{c}" for c in left_cols]
-                + ["_t", "_rt"]
-                + [f"c1_{c}" for c in right_cols]
-            )
-        m = lf[[key, "_t"] + [f"c0_{c}" for c in left_cols]].merge(
-            rf[["_t"] + [f"c1_{c}" for c in right_cols]].rename(columns={"_t": "_rt"}),
-            how="cross",
+            return pd.DataFrame(columns=out_cols)
+        # time-sorted rights + vectorized searchsorted range probes:
+        # O(rows log rows + pairs), bounded by the true output — a hot
+        # (key, bucket) never materializes the nl*nr cross product
+        rf = rf.sort_values("_t", kind="mergesort")
+        rt = rf["_t"].to_numpy(np.int64)
+        lt = lf["_t"].to_numpy(np.int64)
+        starts = np.searchsorted(rt, lt + lo_us, side="right")  # _rt > t+lo
+        ends = np.searchsorted(rt, lt + hi_us, side="right")  # _rt <= t+hi
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(columns=out_cols)
+        li = np.repeat(np.arange(len(lf)), counts)
+        offs = np.repeat(np.cumsum(counts) - counts, counts)
+        ri = np.repeat(starts, counts) + np.arange(total) - offs
+        lsel = (
+            lf.iloc[li][[key, "_t"] + [f"c0_{c}" for c in left_cols]]
+            .reset_index(drop=True)
         )
-        m = m[(m["_rt"] > m["_t"] + lo_us) & (m["_rt"] <= m["_t"] + hi_us)]
-        return m[
-            [key]
-            + [f"c0_{c}" for c in left_cols]
-            + ["_t", "_rt"]
-            + [f"c1_{c}" for c in right_cols]
-        ]
+        rsel = (
+            rf.iloc[ri][["_t"] + [f"c1_{c}" for c in right_cols]]
+            .rename(columns={"_t": "_rt"})
+            .reset_index(drop=True)
+        )
+        return pd.concat([lsel, rsel], axis=1)[out_cols]
 
     out = tl.union(tr).groupby([key, "_b"]).map_groups(pair, batch_format="pandas")
 

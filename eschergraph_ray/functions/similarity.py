@@ -150,24 +150,40 @@ def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
+# Multi-probe enumeration is 2**n_planes signatures — cap where a probe
+# set is built (also keeps partition counts and bucket ids sane).
+_MAX_INDEX_PLANES = 24
+
+
 def build_lsh_partitioned_index(ds, index_dir: str, id_col: str, vec_col: str,
                                 n_planes: int = 8, seed: int = 5) -> str:
     """Materialize a SIGNATURE-PARTITIONED embedding layout: one
     parquet partition per hyperplane-sign bucket. Queries then read
     ONLY the probed buckets' files — IO pruning, not just compute
     pruning (the round-1 gap in ``lsh_topk``). At cluster scale the
-    bucket directories are the unit of storage pruning."""
+    bucket directories are the unit of storage pruning.
+
+    ``n_planes`` is capped at 24: the probe side enumerates all 2**n
+    signatures within Hamming distance (infeasible beyond ~24), and the
+    cap keeps the bucket id safely inside int64 (previously an int32
+    cast silently wrapped buckets negative for n_planes >= 32 while the
+    probe enumerated unwrapped positives — empty results, no error)."""
+    if n_planes > _MAX_INDEX_PLANES:
+        raise ValueError(
+            f"n_planes must be <= {_MAX_INDEX_PLANES} for the partitioned index "
+            "(probe enumeration is 2**n_planes)"
+        )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
         if len(batch) == 0:
-            return batch.append_column("bucket", pa.array([], pa.int32()))
+            return batch.append_column("bucket", pa.array([], pa.int64()))
         m = _normalize(_batch_matrix(batch, vec_col))
         planes = _lsh_planes(m.shape[1], n_planes, seed)
         sigs = (m @ planes.T > 0) @ _sig_weights(n_planes)
-        return batch.append_column("bucket", pa.array(sigs.astype(np.int32)))
+        return batch.append_column("bucket", pa.array(sigs.astype(np.int64)))
 
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["bucket"]
@@ -184,6 +200,9 @@ def lsh_index_topk(index_dir: str, query_vec, id_col: str, vec_col: str,
     import os
 
     import ray.data as rd
+
+    if n_planes > _MAX_INDEX_PLANES:
+        raise ValueError(f"n_planes must be <= {_MAX_INDEX_PLANES} (probe is 2**n_planes)")
 
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
@@ -239,6 +258,8 @@ def lsh_index_topk(index_dir: str, query_vec, id_col: str, vec_col: str,
 def lsh_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10,
              n_planes: int = 8, probe_hamming: int = 2, seed: int = 5):
     """Approximate top-k: hyperplane-sign buckets, multi-probe."""
+    if n_planes > _MAX_INDEX_PLANES:
+        raise ValueError(f"n_planes must be <= {_MAX_INDEX_PLANES} (probe is 2**n_planes)")
     planes = _lsh_planes(len(query_vec), n_planes, seed)  # shared with the indexed path
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)

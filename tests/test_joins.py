@@ -94,6 +94,39 @@ def test_interval_join_matches_bruteforce():
         assert got == want, bucket
 
 
+def test_interval_join_hot_key_bounded():
+    """Planted hot key: ONE key holding thousands of lefts AND rights in
+    a single default-sized (key, bucket) reducer. The searchsorted
+    pairing must complete without materializing the nl*nr cross product
+    and match a vectorized numpy reference exactly."""
+    import numpy as np
+
+    n = 3000
+    rng = np.random.default_rng(23)
+    lt = rng.integers(0, 1_000_000, size=n)
+    rt = rng.integers(0, 1_000_000, size=n)
+    LO, HI = -50, 50  # narrow window: output stays sparse
+    # numpy brute-force reference (no pandas, no cross DataFrame)
+    diff = rt[None, :] - lt[:, None]
+    li, ri = np.nonzero((diff > LO) & (diff <= HI))
+    want = {(int(li_), int(ri_)) for li_, ri_ in zip(li, ri)}
+    left = rd.from_arrow(
+        pa.table({"k": ["hot"] * n, "lid": np.arange(n), "t": _ts(lt.tolist())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": ["hot"] * n, "rid": np.arange(n), "t": _ts(rt.tolist())})
+    )
+    from eschergraph_ray.functions.joins import interval_join
+
+    out = interval_join(
+        left, right, key="k", left_time="t", right_time="t",
+        lo_us=LO, hi_us=HI, left_cols=["lid"], right_cols=["rid"],
+    ).to_pandas()
+    got = set(map(tuple, out[["lid", "rid_right"]].values))
+    assert got == want
+    assert len(out) == len(want)  # exactly-once: pairs meet in ONE reducer
+
+
 def test_bucketed_asof_equals_plain():
     """The skew-safe (key, time-bucket) as-of path == the per-key path,
     across bucket sizes — including buckets so small that most matches
