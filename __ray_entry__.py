@@ -1869,6 +1869,95 @@ def _graph_replay_ctes(corpus_glob: str, build_dir: str) -> str:
     """
 
 
+def _kg_nodes_sql(corpus_glob: str, build_dir: str) -> str:
+    """kg_nodes replay, parameterized on corpus + build dir (the build
+    dir supplies the resolution side-write AND the Louvain-membership
+    model state) — re-bound by tests/test_oracle_tamper.py against a
+    tampered build copy to prove the comparison can fail."""
+    return f"""
+            WITH RECURSIVE {_graph_replay_ctes(corpus_glob, build_dir)},
+            l0 AS (
+              SELECT conv_id, canon AS name,
+                     coalesce(arg_min(dsc, chunk_id * 100000 + first_mi)
+                              FILTER (WHERE dsc <> ''), '') AS description
+              FROM mention GROUP BY 1, 2
+            ),
+            l2 AS (
+              SELECT conv_id,
+                     array_to_string(list_slice(list_filter(
+                         regexp_split_to_array(substr(s, 1, 4000), '\\s+'),
+                         x -> x <> ''), 1, 40), ' ') AS description
+              FROM (SELECT conv_id, string_agg(text, ' ' ORDER BY chunk_id) AS s
+                    FROM chunks GROUP BY conv_id)
+            )
+            SELECT b0.id AS node_id, l0.conv_id, l0.name, l0.description,
+                   CAST(0 AS INT) AS level, b0.community_id
+            FROM l0
+            LEFT JOIN bn b0 ON b0.conv_id = l0.conv_id AND b0.name = l0.name
+                           AND b0.level = 0
+            UNION ALL
+            SELECT comm_id AS node_id, conv_id, cname AS name, cdesc AS description,
+                   CAST(1 AS INT) AS level, NULL AS community_id
+            FROM comm_named
+            UNION ALL
+            SELECT b2.id AS node_id, l2.conv_id, l2.conv_id AS name, l2.description,
+                   CAST(2 AS INT) AS level, NULL AS community_id
+            FROM l2
+            LEFT JOIN bn b2 ON b2.conv_id = l2.conv_id AND b2.level = 2
+        """
+
+
+def _kg_triples_sql(corpus_glob: str, res_glob: str) -> str:
+    """kg_triples replay, parameterized on the corpus glob and the
+    resolution side-write glob — oracle_sql() binds the sf0.01 paths;
+    tests/test_oracle_tamper.py re-binds a TAMPERED resolution copy at
+    sf0.001 to prove the comparison is value-sensitive to the trusted
+    model state (VERDICT r3 #8)."""
+    return f"""
+            WITH chunks AS MATERIALIZED (
+              SELECT conv_id, chunk_id, text FROM ({_chunks_replay_sql(corpus_glob)})
+            ),
+            res AS MATERIALIZED (
+              SELECT * FROM read_parquet('{res_glob}')
+            ),
+            ed AS (
+              SELECT conv_id, chunk_id,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 1) AS srcs,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 2) AS rels,
+                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 3) AS dsts
+              FROM chunks
+              WHERE contains(text, '[[')
+            ),
+            edges AS (
+              SELECT conv_id, chunk_id,
+                     unnest(srcs) AS src_raw,
+                     unnest(rels) AS rel_raw,
+                     unnest(dsts) AS dst_raw
+              FROM ed
+            ),
+            -- every [[x]] occurrence is an entity mention of its chunk
+            -- (the mock extracts entities from the same bracket grammar),
+            -- so the persisted-node set is all mentioned canons
+            nodeset AS (
+              SELECT DISTINCT conv_id, canon FROM res
+            ),
+            resolved AS (
+              SELECT e.conv_id, e.chunk_id,
+                     rs.canon AS subj, trim(e.rel_raw) AS pred, rd.canon AS obj
+              FROM edges e
+              JOIN res rs ON rs.conv_id = e.conv_id AND rs.chunk_id = e.chunk_id
+                         AND rs.alias = regexp_replace(trim(lower(e.src_raw)), '\\s+', ' ', 'g')
+              JOIN res rd ON rd.conv_id = e.conv_id AND rd.chunk_id = e.chunk_id
+                         AND rd.alias = regexp_replace(trim(lower(e.dst_raw)), '\\s+', ' ', 'g')
+              WHERE rs.canon <> rd.canon
+            )
+            SELECT DISTINCT r.conv_id, r.subj, r.pred, r.obj, r.chunk_id
+            FROM resolved r
+            JOIN nodeset ns ON ns.conv_id = r.conv_id AND ns.canon = r.subj
+            JOIN nodeset nd ON nd.conv_id = r.conv_id AND nd.canon = r.obj
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     # globs over the sf0.01 build output (see _build_dir_sf001): the
     # kg_* oracles recompute build-derived aggregates in DuckDB from
@@ -2187,49 +2276,9 @@ def oracle_sql() -> dict[str, str]:
         # per-(subj,pred,obj,chunk) dedup. No id columns: the triple
         # surface is fully value-checked with zero joins against the
         # build output itself (stages/graph_build.py:398-431).
-        "kg_triples": f"""
-            WITH chunks AS MATERIALIZED (
-              SELECT conv_id, chunk_id, text FROM ({_chunks_replay_sql(_transcripts_glob_sf001())})
-            ),
-            res AS MATERIALIZED (
-              SELECT * FROM read_parquet('{_b}/oracle-resolution/*.parquet')
-            ),
-            ed AS (
-              SELECT conv_id, chunk_id,
-                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 1) AS srcs,
-                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 2) AS rels,
-                     regexp_extract_all(text, '{_EDGE_RE_SQL}', 3) AS dsts
-              FROM chunks
-              WHERE contains(text, '[[')
-            ),
-            edges AS (
-              SELECT conv_id, chunk_id,
-                     unnest(srcs) AS src_raw,
-                     unnest(rels) AS rel_raw,
-                     unnest(dsts) AS dst_raw
-              FROM ed
-            ),
-            -- every [[x]] occurrence is an entity mention of its chunk
-            -- (the mock extracts entities from the same bracket grammar),
-            -- so the persisted-node set is all mentioned canons
-            nodeset AS (
-              SELECT DISTINCT conv_id, canon FROM res
-            ),
-            resolved AS (
-              SELECT e.conv_id, e.chunk_id,
-                     rs.canon AS subj, trim(e.rel_raw) AS pred, rd.canon AS obj
-              FROM edges e
-              JOIN res rs ON rs.conv_id = e.conv_id AND rs.chunk_id = e.chunk_id
-                         AND rs.alias = regexp_replace(trim(lower(e.src_raw)), '\\s+', ' ', 'g')
-              JOIN res rd ON rd.conv_id = e.conv_id AND rd.chunk_id = e.chunk_id
-                         AND rd.alias = regexp_replace(trim(lower(e.dst_raw)), '\\s+', ' ', 'g')
-              WHERE rs.canon <> rd.canon
-            )
-            SELECT DISTINCT r.conv_id, r.subj, r.pred, r.obj, r.chunk_id
-            FROM resolved r
-            JOIN nodeset ns ON ns.conv_id = r.conv_id AND ns.canon = r.subj
-            JOIN nodeset nd ON nd.conv_id = r.conv_id AND nd.canon = r.obj
-        """,
+        "kg_triples": _kg_triples_sql(
+            _transcripts_glob_sf001(), f"{_b}/oracle-resolution/*.parquet"
+        ),
         # Node surface replay (all three levels). Level 0: entity
         # mentions parsed from the replayed chunks, D6 merge = first
         # non-empty description in (chunk, match-order) iteration order;
@@ -2240,37 +2289,7 @@ def oracle_sql() -> dict[str, str]:
         # and the level-0 community_id column are translated from the
         # build's node parquet via inert natural-key joins (existence
         # and every other value come from the replay).
-        "kg_nodes": f"""
-            WITH RECURSIVE {_graph_replay_ctes(_transcripts_glob_sf001(), _b)},
-            l0 AS (
-              SELECT conv_id, canon AS name,
-                     coalesce(arg_min(dsc, chunk_id * 100000 + first_mi)
-                              FILTER (WHERE dsc <> ''), '') AS description
-              FROM mention GROUP BY 1, 2
-            ),
-            l2 AS (
-              SELECT conv_id,
-                     array_to_string(list_slice(list_filter(
-                         regexp_split_to_array(substr(s, 1, 4000), '\\s+'),
-                         x -> x <> ''), 1, 40), ' ') AS description
-              FROM (SELECT conv_id, string_agg(text, ' ' ORDER BY chunk_id) AS s
-                    FROM chunks GROUP BY conv_id)
-            )
-            SELECT b0.id AS node_id, l0.conv_id, l0.name, l0.description,
-                   CAST(0 AS INT) AS level, b0.community_id
-            FROM l0
-            LEFT JOIN bn b0 ON b0.conv_id = l0.conv_id AND b0.name = l0.name
-                           AND b0.level = 0
-            UNION ALL
-            SELECT comm_id AS node_id, conv_id, cname AS name, cdesc AS description,
-                   CAST(1 AS INT) AS level, NULL AS community_id
-            FROM comm_named
-            UNION ALL
-            SELECT b2.id AS node_id, l2.conv_id, l2.conv_id AS name, l2.description,
-                   CAST(2 AS INT) AS level, NULL AS community_id
-            FROM l2
-            LEFT JOIN bn b2 ON b2.conv_id = l2.conv_id AND b2.level = 2
-        """,
+        "kg_nodes": _kg_nodes_sql(_transcripts_glob_sf001(), _b),
         # Edge surface replay. Level 0: the D7 edge keys (undirected
         # dedup, first-occurrence orientation) derived entirely from the
         # corpus + resolution state; endpoint/edge ids translated via

@@ -793,6 +793,90 @@ def build_graph_with_media(
     return build_graph(logs.union(mlogs), llm_factory=llm_factory)
 
 
+def _rewrite_one_file(path: str, fn) -> dict:
+    """Atomic single-parquet rewrite: ``fn(table) -> (kept_or_None,
+    info)``; ``kept=None`` leaves the file untouched. Runs inside a Ray
+    task on the mutation paths (tmp+rename on the worker — same
+    shared-filesystem assumption as the writer stages)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.chunking import pin_arrow_threads
+
+    pin_arrow_threads()
+    t = pq.read_table(path)
+    kept, info = fn(t)
+    if kept is not None:
+        pq.write_table(kept.combine_chunks(), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return info
+
+
+_REWRITE_TASK = None
+
+
+def _parallel_rewrite(jobs: list[tuple[str, Callable]]) -> list[dict]:
+    """Task-parallel mutation rewrite (VERDICT r3 #4): one Ray task per
+    affected file, driver only aggregates the returned counts / delete
+    rows — at 100 TB a document removal fans out over the cluster
+    instead of pulling every affected file through one process.
+    Results come back in job order (determinism: callers build the job
+    list in the same kind/file order the old sequential loop used).
+    Falls back inline when Ray isn't initialized (library code never
+    calls ray.init)."""
+    if not jobs:
+        return []
+    import ray
+
+    if not ray.is_initialized():
+        return [_rewrite_one_file(p, fn) for p, fn in jobs]
+    global _REWRITE_TASK
+    if _REWRITE_TASK is None:
+        _REWRITE_TASK = ray.remote(num_cpus=1)(_rewrite_one_file)
+    return ray.get([_REWRITE_TASK.remote(p, fn) for p, fn in jobs])
+
+
+def _conv_removal_fn(kind: str, pid: str, targets: list[str]):
+    """Per-file filter closure for ``remove_documents`` (shipped into
+    the rewrite task): drop rows whose conv_id is in ``targets``;
+    collect DELETE rows for graph object kinds and the removed turn
+    total for document records."""
+
+    def fn(t: pa.Table):
+        import pyarrow.compute as pc
+
+        info = {"pid": pid, "kind": kind, "gone": 0, "deletes": [], "turns": 0}
+        if "conv_id" not in t.column_names:
+            return None, info
+        mask = pc.fill_null(
+            pc.is_in(t["conv_id"], value_set=pa.array(targets)), False
+        )
+        n_gone = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        if n_gone == 0:
+            return None, info
+        info["gone"] = n_gone
+        if kind in ("node", "edge", "property"):
+            gone = t.filter(mask)
+            info["deletes"] = [
+                {
+                    "id": i_,
+                    "action": "DELETE",
+                    "type": kind,
+                    "level": l_ if l_ is not None else 0,
+                    "conv_id": c_,
+                }
+                for i_, c_, l_ in zip(
+                    gone["id"].to_pylist(),
+                    gone["conv_id"].to_pylist(),
+                    gone["level"].to_pylist(),
+                )
+            ]
+        if kind == "documents" and "turn_num" in t.column_names:
+            info["turns"] = int(pc.sum(t.filter(mask)["turn_num"]).as_py() or 0)
+        return t.filter(pc.invert(mask)), info
+
+    return fn
+
+
 def remove_documents(
     out_dir: str, conv_ids: list[str], _defer_delete_log: bool = False
 ) -> dict:
@@ -810,7 +894,6 @@ def remove_documents(
     conversation can be re-added incrementally afterwards (the
     duplicate guard consults the documents sidecar, which no longer
     lists it)."""
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from ..schemas import CHANGE_LOG
@@ -826,79 +909,59 @@ def remove_documents(
         if targets & set(t["conv_id"].to_pylist()):
             affected.append(os.path.basename(f)[: -len(".parquet")])
 
+    # ONE task per affected file across ALL partitions (job order =
+    # the old sequential kind/file order, so delete-log row order and
+    # counts are unchanged); the driver only aggregates the task infos
+    tsorted = sorted(targets)
+    jobs: list[tuple[str, Callable]] = []
     for pid in affected:
-        delete_rows: list[dict] = []
-        docs_gone = 0
-        chunks_gone = 0
-        turns_gone = 0
         graph_dir = os.path.join(out_dir, "graph", pid)
         for kind in ("node", "edge", "property", "triple", "stats", "docrec", "changelog"):
             d = os.path.join(graph_dir, f"kind={kind}")
             if not os.path.isdir(d):
                 continue
             for name in sorted(os.listdir(d)):
-                if not name.endswith(".parquet"):
-                    continue
-                p = os.path.join(d, name)
-                t = pq.read_table(p)
-                if "conv_id" not in t.column_names:
-                    continue
-                mask = pc.is_in(t["conv_id"], value_set=pa.array(sorted(targets)))
-                mask = pc.fill_null(mask, False)
-                n_gone = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
-                if n_gone == 0:
-                    continue
-                if kind in ("node", "edge", "property"):
-                    gone = t.filter(mask)
-                    for i_, c_, l_ in zip(
-                        gone["id"].to_pylist(),
-                        gone["conv_id"].to_pylist(),
-                        gone["level"].to_pylist(),
-                    ):
-                        delete_rows.append(
-                            {
-                                "id": i_,
-                                "action": "DELETE",
-                                "type": kind,
-                                "level": l_ if l_ is not None else 0,
-                                "conv_id": c_,
-                            }
-                        )
-                if kind in removed:
-                    removed[kind] += n_gone
-                kept = t.filter(pc.invert(mask))
-                pq.write_table(kept.combine_chunks(), p + ".tmp")
-                os.replace(p + ".tmp", p)
-        # build_logs checkpoint stays consistent with the graph
+                if name.endswith(".parquet"):
+                    jobs.append(
+                        (os.path.join(d, name), _conv_removal_fn(kind, pid, tsorted))
+                    )
         logs_dir = os.path.join(out_dir, "build_logs", pid)
         if os.path.isdir(logs_dir):
             for name in sorted(os.listdir(logs_dir)):
-                if not name.endswith(".parquet"):
-                    continue
-                p = os.path.join(logs_dir, name)
-                t = pq.read_table(p)
-                mask = pc.fill_null(
-                    pc.is_in(t["conv_id"], value_set=pa.array(sorted(targets))), False
-                )
-                n_gone = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
-                if n_gone == 0:
-                    continue
-                chunks_gone += n_gone
-                pq.write_table(t.filter(pc.invert(mask)).combine_chunks(), p + ".tmp")
-                os.replace(p + ".tmp", p)
-        # Document records
-        docp = os.path.join(out_dir, "documents", f"{pid}.parquet")
-        t = pq.read_table(docp)
-        mask = pc.fill_null(
-            pc.is_in(t["conv_id"], value_set=pa.array(sorted(targets))), False
+                if name.endswith(".parquet"):
+                    jobs.append(
+                        (os.path.join(logs_dir, name), _conv_removal_fn("logs", pid, tsorted))
+                    )
+        jobs.append(
+            (
+                os.path.join(out_dir, "documents", f"{pid}.parquet"),
+                _conv_removal_fn("documents", pid, tsorted),
+            )
         )
-        docs_gone = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
-        removed["documents"] += docs_gone
-        turns_gone = int(
-            pc.sum(t.filter(mask)["turn_num"]).as_py() or 0
-        )
-        pq.write_table(t.filter(pc.invert(mask)).combine_chunks(), docp + ".tmp")
-        os.replace(docp + ".tmp", docp)
+    infos = _parallel_rewrite(jobs)
+
+    by_pid: dict[str, dict] = {
+        pid: {"deletes": [], "docs": 0, "chunks": 0, "turns": 0} for pid in affected
+    }
+    for info in infos:
+        agg = by_pid[info["pid"]]
+        kind = info["kind"]
+        agg["deletes"].extend(info["deletes"])
+        if kind == "documents":
+            removed["documents"] += info["gone"]
+            agg["docs"] += info["gone"]
+            agg["turns"] += info["turns"]
+        elif kind == "logs":
+            agg["chunks"] += info["gone"]
+        elif kind in removed:
+            removed[kind] += info["gone"]
+
+    for pid in affected:
+        delete_rows = by_pid[pid]["deletes"]
+        docs_gone = by_pid[pid]["docs"]
+        chunks_gone = by_pid[pid]["chunks"]
+        turns_gone = by_pid[pid]["turns"]
+        graph_dir = os.path.join(out_dir, "graph", pid)
         # append the DELETE change log (idempotent name from content);
         # deferred when the caller manages the log itself (the
         # on_duplicate="update" path, which already staged a durable
@@ -981,102 +1044,112 @@ def remove_node_by_id(out_dir: str, node_id: str) -> dict:
         return removed
     pid, conv_id, name, level = hit
     graph_dir = os.path.join(graph_root, pid)
-    delete_rows: list[dict] = []
 
-    def rewrite(kind: str, keep_fn) -> int:
-        """Filter every file of one kind partition; returns rows gone."""
+    def kind_files(kind: str) -> list[str]:
         d = os.path.join(graph_dir, f"kind={kind}")
-        gone_total = 0
         if not os.path.isdir(d):
-            return 0
-        for fname in sorted(os.listdir(d)):
-            if not fname.endswith(".parquet"):
-                continue
-            p = os.path.join(d, fname)
-            t = pq.read_table(p)
-            keep = keep_fn(t)
-            n_gone = t.num_rows - int(pc.sum(pc.cast(keep, pa.int64())).as_py() or 0)
-            if n_gone == 0:
-                continue
-            gone_total += n_gone
-            if kind in ("node", "edge", "property"):
-                gone = t.filter(pc.invert(keep))
-                for i_, c_, l_ in zip(
-                    gone["id"].to_pylist(),
-                    gone["conv_id"].to_pylist(),
-                    gone["level"].to_pylist(),
-                ):
-                    delete_rows.append(
-                        {
-                            "id": i_,
-                            "action": "DELETE",
-                            "type": kind,
-                            "level": l_ if l_ is not None else 0,
-                            "conv_id": c_,
-                        }
-                    )
-            pq.write_table(t.filter(keep).combine_chunks(), p + ".tmp")
-            os.replace(p + ".tmp", p)
-        return gone_total
+            return []
+        return [
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
 
-    removed["node"] = rewrite(
-        "node", lambda t: pc.invert(pc.fill_null(pc.equal(t["id"], node_id), False))
-    )
-    removed["edge"] = rewrite(
-        "edge",
-        lambda t: pc.invert(
+    def keep_rewrite_fn(kind: str, keep_fn):
+        """Per-file closure (shipped into the rewrite task): filter to
+        ``keep_fn``'s mask, collecting DELETE rows for object kinds."""
+
+        def fn(t: pa.Table):
+            import pyarrow.compute as pc_
+
+            keep = keep_fn(t)
+            n_gone = t.num_rows - int(pc_.sum(pc_.cast(keep, pa.int64())).as_py() or 0)
+            info = {"kind": kind, "gone": 0, "deletes": []}
+            if n_gone == 0:
+                return None, info
+            info["gone"] = n_gone
+            if kind in ("node", "edge", "property"):
+                gone = t.filter(pc_.invert(keep))
+                info["deletes"] = [
+                    {
+                        "id": i_,
+                        "action": "DELETE",
+                        "type": kind,
+                        "level": l_ if l_ is not None else 0,
+                        "conv_id": c_,
+                    }
+                    for i_, c_, l_ in zip(
+                        gone["id"].to_pylist(),
+                        gone["conv_id"].to_pylist(),
+                        gone["level"].to_pylist(),
+                    )
+                ]
+            return t.filter(keep), info
+
+        return fn
+
+    # phase 1: node/edge/property (+ level-0 triples) rewrites — one
+    # Ray task per file, all kinds concurrent (job order preserves the
+    # old sequential kind order for delete-log row determinism)
+    keep_fns = {
+        "node": lambda t: pc.invert(pc.fill_null(pc.equal(t["id"], node_id), False)),
+        "edge": lambda t: pc.invert(
             pc.fill_null(
                 pc.or_(pc.equal(t["frm"], node_id), pc.equal(t["to"], node_id)), False
             )
         ),
-    )
-    removed["property"] = rewrite(
-        "property",
-        lambda t: pc.invert(pc.fill_null(pc.equal(t["node_id"], node_id), False)),
-    )
+        "property": lambda t: pc.invert(
+            pc.fill_null(pc.equal(t["node_id"], node_id), False)
+        ),
+    }
     if level == 0:
-        removed["triple"] = rewrite(
-            "triple",
-            lambda t: pc.invert(
-                pc.fill_null(
-                    pc.and_(
-                        pc.equal(t["conv_id"], conv_id),
-                        pc.or_(pc.equal(t["subj"], name), pc.equal(t["obj"], name)),
-                    ),
-                    False,
-                )
-            ),
+        keep_fns["triple"] = lambda t: pc.invert(
+            pc.fill_null(
+                pc.and_(
+                    pc.equal(t["conv_id"], conv_id),
+                    pc.or_(pc.equal(t["subj"], name), pc.equal(t["obj"], name)),
+                ),
+                False,
+            )
         )
-    # drop the removed ids from the staged CREATE log partition so a
-    # (hypothetical) sidecar re-derivation cannot resurrect them —
-    # same policy as remove_documents' conv-scoped filter
+    jobs = [
+        (p, keep_rewrite_fn(kind, kfn))
+        for kind, kfn in keep_fns.items()
+        for p in kind_files(kind)
+    ]
+    delete_rows: list[dict] = []
+    for info in _parallel_rewrite(jobs):
+        removed[info["kind"]] = removed.get(info["kind"], 0) + info["gone"]
+        delete_rows.extend(info["deletes"])
+
+    # phase 2 (depends on phase-1 delete ids): drop the removed ids from
+    # the staged CREATE log partition so a (hypothetical) sidecar
+    # re-derivation cannot resurrect them, and cascade the node out of
+    # community membership lists (child_node_ids) — again task-parallel
     gone_ids = pa.array(sorted({r["id"] for r in delete_rows}))
-    rewrite(
-        "changelog",
-        lambda t: pc.invert(pc.fill_null(pc.is_in(t["id"], value_set=gone_ids), False)),
-    )
-    # cascade out of community membership lists (child_node_ids)
-    d = os.path.join(graph_dir, "kind=node")
-    for fname in sorted(os.listdir(d)) if os.path.isdir(d) else []:
-        if not fname.endswith(".parquet"):
-            continue
-        p = os.path.join(d, fname)
-        t = pq.read_table(p)
+
+    def changelog_keep(t):
+        return pc.invert(pc.fill_null(pc.is_in(t["id"], value_set=gone_ids), False))
+
+    def child_cascade_fn(t: pa.Table):
+        info = {"kind": "children", "gone": 0, "deletes": []}
         if "child_node_ids" not in t.column_names:
-            continue
+            return None, info
         kids = t["child_node_ids"].to_pylist()
-        if not any(kids_row and node_id in kids_row for kids_row in kids):
-            continue
+        if not any(row and node_id in row for row in kids):
+            return None, info
         new_kids = [
             [k for k in (row or []) if k != node_id] if row is not None else None
             for row in kids
         ]
         idx = t.schema.get_field_index("child_node_ids")
-        t = t.set_column(
-            idx, "child_node_ids", pa.array(new_kids, t.schema.field(idx).type)
+        return (
+            t.set_column(idx, "child_node_ids", pa.array(new_kids, t.schema.field(idx).type)),
+            info,
         )
-        pq.write_table(t.combine_chunks(), p + ".tmp")
-        os.replace(p + ".tmp", p)
+
+    _parallel_rewrite(
+        [(p, keep_rewrite_fn("changelog", changelog_keep)) for p in kind_files("changelog")]
+        + [(p, child_cascade_fn) for p in kind_files("node")]
+    )
     # DELETE change log (idempotent, content-addressed name)
     if delete_rows:
         logt = pa.Table.from_pylist(delete_rows, schema=CHANGE_LOG)

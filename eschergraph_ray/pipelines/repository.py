@@ -24,6 +24,13 @@ level filter, the ``change_log/`` sidecar), mutation
 incremental ``build.build``), ``filter_documents_by_tags``
 (``functions/tags.py``).
 
+Point mutations (the reference ``Repository.add_node`` update path,
+``simple_repository.py:283-349``): ``update_node_description`` and
+``add_property`` rewrite exactly the located partition's files through
+the same task-parallel tmp+rename machinery as ``remove_node_by_id``
+and append UPDATE / CREATE change-log rows so ``sync_actions`` (A4)
+plans the vector-store upsert.
+
 Scale note: point lookups push their predicate into the parquet scan
 (only row groups whose column statistics admit the key decode), which
 is the right primitive for a batch engine. A low-latency serving path
@@ -119,6 +126,196 @@ def get_all_documents(out_dir: str):
 
         return rd.from_arrow(DOCUMENTS_TABLE.empty_table())
     return rd.read_parquet(files)
+
+
+def _locate_node(out_dir: str, node_id: str):
+    """(partition_id, node row) for a node id, or None — id predicate
+    pushed into the parquet scan (row-group statistics prune)."""
+    graph_root = os.path.join(out_dir, "graph")
+    if not os.path.isdir(graph_root):
+        return None
+    for pid in sorted(os.listdir(graph_root)):
+        d = os.path.join(graph_root, pid, "kind=node")
+        if not os.path.isdir(d):
+            continue
+        t = pads.dataset(d).to_table(filter=pads.field("id") == node_id)
+        if t.num_rows:
+            return pid, t.to_pylist()[0]
+    return None
+
+
+def _append_change_log(out_dir: str, pid: str, tag: str, rows: list[dict]) -> None:
+    """Content-addressed, atomic change-log sidecar append (same naming
+    scheme as the removal paths' delete logs — idempotent re-runs land
+    on the same file name)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..schemas import CHANGE_LOG
+
+    logt = pa.Table.from_pylist(rows, schema=CHANGE_LOG)
+    digest = hashlib.blake2b(
+        "".join(sorted(r["action"] + r["id"] for r in rows)).encode(), digest_size=8
+    ).hexdigest()
+    dst = os.path.join(out_dir, "change_log", f"{pid}-{tag}-{digest}.parquet")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    pq.write_table(logt, dst + ".tmp")
+    os.replace(dst + ".tmp", dst)
+
+
+def update_node_description(out_dir: str, node_id: str, description: str) -> dict | None:
+    """Single-object attribute update (reference ``Repository.add_node``
+    on an EXISTING node, ``simple_repository.py:283-349`` — our node
+    identity is (conv, level, name)-derived, so a description change
+    keeps the id stable). Rewrites only the located partition's node
+    files (task-parallel tmp+rename) and appends an UPDATE change-log
+    row so the sync planner (A4) re-embeds the node. Returns the
+    updated row, or None when the id does not exist."""
+    from .build import _parallel_rewrite
+
+    hit = _locate_node(out_dir, node_id)
+    if hit is None:
+        return None
+    pid, row = hit
+    d = os.path.join(out_dir, "graph", pid, "kind=node")
+
+    def set_desc(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mask = pc.fill_null(pc.equal(t["id"], node_id), False)
+        if not pc.any(mask).as_py():
+            return None, {}
+        idx = t.schema.get_field_index("description")
+        field_t = t.schema.field(idx).type
+        new = pc.if_else(mask, pa.scalar(description, field_t), t["description"])
+        return t.set_column(idx, "description", new), {}
+
+    _parallel_rewrite(
+        [
+            (os.path.join(d, f), set_desc)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+    )
+    _append_change_log(
+        out_dir,
+        pid,
+        "nodeupd",
+        [
+            {
+                "id": node_id,
+                "action": "UPDATE",
+                "type": "node",
+                "level": int(row.get("level") or 0),
+                "conv_id": row.get("conv_id"),
+            }
+        ],
+    )
+    row["description"] = description
+    return row
+
+
+def add_property(out_dir: str, node_id: str, description: str) -> dict | None:
+    """Add one property to an existing node (reference
+    ``Repository.add_property`` through-node persistence,
+    ``simple_repository.py:283-349`` properties branch): a new
+    kind=property row with the build's deterministic id
+    (``ids.property_id``), the owning node's ``properties`` list
+    updated (kept sorted — build convention, graph_build.py:546), a
+    CREATE change-log row for the property and an UPDATE row for the
+    node. Idempotent: re-adding an existing (node, description)
+    property is a no-op returning the existing row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..ids import property_id as make_property_id
+    from .build import _parallel_rewrite
+
+    hit = _locate_node(out_dir, node_id)
+    if hit is None:
+        return None
+    pid, node_row = hit
+    prop_id = make_property_id(node_id, description)
+    existing = get_property_by_id(out_dir, prop_id)
+    if existing is not None:
+        return existing
+
+    graph_dir = os.path.join(out_dir, "graph", pid)
+    prop_dir = os.path.join(graph_dir, "kind=property")
+    os.makedirs(prop_dir, exist_ok=True)
+    # the new row uses the partition's physical file schema (GRAPH_UNION
+    # minus the hive column) so downstream multi-file reads never see
+    # alternating schemas
+    template = next(
+        (
+            os.path.join(graph_dir, f"kind={k}", f)
+            for k in ("property", "node")
+            for f in sorted(os.listdir(os.path.join(graph_dir, f"kind={k}")))
+            if f.endswith(".parquet")
+        ),
+        None,
+    )
+    schema = pq.read_schema(template)
+    vals = {
+        "conv_id": node_row.get("conv_id"),
+        "id": prop_id,
+        "node_id": node_id,
+        "node_name": node_row.get("name"),
+        "description": description,
+        "metadata": [],
+    }
+    arrays = [
+        pa.array([vals.get(f.name)], f.type) if f.name in vals else pa.nulls(1, f.type)
+        for f in schema
+    ]
+    dst = os.path.join(prop_dir, f"pointadd-{prop_id}.parquet")
+    pq.write_table(pa.Table.from_arrays(arrays, schema=schema), dst + ".tmp")
+    os.replace(dst + ".tmp", dst)
+
+    # owning node's properties list gains the description (sorted)
+    def add_to_node(t):
+        import pyarrow.compute as pc
+
+        mask = pc.fill_null(pc.equal(t["id"], node_id), False)
+        if not pc.any(mask).as_py():
+            return None, {}
+        idx = t.schema.get_field_index("properties")
+        props = t["properties"].to_pylist()
+        flags = mask.to_pylist()
+        for i, hit_ in enumerate(flags):
+            if hit_:
+                cur = list(props[i] or [])
+                if description not in cur:
+                    props[i] = sorted(cur + [description])
+        return (
+            t.set_column(idx, "properties", pa.array(props, t.schema.field(idx).type)),
+            {},
+        )
+
+    node_dir = os.path.join(graph_dir, "kind=node")
+    _parallel_rewrite(
+        [
+            (os.path.join(node_dir, f), add_to_node)
+            for f in sorted(os.listdir(node_dir))
+            if f.endswith(".parquet")
+        ]
+    )
+    level = int(node_row.get("level") or 0)
+    _append_change_log(
+        out_dir,
+        pid,
+        "propadd",
+        [
+            {"id": prop_id, "action": "CREATE", "type": "property",
+             "level": level, "conv_id": node_row.get("conv_id")},
+            {"id": node_id, "action": "UPDATE", "type": "node",
+             "level": level, "conv_id": node_row.get("conv_id")},
+        ],
+    )
+    return get_property_by_id(out_dir, prop_id)
 
 
 def clear_change_log(out_dir: str) -> int:

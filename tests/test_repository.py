@@ -86,3 +86,57 @@ def test_get_all_documents_empty_build(tmp_path):
     from eschergraph_ray.pipelines.repository import get_all_documents
 
     assert get_all_documents(str(tmp_path)).count() == 0
+
+
+def test_point_mutations_roundtrip(tmp_path):
+    """update_node_description / add_property: rewrite-in-place, change
+    log UPDATE/CREATE emission, idempotent re-add, and a sync plan that
+    upserts exactly the touched objects (VERDICT r3 #7)."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.changelog import sync_actions
+    from eschergraph_ray.pipelines.build import build
+    from eschergraph_ray.pipelines.repository import (
+        add_property,
+        update_node_description,
+    )
+    from eschergraph_ray.sources.transcripts import transcripts_parquet_dir
+
+    out = str(tmp_path / "out")
+    build(transcripts_parquet_dir(6, root="/tmp/eschergraph_ray_test"), out)
+    nodes = load_kind_arrow(out, "node")
+    row = nodes.filter(pc.equal(nodes["level"], 0)).to_pylist()[0]
+    nid = row["node_id"]
+
+    # simulate a completed external sync so ONLY the point mutations
+    # drive the next plan
+    clear_change_log(out)
+
+    assert update_node_description(out, "no-such-id", "x") is None
+    upd = update_node_description(out, nid, "a corrected description")
+    assert upd is not None and upd["description"] == "a corrected description"
+    assert get_node_by_id(out, nid)["description"] == "a corrected description"
+
+    n_props = load_kind_arrow(out, "property").num_rows
+    assert add_property(out, "no-such-id", "x") is None
+    prop = add_property(out, nid, "newly observed trait")
+    assert prop is not None and prop["node_id"] == nid
+    assert prop["description"] == "newly observed trait"
+    assert load_kind_arrow(out, "property").num_rows == n_props + 1
+    node = get_node_by_id(out, nid)
+    assert "newly observed trait" in (node["properties"] or [])
+    assert node["properties"] == sorted(node["properties"])
+
+    # idempotent re-add: same deterministic id, no second row
+    again = add_property(out, nid, "newly observed trait")
+    assert again["property_id"] == prop["property_id"]
+    assert load_kind_arrow(out, "property").num_rows == n_props + 1
+
+    # the mutation-emitted log alone plans upserts for exactly the
+    # touched objects (A4 algebra over UPDATE/CREATE rows)
+    log = load_change_log(out)
+    acts = {r["id"]: r["action"] for r in log.take_all()}
+    assert acts[nid] == "UPDATE" and acts[prop["property_id"]] == "CREATE"
+    plan = sync_actions(log).to_pandas().set_index("id")["sync_action"]
+    assert plan[nid] == "upsert" and plan[prop["property_id"]] == "upsert"
+    assert set(plan.index) == {nid, prop["property_id"]}
