@@ -1537,6 +1537,93 @@ def _q_build_estimate(sf_dir: str):
     )
 
 
+def _q_docs_stratified_sample(sf_dir: str):
+    """Per-language corpus mixing (functions/sampling.py
+    stratified_sample): keep 10% of en, 30% of zh, 50% of es, all of
+    de, 25% of fr; unseen strata fall to the 0% default. Membership is
+    a pure hash of (salt, doc_id) — no shuffle, stable across cluster
+    sizes and corpus growth."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import stratified_sample
+
+    _context()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        fractions={"en": 0.1, "zh": 0.3, "es": 0.5, "de": 1.0, "fr": 0.25},
+        default_fraction=0.0,
+        salt="strat",
+    ).select_columns(["doc_id", "lang"])
+
+
+def _q_docs_bm25_topk(sf_dir: str):
+    """BM25 keyword ranking (functions/ranking.py): top 15 documents
+    for a 4-term query, two streaming passes (distributed corpus-stat
+    partials, then broadcast-idf scoring)."""
+    from eschergraph_ray.functions.ranking import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir),
+        "doc_id",
+        "text",
+        terms=["spark", "merge", "window", "customer"],
+        k=15,
+    )
+
+
+def _q_events_value_quantiles(sf_dir: str):
+    """Per-event-type exact value percentiles
+    (textstats.grouped_int_percentiles): values become integer cents
+    (round parity with DuckDB round()), then two histogram-sized
+    shuffles — no driver aggregation at all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.textstats import grouped_int_percentiles
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(batch["value"], 100.0),
+                        ndigits=0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_int_percentiles(
+        ev.map_batches(to_cents, batch_format="pyarrow"), "event_type", "cents"
+    )
+
+
+def _q_dedup_components(sf_dir: str):
+    """Near-duplicate CLUSTERS: distributed connected components
+    (functions/components.py min-label propagation) over the verified
+    MinHash near-dup pair graph — the keep-one-per-group primitive
+    that turns dedup pairs into actionable groups. component_id is the
+    minimum doc_id of the cluster (deterministic canonical doc)."""
+    from eschergraph_ray.functions.components import connected_components
+
+    pairs = _q_minhash_neardup(sf_dir)
+    return connected_components(
+        pairs, "id_a", "id_b", node_col="doc_id", component_col="component_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -1619,6 +1706,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "ann_topk_cosine": _q_ann_topk,
         "docs_tag_filter": _q_docs_tag_filter,
+        # ---- round-4 additions (registered at the tail so they don't
+        # displace the rotation above; oracle-verified in pytest —
+        # tests/test_training_ops.py — until their window turn) ----
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_bm25_topk": _q_docs_bm25_topk,
+        "dedup_components": _q_dedup_components,
+        "events_value_quantiles": _q_events_value_quantiles,
     }
 
 
@@ -1980,7 +2074,7 @@ def oracle_sql() -> dict[str, str]:
     _triples = f"{_b}/graph/*/kind=triple/*.parquet"
     _docs = f"{_b}/documents/*.parquet"
     _logs = f"{_b}/change_log/*.parquet"
-    return {
+    d = {
         "docs_pack_sequences": r"""
             -- greedy packing replay: per hash-part, docs in id order,
             -- new bin when the running total would exceed 512
@@ -3075,4 +3169,104 @@ def oracle_sql() -> dict[str, str]:
                    END AS answer
             FROM agg LEFT JOIN first ON TRUE
         """,
+        "events_value_quantiles": """
+            -- per-group inverse-CDF replay (grouped_int_percentiles):
+            -- integer cents via double round parity, quantile_disc =
+            -- smallest value with cumulative count >= p * n
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 1e2) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_type,
+                   quantile_disc(cents, 0.25) AS p25,
+                   quantile_disc(cents, 0.5) AS p50,
+                   quantile_disc(cents, 0.75) AS p75,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY event_type
+        """,
+        "docs_stratified_sample": """
+            -- per-stratum hash sampling replay: md5(salt || id) 4-hex
+            -- prefix vs a per-language threshold (sampling.py
+            -- stratified_sample; thresholds = int(frac * 65536) in hex,
+            -- 'g' = keep-all sentinel, default stratum keeps nothing)
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE lang
+                       WHEN 'en' THEN '1999'
+                       WHEN 'zh' THEN '4ccc'
+                       WHEN 'es' THEN '8000'
+                       WHEN 'de' THEN 'g'
+                       WHEN 'fr' THEN '4000'
+                       ELSE '0000'
+                  END
+        """,
+        "docs_bm25_topk": """
+            -- Okapi BM25 replay (ranking.py bm25_topk): token grammar
+            -- tf/df/dl, idf = ln((N-df+.5)/(df+.5)+1), k1=1.2 b=0.75,
+            -- double literals in E-notation so every constant is DOUBLE
+            -- (DuckDB decimal literals would change the arithmetic)
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                         '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]') AS ts
+              FROM documents
+            ),
+            st AS (
+              SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+                     CAST(len(list_filter(ts, x -> x = 'spark')) AS DOUBLE) AS tf0,
+                     CAST(len(list_filter(ts, x -> x = 'merge')) AS DOUBLE) AS tf1,
+                     CAST(len(list_filter(ts, x -> x = 'window')) AS DOUBLE) AS tf2,
+                     CAST(len(list_filter(ts, x -> x = 'customer')) AS DOUBLE) AS tf3
+              FROM toks
+            ),
+            g AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     sum(dl) / count(*) AS avgdl,
+                     CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                     CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                     CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+                     CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+              FROM st
+            ),
+            sc AS (
+              SELECT doc_id,
+                round(
+                  ln((g.n - g.df0 + 5e-1) / (g.df0 + 5e-1) + 1e0) * tf0 * (1.2e0 + 1e0)
+                    / (tf0 + 1.2e0 * (1e0 - 7.5e-1 + 7.5e-1 * dl / g.avgdl))
+                + ln((g.n - g.df1 + 5e-1) / (g.df1 + 5e-1) + 1e0) * tf1 * (1.2e0 + 1e0)
+                    / (tf1 + 1.2e0 * (1e0 - 7.5e-1 + 7.5e-1 * dl / g.avgdl))
+                + ln((g.n - g.df2 + 5e-1) / (g.df2 + 5e-1) + 1e0) * tf2 * (1.2e0 + 1e0)
+                    / (tf2 + 1.2e0 * (1e0 - 7.5e-1 + 7.5e-1 * dl / g.avgdl))
+                + ln((g.n - g.df3 + 5e-1) / (g.df3 + 5e-1) + 1e0) * tf3 * (1.2e0 + 1e0)
+                    / (tf3 + 1.2e0 * (1e0 - 7.5e-1 + 7.5e-1 * dl / g.avgdl)), 4)
+                AS score
+              FROM st, g
+            )
+            SELECT doc_id, score FROM sc
+            WHERE score > 0e0
+            ORDER BY score DESC, doc_id
+            LIMIT 15
+        """,
     }
+    # connected components = recursive closure OVER the minhash pair
+    # replay (components.py min-label propagation; component_id = min
+    # reachable doc_id). Composed from the dedup_minhash_neardup oracle
+    # so the pair semantics can never drift between the two.
+    d["dedup_components"] = f"""
+        WITH RECURSIVE pairs AS ({d['dedup_minhash_neardup']}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT src AS id, src AS lbl FROM edges
+          UNION
+          SELECT e.dst AS id, r.lbl AS lbl
+          FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS doc_id, min(lbl) AS component_id
+        FROM reach GROUP BY id
+    """
+    return d

@@ -1,0 +1,168 @@
+"""Distributed connected components over a pair/edge list.
+
+The training-data use case: near-duplicate detection emits PAIRS
+(minhash / simhash / embedding LSH), but the keep-one-per-group
+decision needs CLUSTERS — the transitive closure of the pair graph.
+At 100 TB the pair graph itself can be billions of edges, so the
+closure must be computed distributed, not with a driver-side
+union-find (the driver union-find in stages/graph_build.py is
+per-conversation-bounded; this operator is the unbounded-graph
+counterpart).
+
+Algorithm: min-label propagation ("hash-to-min", Rastogi et al. 2013,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds").
+Every node starts labelled with its own id; each round every node
+takes the min of its own label and its neighbours' labels; at the
+fixed point every node carries the minimum node id of its component
+(a deterministic canonical representative). Rounds are bounded by the
+graph diameter (near-dup clusters are shallow — a handful of rounds).
+
+Ray Data construction per round — the same union+groupby shape as the
+temporal joins (functions/joins.py), no Dataset.join (and none of its
+Ray 2.49 quirks):
+
+    edges tagged (key=src, dst)  UNION  labels tagged (key=id, lbl)
+      -> groupby(key)            (THE shuffle; edges co-partition
+                                  with their source's label)
+      -> per-group: emit (dst, src_label) for every edge + the node's
+         own (id, label)
+      -> groupby(id).min(lbl)    (message combine)
+
+Labels are MATERIALIZED between rounds (2 int64 columns x V rows —
+tiny next to the text) so round t doesn't re-execute rounds 0..t-1;
+edges are materialized once. Convergence is detected with a
+sum(label) aggregate: labels are monotonically non-increasing (the
+self-message keeps the old label in the min), so the sum strictly
+decreases until the fixed point — one cheap scalar per round instead
+of a change-count join.
+
+Scale notes: the shuffle each round moves the edge list once (degree-
+bounded reducer output); a hot node costs its true degree, never a
+cross product. Skewed components do not skew the shuffle — labels are
+per-node rows, not per-component groups.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _empty_labels(node_col: str, component_col: str) -> pa.Table:
+    return pa.schema(
+        [(node_col, pa.int64()), (component_col, pa.int64())]
+    ).empty_table()
+
+
+def connected_components(
+    pairs_ds,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "doc_id",
+    component_col: str = "component_id",
+    max_rounds: int = 64,
+):
+    """Return a Dataset of ``(node_col, component_col)`` — one row per
+    node that appears in ``pairs_ds``, labelled with the minimum node
+    id reachable from it. Nodes absent from the pair list are their
+    own singletons by definition and are NOT emitted (callers wanting
+    them union the full id list with a coalesce).
+
+    ``max_rounds`` is a loud-failure bound (diameter of a near-dup
+    cluster in practice: < 10), not a tuning knob.
+    """
+    import ray.data as rd
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        a = pc.cast(batch[id_a], pa.int64())
+        b = pc.cast(batch[id_b], pa.int64())
+        fwd = pa.table({"src": a, "dst": b})
+        rev = pa.table({"src": b, "dst": a})
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    # materialized once: edges feed every round (and the empty check)
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(_empty_labels(node_col, component_col))
+
+    # initial labels fuse the first propagation step: label(v) =
+    # min(v, min over neighbours) — one groupby instead of a distinct
+    # pass plus a round
+    lbl0 = edges.groupby("src").min("dst")
+
+    def init_label(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": batch["src"],
+                "lbl": pc.min_element_wise(batch["src"], batch["min(dst)"]),
+            }
+        )
+
+    labels = lbl0.map_batches(init_label, batch_format="pyarrow").materialize()
+    prev_sum = labels.sum("lbl")
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["src"],
+                "dst": batch["dst"],
+                "lbl": pa.nulls(len(batch), pa.int64()),
+                "_side": pa.array([0] * len(batch), pa.int8()),
+            }
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["id"],
+                "dst": pa.nulls(len(batch), pa.int64()),
+                "lbl": batch["lbl"],
+                "_side": pa.array([1] * len(batch), pa.int8()),
+            }
+        )
+
+    def propagate(group: pa.Table) -> pa.Table:
+        # exactly one label row per key (labels come out of a groupby);
+        # emit the label to every neighbour plus back to the node itself
+        side = group["_side"]
+        lbl_rows = group.filter(pc.equal(side, 1))
+        lbl = lbl_rows["lbl"][0].as_py()
+        key_val = lbl_rows["key"][0].as_py()
+        dsts = group.filter(pc.equal(side, 0))["dst"]
+        n = len(dsts) + 1
+        ids = pa.concat_arrays(
+            list(dsts.chunks) + [pa.array([key_val], pa.int64())]
+        )
+        return pa.table({"id": ids, "lbl": pa.array([lbl] * n, pa.int64())})
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        tagged_labels = labels.map_batches(tag_labels, batch_format="pyarrow")
+        msgs = (
+            tagged_edges.union(tagged_labels)
+            .groupby("key")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        combined = msgs.groupby("id").min("lbl")
+        labels = combined.map_batches(
+            lambda b: pa.table({"id": b["id"], "lbl": b["min(lbl)"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        cur_sum = labels.sum("lbl")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds the bound — raise max_rounds)"
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({node_col: batch["id"], component_col: batch["lbl"]})
+
+    return labels.map_batches(finalize, batch_format="pyarrow")

@@ -54,6 +54,43 @@ def hash_sample(ds, id_col: str, fraction: float, salt: str = ""):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+):
+    """Per-stratum deterministic sampling — the standard corpus-mixing
+    op (e.g. keep 100% of low-resource languages, 10% of English).
+    Same hash device as ``hash_sample`` but the threshold is looked up
+    from the row's stratum, so each stratum is an independent uniform
+    sample and membership is still a pure function of (salt, id):
+    rebalancing the mix never reshuffles which rows a kept stratum
+    contributes. Per-batch filter, no shuffle, no stratum-size skew
+    (hot strata cost nothing extra — there is no groupby).
+
+    SQL replay: ``substr(md5(salt || id), 1, 4) < CASE stratum
+    WHEN ... THEN '<thr>' ... ELSE '<default_thr>' END``."""
+    thrs = {k: fraction_to_hex_threshold(v) for k, v in fractions.items()}
+    default_thr = fraction_to_hex_threshold(default_fraction)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        strata = batch[stratum_col].to_pylist()
+        mask = pa.array(
+            [
+                _bucket(str(i), salt) < thrs.get(s, default_thr)
+                for i, s in zip(ids, strata)
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def add_split_column(ds, id_col: str, holdout_fraction: float, salt: str = "",
                      out_col: str = "split"):
     """Train/holdout split as a column (the standard eval-holdout op):

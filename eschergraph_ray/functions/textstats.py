@@ -343,6 +343,46 @@ def histogram_percentiles(hist: list[tuple[int, int]], ps: tuple[float, ...]):
     return out
 
 
+def grouped_int_percentiles(
+    ds, group_col: str, col: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75)
+):
+    """Per-group exact percentiles of a bounded-cardinality integer
+    column — the grouped counterpart of ``int_column_percentiles``,
+    with NO driver step at all: shuffle 1 builds the per-(group, value)
+    histogram (moves counts, not rows), shuffle 2 regroups the tiny
+    histogram by group and inverts each CDF inside ``map_groups``.
+    Null values are dropped first (matching SQL aggregate semantics, so
+    a ``quantile_disc ... GROUP BY`` oracle replays exactly). Output:
+    one row per group — (group_col, p<25>, p<50>, ..., n).
+
+    Scale: a hot group costs its value-cardinality (histogram rows),
+    never its row count; the per-group inversion is O(cardinality)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[col]))
+
+    hist = (
+        ds.map_batches(drop_nulls, batch_format="pyarrow")
+        .groupby([group_col, col])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    p_names = [f"p{int(p * 100)}" for p in ps]
+
+    def per_group(g: pa.Table) -> pa.Table:
+        pairs = list(zip(g[col].to_pylist(), g["cnt"].to_pylist()))
+        picks = histogram_percentiles(pairs, ps)
+        row = {group_col: [g[group_col][0].as_py()]}
+        for name, pick in zip(p_names, picks):
+            row[name] = pa.array([pick], pa.int64())
+        row["n"] = pa.array([sum(c for _v, c in pairs)], pa.int64())
+        return pa.table(row)
+
+    return hist.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
 def int_column_percentiles(ds, col: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75)):
     """Distributed exact percentiles of a bounded-cardinality integer
     column: groupby(value).count() is the ONLY shuffle (the histogram —

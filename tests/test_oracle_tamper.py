@@ -40,29 +40,31 @@ def test_kg_triples_oracle_fails_on_tampered_resolution(tmp_path, ray_session):
     true = con.execute(E._kg_triples_sql(corpus, res_glob)).df()
     assert len(true) > 0
 
-    # tamper ONE resolution row that provably feeds the output: the
-    # canon behind the first true triple's subject
+    # tamper the canon behind a true triple's subject — EVERY resolution
+    # row carrying it in that conversation (a single mention row may be
+    # a surface form extraction never fires on, and duckdb's result
+    # order makes "the first row" nondeterministic), so no alternate
+    # mention path can still produce the original subject
     subj = true.iloc[0]["subj"]
     conv = true.iloc[0]["conv_id"]
     tdir = tmp_path / "res"
     tdir.mkdir()
-    tampered_once = False
+    tampered_any = False
     for f in sorted(glob.glob(res_glob)):
         t = pq.read_table(f)
-        if not tampered_once:
-            mask = pc.and_(pc.equal(t["conv_id"], conv), pc.equal(t["canon"], subj))
-            idxs = [i for i, v in enumerate(mask.to_pylist()) if v]
-            if idxs:
-                canon = t["canon"].to_pylist()
-                canon[idxs[0]] = subj + " tampered"
-                t = t.set_column(
-                    t.schema.get_field_index("canon"),
-                    "canon",
-                    pa.array(canon, t.schema.field("canon").type),
-                )
-                tampered_once = True
+        mask = pc.and_(pc.equal(t["conv_id"], conv), pc.equal(t["canon"], subj))
+        if pc.any(mask).as_py():
+            canon = pa.array(
+                [
+                    subj + " tampered" if m else c
+                    for c, m in zip(t["canon"].to_pylist(), mask.to_pylist())
+                ],
+                t.schema.field("canon").type,
+            )
+            t = t.set_column(t.schema.get_field_index("canon"), "canon", canon)
+            tampered_any = True
         pq.write_table(t, str(tdir / os.path.basename(f)))
-    assert tampered_once
+    assert tampered_any
 
     bad = con.execute(E._kg_triples_sql(corpus, str(tdir / "*.parquet"))).df()
     key = ["conv_id", "subj", "pred", "obj", "chunk_id"]
