@@ -252,6 +252,29 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _docs_sized(sf_dir: str, target_block_bytes: int = 1 << 21,
+                min_blocks: int = 2, max_blocks: int = 512):
+    """documents reader whose BLOCK COUNT tracks the input SIZE instead
+    of the cpu count. Ray's default read splits one file into
+    ~2x-num-cpus blocks regardless of size, and every downstream
+    groupby/sort/join inherits that as its shuffle-partition count — a
+    1 MB table then pays a 64-way all-to-all fan of microsecond-sized
+    payloads (measured: the minhash pipeline's sort+aggregate wall time
+    was ~90% task overhead at sf0.1). Sizing blocks by bytes keeps tiny
+    inputs nearly local while the SAME rule fans a 100 TB table out to
+    thousands of partitions. Use only for pipelines whose per-batch
+    UDFs are light (signatures, shingles); CPU-heavy per-doc UDFs
+    (winnowing fingerprints) keep the cpu-wide default split."""
+    import os as _os
+
+    import ray.data as rd
+
+    _context()
+    f = f"{sf_dir}/documents.parquet"
+    nb = max(min_blocks, min(max_blocks, -(-_os.path.getsize(f) // target_block_bytes)))
+    return rd.read_parquet(f, columns=["doc_id", "text"], override_num_blocks=nb)
+
+
 def _q_doc_token_counts(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -457,7 +480,7 @@ def _q_minhash_neardup(sf_dir: str):
     )
 
     _sidewrite_minhash_params()  # lets the SQL oracle replay the perms
-    docs = _docs(sf_dir)
+    docs = _docs_sized(sf_dir)  # shuffle partitions track input size
     cand = minhash_lsh_candidates(docs, "doc_id", "text")
     return jaccard_verify_pairs(cand, docs, "doc_id", "text", threshold=0.5)
 

@@ -107,6 +107,77 @@ def minhash_signatures(
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
+# hash partitions for vectorized bucket pairing (power of two: the
+# partition id is a bit mask of the bucket hash). 64 bounds the
+# map_groups call count while keeping partitions small enough that a
+# worker sorts one comfortably; at 100 TB raise it with cluster size.
+_PAIR_PARTITIONS = 64
+
+
+def _bucket_pairs_vectorized(ds, key_cols: list[str], id_col: str,
+                             df_cutoff: int, part_col: str = "_part"):
+    """All unordered (id_a < id_b) pairs that share a bucket key, with
+    the per-bucket ``df_cutoff``, computed VECTORIZED per hash
+    partition instead of one ``map_groups`` UDF call per bucket.
+
+    Why: ``groupby(bucket).map_groups`` invokes Python once per
+    DISTINCT bucket — for n-gram dedup that is one call per distinct
+    gram (hundreds of thousands of micro-groups; measured ~75% of the
+    query's wall time at sf0.1). Here buckets are hash-partitioned on
+    ``part_col`` (one group per PARTITION, e.g. 64 calls total), each
+    partition is sorted by (key, id) once in Arrow, run boundaries are
+    found with one numpy compare, and only runs with 2..df_cutoff
+    members expand pairs (``np.triu_indices`` — C loop). Singleton
+    buckets (the vast majority) cost one boolean each.
+
+    Identical output to the per-bucket path: ids within a run are
+    sorted, so i<j yields id_a < id_b; a bucket larger than
+    ``df_cutoff`` emits nothing. Callers must attach ``part_col`` =
+    deterministic hash(bucket key) so a bucket never straddles
+    partitions."""
+    import numpy as np
+
+    def pairs(part: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t_id = part[id_col].type
+        empty = pa.table({"id_a": pa.array([], t_id), "id_b": pa.array([], t_id)})
+        n = part.num_rows
+        if n < 2:
+            return empty
+        idx = pc.sort_indices(
+            part, sort_keys=[(c, "ascending") for c in key_cols + [id_col]]
+        )
+        t = part.take(idx).combine_chunks()
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in key_cols:
+            arr = t[c].to_numpy(zero_copy_only=False)
+            change[1:] |= arr[1:] != arr[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            run = e - s
+            if run < 2 or run > df_cutoff:  # singleton or hot-bucket cut
+                continue
+            i, j = np.triu_indices(run, 1)
+            a_parts.append(ids[s:e][i])
+            b_parts.append(ids[s:e][j])
+        if not a_parts:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_parts), t_id),
+                "id_b": pa.array(np.concatenate(b_parts), t_id),
+            }
+        )
+
+    return ds.groupby(part_col).map_groups(pairs, batch_format="pyarrow")
+
+
 def minhash_lsh_candidates(
     ds,
     id_col: str,
@@ -150,29 +221,23 @@ def minhash_lsh_candidates(
                 ids.append(id_)
                 bids.append(bi)
                 bhash.append(int.from_bytes(h.digest(), "big") >> 1)
-        return pa.table(
+        t = pa.table(
             {
                 id_col: pa.array(ids),
                 "band_id": pa.array(bids, pa.int32()),
                 "band_hash": pa.array(bhash, pa.int64()),
             }
         )
+        # bucket partition for the vectorized pairing: band_hash is
+        # blake2-uniform, so its low bits ARE the hash partition (the
+        # pyarrow-has-no-modulo trick: power-of-two mask)
+        return t.append_column(
+            "_part", pc.bit_wise_and(t["band_hash"], _PAIR_PARTITIONS - 1)
+        )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_col].to_pylist()))
-        a_, b_ = [], []
-        if len(ids) <= df_cutoff:  # hot-bucket cut (see docstring)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_.append(ids[i])
-                    b_.append(ids[j])
-        t = group[id_col].type  # typed: pa.array([]) infers null (schema trap)
-        return pa.table({"id_a": pa.array(a_, t), "id_b": pa.array(b_, t)})
-
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    pairs = _bucket_pairs_vectorized(
+        exploded, ["band_id", "band_hash"], id_col, df_cutoff
     )
     from ray.data.aggregate import Count
 
@@ -447,7 +512,8 @@ def simhash_near_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.5, df_cutoff: int = 2000,
-                        num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+                        num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+                        broadcast_sizes_below: int = 2_000_000):
     """EXACT n-gram (word) Jaccard similar pairs — SQL-checkable and
     fully distributed.
 
@@ -466,15 +532,24 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, gs = [], []
+        import zlib
+
+        ids, gs, parts = [], [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             words = (t or "").lower().split()
             grams = {" ".join(words[k : k + n]) for k in range(len(words) - n + 1)}
             for g in grams:
                 ids.append(i)
                 gs.append(g)
+                # deterministic gram partition for the vectorized
+                # pairing (crc32: stable across processes, cheap)
+                parts.append(zlib.crc32(g.encode()) & (_PAIR_PARTITIONS - 1))
         return pa.table(
-            {id_col: pa.array(ids, batch[id_col].type), "gram": pa.array(gs, pa.string())}
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "gram": pa.array(gs, pa.string()),
+                "_part": pa.array(parts, pa.int64()),
+            }
         )
 
     grams = ds.map_batches(explode, batch_format="pyarrow")
@@ -482,20 +557,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     # carry degenerate empty blocks (see _pinned_payload)
     sizes = _pinned_payload(grams.groupby(id_col).aggregate(Count(alias_name="n_grams")))
 
-    def gram_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_col].to_pylist()))
-        a_, b_ = [], []
-        if len(ids) <= df_cutoff:  # document-frequency cut
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_.append(ids[i])
-                    b_.append(ids[j])
-        t = group[id_col].type
-        return pa.table({"id_a": pa.array(a_, t), "id_b": pa.array(b_, t)})
-
     inter = (
-        grams.groupby("gram")
-        .map_groups(gram_pairs, batch_format="pyarrow")
+        _bucket_pairs_vectorized(grams, ["gram"], id_col, df_cutoff)
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="n_common"))
     )
@@ -505,6 +568,45 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
 
         id_type = ds.schema().base_schema.field(id_col).type
         return rd.from_arrow(_empty_pairs_table(id_type, "jaccard"))
+
+    # sizes is one integer per doc — when it fits comfortably in the
+    # object store, BROADCAST it (ray.put once, zero-copy read per
+    # task) instead of dragging every candidate pair through two hash
+    # joins + their repartitions (measured: the join phase was ~1/3 of
+    # the query wall at sf0.1 with a dense pair graph). Above the
+    # threshold the distributed joins remain the scale path.
+    if sizes.count() <= broadcast_sizes_below:
+        import ray as _ray
+
+        pdf = sizes.to_pandas()
+        order = np.argsort(pdf[id_col].to_numpy())
+        side_ref = _ray.put(
+            (pdf[id_col].to_numpy()[order], pdf["n_grams"].to_numpy()[order])
+        )
+
+        def jac_broadcast(batch: pa.Table) -> pa.Table:
+            ids_np, cnt_np = _ray.get(side_ref)
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            pa_i = np.searchsorted(ids_np, a)
+            pb_i = np.searchsorted(ids_np, b)
+            if not ((ids_np[pa_i] == a).all() and (ids_np[pb_i] == b).all()):
+                raise RuntimeError("pair id missing from broadcast size table")
+            nc = batch["n_common"].to_numpy(zero_copy_only=False)
+            union = cnt_np[pa_i] + cnt_np[pb_i] - nc
+            # same IEEE double division as the join path's pc.divide
+            j = pa.array(nc.astype(np.float64) / union.astype(np.float64))
+            out = pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "jaccard": pc.round(j, 6, round_mode="half_towards_infinity"),
+                }
+            )
+            return out.filter(pc.greater_equal(j, threshold))
+
+        return inter.map_batches(jac_broadcast, batch_format="pyarrow")
+
     j1 = _attach_payload(inter, sizes, "id_a", id_col, "n_grams", "n_a",
                          num_partitions)
     j2 = _attach_payload(j1, sizes, "id_b", id_col, "n_grams", "n_b",

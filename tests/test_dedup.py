@@ -71,6 +71,19 @@ def test_ngram_jaccard_exact_values():
     assert not ((out.id_a == 1) & (out.id_b == 4)).any()
 
 
+def test_ngram_broadcast_and_join_paths_agree():
+    # broadcast_sizes_below=0 forces the distributed-join path; the
+    # default takes the broadcast fast path — byte-identical outputs
+    bc = ngram_jaccard_pairs(
+        _docs(), "doc_id", "text", n=3, threshold=0.5
+    ).to_pandas()
+    jn = ngram_jaccard_pairs(
+        _docs(), "doc_id", "text", n=3, threshold=0.5, broadcast_sizes_below=0
+    ).to_pandas()
+    key = ["id_a", "id_b", "jaccard"]
+    assert sorted(map(tuple, bc[key].values)) == sorted(map(tuple, jn[key].values))
+
+
 def test_embedding_near_dup():
     vecs = pa.table(
         {
