@@ -1647,6 +1647,95 @@ def _q_dedup_components(sf_dir: str):
     )
 
 
+def _q_dedup_survivors(sf_dir: str):
+    """The keep-one-per-cluster ACTION (components.dedup_survivors):
+    corpus minus the non-canonical members of every near-dup cluster —
+    the drop set is broadcast (bounded by dup count), the corpus is
+    filtered in one streaming pass, zero shuffle."""
+    from eschergraph_ray.functions.components import dedup_survivors
+
+    comps = _q_dedup_components(sf_dir)
+    return dedup_survivors(
+        _docs(sf_dir).select_columns(["doc_id"]), comps, "doc_id"
+    )
+
+
+def _q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (functions/decontam.py): a 20%
+    hash-split of documents plays the evaluation benchmark; its
+    distinct 5-word shingles are broadcast once and the remaining 80%
+    (the training corpus) is flagged in a single streaming pass —
+    (doc_id, n_hits) for every contaminated document."""
+    from eschergraph_ray.functions.decontam import decontaminate
+    from eschergraph_ray.functions.sampling import hash_sample
+
+    docs = _docs(sf_dir)
+    bench = hash_sample(docs, "doc_id", 0.2, salt="bench")
+    corpus = hash_sample(docs, "doc_id", 0.2, salt="bench", invert=True)
+    return decontaminate(corpus, bench, "doc_id", "text", n=5)
+
+
+def _q_docs_vocab_topk(sf_dir: str):
+    """Global token top-k (functions/vocab.py vocab_topk): per-batch
+    Counter partials (the combiner — hot tokens never concentrate in a
+    reducer), a vocabulary-sized groupby-sum, and a 50-row sort with a
+    deterministic (n desc, token asc) LIMIT boundary."""
+    from eschergraph_ray.functions.vocab import vocab_topk
+
+    return vocab_topk(_docs(sf_dir), "text", k=50)
+
+
+def _q_docs_tfidf_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF keywords (functions/vocab.py
+    tfidf_top_terms): distributed df partials -> broadcast idf table ->
+    one streaming scoring pass; per-doc top-k is doc-local, so the
+    corpus text is never shuffled at all."""
+    from eschergraph_ray.functions.vocab import tfidf_top_terms
+
+    docs = _docs(sf_dir)
+    return tfidf_top_terms(docs, "doc_id", "text", m=3)
+
+
+def _q_docs_unigram_nll(sf_dir: str):
+    """Unigram-LM quality scoring (functions/vocab.py unigram_nll):
+    corpus token counts -> broadcast integer micro-nat log-prob table
+    -> one streaming scoring pass; the per-doc aggregation is pure
+    int64 arithmetic so both engines agree bit-for-bit."""
+    from eschergraph_ray.functions.vocab import unigram_nll
+
+    return unigram_nll(_docs(sf_dir), "doc_id", "text")
+
+
+def _q_docs_collocations(sf_dir: str):
+    """Bigram-PMI collocation mining (vocab.py bigram_pmi_topk):
+    unigram+bigram Counter partials, broadcast unigram table, integer
+    micro-nat PMI ranked (micro desc, w1, w2) — an all-integer LIMIT
+    boundary."""
+    from eschergraph_ray.functions.vocab import bigram_pmi_topk
+
+    return bigram_pmi_topk(_docs(sf_dir), "text", k=50, min_count=5)
+
+
+def _q_embeddings_kmeans(sf_dir: str):
+    """Cosine k-means assignment (similarity.py kmeans_assign) against
+    deterministic seed centroids (the 8 smallest vec_ids — what makes
+    the op SQL-oracleable): broadcast k x d matrix, one matmul per
+    batch, round(4)-before-argmax parity with DuckDB's float32
+    list_cosine_similarity, ties to the smallest centroid id."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import (
+        kmeans_assign,
+        seed_centroids,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids, cent = seed_centroids(ds, "vec_id", "embedding", k=8)
+    return kmeans_assign(ds, ids, cent, "vec_id", "embedding")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -1657,10 +1746,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead; 8 queries green in BOTH r2 and r3
-    # (doc_token_counts, doc_quality_counts, doc_lang_id,
+    # sessionize_events) lead, followed by the 8 round-4 additions
+    # (docs_stratified_sample ... docs_tfidf_terms — never driver-green
+    # by construction); parked at the tail: 8 queries green in BOTH r2
+    # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
-    # ann_topk_cosine, docs_tag_filter) move to the tail.
+    # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
+    # queries (doc_repetition_counts, doc_token_percentiles,
+    # docs_pack_sequences, docs_sample, docs_split_counts,
+    # docs_redact_pii, doc_fingerprints, dedup_fingerprint_pairs).
     return {
         # relational / windows (rotated in: never driver-green as of r3)
         "events_asof_join": _q_events_asof_join,
@@ -1671,6 +1765,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": _q_events_topk_per_type,
         "top_users_by_value": _q_top_users,
         "sessionize_events": _q_sessionize,
+        # round-4 additions (rotated in: never driver-green yet)
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_bm25_topk": _q_docs_bm25_topk,
+        "dedup_components": _q_dedup_components,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "dedup_survivors": _q_dedup_survivors,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_vocab_topk": _q_docs_vocab_topk,
+        "docs_tfidf_terms": _q_docs_tfidf_terms,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -1680,15 +1783,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lineage": _q_lineage,
         "kg_embeddings": _q_kg_embeddings,
         "kg_quick_search": _q_quick_search,
-        # text analysis
-        "doc_repetition_counts": _q_doc_repetition,
-        "doc_token_percentiles": _q_doc_token_percentiles,
-        "docs_pack_sequences": _q_docs_pack_sequences,
-        "docs_sample": _q_docs_sample,
-        "docs_split_counts": _q_docs_split_counts,
-        "docs_redact_pii": _q_docs_redact_pii,
-        "doc_fingerprints": _q_fingerprints,
-        "dedup_fingerprint_pairs": _q_fingerprint_pairs,
         # dedup family
         "dedup_simhash_documents": _q_simhash,
         "dedup_minhash_neardup": _q_minhash_neardup,
@@ -1729,13 +1823,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "ann_topk_cosine": _q_ann_topk,
         "docs_tag_filter": _q_docs_tag_filter,
-        # ---- round-4 additions (registered at the tail so they don't
-        # displace the rotation above; oracle-verified in pytest —
-        # tests/test_training_ops.py — until their window turn) ----
-        "docs_stratified_sample": _q_docs_stratified_sample,
-        "docs_bm25_topk": _q_docs_bm25_topk,
-        "dedup_components": _q_dedup_components,
-        "events_value_quantiles": _q_events_value_quantiles,
+        # ---- tail: r3 driver-green text-analysis family, parked this
+        # round to make room for the 8 never-green round-4 additions ----
+        "doc_repetition_counts": _q_doc_repetition,
+        "doc_token_percentiles": _q_doc_token_percentiles,
+        "docs_pack_sequences": _q_docs_pack_sequences,
+        "docs_sample": _q_docs_sample,
+        "docs_split_counts": _q_docs_split_counts,
+        "docs_redact_pii": _q_docs_redact_pii,
+        "doc_fingerprints": _q_fingerprints,
+        "dedup_fingerprint_pairs": _q_fingerprint_pairs,
     }
 
 
@@ -3271,6 +3368,91 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id
             LIMIT 15
         """,
+        "docs_vocab_topk": """
+            -- global token top-k replay (vocab.py vocab_topk): token
+            -- grammar counts, (n desc, token asc) deterministic LIMIT
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                  '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS token
+              FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 50
+        """,
+        "docs_tfidf_terms": """
+            -- per-doc top-3 TF-IDF replay (vocab.py tfidf_top_terms):
+            -- score = tf * ln(N/df) in doubles, ranked UNROUNDED with
+            -- (score desc, token asc) tie-break, rounded after
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                         '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+              FROM toks GROUP BY doc_id, token
+            ),
+            df AS (
+              SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM toks GROUP BY token
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / df.df) AS score
+              FROM tf JOIN df USING (token), n
+            ),
+            rk AS (
+              SELECT doc_id, token, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, token
+                     ) AS r
+              FROM sc WHERE score > 0e0
+            )
+            SELECT doc_id, token, round(score, 6) AS tfidf
+            FROM rk WHERE r <= 3
+        """,
+        "docs_decontaminate": """
+            -- benchmark decontamination replay (functions/decontam.py):
+            -- 20% md5-bucket benchmark split (salt 'bench', threshold
+            -- 0x3333 = int(0.2 * 65536)), distinct 5-word shingles
+            -- (whitespace split, empties dropped), corpus docs counted
+            -- by distinct shared grams
+            WITH d AS (
+              SELECT doc_id, text,
+                     substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       < '3333' AS is_bench
+              FROM documents
+            ),
+            wl AS (
+              SELECT doc_id, is_bench,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM d
+            ),
+            words AS (
+              SELECT doc_id, is_bench, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS i
+              FROM wl
+            ),
+            grams AS (
+              SELECT DISTINCT a.doc_id, a.is_bench,
+                     a.w || ' ' || w1.w || ' ' || w2.w || ' ' || w3.w
+                         || ' ' || w4.w AS gram
+              FROM words a
+              JOIN words w1 ON a.doc_id = w1.doc_id AND w1.i = a.i + 1
+              JOIN words w2 ON a.doc_id = w2.doc_id AND w2.i = a.i + 2
+              JOIN words w3 ON a.doc_id = w3.doc_id AND w3.i = a.i + 3
+              JOIN words w4 ON a.doc_id = w4.doc_id AND w4.i = a.i + 4
+            ),
+            bg AS (SELECT DISTINCT gram FROM grams WHERE is_bench)
+            SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+            FROM grams g JOIN bg USING (gram)
+            WHERE NOT g.is_bench
+            GROUP BY g.doc_id
+        """,
     }
     # connected components = recursive closure OVER the minhash pair
     # replay (components.py min-label propagation; component_id = min
@@ -3291,5 +3473,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS doc_id, min(lbl) AS component_id
         FROM reach GROUP BY id
+    """
+    # survivors = documents minus non-canonical cluster members — the
+    # keep-one-per-group ACTION over the same closure (components.py
+    # dedup_survivors), composed so pair/closure semantics never drift.
+    d["dedup_survivors"] = f"""
+        WITH RECURSIVE pairs AS ({d['dedup_minhash_neardup']}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT src AS id, src AS lbl FROM edges
+          UNION
+          SELECT e.dst AS id, r.lbl AS lbl
+          FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
     """
     return d

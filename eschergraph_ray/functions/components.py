@@ -166,3 +166,55 @@ def connected_components(
         return pa.table({node_col: batch["id"], component_col: batch["lbl"]})
 
     return labels.map_batches(finalize, batch_format="pyarrow")
+
+
+def dedup_survivors(
+    ds,
+    components_ds,
+    id_col: str,
+    node_col: str = "doc_id",
+    component_col: str = "component_id",
+    max_drop_broadcast: int = 200_000_000,
+):
+    """The keep-one-per-cluster ACTION: filter ``ds`` down to the rows
+    that survive near-dup clustering — every cluster's canonical
+    representative (the min-id member, i.e. ``node == component``)
+    plus every document that was never in a pair.
+
+    Shape: the DROP set (non-canonical cluster members) is exactly
+    ``#dup_docs - #clusters`` rows — tiny next to the corpus even at
+    pathological dup rates — so it is collected once, ``ray.put``
+    broadcast as a sorted int64 array, and the corpus is filtered in
+    one streaming ``map_batches`` pass with a vectorized searchsorted
+    membership test. No shuffle of the corpus, no join.
+    ``max_drop_broadcast`` is the loud-failure bound on that contract.
+    """
+    import numpy as np
+    import ray
+
+    def to_drops(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch[node_col], batch[component_col])
+        return pa.table({"drop_id": pc.cast(batch.filter(mask)[node_col], pa.int64())})
+
+    drops = components_ds.map_batches(to_drops, batch_format="pyarrow")
+    # unique() on an empty/schema-less dataset can yield None or [None]
+    uniq = drops.unique("drop_id") or []
+    drop_ids = np.asarray([v for v in uniq if v is not None], np.int64)
+    if len(drop_ids) > max_drop_broadcast:
+        raise ValueError(
+            f"{len(drop_ids)} drop ids exceed max_drop_broadcast="
+            f"{max_drop_broadcast}; shard the drop set or use a join path"
+        )
+    drop_ids.sort()
+    drop_ref = ray.put(drop_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)  # node-cached
+        if len(drop) == 0:
+            return batch
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(drop, ids)
+        hit = (pos < len(drop)) & (drop[np.minimum(pos, len(drop) - 1)] == ids)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

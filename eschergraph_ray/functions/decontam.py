@@ -1,0 +1,127 @@
+"""Benchmark decontamination: flag corpus documents that share word
+n-grams with an evaluation/benchmark set.
+
+Standard practice for training-data curation (GPT-3 appendix C /
+Gopher section A.3 style): any training document containing a long-ish
+n-gram that also appears in an evaluation benchmark is "contaminated"
+and must be dropped or audited — otherwise eval scores are inflated by
+memorization. The reference has no analogue (it builds KGs from a
+trusted corpus); at 100 TB this is a first-class pipeline stage.
+
+Ray-Data-first shape (broadcast semi-join, no all-to-all):
+
+  benchmark side: ``map_batches`` emits the per-document DISTINCT
+    n-grams (word shingles, lowercase whitespace-split — the same gram
+    device as ``dedup.ngram_jaccard_pairs`` so the DuckDB oracle can
+    replay it verbatim), a ``unique()`` dedupes globally, and the
+    resulting gram set is ``ray.put`` ONCE into the object store.
+    Benchmarks are small by definition (MBs, not TBs) — the broadcast
+    set is bounded by benchmark size, never corpus size. ``max_grams``
+    makes that contract loud instead of silently OOMing.
+
+  corpus side: a single streaming ``map_batches`` pass reads the
+    broadcast set (``ray.get`` per task — Ray caches the object
+    per-node, zero re-ship per batch) and counts, per document, how
+    many of its DISTINCT grams hit the benchmark set. No shuffle at
+    all: the corpus is touched exactly once, embarrassingly parallel.
+
+Output: one row per contaminated document — ``(id_col, n_hits)`` with
+``n_hits`` = number of distinct benchmark grams found (int64). Clean
+documents emit nothing (at 100 TB almost everything is clean; emitting
+only hits keeps the result tiny). Dropping the flagged docs is then a
+broadcast anti-join (`hash_sample`-style filter) or a plain
+``Dataset.filter``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _doc_grams(text: str, n: int) -> set[str]:
+    """Distinct lowercase word ``n``-grams of one document — identical
+    to the SQL replay: whitespace-split (empties dropped), windows of
+    ``n`` consecutive words joined by single spaces."""
+    ws = (text or "").lower().split()
+    if len(ws) < n:
+        return set()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def collect_benchmark_grams(
+    bench_ds,
+    text_col: str,
+    n: int = 5,
+    max_grams: int = 50_000_000,
+):
+    """Distinct n-grams of the benchmark set as a broadcast object ref.
+
+    Returns ``(object_ref, n_grams)`` where the ref holds a frozenset
+    of gram strings. The driver-side materialization is bounded by the
+    BENCHMARK's size (the contract of decontamination — eval sets are
+    tiny next to the corpus); ``max_grams`` turns a misuse (pointing
+    this at a 100-TB "benchmark") into a loud error instead of an OOM.
+    """
+    import ray
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        grams: set[str] = set()
+        for txt in batch[text_col].to_pylist():
+            grams.update(_doc_grams(txt, n))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    # per-batch distinct (combiner) -> global distinct; unique()
+    # materializes on the driver, bounded by benchmark size.
+    distinct = bench_ds.map_batches(explode, batch_format="pyarrow").unique("gram")
+    if len(distinct) > max_grams:
+        raise ValueError(
+            f"benchmark produced {len(distinct)} grams > max_grams={max_grams}; "
+            "decontamination broadcasts the benchmark gram set — use a "
+            "smaller benchmark or raise max_grams explicitly"
+        )
+    return ray.put(frozenset(distinct)), len(distinct)
+
+
+def decontaminate(
+    corpus_ds,
+    bench_ds,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_grams: int = 50_000_000,
+):
+    """Flag corpus documents sharing any word ``n``-gram with
+    ``bench_ds``. Returns a Dataset of ``(id_col, n_hits)`` —
+    contaminated documents only, ``n_hits`` = distinct shared grams.
+
+    The caller decides what "corpus" means (typically: all documents
+    minus the benchmark split itself)."""
+    import ray
+
+    gram_ref, n_bench = collect_benchmark_grams(
+        bench_ds, text_col, n=n, max_grams=max_grams
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        bench_grams = ray.get(gram_ref)  # node-cached, not re-shipped
+        ids, hits = [], []
+        id_arr = batch[id_col].to_pylist()
+        for i, txt in enumerate(batch[text_col].to_pylist()):
+            k = len(_doc_grams(txt, n) & bench_grams)
+            if k:
+                ids.append(id_arr[i])
+                hits.append(k)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    return corpus_ds.map_batches(flag, batch_format="pyarrow")

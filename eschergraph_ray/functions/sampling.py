@@ -39,8 +39,11 @@ def _bucket(value: str, salt: str) -> str:
     return hashlib.md5((salt + value).encode("utf-8")).hexdigest()[:4]
 
 
-def hash_sample(ds, id_col: str, fraction: float, salt: str = ""):
-    """Keep rows whose hash bucket falls below the fraction threshold.
+def hash_sample(ds, id_col: str, fraction: float, salt: str = "",
+                invert: bool = False):
+    """Keep rows whose hash bucket falls below the fraction threshold
+    (``invert=True`` keeps the COMPLEMENT — the two calls partition the
+    corpus exactly, e.g. benchmark split vs training corpus).
     Membership depends only on (salt, id): retries, resumes and other
     cluster sizes select the SAME rows. Per-batch filter, no state, no
     shuffle."""
@@ -48,7 +51,9 @@ def hash_sample(ds, id_col: str, fraction: float, salt: str = ""):
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        mask = pa.array([_bucket(str(i), salt) < thr for i in ids], pa.bool_())
+        mask = pa.array(
+            [(_bucket(str(i), salt) < thr) != invert for i in ids], pa.bool_()
+        )
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -287,3 +287,143 @@ def lsh_topk(ds, query_vec, id_col: str, vec_col: str, k: int = 10,
     return ds.map_batches(score, batch_format="pyarrow").sort(
         ["cosine", id_col], descending=[True, False]
     ).limit(k)
+
+
+def seed_centroids(ds, id_col: str, vec_col: str, k: int):
+    """Deterministic seed centroids: the (normalized) embeddings of the
+    ``k`` smallest ids — reproducible on any engine with a sort+limit,
+    which is what makes :func:`kmeans_assign` SQL-oracleable. Returns
+    (sorted seed ids, k x d normalized float64 matrix); the k rows are
+    model state, collected once."""
+    rows = (
+        ds.select_columns([id_col, vec_col]).sort(id_col).limit(k).take_all()
+    )
+    ids = [r[id_col] for r in rows]
+    m = _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
+    return ids, m
+
+
+def kmeans_assign(ds, centroid_ids, centroids: np.ndarray, id_col: str,
+                  vec_col: str):
+    """Assign every embedding to its nearest centroid by cosine.
+    Returns ``(id_col, cluster, cosine)`` — cluster is the CENTROID'S
+    id (not an index) so assignments are stable under centroid-list
+    reordering; ties break toward the smallest centroid id.
+
+    Shape: the k x d centroid matrix is ``ray.put`` broadcast once and
+    every batch does one numpy matmul — a pure streaming pass, no
+    shuffle, the partition-then-process step of IVF indexing and of
+    cluster-balanced corpus sampling.
+
+    Parity device: similarities are rounded to 4 decimals BEFORE the
+    argmax (DuckDB's list_cosine_similarity accumulates in float32;
+    round(4) makes both engines agree — same device as
+    :func:`brute_force_topk`), and the tie-break is on integer ids."""
+    import ray
+
+    order = np.argsort(np.asarray(centroid_ids))
+    cid_sorted = np.asarray(centroid_ids)[order]
+    cent_ref = ray.put((cid_sorted, centroids[order]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.chunked_array([[]], type=batch[id_col].type),
+                    "cluster": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        cids, cent = ray.get(cent_ref)  # node-cached
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = np.round(m @ cent.T, 4)
+        # argmax returns the FIRST max; columns are centroid-id
+        # ascending, so ties resolve to the smallest centroid id
+        best = np.argmax(sims, axis=1)
+        rows = np.arange(len(m))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(cids[best], pa.int64()),
+                "cosine": pa.array(sims[rows, best], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_fit(ds, id_col: str, vec_col: str, k: int, iters: int = 5):
+    """Distributed spherical k-means (Lloyd) over the FULL dataset —
+    the scale path past :func:`train_ivf_centroids`'s bounded-sample
+    trainer. Deterministic: seeds from :func:`seed_centroids`, ties
+    toward the lowest centroid index.
+
+    Each iteration is ONE streaming pass: every batch matmuls against
+    the broadcast centroids and emits per-cluster partial (sum_vec,
+    count) — k rows per batch, combined driver-side into the next k x d
+    matrix (model state, not data; nothing else leaves the workers).
+    Empty clusters keep their previous centroid. Returns the final
+    normalized k x d matrix."""
+    import ray
+
+    _, cent = seed_centroids(ds, id_col, vec_col, k)
+    k = len(cent)
+    proj = ds.select_columns([vec_col])
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            from ..stages.chunking import pin_arrow_threads
+
+            pin_arrow_threads()
+            c = ray.get(cent_ref)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            if len(m) == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.large_binary()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            best = np.argmax(m @ c.T, axis=1)
+            clusters = np.unique(best)
+            sums = np.stack(
+                [m[best == ci].sum(axis=0) for ci in clusters]
+            )
+            return pa.table(
+                {
+                    "cluster": pa.array(clusters, pa.int64()),
+                    # pack the d-vector as bytes: list columns break
+                    # groupby/join paths in Ray 2.49 (CLAUDE.md)
+                    "vsum": pa.array(
+                        [s.tobytes() for s in sums], pa.large_binary()
+                    ),
+                    "cnt": pa.array(
+                        [int((best == ci).sum()) for ci in clusters],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        # the reduce side is tiny (k rows x #batches partials): collect
+        # and combine on the driver — this is model state, not data
+        parts = proj.map_batches(partial, batch_format="pyarrow").take_all()
+        new = cent.copy()
+        acc = np.zeros_like(cent)
+        cnt = np.zeros(k)
+        for r in parts:
+            v = np.frombuffer(r["vsum"], dtype=np.float64)
+            acc[r["cluster"]] += v
+            cnt[r["cluster"]] += r["cnt"]
+        for ci in range(k):
+            if cnt[ci] > 0:
+                n = np.linalg.norm(acc[ci])
+                if n > 0:
+                    new[ci] = acc[ci] / n
+        cent = new
+    return cent

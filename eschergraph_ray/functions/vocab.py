@@ -1,0 +1,462 @@
+"""Corpus vocabulary statistics: global token top-k and per-document
+TF-IDF top terms.
+
+Training-data pipelines need corpus-level lexical statistics —
+vocabulary construction for tokenizer training, stopword discovery,
+per-document keyword extraction for curation/routing. The reference
+only touches tokens to count them (`eschergraph/builder/reader/
+reader.py:226-238`); these are the corpus-scale generalizations.
+
+Both operators use the repo-wide token grammar
+(``functions/text.py:_TOKEN_RE``) so DuckDB oracles replay tokenization
+exactly via ``regexp_extract_all``.
+
+``vocab_topk`` — the canonical partial-aggregate shape: every batch
+emits ONE (token, n) row per distinct token in the batch (a combiner —
+the shuffle moves vocabulary-sized partials, never token instances),
+then a ``groupby(token).sum`` and a tiny (k-row) sort. Hot tokens
+("the") cost nothing extra: their weight is combined before the
+exchange, so the groupby sees at most #batches rows per token.
+
+``tfidf_top_terms`` — the BM25 two-pass shape generalized to an
+unbounded term set, with ZERO token-level shuffle:
+
+  pass 1: per-batch partial document frequencies (token, df_partial)
+    -> groupby(token).sum -> a vocabulary-sized (token, df) table.
+    Pre-aggregation bounds per-token rows at #batches, so stopword
+    skew never concentrates in one reducer.
+  pass 2: the df table is broadcast (``ray.put`` once, node-cached)
+    and a single streaming pass re-tokenizes each document, scores
+    tf·ln(N/df) for ITS OWN tokens, and keeps its top-m locally —
+    per-document top-k needs no groupby at all.
+
+  Re-reading the text beats materializing an exploded (doc, token,
+  tf) table at 100 TB (the explode is ~2× the corpus and would have
+  to shuffle by token). The broadcast is vocabulary-sized; ``min_df``
+  bounds it against typo/long-tail blowup (dropping df < min_df terms
+  is standard for TF-IDF keyword extraction — a df-1 term is its own
+  document's quirk, not a keyword; the semantic is part of the
+  operator contract and replayed by the oracle).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _batch_token_counts(texts, counter):
+    from .text import _TOKEN_RE
+
+    per_doc = []
+    for txt in texts:
+        toks = _TOKEN_RE.findall((txt or "").lower())
+        per_doc.append(toks)
+        if counter is not None:
+            counter.update(toks)
+    return per_doc
+
+
+def token_counts(ds, text_col: str):
+    """Vocabulary-sized (token, n) Dataset — total occurrence counts via
+    per-batch Counter partials (the combiner: the shuffle moves at most
+    #batches rows per token, never token instances)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        c: "Counter[str]" = Counter()
+        _batch_token_counts(batch[text_col].to_pylist(), c)
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def vocab_topk(ds, text_col: str, k: int = 100):
+    """Global top-``k`` tokens by total occurrence count. Returns a
+    Dataset of ``(token, n)`` ordered by (n desc, token asc) — the
+    tie-break makes the LIMIT boundary deterministic across engines."""
+    return token_counts(ds, text_col).sort(
+        ["n", "token"], descending=[True, False]
+    ).limit(k)
+
+
+def document_frequencies(ds, text_col: str, min_df: int = 1):
+    """Vocabulary-sized (token, df) Dataset — df = number of documents
+    containing the token, via per-batch partials (skew-proof)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        c: "Counter[str]" = Counter()
+        for toks in _batch_token_counts(batch[text_col].to_pylist(), None):
+            c.update(set(toks))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    if min_df > 1:
+        df = df.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["df"], min_df)),
+            batch_format="pyarrow",
+        )
+    return df
+
+
+def tfidf_top_terms(
+    ds,
+    id_col: str,
+    text_col: str,
+    m: int = 3,
+    n_docs: int | None = None,
+    min_df: int = 1,
+    round_to: int = 6,
+    max_vocab_broadcast: int = 100_000_000,
+):
+    """Per-document top-``m`` TF-IDF terms. Returns a Dataset of
+    ``(id_col, token, tfidf)`` — at most ``m`` rows per document,
+    ordered within the document by (score desc, token asc); only
+    score > 0 terms qualify (a term in every document has idf = 0).
+
+    score = tf · ln(N / df), computed in IEEE doubles in exactly the
+    shape the SQL oracle uses (tf * ln(N/df), left-associative), then
+    rounded AFTER ranking so ties rank identically on both engines.
+    """
+    import numpy as np
+    import ray
+
+    if n_docs is None:
+        n_docs = ds.count()
+    if n_docs == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    df_tbl = document_frequencies(ds, text_col, min_df=min_df)
+    n_vocab = df_tbl.count()
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary ({n_vocab} terms after min_df={min_df}) exceeds "
+            f"max_vocab_broadcast={max_vocab_broadcast}; raise min_df — "
+            "TF-IDF keyword extraction over a df-1 long tail is noise anyway"
+        )
+    pdf = df_tbl.to_pandas()
+    toks = pdf["token"].to_numpy()
+    order = np.argsort(toks)
+    # idf precomputed per vocab term once, broadcast alongside the keys
+    idf = np.log(float(n_docs) / pdf["df"].to_numpy(np.float64))
+    df_ref = ray.put((toks[order], idf[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        import pyarrow.compute as pc
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        vocab, idfs = ray.get(df_ref)
+        out_ids, out_toks, out_scores = [], [], []
+        ids = batch[id_col].to_pylist()
+        for i, toks_doc in enumerate(
+            _batch_token_counts(batch[text_col].to_pylist(), None)
+        ):
+            c = Counter(toks_doc)
+            terms = np.array(sorted(c.keys()))
+            if len(terms) == 0:
+                continue
+            pos = np.searchsorted(vocab, terms)
+            ok = (pos < len(vocab)) & (vocab[np.minimum(pos, len(vocab) - 1)] == terms)
+            terms = terms[ok]
+            if len(terms) == 0:
+                continue
+            tf = np.array([c[t] for t in terms], np.float64)
+            s = tf * idfs[pos[ok]]
+            keep = s > 0.0
+            terms, s = terms[keep], s[keep]
+            # rank on the UNROUNDED score, tie-break token asc —
+            # terms is sorted asc, so a stable sort on -s preserves it
+            top = np.argsort(-s, kind="stable")[:m]
+            out_ids.extend([ids[i]] * len(top))
+            out_toks.extend(terms[top].tolist())
+            out_scores.extend(s[top].tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, batch.schema.field(id_col).type),
+                "token": pa.array(out_toks, pa.string()),
+                "tfidf": pc.round(
+                    pa.array(out_scores, pa.float64()),
+                    ndigits=round_to,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_nll(
+    ds,
+    id_col: str,
+    text_col: str,
+    max_vocab_broadcast: int = 100_000_000,
+):
+    """Per-document unigram language-model quality score: the mean
+    negative log-likelihood of the document's own tokens under the
+    corpus unigram distribution (the classic cheap perplexity proxy —
+    gibberish and boilerplate both stand out). Returns
+    ``(id_col, n_tokens, nll)``; zero-token documents are omitted.
+
+    Shape: pass 1 trains the model — vocabulary-sized token counts via
+    :func:`token_counts` partials; the (token, log-prob) table is
+    collected once (bounded by ``max_vocab_broadcast``, loud failure)
+    and ``ray.put`` broadcast. Pass 2 scores every document in one
+    streaming ``map_batches`` with sorted-vocab searchsorted lookups —
+    the corpus text is never shuffled.
+
+    Cross-engine parity device: per-TERM log-probs are quantized to
+    integer micro-nats ``q_t = round(ln(n_t / N) * 1e6)`` (one ln, one
+    multiply — bit-stable across numpy and DuckDB), so the per-document
+    aggregation is pure int64 arithmetic: ``nll = round(-sum(tf * q_t)
+    / 1e6 / n_tokens, 6)``. A float sum over hundreds of terms would
+    round differently between engines near a 1e-6 boundary; the
+    integer path cannot.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    cnt = token_counts(ds, text_col)
+    n_vocab = cnt.count()
+    if n_vocab == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: pa.chunked_array([[]], type=b[id_col].type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "nll": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary ({n_vocab} terms) exceeds max_vocab_broadcast="
+            f"{max_vocab_broadcast}; score against a pruned vocab instead"
+        )
+    pdf = cnt.to_pandas()
+    toks = pdf["token"].to_numpy()
+    ns = pdf["n"].to_numpy(np.float64)
+    total = float(ns.sum())
+    order = np.argsort(toks)
+    # micro-nat quantization: the ONLY float step, per vocab term
+    q = np.asarray(
+        pc.round(
+            pa.array(np.log(ns[order] / total) * 1e6),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+    )
+    model_ref = ray.put((toks[order], q))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        vocab, qs = ray.get(model_ref)  # node-cached
+        ids, n_out, nll_out = [], [], []
+        id_vals = batch[id_col].to_pylist()
+        for i, toks_doc in enumerate(
+            _batch_token_counts(batch[text_col].to_pylist(), None)
+        ):
+            if not toks_doc:
+                continue
+            c = Counter(toks_doc)
+            terms = np.array(sorted(c.keys()))
+            tf = np.array([c[t] for t in terms], np.int64)
+            pos = np.searchsorted(vocab, terms)
+            # trained on this corpus -> every term is in-vocab
+            micro = -int((tf * qs[pos]).sum())
+            n_tok = int(tf.sum())
+            ids.append(id_vals[i])
+            n_out.append(n_tok)
+            nll_out.append(micro)
+        micro_arr = pa.array(nll_out, pa.int64())
+        n_arr = pa.array(n_out, pa.int64())
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "n_tokens": n_arr,
+                "nll": pc.round(
+                    pc.divide(
+                        pc.divide(pc.cast(micro_arr, pa.float64()), 1e6),
+                        pc.cast(n_arr, pa.float64()),
+                    ),
+                    ndigits=6,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_pmi_topk(
+    ds,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 5,
+    max_vocab_broadcast: int = 100_000_000,
+):
+    """Top-``k`` collocations: adjacent token bigrams ranked by
+    pointwise mutual information — the standard phrase-discovery pass a
+    tokenizer/vocab pipeline runs before merging multiword units.
+    Returns ``(w1, w2, n, pmi)`` ordered by (pmi desc, w1, w2).
+
+    PMI = ln( (n_ab / N_bi) / ((n_a / N_uni) · (n_b / N_uni)) ), with
+    ``min_count`` pruning rare bigrams (unpruned PMI is dominated by
+    hapax pairs). All counts are exact and distributed: unigram and
+    bigram Counter partials -> two vocabulary-sized groupby-sums; the
+    unigram table is broadcast and bigrams are scored in a streaming
+    pass — token instances never shuffle, and a hot bigram ("of the")
+    costs one row per batch in the exchange.
+
+    Parity device: the score is computed once per bigram as integer
+    micro-nats ``round(ln(expr) * 1e6)`` (single expression over exact
+    int64 counts), ranked on (micro desc, w1, w2) — an all-integer
+    ordering both engines reproduce bit-for-bit."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        c: "Counter[tuple]" = Counter()
+        for toks in _batch_token_counts(batch[text_col].to_pylist(), None):
+            c.update(zip(toks, toks[1:]))
+        return pa.table(
+            {
+                "w1": pa.array([a for a, _ in c.keys()], pa.string()),
+                "w2": pa.array([b for _, b in c.keys()], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    uni = token_counts(ds, text_col)
+    n_vocab = uni.count()
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary ({n_vocab} terms) exceeds max_vocab_broadcast="
+            f"{max_vocab_broadcast}"
+        )
+    updf = uni.to_pandas()
+    utoks = updf["token"].to_numpy()
+    uns = updf["n"].to_numpy(np.int64)
+    n_uni = int(uns.sum())
+    order = np.argsort(utoks)
+    uni_ref = ray.put((utoks[order], uns[order]))
+
+    bi = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # total bigram mass BEFORE the min_count cut (the probability space
+    # is all adjacent pairs); Sum returns None on an empty dataset
+    n_bi = int(bi.sum("n") or 0)
+    if n_bi == 0:
+        empty = pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()),
+             ("n", pa.int64()), ("pmi", pa.float64())]
+        ).empty_table()
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        vocab, counts = ray.get(uni_ref)
+        batch = batch.filter(pc.greater_equal(batch["n"], min_count))
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "_micro": pa.array([], pa.int64()),
+                }
+            )
+        w1 = np.array(batch["w1"].to_pylist())
+        w2 = np.array(batch["w2"].to_pylist())
+        n_ab = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = counts[np.searchsorted(vocab, w1)].astype(np.float64)
+        n_b = counts[np.searchsorted(vocab, w2)].astype(np.float64)
+        expr = n_ab * n_uni * n_uni / (float(n_bi) * n_a * n_b)
+        micro = pc.cast(
+            pc.round(
+                pa.array(np.log(expr) * 1e6),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"w1": batch["w1"], "w2": batch["w2"], "n": batch["n"],
+             "_micro": micro}
+        )
+
+    ranked = (
+        bi.map_batches(score, batch_format="pyarrow")
+        .sort(["_micro", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        pmi = pc.divide(pc.cast(batch["_micro"], pa.float64()), 1e6)
+        return pa.table(
+            {"w1": batch["w1"], "w2": batch["w2"], "n": batch["n"],
+             "pmi": pmi}
+        )
+
+    return ranked.map_batches(finalize, batch_format="pyarrow")

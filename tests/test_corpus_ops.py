@@ -1,0 +1,237 @@
+"""Round-4 corpus-statistics / curation operators: benchmark
+decontamination, vocabulary top-k, per-doc TF-IDF keywords, dedup
+survivors — unit semantics plus DuckDB oracle replays (the same
+comparisons the driver harness runs)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from eschergraph_ray.functions.components import dedup_survivors
+from eschergraph_ray.functions.decontam import _doc_grams, decontaminate
+from eschergraph_ray.functions.vocab import tfidf_top_terms, vocab_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_tbl(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+# ---------- decontamination ----------
+
+
+def test_doc_grams_window_and_short_doc():
+    assert _doc_grams("A b c d", 3) == {"a b c", "b c d"}
+    assert _doc_grams("a b", 3) == set()
+    assert _doc_grams("  a   b\tc ", 2) == {"a b", "b c"}  # ws runs collapse
+    assert _doc_grams(None, 2) == set()
+
+
+def test_decontaminate_counts_distinct_shared_grams():
+    bench = rd.from_arrow(_docs_tbl([(100, "the quick brown fox jumps")]))
+    corpus = rd.from_arrow(
+        _docs_tbl(
+            [
+                # contains BOTH bench 3-grams, one of them twice ->
+                # n_hits counts DISTINCT grams (2), not occurrences
+                (1, "x the quick brown fox jumps y the quick brown z"),
+                (2, "totally unrelated words here"),  # clean: no row
+                (3, "ends with the quick brown"),  # one gram
+            ]
+        )
+    )
+    out = decontaminate(corpus, bench, "doc_id", "text", n=3).take_all()
+    got = {r["doc_id"]: r["n_hits"] for r in out}
+    assert got == {1: 3, 3: 1}  # doc1: 'the quick brown','quick brown fox','brown fox jumps'
+
+
+def test_decontaminate_no_hits_is_empty_with_schema():
+    bench = rd.from_arrow(_docs_tbl([(9, "alpha beta gamma delta")]))
+    corpus = rd.from_arrow(_docs_tbl([(1, "one two three four five")]))
+    out = decontaminate(corpus, bench, "doc_id", "text", n=4)
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    ) if out.count() else None
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "n_hits"}
+
+
+def test_decontaminate_max_grams_guard():
+    bench = rd.from_arrow(_docs_tbl([(9, "a b c d e f g h i j")]))
+    corpus = rd.from_arrow(_docs_tbl([(1, "a b c")]))
+    with pytest.raises(ValueError, match="max_grams"):
+        decontaminate(corpus, bench, "doc_id", "text", n=2, max_grams=3)
+
+
+def test_docs_decontaminate_oracle_sf0001():
+    import __ray_entry__ as E
+
+    got = (
+        E.queries()["docs_decontaminate"](SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(E.oracle_sql()["docs_decontaminate"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0  # the synthetic near-dups guarantee hits
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+# ---------- vocabulary top-k ----------
+
+
+def test_vocab_topk_counts_and_tiebreak():
+    ds = rd.from_arrow(
+        _docs_tbl([(1, "red red blue"), (2, "blue green! green red")])
+    )
+    out = vocab_topk(ds, "text", k=3).take_all()
+    # red=3, blue=2, green=2 -> tie (blue, green) breaks token-asc;
+    # '!' (count 1) is cut by k
+    assert [(r["token"], r["n"]) for r in out] == [
+        ("red", 3),
+        ("blue", 2),
+        ("green", 2),
+    ]
+
+
+def test_vocab_topk_oracle_sf0001():
+    import __ray_entry__ as E
+
+    got = E.queries()["docs_vocab_topk"](SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(E.oracle_sql()["docs_vocab_topk"]).df()
+    # order matters (top-k): compare as emitted
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+# ---------- TF-IDF ----------
+
+
+def test_tfidf_scores_and_local_topm():
+    # 4 docs; 'rare' appears in 1 doc (idf=ln4), 'half' in 2 (ln2),
+    # 'all' in every doc (idf=0 -> never emitted)
+    ds = rd.from_arrow(
+        _docs_tbl(
+            [
+                (1, "all rare half"),
+                (2, "all half"),
+                (3, "all"),
+                (4, "all"),
+            ]
+        )
+    )
+    import math
+
+    out = tfidf_top_terms(ds, "doc_id", "text", m=2).take_all()
+    got = {(r["doc_id"], r["token"]): r["tfidf"] for r in out}
+    assert got == {
+        (1, "rare"): round(math.log(4.0), 6),
+        (1, "half"): round(math.log(2.0), 6),
+        (2, "half"): round(math.log(2.0), 6),
+    }
+
+
+def test_tfidf_min_df_drops_singletons():
+    ds = rd.from_arrow(_docs_tbl([(1, "unique shared"), (2, "shared")]))
+    out = tfidf_top_terms(ds, "doc_id", "text", m=5, min_df=2).take_all()
+    # 'unique' (df=1) is cut by min_df; 'shared' is in all docs (idf 0)
+    assert out == []
+
+
+def test_tfidf_vocab_broadcast_guard():
+    ds = rd.from_arrow(_docs_tbl([(1, "a b c d e")]))
+    with pytest.raises(ValueError, match="max_vocab_broadcast"):
+        tfidf_top_terms(ds, "doc_id", "text", max_vocab_broadcast=2)
+
+
+def test_docs_tfidf_terms_oracle_sf0001():
+    import __ray_entry__ as E
+
+    cols = ["doc_id", "token"]
+    got = (
+        E.queries()["docs_tfidf_terms"](SF)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(E.oracle_sql()["docs_tfidf_terms"])
+        .df()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+# ---------- dedup survivors ----------
+
+
+def test_dedup_survivors_keeps_canonical_and_singletons():
+    comps = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([5, 9, 7, 20, 30], pa.int64()),
+                "component_id": pa.array([5, 5, 5, 20, 20], pa.int64()),
+            }
+        )
+    )
+    docs = rd.from_arrow(
+        _docs_tbl([(i, f"doc {i}") for i in [5, 7, 9, 11, 20, 30]])
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(docs, comps, "doc_id").take_all()
+    )
+    # 5 and 20 are canonical, 11 was never paired; 7, 9, 30 drop
+    assert kept == [5, 11, 20]
+
+
+def test_dedup_survivors_empty_components_keeps_all():
+    comps = rd.from_arrow(
+        pa.schema(
+            [("doc_id", pa.int64()), ("component_id", pa.int64())]
+        ).empty_table()
+    )
+    docs = rd.from_arrow(_docs_tbl([(1, "a"), (2, "b")]))
+    assert dedup_survivors(docs, comps, "doc_id").count() == 2
+
+
+def test_dedup_survivors_oracle_sf0001():
+    import __ray_entry__ as E
+
+    got = sorted(
+        r["doc_id"] for r in E.queries()["dedup_survivors"](SF).take_all()
+    )
+    con = duckdb.connect()
+    for t in ["documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = sorted(con.execute(E.oracle_sql()["dedup_survivors"]).df()["doc_id"])
+    assert len(got) < 500  # some documents actually dropped
+    assert got == want
