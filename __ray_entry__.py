@@ -1746,9 +1746,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 8 round-4 additions
-    # (docs_stratified_sample ... docs_tfidf_terms — never driver-green
-    # by construction); parked at the tail: 8 queries green in BOTH r2
+    # sessionize_events) lead, followed by the 11 round-4 additions
+    # (docs_stratified_sample ... embeddings_kmeans_assign — never
+    # driver-green by construction); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
     # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
@@ -1774,6 +1774,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_tfidf_terms": _q_docs_tfidf_terms,
+        "docs_unigram_nll": _q_docs_unigram_nll,
+        "docs_collocations": _q_docs_collocations,
+        "embeddings_kmeans_assign": _q_embeddings_kmeans,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -1810,11 +1813,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_frequency": _q_kg_entity_frequency,
         "kg_predicate_histogram": _q_kg_predicate_histogram,
         "transcript_conv_stats": _q_transcript_conv_stats,
+        # ---- tail: multi-round driver-green (r2 + r3), parked outside
+        # the driver's 50-query window this round (events_props_filter,
+        # changelog_sync_actions and lineitem_pricing_summary rotated
+        # out to make room for the 3 late-round-4 additions above) ----
         "events_props_filter": _q_events_props_filter,
         "changelog_sync_actions": _q_changelog_sync,
         "lineitem_pricing_summary": _q_lineitem_pricing,
-        # ---- tail: multi-round driver-green (r2 + r3), parked outside
-        # the driver's 50-query window this round ----
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality_counts": _q_quality,
         "doc_lang_id": _q_lang_id,
@@ -3452,6 +3457,116 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN bg USING (gram)
             WHERE NOT g.is_bench
             GROUP BY g.doc_id
+        """,
+        "docs_unigram_nll": """
+            -- unigram-LM quality replay (vocab.py unigram_nll): per-TERM
+            -- log-probs quantized to integer micro-nats (the one float
+            -- step, a single ln both engines compute identically), then
+            -- pure int64 per-doc aggregation -> bit-stable nll
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                  '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS token
+              FROM documents
+            ),
+            cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+            q AS (
+              SELECT token,
+                     CAST(round(ln(CAST(cnt.n AS DOUBLE) / tot.n) * 1e6, 0)
+                          AS BIGINT) AS q
+              FROM cnt, tot
+            ),
+            agg AS (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(-sum(q.q) AS BIGINT) AS micro
+              FROM toks t JOIN q USING (token)
+              GROUP BY t.doc_id
+            )
+            -- zero-digit round of the mean micro-nat count, then ONE
+            -- division by 1e6: every step is a single IEEE op both
+            -- engines compute identically (round(x, 6) is not — its
+            -- internal multiply/divide fenceposts differ by an ulp)
+            SELECT doc_id, n_tokens,
+                   round(CAST(micro AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE), 0) / 1e6 AS nll
+            FROM agg
+        """,
+        "docs_collocations": """
+            -- bigram-PMI collocation replay (vocab.py bigram_pmi_topk):
+            -- adjacent-pair counts via positional self-join, PMI as one
+            -- integer micro-nat expression over exact counts, ranked on
+            -- the all-integer (micro desc, w1, w2) LIMIT boundary
+            WITH wl AS (
+              SELECT doc_id, regexp_extract_all(lower(text),
+                  '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]') AS ws
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS i
+              FROM wl
+            ),
+            bi AS (
+              SELECT a.w AS w1, b.w AS w2, count(*) AS n
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              GROUP BY a.w, b.w
+            ),
+            uni AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+            nuni AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+            nbi AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM bi),
+            sc AS (
+              SELECT bi.w1, bi.w2, CAST(bi.n AS BIGINT) AS n,
+                     CAST(round(ln(
+                         CAST(bi.n AS DOUBLE) * nuni.n * nuni.n
+                         / (nbi.n * CAST(ua.n AS DOUBLE)
+                            * CAST(ub.n AS DOUBLE))) * 1e6, 0)
+                          AS BIGINT) AS micro
+              FROM bi
+              JOIN uni ua ON ua.w = bi.w1
+              JOIN uni ub ON ub.w = bi.w2, nuni, nbi
+              WHERE bi.n >= 5
+            )
+            SELECT w1, w2, n, CAST(micro AS DOUBLE) / 1e6 AS pmi
+            FROM sc
+            ORDER BY micro DESC, w1, w2
+            LIMIT 50
+        """,
+        "embeddings_kmeans_assign": """
+            -- k-means assignment replay (similarity.py kmeans_assign):
+            -- seed centroids = the 8 smallest vec_ids. The cosine is
+            -- recomputed in DOUBLE via zipped unnest (float32
+            -- list_cosine_similarity diverges from a float64 matmul in
+            -- the 4th decimal too often), quantized to integer 1e-4
+            -- units (zero-digit round), ranked on (q desc, cid) — ties
+            -- to the smallest centroid id, emitted as q / 1e4
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            el AS (
+              SELECT e.vec_id, c.cid,
+                     CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                     CAST(unnest(c.cv) AS DOUBLE) AS y
+              FROM embeddings e, c
+            ),
+            sc AS (
+              SELECT vec_id, cid,
+                     round(sum(x * y)
+                           / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                           * 1e4, 0) AS q
+              FROM el GROUP BY vec_id, cid
+            ),
+            rk AS (
+              SELECT vec_id, cid, q,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY q DESC, cid
+                     ) AS r
+              FROM sc
+            )
+            SELECT vec_id, cid AS cluster, q / 1e4 AS cosine
+            FROM rk WHERE r = 1
         """,
     }
     # connected components = recursive closure OVER the minhash pair

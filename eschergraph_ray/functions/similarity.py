@@ -315,10 +315,14 @@ def kmeans_assign(ds, centroid_ids, centroids: np.ndarray, id_col: str,
     shuffle, the partition-then-process step of IVF indexing and of
     cluster-balanced corpus sampling.
 
-    Parity device: similarities are rounded to 4 decimals BEFORE the
-    argmax (DuckDB's list_cosine_similarity accumulates in float32;
-    round(4) makes both engines agree — same device as
-    :func:`brute_force_topk`), and the tie-break is on integer ids."""
+    Parity device: similarities are quantized to integer 1e-4 units
+    BEFORE the argmax (``q = round(cos * 1e4, 0)``, emitted as
+    ``q / 1e4``) — the SQL oracle replays the cosine in DOUBLE
+    precision via zipped unnest (float32 ``list_cosine_similarity``
+    diverges from a float64 matmul in the 4th decimal too often to
+    round away), and the zero-digit round + single division are each
+    one IEEE op both engines compute identically. Ties break on
+    integer centroid ids."""
     import ray
 
     order = np.argsort(np.asarray(centroid_ids))
@@ -339,16 +343,22 @@ def kmeans_assign(ds, centroid_ids, centroids: np.ndarray, id_col: str,
             )
         cids, cent = ray.get(cent_ref)  # node-cached
         m = _normalize(_batch_matrix(batch, vec_col))
-        sims = np.round(m @ cent.T, 4)
+        q = np.asarray(
+            pc.round(
+                pa.array((m @ cent.T).ravel() * 1e4),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )
+        ).reshape(len(m), -1)
         # argmax returns the FIRST max; columns are centroid-id
         # ascending, so ties resolve to the smallest centroid id
-        best = np.argmax(sims, axis=1)
+        best = np.argmax(q, axis=1)
         rows = np.arange(len(m))
         return pa.table(
             {
                 id_col: batch[id_col],
                 "cluster": pa.array(cids[best], pa.int64()),
-                "cosine": pa.array(sims[rows, best], pa.float64()),
+                "cosine": pa.array(q[rows, best] / 1e4, pa.float64()),
             }
         )
 

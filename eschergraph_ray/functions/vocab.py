@@ -249,10 +249,11 @@ def unigram_nll(
     Cross-engine parity device: per-TERM log-probs are quantized to
     integer micro-nats ``q_t = round(ln(n_t / N) * 1e6)`` (one ln, one
     multiply — bit-stable across numpy and DuckDB), so the per-document
-    aggregation is pure int64 arithmetic: ``nll = round(-sum(tf * q_t)
-    / 1e6 / n_tokens, 6)``. A float sum over hundreds of terms would
-    round differently between engines near a 1e-6 boundary; the
-    integer path cannot.
+    aggregation is pure int64 arithmetic: ``nll =
+    round(-sum(tf * q_t) / n_tokens, 0) / 1e6`` — a zero-digit round
+    plus one division, each a single IEEE op both engines compute
+    identically. A float sum over hundreds of terms (or a round(x, 6))
+    would diverge between engines near a boundary; this path cannot.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -320,14 +321,21 @@ def unigram_nll(
         return pa.table(
             {
                 id_col: pa.array(ids, batch.schema.field(id_col).type),
+                # round the MEAN micro-nat count to an integer, then one
+                # division by 1e6: a zero-digit round avoids the
+                # engine-specific multiply/divide fenceposts of
+                # round(x, 6) (observed: 1-ulp divergence at sf0.001)
                 "n_tokens": n_arr,
-                "nll": pc.round(
-                    pc.divide(
-                        pc.divide(pc.cast(micro_arr, pa.float64()), 1e6),
-                        pc.cast(n_arr, pa.float64()),
+                "nll": pc.divide(
+                    pc.round(
+                        pc.divide(
+                            pc.cast(micro_arr, pa.float64()),
+                            pc.cast(n_arr, pa.float64()),
+                        ),
+                        ndigits=0,
+                        round_mode="half_towards_infinity",
                     ),
-                    ndigits=6,
-                    round_mode="half_towards_infinity",
+                    1e6,
                 ),
             }
         )
