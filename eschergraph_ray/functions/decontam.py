@@ -125,3 +125,114 @@ def decontaminate(
         )
 
     return corpus_ds.map_batches(flag, batch_format="pyarrow")
+
+
+def repeated_gram_table(ds, id_col: str, text_col: str, n: int = 5,
+                        max_df: int = 1):
+    """(gram, df) Dataset of word n-grams appearing in MORE than
+    ``max_df`` distinct documents — the cross-document repetition
+    model. Built skew-proof: per-batch Counters over each document's
+    DISTINCT grams (a combiner — a boilerplate gram repeated in every
+    doc of a batch costs one row in the exchange), then a
+    vocabulary-sized ``groupby.sum``."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        c: "Counter[str]" = Counter()
+        for txt in batch[text_col].to_pylist():
+            c.update(_doc_grams(txt, n))
+        return pa.table(
+            {
+                "gram": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    return df.map_batches(
+        lambda b: b.filter(pc.greater(b["df"], max_df)),
+        batch_format="pyarrow",
+    )
+
+
+def mask_repeated_spans(
+    ds,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_df: int = 1,
+    max_hot_broadcast: int = 50_000_000,
+):
+    """Exact-substring (span) deduplication, Lee et al. 2022 style:
+    every word position covered by an ``n``-gram that appears in more
+    than ``max_df`` distinct documents is masked out. Returns one row
+    per non-empty document — ``(id_col, n_words, n_masked,
+    text_clean)`` with ``text_clean`` the surviving words joined by
+    single spaces (NULL when every word was masked; the normalization
+    contract is lowercase + whitespace-collapse, same as
+    :func:`_doc_grams`).
+
+    Shape: the hot-gram set (pass 1, :func:`repeated_gram_table`) is
+    by construction the corpus's REPEATED content — orders of
+    magnitude smaller than the corpus; it is collected once (bounded
+    by ``max_hot_broadcast``, loud failure — the paper's suffix-array
+    formulation is the escape hatch when repeated content itself is
+    huge) and ``ray.put`` broadcast; pass 2 masks every document in a
+    single streaming ``map_batches`` with local window probes. The
+    corpus text is never shuffled."""
+    import ray
+
+    hot_ds = repeated_gram_table(ds, id_col, text_col, n=n, max_df=max_df)
+    n_hot = hot_ds.count()
+    if n_hot > max_hot_broadcast:
+        raise ValueError(
+            f"{n_hot} repeated grams exceed max_hot_broadcast="
+            f"{max_hot_broadcast}; this corpus's repeated content is too "
+            "large for the broadcast path — shard the hot set or use a "
+            "suffix-array pass"
+        )
+    hot = frozenset(hot_ds.to_pandas()["gram"]) if n_hot else frozenset()
+    hot_ref = ray.put(hot)
+
+    def mask(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        hot_set = ray.get(hot_ref)  # node-cached
+        ids, n_words, n_masked, cleaned = [], [], [], []
+        id_arr = batch[id_col].to_pylist()
+        for i, txt in enumerate(batch[text_col].to_pylist()):
+            ws = (txt or "").lower().split()
+            if not ws:
+                continue  # SQL replay has no rows for empty docs
+            cover = np.zeros(len(ws), bool)
+            for s in range(len(ws) - n + 1):
+                if " ".join(ws[s : s + n]) in hot_set:
+                    cover[s : s + n] = True
+            kept = [w for w, c in zip(ws, cover) if not c]
+            ids.append(id_arr[i])
+            n_words.append(len(ws))
+            n_masked.append(int(cover.sum()))
+            cleaned.append(" ".join(kept) if kept else None)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_masked": pa.array(n_masked, pa.int64()),
+                "text_clean": pa.array(cleaned, pa.string()),
+            }
+        )
+
+    return ds.map_batches(mask, batch_format="pyarrow")

@@ -221,6 +221,82 @@ def test_dedup_survivors_empty_components_keeps_all():
     assert dedup_survivors(docs, comps, "doc_id").count() == 2
 
 
+def test_mask_repeated_spans_masks_shared_windows():
+    from eschergraph_ray.functions.decontam import mask_repeated_spans
+
+    shared = "one two three"  # 3-gram shared by docs 1 and 2
+    docs = rd.from_arrow(
+        _docs_tbl(
+            [
+                (1, f"alpha {shared} beta"),
+                (2, f"{shared} gamma delta"),
+                (3, "totally different words here"),
+                (4, ""),  # empty doc: no output row
+            ]
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mask_repeated_spans(docs, "doc_id", "text", n=3).take_all()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_masked"] == 3 and out[1]["text_clean"] == "alpha beta"
+    assert out[2]["n_masked"] == 3 and out[2]["text_clean"] == "gamma delta"
+    assert out[3]["n_masked"] == 0
+    assert out[3]["text_clean"] == "totally different words here"
+
+
+def test_mask_repeated_spans_full_mask_is_null():
+    from eschergraph_ray.functions.decontam import mask_repeated_spans
+
+    docs = rd.from_arrow(_docs_tbl([(1, "a b c"), (2, "a b c")]))
+    out = {
+        r["doc_id"]: r
+        for r in mask_repeated_spans(docs, "doc_id", "text", n=3).take_all()
+    }
+    assert out[1]["n_masked"] == 3 and out[1]["text_clean"] is None
+    assert out[2]["n_masked"] == 3 and out[2]["text_clean"] is None
+
+
+def test_mask_repeated_spans_overlapping_windows_union():
+    from eschergraph_ray.functions.decontam import mask_repeated_spans
+
+    # docs share a 4-word run -> two overlapping hot 3-grams; coverage
+    # is the UNION of windows, not double-counted
+    docs = rd.from_arrow(
+        _docs_tbl([(1, "p q r s x"), (2, "y p q r s")])
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mask_repeated_spans(docs, "doc_id", "text", n=3).take_all()
+    }
+    assert out[1]["n_masked"] == 4 and out[1]["text_clean"] == "x"
+    assert out[2]["n_masked"] == 4 and out[2]["text_clean"] == "y"
+
+
+def test_docs_mask_spans_oracle_sf0001():
+    import __ray_entry__ as E
+
+    got = (
+        E.queries()["docs_mask_spans"](SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(E.oracle_sql()["docs_mask_spans"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["n_masked"] > 0).sum() > 0  # the near-dups really mask
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_dedup_survivors_oracle_sf0001():
     import __ray_entry__ as E
 
