@@ -586,8 +586,12 @@ def _q_ann_lsh_indexed(sf_dir: str):
     _context()
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     # version-keyed like the build cache: a plane-count/seed/layout
-    # change must not silently reuse a stale partitioned index
-    idx = f"/tmp/eschergraph_ray/lsh-index-v2-p8-s5-n{n}"
+    # change must not silently reuse a stale partitioned index. The
+    # sf-dir basename is part of the key because different scale
+    # factors can share a ROW COUNT with different contents (sf0.001
+    # and sf0.01 both hold 500 embeddings — n alone collides).
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/eschergraph_ray/lsh-index-v2-p8-s5-{sftag}-n{n}"
     if not os.path.exists(idx + "/_DONE"):
         import shutil
 
@@ -1736,6 +1740,39 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_assign(ds, ids, cent, "vec_id", "embedding")
 
 
+def _q_docs_bm25_indexed(sf_dir: str):
+    """Indexed BM25 (functions/inverted_index.py): the same 4-term
+    ranking as docs_bm25_topk served from a term-partitioned posting
+    layout — the query reads ONLY its terms' bucket partitions with
+    the token filter pushed into the scan (IO pruning, the workload
+    path; the scan variant is the one-off path). Scores are
+    bit-identical to the scan, so the two queries share one oracle."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from eschergraph_ray.functions.inverted_index import (
+        bm25_index_topk,
+        build_inverted_index,
+    )
+
+    _context()
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    # sf basename in the key: scale factors share row counts with
+    # different contents (sf0.001 vs sf0.01 are both 500 docs)
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/eschergraph_ray/bm25-index-v1-b64-{sftag}-n{n}"
+    if not os.path.exists(idx + "/_DONE"):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_inverted_index(_docs(sf_dir), idx, "doc_id", "text")
+        with open(idx + "/_DONE", "w") as f:
+            f.write("ok")
+    return bm25_index_topk(
+        idx, "doc_id", ["spark", "merge", "window", "customer"], k=15
+    )
+
+
 def _q_docs_mask_spans(sf_dir: str):
     """Exact-substring span dedup (decontam.py mask_repeated_spans,
     Lee et al. 2022 style): the corpus's repeated 5-gram set (pass 1,
@@ -1757,8 +1794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 12 round-4 additions
-    # (docs_stratified_sample ... docs_mask_spans — never
+    # sessionize_events) lead, followed by the 13 round-4 additions
+    # (docs_stratified_sample ... docs_bm25_indexed — never
     # driver-green by construction); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
@@ -1789,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_collocations": _q_docs_collocations,
         "embeddings_kmeans_assign": _q_embeddings_kmeans,
         "docs_mask_spans": _q_docs_mask_spans,
+        "docs_bm25_indexed": _q_docs_bm25_indexed,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -1823,12 +1861,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_global_answer": _q_kg_global_answer,
         "kg_max_level": _q_kg_max_level,
         "kg_entity_frequency": _q_kg_entity_frequency,
-        "kg_predicate_histogram": _q_kg_predicate_histogram,
         # ---- tail: multi-round driver-green (r2 + r3), parked outside
         # the driver's 50-query window this round (events_props_filter,
-        # changelog_sync_actions, lineitem_pricing_summary and
-        # transcript_conv_stats rotated out to make room for the 4
-        # late-round-4 additions above) ----
+        # changelog_sync_actions, lineitem_pricing_summary,
+        # transcript_conv_stats and kg_predicate_histogram rotated out
+        # to make room for the 5 late-round-4 additions above) ----
+        "kg_predicate_histogram": _q_kg_predicate_histogram,
         "transcript_conv_stats": _q_transcript_conv_stats,
         "events_props_filter": _q_events_props_filter,
         "changelog_sync_actions": _q_changelog_sync,
@@ -3679,4 +3717,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
     """
+    # the inverted index is an IO LAYOUT, not different math: the
+    # indexed query's scores are bit-identical to the scan query's
+    # (term-order summation, same double arithmetic), so it shares the
+    # scan oracle verbatim — any layout-induced divergence fails loudly
+    d["docs_bm25_indexed"] = d["docs_bm25_topk"]
     return d
