@@ -107,6 +107,10 @@ def main() -> None:
         "events_hourly",
         "sessionize_events",
         "ann_topk_cosine",
+        # round-4 curation/retrieval representatives
+        "docs_unigram_nll",
+        "docs_mask_spans",
+        "docs_bm25_indexed",
     ):
         if name in qmap:
             queries[name] = round(bench_query(qmap[name]), 3)

@@ -1,0 +1,76 @@
+"""HyperLogLog approximate distinct: accuracy vs exact counts,
+merge/partitioning invariance, determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from eschergraph_ray.functions.sketch import (
+    _fold,
+    _hash64,
+    approx_distinct,
+    hll_estimate,
+)
+
+
+def _ids_ds(values, blocks=1):
+    tbl = pa.table({"v": pa.array([str(v) for v in values], pa.string())})
+    ds = rd.from_arrow(tbl)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_fold_rank_hand_values():
+    p = 12
+    # hash with ALL remaining bits zero -> max rank 53 at its register
+    h = np.array([np.uint64(5) << np.uint64(52)], np.uint64)
+    regs = _fold(h, p)
+    assert regs[5] == 64 - p + 1
+    # top remaining bit set -> rank 1
+    h = np.array([(np.uint64(5) << np.uint64(52)) | (np.uint64(1) << np.uint64(51))], np.uint64)
+    assert _fold(h, p)[5] == 1
+    # lowest bit set -> rank 52
+    h = np.array([(np.uint64(5) << np.uint64(52)) | np.uint64(1)], np.uint64)
+    assert _fold(h, p)[5] == 52
+
+
+@pytest.mark.parametrize("n", [100, 5_000, 100_000])
+def test_accuracy_within_three_sigma(n):
+    # p=12 -> sigma ~ 1.625%; allow 3 sigma + small-n slack
+    est = hll_estimate(_fold(_hash64([f"v{i}" for i in range(n)]), 12), 12)
+    assert abs(est - n) / n < 0.05
+
+
+def test_duplicates_do_not_inflate():
+    vals = [f"v{i % 500}" for i in range(20_000)]
+    est = hll_estimate(_fold(_hash64(vals), 12), 12)
+    assert abs(est - 500) / 500 < 0.05
+
+
+def test_partition_invariance_and_determinism():
+    vals = [f"u{i}" for i in range(3_000)]
+    a = approx_distinct(_ids_ds(vals, blocks=1), "v")
+    b = approx_distinct(_ids_ds(vals, blocks=7), "v")
+    c = approx_distinct(_ids_ds(list(reversed(vals)), blocks=3), "v")
+    assert a == b == c  # max-merge: order/partitioning independent
+
+
+def test_merge_equals_single_fold():
+    vals = [f"x{i}" for i in range(2_000)]
+    h = _hash64(vals)
+    whole = _fold(h, 12)
+    merged = np.maximum(_fold(h[:700], 12), _fold(h[700:], 12))
+    assert np.array_equal(whole, merged)
+
+
+def test_p_bounds():
+    with pytest.raises(ValueError, match="p must be"):
+        approx_distinct(_ids_ds(["a"]), "v", p=3)
+
+
+def test_documents_cardinality_sf0001():
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    est = approx_distinct(ds, "doc_id")
+    assert abs(est - 500) / 500 < 0.08
