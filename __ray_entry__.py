@@ -1740,6 +1740,22 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_assign(ds, ids, cent, "vec_id", "embedding")
 
 
+def _q_docs_sample_per_source(sf_dir: str):
+    """Per-stratum deterministic top-k sampling
+    (sampling.per_group_topk_sample): the 3 docs per source with the
+    smallest md5(salt||id) — per-block partial top-k first, so a hot
+    stratum never lands whole in one reducer."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import per_group_topk_sample
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "doc_id"]
+    )
+    return per_group_topk_sample(ds, "source", "doc_id", k=3, salt="panel")
+
+
 def _q_docs_bm25_indexed(sf_dir: str):
     """Indexed BM25 (functions/inverted_index.py): the same 4-term
     ranking as docs_bm25_topk served from a term-partitioned posting
@@ -1794,8 +1810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 13 round-4 additions
-    # (docs_stratified_sample ... docs_bm25_indexed — never
+    # sessionize_events) lead, followed by the 14 round-4 additions
+    # (docs_stratified_sample ... docs_sample_per_source — never
     # driver-green by construction); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
@@ -1827,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans_assign": _q_embeddings_kmeans,
         "docs_mask_spans": _q_docs_mask_spans,
         "docs_bm25_indexed": _q_docs_bm25_indexed,
+        "docs_sample_per_source": _q_docs_sample_per_source,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -1860,12 +1877,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rag_answer": _q_kg_rag_answer,
         "kg_global_answer": _q_kg_global_answer,
         "kg_max_level": _q_kg_max_level,
-        "kg_entity_frequency": _q_kg_entity_frequency,
         # ---- tail: multi-round driver-green (r2 + r3), parked outside
         # the driver's 50-query window this round (events_props_filter,
         # changelog_sync_actions, lineitem_pricing_summary,
-        # transcript_conv_stats and kg_predicate_histogram rotated out
-        # to make room for the 5 late-round-4 additions above) ----
+        # transcript_conv_stats, kg_predicate_histogram and
+        # kg_entity_frequency rotated out to make room for the 6
+        # late-round-4 additions above) ----
+        "kg_entity_frequency": _q_kg_entity_frequency,
         "kg_predicate_histogram": _q_kg_predicate_histogram,
         "transcript_conv_stats": _q_transcript_conv_stats,
         "events_props_filter": _q_events_props_filter,
@@ -3508,6 +3526,26 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN bg USING (gram)
             WHERE NOT g.is_bench
             GROUP BY g.doc_id
+        """,
+        "docs_sample_per_source": """
+            -- per-stratum deterministic sample replay
+            -- (sampling.per_group_topk_sample): md5 ranking, 3 per
+            -- source, (hash, id) tie-break — md5() == hashlib (the
+            -- proven hash-mod sampling parity device)
+            WITH r AS (
+              SELECT source, doc_id,
+                     md5('panel' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ),
+            rk AS (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                     ) AS rank
+              FROM r
+            )
+            SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+            FROM rk WHERE rank <= 3
         """,
         "docs_mask_spans": """
             -- span-dedup replay (decontam.py mask_repeated_spans):

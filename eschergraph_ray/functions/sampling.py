@@ -113,3 +113,45 @@ def add_split_column(ds, id_col: str, holdout_fraction: float, salt: str = "",
         return batch.append_column(out_col, pa.array(splits, pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def per_group_topk_sample(ds, group_col: str, id_col: str, k: int = 3,
+                          salt: str = ""):
+    """Deterministic representative sampling: the ``k`` rows of each
+    group with the smallest ``md5(salt || id)`` — a fixed-size
+    per-stratum sample (inspection panels, eval slices, per-domain
+    spot checks) whose membership is a pure function of (salt, id), so
+    it is stable across retries, cluster sizes and corpus growth
+    within a group. Returns ``(group_col, rank, id_col)`` with rank
+    1..k by (hash, id).
+
+    Skew-safe shape (same as the dashboard/events top-k): each BLOCK
+    keeps its local top-k per group first, so the groupby merge sees
+    at most #blocks × k rows per group — a hot stratum ("en" at 90%
+    of the corpus) never lands in one reducer."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    def add_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[group_col, id_col]].copy()
+        g["_h"] = [
+            _hl.md5((salt + str(i)).encode("utf-8")).hexdigest()
+            for i in g[id_col]
+        ]
+        return (
+            g.sort_values(["_h", id_col])
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col]).head(k).reset_index(drop=True)
+        g["rank"] = g.index + 1
+        return g[[group_col, "rank", id_col]]
+
+    return (
+        ds.map_batches(add_rank, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(topk, batch_format="pandas")
+    )

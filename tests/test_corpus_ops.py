@@ -221,6 +221,61 @@ def test_dedup_survivors_empty_components_keeps_all():
     assert dedup_survivors(docs, comps, "doc_id").count() == 2
 
 
+def test_per_group_topk_sample_deterministic_and_partition_invariant():
+    import hashlib
+
+    from eschergraph_ray.functions.sampling import per_group_topk_sample
+
+    tbl = pa.table(
+        {
+            "src": pa.array([f"s{i % 3}" for i in range(40)], pa.string()),
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+        }
+    )
+    one = per_group_topk_sample(
+        rd.from_arrow(tbl), "src", "doc_id", k=2, salt="x"
+    ).take_all()
+    many = per_group_topk_sample(
+        rd.from_arrow(tbl).repartition(7), "src", "doc_id", k=2, salt="x"
+    ).take_all()
+    key = lambda r: (r["src"], r["rank"])
+    assert sorted(one, key=key) == sorted(many, key=key)
+    # replay the spec directly: k smallest md5(salt||id) per group
+    for src in ["s0", "s1", "s2"]:
+        ids = [i for i in range(40) if f"s{i % 3}" == src]
+        want = sorted(ids, key=lambda i: (hashlib.md5(f"x{i}".encode()).hexdigest(), i))[:2]
+        got = [
+            r["doc_id"]
+            for r in sorted(one, key=key)
+            if r["src"] == src
+        ]
+        assert got == want
+
+
+def test_docs_sample_per_source_oracle_sf0001():
+    import __ray_entry__ as E
+
+    cols = ["source", "rank"]
+    got = (
+        E.queries()["docs_sample_per_source"](SF)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(E.oracle_sql()["docs_sample_per_source"])
+        .df()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0 and got["rank"].max() <= 3
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_mask_repeated_spans_masks_shared_windows():
     from eschergraph_ray.functions.decontam import mask_repeated_spans
 

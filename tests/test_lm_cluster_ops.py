@@ -205,6 +205,31 @@ def test_kmeans_fit_matches_numpy_reference():
     np.testing.assert_allclose(got, cent, atol=1e-12)
 
 
+def test_ivf_topk_accepts_kmeans_fit_centroids():
+    """kmeans_fit is the full-corpus IVF quantizer (the scale path past
+    the bounded-sample trainer): its centroids slot straight into
+    ivf_topk, and recall vs brute force stays high."""
+    from eschergraph_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    q = ds.take(1)[0]["embedding"]
+    cent = kmeans_fit(ds, "vec_id", "embedding", k=8, iters=3)
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(ds, q, "vec_id", "embedding", k=10).take_all()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            ds, q, "vec_id", "embedding", k=10, n_probe=4, centroids=cent
+        ).take_all()
+    ]
+    assert len(set(exact) & set(approx)) >= 9
+
+
 def test_embeddings_kmeans_assign_oracle_sf0001():
     import __ray_entry__ as E
 
