@@ -1740,6 +1740,17 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_assign(ds, ids, cent, "vec_id", "embedding")
 
 
+def _q_docs_curation_verdict(sf_dir: str):
+    """The composed keep/drop gate (textstats.curation_verdict): five
+    Gopher-style rules — length, alpha ratio, stopword presence,
+    type-token repetition, lang-id — evaluated in ONE streaming pass
+    with all-integer comparisons (cross-multiplied ratios, no floats
+    anywhere in the verdict table)."""
+    from eschergraph_ray.functions.textstats import curation_verdict
+
+    return curation_verdict(_docs(sf_dir), "doc_id", "text")
+
+
 def _q_docs_sample_per_source(sf_dir: str):
     """Per-stratum deterministic top-k sampling
     (sampling.per_group_topk_sample): the 3 docs per source with the
@@ -1810,8 +1821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 14 round-4 additions
-    # (docs_stratified_sample ... docs_sample_per_source — never
+    # sessionize_events) lead, followed by the 15 round-4 additions
+    # (docs_stratified_sample ... docs_curation_verdict — never
     # driver-green by construction); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
@@ -1844,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mask_spans": _q_docs_mask_spans,
         "docs_bm25_indexed": _q_docs_bm25_indexed,
         "docs_sample_per_source": _q_docs_sample_per_source,
+        "docs_curation_verdict": _q_docs_curation_verdict,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -1876,13 +1888,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_global_search": _q_kg_global_search,
         "kg_rag_answer": _q_kg_rag_answer,
         "kg_global_answer": _q_kg_global_answer,
-        "kg_max_level": _q_kg_max_level,
         # ---- tail: multi-round driver-green (r2 + r3), parked outside
         # the driver's 50-query window this round (events_props_filter,
         # changelog_sync_actions, lineitem_pricing_summary,
-        # transcript_conv_stats, kg_predicate_histogram and
-        # kg_entity_frequency rotated out to make room for the 6
-        # late-round-4 additions above) ----
+        # transcript_conv_stats, kg_predicate_histogram,
+        # kg_entity_frequency and kg_max_level rotated out to make room
+        # for the 7 late-round-4 additions above) ----
+        "kg_max_level": _q_kg_max_level,
         "kg_entity_frequency": _q_kg_entity_frequency,
         "kg_predicate_histogram": _q_kg_predicate_histogram,
         "transcript_conv_stats": _q_transcript_conv_stats,
@@ -3526,6 +3538,51 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN bg USING (gram)
             WHERE NOT g.is_bench
             GROUP BY g.doc_id
+        """,
+        "docs_curation_verdict": """
+            -- composed Gopher-rule replay (textstats.curation_verdict):
+            -- the quality / repetition / lang-id CTEs composed into one
+            -- all-integer verdict (cross-multiplied ratios, no floats)
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(array_length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+                     CAST(array_length(regexp_extract_all(lower(text), '[a-z'']+')) AS BIGINT) AS n_words,
+                     CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                          x -> x IN ('the','and','of','a','to','in','is','it','that','for','on','with'))) AS BIGINT)
+                          AS n_stopwords,
+                     list_distinct(regexp_extract_all(lower(text), '[a-z'']+')) AS ws,
+                     regexp_extract_all(lower(text), '[a-z]+') AS reps
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_chars, n_alpha, n_words, n_stopwords,
+                     CAST(len(reps) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(reps)) AS BIGINT) AS n_distinct,
+                     len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu'))) AS s_de,
+                     len(list_filter(ws, x -> x IN ('the','and','of','to','in','is','that','it','with','for'))) AS s_en,
+                     len(list_filter(ws, x -> x IN ('el','la','los','las','y','es','que','de','un','una','por'))) AS s_es,
+                     len(list_filter(ws, x -> x IN ('le','la','les','et','est','que','des','une','dans','pour'))) AS s_fr,
+                     len(list_filter(ws, x -> x IN ('il','la','che','di','e','un','una','per','con','sono'))) AS s_it
+              FROM q
+            ),
+            v AS (
+              SELECT doc_id,
+                     CAST(n_words BETWEEN 10 AND 100000 AS BIGINT) AS len_ok,
+                     CAST(5 * n_alpha >= 3 * n_chars AS BIGINT) AS alpha_ok,
+                     CAST(50 * n_stopwords >= n_words AS BIGINT) AS stop_ok,
+                     CAST(10 * n_distinct >= 3 * n_tokens AS BIGINT) AS rep_ok,
+                     CAST(CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'und'
+                               WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'de'
+                               WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+                               WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+                               WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+                               ELSE 'it' END = 'en' AS BIGINT) AS lang_ok
+              FROM s
+            )
+            SELECT doc_id, len_ok, alpha_ok, stop_ok, rep_ok, lang_ok,
+                   len_ok * alpha_ok * stop_ok * rep_ok * lang_ok AS keep
+            FROM v
         """,
         "docs_sample_per_source": """
             -- per-stratum deterministic sample replay

@@ -395,3 +395,64 @@ def int_column_percentiles(ds, col: str, ps: tuple[float, ...] = (0.25, 0.5, 0.7
     # drop the null group: None is not a value and cannot sort/compare
     hist = [(r[col], r["cnt"]) for r in hist_rows if r[col] is not None]
     return histogram_percentiles(hist, ps), sum(c for _v, c in hist)
+
+
+def curation_verdict(
+    ds,
+    id_col: str,
+    text_col: str,
+    min_words: int = 10,
+    max_words: int = 100_000,
+):
+    """The composed keep/drop gate a curation pipeline actually ships
+    (Gopher-style rule stack, Rae et al. 2021 §A1.1): length, alphabetic
+    ratio, stopword presence, type-token repetition and language-id
+    evaluated TOGETHER in one streaming pass — one tokenization per
+    document feeds every rule, where running the individual signal
+    queries would re-read the corpus five times.
+
+    Every rule is an INTEGER comparison (ratios are cross-multiplied:
+    ``5*n_alpha >= 3*n_chars`` is alpha-ratio >= 0.6 with no float in
+    either engine), so the whole verdict table is exact-hashable:
+
+      len_ok   min_words <= n_words <= max_words     (_WORD grammar)
+      alpha_ok 5*n_alpha >= 3*n_chars                (>= 60% alphabetic)
+      stop_ok  50*n_stopwords >= n_words             (>= 2% stopwords)
+      rep_ok   10*n_distinct >= 3*n_tokens           (TTR >= 0.3, _REP_WORD)
+      lang_ok  stopword-profile argmax == 'en'
+      keep     AND of all five
+
+    Returns ``(id_col, len_ok, alpha_ok, stop_ok, rep_ok, lang_ok,
+    keep)`` as int64 0/1 — one row per document, so the drop REASONS
+    survive for auditing (filtering is then a trivial keep == 1)."""
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        cols: dict[str, list[int]] = {
+            k: [] for k in ("len_ok", "alpha_ok", "stop_ok", "rep_ok", "lang_ok", "keep")
+        }
+        for t in batch[text_col].to_pylist():
+            t = t or ""
+            low = t.lower()
+            n_chars = len(t)
+            n_alpha = len(_ALPHA.findall(t))
+            words = _WORD.findall(low)
+            n_words = len(words)
+            n_stop = sum(1 for w in words if w in EN_STOP)
+            toks = _REP_WORD.findall(low)
+            len_ok = int(min_words <= n_words <= max_words)
+            alpha_ok = int(5 * n_alpha >= 3 * n_chars)
+            stop_ok = int(50 * n_stop >= n_words)
+            rep_ok = int(10 * len(set(toks)) >= 3 * len(toks))
+            lang_ok = int(detect_language(t) == "en")
+            cols["len_ok"].append(len_ok)
+            cols["alpha_ok"].append(alpha_ok)
+            cols["stop_ok"].append(stop_ok)
+            cols["rep_ok"].append(rep_ok)
+            cols["lang_ok"].append(lang_ok)
+            cols["keep"].append(len_ok & alpha_ok & stop_ok & rep_ok & lang_ok)
+        out = {id_col: ids}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        return pa.table(out)
+
+    return ds.map_batches(verdict, batch_format="pyarrow")

@@ -352,6 +352,64 @@ def test_docs_mask_spans_oracle_sf0001():
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+def test_curation_verdict_each_rule_fires():
+    from eschergraph_ray.functions.textstats import curation_verdict
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and runs on with "
+        "great speed for it is that kind of animal in the wild"
+    )
+    docs = rd.from_arrow(
+        _docs_tbl(
+            [
+                (1, good),  # passes everything
+                (2, "short text"),  # len_ok = 0
+                (3, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) !!!! "
+                    "@@@@ #### $$$$ %%%% ^^^^"),  # alpha_ok = 0 (and others)
+                (4, "alpha beta gamma delta epsilon zeta eta theta iota "
+                    "kappa lambdaa mu nu xi"),  # stop_ok = 0 (no stopwords)
+                (5, ("the dog " * 40) + "is it"),  # rep_ok = 0 (TTR tiny)
+                (6, "der hund ist nicht mit das und ein eine zu der und "
+                    "ist nicht mit das"),  # lang_ok = 0 (German)
+            ]
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation_verdict(docs, "doc_id", "text").take_all()
+    }
+    assert out[1]["keep"] == 1
+    assert out[2]["len_ok"] == 0 and out[2]["keep"] == 0
+    assert out[3]["alpha_ok"] == 0 and out[3]["keep"] == 0
+    assert out[4]["stop_ok"] == 0 and out[4]["keep"] == 0
+    assert out[5]["rep_ok"] == 0 and out[5]["keep"] == 0
+    assert out[6]["lang_ok"] == 0 and out[6]["keep"] == 0
+
+
+def test_docs_curation_verdict_oracle_sf0001():
+    import __ray_entry__ as E
+
+    got = (
+        E.queries()["docs_curation_verdict"](SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(E.oracle_sql()["docs_curation_verdict"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the verdict must actually discriminate on this corpus
+    assert 0 < got["keep"].sum() < len(got)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_dedup_survivors_oracle_sf0001():
     import __ray_entry__ as E
 
