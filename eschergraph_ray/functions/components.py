@@ -17,9 +17,14 @@ fixed point every node carries the minimum node id of its component
 (a deterministic canonical representative). Rounds are bounded by the
 graph diameter (near-dup clusters are shallow — a handful of rounds).
 
-Ray Data construction per round — the same union+groupby shape as the
-temporal joins (functions/joins.py), no Dataset.join (and none of its
-Ray 2.49 quirks):
+Ray Data construction per round — two paths, identical fixed point.
+The FAST path (labels fit a broadcast — the common case: the label
+table is one row per dup-involved node) ships the sorted label arrays
+via ``ray.put`` and computes messages with searchsorted inside one
+streaming pass over the edges, leaving ONE shuffle per round (the
+min-combine). The unbounded fallback is the union+groupby shape shared
+with the temporal joins (functions/joins.py), no Dataset.join (and
+none of its Ray 2.49 quirks):
 
     edges tagged (key=src, dst)  UNION  labels tagged (key=id, lbl)
       -> groupby(key)            (THE shuffle; edges co-partition
@@ -61,6 +66,7 @@ def connected_components(
     node_col: str = "doc_id",
     component_col: str = "component_id",
     max_rounds: int = 64,
+    broadcast_labels_below: int = 2_000_000,
 ):
     """Return a Dataset of ``(node_col, component_col)`` — one row per
     node that appears in ``pairs_ds``, labelled with the minimum node
@@ -70,6 +76,16 @@ def connected_components(
 
     ``max_rounds`` is a loud-failure bound (diameter of a near-dup
     cluster in practice: < 10), not a tuning knob.
+
+    Fast path: when the LABEL table (one row per dup-involved node —
+    bounded by pair count, tiny next to the corpus at real dup rates)
+    fits under ``broadcast_labels_below``, each round broadcasts it
+    (``ray.put`` once, node-cached) and computes neighbour messages
+    with a vectorized searchsorted inside one streaming pass over the
+    edges — ONE shuffle per round (the message combine) instead of
+    two, and no per-group Python. The tagged-union path below remains
+    the unbounded-graph fallback; both paths compute the identical
+    fixed point (same messages, same min-combine).
     """
     import ray.data as rd
 
@@ -139,14 +155,42 @@ def connected_components(
         return pa.table({"id": ids, "lbl": pa.array([lbl] * n, pa.int64())})
 
     tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
+    use_broadcast = labels.count() <= broadcast_labels_below
 
     for _ in range(max_rounds):
-        tagged_labels = labels.map_batches(tag_labels, batch_format="pyarrow")
-        msgs = (
-            tagged_edges.union(tagged_labels)
-            .groupby("key")
-            .map_groups(propagate, batch_format="pyarrow")
-        )
+        if use_broadcast:
+            import numpy as np
+            import ray
+
+            pdf = labels.to_pandas()
+            ids_np = pdf["id"].to_numpy(np.int64)
+            order = np.argsort(ids_np)
+            lbl_ref = ray.put(
+                (ids_np[order], pdf["lbl"].to_numpy(np.int64)[order])
+            )
+
+            def msg(batch: pa.Table, _ref=lbl_ref) -> pa.Table:
+                from ..stages.chunking import pin_arrow_threads
+
+                pin_arrow_threads()
+                ids_s, lbls_s = ray.get(_ref)  # node-cached
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                # every src is a labelled node by construction
+                lbl = lbls_s[np.searchsorted(ids_s, src)]
+                return pa.table(
+                    {"id": batch["dst"], "lbl": pa.array(lbl, pa.int64())}
+                )
+
+            msgs = edges.map_batches(msg, batch_format="pyarrow").union(labels)
+        else:
+            tagged_labels = labels.map_batches(
+                tag_labels, batch_format="pyarrow"
+            )
+            msgs = (
+                tagged_edges.union(tagged_labels)
+                .groupby("key")
+                .map_groups(propagate, batch_format="pyarrow")
+            )
         combined = msgs.groupby("id").min("lbl")
         labels = combined.map_batches(
             lambda b: pa.table({"id": b["id"], "lbl": b["min(lbl)"]}),

@@ -50,6 +50,29 @@ def test_cc_empty_pairs():
     assert set(out.schema().names) == {"doc_id", "component_id"}
 
 
+def test_cc_fallback_path_equals_broadcast_path():
+    # broadcast_labels_below=0 forces the unbounded tagged-union path;
+    # both paths must reach the identical fixed point
+    pairs = [(i, i + 1) for i in range(8)] + [(20, 30), (30, 25)]
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    fast = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(rd.from_arrow(t), "id_a", "id_b").take_all()
+    }
+    slow = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(
+            rd.from_arrow(t), "id_a", "id_b", broadcast_labels_below=0
+        ).take_all()
+    }
+    assert fast == slow == {**{i: 0 for i in range(9)}, 20: 20, 30: 20, 25: 20}
+
+
 def test_cc_matches_recursive_sql_closure():
     # random-ish sparse graph vs the DuckDB recursive-CTE closure —
     # the same oracle shape the dedup_components driver entry uses
