@@ -1740,6 +1740,41 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_assign(ds, ids, cent, "vec_id", "embedding")
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental dedup against a persisted corpus index
+    (functions/incremental_dedup.py): a 10% hash split plays the new
+    shard; the other 90% is indexed once (band rows partitioned by
+    band-hash bucket, shingle blobs by id bucket) and the shard probes
+    ONLY its own band buckets. With df_cutoff applied to the combined
+    bucket size, the result is byte-equal to the full-corpus minhash
+    run restricted to (new, old) pairs — which is exactly what the
+    oracle replays (the full SQL filtered to cross-split pairs)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from eschergraph_ray.functions.incremental_dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from eschergraph_ray.functions.sampling import hash_sample
+
+    _sidewrite_minhash_params()  # lets the SQL oracle replay the perms
+    docs = _docs_sized(sf_dir)
+    new = hash_sample(docs, "doc_id", 0.1, salt="inc")
+    old = hash_sample(docs, "doc_id", 0.1, salt="inc", invert=True)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/eschergraph_ray/mh-index-v1-{sftag}-n{n}"
+    if not os.path.exists(idx + "/_DONE"):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_minhash_index(old, idx, "doc_id", "text")
+        with open(idx + "/_DONE", "w") as f:
+            f.write("ok")
+    return probe_minhash_index(idx, new, "doc_id", "text", threshold=0.5)
+
+
 def _q_docs_curation_verdict(sf_dir: str):
     """The composed keep/drop gate (textstats.curation_verdict): five
     Gopher-style rules — length, alpha ratio, stopword presence,
@@ -1821,8 +1856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 15 round-4 additions
-    # (docs_stratified_sample ... docs_curation_verdict — never
+    # sessionize_events) lead, followed by the 16 round-4 additions
+    # (docs_stratified_sample ... dedup_incremental_probe — never
     # driver-green by construction); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
@@ -1856,6 +1891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_indexed": _q_docs_bm25_indexed,
         "docs_sample_per_source": _q_docs_sample_per_source,
         "docs_curation_verdict": _q_docs_curation_verdict,
+        "dedup_incremental_probe": _q_dedup_incremental,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -1887,13 +1923,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sync_plan": _q_kg_sync_plan,
         "kg_global_search": _q_kg_global_search,
         "kg_rag_answer": _q_kg_rag_answer,
-        "kg_global_answer": _q_kg_global_answer,
         # ---- tail: multi-round driver-green (r2 + r3), parked outside
         # the driver's 50-query window this round (events_props_filter,
         # changelog_sync_actions, lineitem_pricing_summary,
         # transcript_conv_stats, kg_predicate_histogram,
-        # kg_entity_frequency and kg_max_level rotated out to make room
-        # for the 7 late-round-4 additions above) ----
+        # kg_entity_frequency, kg_max_level and kg_global_answer
+        # rotated out to make room for the 8 late-round-4 additions
+        # above) ----
+        "kg_global_answer": _q_kg_global_answer,
         "kg_max_level": _q_kg_max_level,
         "kg_entity_frequency": _q_kg_entity_frequency,
         "kg_predicate_histogram": _q_kg_predicate_histogram,
@@ -3811,6 +3848,16 @@ def oracle_sql() -> dict[str, str]:
         comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
+    """
+    # incremental probe = the full minhash replay restricted to pairs
+    # that CROSS the 10% md5 split (salt 'inc', threshold 0x1999) —
+    # the Ray path's index/probe construction is byte-equal to the
+    # full run filtered to (new, old) pairs by shared-hash design
+    d["dedup_incremental_probe"] = f"""
+        WITH pairs AS ({d['dedup_minhash_neardup']})
+        SELECT * FROM pairs
+        WHERE (substr(md5('inc' || CAST(id_a AS VARCHAR)), 1, 4) < '1999')
+              <> (substr(md5('inc' || CAST(id_b AS VARCHAR)), 1, 4) < '1999')
     """
     # the inverted index is an IO LAYOUT, not different math: the
     # indexed query's scores are bit-identical to the scan query's

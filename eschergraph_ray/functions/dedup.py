@@ -178,6 +178,44 @@ def _bucket_pairs_vectorized(ds, key_cols: list[str], id_col: str,
     return ds.groupby(part_col).map_groups(pairs, batch_format="pyarrow")
 
 
+def minhash_band_rows(
+    ds,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 7,
+):
+    """One ``(id, band_id, band_hash)`` row per document per band —
+    band_hash = blake2b-8 of the band's signature chunk bytes (>> 1 to
+    stay in int64). Shared by the one-shot candidate path and the
+    persisted incremental index so their hashes are byte-identical."""
+    if bands < 1 or num_perm % bands:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle_k, seed)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, bids, bhash = [], [], []
+        for id_, sig in zip(batch[id_col].to_pylist(), batch["signature"].to_pylist()):
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                h = hashlib.blake2b(np.array(chunk, dtype=np.int64).tobytes(), digest_size=8)
+                ids.append(id_)
+                bids.append(bi)
+                bhash.append(int.from_bytes(h.digest(), "big") >> 1)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "band_id": pa.array(bids, pa.int32()),
+                "band_hash": pa.array(bhash, pa.int64()),
+            }
+        )
+
+    return sigs.map_batches(explode, batch_format="pyarrow")
+
+
 def minhash_lsh_candidates(
     ds,
     id_col: str,
@@ -209,33 +247,17 @@ def minhash_lsh_candidates(
         # silent truncation makes trailing perms dead weight; bands >
         # num_perm makes EVERY band hash empty (one global bucket)
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle_k, seed)
-
-    def explode(batch: pa.Table) -> pa.Table:
-        ids, bids, bhash = [], [], []
-        for id_, sig in zip(batch[id_col].to_pylist(), batch["signature"].to_pylist()):
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = hashlib.blake2b(np.array(chunk, dtype=np.int64).tobytes(), digest_size=8)
-                ids.append(id_)
-                bids.append(bi)
-                bhash.append(int.from_bytes(h.digest(), "big") >> 1)
-        t = pa.table(
-            {
-                id_col: pa.array(ids),
-                "band_id": pa.array(bids, pa.int32()),
-                "band_hash": pa.array(bhash, pa.int64()),
-            }
-        )
+    exploded = minhash_band_rows(
+        ds, id_col, text_col, num_perm, bands, shingle_k, seed
+    ).map_batches(
         # bucket partition for the vectorized pairing: band_hash is
         # blake2-uniform, so its low bits ARE the hash partition (the
         # pyarrow-has-no-modulo trick: power-of-two mask)
-        return t.append_column(
+        lambda t: t.append_column(
             "_part", pc.bit_wise_and(t["band_hash"], _PAIR_PARTITIONS - 1)
-        )
-
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+        ),
+        batch_format="pyarrow",
+    )
     pairs = _bucket_pairs_vectorized(
         exploded, ["band_id", "band_hash"], id_col, df_cutoff
     )
@@ -328,17 +350,26 @@ def shingle_signatures(docs_ds, id_col: str, text_col: str, shingle_k: int = 3):
 
 def jaccard_verify_pairs(pairs_ds, docs_ds, id_col: str, text_col: str,
                          shingle_k: int = 3, threshold: float = 0.7,
-                         num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+                         num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+                         sigs_ds=None):
     """Verify candidate pairs by exact shingle Jaccard — fully
     distributed: pairs ⨝ shingle-signatures on id_a, then id_b (two
     hash joins), then a vectorized per-pair intersection. No driver
-    materialization, no broadcast of the doc side."""
+    materialization, no broadcast of the doc side.
+
+    ``sigs_ds``: optional precomputed ``shingle_signatures`` table —
+    the incremental-index probe passes one assembled from persisted
+    old-side blobs plus fresh new-side blobs."""
     import ray.data as rd
 
     # materialize: both joins consume the signature table; without
     # pinning it, the docs scan + shingling would re-execute per join
     # (signatures are ~20-50x smaller than the text they summarize)
-    sigs = shingle_signatures(docs_ds, id_col, text_col, shingle_k).materialize()
+    sigs = (
+        sigs_ds
+        if sigs_ds is not None
+        else shingle_signatures(docs_ds, id_col, text_col, shingle_k)
+    ).materialize()
     pairs_ds = _nonempty_pairs(pairs_ds)
     if pairs_ds is None:
         id_type = docs_ds.schema().base_schema.field(id_col).type
