@@ -1775,6 +1775,30 @@ def _q_dedup_incremental(sf_dir: str):
     return probe_minhash_index(idx, new, "doc_id", "text", threshold=0.5)
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the built KG's level-0 edges
+    (functions/pagerank.py) — centrality ranking beyond the dashboard's
+    raw degree top-k. All-int64 recurrence (floor division, damping
+    85/100), so the 3-iteration result is exactly SQL-replayable with
+    BIGINT arithmetic; top-25 by (pr desc, node)."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.pagerank import pagerank_fixed_point
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    pr = pagerank_fixed_point(edges, "frm_name", "to_name", iters=3)
+    return pr.sort(["pr", "node"], descending=[True, False]).limit(25)
+
+
 def _q_docs_curation_verdict(sf_dir: str):
     """The composed keep/drop gate (textstats.curation_verdict): five
     Gopher-style rules — length, alpha ratio, stopword presence,
@@ -1856,8 +1880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 16 round-4 additions
-    # (docs_stratified_sample ... dedup_incremental_probe — never
+    # sessionize_events) lead, followed by the 17 round-4 additions
+    # (docs_stratified_sample ... kg_pagerank — never
     # driver-green by construction); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
@@ -1892,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_per_source": _q_docs_sample_per_source,
         "docs_curation_verdict": _q_docs_curation_verdict,
         "dedup_incremental_probe": _q_dedup_incremental,
+        "kg_pagerank": _q_kg_pagerank,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -1922,14 +1947,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_changelog": _q_kg_changelog,
         "kg_sync_plan": _q_kg_sync_plan,
         "kg_global_search": _q_kg_global_search,
-        "kg_rag_answer": _q_kg_rag_answer,
         # ---- tail: multi-round driver-green (r2 + r3), parked outside
         # the driver's 50-query window this round (events_props_filter,
         # changelog_sync_actions, lineitem_pricing_summary,
         # transcript_conv_stats, kg_predicate_histogram,
-        # kg_entity_frequency, kg_max_level and kg_global_answer
-        # rotated out to make room for the 8 late-round-4 additions
-        # above) ----
+        # kg_entity_frequency, kg_max_level, kg_global_answer and
+        # kg_rag_answer rotated out to make room for the 9
+        # late-round-4 additions above) ----
+        "kg_rag_answer": _q_kg_rag_answer,
         "kg_global_answer": _q_kg_global_answer,
         "kg_max_level": _q_kg_max_level,
         "kg_entity_frequency": _q_kg_entity_frequency,
@@ -2825,6 +2850,56 @@ def oracle_sql() -> dict[str, str]:
         "kg_max_level": f"""
             SELECT CAST(max(level) AS BIGINT) AS max_level
             FROM read_parquet('{_nodes}')
+        """,
+        "kg_pagerank": f"""
+            -- fixed-point PageRank replay (functions/pagerank.py):
+            -- all-BIGINT recurrence over the symmetrized level-0 edge
+            -- multigraph, 3 unrolled iterations, damping 85//100
+            WITH e0 AS (
+              SELECT frm_name AS a, to_name AS b
+              FROM read_parquet('{_edges}') WHERE level = 0
+            ),
+            sym AS (
+              SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0
+            ),
+            deg AS (
+              SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+              FROM sym GROUP BY src
+            ),
+            p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS p, d FROM deg),
+            m1 AS (
+              SELECT s.dst AS id, CAST(sum(p0.p // p0.d) AS BIGINT) AS s
+              FROM sym s JOIN p0 ON p0.id = s.src GROUP BY s.dst
+            ),
+            p1 AS (
+              SELECT deg.id,
+                     CAST(150000 + (85 * coalesce(m1.s, 0)) // 100 AS BIGINT) AS p,
+                     deg.d
+              FROM deg LEFT JOIN m1 USING (id)
+            ),
+            m2 AS (
+              SELECT s.dst AS id, CAST(sum(p1.p // p1.d) AS BIGINT) AS s
+              FROM sym s JOIN p1 ON p1.id = s.src GROUP BY s.dst
+            ),
+            p2 AS (
+              SELECT deg.id,
+                     CAST(150000 + (85 * coalesce(m2.s, 0)) // 100 AS BIGINT) AS p,
+                     deg.d
+              FROM deg LEFT JOIN m2 USING (id)
+            ),
+            m3 AS (
+              SELECT s.dst AS id, CAST(sum(p2.p // p2.d) AS BIGINT) AS s
+              FROM sym s JOIN p2 ON p2.id = s.src GROUP BY s.dst
+            ),
+            p3 AS (
+              SELECT deg.id,
+                     CAST(150000 + (85 * coalesce(m3.s, 0)) // 100 AS BIGINT) AS p
+              FROM deg LEFT JOIN m3 USING (id)
+            )
+            SELECT id AS node, p AS pr FROM p3
+            ORDER BY pr DESC, node
+            LIMIT 25
         """,
         "kg_entity_frequency": f"""
             SELECT name, count(*) AS n_conversations

@@ -1,0 +1,73 @@
+"""Fixed-point PageRank: hand-computed recurrence, path equivalence,
+ranking sanity."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from eschergraph_ray.functions.pagerank import BASE, P0, pagerank_fixed_point
+
+
+def _edges(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([x for x, _ in pairs], pa.string()),
+                "b": pa.array([y for _, y in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def _run(pairs, iters=3, **kw):
+    out = pagerank_fixed_point(_edges(pairs), "a", "b", iters=iters, **kw)
+    return {r["node"]: r["pr"] for r in out.take_all()}
+
+
+def _reference(pairs, iters):
+    """Driver-side replay of the documented integer recurrence."""
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = sorted({a for a, _ in sym})
+    deg = {v: sum(1 for a, _ in sym if a == v) for v in nodes}
+    p = {v: P0 for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in sym:
+            s[b] += p[a] // deg[a]
+        p = {v: BASE + (85 * s[v]) // 100 for v in nodes}
+    return p
+
+
+def test_one_iteration_hand_values():
+    # star: hub h connected to 3 leaves
+    pairs = [("h", "l1"), ("h", "l2"), ("h", "l3")]
+    got = _run(pairs, iters=1)
+    # hub receives 3 leaf contributions of P0 // 1 each
+    assert got["h"] == BASE + (85 * 3 * P0) // 100
+    # each leaf receives P0 // 3 from the hub
+    assert got["l1"] == got["l2"] == got["l3"] == BASE + (85 * (P0 // 3)) // 100
+
+
+def test_matches_reference_recurrence_multigraph():
+    # includes a parallel edge (x, y) twice — multigraph degree counts
+    pairs = [("x", "y"), ("x", "y"), ("y", "z"), ("z", "w"), ("w", "x")]
+    assert _run(pairs, iters=3) == _reference(pairs, 3)
+
+
+def test_fallback_path_equals_broadcast_path():
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    fast = _run(pairs, iters=3)
+    slow = _run(pairs, iters=3, broadcast_nodes_below=0)
+    assert fast == slow == _reference(pairs, 3)
+
+
+def test_hub_outranks_leaf_at_equal_degree():
+    # m1 and h both have degree 2, but h's neighbours are well-linked
+    pairs = [("h", "m1"), ("h", "m2"), ("m1", "x"), ("m2", "y"), ("m2", "z")]
+    got = _run(pairs)
+    assert got["h"] > got["x"]
+
+
+def test_empty_edges():
+    out = pagerank_fixed_point(_edges([]), "a", "b")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "pr"}
