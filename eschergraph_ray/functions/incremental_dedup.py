@@ -183,8 +183,13 @@ def probe_minhash_index(
     band_files = _bucket_files(os.path.join(index_dir, "bands"), "hb", hbs)
     if not band_files:
         return rd.from_arrow(_empty_pairs_table(id_type, "jaccard"))
+    # hb-partitioned dirs mean MANY small files; coalesce them into a
+    # few read blocks — per-block fixed costs dominate at small probe
+    # sizes otherwise (measured 11.4 s -> see BASELINE round-4 row)
     old_bands = rd.read_parquet(
-        band_files, columns=[id_col, "band_id", "band_hash"]
+        band_files,
+        columns=[id_col, "band_id", "band_hash"],
+        override_num_blocks=max(1, min(len(band_files), 16)),
     )
 
     def add_part(t: pa.Table) -> pa.Table:
