@@ -176,10 +176,16 @@ def probe_minhash_index(
     new_id_arr = np.sort(np.asarray(uniq))
     new_ref = ray.put(new_id_arr)
 
-    hbs = {
-        int(h) & (band_buckets - 1)
-        for h in (new_bands.unique("band_hash") or [])
-    }
+    # distinct PROBE BUCKETS (<= band_buckets values), derived
+    # distributedly — collecting unique band_hash values would ship a
+    # shard-sized set to the driver for no reason
+    hb_ds = new_bands.map_batches(
+        lambda t: pa.table(
+            {"hb": pc.bit_wise_and(t["band_hash"], band_buckets - 1)}
+        ),
+        batch_format="pyarrow",
+    )
+    hbs = {int(h) for h in (hb_ds.unique("hb") or [])}
     band_files = _bucket_files(os.path.join(index_dir, "bands"), "hb", hbs)
     if not band_files:
         return rd.from_arrow(_empty_pairs_table(id_type, "jaccard"))
