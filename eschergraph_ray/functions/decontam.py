@@ -192,7 +192,11 @@ def mask_repeated_spans(
     corpus text is never shuffled."""
     import ray
 
-    hot_ds = repeated_gram_table(ds, id_col, text_col, n=n, max_df=max_df)
+    # pinned: both the count (guard) and the collect consume it — an
+    # unmaterialized dataset would re-run the corpus df pass twice
+    hot_ds = repeated_gram_table(
+        ds, id_col, text_col, n=n, max_df=max_df
+    ).materialize()
     n_hot = hot_ds.count()
     if n_hot > max_hot_broadcast:
         raise ValueError(

@@ -164,7 +164,8 @@ def tfidf_top_terms(
             batch_format="pyarrow",
         )
 
-    df_tbl = document_frequencies(ds, text_col, min_df=min_df)
+    # pinned: guard count + collect both consume it
+    df_tbl = document_frequencies(ds, text_col, min_df=min_df).materialize()
     n_vocab = df_tbl.count()
     if n_vocab > max_vocab_broadcast:
         raise ValueError(
@@ -259,7 +260,7 @@ def unigram_nll(
     import pyarrow.compute as pc
     import ray
 
-    cnt = token_counts(ds, text_col)
+    cnt = token_counts(ds, text_col).materialize()
     n_vocab = cnt.count()
     if n_vocab == 0:
         return ds.map_batches(
@@ -389,7 +390,7 @@ def bigram_pmi_topk(
             }
         )
 
-    uni = token_counts(ds, text_col)
+    uni = token_counts(ds, text_col).materialize()
     n_vocab = uni.count()
     if n_vocab > max_vocab_broadcast:
         raise ValueError(
@@ -403,10 +404,12 @@ def bigram_pmi_topk(
     order = np.argsort(utoks)
     uni_ref = ray.put((utoks[order], uns[order]))
 
+    # pinned: consumed twice (total-mass sum + scoring pass)
     bi = (
         ds.map_batches(bigram_partial, batch_format="pyarrow")
         .groupby(["w1", "w2"])
         .aggregate(Sum("n", alias_name="n"))
+        .materialize()
     )
     # total bigram mass BEFORE the min_count cut (the probability space
     # is all adjacent pairs); Sum returns None on an empty dataset
