@@ -127,14 +127,30 @@ def decontaminate(
     return corpus_ds.map_batches(flag, batch_format="pyarrow")
 
 
+def _gram_hash(gram: str) -> int:
+    """blake2b-8 of the gram string, >> 1 to stay positive int64 —
+    the df shuffle and hot-set broadcast move 8-byte ints instead of
+    ~n*6-byte strings. Hash equality stands in for gram equality
+    (collision odds ~V²/2⁶⁵ — the same device as the minhash band
+    hash)."""
+    import hashlib
+
+    return (
+        int.from_bytes(
+            hashlib.blake2b(gram.encode(), digest_size=8).digest(), "big"
+        )
+        >> 1
+    )
+
+
 def repeated_gram_table(ds, id_col: str, text_col: str, n: int = 5,
                         max_df: int = 1):
-    """(gram, df) Dataset of word n-grams appearing in MORE than
+    """(gram_hash, df) Dataset of word n-grams appearing in MORE than
     ``max_df`` distinct documents — the cross-document repetition
     model. Built skew-proof: per-batch Counters over each document's
-    DISTINCT grams (a combiner — a boilerplate gram repeated in every
-    doc of a batch costs one row in the exchange), then a
-    vocabulary-sized ``groupby.sum``."""
+    DISTINCT gram hashes (a combiner — a boilerplate gram repeated in
+    every doc of a batch costs one row in the exchange), then a
+    vocabulary-sized ``groupby.sum`` over int64 keys."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -144,19 +160,19 @@ def repeated_gram_table(ds, id_col: str, text_col: str, n: int = 5,
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
-        c: "Counter[str]" = Counter()
+        c: "Counter[int]" = Counter()
         for txt in batch[text_col].to_pylist():
-            c.update(_doc_grams(txt, n))
+            c.update(_gram_hash(g) for g in _doc_grams(txt, n))
         return pa.table(
             {
-                "gram": pa.array(list(c.keys()), pa.string()),
+                "gram_hash": pa.array(list(c.keys()), pa.int64()),
                 "df": pa.array(list(c.values()), pa.int64()),
             }
         )
 
     df = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("gram")
+        .groupby("gram_hash")
         .aggregate(Sum("df", alias_name="df"))
     )
     return df.map_batches(
@@ -205,7 +221,13 @@ def mask_repeated_spans(
             "large for the broadcast path — shard the hot set or use a "
             "suffix-array pass"
         )
-    hot = frozenset(hot_ds.to_pandas()["gram"]) if n_hot else frozenset()
+    import numpy as np
+
+    hot = (
+        np.sort(hot_ds.to_pandas()["gram_hash"].to_numpy(np.int64))
+        if n_hot
+        else np.empty(0, np.int64)
+    )
     hot_ref = ray.put(hot)
 
     def mask(batch: pa.Table) -> pa.Table:
@@ -214,7 +236,7 @@ def mask_repeated_spans(
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
-        hot_set = ray.get(hot_ref)  # node-cached
+        hot_arr = ray.get(hot_ref)  # node-cached
         ids, n_words, n_masked, cleaned = [], [], [], []
         id_arr = batch[id_col].to_pylist()
         for i, txt in enumerate(batch[text_col].to_pylist()):
@@ -222,8 +244,21 @@ def mask_repeated_spans(
             if not ws:
                 continue  # SQL replay has no rows for empty docs
             cover = np.zeros(len(ws), bool)
-            for s in range(len(ws) - n + 1):
-                if " ".join(ws[s : s + n]) in hot_set:
+            n_win = len(ws) - n + 1
+            if n_win > 0 and len(hot_arr):
+                wh = np.fromiter(
+                    (
+                        _gram_hash(" ".join(ws[s : s + n]))
+                        for s in range(n_win)
+                    ),
+                    np.int64,
+                    count=n_win,
+                )
+                pos = np.searchsorted(hot_arr, wh)
+                hit = (pos < len(hot_arr)) & (
+                    hot_arr[np.minimum(pos, len(hot_arr) - 1)] == wh
+                )
+                for s in np.flatnonzero(hit):
                     cover[s : s + n] = True
             kept = [w for w, c in zip(ws, cover) if not c]
             ids.append(id_arr[i])
