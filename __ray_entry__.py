@@ -1799,6 +1799,15 @@ def _q_kg_pagerank(sf_dir: str):
     return pr.sort(["pr", "node"], descending=[True, False]).limit(25)
 
 
+def _q_docs_normalize(sf_dir: str):
+    """C4-style normalization (textstats.normalize_text): one zero-copy
+    Arrow kernel chain — ws-collapse, trim, lower, NFC — no Python loop
+    in the stage at all."""
+    from eschergraph_ray.functions.textstats import normalize_text
+
+    return normalize_text(_docs(sf_dir), "doc_id", "text")
+
+
 def _q_docs_curation_verdict(sf_dir: str):
     """The composed keep/drop gate (textstats.curation_verdict): five
     Gopher-style rules — length, alpha ratio, stopword presence,
@@ -1880,8 +1889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 17 round-4 additions
-    # (docs_stratified_sample ... kg_pagerank — never
+    # sessionize_events) lead, followed by the 18 round-4 additions
+    # (docs_stratified_sample ... docs_normalize — never
     # driver-green by construction); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
@@ -1917,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation_verdict": _q_docs_curation_verdict,
         "dedup_incremental_probe": _q_dedup_incremental,
         "kg_pagerank": _q_kg_pagerank,
+        "docs_normalize": _q_docs_normalize,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -1946,14 +1956,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_documents_tag_filter": _q_kg_documents_tag_filter,
         "kg_changelog": _q_kg_changelog,
         "kg_sync_plan": _q_kg_sync_plan,
-        "kg_global_search": _q_kg_global_search,
         # ---- tail: multi-round driver-green (r2 + r3), parked outside
         # the driver's 50-query window this round (events_props_filter,
         # changelog_sync_actions, lineitem_pricing_summary,
         # transcript_conv_stats, kg_predicate_histogram,
-        # kg_entity_frequency, kg_max_level, kg_global_answer and
-        # kg_rag_answer rotated out to make room for the 9
-        # late-round-4 additions above) ----
+        # kg_entity_frequency, kg_max_level, kg_global_answer,
+        # kg_rag_answer and kg_global_search rotated out to make room
+        # for the 10 late-round-4 additions above) ----
+        "kg_global_search": _q_kg_global_search,
         "kg_rag_answer": _q_kg_rag_answer,
         "kg_global_answer": _q_kg_global_answer,
         "kg_max_level": _q_kg_max_level,
@@ -3650,6 +3660,17 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN bg USING (gram)
             WHERE NOT g.is_bench
             GROUP BY g.doc_id
+        """,
+        "docs_normalize": """
+            -- normalization replay (textstats.normalize_text): the
+            -- same RE2 \s+ collapse, trim, lower, NFC chain
+            SELECT doc_id,
+                   nfc_normalize(lower(trim(
+                       regexp_replace(text, '\s+', ' ', 'g')))) AS text_norm,
+                   CAST(length(nfc_normalize(lower(trim(
+                       regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
+                       AS n_chars_norm
+            FROM documents
         """,
         "docs_curation_verdict": """
             -- composed Gopher-rule replay (textstats.curation_verdict):

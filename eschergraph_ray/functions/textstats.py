@@ -456,3 +456,39 @@ def curation_verdict(
         return pa.table(out)
 
     return ds.map_batches(verdict, batch_format="pyarrow")
+
+
+def normalize_text(ds, id_col: str, text_col: str,
+                   out_col: str = "text_norm"):
+    """C4-style text normalization as a single zero-copy Arrow kernel
+    chain — whitespace-collapse, trim, lowercase, Unicode NFC — the
+    canonical first pass of a cleaning pipeline (and the normalization
+    every hash-based dedup in this repo assumes). No Python loop
+    anywhere: ``replace_substring_regex`` (RE2, byte-identical to
+    DuckDB's regexp_replace 'g') -> ``utf8_trim_whitespace`` ->
+    ``utf8_lower`` -> ``utf8_normalize(NFC)``. Emits the normalized
+    text plus its length so downstream length filters need no second
+    pass."""
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = pc.utf8_normalize(
+            pc.utf8_lower(
+                pc.utf8_trim_whitespace(
+                    pc.replace_substring_regex(batch[text_col], r"\s+", " ")
+                )
+            ),
+            form="NFC",
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                out_col: t,
+                "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -352,6 +352,43 @@ def test_docs_mask_spans_oracle_sf0001():
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+def test_normalize_text_unicode_and_whitespace():
+    from eschergraph_ray.functions.textstats import normalize_text
+
+    docs = rd.from_arrow(
+        _docs_tbl([(1, "  Héllo   Wörld  "), (2, "A\tB\nC"), (3, "")])
+    )
+    out = {
+        r["doc_id"]: r for r in normalize_text(docs, "doc_id", "text").take_all()
+    }
+    assert out[1]["text_norm"] == "héllo wörld"
+    assert out[1]["n_chars_norm"] == 11
+    assert out[2]["text_norm"] == "a b c"
+    assert out[3]["text_norm"] == "" and out[3]["n_chars_norm"] == 0
+
+
+def test_docs_normalize_oracle_sf0001():
+    import __ray_entry__ as E
+
+    got = (
+        E.queries()["docs_normalize"](SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(E.oracle_sql()["docs_normalize"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_curation_verdict_each_rule_fires():
     from eschergraph_ray.functions.textstats import curation_verdict
 
