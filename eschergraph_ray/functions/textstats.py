@@ -463,26 +463,39 @@ def normalize_text(ds, id_col: str, text_col: str,
     """C4-style text normalization as a single zero-copy Arrow kernel
     chain — whitespace-collapse, trim, lowercase, Unicode NFC — the
     canonical first pass of a cleaning pipeline (and the normalization
-    every hash-based dedup in this repo assumes). No Python loop
-    anywhere: ``replace_substring_regex`` (RE2, byte-identical to
-    DuckDB's regexp_replace 'g') -> ``utf8_trim_whitespace`` ->
-    ``utf8_lower`` -> ``utf8_normalize(NFC)``. Emits the normalized
-    text plus its length so downstream length filters need no second
-    pass."""
+    every hash-based dedup in this repo assumes). The ws/trim/lower
+    steps are pure Arrow kernels (``replace_substring_regex`` is RE2,
+    byte-identical to DuckDB's regexp_replace 'g'); NFC goes through
+    ``unicodedata`` ONLY for rows a vectorized regex flags as
+    non-ASCII (pyarrow's ``utf8_normalize`` is broken in this build —
+    it emits decomposed output for every requested form — and ASCII
+    text, the overwhelming majority of an English corpus, is NFC by
+    definition). Emits the normalized text plus its length so
+    downstream length filters need no second pass."""
     import pyarrow.compute as pc
 
     def norm(batch: pa.Table) -> pa.Table:
+        import unicodedata
+
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
-        t = pc.utf8_normalize(
-            pc.utf8_lower(
-                pc.utf8_trim_whitespace(
-                    pc.replace_substring_regex(batch[text_col], r"\s+", " ")
-                )
-            ),
-            form="NFC",
+        t = pc.utf8_lower(
+            pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(batch[text_col], r"\s+", " ")
+            )
         )
+        non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
+        if pc.any(non_ascii).as_py():
+            vals = t.to_pylist()
+            fix = non_ascii.to_pylist() if hasattr(non_ascii, "to_pylist") else list(non_ascii)
+            t = pa.array(
+                [
+                    unicodedata.normalize("NFC", v) if (f and v is not None) else v
+                    for v, f in zip(vals, fix)
+                ],
+                pa.string(),
+            )
         return pa.table(
             {
                 id_col: batch[id_col],
