@@ -1808,6 +1808,92 @@ def _q_docs_normalize(sf_dir: str):
     return normalize_text(_docs(sf_dir), "doc_id", "text")
 
 
+def _q_dedup_semantic(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then find cosine near-dup pairs ONLY within each cluster — the
+    linear-time scale path past exact all-pairs (`functions/semdedup.py`;
+    with k grown ~N/2000 cluster sizes stay bounded). One streaming
+    assign+explode pass, one (cluster, chunk-pair) shuffle; quantized
+    1e-4-integer cosine parity shared with `kmeans_assign`."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.semdedup import semantic_dedup_pairs
+    from eschergraph_ray.functions.similarity import seed_centroids
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids, cent = seed_centroids(ds, "vec_id", "embedding", k=8)
+    return semantic_dedup_pairs(
+        ds, ids, cent, "vec_id", "embedding", threshold=0.3, num_chunks=2
+    )
+
+
+def _q_kg_triangles(sf_dir: str):
+    """Per-node triangle counts over the built KG's level-0 edges
+    (functions/graph_metrics.py): degree-oriented wedge generation (the
+    Suri-Vassilvitskii hub-safe shape) + two distributed hash joins;
+    exact integer counts, top-25 by (n_triangles desc, node)."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import triangle_counts
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    tc = triangle_counts(edges, "frm_name", "to_name")
+    return tc.sort(["n_triangles", "node"], descending=[True, False]).limit(25)
+
+
+def _q_events_running_total(sf_dir: str):
+    """Per-user running total + lag (functions/windows.py): the SQL
+    `sum() OVER (ROWS UNBOUNDED PRECEDING)` / `lag()` window pair as
+    groupby(user).map_groups with an in-group vectorized sort. Integer
+    micro-unit running sums (round(value*1e6) int64 cumsum) and int64
+    microsecond gaps — float-free, bit-stable across engines."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import running_totals
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return running_totals(ds, "user_id", "ts", "event_id", "value")
+
+
+def _q_events_funnel(sf_dir: str):
+    """Strictly-ordered conversion funnel view→click→purchase with a
+    1-day max gap per step (functions/windows.py::funnel_counts):
+    sequential-pattern matching per user, one bounded row per key out
+    of the shuffle, histogram-sized final aggregate."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import funnel_counts
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(
+        ds,
+        "user_id",
+        "ts",
+        "event_type",
+        ("view", "click", "purchase"),
+        within_us=86_400_000_000,
+    )
+
+
 def _q_docs_curation_verdict(sf_dir: str):
     """The composed keep/drop gate (textstats.curation_verdict): five
     Gopher-style rules — length, alpha ratio, stopword presence,
@@ -1889,9 +1975,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 18 round-4 additions
-    # (docs_stratified_sample ... docs_normalize — never
-    # driver-green by construction); parked at the tail: 8 queries green in BOTH r2
+    # sessionize_events) lead, followed by the 22 round-4 additions
+    # (docs_stratified_sample ... events_funnel — never
+    # driver-green by construction; the last 4 — dedup_semantic,
+    # kg_triangles, events_running_total, events_funnel — displaced
+    # kg_documents, kg_documents_tag_filter, kg_changelog and
+    # kg_sync_plan, all r3-green, to the tail); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
     # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
@@ -1927,6 +2016,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_probe": _q_dedup_incremental,
         "kg_pagerank": _q_kg_pagerank,
         "docs_normalize": _q_docs_normalize,
+        "dedup_semantic": _q_dedup_semantic,
+        "kg_triangles": _q_kg_triangles,
+        "events_running_total": _q_events_running_total,
+        "events_funnel": _q_events_funnel,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -2910,6 +3003,129 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS node, p AS pr FROM p3
             ORDER BY pr DESC, node
             LIMIT 25
+        """,
+        "kg_triangles": f"""
+            -- per-node triangle counts over the distinct undirected
+            -- level-0 simple graph (graph_metrics.triangle_counts):
+            -- enumerate each a<b<c triple once via two self-joins
+            WITH e0 AS (
+              SELECT DISTINCT least(frm_name, to_name) AS a,
+                              greatest(frm_name, to_name) AS b
+              FROM read_parquet('{_edges}')
+              WHERE level = 0 AND frm_name <> to_name
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e0 e1
+              JOIN e0 e2 ON e2.a = e1.b
+              JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node
+            ORDER BY n_triangles DESC, node
+            LIMIT 25
+        """,
+        "dedup_semantic": """
+            -- SemDeDup replay (semdedup.semantic_dedup_pairs): k-means
+            -- assignment to the 8 smallest-vec_id seed centroids (the
+            -- kmeans_assign device — DOUBLE cosine via zipped unnest,
+            -- 1e-4-integer quantization, ties to the smallest centroid
+            -- id), then within-cluster pair cosine with the same
+            -- integer cut at 0.3 (q >= 3000)
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            el AS (
+              SELECT e.vec_id, c.cid,
+                     CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                     CAST(unnest(c.cv) AS DOUBLE) AS y
+              FROM embeddings e, c
+            ),
+            sc AS (
+              SELECT vec_id, cid,
+                     round(sum(x * y)
+                           / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                           * 1e4, 0) AS q
+              FROM el GROUP BY vec_id, cid
+            ),
+            rk AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY q DESC, cid
+                     ) AS r
+              FROM sc
+            ),
+            asg AS (SELECT vec_id, cid AS cluster FROM rk WHERE r = 1),
+            pe AS (
+              SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+                     ea.embedding AS va, eb.embedding AS vb
+              FROM asg a
+              JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+            ),
+            pl AS (
+              SELECT cluster, id_a, id_b,
+                     CAST(unnest(va) AS DOUBLE) AS x,
+                     CAST(unnest(vb) AS DOUBLE) AS y
+              FROM pe
+            ),
+            ps AS (
+              SELECT cluster, id_a, id_b,
+                     round(sum(x * y)
+                           / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                           * 1e4, 0) AS q
+              FROM pl GROUP BY cluster, id_a, id_b
+            )
+            SELECT cluster, id_a, id_b, q / 1e4 AS cosine
+            FROM ps WHERE q >= 3000
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS running_micro,
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                   ), -1) AS gap_us
+            FROM events
+        """,
+        "events_funnel": """
+            -- strictly-ordered funnel with a 1-day max gap per step
+            -- (windows.funnel_counts): step k+1 counts a user only for
+            -- an event strictly after (and within INTERVAL 1 DAY of)
+            -- the user's earliest completion of step k
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e
+              JOIN s1 ON e.user_id = s1.user_id
+                     AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 1 DAY
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e
+              JOIN s2 ON e.user_id = s2.user_id
+                     AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 1 DAY
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_keys
+            UNION ALL SELECT 2, 'click',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
+            UNION ALL SELECT 3, 'purchase',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
         """,
         "kg_entity_frequency": f"""
             SELECT name, count(*) AS n_conversations

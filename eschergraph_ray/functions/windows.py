@@ -1,0 +1,137 @@
+"""Ordered per-key window operators over an event stream.
+
+Completes the windowed-aggregate family (`events_hourly` tumbling,
+`events_sliding_window` sliding, `sessionize_events` session windows)
+with the two remaining classic shapes:
+
+- :func:`running_totals` — per-key running aggregate + lag (the SQL
+  ``sum() OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+  PRECEDING)`` / ``lag()`` pair), expressed as
+  ``groupby(key).map_groups`` with an in-group vectorized sort — the
+  same per-key-fits-one-reducer contract sessionization already
+  relies on (per-user event history is bounded; hot keys would be
+  salted by time range first).
+- :func:`funnel_counts` — ordered sequential-pattern matching (the
+  strict "step k+1 after step k" conversion funnel), one bounded row
+  per key out of the shuffle, then a histogram-sized aggregate.
+
+Parity devices: running sums are integer micro-units
+(``round(value * 1e6, 0)`` — zero-digit round, identical IEEE op in
+DuckDB and pyarrow) accumulated in int64, never floats; time gaps are
+int64 microseconds (pyarrow ``timestamp[us] -> int64`` cast == DuckDB
+``epoch_us``); the first-row lag is ``-1`` (both engines coalesce).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def running_totals(events_ds, key_col: str, ts_col: str, id_col: str,
+                   val_col: str):
+    """Per-key running total (integer micro-units) and gap-since-
+    previous-event (microseconds), ordered by ``(ts, id)``.
+
+    Returns ``(id_col, key_col, running_micro, gap_us)``;
+    ``gap_us = -1`` for each key's first event.
+    """
+
+    def window(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(idx)
+        micro = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(g[val_col], pa.float64()), 1e6),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        running = np.cumsum(micro, dtype=np.int64)
+        ts_us = pc.cast(g[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(len(ts_us), dtype=np.int64)
+        gap[0] = -1
+        if len(ts_us) > 1:
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+        return pa.table(
+            {
+                id_col: g[id_col],
+                key_col: g[key_col],
+                "running_micro": pa.array(running, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return events_ds.groupby(key_col).map_groups(
+        window, batch_format="pyarrow"
+    )
+
+
+def funnel_counts(events_ds, key_col: str, ts_col: str, type_col: str,
+                  steps: tuple[str, ...], within_us: int | None = None):
+    """Strictly-ordered conversion funnel: a key reaches step ``k+1``
+    only with an event of ``steps[k+1]`` at a time strictly AFTER its
+    earliest completion of step ``k`` (and, when ``within_us`` is set,
+    at most that many microseconds after it — exact int64 comparisons,
+    so the SQL ``+ INTERVAL`` replay is bit-identical).
+
+    Returns one row per step: ``(step, step_name, n_keys)`` where
+    ``n_keys`` counts keys reaching at least that step. The per-key
+    pass emits exactly one ``(key, depth)`` row; the only driver-side
+    materialization is the ``len(steps)+1``-row depth histogram.
+    """
+    steps = tuple(steps)
+
+    def depth_of(group: pa.Table) -> pa.Table:
+        types = group[type_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        t_prev = None
+        depth = 0
+        for step in steps:
+            mask = types == step
+            if t_prev is not None:
+                mask = mask & (ts > t_prev)
+                if within_us is not None:
+                    mask = mask & (ts <= t_prev + within_us)
+            if not mask.any():
+                break
+            t_prev = ts[mask].min()
+            depth += 1
+        return pa.table(
+            {
+                key_col: group[key_col][:1],
+                "depth": pa.array([depth], pa.int64()),
+            }
+        )
+
+    hist_rows = (
+        events_ds.groupby(key_col)
+        .map_groups(depth_of, batch_format="pyarrow")
+        .groupby("depth")
+        .count()
+        .take_all()
+    )  # bounded: at most len(steps)+1 rows
+    by_depth = {int(r["depth"]): int(r["count()"]) for r in hist_rows}
+    out_step, out_name, out_n = [], [], []
+    for k, name in enumerate(steps, start=1):
+        out_step.append(k)
+        out_name.append(name)
+        out_n.append(sum(n for d, n in by_depth.items() if d >= k))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(out_step, pa.int64()),
+                "step_name": pa.array(out_name, pa.string()),
+                "n_keys": pa.array(out_n, pa.int64()),
+            }
+        )
+    )

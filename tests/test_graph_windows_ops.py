@@ -1,0 +1,291 @@
+"""Semantic dedup (SemDeDup), triangle counting, and per-key ordered
+windows (running totals / funnel) — unit semantics on planted inputs
+plus brute-force / DuckDB cross-checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from eschergraph_ray.functions.graph_metrics import triangle_counts
+from eschergraph_ray.functions.semdedup import semantic_dedup_pairs
+from eschergraph_ray.functions.similarity import seed_centroids
+from eschergraph_ray.functions.windows import funnel_counts, running_totals
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------- SemDeDup ----------
+
+
+def _vec_tbl(ids, vecs):
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
+def test_semantic_dedup_planted_within_cluster_pair():
+    # two well-separated clusters; a planted near-dup pair inside each;
+    # one cross-cluster near-identical pair that must NOT be reported
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    vecs = [
+        a,                       # 0 (seed -> cluster 0)
+        b,                       # 1 (seed -> cluster 1)
+        a + [0.0, 0.01, 0.0],    # 2 near-dup of 0
+        b + [0.01, 0.0, 0.0],    # 3 near-dup of 1
+        [0.7, 0.714, 0.0],       # 4 between clusters (assigned to 1)
+    ]
+    ds = rd.from_arrow(_vec_tbl(list(range(5)), vecs))
+    ids, cent = seed_centroids(ds, "vec_id", "embedding", k=2)
+    out = semantic_dedup_pairs(
+        ds, ids, cent, "vec_id", "embedding", threshold=0.99
+    ).to_pandas()
+    pairs = {(r.id_a, r.id_b): r.cluster for r in out.itertuples()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1
+    # 4 is cosine-close to both 1 and 3 but lands in one cluster with
+    # them only if assigned there; crucially no pair spans clusters
+    assig = {0: 0, 2: 0, 1: 1, 3: 1}
+    for (x, y) in pairs:
+        if x in assig and y in assig:
+            assert assig.get(x) == assig.get(y)
+
+
+def test_semantic_dedup_matches_brute_force_within_clusters():
+    rng = np.random.default_rng(7)
+    n, d, k = 60, 8, 4
+    vecs = rng.normal(size=(n, d))
+    ds = rd.from_arrow(_vec_tbl(list(range(n)), vecs))
+    ids, cent = seed_centroids(ds, "vec_id", "embedding", k=k)
+    thr = 0.5
+    out = semantic_dedup_pairs(
+        ds, ids, cent, "vec_id", "embedding", threshold=thr, num_chunks=3
+    ).to_pandas()
+    got = {(r.id_a, r.id_b, r.cluster) for r in out.itertuples()}
+    # brute force: same quantized assignment, same quantized pair cut
+    # (half-away-from-zero, matching pc.round half_towards_infinity)
+    def q4(x):
+        return np.copysign(np.floor(np.abs(np.asarray(x) * 1e4) + 0.5), x)
+
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cm = np.asarray(cent)
+    q = q4(m @ cm.T)
+    clus = np.asarray(ids)[np.argmax(q, axis=1)]
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if clus[i] == clus[j] and q4(float(m[i] @ m[j])) >= thr * 1e4:
+                want.add((i, j, int(clus[i])))
+    assert got == want
+
+
+def test_semantic_dedup_empty_input():
+    ds = rd.from_arrow(_vec_tbl([0, 1], [[1.0, 0.0], [0.0, 1.0]]))
+    ids, cent = seed_centroids(ds, "vec_id", "embedding", k=2)
+    out = semantic_dedup_pairs(
+        ds, ids, cent, "vec_id", "embedding", threshold=0.99
+    ).to_pandas()
+    # zero pairs: rows empty (an all-empty groupby output carries no
+    # schema in Ray 2.49 — same contract as embedding_near_dup_pairs)
+    assert len(out) == 0
+
+
+# ---------- triangles ----------
+
+
+def _edges(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s": pa.array([p[0] for p in pairs], pa.string()),
+                "t": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def test_triangles_k4_with_noise():
+    # K4 (4 triangles, every node in 3) + pendant + disjoint
+    # triangle-free path; duplicate edges / self-loops / reversed
+    # duplicates must not change counts
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("x", "y"), ("y", "z"),
+        ("b", "a"), ("a", "a"), ("a", "b"),
+    ]
+    out = triangle_counts(_edges(pairs), "s", "t").to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_none_and_empty():
+    # (Ray 2.49 to_pandas() on an empty dataset drops the schema, so
+    # assert emptiness via take_all and the schema via .schema())
+    # path: no wedges survive orientation
+    out = triangle_counts(_edges([("a", "b"), ("b", "c")]), "s", "t")
+    assert out.take_all() == []
+    assert out.schema().names == ["node", "n_triangles"]
+    # square: a wedge exists but never closes (tri side empty)
+    out = triangle_counts(
+        _edges([("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]), "s", "t"
+    )
+    assert out.take_all() == []
+    # fully empty input
+    out = triangle_counts(_edges([]), "s", "t")
+    assert out.take_all() == []
+    assert out.schema().names == ["node", "n_triangles"]
+
+
+def test_triangles_match_brute_force_random_graph():
+    rng = np.random.default_rng(3)
+    nodes = [f"n{i}" for i in range(30)]
+    pairs = [
+        (nodes[i], nodes[j])
+        for i in range(30)
+        for j in range(i + 1, 30)
+        if rng.random() < 0.2
+    ]
+    out = triangle_counts(_edges(pairs), "s", "t").to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    # brute force over the adjacency matrix
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((30, 30), dtype=bool)
+    for s, t in pairs:
+        adj[idx[s], idx[t]] = adj[idx[t], idx[s]] = True
+    want = {}
+    for i in range(30):
+        for j in range(i + 1, 30):
+            for k in range(j + 1, 30):
+                if adj[i, j] and adj[j, k] and adj[i, k]:
+                    for v in (i, j, k):
+                        want[nodes[v]] = want.get(nodes[v], 0) + 1
+    assert got == want
+
+
+# ---------- running totals ----------
+
+
+def test_running_totals_hand_computed():
+    t0 = 1_700_000_000_000_000  # us
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "ts": pa.array([t0, t0 + 5, t0 + 5, t0 + 9], pa.timestamp("us")),
+            "value": pa.array([1.005, 2.0, 0.5, 3.25], pa.float64()),
+        }
+    )
+    out = (
+        running_totals(rd.from_arrow(tbl), "user_id", "ts", "event_id", "value")
+        .to_pandas()
+        .set_index("event_id")
+    )
+    # order within user 7: (t0, id1), (t0+5, id2), (t0+5, id3) — ts then id
+    assert out.loc[1, "running_micro"] == 1_005_000
+    assert out.loc[2, "running_micro"] == 3_005_000
+    assert out.loc[3, "running_micro"] == 3_505_000
+    assert out.loc[4, "running_micro"] == 3_250_000
+    assert out.loc[1, "gap_us"] == -1
+    assert out.loc[2, "gap_us"] == 5
+    assert out.loc[3, "gap_us"] == 0
+    assert out.loc[4, "gap_us"] == -1
+
+
+def test_running_totals_oracle_replay_sf0001():
+    ds = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    got = (
+        running_totals(ds, "user_id", "ts", "event_id", "value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS running_micro,
+               coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+               ), -1) AS gap_us
+        FROM read_parquet('{SF}/events.parquet')
+        ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+# ---------- funnel ----------
+
+
+def test_funnel_strict_order_and_gap():
+    t0 = 1_700_000_000_000_000
+    DAY = 86_400_000_000
+    rows = [
+        # user 1: full funnel inside the gap
+        (1, t0, "view"), (1, t0 + 10, "click"), (1, t0 + 20, "purchase"),
+        # user 2: click BEFORE the view — stops at step 1
+        (2, t0, "click"), (2, t0 + 10, "view"),
+        # user 3: click too late (> 1 day after view) — stops at step 1
+        (3, t0, "view"), (3, t0 + DAY + 1, "click"),
+        # user 4: view+click, purchase exactly at the gap limit (kept)
+        (4, t0, "view"), (4, t0 + 5, "click"), (4, t0 + 5 + DAY, "purchase"),
+        # user 5: purchase simultaneous with click — strict > drops it
+        (5, t0, "view"), (5, t0 + 5, "click"), (5, t0 + 5, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = funnel_counts(
+        rd.from_arrow(tbl), "user_id", "ts", "event_type",
+        ("view", "click", "purchase"), within_us=DAY,
+    ).to_pandas()
+    got = dict(zip(out["step_name"], out["n_keys"]))
+    assert got == {"view": 5, "click": 3, "purchase": 2}
+
+
+def test_funnel_oracle_replay_sf0001():
+    ds = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    got = funnel_counts(
+        ds, "user_id", "ts", "event_type",
+        ("view", "click", "purchase"), within_us=86_400_000_000,
+    ).to_pandas().sort_values("step").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH ev AS (SELECT * FROM read_parquet('{SF}/events.parquet')),
+        s1 AS (SELECT user_id, min(ts) AS t FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+               JOIN s1 ON e.user_id = s1.user_id
+                      AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 1 DAY
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+               JOIN s2 ON e.user_id = s2.user_id
+                      AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 1 DAY
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT 1 AS step, 'view' AS step_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_keys
+        UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        ORDER BY step
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
