@@ -1894,6 +1894,43 @@ def _q_events_funnel(sf_dir: str):
     )
 
 
+def _q_embeddings_quantize(sf_dir: str):
+    """Symmetric int8 scalar quantization of the embedding column
+    (functions/features.py::scalar_quantize_embeddings): per-dim absmax
+    reduced to a d-row stats table (partials through a d-row groupby),
+    broadcast once, then one streaming quantization pass — the 4x ANN
+    memory shrink. Exploded (vec_id, dim, q) integer rows so the SQL
+    replay (unnest + generate_subscripts + identical round(x/amax*127)
+    expression tree) matches exactly."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import scalar_quantize_embeddings
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return scalar_quantize_embeddings(ds, "vec_id", "embedding")
+
+
+def _q_events_zscore(sf_dir: str):
+    """Per-event-type z-score standardization
+    (functions/features.py::group_zscore): exact int64 moments (n, s,
+    ss) over cent-quantized values — 3 integers per (batch, key)
+    through the shuffle — broadcast, then one streaming scoring pass;
+    z rounded to 4 decimals with the explicitly-ordered float chain
+    the SQL oracle replays literally."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import group_zscore
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return group_zscore(ds, "event_type", "event_id", "value", cents=100)
+
+
 def _q_docs_curation_verdict(sf_dir: str):
     """The composed keep/drop gate (textstats.curation_verdict): five
     Gopher-style rules — length, alpha ratio, stopword presence,
@@ -1975,12 +2012,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 22 round-4 additions
-    # (docs_stratified_sample ... events_funnel — never
-    # driver-green by construction; the last 4 — dedup_semantic,
-    # kg_triangles, events_running_total, events_funnel — displaced
-    # kg_documents, kg_documents_tag_filter, kg_changelog and
-    # kg_sync_plan, all r3-green, to the tail); parked at the tail: 8 queries green in BOTH r2
+    # sessionize_events) lead, followed by the 24 round-4 additions
+    # (docs_stratified_sample ... events_zscore — never
+    # driver-green by construction; the last 6 — dedup_semantic,
+    # kg_triangles, events_running_total, events_funnel,
+    # embeddings_quantize, events_zscore — displaced kg_documents,
+    # kg_documents_tag_filter, kg_changelog, kg_sync_plan,
+    # kg_dashboard and kg_build_estimate, all r3-green, to the
+    # tail); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
     # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
@@ -2020,6 +2059,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "events_running_total": _q_events_running_total,
         "events_funnel": _q_events_funnel,
+        "embeddings_quantize": _q_embeddings_quantize,
+        "events_zscore": _q_events_zscore,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3126,6 +3167,57 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT) FROM s2)
             UNION ALL SELECT 3, 'purchase',
                    (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "embeddings_quantize": """
+            -- int8 scalar-quantization replay
+            -- (features.scalar_quantize_embeddings): per-dim absmax is
+            -- an exact max, and round(x / amax * 127, 0) is the same
+            -- two IEEE ops + zero-digit round both engines compute
+            -- identically (unnest + generate_subscripts zip
+            -- positionally)
+            WITH el AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ),
+            mx AS (SELECT dim, max(abs(x)) AS amax FROM el GROUP BY dim)
+            SELECT e.vec_id, e.dim,
+                   CAST(CASE WHEN m.amax = 0 THEN 0
+                             ELSE round(e.x / m.amax * 127, 0)
+                        END AS BIGINT) AS q
+            FROM el e JOIN mx m ON e.dim = m.dim
+        """,
+        "events_zscore": """
+            -- per-group z-score replay (features.group_zscore): moments
+            -- are EXACT int64 over cent-quantized values; the float
+            -- chain (m = s/n; v = ss/n - m*m; z = round((xc - m) /
+            -- sqrt(v) * 1e4, 0) / 1e4) is written with the identical
+            -- expression tree the Ray pass evaluates
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100, 0) AS BIGINT) AS xc
+              FROM events
+            ),
+            st AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(xc) AS BIGINT) AS s,
+                     CAST(sum(xc * xc) AS BIGINT) AS ss
+              FROM c GROUP BY event_type
+            )
+            SELECT c.event_id, c.event_type,
+                   CASE WHEN st.n > 1
+                             AND (CAST(st.ss AS DOUBLE) / st.n
+                                  - (CAST(st.s AS DOUBLE) / st.n)
+                                    * (CAST(st.s AS DOUBLE) / st.n)) > 0
+                        THEN round((c.xc - CAST(st.s AS DOUBLE) / st.n)
+                                   / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                                          - (CAST(st.s AS DOUBLE) / st.n)
+                                            * (CAST(st.s AS DOUBLE) / st.n))
+                                   * 1e4, 0) / 1e4
+                        ELSE 0 END AS z
+            FROM c JOIN st USING (event_type)
         """,
         "kg_entity_frequency": f"""
             SELECT name, count(*) AS n_conversations

@@ -111,6 +111,8 @@ def main() -> None:
         "docs_unigram_nll",
         "docs_mask_spans",
         "docs_bm25_indexed",
+        "dedup_semantic",
+        "events_running_total",
     ):
         if name in qmap:
             queries[name] = round(bench_query(qmap[name]), 3)

@@ -1,0 +1,209 @@
+"""Feature-engineering operators for training-data pipelines:
+embedding scalar quantization and per-group standardization.
+
+Both follow the same two-phase shape: phase 1 reduces the corpus to a
+tiny EXACT-INTEGER (or exact max) statistics table — per-batch
+partials through a key-sized groupby, nothing data-sized on the
+driver — and phase 2 broadcasts those statistics into one streaming
+pass over the corpus.
+
+Parity devices: the statistics are exact (max of doubles; int64 sums
+of micro-unit quantized values), so the only float arithmetic is a
+short, explicitly-ordered chain of IEEE ops replayed token-for-token
+by the SQL oracle (each double op is deterministic; divergence only
+enters through reassociation, which writing the same expression tree
+on both engines eliminates — the round-4 integer-micro-unit lesson
+from CLAUDE.md applied to derived statistics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _round0_half_away(arr: np.ndarray) -> np.ndarray:
+    """DuckDB ``round(x, 0)`` = half away from zero (pyarrow's
+    ``half_towards_infinity``), vectorized."""
+    return np.copysign(np.floor(np.abs(arr) + 0.5), arr)
+
+
+def scalar_quantize_embeddings(ds, id_col: str, vec_col: str):
+    """Symmetric per-dimension int8 scalar quantization of an embedding
+    column — the standard 4x memory shrink for ANN serving (each
+    float32 dimension becomes ``q = round(x / absmax_dim * 127)`` in
+    [-127, 127], with ``absmax_dim`` the corpus-wide max |x| of that
+    dimension).
+
+    Phase 1 (stats): each batch emits d rows ``(dim, m = max|x|)``;
+    one d-row groupby-max; the d-vector is model state (take_all is
+    d rows, bounded by the embedding width). Phase 2: broadcast the
+    vector, quantize every batch in one streaming pass.
+
+    Returns exploded rows ``(id_col, dim, q)`` — exact integers, so
+    the SQL oracle (unnest + generate_subscripts + the identical
+    ``round(x / amax * 127, 0)`` expression) matches bit-for-bit.
+    Dimensions whose absmax is 0 quantize to 0.
+    """
+    import ray
+
+    from .similarity import _batch_matrix
+
+    def partial_absmax(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if len(batch) == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "m": pa.array([], pa.float64())}
+            )
+        m = np.abs(_batch_matrix(batch, vec_col)).max(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(len(m)), pa.int64()),
+                "m": pa.array(m, pa.float64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(partial_absmax, batch_format="pyarrow")
+        .groupby("dim")
+        .max("m")
+        .take_all()
+    )  # d rows of model state
+    d = len(stats)
+    amax = np.zeros(d, dtype=np.float64)
+    for r in stats:
+        amax[int(r["dim"])] = float(r["max(m)"])
+    safe = amax.copy()
+    safe[safe == 0.0] = 1.0  # those dims are all-zero -> q = 0
+    amax_ref = ray.put(safe)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "dim": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        a = ray.get(amax_ref)
+        mat = _batch_matrix(batch, vec_col)
+        n, dd = mat.shape
+        # EXACT expression-tree parity with the SQL oracle:
+        # round(x / amax * 127, 0), evaluated as (x / amax) * 127
+        q = _round0_half_away((mat / a) * 127.0).astype(np.int64)
+        ids = np.repeat(
+            np.asarray(batch[id_col].to_pylist(), dtype=object), dd
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids.tolist(), batch[id_col].type),
+                "dim": pa.array(np.tile(np.arange(dd), n), pa.int64()),
+                "q": pa.array(q.ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def group_zscore(ds, key_col: str, id_col: str, val_col: str,
+                 cents: int = 100):
+    """Per-group z-score standardization of a numeric column (feature
+    normalization before training): ``z = (x - mean) / std_pop`` per
+    ``key_col`` group, emitted as ``z`` rounded to 4 decimals.
+
+    Exactness: values are first quantized to integer ``cents`` units
+    (``round(x * cents, 0)`` — one multiply + one zero-digit round),
+    and the per-group moments ``(n, s = sum, ss = sum of squares)``
+    accumulate in int64 — EXACT, shuffle moves only 3 integers per
+    (batch, key). The float chain is then derived from integers in an
+    explicitly-ordered expression replayed literally by SQL:
+    ``m = s/n; v = ss/n - m*m; z = round((xc - m) / sqrt(v) * 1e4, 0)
+    / 1e4``. Groups with zero variance (or a single row) emit z = 0.
+
+    int64 safety: ``ss`` requires ``n * (max|x| * cents)^2 < 2^63``
+    — callers with large values pick a smaller ``cents``.
+    """
+    import ray
+
+    def partial_moments(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        xc = np.asarray(
+            pc.round(
+                pc.multiply(pc.cast(batch[val_col], pa.float64()),
+                            float(cents)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )
+        ).astype(np.int64)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.zeros(len(uk), dtype=np.int64)
+        ssq = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, xc)
+        np.add.at(ssq, inv, xc * xc)
+        return pa.table(
+            {
+                key_col: pa.array(uk.tolist(), batch[key_col].type),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "ss": pa.array(ssq, pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(partial_moments, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["n", "s", "ss"])
+        .take_all()
+    )  # one row per group key: model state
+    model = {
+        r[key_col]: (int(r["sum(n)"]), int(r["sum(s)"]), int(r["sum(ss)"]))
+        for r in stats
+    }
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        mdl = ray.get(model_ref)
+        xc = np.asarray(
+            pc.round(
+                pc.multiply(pc.cast(batch[val_col], pa.float64()),
+                            float(cents)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )
+        ).astype(np.int64)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(xc), dtype=np.float64)
+        for k in np.unique(keys):
+            n, s, ss = mdl[k]
+            m = s / n
+            v = ss / n - m * m
+            if n > 1 and v > 0.0:
+                sd = np.sqrt(v)
+                sel = keys == k
+                z[sel] = _round0_half_away(
+                    ((xc[sel] - m) / sd) * 1e4
+                ) / 1e4
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
