@@ -1931,6 +1931,42 @@ def _q_events_zscore(sf_dir: str):
     return group_zscore(ds, "event_type", "event_id", "value", cents=100)
 
 
+def _q_events_percent_rank(sf_dir: str):
+    """Per-event-type percentile-rank normalization
+    (functions/windows.py::group_percent_rank): SQL percent_rank()
+    semantics — exact integer competition ranks, one float division —
+    the heavy-tail-robust alternative to z-scoring."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import group_percent_rank
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return group_percent_rank(ds, "event_type", "event_id", "value")
+
+
+def _q_events_resample(sf_dir: str):
+    """Daily-grid LOCF resampling per user
+    (functions/windows.py::resample_locf): aligned int64 grid per key,
+    latest-at-or-before value carried forward (max event_id wins on
+    simultaneous events), all-integer output replayed by the oracle's
+    unnest(generate_series) grid + ASOF JOIN."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import resample_locf
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return resample_locf(
+        ds, "user_id", "ts", "event_id", "value", step_us=86_400_000_000
+    )
+
+
 def _q_docs_curation_verdict(sf_dir: str):
     """The composed keep/drop gate (textstats.curation_verdict): five
     Gopher-style rules — length, alpha ratio, stopword presence,
@@ -2012,14 +2048,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 24 round-4 additions
-    # (docs_stratified_sample ... events_zscore — never
-    # driver-green by construction; the last 6 — dedup_semantic,
+    # sessionize_events) lead, followed by the 26 round-4 additions
+    # (docs_stratified_sample ... events_resample_locf — never
+    # driver-green by construction; the last 8 — dedup_semantic,
     # kg_triangles, events_running_total, events_funnel,
-    # embeddings_quantize, events_zscore — displaced kg_documents,
+    # embeddings_quantize, events_zscore, events_percent_rank,
+    # events_resample_locf — displaced kg_documents,
     # kg_documents_tag_filter, kg_changelog, kg_sync_plan,
-    # kg_dashboard and kg_build_estimate, all r3-green, to the
-    # tail); parked at the tail: 8 queries green in BOTH r2
+    # kg_dashboard, kg_build_estimate, media_table_markdown and
+    # media_kg_nodes, all r3-green, to the tail); parked at the
+    # tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
     # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
@@ -2061,6 +2099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "embeddings_quantize": _q_embeddings_quantize,
         "events_zscore": _q_events_zscore,
+        "events_percent_rank": _q_events_percent_rank,
+        "events_resample_locf": _q_events_resample,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3218,6 +3258,44 @@ def oracle_sql() -> dict[str, str]:
                                    * 1e4, 0) / 1e4
                         ELSE 0 END AS z
             FROM c JOIN st USING (event_type)
+        """,
+        "events_percent_rank": """
+            SELECT event_id, event_type,
+                   percent_rank() OVER (
+                     PARTITION BY event_type ORDER BY value
+                   ) AS pr
+            FROM events
+        """,
+        "events_resample_locf": """
+            -- daily-grid LOCF replay (windows.resample_locf): aligned
+            -- int64 grid per user (pure BIGINT // arithmetic), last
+            -- write wins on simultaneous events (max_by pre-dedup),
+            -- carry via native ASOF JOIN
+            WITH c AS (
+              SELECT user_id, epoch_us(ts) AS tus,
+                     CAST(round(value * 100, 0) AS BIGINT) AS xc,
+                     event_id
+              FROM events
+            ),
+            c1 AS (
+              SELECT user_id, tus, max_by(xc, event_id) AS xc
+              FROM c GROUP BY user_id, tus
+            ),
+            b AS (
+              SELECT user_id,
+                     ((min(tus) + 86400000000 - 1) // 86400000000)
+                       * 86400000000 AS lo,
+                     (max(tus) // 86400000000) * 86400000000 AS hi
+              FROM c GROUP BY user_id
+            ),
+            g AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, 86400000000)) AS t
+              FROM b WHERE lo <= hi
+            )
+            SELECT g.user_id, g.t AS t_us, c1.xc AS v_cents
+            FROM g ASOF JOIN c1
+              ON g.user_id = c1.user_id AND g.t >= c1.tus
         """,
         "kg_entity_frequency": f"""
             SELECT name, count(*) AS n_conversations

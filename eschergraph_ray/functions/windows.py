@@ -76,6 +76,108 @@ def running_totals(events_ds, key_col: str, ts_col: str, id_col: str,
     )
 
 
+def group_percent_rank(ds, key_col: str, id_col: str, val_col: str):
+    """Per-group percentile-rank normalization of a numeric column —
+    the rank-based alternative to z-scoring (robust to heavy tails):
+    ``pr = (rank - 1) / (n - 1)`` with SQL ``percent_rank()``
+    semantics (competition rank: 1 + count of strictly smaller
+    values; single-row groups get 0).
+
+    Parity: rank and n are exact integers; ``(r - 1) / (n - 1)`` is
+    ONE float division both engines compute identically. Ties share a
+    rank, so tie order never matters.
+    """
+
+    def ranks(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        v = np.asarray(
+            pc.cast(group[val_col], pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        n = len(v)
+        if n == 1:
+            pr = np.zeros(1, dtype=np.float64)
+        else:
+            sv = np.sort(v)
+            r0 = np.searchsorted(sv, v, side="left")  # rank - 1
+            pr = r0 / (n - 1)
+        return pa.table(
+            {
+                id_col: group[id_col],
+                key_col: group[key_col],
+                "pr": pa.array(pr, pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(ranks, batch_format="pyarrow")
+
+
+def resample_locf(events_ds, key_col: str, ts_col: str, id_col: str,
+                  val_col: str, step_us: int, cents: int = 100):
+    """Per-key regular-grid resampling with last-observation-carried-
+    forward — the classic feature-pipeline densification of an
+    irregular event stream onto an aligned time grid.
+
+    Each key's grid runs over the step-aligned points inside its own
+    [min(ts), max(ts)] (pure int64 arithmetic: ``lo = ceil_div(mn,
+    step) * step``, ``hi = (mx // step) * step``), and each grid point
+    carries the value of the latest event at-or-before it; among
+    simultaneous events the largest ``id_col`` wins (deterministic
+    last-write-wins, replayed by the oracle's ``max_by(xc, id)``
+    pre-dedup + ``ASOF JOIN``). Values ride as integer ``cents``
+    units; timestamps as int64 microseconds — the whole output is
+    exact integers.
+    """
+
+    def grid(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(idx)
+        tus = pc.cast(g[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        xc = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(g[val_col], pa.float64()), float(cents)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        mn, mx = int(tus[0]), int(tus[-1])
+        lo = ((mn + step_us - 1) // step_us) * step_us
+        hi = (mx // step_us) * step_us
+        if lo > hi:
+            return pa.table(
+                {
+                    key_col: group[key_col][:0],
+                    "t_us": pa.array([], pa.int64()),
+                    "v_cents": pa.array([], pa.int64()),
+                }
+            )
+        pts = np.arange(lo, hi + 1, step_us, dtype=np.int64)
+        # searchsorted right - 1: the LAST row with tus <= t; rows are
+        # (tus, id)-sorted, so simultaneous events resolve to max id
+        sel = np.searchsorted(tus, pts, side="right") - 1
+        return pa.table(
+            {
+                key_col: pa.array(
+                    [g[key_col][0].as_py()] * len(pts), group[key_col].type
+                ),
+                "t_us": pa.array(pts, pa.int64()),
+                "v_cents": pa.array(xc[sel], pa.int64()),
+            }
+        )
+
+    return events_ds.groupby(key_col).map_groups(grid, batch_format="pyarrow")
+
+
 def funnel_counts(events_ds, key_col: str, ts_col: str, type_col: str,
                   steps: tuple[str, ...], within_us: int | None = None):
     """Strictly-ordered conversion funnel: a key reaches step ``k+1``

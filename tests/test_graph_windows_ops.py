@@ -11,7 +11,12 @@ import ray.data as rd
 from eschergraph_ray.functions.graph_metrics import triangle_counts
 from eschergraph_ray.functions.semdedup import semantic_dedup_pairs
 from eschergraph_ray.functions.similarity import seed_centroids
-from eschergraph_ray.functions.windows import funnel_counts, running_totals
+from eschergraph_ray.functions.windows import (
+    funnel_counts,
+    group_percent_rank,
+    resample_locf,
+    running_totals,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -257,6 +262,110 @@ def test_funnel_strict_order_and_gap():
     ).to_pandas()
     got = dict(zip(out["step_name"], out["n_keys"]))
     assert got == {"view": 5, "click": 3, "purchase": 2}
+
+
+def test_percent_rank_ties_and_singleton():
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "event_type": pa.array(["a"] * 5 + ["b"], pa.string()),
+            "value": pa.array([10.0, 20.0, 20.0, 30.0, 5.0, 9.0], pa.float64()),
+        }
+    )
+    out = (
+        group_percent_rank(rd.from_arrow(tbl), "event_type", "event_id", "value")
+        .to_pandas()
+        .set_index("event_id")
+    )
+    # group a sorted: 5,10,20,20,30 -> ranks-1: 0,1,2,2,4 over n-1=4
+    assert out.loc[5, "pr"] == 0.0
+    assert out.loc[1, "pr"] == 0.25
+    assert out.loc[2, "pr"] == 0.5 and out.loc[3, "pr"] == 0.5
+    assert out.loc[4, "pr"] == 1.0
+    assert out.loc[6, "pr"] == 0.0  # singleton group
+
+
+def test_percent_rank_oracle_replay_sf0001():
+    ds = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    got = (
+        group_percent_rank(ds, "event_type", "event_id", "value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(f"""
+        SELECT event_id, event_type,
+               percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+        FROM read_parquet('{SF}/events.parquet') ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_resample_locf_hand_computed():
+    DAY = 86_400_000_000
+    t0 = 10 * DAY  # aligned
+    rows = [
+        # user 7: events at day 10 + 1h, day 11 (two simultaneous), day 13 - 1h
+        (1, 7, t0 + 3_600_000_000, 1.0),
+        (2, 7, 11 * DAY, 2.0),
+        (3, 7, 11 * DAY, 3.0),       # same ts, larger id wins
+        (4, 7, 13 * DAY - 3_600_000_000, 4.0),
+        # user 8: span shorter than a step -> no grid points
+        (5, 8, t0 + 1, 5.0),
+        (6, 8, t0 + 2, 6.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    out = resample_locf(
+        rd.from_arrow(tbl), "user_id", "ts", "event_id", "value", step_us=DAY
+    ).to_pandas()
+    got = {(r.user_id, r.t_us): r.v_cents for r in out.itertuples()}
+    # user 7 grid: days 11 and 12 (day 10 grid point precedes the first event)
+    assert got == {(7, 11 * DAY): 300, (7, 12 * DAY): 300}
+
+
+def test_resample_locf_oracle_replay_sf0001():
+    DAY = 86_400_000_000
+    ds = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    got = (
+        resample_locf(ds, "user_id", "ts", "event_id", "value", step_us=DAY)
+        .to_pandas()
+        .sort_values(["user_id", "t_us"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(f"""
+        WITH c AS (
+          SELECT user_id, epoch_us(ts) AS tus,
+                 CAST(round(value * 100, 0) AS BIGINT) AS xc, event_id
+          FROM read_parquet('{SF}/events.parquet')
+        ),
+        c1 AS (SELECT user_id, tus, max_by(xc, event_id) AS xc
+               FROM c GROUP BY user_id, tus),
+        b AS (SELECT user_id,
+                     ((min(tus) + {DAY} - 1) // {DAY}) * {DAY} AS lo,
+                     (max(tus) // {DAY}) * {DAY} AS hi
+              FROM c GROUP BY user_id),
+        g AS (SELECT user_id, unnest(generate_series(lo, hi, {DAY})) AS t
+              FROM b WHERE lo <= hi)
+        SELECT g.user_id, g.t AS t_us, c1.xc AS v_cents
+        FROM g ASOF JOIN c1 ON g.user_id = c1.user_id AND g.t >= c1.tus
+        ORDER BY g.user_id, t_us
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
 
 
 def test_funnel_oracle_replay_sf0001():
