@@ -1967,6 +1967,47 @@ def _q_events_resample(sf_dir: str):
     )
 
 
+def _q_embeddings_knn(sf_dir: str):
+    """kNN graph over the SemDeDup pair list
+    (graph_metrics.knn_from_pairs composed over
+    semdedup.semantic_dedup_pairs): each embedding's top-3 in-cluster
+    semantic neighbors by (cosine desc, neighbor asc) — the kNN-graph
+    construction step of graph-based retrieval, one groupby shuffle
+    over the (already df-bounded) pair list."""
+    from eschergraph_ray.functions.graph_metrics import knn_from_pairs
+
+    pairs = _q_dedup_semantic(sf_dir)
+    return knn_from_pairs(
+        pairs, "id_a", "id_b", "cosine", k=3,
+        out_id="vec_id", out_nbr="neighbor_id",
+    )
+
+
+def _q_kg_related_entities(sf_dir: str):
+    """Related-entity mining over the KG
+    (graph_metrics.cooccurrence_pmi_topk): level-0 entity pairs ranked
+    by conversation-co-occurrence PMI — exact int64 counts through
+    per-conversation pair explode + one pair groupby, item counts
+    joined (not broadcast), integer micro-nat scores (the
+    vocab.bigram_pmi device); top-25 by (pmi_micro desc, names)."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import cooccurrence_pmi_topk
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(["conv_id", "name"])
+
+    nodes = load_kind(out, "node").map_batches(prep, batch_format="pyarrow")
+    scored = cooccurrence_pmi_topk(nodes, "conv_id", "name", min_count=3)
+    return scored.sort(
+        ["pmi_micro", "item_a", "item_b"], descending=[True, False, False]
+    ).limit(25)
+
+
 def _q_docs_curation_verdict(sf_dir: str):
     """The composed keep/drop gate (textstats.curation_verdict): five
     Gopher-style rules — length, alpha ratio, stopword presence,
@@ -2048,16 +2089,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 26 round-4 additions
-    # (docs_stratified_sample ... events_resample_locf — never
-    # driver-green by construction; the last 8 — dedup_semantic,
+    # sessionize_events) lead, followed by the 28 round-4 additions
+    # (docs_stratified_sample ... kg_related_entities — never
+    # driver-green by construction; the last 10 — dedup_semantic,
     # kg_triangles, events_running_total, events_funnel,
     # embeddings_quantize, events_zscore, events_percent_rank,
-    # events_resample_locf — displaced kg_documents,
+    # events_resample_locf, embeddings_knn_semantic,
+    # kg_related_entities — displaced kg_documents,
     # kg_documents_tag_filter, kg_changelog, kg_sync_plan,
-    # kg_dashboard, kg_build_estimate, media_table_markdown and
-    # media_kg_nodes, all r3-green, to the tail); parked at the
-    # tail: 8 queries green in BOTH r2
+    # kg_dashboard, kg_build_estimate, media_features,
+    # media_data_urls, media_table_markdown and media_kg_nodes, all
+    # r3-green, to the tail); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
     # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
@@ -2101,6 +2143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "events_percent_rank": _q_events_percent_rank,
         "events_resample_locf": _q_events_resample,
+        "embeddings_knn_semantic": _q_embeddings_knn,
+        "kg_related_entities": _q_kg_related_entities,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4295,6 +4339,56 @@ def oracle_sql() -> dict[str, str]:
     # replay (components.py min-label propagation; component_id = min
     # reachable doc_id). Composed from the dedup_minhash_neardup oracle
     # so the pair semantics can never drift between the two.
+    # kNN graph composed over the SemDeDup pair replay
+    # (graph_metrics.knn_from_pairs): symmetrize, row_number per node
+    d["embeddings_knn_semantic"] = f"""
+        WITH pairs AS ({d['dedup_semantic']}),
+        sym AS (
+          SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM pairs
+          UNION ALL
+          SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM pairs
+        ),
+        rk AS (
+          SELECT vec_id, neighbor_id, cosine,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+                 ) AS rnk
+          FROM sym
+        )
+        SELECT vec_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 3
+    """
+    # related entities: conversation-co-occurrence PMI over level-0
+    # names (graph_metrics.cooccurrence_pmi_topk) — exact int counts,
+    # integer micro-nat score (the bigram_pmi ln-replay device)
+    d["kg_related_entities"] = f"""
+        WITH dd AS (
+          SELECT DISTINCT conv_id, name
+          FROM read_parquet('{_nodes}') WHERE level = 0
+        ),
+        ng AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n FROM dd),
+        p AS (
+          SELECT a.name AS item_a, b.name AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM dd a JOIN dd b
+            ON a.conv_id = b.conv_id AND a.name < b.name
+          GROUP BY a.name, b.name
+          HAVING count(*) >= 3
+        ),
+        ic AS (
+          SELECT name, CAST(count(*) AS BIGINT) AS n_item
+          FROM dd GROUP BY name
+        )
+        SELECT p.item_a, p.item_b, p.n_ab,
+               CAST(round(ln(CAST(p.n_ab * ng.n AS DOUBLE)
+                             / CAST(ia.n_item * ib.n_item AS DOUBLE))
+                          * 1e6, 0) AS BIGINT) AS pmi_micro
+        FROM p
+        JOIN ic ia ON ia.name = p.item_a
+        JOIN ic ib ON ib.name = p.item_b
+        CROSS JOIN ng
+        ORDER BY pmi_micro DESC, item_a, item_b
+        LIMIT 25
+    """
     d["dedup_components"] = f"""
         WITH RECURSIVE pairs AS ({d['dedup_minhash_neardup']}),
         edges AS (

@@ -74,6 +74,53 @@ def _normalized_edges(edges_ds, src_col: str, dst_col: str):
     )
 
 
+def knn_from_pairs(pairs_ds, a_col: str, b_col: str, score_col: str,
+                   k: int, out_id: str = "id", out_nbr: str = "neighbor_id"):
+    """Top-k neighbor graph from a scored undirected pair list — the
+    kNN-graph construction step of graph-based semantic search /
+    SemDeDup-style cluster pruning, composed over any of the repo's
+    pair producers (minhash, n-gram, cosine, semantic).
+
+    Symmetrizes each pair to both directions, then keeps each node's
+    ``k`` best neighbors by ``(score desc, neighbor asc)`` with a
+    1-based ``rnk`` — exactly SQL ``row_number() OVER (PARTITION BY
+    node ORDER BY score DESC, neighbor)``. One groupby shuffle; group
+    sizes are bounded by the pair producer's df-cutoff, so no hub
+    lands whole in a reducer beyond what the producer already allows.
+    """
+
+    def sym(batch: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {
+                out_id: batch[a_col],
+                out_nbr: batch[b_col],
+                score_col: batch[score_col],
+            }
+        )
+        rev = pa.table(
+            {
+                out_id: batch[b_col],
+                out_nbr: batch[a_col],
+                score_col: batch[score_col],
+            }
+        )
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(score_col, "descending"), (out_nbr, "ascending")],
+        )
+        g = group.take(idx[: min(k, len(idx))])
+        return g.append_column("rnk", pa.array(range(1, len(g) + 1), pa.int64()))
+
+    return (
+        pairs_ds.map_batches(sym, batch_format="pyarrow")
+        .groupby(out_id)
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
 def triangle_counts(edges_ds, src_col: str, dst_col: str,
                     num_partitions: int = _DEFAULT_PARTITIONS):
     """Per-node triangle participation counts.
@@ -201,3 +248,147 @@ def triangle_counts(edges_ds, src_col: str, dst_col: str,
         lambda b: b.rename_columns(["node", "n_triangles"]),
         batch_format="pyarrow",
     )
+
+
+def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
+                          min_count: int = 3,
+                          num_partitions: int = _DEFAULT_PARTITIONS):
+    """Item-pair co-occurrence strength by PMI over grouped
+    observations — "related entities" mining over the KG (items =
+    level-0 entity names, groups = conversations) or any
+    (basket, item) table.
+
+    ``pmi = ln( (n_ab * N) / (n_a * n_b) )`` with n_ab = groups
+    containing both items, n_a/n_b = groups containing each item,
+    N = total groups — all EXACT int64 counts assembled distributed:
+
+    1. distinct (group, item) — one groupby;
+    2. per-group sorted item pairs via map_groups (group sizes are
+       bounded by the basket width — conversations hold a handful of
+       entities; a df-cutoff belongs in the CALLER's input filter for
+       pathological baskets);
+    3. pair counts — one groupby; rare pairs cut at ``min_count``
+       BEFORE the joins so the scored table stays small;
+    4. item counts joined on via two hash joins (no broadcast of the
+       full vocabulary — scale-safe for web-scale entity sets);
+    5. one scoring pass emitting integer micro-nats
+       ``round(ln(expr) * 1e6)`` (the vocab.bigram_pmi parity device:
+       a single float expression over exact ints, then an all-integer
+       ordering).
+
+    Returns ``(item_a, item_b, n_ab, pmi_micro)`` unranked; callers
+    sort on (pmi_micro desc, item_a, item_b) and limit.
+    """
+    import numpy as np
+
+    num_partitions = _clamp_partitions(num_partitions)
+
+    distinct = (
+        ds.groupby([group_col, item_col])
+        .count()
+        .map_batches(
+            lambda b: b.select([group_col, item_col]),
+            batch_format="pyarrow",
+        )
+    )
+    # N = number of distinct groups (tiny aggregate)
+    n_groups = (
+        distinct.groupby(group_col).count().count()
+    )
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        items = sorted(set(group[item_col].to_pylist()))
+        a_, b_ = [], []
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                a_.append(items[i])
+                b_.append(items[j])
+        t = group[item_col].type
+        return pa.table({"item_a": pa.array(a_, t), "item_b": pa.array(b_, t)})
+
+    pair_counts = (
+        distinct.groupby(group_col)
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["item_a", "item_b"])
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["item_a", "item_b", "n_ab"]).filter(
+                pc.greater_equal(b.column(2), min_count)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    pair_counts = pair_counts.materialize()
+    if pair_counts.count() == 0:
+        t = ds.schema().base_schema.field(item_col).type
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "item_a": pa.array([], t),
+                    "item_b": pa.array([], t),
+                    "n_ab": pa.array([], pa.int64()),
+                    "pmi_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    item_counts = (
+        distinct.groupby(item_col)
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns([item_col, "n_item"]),
+            batch_format="pyarrow",
+        )
+    ).materialize()  # consumed by BOTH joins
+
+    def side(key: str, out: str):
+        return item_counts.map_batches(
+            lambda b, k=key, o=out: b.rename_columns([k, o]),
+            batch_format="pyarrow",
+        )
+
+    j1 = pair_counts.join(
+        side("item_a", "n_a"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("item_a",),
+    ).repartition(num_partitions)
+    j2 = j1.join(
+        side("item_b", "n_b"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("item_b",),
+    ).repartition(num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_a = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_b = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(n_ab) == 0:
+            micro = np.array([], dtype=np.int64)
+        else:
+            # single float expression over exact ints, both engines:
+            # ln( (n_ab * N) / (n_a * n_b) ) -> micro-nats
+            expr = (n_ab * n_groups).astype(np.float64) / (
+                n_a * n_b
+            ).astype(np.float64)
+            micro = np.asarray(
+                pc.round(
+                    pa.array(np.log(expr) * 1e6),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                )
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "item_a": batch["item_a"],
+                "item_b": batch["item_b"],
+                "n_ab": pa.array(n_ab, pa.int64()),
+                "pmi_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")

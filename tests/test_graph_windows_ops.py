@@ -8,7 +8,11 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from eschergraph_ray.functions.graph_metrics import triangle_counts
+from eschergraph_ray.functions.graph_metrics import (
+    cooccurrence_pmi_topk,
+    knn_from_pairs,
+    triangle_counts,
+)
 from eschergraph_ray.functions.semdedup import semantic_dedup_pairs
 from eschergraph_ray.functions.similarity import seed_centroids
 from eschergraph_ray.functions.windows import (
@@ -172,6 +176,62 @@ def test_triangles_match_brute_force_random_graph():
                     for v in (i, j, k):
                         want[nodes[v]] = want.get(nodes[v], 0) + 1
     assert got == want
+
+
+def test_knn_from_pairs_topk_ties_and_symmetry():
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 1, 1, 2], pa.int64()),
+            "id_b": pa.array([2, 3, 4, 3], pa.int64()),
+            "cosine": pa.array([0.9, 0.8, 0.8, 0.7], pa.float64()),
+        }
+    )
+    out = knn_from_pairs(
+        rd.from_arrow(pairs), "id_a", "id_b", "cosine", k=2
+    ).to_pandas()
+    got = {
+        (r.id, r.rnk): (r.neighbor_id, r.cosine) for r in out.itertuples()
+    }
+    assert got[(1, 1)] == (2, 0.9)
+    assert got[(1, 2)] == (3, 0.8)  # 0.8 tie -> smaller neighbor id
+    assert got[(2, 1)] == (1, 0.9) and got[(2, 2)] == (3, 0.7)
+    assert got[(3, 1)] == (1, 0.8) and got[(3, 2)] == (2, 0.7)
+    assert got[(4, 1)] == (1, 0.8)
+    assert (4, 2) not in got and len(out) == 7
+
+
+def test_cooccurrence_pmi_hand_computed():
+    # x,y co-occur in g1-g3 (n_ab=3); x also in g4, y also in g5
+    # (n_x=n_y=4, N=5); x,z co-occur only twice -> cut by min_count=3
+    rows = [
+        ("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y"),
+        ("g3", "x"), ("g3", "y"), ("g4", "x"), ("g5", "y"),
+        ("g1", "z"), ("g2", "z"),
+        ("g1", "x"),  # duplicate observation must not inflate counts
+    ]
+    tbl = pa.table(
+        {
+            "grp": pa.array([r[0] for r in rows], pa.string()),
+            "item": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    out = cooccurrence_pmi_topk(
+        rd.from_arrow(tbl), "grp", "item", min_count=3
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.item_a, r.item_b, r.n_ab) == ("x", "y", 3)
+    want = np.copysign(
+        np.floor(abs(np.log((3 * 5) / (4.0 * 4.0)) * 1e6) + 0.5),
+        np.log(15 / 16.0),
+    )
+    assert r.pmi_micro == int(want)
+    # min_count too high -> typed empty result
+    out2 = cooccurrence_pmi_topk(
+        rd.from_arrow(tbl), "grp", "item", min_count=10
+    )
+    assert out2.take_all() == []
+    assert out2.schema().names == ["item_a", "item_b", "n_ab", "pmi_micro"]
 
 
 # ---------- running totals ----------
