@@ -2002,7 +2002,10 @@ def _q_kg_related_entities(sf_dir: str):
         return b.filter(pc.equal(b["level"], 0)).select(["conv_id", "name"])
 
     nodes = load_kind(out, "node").map_batches(prep, batch_format="pyarrow")
-    scored = cooccurrence_pmi_topk(nodes, "conv_id", "name", min_count=3)
+    # level-0 node rows are one-per-(conv, name) by construction
+    scored = cooccurrence_pmi_topk(
+        nodes, "conv_id", "name", min_count=3, assume_distinct=True
+    )
     return scored.sort(
         ["pmi_micro", "item_a", "item_b"], descending=[True, False, False]
     ).limit(25)

@@ -122,7 +122,9 @@ def knn_from_pairs(pairs_ds, a_col: str, b_col: str, score_col: str,
 
 
 def triangle_counts(edges_ds, src_col: str, dst_col: str,
-                    num_partitions: int = _DEFAULT_PARTITIONS):
+                    num_partitions: int = _DEFAULT_PARTITIONS,
+                    fastpath_max_nodes: int = 2048,
+                    fastpath_max_edges: int = 4_000_000):
     """Per-node triangle participation counts.
 
     Returns ``(node, n_triangles)`` for every node in at least one
@@ -130,6 +132,19 @@ def triangle_counts(edges_ds, src_col: str, dst_col: str,
     distinct-undirected-edge set, so the result is engine-independent
     (the SQL oracle enumerates the same a<b<c triples with two
     self-joins).
+
+    Small-DENSE fast path: when the distinct-node count is at most
+    ``fastpath_max_nodes`` the graph fits a driver-side adjacency
+    matrix and per-node counts are ``(A² ∘ A)·1 / 2`` — one BLAS
+    matmul instead of a 3-join pipeline. This is the regime the KG's
+    entity graph actually lives in (a bounded entity vocabulary
+    co-occurring across millions of conversations collapses to a small
+    dense simple graph, where oriented wedges approach n³ and the
+    join path does strictly more work than the matmul). Same
+    broadcast-small-state precedent as components.py's label fast
+    path; the distributed degree-oriented join path below remains the
+    scale route for large SPARSE graphs (node-count check is a cheap
+    aggregate, never a materialization gamble).
     """
     num_partitions = _clamp_partitions(num_partitions)
     # node type from the INPUT schema — an all-empty groupby output
@@ -142,8 +157,45 @@ def triangle_counts(edges_ds, src_col: str, dst_col: str,
             "n_triangles": pa.array([], pa.int64()),
         }
     )
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(empty)
+
+    if n_edges <= fastpath_max_edges:
+        import numpy as np
+
+        n_nodes = (
+            edges.map_batches(
+                lambda b: pa.concat_tables(
+                    [pa.table({"node": b["a"]}), pa.table({"node": b["b"]})]
+                ).combine_chunks(),
+                batch_format="pyarrow",
+            )
+            .unique("node")
+        )
+        if len(n_nodes) <= fastpath_max_nodes:
+            nodes = sorted(n_nodes)
+            idx = {v: i for i, v in enumerate(nodes)}
+            n = len(nodes)
+            A = np.zeros((n, n), dtype=np.float64)
+            for b in edges.iter_batches(batch_format="pyarrow"):
+                ai = [idx[v] for v in b["a"].to_pylist()]
+                bi = [idx[v] for v in b["b"].to_pylist()]
+                A[ai, bi] = 1.0
+                A[bi, ai] = 1.0
+            # diag(A^3)_i = sum_j (A^2)_ij * A_ij; entries <= n^2 stay
+            # exact in float64
+            tri = (((A @ A) * A).sum(axis=1) / 2).astype(np.int64)
+            keep = tri > 0
+            out = pa.table(
+                {
+                    "node": pa.array(
+                        [nodes[i] for i in np.nonzero(keep)[0]], node_type
+                    ),
+                    "n_triangles": pa.array(tri[keep], pa.int64()),
+                }
+            )
+            return rd.from_arrow(out if len(out) else empty)
 
     # degrees over the distinct simple graph
     def endpoints(batch: pa.Table) -> pa.Table:
@@ -252,7 +304,8 @@ def triangle_counts(edges_ds, src_col: str, dst_col: str,
 
 def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
                           min_count: int = 3,
-                          num_partitions: int = _DEFAULT_PARTITIONS):
+                          num_partitions: int = _DEFAULT_PARTITIONS,
+                          assume_distinct: bool = False):
     """Item-pair co-occurrence strength by PMI over grouped
     observations — "related entities" mining over the KG (items =
     level-0 entity names, groups = conversations) or any
@@ -263,10 +316,13 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
     N = total groups — all EXACT int64 counts assembled distributed:
 
     1. distinct (group, item) — one groupby;
-    2. per-group sorted item pairs via map_groups (group sizes are
-       bounded by the basket width — conversations hold a handful of
-       entities; a df-cutoff belongs in the CALLER's input filter for
-       pathological baskets);
+    2. per-group item pairs via a hash SELF-JOIN on the group key
+       (filter item_a < item_b) — vectorized end to end; a
+       groupby(group).map_groups pair loop costs ~1 ms of Python per
+       basket and melts down at millions of baskets (measured 71 s ->
+       ~10 s at sf0.1), while join fan-out per basket is the same
+       quadratic the pair table needs anyway. A df-cutoff for
+       pathological baskets belongs in the CALLER's input filter;
     3. pair counts — one groupby; rare pairs cut at ``min_count``
        BEFORE the joins so the scored table stays small;
     4. item counts joined on via two hash joins (no broadcast of the
@@ -278,39 +334,70 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
 
     Returns ``(item_a, item_b, n_ab, pmi_micro)`` unranked; callers
     sort on (pmi_micro desc, item_a, item_b) and limit.
+
+    ``assume_distinct=True`` skips the (group, item) dedup groupby for
+    inputs the producer already guarantees unique (e.g. the KG's
+    level-0 node rows are one-per-(conversation, name) by
+    construction) — a full-input shuffle saved.
     """
     import numpy as np
 
     num_partitions = _clamp_partitions(num_partitions)
 
-    distinct = (
-        ds.groupby([group_col, item_col])
-        .count()
-        .map_batches(
+    if assume_distinct:
+        distinct = ds.map_batches(
             lambda b: b.select([group_col, item_col]),
             batch_format="pyarrow",
         )
-    )
-    # N = number of distinct groups (tiny aggregate)
-    n_groups = (
-        distinct.groupby(group_col).count().count()
-    )
+    else:
+        distinct = (
+            ds.groupby([group_col, item_col])
+            .count()
+            .map_batches(
+                lambda b: b.select([group_col, item_col]),
+                batch_format="pyarrow",
+            )
+        )
 
-    def pairs_of_group(group: pa.Table) -> pa.Table:
-        items = sorted(set(group[item_col].to_pylist()))
-        a_, b_ = [], []
-        for i in range(len(items)):
-            for j in range(i + 1, len(items)):
-                a_.append(items[i])
-                b_.append(items[j])
-        t = group[item_col].type
-        return pa.table({"item_a": pa.array(a_, t), "item_b": pa.array(b_, t)})
+    # coalesce: a partitioned build read arrives as hundreds of tiny
+    # blocks, and per-block fixed costs dominate the join exchange
+    # (the CLAUDE.md small-file lesson) — repartition once, then pin
+    # for both join sides + N
+    distinct = distinct.repartition(num_partitions).materialize()
+    # N = number of distinct groups — one pass over the (already
+    # materialized) distinct table, not a second scan of the input
+    n_groups = len(distinct.unique(group_col) or [])
 
+    def as_side(out: str):
+        return distinct.map_batches(
+            lambda b, o=out: b.rename_columns([group_col, o]),
+            batch_format="pyarrow",
+        )
+
+    def partial_pair_counts(batch: pa.Table) -> pa.Table:
+        # combiner: per-batch partial counts BEFORE the pair groupby,
+        # so the exchange moves distinct-pairs-per-batch, not every
+        # co-occurrence instance
+        t = batch.filter(pc.less(batch["item_a"], batch["item_b"])).select(
+            ["item_a", "item_b"]
+        )
+        return t.group_by(["item_a", "item_b"]).aggregate(
+            [("item_a", "count")]
+        ).rename_columns(["item_a", "item_b", "n_part"])
+
+    pair_rows = (
+        as_side("item_a")
+        .join(
+            as_side("item_b"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(group_col,),
+        )
+        .map_batches(partial_pair_counts, batch_format="pyarrow")
+    )
     pair_counts = (
-        distinct.groupby(group_col)
-        .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["item_a", "item_b"])
-        .count()
+        pair_rows.groupby(["item_a", "item_b"])
+        .sum("n_part")
         .map_batches(
             lambda b: b.rename_columns(["item_a", "item_b", "n_ab"]).filter(
                 pc.greater_equal(b.column(2), min_count)
@@ -319,6 +406,9 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
         )
     )
     pair_counts = pair_counts.materialize()
+    # sparse-key aggregates can emit schema-less EMPTY blocks next to
+    # real ones, which crash the chained hash join ("No match for
+    # FieldRef") — repartition normalizes (dedup._nonempty_pairs device)
     if pair_counts.count() == 0:
         t = ds.schema().base_schema.field(item_col).type
         return rd.from_arrow(
@@ -332,6 +422,8 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
             )
         )
 
+    pair_counts = pair_counts.repartition(num_partitions)
+
     item_counts = (
         distinct.groupby(item_col)
         .count()
@@ -339,6 +431,8 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
             lambda b: b.rename_columns([item_col, "n_item"]),
             batch_format="pyarrow",
         )
+        # normalize sparse-key empty blocks (join-side crash guard)
+        .repartition(num_partitions)
     ).materialize()  # consumed by BOTH joins
 
     def side(key: str, out: str):

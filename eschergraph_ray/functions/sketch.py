@@ -108,3 +108,79 @@ def hll_estimate(regs: np.ndarray, p: int) -> int:
         if zeros:
             est = m * np.log(m / zeros)
     return int(round(est))
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch: approximate frequencies / heavy hitters
+# ---------------------------------------------------------------------
+#
+# The frequency-profiling twin of the HLL above (Cormode & Muthukrishnan
+# 2005): "roughly how often does each of these tokens/urls/users occur?"
+# without shuffling token instances. Same mergeable-sketch shape:
+#
+#   map_batches: each batch folds its values into a fresh d x w counter
+#     matrix (d rows = independent hash functions via seeded blake2b,
+#     vectorized np.add.at), emitting ONE packed row per batch.
+#   reduce: matrices combine by elementwise SUM — associative and
+#     commutative, so retries / partitioning changes give identical
+#     sketches; the d x w int64 matrix is model state on the driver.
+#
+# Guarantee: estimate(v) >= true(v), and <= true(v) + (e/w) * N with
+# probability 1 - (1/e)^d. Like the HLL, deliberately NOT a driver
+# query (approximate counts have no exact-hash SQL oracle) — accuracy
+# is pytest-bound against exact counts.
+
+
+def _cms_hash(values: list, seed: int, w: int) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(
+                    str(v).encode(), digest_size=8, salt=seed.to_bytes(8, "big")
+                ).digest(),
+                "big",
+            )
+            % w
+            for v in values
+        ),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
+def cms_partials(ds, col: str, w: int = 2048, d: int = 4):
+    """One packed d x w counter row per batch (the combiner)."""
+    if d < 1 or w < 8:
+        raise ValueError("need d >= 1, w >= 8")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        vals = batch[col].to_pylist()
+        mat = np.zeros((d, w), np.int64)
+        for row in range(d):
+            np.add.at(mat[row], _cms_hash(vals, row, w), 1)
+        return pa.table({"cms": pa.array([mat.tobytes()], pa.large_binary())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def cms_build(ds, col: str, w: int = 2048, d: int = 4) -> np.ndarray:
+    """Merged d x w Count-Min matrix (model state)."""
+    mat = np.zeros((d, w), np.int64)
+    for b in cms_partials(ds, col, w, d).iter_batches(batch_format="pyarrow"):
+        for buf in b["cms"].to_pylist():
+            mat += np.frombuffer(buf, np.int64).reshape(d, w)
+    return mat
+
+
+def cms_query(mat: np.ndarray, values: list) -> np.ndarray:
+    """Point-estimate counts for ``values`` (min over the d rows) —
+    one vectorized probe per row, never an error below the true
+    count."""
+    d, w = mat.shape
+    est = np.full(len(values), np.iinfo(np.int64).max, np.int64)
+    for row in range(d):
+        est = np.minimum(est, mat[row, _cms_hash(values, row, w)])
+    return est

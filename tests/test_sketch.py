@@ -74,3 +74,54 @@ def test_documents_cardinality_sf0001():
     )
     est = approx_distinct(ds, "doc_id")
     assert abs(est - 500) / 500 < 0.08
+
+
+# ---------- Count-Min sketch ----------
+
+from eschergraph_ray.functions.sketch import (  # noqa: E402
+    _cms_hash,
+    cms_build,
+    cms_query,
+)
+
+
+def test_cms_never_underestimates_and_heavy_hitters():
+    rng = np.random.default_rng(5)
+    # zipf-ish corpus: token i appears ~ N / (i+1) times
+    vals = []
+    for i in range(200):
+        vals.extend([f"tok{i}"] * (2000 // (i + 1)))
+    rng.shuffle(vals)
+    ds = _ids_ds(vals, blocks=4)
+    mat = cms_build(ds, "v", w=2048, d=4)
+    import collections
+
+    true = collections.Counter(vals)
+    probe = [f"tok{i}" for i in range(20)]
+    est = cms_query(mat, probe)
+    n = len(vals)
+    for t, e in zip(probe, est):
+        assert e >= true[t]                      # one-sided guarantee
+        assert e <= true[t] + (np.e / 2048) * n + 1  # CM bound (w.h.p.)
+    # heavy hitters keep their rank order at the top
+    top_true = [t for t, _ in true.most_common(5)]
+    order = sorted(probe, key=lambda t: -cms_query(mat, [t])[0])[:5]
+    assert set(order) == set(top_true)
+
+
+def test_cms_merge_equals_single_fold():
+    vals = [f"v{i % 37}" for i in range(500)]
+    m1 = cms_build(_ids_ds(vals, blocks=1), "v", w=256, d=3)
+    m4 = cms_build(_ids_ds(vals, blocks=7), "v", w=256, d=3)
+    assert (m1 == m4).all()
+    # and equals a direct driver-side fold
+    direct = np.zeros((3, 256), np.int64)
+    for row in range(3):
+        np.add.at(direct[row], _cms_hash([str(v) for v in vals], row, 256), 1)
+    assert (m1 == direct).all()
+
+
+def test_cms_total_mass_per_row():
+    vals = [str(i) for i in range(321)]
+    mat = cms_build(_ids_ds(vals), "v", w=64, d=2)
+    assert (mat.sum(axis=1) == 321).all()
