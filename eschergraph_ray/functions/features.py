@@ -24,9 +24,18 @@ import pyarrow.compute as pc
 
 
 def _round0_half_away(arr: np.ndarray) -> np.ndarray:
-    """DuckDB ``round(x, 0)`` = half away from zero (pyarrow's
-    ``half_towards_infinity``), vectorized."""
-    return np.copysign(np.floor(np.abs(arr) + 0.5), arr)
+    """DuckDB ``round(x, 0)`` replayed exactly = pyarrow's zero-digit
+    ``half_towards_infinity`` round. NOT copysign(floor(abs+0.5)):
+    that trick misrounds the 1-ulp window below .5 fenceposts
+    (0.49999999999999994 + 0.5 == 1.0 in IEEE, so floor returns 1
+    where both engines' round returns 0)."""
+    a = np.asarray(arr, dtype=np.float64)
+    return np.asarray(
+        pc.round(
+            pa.array(a.ravel()), ndigits=0,
+            round_mode="half_towards_infinity",
+        )
+    ).reshape(a.shape)
 
 
 def scalar_quantize_embeddings(ds, id_col: str, vec_col: str):

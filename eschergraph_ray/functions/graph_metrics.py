@@ -164,17 +164,21 @@ def triangle_counts(edges_ds, src_col: str, dst_col: str,
     if n_edges <= fastpath_max_edges:
         import numpy as np
 
-        n_nodes = (
-            edges.map_batches(
-                lambda b: pa.concat_tables(
-                    [pa.table({"node": b["a"]}), pa.table({"node": b["b"]})]
-                ).combine_chunks(),
-                batch_format="pyarrow",
+        all_nodes = edges.map_batches(
+            lambda b: pa.concat_tables(
+                [pa.table({"node": b["a"]}), pa.table({"node": b["b"]})]
+            ).combine_chunks(),
+            batch_format="pyarrow",
+        ).groupby("node").count().materialize()
+        # gate on a COUNT aggregate — the distinct node list only comes
+        # to the driver after the bound check passes (never a
+        # materialization gamble on a big sparse graph)
+        if all_nodes.count() <= fastpath_max_nodes:
+            nodes = sorted(
+                r["node"]
+                for b in all_nodes.iter_batches(batch_format="pyarrow")
+                for r in b.select(["node"]).to_pylist()
             )
-            .unique("node")
-        )
-        if len(n_nodes) <= fastpath_max_nodes:
-            nodes = sorted(n_nodes)
             idx = {v: i for i, v in enumerate(nodes)}
             n = len(nodes)
             A = np.zeros((n, n), dtype=np.float64)
@@ -364,9 +368,21 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
     # (the CLAUDE.md small-file lesson) — repartition once, then pin
     # for both join sides + N
     distinct = distinct.repartition(num_partitions).materialize()
-    # N = number of distinct groups — one pass over the (already
-    # materialized) distinct table, not a second scan of the input
-    n_groups = len(distinct.unique(group_col) or [])
+    empty_result = pa.table(
+        {
+            "item_a": pa.array([], ds.schema().base_schema.field(item_col).type),
+            "item_b": pa.array([], ds.schema().base_schema.field(item_col).type),
+            "n_ab": pa.array([], pa.int64()),
+            "pmi_micro": pa.array([], pa.int64()),
+        }
+    )
+    # empty input would put an empty side into the self-join below —
+    # the documented Ray 2.49 hash-join crash; short-circuit instead
+    if distinct.count() == 0:
+        return rd.from_arrow(empty_result)
+    # N = number of distinct groups — a COUNT over the grouped keys
+    # (an integer off a shuffle, never a driver-side key list)
+    n_groups = distinct.groupby(group_col).count().count()
 
     def as_side(out: str):
         return distinct.map_batches(

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import _id_chunk, _norm_rows, _unpack_f64
+from .dedup import _id_chunk, _unpack_f64
 from .similarity import _batch_matrix, _normalize
 
 
@@ -126,10 +126,10 @@ def semantic_dedup_pairs(ds, centroid_ids, centroids: np.ndarray,
         chunks = group["chunk"].to_pylist()
         a_, b_, q_ = [], [], []
         if ids:
+            # rows were float64-normalized ONCE before packing (explode)
+            # — renormalizing here would perturb components by ~1 ulp
+            # and open a gratuitous divergence at q-fenceposts
             vecs = np.vstack([_unpack_f64(b) for b in group["vec"].to_pylist()])
-            # rows were normalized before packing; renormalize is a
-            # no-op numerically but keeps the two chunk paths symmetric
-            vecs = _norm_rows(vecs)
 
             def quant(sims: np.ndarray) -> np.ndarray:
                 return (

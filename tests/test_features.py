@@ -106,9 +106,17 @@ def test_zscore_hand_computed_and_degenerate():
         .to_pandas()
         .set_index("event_id")
     )
+    import pyarrow.compute as _pc
+
     sd = np.sqrt((100**2 + 200**2 + 300**2) / 3 - 200.0**2)
-    want1 = np.copysign(np.floor(abs((100 - 200.0) / sd * 1e4) + 0.5),
-                        -1.0) / 1e4
+    want1 = (
+        _pc.round(
+            pa.scalar((100 - 200.0) / sd * 1e4),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).as_py()
+        / 1e4
+    )
     assert out.loc[1, "z"] == want1
     assert out.loc[2, "z"] == 0.0
     assert out.loc[3, "z"] == -want1

@@ -79,9 +79,15 @@ def test_semantic_dedup_matches_brute_force_within_clusters():
     ).to_pandas()
     got = {(r.id_a, r.id_b, r.cluster) for r in out.itertuples()}
     # brute force: same quantized assignment, same quantized pair cut
-    # (half-away-from-zero, matching pc.round half_towards_infinity)
+    # (the exact pc.round half_towards_infinity kernel the impl uses)
     def q4(x):
-        return np.copysign(np.floor(np.abs(np.asarray(x) * 1e4) + 0.5), x)
+        a = np.asarray(np.asarray(x, dtype=np.float64) * 1e4)
+        return np.asarray(
+            pa.compute.round(
+                pa.array(a.ravel()), ndigits=0,
+                round_mode="half_towards_infinity",
+            )
+        ).reshape(a.shape)
 
     m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     cm = np.asarray(cent)
@@ -232,6 +238,10 @@ def test_cooccurrence_pmi_hand_computed():
     )
     assert out2.take_all() == []
     assert out2.schema().names == ["item_a", "item_b", "n_ab", "pmi_micro"]
+    # fully empty input -> typed empty, no hash-join crash
+    out3 = cooccurrence_pmi_topk(rd.from_arrow(tbl[:0]), "grp", "item")
+    assert out3.take_all() == []
+    assert out3.schema().names == ["item_a", "item_b", "n_ab", "pmi_micro"]
 
 
 # ---------- running totals ----------
