@@ -1983,6 +1983,23 @@ def _q_embeddings_knn(sf_dir: str):
     )
 
 
+def _q_embeddings_gram(sf_dir: str):
+    """Distributed Gram matrix over micro-quantized embeddings
+    (features.gram_matrix_micro): one d x d int64 matmul per batch,
+    packed-partial exchange (#batches x d^2 integers, never vectors),
+    driver combine (kmeans_fit model-state precedent) — the PCA /
+    covariance / whitening prep pass, exact in int64."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import gram_matrix_rows
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return gram_matrix_rows(ds, "embedding", unit=1e6)
+
+
 def _q_kg_related_entities(sf_dir: str):
     """Related-entity mining over the KG
     (graph_metrics.cooccurrence_pmi_topk): level-0 entity pairs ranked
@@ -2092,17 +2109,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 28 round-4 additions
-    # (docs_stratified_sample ... kg_related_entities — never
-    # driver-green by construction; the last 10 — dedup_semantic,
+    # sessionize_events) lead, followed by the 29 round-4 additions
+    # (docs_stratified_sample ... embeddings_gram — never
+    # driver-green by construction; the last 11 — dedup_semantic,
     # kg_triangles, events_running_total, events_funnel,
     # embeddings_quantize, events_zscore, events_percent_rank,
     # events_resample_locf, embeddings_knn_semantic,
-    # kg_related_entities — displaced kg_documents,
+    # kg_related_entities, embeddings_gram — displaced kg_documents,
     # kg_documents_tag_filter, kg_changelog, kg_sync_plan,
     # kg_dashboard, kg_build_estimate, media_features,
-    # media_data_urls, media_table_markdown and media_kg_nodes, all
-    # r3-green, to the tail); parked at the tail: 8 queries green in BOTH r2
+    # media_data_urls, media_table_markdown, media_kg_nodes and
+    # ann_lsh_indexed, all r3-green, to the tail); parked at the
+    # tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
     # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
@@ -2148,6 +2166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample_locf": _q_events_resample,
         "embeddings_knn_semantic": _q_embeddings_knn,
         "kg_related_entities": _q_kg_related_entities,
+        "embeddings_gram": _q_embeddings_gram,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3305,6 +3324,22 @@ def oracle_sql() -> dict[str, str]:
                                    * 1e4, 0) / 1e4
                         ELSE 0 END AS z
             FROM c JOIN st USING (event_type)
+        """,
+        "embeddings_gram": """
+            -- Gram-matrix replay (features.gram_matrix_micro): every
+            -- element quantized to integer 1e-6 units, all products
+            -- and sums exact int64 — bit-identical by construction
+            WITH el AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0)
+                          AS BIGINT) AS q
+              FROM embeddings
+            )
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS g
+            FROM el a JOIN el b ON a.vec_id = b.vec_id
+            GROUP BY a.dim, b.dim
         """,
         "events_percent_rank": """
             SELECT event_id, event_type,

@@ -216,3 +216,81 @@ def group_zscore(ds, key_col: str, id_col: str, val_col: str,
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def gram_matrix_micro(ds, vec_col: str, unit: float = 1e6):
+    """Distributed Gram matrix ``G = Xq^T @ Xq`` over an embedding
+    column, with every element first quantized to integer ``unit``
+    units (``round(x * unit, 0)`` int64) — the covariance / PCA /
+    whitening preparation pass, EXACT and engine-independent because
+    all accumulation is int64.
+
+    Shape: each batch computes its own d x d int64 partial with ONE
+    numpy matmul and emits it packed as a single row — the exchange
+    moves (#batches x d^2) integers, never vectors; partials combine
+    by elementwise sum on the driver (model-state-sized, the
+    kmeans_fit precedent). Returns the d x d numpy int64 matrix.
+
+    int64 bound: ``n_rows * (max|x| * unit)^2 < 2^63`` — at web scale
+    pick a smaller ``unit`` (or shard the reduce) accordingly.
+    """
+    from .similarity import _batch_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if len(batch) == 0:
+            return pa.table({"gram": pa.array([], pa.large_binary()),
+                             "d": pa.array([], pa.int64())})
+        mat = _batch_matrix(batch, vec_col)
+        q = np.asarray(
+            pc.round(
+                pa.array(mat.ravel() * unit),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )
+        ).reshape(mat.shape).astype(np.int64)
+        g = q.T @ q  # d x d int64
+        return pa.table(
+            {
+                "gram": pa.array([g.tobytes()], pa.large_binary()),
+                "d": pa.array([g.shape[0]], pa.int64()),
+            }
+        )
+
+    acc = None
+    d = None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf, dd in zip(b["gram"].to_pylist(), b["d"].to_pylist()):
+            g = np.frombuffer(buf, np.int64).reshape(dd, dd)
+            if acc is None:
+                acc, d = g.copy(), dd
+            else:
+                acc += g
+    if acc is None:
+        return np.zeros((0, 0), np.int64)
+    return acc
+
+
+def gram_matrix_rows(ds, vec_col: str, unit: float = 1e6):
+    """:func:`gram_matrix_micro` exploded to ``(dim_i, dim_j, g)``
+    rows (d^2 rows — a small result) for the driver-contract /
+    SQL-oracle surface."""
+    import ray.data as rd
+
+    g = gram_matrix_micro(ds, vec_col, unit)
+    d = g.shape[0]
+    ii = np.repeat(np.arange(d, dtype=np.int64), d)
+    jj = np.tile(np.arange(d, dtype=np.int64), d)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "dim_i": pa.array(ii, pa.int64()),
+                "dim_j": pa.array(jj, pa.int64()),
+                "g": pa.array(g.ravel(), pa.int64()),
+            }
+        )
+    )

@@ -84,6 +84,27 @@ def test_quantize_oracle_replay_sf0001():
     )
 
 
+def test_gram_matrix_hand_computed_and_empty():
+    from eschergraph_ray.functions.features import (
+        gram_matrix_micro,
+        gram_matrix_rows,
+    )
+
+    # rows [1.0, 0.5], [-0.5, 0.25] at unit=100 -> q = [[100,50],[-50,25]]
+    ds = rd.from_arrow(_vec_tbl([1, 2], [[1.0, 0.5], [-0.5, 0.25]]))
+    g = gram_matrix_micro(ds, "embedding", unit=100)
+    q = np.array([[100, 50], [-50, 25]], dtype=np.int64)
+    assert (g == q.T @ q).all()
+    rows = gram_matrix_rows(ds, "embedding", unit=100).to_pandas()
+    assert len(rows) == 4
+    got = {(r.dim_i, r.dim_j): r.g for r in rows.itertuples()}
+    assert got[(0, 1)] == got[(1, 0)] == 100 * 50 + (-50) * 25
+    # empty input -> 0x0 matrix, empty rows
+    empty = rd.from_arrow(_vec_tbl([], []))
+    assert gram_matrix_micro(empty, "embedding").shape == (0, 0)
+    assert gram_matrix_rows(empty, "embedding").take_all() == []
+
+
 def _ev_tbl(rows):
     return pa.table(
         {
