@@ -2019,9 +2019,21 @@ def _q_kg_related_entities(sf_dir: str):
         return b.filter(pc.equal(b["level"], 0)).select(["conv_id", "name"])
 
     nodes = load_kind(out, "node").map_batches(prep, batch_format="pyarrow")
+    # N = the corpus's conversation count, read for free from the
+    # documents-sidecar parquet metadata (a conversation with no
+    # entities still counts in the PMI denominator)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    n_convs = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(f"{out}/documents/*.parquet")
+    )
     # level-0 node rows are one-per-(conv, name) by construction
     scored = cooccurrence_pmi_topk(
-        nodes, "conv_id", "name", min_count=3, assume_distinct=True
+        nodes, "conv_id", "name", min_count=3, assume_distinct=True,
+        n_groups=n_convs,
     )
     return scored.sort(
         ["pmi_micro", "item_a", "item_b"], descending=[True, False, False]
@@ -4403,7 +4415,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT conv_id, name
           FROM read_parquet('{_nodes}') WHERE level = 0
         ),
-        ng AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n FROM dd),
+        -- N = ALL conversations (documents sidecar), matching the Ray
+        -- side: an entity-free conversation still counts in the
+        -- denominator
+        ng AS (SELECT CAST(count(*) AS BIGINT) AS n
+               FROM read_parquet('{_docs}')),
         p AS (
           SELECT a.name AS item_a, b.name AS item_b,
                  CAST(count(*) AS BIGINT) AS n_ab

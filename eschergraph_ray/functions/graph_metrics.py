@@ -309,7 +309,8 @@ def triangle_counts(edges_ds, src_col: str, dst_col: str,
 def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
                           min_count: int = 3,
                           num_partitions: int = _DEFAULT_PARTITIONS,
-                          assume_distinct: bool = False):
+                          assume_distinct: bool = False,
+                          n_groups: int | None = None):
     """Item-pair co-occurrence strength by PMI over grouped
     observations — "related entities" mining over the KG (items =
     level-0 entity names, groups = conversations) or any
@@ -380,9 +381,12 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
     # the documented Ray 2.49 hash-join crash; short-circuit instead
     if distinct.count() == 0:
         return rd.from_arrow(empty_result)
-    # N = number of distinct groups — a COUNT over the grouped keys
-    # (an integer off a shuffle, never a driver-side key list)
-    n_groups = distinct.groupby(group_col).count().count()
+    if n_groups is None:
+        # N = number of distinct groups — a COUNT over the grouped keys
+        # (an integer off a shuffle, never a driver-side key list);
+        # callers that already know N (e.g. the KG's conversation count
+        # from the documents sidecar metadata) pass it and skip this
+        n_groups = distinct.groupby(group_col).count().count()
 
     def as_side(out: str):
         return distinct.map_batches(
