@@ -2000,6 +2000,67 @@ def _q_embeddings_gram(sf_dir: str):
     return gram_matrix_rows(ds, "embedding", unit=1e6)
 
 
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (event_type, hour) — multi-level aggregate
+    (functions/relational.py::rollup_counts): the finest level is ONE
+    groupby over cent-quantized int64 values; the coarser levels
+    re-aggregate the key-cardinality-sized finest table (no second
+    scan). Sentinels '(all)' / -1 mark rolled-up key positions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import rollup_counts
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(b):
+        hr = pc.divide(pc.cast(b["ts"], pa.int64()), 3_600_000_000)
+        return pa.table(
+            {"event_type": b["event_type"], "hr": hr, "value": b["value"]}
+        )
+
+    return rollup_counts(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "hr", "value", sentinel1="(all)", sentinel2=-1,
+    )
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Anti-join as tag-union + per-key max
+    (functions/relational.py::antijoin_counts): customers with NO
+    order above 300k (the drop-side filter is pushed into the scan's
+    input), counted per market segment — one shuffle, no hash join,
+    hot keys one-reducer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import antijoin_counts
+
+    _context()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = antijoin_counts(cust, orders, "c_custkey", "o_custkey",
+                          "c_mktsegment")
+    return out.map_batches(
+        lambda b: b.rename_columns(["c_mktsegment", "n_customers"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_kg_related_entities(sf_dir: str):
     """Related-entity mining over the KG
     (graph_metrics.cooccurrence_pmi_topk): level-0 entity pairs ranked
@@ -2121,18 +2182,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 29 round-4 additions
-    # (docs_stratified_sample ... embeddings_gram — never
-    # driver-green by construction; the last 11 — dedup_semantic,
+    # sessionize_events) lead, followed by the 31 round-4 additions
+    # (docs_stratified_sample ... customers_without_orders — never
+    # driver-green by construction; the last 13 — dedup_semantic,
     # kg_triangles, events_running_total, events_funnel,
     # embeddings_quantize, events_zscore, events_percent_rank,
     # events_resample_locf, embeddings_knn_semantic,
-    # kg_related_entities, embeddings_gram — displaced kg_documents,
+    # kg_related_entities, embeddings_gram, events_rollup,
+    # customers_without_orders — displaced kg_documents,
     # kg_documents_tag_filter, kg_changelog, kg_sync_plan,
     # kg_dashboard, kg_build_estimate, media_features,
-    # media_data_urls, media_table_markdown, media_kg_nodes and
-    # ann_lsh_indexed, all r3-green, to the tail); parked at the
-    # tail: 8 queries green in BOTH r2
+    # media_data_urls, media_table_markdown, media_kg_nodes,
+    # ann_lsh_indexed, ann_ivf_topk and ann_lsh_topk, all r3-green,
+    # to the tail); parked at the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
     # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
@@ -2179,6 +2241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_semantic": _q_embeddings_knn,
         "kg_related_entities": _q_kg_related_entities,
         "embeddings_gram": _q_embeddings_gram,
+        "events_rollup": _q_events_rollup,
+        "customers_without_orders": _q_customers_without_orders,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3352,6 +3416,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(a.q * b.q) AS BIGINT) AS g
             FROM el a JOIN el b ON a.vec_id = b.vec_id
             GROUP BY a.dim, b.dim
+        """,
+        "events_rollup": """
+            -- ROLLUP replay (relational.rollup_counts): '(all)' / -1
+            -- sentinels for rolled-up key positions, cent-quantized
+            -- int64 sums
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(ts) // 3600000000 AS hr,
+                     CAST(round(value * 100, 0) AS BIGINT) AS xc
+              FROM events
+            )
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(hr, -1) AS hr,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xc) AS BIGINT) AS sum_cents
+            FROM c GROUP BY ROLLUP (event_type, hr)
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+            GROUP BY c_mktsegment
         """,
         "events_percent_rank": """
             SELECT event_id, event_type,
