@@ -244,13 +244,7 @@ def gram_matrix_micro(ds, vec_col: str, unit: float = 1e6):
             return pa.table({"gram": pa.array([], pa.large_binary()),
                              "d": pa.array([], pa.int64())})
         mat = _batch_matrix(batch, vec_col)
-        q = np.asarray(
-            pc.round(
-                pa.array(mat.ravel() * unit),
-                ndigits=0,
-                round_mode="half_towards_infinity",
-            )
-        ).reshape(mat.shape).astype(np.int64)
+        q = _round0_half_away(mat * unit).astype(np.int64)
         g = q.T @ q  # d x d int64
         return pa.table(
             {

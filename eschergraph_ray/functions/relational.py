@@ -28,6 +28,9 @@ def rollup_counts(ds, k1: str, k2: str, val_col: str,
     """
 
     def quantize(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
         xc = pc.cast(
             pc.round(
                 pc.multiply(pc.cast(batch[val_col], pa.float64()),
@@ -88,65 +91,95 @@ def rollup_counts(ds, k1: str, k2: str, val_col: str,
         ),
         batch_format="pyarrow",
     ).sum(["n", "sum_cents"])
+    # empty input: Ray's sum() yields None values, while SQL ROLLUP
+    # still emits ONE grand-total row (count 0, NULL sum) — match it
+    tot_n = totals["sum(n)"] if totals else None
+    tot_s = totals["sum(sum_cents)"] if totals else None
     total_tbl = pa.table(
         {
-            k1: pa.array([sentinel1]),
-            k2: pa.array([sentinel2]),
-            "n": pa.array([int(totals["sum(n)"])], pa.int64()),
-            "sum_cents": pa.array([int(totals["sum(sum_cents)"])], pa.int64()),
+            k1: pa.array([sentinel1], pa.scalar(sentinel1).type),
+            k2: pa.array([sentinel2], pa.scalar(sentinel2).type),
+            "n": pa.array([int(tot_n) if tot_n is not None else 0],
+                          pa.int64()),
+            "sum_cents": pa.array(
+                [int(tot_s) if tot_s is not None else None], pa.int64()
+            ),
         }
     )
+    if tot_n is None:
+        return rd.from_arrow(total_tbl)
     return level0.union(level1).union(rd.from_arrow(total_tbl))
 
 
 def antijoin_counts(keep_ds, drop_ds, keep_key: str, drop_key: str,
-                    label_col: str):
-    """Anti-join expressed as a tag-union + per-key max — "rows of
-    ``keep_ds`` whose key never appears in ``drop_ds``", aggregated to
-    ``(label, n)`` counts per ``label_col`` of the kept side.
+                    label_col: str, num_partitions: int = 8):
+    """Anti-join: rows of ``keep_ds`` whose key never appears in
+    ``drop_ds``, aggregated to ``(lbl, n)`` counts per ``label_col``.
+    Row-correct for duplicate keep-side keys and multi-label keys
+    (SQL ``NOT IN`` + ``count(*)`` semantics).
 
-    Shape: keep rows emit ``(key, label, flag=0)``, drop-side keys emit
-    ``(key, "", flag=1)``; ONE groupby(key) with (max flag, max label)
-    — the label survives because the empty-string tag sorts below any
-    real label — then keys with ``max_flag == 0`` are counted per
-    label. No hash join, one shuffle, hot keys stay one-reducer.
+    Shape: the keep side is first pre-aggregated to key-cardinality
+    size (``groupby(key, label).count``), the drop side is reduced to
+    DISTINCT keys with a per-batch distinct combiner, then ONE native
+    ``left_anti`` hash join removes the dropped keys and a label-sized
+    groupby sums the surviving counts — the exchanges move distinct
+    keys/pairs, never raw rows.
     """
 
-    def tag_keep(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "k": batch[keep_key],
-                "lbl": batch[label_col],
-                "flag": pa.array([0] * n, pa.int64()),
-            }
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        # combiner: per-batch distinct BEFORE the global distinct, so
+        # the exchange moves distinct-keys-per-batch, not every row
+        return batch.select([drop_key]).group_by([drop_key]).aggregate([])
+
+    drops = (
+        drop_ds.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby(drop_key)
+        .count()
+        .map_batches(
+            lambda b: b.select([drop_key]), batch_format="pyarrow"
         )
-
-    def tag_drop(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "k": batch[drop_key],
-                "lbl": pa.array([""] * n, pa.string()),
-                "flag": pa.array([1] * n, pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Max
-
-    tagged = keep_ds.map_batches(tag_keep, batch_format="pyarrow").union(
-        drop_ds.map_batches(tag_drop, batch_format="pyarrow")
+        .repartition(num_partitions)  # normalize sparse-key empties
+        .materialize()
     )
-    flags = tagged.groupby("k").aggregate(Max("flag"), Max("lbl"))
 
-    def keep_only(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["max(flag)"], 0))
-        return pa.table({"lbl": t["max(lbl)"]})
+    keep_agg = (
+        keep_ds.groupby([keep_key, label_col])
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns([keep_key, "lbl", "n"]),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )  # key-cardinality-sized
+    empty = pa.table(
+        {
+            "lbl": pa.array([], keep_ds.schema().base_schema.field(
+                label_col).type),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if keep_agg.count() == 0:
+        return rd.from_arrow(empty)
+    if drops.count() == 0:
+        survivors = keep_agg
+    else:
+        survivors = keep_agg.join(
+            drops,
+            join_type="left_anti",
+            num_partitions=num_partitions,
+            on=(keep_key,),
+            right_on=(drop_key,),
+        ).repartition(num_partitions).materialize()
+        if survivors.count() == 0:
+            return rd.from_arrow(empty)
 
     return (
-        flags.map_batches(keep_only, batch_format="pyarrow")
-        .groupby("lbl")
-        .count()
+        survivors.groupby("lbl")
+        .sum("n")
         .map_batches(
             lambda b: b.rename_columns(["lbl", "n"]),
             batch_format="pyarrow",

@@ -71,6 +71,48 @@ def test_rollup_oracle_replay_sf0001():
     )
 
 
+def test_rollup_empty_input_matches_sql_rollup():
+    # SQL GROUP BY ROLLUP on empty input still emits ONE grand-total
+    # row (count 0, NULL sum)
+    tbl = pa.table(
+        {
+            "t": pa.array([], pa.string()),
+            "h": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+    out = rollup_counts(
+        rd.from_arrow(tbl), "t", "h", "value", sentinel1="(all)", sentinel2=-1
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.t, r.h, r.n) == ("(all)", -1, 0)
+    assert pd.isna(r.sum_cents)
+
+
+def test_antijoin_duplicate_keys_and_multilabel():
+    # NOT IN + count(*) semantics: duplicate keep keys each count,
+    # and a key appearing under two labels counts once per label
+    keep = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2], pa.int64()),
+            "seg": pa.array(["x", "y", "x", "x"], pa.string()),
+        }
+    )
+    drop = pa.table({"dk": pa.array([], pa.int64())})
+    out = antijoin_counts(
+        rd.from_arrow(keep), rd.from_arrow(drop), "k", "dk", "seg"
+    ).to_pandas()
+    got = dict(zip(out["lbl"], out["n"]))
+    assert got == {"x": 3, "y": 1}
+    # everything dropped -> empty
+    drop2 = pa.table({"dk": pa.array([1, 2], pa.int64())})
+    out2 = antijoin_counts(
+        rd.from_arrow(keep), rd.from_arrow(drop2), "k", "dk", "seg"
+    )
+    assert out2.take_all() == []
+
+
 def test_antijoin_hand_computed():
     keep = pa.table(
         {
