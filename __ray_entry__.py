@@ -2000,6 +2000,78 @@ def _q_embeddings_gram(sf_dir: str):
     return gram_matrix_rows(ds, "embedding", unit=1e6)
 
 
+def _q_kg_entity_lifespan(sf_dir: str):
+    """Temporal KG slice: each entity's first/last conversation
+    timestamp and lifespan — per-conv start times (a conv-cardinality
+    aggregate over the raw transcripts) hash-joined onto the level-0
+    (conv, name) rows, then one name-keyed (count, min, max)
+    aggregate. All int64 microseconds; top-25 by (span desc, name)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    from eschergraph_ray.pipelines.build import load_kind
+    from eschergraph_ray.sources.transcripts import (
+        sf_to_n_convs,
+        transcripts_parquet_dir,
+    )
+
+    _context()
+    out = _build_for(sf_dir, "q")
+    src = transcripts_parquet_dir(sf_to_n_convs(sf_dir), seed=SEED)
+
+    conv_t0 = (
+        rd.read_parquet(src, columns=["conv_id", "ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {"conv_id": b["conv_id"],
+                 "t": pc.cast(b["ts"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("conv_id")
+        .min("t")
+        .map_batches(
+            lambda b: b.rename_columns(["conv_id", "t0"]),
+            batch_format="pyarrow",
+        )
+        .repartition(8)
+    )
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(["conv_id", "name"])
+
+    nodes = (
+        load_kind(out, "node")
+        .map_batches(prep, batch_format="pyarrow")
+        .repartition(8)
+    )
+    joined = nodes.join(
+        conv_t0, join_type="inner", num_partitions=8, on=("conv_id",)
+    ).repartition(8)
+    agg = joined.groupby("name").aggregate(Count(), Min("t0"), Max("t0"))
+
+    def finalize(b):
+        first = pc.cast(b["min(t0)"], pa.int64())
+        last = pc.cast(b["max(t0)"], pa.int64())
+        return pa.table(
+            {
+                "name": b["name"],
+                "n_convs": pc.cast(b["count()"], pa.int64()),
+                "first_us": first,
+                "last_us": last,
+                "span_us": pc.subtract(last, first),
+            }
+        )
+
+    return (
+        agg.map_batches(finalize, batch_format="pyarrow")
+        .sort(["span_us", "name"], descending=[True, False])
+        .limit(25)
+    )
+
+
 def _q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP (event_type, hour) — multi-level aggregate
     (functions/relational.py::rollup_counts): the finest level is ONE
@@ -2182,19 +2254,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 31 round-4 additions
-    # (docs_stratified_sample ... customers_without_orders — never
-    # driver-green by construction; the last 13 — dedup_semantic,
+    # sessionize_events) lead, followed by the 32 round-4 additions
+    # (docs_stratified_sample ... kg_entity_lifespan — never
+    # driver-green by construction; the last 14 — dedup_semantic,
     # kg_triangles, events_running_total, events_funnel,
     # embeddings_quantize, events_zscore, events_percent_rank,
     # events_resample_locf, embeddings_knn_semantic,
     # kg_related_entities, embeddings_gram, events_rollup,
-    # customers_without_orders — displaced kg_documents,
-    # kg_documents_tag_filter, kg_changelog, kg_sync_plan,
-    # kg_dashboard, kg_build_estimate, media_features,
+    # customers_without_orders, kg_entity_lifespan — displaced
+    # kg_documents, kg_documents_tag_filter, kg_changelog,
+    # kg_sync_plan, kg_dashboard, kg_build_estimate, media_features,
     # media_data_urls, media_table_markdown, media_kg_nodes,
-    # ann_lsh_indexed, ann_ivf_topk and ann_lsh_topk, all r3-green,
-    # to the tail); parked at the tail: 8 queries green in BOTH r2
+    # ann_lsh_indexed, ann_ivf_topk, ann_lsh_topk and
+    # dedup_embedding_lsh, all r3-green, to the tail); parked at the
+    # tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
     # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
@@ -2243,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_gram": _q_embeddings_gram,
         "events_rollup": _q_events_rollup,
         "customers_without_orders": _q_customers_without_orders,
+        "kg_entity_lifespan": _q_kg_entity_lifespan,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3416,6 +3490,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(a.q * b.q) AS BIGINT) AS g
             FROM el a JOIN el b ON a.vec_id = b.vec_id
             GROUP BY a.dim, b.dim
+        """,
+        "kg_entity_lifespan": f"""
+            -- temporal KG slice: per-entity first/last conversation
+            -- start time over the raw transcript corpus + level-0
+            -- (conv, name) rows — all int64 microseconds
+            WITH ct AS (
+              SELECT conv_id, CAST(min(epoch_us(ts)) AS BIGINT) AS t0
+              FROM read_parquet('{_transcripts_glob_sf001()}')
+              GROUP BY conv_id
+            ),
+            d AS (
+              SELECT DISTINCT name, conv_id
+              FROM read_parquet('{_nodes}') WHERE level = 0
+            )
+            SELECT d.name,
+                   CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(min(ct.t0) AS BIGINT) AS first_us,
+                   CAST(max(ct.t0) AS BIGINT) AS last_us,
+                   CAST(max(ct.t0) - min(ct.t0) AS BIGINT) AS span_us
+            FROM d JOIN ct ON d.conv_id = ct.conv_id
+            GROUP BY d.name
+            ORDER BY span_us DESC, name
+            LIMIT 25
         """,
         "events_rollup": """
             -- ROLLUP replay (relational.rollup_counts): '(all)' / -1
