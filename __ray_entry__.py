@@ -1830,6 +1830,16 @@ def _q_dedup_semantic(sf_dir: str):
     )
 
 
+def _q_dedup_semantic_drops(sf_dir: str):
+    """The SemDeDup pruning ACTION (semdedup.semantic_dedup_drops):
+    distinct dominated ids (every pair's id_b) from the within-cluster
+    pair list — the set a SemDeDup curation pass removes from the
+    corpus."""
+    from eschergraph_ray.functions.semdedup import semantic_dedup_drops
+
+    return semantic_dedup_drops(_q_dedup_semantic(sf_dir))
+
+
 def _q_kg_triangles(sf_dir: str):
     """Per-node triangle counts over the built KG's level-0 edges
     (functions/graph_metrics.py): degree-oriented wedge generation (the
@@ -2254,20 +2264,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 32 round-4 additions
+    # sessionize_events) lead, followed by the 33 round-4 additions
     # (docs_stratified_sample ... kg_entity_lifespan — never
-    # driver-green by construction; the last 14 — dedup_semantic,
-    # kg_triangles, events_running_total, events_funnel,
-    # embeddings_quantize, events_zscore, events_percent_rank,
-    # events_resample_locf, embeddings_knn_semantic,
-    # kg_related_entities, embeddings_gram, events_rollup,
-    # customers_without_orders, kg_entity_lifespan — displaced
-    # kg_documents, kg_documents_tag_filter, kg_changelog,
+    # driver-green by construction; the last 15 — dedup_semantic,
+    # dedup_semantic_drops, kg_triangles, events_running_total,
+    # events_funnel, embeddings_quantize, events_zscore,
+    # events_percent_rank, events_resample_locf,
+    # embeddings_knn_semantic, kg_related_entities, embeddings_gram,
+    # events_rollup, customers_without_orders, kg_entity_lifespan —
+    # displaced kg_documents, kg_documents_tag_filter, kg_changelog,
     # kg_sync_plan, kg_dashboard, kg_build_estimate, media_features,
     # media_data_urls, media_table_markdown, media_kg_nodes,
-    # ann_lsh_indexed, ann_ivf_topk, ann_lsh_topk and
-    # dedup_embedding_lsh, all r3-green, to the tail); parked at the
-    # tail: 8 queries green in BOTH r2
+    # ann_lsh_indexed, ann_ivf_topk, ann_lsh_topk, dedup_embedding_lsh
+    # and dedup_minhash_neardup, all r3-green, to the tail); parked at
+    # the tail: 8 queries green in BOTH r2
     # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
     # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
     # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
@@ -2304,6 +2314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "docs_normalize": _q_docs_normalize,
         "dedup_semantic": _q_dedup_semantic,
+        "dedup_semantic_drops": _q_dedup_semantic_drops,
         "kg_triangles": _q_kg_triangles,
         "events_running_total": _q_events_running_total,
         "events_funnel": _q_events_funnel,
@@ -4574,6 +4585,10 @@ def oracle_sql() -> dict[str, str]:
     # replay (components.py min-label propagation; component_id = min
     # reachable doc_id). Composed from the dedup_minhash_neardup oracle
     # so the pair semantics can never drift between the two.
+    # the SemDeDup pruning action: distinct dominated ids
+    d["dedup_semantic_drops"] = f"""
+        SELECT DISTINCT id_b AS vec_id FROM ({d['dedup_semantic']})
+    """
     # kNN graph composed over the SemDeDup pair replay
     # (graph_metrics.knn_from_pairs): symmetrize, row_number per node
     d["embeddings_knn_semantic"] = f"""

@@ -178,3 +178,25 @@ def semantic_dedup_pairs(ds, centroid_ids, centroids: np.ndarray,
         .groupby(["cluster", "ca", "cb"])
         .map_groups(score_group, batch_format="pyarrow")
     )
+
+
+def semantic_dedup_drops(pairs_ds):
+    """The SemDeDup pruning ACTION: from the within-cluster pair list,
+    drop every ``id_b`` — the greedy "keep the smallest id of each
+    dominated pair" policy (a dominated id is dropped no matter how
+    many pairs name it). Returns one ``(vec_id)`` row per distinct
+    dropped id; filtering the corpus by this set is the caller's
+    ``searchsorted``/anti-join step (see ``components.dedup_survivors``
+    for the minhash analogue)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch["id_b"]})
+
+    return (
+        pairs_ds.map_batches(project, batch_format="pyarrow")
+        .groupby("vec_id")
+        .count()
+        .map_batches(
+            lambda b: b.select(["vec_id"]), batch_format="pyarrow"
+        )
+    )

@@ -101,6 +101,21 @@ def test_semantic_dedup_matches_brute_force_within_clusters():
     assert got == want
 
 
+def test_semantic_dedup_drops_distinct_id_b():
+    from eschergraph_ray.functions.semdedup import semantic_dedup_drops
+
+    pairs = pa.table(
+        {
+            "cluster": pa.array([0, 0, 1], pa.int64()),
+            "id_a": pa.array([1, 2, 5], pa.int64()),
+            "id_b": pa.array([3, 3, 6], pa.int64()),
+            "cosine": pa.array([0.99, 0.98, 0.97], pa.float64()),
+        }
+    )
+    out = semantic_dedup_drops(rd.from_arrow(pairs)).to_pandas()
+    assert sorted(out["vec_id"]) == [3, 6]  # 3 dropped once, not twice
+
+
 def test_semantic_dedup_empty_input():
     ds = rd.from_arrow(_vec_tbl([0, 1], [[1.0, 0.0], [0.0, 1.0]]))
     ids, cent = seed_centroids(ds, "vec_id", "embedding", k=2)
