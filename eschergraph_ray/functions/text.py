@@ -53,6 +53,12 @@ def chunk_passes_filter(text: str, min_chars: int = 100, max_non_alpha: float = 
 
 
 def _ratio(a: str, b: str) -> float:
+    # SequenceMatcher.ratio() is NOT symmetric: find_longest_match
+    # tie-breaks by position in the FIRST argument, so e.g.
+    # ('2p','p20p') scores 0.667 but ('p20p','2p') scores 0.333.
+    # Canonicalize the order so token_set_ratio(a,b)==token_set_ratio(b,a).
+    if a > b:
+        a, b = b, a
     return 100.0 * SequenceMatcher(None, a, b).ratio()
 
 

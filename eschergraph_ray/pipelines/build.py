@@ -49,7 +49,7 @@ from ..state.checkpoint import Manifest, atomic_dir_write
 # Bump when the build's OUTPUT semantics change (chunk boundaries,
 # sidecars, graph columns): keys downstream on-disk caches of build
 # output so stale graphs cannot poison correctness runs.
-BUILD_FORMAT = 5  # v5: union-find transitive-closure fix (find returned grandparent)
+BUILD_FORMAT = 6  # v6: symmetric token_set_ratio (SequenceMatcher order canonicalized)
 
 
 @dataclass

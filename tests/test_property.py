@@ -1,7 +1,7 @@
 """Property-style tests (hypothesis) for core invariants."""
 
 import pyarrow as pa
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from eschergraph_ray.functions.community import louvain_communities
 from eschergraph_ray.functions.text import count_tokens, token_set_ratio
@@ -12,6 +12,7 @@ WORD = st.text(alphabet="abcdefghij", min_size=1, max_size=8)
 
 @settings(max_examples=50, deadline=None)
 @given(st.text(max_size=200), st.text(max_size=200))
+@example("2P", "p20P")  # SequenceMatcher order-asymmetry regression
 def test_token_set_ratio_bounds_and_symmetry(a, b):
     r = token_set_ratio(a, b)
     assert 0.0 <= r <= 100.0
