@@ -2082,6 +2082,34 @@ def _q_kg_entity_lifespan(sf_dir: str):
     )
 
 
+def _q_kg_fuzzy_names(sf_dir: str):
+    """Corpus-global fuzzy entity-name join (functions/editdist.py
+    fuzzy_name_pairs) — the record-linkage complement to the reference's
+    conversation-scoped token_set_ratio resolution
+    (eschergraph/tools/fuzzy_matcher.py:48-58): all pairs of DISTINCT
+    level-0 names within Levenshtein distance 4, blocked on the 3-char
+    prefix with a 500-name hot-block cutoff (mirrored in the oracle).
+    The DP is vectorized across every candidate pair in a block; one
+    shuffle total (groupby block key). Names are ASCII here, so
+    pyarrow's codeunit slice/length == DuckDB's character semantics."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.editdist import fuzzy_name_pairs
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(["name"])
+
+    nodes = load_kind(out, "node").map_batches(prep, batch_format="pyarrow")
+    pairs = fuzzy_name_pairs(
+        nodes, "name", prefix_len=3, max_dist=4, min_len=4, block_cutoff=500
+    )
+    return pairs.sort(["name_a", "name_b"])
+
+
 def _q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP (event_type, hour) — multi-level aggregate
     (functions/relational.py::rollup_counts): the finest level is ONE
@@ -2260,7 +2288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round rotates queries that have never (or least recently) produced
     # a driver-green CORRECTNESS row to the FRONT of the dict and parks
     # multi-round-green queries at the tail, so that over rounds every
-    # query accumulates a driver-green row. Round 4: the 8 relational /
+    # query accumulates a driver-green row. Round 4 third session:
+    # kg_fuzzy_name_pairs (new, never green) joins the round-4 block,
+    # which pushes dedup_simhash_documents (r3-green) to position 51
+    # just outside the window. Round 4: the 8 relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
@@ -2328,6 +2359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "customers_without_orders": _q_customers_without_orders,
         "kg_entity_lifespan": _q_kg_entity_lifespan,
+        "kg_fuzzy_name_pairs": _q_kg_fuzzy_names,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3261,6 +3293,30 @@ def oracle_sql() -> dict[str, str]:
         "kg_max_level": f"""
             SELECT CAST(max(level) AS BIGINT) AS max_level
             FROM read_parquet('{_nodes}')
+        """,
+        "kg_fuzzy_name_pairs": f"""
+            -- blocked Levenshtein name join replay (editdist.py): same
+            -- prefix-3 blocking, 500-name hot-block cutoff, |len diff|
+            -- candidate bound, a<b ordering; all-integer distances
+            WITH names AS (
+              SELECT DISTINCT name FROM read_parquet('{_nodes}')
+              WHERE level = 0 AND length(name) >= 4
+            ),
+            blk AS (SELECT name, substr(name, 1, 3) AS k FROM names),
+            sz AS (SELECT k, count(*) AS c FROM blk GROUP BY k),
+            ok AS (
+              SELECT blk.name, blk.k FROM blk JOIN sz USING (k)
+              WHERE c <= 500
+            ),
+            pairs AS (
+              SELECT a.name AS name_a, b.name AS name_b
+              FROM ok a JOIN ok b ON a.k = b.k AND a.name < b.name
+              AND abs(length(a.name) - length(b.name)) <= 4
+            )
+            SELECT name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+            FROM pairs WHERE levenshtein(name_a, name_b) <= 4
+            ORDER BY name_a, name_b
         """,
         "kg_pagerank": f"""
             -- fixed-point PageRank replay (functions/pagerank.py):
