@@ -2110,6 +2110,76 @@ def _q_kg_fuzzy_names(sf_dir: str):
     return pairs.sort(["name_a", "name_b"])
 
 
+_HLL_COLS = {"event_id": 8, "event_type": 12, "props": 12, "user_id": 12}
+
+
+def _q_events_approx_distinct(sf_dir: str):
+    """Mergeable-sketch cardinality profiling (sketch.py
+    approx_distinct_multi): ONE streaming pass folds four event columns
+    into per-batch HLL register arrays (md5-hash variant — the whole
+    algorithm is DuckDB-replayable), registers max-merge on the driver
+    (KBs of model state), estimates via the float-parity-safe replay
+    estimator. event_id runs p=8 so its ~10k cardinality exercises the
+    RAW bias-corrected path; the low-cardinality columns exercise
+    linear counting. At 100 TB this is the shape that replaces
+    count(DISTINCT ...)'s all-to-all value shuffle with a KB-sized
+    exchange."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import approx_distinct_multi
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=sorted(_HLL_COLS)
+    )
+    return approx_distinct_multi(ds, _HLL_COLS, hashname="md5")
+
+
+def _hll_oracle_sql() -> str:
+    """Full SQL replay of the md5-variant HLL (sketch.py
+    hll_estimate_replay): register index = top p bits of the md5-prefix
+    hash, rank = leftmost-1 position of the low 64-p bits (exact via
+    bin()+position, not float log2), harmonic denominator scaled to
+    exact HUGEINT, raw product in the same left-to-right order, final
+    floor(x+0.5)."""
+    parts = []
+    for col, p in sorted(_HLL_COLS.items()):
+        m = 1 << p
+        r_bits = 64 - p
+        top = r_bits + 1
+        mask = (1 << r_bits) - 1
+        parts.append(f"""
+            SELECT '{col}' AS "column", CAST({p} AS BIGINT) AS p,
+                   CAST({m} - nonzero AS BIGINT) AS zeros,
+                   CASE WHEN raw <= 2.5 * {m} AND ({m} - nonzero) > 0
+                        THEN CAST(floor({m} * ln(CAST({m} AS DOUBLE)
+                                   / ({m} - nonzero)) + 0.5) AS BIGINT)
+                        ELSE CAST(floor(raw + 0.5) AS BIGINT)
+                   END AS approx_n
+            FROM (
+              SELECT count(*) AS nonzero,
+                     (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m}
+                       * CAST(1::HUGEINT << {top} AS DOUBLE)
+                       / CAST(sum(1::HUGEINT << ({top} - r))
+                              + CAST({m} - count(*) AS HUGEINT)
+                                * (1::HUGEINT << {top}) AS DOUBLE) AS raw
+              FROM (
+                SELECT max(CASE WHEN (hv & {mask}::UBIGINT) = 0 THEN {top}
+                           ELSE position('1' IN lpad(bin(hv & {mask}::UBIGINT),
+                                                     {r_bits}, '0'))
+                           END) AS r
+                FROM (
+                  SELECT CAST(concat('0x',
+                           substr(md5(CAST({col} AS VARCHAR)), 1, 16))
+                         AS UBIGINT) AS hv
+                  FROM events WHERE {col} IS NOT NULL
+                )
+                GROUP BY hv >> {r_bits}
+              )
+            )""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 def _q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP (event_type, hour) — multi-level aggregate
     (functions/relational.py::rollup_counts): the finest level is ONE
@@ -2289,9 +2359,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a driver-green CORRECTNESS row to the FRONT of the dict and parks
     # multi-round-green queries at the tail, so that over rounds every
     # query accumulates a driver-green row. Round 4 third session:
-    # kg_fuzzy_name_pairs (new, never green) joins the round-4 block,
-    # which pushes dedup_simhash_documents (r3-green) to position 51
-    # just outside the window. Round 4: the 8 relational /
+    # kg_fuzzy_name_pairs and events_approx_distinct (new, never green)
+    # join the round-4 block, which pushes kg_quick_search and
+    # dedup_simhash_documents (both r3-green) to positions 51-52 just
+    # outside the window. Round 4: the 8 relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
@@ -2360,6 +2431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "kg_entity_lifespan": _q_kg_entity_lifespan,
         "kg_fuzzy_name_pairs": _q_kg_fuzzy_names,
+        "events_approx_distinct": _q_events_approx_distinct,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3294,6 +3366,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(max(level) AS BIGINT) AS max_level
             FROM read_parquet('{_nodes}')
         """,
+        # HLL replay generated per column (md5 hash, exact-int registers)
+        "events_approx_distinct": _hll_oracle_sql(),
         "kg_fuzzy_name_pairs": f"""
             -- blocked Levenshtein name join replay (editdist.py): same
             -- prefix-3 blocking, 500-name hot-block cutoff, |len diff|

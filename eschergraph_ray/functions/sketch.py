@@ -22,28 +22,37 @@ fixed-size register array and NO shuffle at all:
 
 The standard bias-corrected estimator with linear counting below the
 small-range threshold. Relative error ~= 1.04 / sqrt(2^p) (p=12 ->
-~1.6%). Deliberately NOT registered as a driver query: the driver
-compares value bytes exactly and an approximate count has no SQL
-oracle — accuracy is asserted in pytest against exact counts instead.
+~1.6%).
+
+Two hash flavors: blake2b (default, fastest) for library use, and md5
+(``hashname="md5"``) whose 64-bit prefix DuckDB can replay byte-exactly
+(``CAST('0x' || substr(md5(v),1,16) AS UBIGINT)``) — that makes the
+ENTIRE sketch SQL-oracleable (register indexes, ranks, the integer-
+scaled denominator and the final estimate are all deterministic), so
+the md5 variant IS registered as a driver query
+(``events_approx_distinct``); accuracy vs exact counts stays asserted
+in pytest.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
 
 
-def _hash64(values: list) -> np.ndarray:
-    """Deterministic 64-bit hashes (blake2b digest prefix)."""
+def _hash64(values: list, hashname: str = "blake2b") -> np.ndarray:
+    """Deterministic 64-bit hashes (digest prefix, big-endian)."""
+    if hashname == "blake2b":
+        mk = lambda v: hashlib.blake2b(str(v).encode(), digest_size=8).digest()
+    elif hashname == "md5":  # DuckDB-replayable: substr(md5(v),1,16)
+        mk = lambda v: hashlib.md5(str(v).encode()).digest()[:8]
+    else:
+        raise ValueError(f"unknown hashname {hashname!r}")
     return np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big"
-            )
-            for v in values
-        ),
+        (int.from_bytes(mk(v), "big") for v in values),
         dtype=np.uint64,
         count=len(values),
     )
@@ -108,6 +117,83 @@ def hll_estimate(regs: np.ndarray, p: int) -> int:
         if zeros:
             est = m * np.log(m / zeros)
     return int(round(est))
+
+
+def hll_estimate_replay(regs: np.ndarray, p: int) -> tuple[int, int]:
+    """(zeros, estimate) computed the exact way the SQL oracle replays
+    it — float-parity-safe by construction:
+
+    - the harmonic denominator sum(2^-reg) is scaled by 2^(64-p+1) into
+      EXACT integers (Python arbitrary precision; DuckDB HUGEINT) so
+      summation order cannot perturb it; both engines then do the SAME
+      single int->double conversion and one divide;
+    - the raw-estimate product is written in the same left-to-right
+      order on both sides;
+    - the final integer is floor(x + 0.5) (exact op) rather than a
+      round() whose half-even/half-away semantics differ per engine.
+
+    Unlike ``hll_estimate`` (float exp2 sum, banker's round) this is
+    byte-stable across engines; estimates agree with ``hll_estimate``
+    to well within the sketch's own error."""
+    m = 1 << p
+    top = 64 - p + 1  # rank for an all-zero suffix; empty register = 0
+    counts = np.bincount(regs.astype(np.int64), minlength=top + 1)
+    S = sum(int(c) << (top - r) for r, c in enumerate(counts) if c)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m * float(1 << top) / float(S)
+    zeros = int(counts[0])
+    if raw <= 2.5 * m and zeros:
+        n = math.floor(m * math.log(m / zeros) + 0.5)
+    else:
+        n = math.floor(raw + 0.5)
+    return zeros, int(n)
+
+
+def approx_distinct_multi(ds, cols: dict[str, int],
+                          hashname: str = "md5") -> pa.Table:
+    """Fused multi-column HLL: ONE streaming pass folds every column
+    into its own register array per batch (rows are (col, packed regs)
+    — KBs per batch regardless of input size), registers max-merge on
+    the driver (model-state-sized), and each column's estimate uses the
+    SQL-replay estimator. Returns an arrow table
+    (column, p, zeros, approx_n) sorted by column name. Null values are
+    dropped (mirroring SQL's ``WHERE col IS NOT NULL``)."""
+    items = sorted(cols.items())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        names, blobs = [], []
+        for col, p in items:
+            vals = batch[col].drop_null().to_pylist()
+            names.append(col)
+            blobs.append(_fold(_hash64(vals, hashname), p).tobytes())
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "regs": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    merged = {col: np.zeros(1 << p, np.uint8) for col, p in items}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for col, buf in zip(b["col"].to_pylist(), b["regs"].to_pylist()):
+            merged[col] = np.maximum(merged[col], np.frombuffer(buf, np.uint8))
+    rows = []
+    for col, p in items:
+        zeros, n = hll_estimate_replay(merged[col], p)
+        rows.append((col, p, zeros, n))
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "p": pa.array([r[1] for r in rows], pa.int64()),
+            "zeros": pa.array([r[2] for r in rows], pa.int64()),
+            "approx_n": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------

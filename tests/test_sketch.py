@@ -125,3 +125,34 @@ def test_cms_total_mass_per_row():
     vals = [str(i) for i in range(321)]
     mat = cms_build(_ids_ds(vals), "v", w=64, d=2)
     assert (mat.sum(axis=1) == 321).all()
+
+
+def test_replay_estimator_tracks_float_estimator():
+    from eschergraph_ray.functions.sketch import hll_estimate_replay
+
+    for n in (50, 3_000, 60_000):
+        regs = _fold(_hash64([f"r{i}" for i in range(n)], "md5"), 12)
+        zeros, est = hll_estimate_replay(regs, 12)
+        assert zeros == int(np.count_nonzero(regs == 0))
+        # replay estimator and float estimator agree far inside the
+        # sketch's own ~1.6% error
+        assert abs(est - hll_estimate(regs, 12)) <= max(2, n // 200)
+        assert abs(est - n) / n < 0.06
+
+
+def test_approx_distinct_multi_fused_pass(ray_session):
+    from eschergraph_ray.functions.sketch import approx_distinct_multi
+
+    n = 4_000
+    tbl = pa.table(
+        {
+            "a": pa.array([f"a{i}" for i in range(n)], pa.string()),
+            "b": pa.array([f"b{i % 7}" for i in range(n)], pa.string()),
+        }
+    )
+    out = approx_distinct_multi(
+        rd.from_arrow(tbl).repartition(5), {"a": 12, "b": 12}
+    )
+    got = {r["column"]: r["approx_n"] for r in out.to_pylist()}
+    assert got["b"] == 7  # linear counting is exact this small
+    assert abs(got["a"] - n) / n < 0.05
