@@ -2110,6 +2110,69 @@ def _q_kg_fuzzy_names(sf_dir: str):
     return pairs.sort(["name_a", "name_b"])
 
 
+def _q_embeddings_kcore(sf_dir: str):
+    """k-core of the semantic kNN graph (graph_metrics.kcore_nodes
+    composed over knn_from_pairs): peel nodes with < 2 mutually-strong
+    neighbors until fixed point — the dense-cluster-seed extraction of
+    graph-based curation (a k-core survivor is supported by >= k
+    near-duplicate-grade neighbors, not one chance pair). Fixed
+    12-round contract, loud failure if unconverged, each round one
+    degree groupby + two clamped anti-joins; the oracle unrolls the
+    same 12 idempotent rounds."""
+    import pyarrow as pa
+
+    from eschergraph_ray.functions.graph_metrics import kcore_nodes
+
+    knn = _q_embeddings_knn(sf_dir)
+    core = kcore_nodes(knn, "vec_id", "neighbor_id", k=2, iters=12)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["vec_id", "core_degree"])
+
+    return (
+        core.map_batches(rename, batch_format="pyarrow")
+        .sort(["core_degree", "vec_id"], descending=[True, False])
+    )
+
+
+def _kcore_oracle_sql(knn_sql: str, k: int, iters: int) -> str:
+    """Unrolled replay of kcore_nodes: exactly ``iters`` peel rounds
+    (idempotent after the fixed point the Ray side asserts), composed
+    over the kNN-graph oracle so the edge semantics cannot drift."""
+    # AS MATERIALIZED is load-bearing: each e{{i}} references e{{i-1}}
+    # four times — inlined, the 12-round chain re-evaluates the base
+    # scan 4^12 times (observed: fd exhaustion before any result)
+    parts = [
+        f"""
+        WITH knn AS MATERIALIZED ({knn_sql}),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                          greatest(vec_id, neighbor_id) AS b
+          FROM knn WHERE vec_id <> neighbor_id
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        d{i} AS MATERIALIZED (
+          SELECT node, count(*) AS c
+          FROM (SELECT a AS node FROM e{i - 1}
+                UNION ALL SELECT b FROM e{i - 1})
+          GROUP BY node
+        ),
+        e{i} AS MATERIALIZED (
+          SELECT a, b FROM e{i - 1}
+          WHERE a NOT IN (SELECT node FROM d{i} WHERE c < {k})
+            AND b NOT IN (SELECT node FROM d{i} WHERE c < {k})
+        )""")
+    parts.append(f"""
+        SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (SELECT a AS node FROM e{iters}
+              UNION ALL SELECT b FROM e{iters})
+        GROUP BY node
+        ORDER BY core_degree DESC, vec_id""")
+    return "".join(parts)
+
+
 _HLL_COLS = {"event_id": 8, "event_type": 12, "props": 12, "user_id": 12}
 
 
@@ -2359,10 +2422,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a driver-green CORRECTNESS row to the FRONT of the dict and parks
     # multi-round-green queries at the tail, so that over rounds every
     # query accumulates a driver-green row. Round 4 third session:
-    # kg_fuzzy_name_pairs and events_approx_distinct (new, never green)
-    # join the round-4 block, which pushes kg_quick_search and
-    # dedup_simhash_documents (both r3-green) to positions 51-52 just
-    # outside the window. Round 4: the 8 relational /
+    # kg_fuzzy_name_pairs, events_approx_distinct and embeddings_kcore
+    # (new, never green) join the round-4 block, which pushes
+    # kg_embeddings, kg_quick_search and dedup_simhash_documents (all
+    # r3-green) to positions 51-53 just outside the window. Round 4:
+    # the 8 relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
@@ -2432,6 +2496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_lifespan": _q_kg_entity_lifespan,
         "kg_fuzzy_name_pairs": _q_kg_fuzzy_names,
         "events_approx_distinct": _q_events_approx_distinct,
+        "embeddings_kcore": _q_embeddings_kcore,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4737,6 +4802,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 3
     """
+    # k-core of the kNN graph: 12 unrolled peel rounds composed over
+    # the kNN replay (graph_metrics.kcore_nodes)
+    d["embeddings_kcore"] = _kcore_oracle_sql(
+        d["embeddings_knn_semantic"], k=2, iters=12
+    )
     # related entities: conversation-co-occurrence PMI over level-0
     # names (graph_metrics.cooccurrence_pmi_topk) — exact int counts,
     # integer micro-nat score (the bigram_pmi ln-replay device)

@@ -1,0 +1,70 @@
+"""k-core decomposition: fixed-iteration peel vs brute force."""
+
+import pyarrow as pa
+import ray.data as rd
+
+def test_kcore_matches_bruteforce_peel(ray_session):
+    import random
+
+    from eschergraph_ray.functions.graph_metrics import kcore_nodes
+
+    rng = random.Random(11)
+    n = 60
+    edges = {(a, b) for _ in range(220)
+             for a, b in [sorted(rng.sample(range(n), 2))]}
+    # reference peel
+    from collections import defaultdict
+
+    def brute(k):
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b); adj[b].add(a)
+        while True:
+            bad = [x for x, v in adj.items() if len(v) < k]
+            if not bad:
+                return {x: len(v) for x, v in adj.items()}
+            for x in bad:
+                for y in adj[x]:
+                    adj[y].discard(x)
+                del adj[x]
+
+    tbl = pa.table(
+        {
+            "s": pa.array([a for a, _ in edges], pa.int64()),
+            "d": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    for k, cutoff in [(3, 0), (5, 0), (9, 0), (3, 10**6), (5, 10**6)]:
+        # cutoff=0 forces the distributed peel; the large cutoff takes
+        # the driver fast path — both must agree with brute force
+        out = kcore_nodes(
+            rd.from_arrow(tbl).repartition(4), "s", "d", k=k, iters=30,
+            small_edge_cutoff=cutoff,
+        ).to_pandas()
+        # to_pandas() on a fully-empty dataset drops the schema
+        got = (
+            {} if len(out) == 0
+            else dict(zip(out["node"], out["core_degree"]))
+        )
+        assert got == brute(k), f"k={k}"
+
+
+def test_kcore_empty_and_nonconvergence_guard(ray_session):
+    import pytest as _pytest
+
+    from eschergraph_ray.functions.graph_metrics import kcore_nodes
+
+    # path graph: 1-2-3; k=2 peels everything (in a few rounds)
+    tbl = pa.table(
+        {"s": pa.array([1, 2], pa.int64()), "d": pa.array([2, 3], pa.int64())}
+    )
+    for cutoff in (0, 10**6):
+        out = kcore_nodes(
+            rd.from_arrow(tbl), "s", "d", k=2, iters=10,
+            small_edge_cutoff=cutoff,
+        ).to_pandas()
+        assert len(out) == 0
+        # iters too small to converge -> loud failure, never a wrong answer
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            kcore_nodes(rd.from_arrow(tbl), "s", "d", k=2, iters=1,
+                        small_edge_cutoff=cutoff)
