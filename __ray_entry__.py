@@ -2135,6 +2135,18 @@ def _q_embeddings_kcore(sf_dir: str):
     )
 
 
+def _q_doc_token_entropy(sf_dir: str):
+    """Per-doc token-distribution Shannon entropy
+    (textstats.token_entropy) — the vocabulary-diversity quality
+    signal. All-integer output via the micro-unit parity device:
+    per-term c*log2(c) quantized to int64 micro-units (libm log2 on
+    both engines), exact int sum, one final identical float expression
+    for h_micro."""
+    from eschergraph_ray.functions.textstats import token_entropy
+
+    return token_entropy(_docs(sf_dir), "doc_id", "text").sort("doc_id")
+
+
 def _kcore_oracle_sql(knn_sql: str, k: int, iters: int) -> str:
     """Unrolled replay of kcore_nodes: exactly ``iters`` peel rounds
     (idempotent after the fixed point the Ray side asserts), composed
@@ -2422,10 +2434,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a driver-green CORRECTNESS row to the FRONT of the dict and parks
     # multi-round-green queries at the tail, so that over rounds every
     # query accumulates a driver-green row. Round 4 third session:
-    # kg_fuzzy_name_pairs, events_approx_distinct and embeddings_kcore
-    # (new, never green) join the round-4 block, which pushes
+    # kg_fuzzy_name_pairs, events_approx_distinct, embeddings_kcore
+    # and doc_token_entropy (new, never green) join the round-4 block,
+    # which makes kg_chunks position 50 and pushes kg_lineage,
     # kg_embeddings, kg_quick_search and dedup_simhash_documents (all
-    # r3-green) to positions 51-53 just outside the window. Round 4:
+    # r3-green) to positions 51-54 just outside the window. Round 4:
     # the 8 relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
@@ -2497,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fuzzy_name_pairs": _q_kg_fuzzy_names,
         "events_approx_distinct": _q_events_approx_distinct,
         "embeddings_kcore": _q_embeddings_kcore,
+        "doc_token_entropy": _q_doc_token_entropy,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3433,6 +3447,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # HLL replay generated per column (md5 hash, exact-int registers)
         "events_approx_distinct": _hll_oracle_sql(),
+        "doc_token_entropy": r"""
+            -- token-entropy replay (textstats.token_entropy): same
+            -- [a-z]+ lowered tokens as the repetition rule; per-term
+            -- c*log2(c) micro-quantized (libm log2, identical multiply
+            -- order, round-half-away), exact int64 sum, one final
+            -- identical float expression
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY doc_id, tok
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(round(c * log2(c) * 1000000.0, 0)
+                                   AS BIGINT)) AS BIGINT) AS s_micro,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct
+              FROM c GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_distinct, s_micro,
+                   CAST(round((log2(n_tokens) - (s_micro / 1000000.0)
+                               / n_tokens) * 1000000.0, 0)
+                        AS BIGINT) AS h_micro
+            FROM agg ORDER BY doc_id
+        """,
         "kg_fuzzy_name_pairs": f"""
             -- blocked Levenshtein name join replay (editdist.py): same
             -- prefix-3 blocking, 500-name hot-block cutoff, |len diff|

@@ -15,6 +15,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _ALPHA = re.compile(r"[A-Za-z]")
 _PUNCT = re.compile(r"[^\w\s]")
@@ -505,3 +506,99 @@ def normalize_text(ds, id_col: str, text_col: str,
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy (vocabulary-diversity quality signal)
+# ---------------------------------------------------------------------------
+
+_LOG2_MEMO: dict[int, float] = {}
+
+
+def _log2_int(n: int) -> float:
+    """math.log2 (one libm call — DuckDB's log2 is the same libm, so
+    values are bit-identical; numpy's SIMD np.log2 is NOT guaranteed
+    to be) with a memo over the small-int counts that dominate."""
+    import math
+
+    v = _LOG2_MEMO.get(n)
+    if v is None:
+        v = _LOG2_MEMO[n] = math.log2(n)
+    return v
+
+
+def token_entropy(ds, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the token distribution — the
+    vocabulary-diversity quality signal (low entropy = boilerplate /
+    keyword-stuffed / repetitive text; complements the Gopher
+    repetition integers above). Tokens are the same ``[a-z]+`` lowered
+    words the repetition rule uses.
+
+    Float-parity device (the round-4 int-micro-unit discipline): each
+    per-term value c*log2(c) is quantized to an int64 micro-unit with
+    ONE identical op chain on both engines (int->double multiply chain
+    + round-half-towards-infinity), summed exactly in int64, and the
+    final entropy h_micro = (log2(n) - (S/1e6)/n) * 1e6 is again a
+    single identical expression. log2 comes from libm on both sides
+    (math.log2 here, never numpy's SIMD log2).
+
+    Emits (id, n_tokens, n_distinct, s_micro, h_micro); documents with
+    zero tokens are dropped (the SQL unnest path drops them too)."""
+    import numpy as np
+
+    from ..stages.chunking import pin_arrow_threads
+
+    def stats(batch: pa.Table) -> pa.Table:
+        pin_arrow_threads()
+        ids, n_tok, n_dis, offsets, flat = [], [], [], [0], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = _REP_WORD.findall((t or "").lower())
+            if not toks:
+                continue
+            counts = {}
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + 1
+            ids.append(i)
+            n_tok.append(len(toks))
+            n_dis.append(len(counts))
+            flat.extend(counts.values())
+            offsets.append(len(flat))
+        if not ids:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "s_micro": pa.array([], pa.int64()),
+                    "h_micro": pa.array([], pa.int64()),
+                }
+            )
+        c = np.asarray(flat, dtype=np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        l2 = np.array([_log2_int(int(v)) for v in u], np.float64)[inv]
+        term = c.astype(np.float64) * l2 * 1e6  # same order as the SQL
+        s_terms = np.asarray(
+            pc.round(pa.array(term), ndigits=0,
+                     round_mode="half_towards_infinity")
+        ).astype(np.int64)
+        s = np.add.reduceat(s_terms, offsets[:-1])
+        n = np.asarray(n_tok, np.int64)
+        log2n = np.array([_log2_int(int(v)) for v in n], np.float64)
+        h = (log2n - (s / 1e6) / n) * 1e6
+        h_micro = np.asarray(
+            pc.round(pa.array(h), ndigits=0,
+                     round_mode="half_towards_infinity")
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_distinct": pa.array(n_dis, pa.int64()),
+                "s_micro": pa.array(s, pa.int64()),
+                "h_micro": pa.array(h_micro, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -199,3 +199,38 @@ def test_render_table_elements_stage(ray_session):
             row["row_count"], row["column_count"], row["cells"] or []
         )
         assert by_id[row["spec_id"]] == expected
+
+
+def test_token_entropy_hand_values(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.textstats import token_entropy
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a b a", "zzz zzz zzz", "", "Mixed CASE mixed"]
+            ),
+        }
+    )
+    out = (
+        token_entropy(rd.from_arrow(tbl), "doc_id", "text")
+        .sort("doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc 3 (no tokens) is dropped, mirroring the SQL unnest path
+    assert list(out.index) == [1, 2, 4]
+    # "a b a": counts {a:2, b:1} -> S = round(2*log2(2)*1e6) = 2_000_000
+    assert out.loc[1, "n_tokens"] == 3 and out.loc[1, "n_distinct"] == 2
+    assert out.loc[1, "s_micro"] == 2_000_000
+    h = (math.log2(3) - 2_000_000 / 1e6 / 3) * 1e6
+    assert out.loc[1, "h_micro"] == math.floor(h + 0.5)
+    # constant doc: entropy exactly 0
+    assert out.loc[2, "h_micro"] == 0 and out.loc[2, "n_distinct"] == 1
+    # case-folding: "mixed" counted twice
+    assert out.loc[4, "n_tokens"] == 3 and out.loc[4, "n_distinct"] == 2
