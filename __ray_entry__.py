@@ -2147,6 +2147,22 @@ def _q_doc_token_entropy(sf_dir: str):
     return token_entropy(_docs(sf_dir), "doc_id", "text").sort("doc_id")
 
 
+def _q_docs_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (ranking.rrf_fuse) of
+    the BM25 keyword top-15 and the ANN cosine top-10 over the SAME
+    corpus ids — the standard lexical+semantic ensembling step. Both
+    inputs are the registered queries' own outputs (provably-small
+    top-k lists), so fusion is driver-side model-state arithmetic at
+    any corpus size; scores are nano-quantized ints."""
+    from eschergraph_ray.functions.ranking import rrf_fuse
+
+    bm = _q_docs_bm25_topk(sf_dir).to_pandas()
+    ann = _q_ann_topk(sf_dir).to_pandas()
+    return rrf_fuse(
+        {"bm25": list(bm["doc_id"]), "ann": list(ann["vec_id"])}, k0=60
+    )
+
+
 def _kcore_oracle_sql(knn_sql: str, k: int, iters: int) -> str:
     """Unrolled replay of kcore_nodes: exactly ``iters`` peel rounds
     (idempotent after the fixed point the Ray side asserts), composed
@@ -2434,12 +2450,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a driver-green CORRECTNESS row to the FRONT of the dict and parks
     # multi-round-green queries at the tail, so that over rounds every
     # query accumulates a driver-green row. Round 4 third session:
-    # kg_fuzzy_name_pairs, events_approx_distinct, embeddings_kcore
-    # and doc_token_entropy (new, never green) join the round-4 block,
-    # which makes kg_chunks position 50 and pushes kg_lineage,
-    # kg_embeddings, kg_quick_search and dedup_simhash_documents (all
-    # r3-green) to positions 51-54 just outside the window. Round 4:
-    # the 8 relational /
+    # kg_fuzzy_name_pairs, events_approx_distinct, embeddings_kcore,
+    # doc_token_entropy and docs_hybrid_rrf (new, never green) join the
+    # round-4 block, which makes kg_properties position 50 and pushes
+    # kg_chunks, kg_lineage, kg_embeddings, kg_quick_search and
+    # dedup_simhash_documents (all r3-green) to positions 51-55 just
+    # outside the window. Round 4: the 8 relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
@@ -2511,6 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_distinct": _q_events_approx_distinct,
         "embeddings_kcore": _q_embeddings_kcore,
         "doc_token_entropy": _q_doc_token_entropy,
+        "docs_hybrid_rrf": _q_docs_hybrid_rrf,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4850,6 +4867,30 @@ def oracle_sql() -> dict[str, str]:
     d["embeddings_kcore"] = _kcore_oracle_sql(
         d["embeddings_knn_semantic"], k=2, iters=12
     )
+    # hybrid RRF composed over the BM25 and ANN oracles (same ranked
+    # lists the Ray side fuses); two-term IEEE addition is commutative
+    # so list order cannot perturb the fused score
+    d["docs_hybrid_rrf"] = f"""
+        WITH bm AS MATERIALIZED ({d['docs_bm25_topk']}),
+        ann AS MATERIALIZED ({d['ann_topk_cosine']}),
+        br AS (SELECT doc_id AS id,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS r
+               FROM bm),
+        ar AS (SELECT vec_id AS id,
+                      row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+               FROM ann),
+        u AS (
+          SELECT COALESCE(br.id, ar.id) AS doc_id, br.r AS rb, ar.r AS ra
+          FROM br FULL OUTER JOIN ar ON br.id = ar.id
+        )
+        SELECT doc_id,
+               CAST(COALESCE(ra, 0) AS BIGINT) AS r_ann,
+               CAST(COALESCE(rb, 0) AS BIGINT) AS r_bm25,
+               CAST(round((COALESCE(1e0 / (60 + ra), 0e0)
+                           + COALESCE(1e0 / (60 + rb), 0e0)) * 1e9, 0)
+                    AS BIGINT) AS rrf_nano
+        FROM u ORDER BY rrf_nano DESC, doc_id
+    """
     # related entities: conversation-co-occurrence PMI over level-0
     # names (graph_metrics.cooccurrence_pmi_topk) — exact int counts,
     # integer micro-nat score (the bigram_pmi ln-replay device)

@@ -130,3 +130,48 @@ def bm25_topk(
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def rrf_fuse(ranked_lists: dict[str, list], k0: int = 60) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of named top-k id lists: score(d) = sum over lists of
+    1/(k0 + rank_list(d)), ranks 1-based, absent = contributes nothing
+    (rank column 0). The inputs are driver-resident top-k lists — the
+    provably-small outputs of the upstream rankers — so fusion is pure
+    model-state arithmetic, no distributed stage needed at ANY corpus
+    size (list length is k, not N).
+
+    Float parity with the SQL replay: per-list terms are single
+    divisions added in sorted-list-name order, the fused score is
+    quantized once with round-half-towards-infinity to nano units.
+    Returns (doc_id, r_<name>..., rrf_nano) sorted (rrf_nano desc,
+    doc_id)."""
+    import pyarrow.compute as pc
+
+    names = sorted(ranked_lists)
+    rank_of = {
+        name: {d: i + 1 for i, d in enumerate(ids)}
+        for name, ids in ranked_lists.items()
+    }
+    union = sorted({d for ids in ranked_lists.values() for d in ids})
+    scores, cols = [], {n: [] for n in names}
+    for d in union:
+        s = 0.0
+        for n in names:  # fixed addition order: sorted list names
+            r = rank_of[n].get(d, 0)
+            cols[n].append(r)
+            if r:
+                s = s + 1.0 / (k0 + r)
+        scores.append(s * 1e9)
+    nano = pc.round(
+        pa.array(scores, pa.float64()), ndigits=0,
+        round_mode="half_towards_infinity",
+    ).cast(pa.int64())
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(union),
+            **{f"r_{n}": pa.array(cols[n], pa.int64()) for n in names},
+            "rrf_nano": nano,
+        }
+    )
+    return tbl.sort_by([("rrf_nano", "descending"), ("doc_id", "ascending")])

@@ -266,3 +266,29 @@ def test_bm25_oracle_sf0001():
         r.reset_index(drop=True), o.reset_index(drop=True), check_dtype=False,
         check_exact=True,
     )
+
+
+def test_rrf_fuse_semantics():
+    import math
+
+    from eschergraph_ray.functions.ranking import rrf_fuse
+
+    out = rrf_fuse(
+        {"bm25": [7, 3, 9], "ann": [3, 11]}, k0=60
+    ).to_pydict()
+    rows = {
+        d: (rb, ra, s)
+        for d, rb, ra, s in zip(
+            out["doc_id"], out["r_bm25"], out["r_ann"], out["rrf_nano"]
+        )
+    }
+    # doc 3: rank 2 in bm25, rank 1 in ann -> both terms
+    both = (1 / 62 + 1 / 61) * 1e9
+    assert rows[3] == (2, 1, math.floor(both + 0.5))
+    # doc 7: bm25 only (rank 1); absent rank sentinel is 0
+    assert rows[7] == (1, 0, math.floor(1 / 61 * 1e9 + 0.5))
+    # doc 11: ann only (rank 2)
+    assert rows[11] == (0, 2, math.floor(1 / 62 * 1e9 + 0.5))
+    # ordering: fused score desc, then id
+    assert out["doc_id"][0] == 3
+    assert out["rrf_nano"] == sorted(out["rrf_nano"], reverse=True)
