@@ -2201,6 +2201,90 @@ def _kcore_oracle_sql(knn_sql: str, k: int, iters: int) -> str:
     return "".join(parts)
 
 
+_CMS_W, _CMS_D = 1024, 3
+
+
+def _q_docs_cms_counts(sf_dir: str):
+    """Count-Min heavy-hitter estimates vs exact counts (sketch.py
+    cms_build/cms_query, md5 flavor): ONE streaming pass folds every
+    token instance into a d x w counter matrix (per-batch partials sum
+    on the driver — the mergeable-sketch exchange is #batches * d * w
+    ints, never token instances), then the exact top-20 tokens are
+    probed (min over d rows). Output shows the one-sided guarantee
+    n_cms >= n_exact; the oracle replays bucket sums AND the
+    min-estimate in SQL."""
+    import pyarrow as pa
+
+    from eschergraph_ray.functions.sketch import cms_build, cms_query
+    from eschergraph_ray.functions.vocab import vocab_topk
+
+    docs = _docs(sf_dir)
+
+    def toks(b: pa.Table) -> pa.Table:
+        from eschergraph_ray.functions.text import _TOKEN_RE
+
+        out = []
+        for t in b["text"].to_pylist():
+            out.extend(_TOKEN_RE.findall((t or "").lower()))
+        return pa.table({"token": pa.array(out, pa.string())})
+
+    mat = cms_build(
+        docs.map_batches(toks, batch_format="pyarrow"), "token",
+        w=_CMS_W, d=_CMS_D, hashname="md5",
+    )
+    top = vocab_topk(docs, "text", k=20).to_pandas()
+    est = cms_query(mat, list(top["token"]), hashname="md5")
+    return pa.table(
+        {
+            "token": pa.array(list(top["token"]), pa.string()),
+            "n_exact": pa.array(list(top["n"]), pa.int64()),
+            "n_cms": pa.array(est, pa.int64()),
+        }
+    )
+
+
+def _cms_oracle_sql() -> str:
+    """Full SQL replay of the md5-flavor Count-Min sketch: per hash row
+    r, bucket(tok) = md5('r:' || tok) 64-bit prefix % w; bucket sums
+    aggregate EXACT per-token counts (same totals as folding instances
+    one by one); estimate = least() over the d rows."""
+    w, d = _CMS_W, _CMS_D
+    rows = []
+    for r in range(d):
+        rows.append(f"""
+        h{r} AS MATERIALIZED (
+          SELECT tok, n,
+                 CAST(concat('0x', substr(md5(concat('{r}:', tok)), 1, 16))
+                      AS UBIGINT) % {w} AS b
+          FROM c
+        ),
+        s{r} AS MATERIALIZED (
+          SELECT b, CAST(sum(n) AS BIGINT) AS s FROM h{r} GROUP BY b
+        ),
+        e{r} AS MATERIALIZED (
+          SELECT h{r}.tok, s{r}.s FROM h{r} JOIN s{r} USING (b)
+        )""")
+    joins = " ".join(
+        f"JOIN e{r} ON e{r}.tok = top.tok" for r in range(d)
+    )
+    least = ", ".join(f"e{r}.s" for r in range(d))
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT unnest(regexp_extract_all(lower(text),
+              '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS tok
+          FROM documents
+        ),
+        c AS MATERIALIZED (
+          SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+        ),{",".join(rows)},
+        top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 20)
+        SELECT top.tok AS token, top.n AS n_exact,
+               CAST(least({least}) AS BIGINT) AS n_cms
+        FROM top {joins}
+        ORDER BY n_exact DESC, token
+    """
+
+
 _HLL_COLS = {"event_id": 8, "event_type": 12, "props": 12, "user_id": 12}
 
 
@@ -2451,11 +2535,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multi-round-green queries at the tail, so that over rounds every
     # query accumulates a driver-green row. Round 4 third session:
     # kg_fuzzy_name_pairs, events_approx_distinct, embeddings_kcore,
-    # doc_token_entropy and docs_hybrid_rrf (new, never green) join the
-    # round-4 block, which makes kg_properties position 50 and pushes
-    # kg_chunks, kg_lineage, kg_embeddings, kg_quick_search and
-    # dedup_simhash_documents (all r3-green) to positions 51-55 just
-    # outside the window. Round 4: the 8 relational /
+    # doc_token_entropy, docs_hybrid_rrf and docs_cms_counts (new,
+    # never green) join the round-4 block, which makes kg_edges
+    # position 50 and pushes kg_properties, kg_chunks, kg_lineage,
+    # kg_embeddings, kg_quick_search and dedup_simhash_documents (all
+    # r3-green) to positions 51-56 just outside the window. Round 4:
+    # the 8 relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
@@ -2528,6 +2613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kcore": _q_embeddings_kcore,
         "doc_token_entropy": _q_doc_token_entropy,
         "docs_hybrid_rrf": _q_docs_hybrid_rrf,
+        "docs_cms_counts": _q_docs_cms_counts,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3464,6 +3550,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # HLL replay generated per column (md5 hash, exact-int registers)
         "events_approx_distinct": _hll_oracle_sql(),
+        # Count-Min replay (md5 bucket hash, exact-int bucket sums)
+        "docs_cms_counts": _cms_oracle_sql(),
         "doc_token_entropy": r"""
             -- token-entropy replay (textstats.token_entropy): same
             -- [a-z]+ lowered tokens as the repetition rule; per-term

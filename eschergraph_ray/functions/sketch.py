@@ -212,29 +212,31 @@ def approx_distinct_multi(ds, cols: dict[str, int],
 #     sketches; the d x w int64 matrix is model state on the driver.
 #
 # Guarantee: estimate(v) >= true(v), and <= true(v) + (e/w) * N with
-# probability 1 - (1/e)^d. Like the HLL, deliberately NOT a driver
-# query (approximate counts have no exact-hash SQL oracle) — accuracy
-# is pytest-bound against exact counts.
+# probability 1 - (1/e)^d. The md5 hash flavor is DuckDB-replayable
+# (``md5(concat('<row>:', v))`` prefix % w) — the ``docs_cms_counts``
+# driver query replays bucket sums AND the min-over-rows estimate in
+# SQL; accuracy stays pytest-bound against exact counts too.
 
 
-def _cms_hash(values: list, seed: int, w: int) -> np.ndarray:
+def _cms_hash(values: list, seed: int, w: int,
+              hashname: str = "blake2b") -> np.ndarray:
+    if hashname == "blake2b":
+        mk = lambda v: hashlib.blake2b(
+            str(v).encode(), digest_size=8, salt=seed.to_bytes(8, "big")
+        ).digest()
+    elif hashname == "md5":  # replay: md5(concat('<seed>:', v))
+        mk = lambda v: hashlib.md5(f"{seed}:{v}".encode()).digest()[:8]
+    else:
+        raise ValueError(f"unknown hashname {hashname!r}")
     return np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(
-                    str(v).encode(), digest_size=8, salt=seed.to_bytes(8, "big")
-                ).digest(),
-                "big",
-            )
-            % w
-            for v in values
-        ),
+        (int.from_bytes(mk(v), "big") % w for v in values),
         dtype=np.int64,
         count=len(values),
     )
 
 
-def cms_partials(ds, col: str, w: int = 2048, d: int = 4):
+def cms_partials(ds, col: str, w: int = 2048, d: int = 4,
+                 hashname: str = "blake2b"):
     """One packed d x w counter row per batch (the combiner)."""
     if d < 1 or w < 8:
         raise ValueError("need d >= 1, w >= 8")
@@ -246,27 +248,31 @@ def cms_partials(ds, col: str, w: int = 2048, d: int = 4):
         vals = batch[col].to_pylist()
         mat = np.zeros((d, w), np.int64)
         for row in range(d):
-            np.add.at(mat[row], _cms_hash(vals, row, w), 1)
+            np.add.at(mat[row], _cms_hash(vals, row, w, hashname), 1)
         return pa.table({"cms": pa.array([mat.tobytes()], pa.large_binary())})
 
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
-def cms_build(ds, col: str, w: int = 2048, d: int = 4) -> np.ndarray:
+def cms_build(ds, col: str, w: int = 2048, d: int = 4,
+              hashname: str = "blake2b") -> np.ndarray:
     """Merged d x w Count-Min matrix (model state)."""
     mat = np.zeros((d, w), np.int64)
-    for b in cms_partials(ds, col, w, d).iter_batches(batch_format="pyarrow"):
+    for b in cms_partials(ds, col, w, d, hashname).iter_batches(
+        batch_format="pyarrow"
+    ):
         for buf in b["cms"].to_pylist():
             mat += np.frombuffer(buf, np.int64).reshape(d, w)
     return mat
 
 
-def cms_query(mat: np.ndarray, values: list) -> np.ndarray:
+def cms_query(mat: np.ndarray, values: list,
+              hashname: str = "blake2b") -> np.ndarray:
     """Point-estimate counts for ``values`` (min over the d rows) —
     one vectorized probe per row, never an error below the true
     count."""
     d, w = mat.shape
     est = np.full(len(values), np.iinfo(np.int64).max, np.int64)
     for row in range(d):
-        est = np.minimum(est, mat[row, _cms_hash(values, row, w)])
+        est = np.minimum(est, mat[row, _cms_hash(values, row, w, hashname)])
     return est

@@ -156,3 +156,19 @@ def test_approx_distinct_multi_fused_pass(ray_session):
     got = {r["column"]: r["approx_n"] for r in out.to_pylist()}
     assert got["b"] == 7  # linear counting is exact this small
     assert abs(got["a"] - n) / n < 0.05
+
+
+def test_cms_md5_flavor_matches_guarantees(ray_session):
+    from eschergraph_ray.functions.sketch import cms_build, cms_query
+
+    vals = [f"t{i % 37}" for i in range(5_000)] + ["hot"] * 800
+    ds = _ids_ds(vals, blocks=6)
+    mat = cms_build(ds, "v", w=64, d=3, hashname="md5")
+    probe = [f"t{i}" for i in range(37)] + ["hot", "absent"]
+    est = cms_query(mat, probe, hashname="md5")
+    from collections import Counter
+
+    true = Counter(vals)
+    for t, e in zip(probe, est):
+        assert e >= true[t]  # never underestimates
+    assert mat.sum() == 3 * len(vals)
