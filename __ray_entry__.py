@@ -2201,6 +2201,69 @@ def _kcore_oracle_sql(knn_sql: str, k: int, iters: int) -> str:
     return "".join(parts)
 
 
+def _q_embeddings_label_prop(sf_dir: str):
+    """Label-propagation communities of the semantic kNN graph
+    (graph_metrics.label_propagation): 6 synchronous rounds,
+    most-frequent-neighbor label with smallest-label tie-break —
+    the linear-time community detector that complements the Louvain
+    used as internal KG model state (this one is fully SQL-replayable
+    because the round count is FIXED: determinism needs no convergence
+    argument, even mid-oscillation)."""
+    import pyarrow as pa
+
+    from eschergraph_ray.functions.graph_metrics import label_propagation
+
+    knn = _q_embeddings_knn(sf_dir)
+    lab = label_propagation(knn, "vec_id", "neighbor_id", rounds=6)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["vec_id", "label"])
+
+    return lab.map_batches(rename, batch_format="pyarrow").sort("vec_id")
+
+
+def _lpa_oracle_sql(knn_sql: str, rounds: int) -> str:
+    """Unrolled replay of label_propagation over the kNN-graph oracle:
+    per round, neighbor-label counts then row_number argmax with
+    (count desc, label asc). AS MATERIALIZED throughout — the chained
+    CTEs otherwise re-inline exponentially (the kcore lesson)."""
+    parts = [
+        f"""
+        WITH knn AS MATERIALIZED ({knn_sql}),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                          greatest(vec_id, neighbor_id) AS b
+          FROM knn WHERE vec_id <> neighbor_id
+        ),
+        sym AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b AS src, a AS dst FROM e0
+        ),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS label FROM sym
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        c{i} AS MATERIALIZED (
+          SELECT s.dst AS node, l.label, count(*) AS c
+          FROM sym s JOIN l{i - 1} l ON l.node = s.src
+          GROUP BY s.dst, l.label
+        ),
+        l{i} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, label
+                   ) AS rn
+            FROM c{i}
+          ) WHERE rn = 1
+        )""")
+    parts.append(f"""
+        SELECT node AS vec_id, label FROM l{rounds} ORDER BY vec_id""")
+    return "".join(parts)
+
+
 _CMS_W, _CMS_D = 1024, 3
 
 
@@ -2535,12 +2598,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multi-round-green queries at the tail, so that over rounds every
     # query accumulates a driver-green row. Round 4 third session:
     # kg_fuzzy_name_pairs, events_approx_distinct, embeddings_kcore,
-    # doc_token_entropy, docs_hybrid_rrf and docs_cms_counts (new,
-    # never green) join the round-4 block, which makes kg_edges
-    # position 50 and pushes kg_properties, kg_chunks, kg_lineage,
-    # kg_embeddings, kg_quick_search and dedup_simhash_documents (all
-    # r3-green) to positions 51-56 just outside the window. Round 4:
-    # the 8 relational /
+    # doc_token_entropy, docs_hybrid_rrf, docs_cms_counts and
+    # embeddings_label_prop (new, never green) join the round-4 block,
+    # which makes kg_nodes position 50 and pushes kg_edges,
+    # kg_properties, kg_chunks, kg_lineage, kg_embeddings,
+    # kg_quick_search and dedup_simhash_documents (all r3-green) to
+    # positions 51-57 just outside the window. Round 4: the 8
+    # relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
@@ -2614,6 +2678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": _q_doc_token_entropy,
         "docs_hybrid_rrf": _q_docs_hybrid_rrf,
         "docs_cms_counts": _q_docs_cms_counts,
+        "embeddings_label_prop": _q_embeddings_label_prop,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4954,6 +5019,11 @@ def oracle_sql() -> dict[str, str]:
     # the kNN replay (graph_metrics.kcore_nodes)
     d["embeddings_kcore"] = _kcore_oracle_sql(
         d["embeddings_knn_semantic"], k=2, iters=12
+    )
+    # label propagation: 6 unrolled synchronous rounds over the same
+    # kNN replay (graph_metrics.label_propagation)
+    d["embeddings_label_prop"] = _lpa_oracle_sql(
+        d["embeddings_knn_semantic"], rounds=6
     )
     # hybrid RRF composed over the BM25 and ANN oracles (same ranked
     # lists the Ray side fuses); two-term IEEE addition is commutative

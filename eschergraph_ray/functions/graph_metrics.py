@@ -644,3 +644,138 @@ def kcore_nodes(edges_ds, src_col: str, dst_col: str, k: int,
         f"k-core peel did not converge within {iters} iterations — "
         f"raise `iters` (and the oracle's unroll count) together"
     )
+
+
+def _lpa_local(edges_mat, rounds: int, out_schema: pa.Schema):
+    """Driver LPA over a small materialized (a, b) edge list —
+    synchronous rounds, most-frequent neighbor label, ties -> smallest
+    label (identical to the distributed rounds and the SQL replay)."""
+    import numpy as np
+
+    tbl = pa.concat_tables(
+        list(edges_mat.iter_batches(batch_format="pyarrow"))
+        or [pa.schema([pa.field("a", out_schema.field("node").type),
+                       pa.field("b", out_schema.field("node").type)]
+                      ).empty_table()]
+    )
+    a = tbl["a"].to_numpy(zero_copy_only=False)
+    b = tbl["b"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    src = np.concatenate([ea, eb])
+    dst = np.concatenate([eb, ea])
+    label = np.arange(len(nodes), dtype=np.int64)  # label = own index
+    for _ in range(rounds):
+        # synchronous argmax of neighbor-label counts, ties -> smallest
+        # LABEL VALUE: sort (dst, label) pairs and segment-count
+        lab = label[src]
+        order = np.lexsort((lab, dst))
+        d_s, l_s = dst[order], lab[order]
+        # run starts where (dst, label) changes
+        new_run = np.empty(len(d_s), bool)
+        new_run[0] = True
+        new_run[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, len(d_s)))
+        run_dst, run_lab = d_s[starts], l_s[starts]
+        # per dst: max count, tie -> smallest label. run_lab ascending
+        # within each dst, so lexsort by (-count) stable keeps smallest
+        # label first among equal counts
+        sel = np.lexsort((run_lab, -counts, run_dst))
+        first = np.empty(len(sel), bool)
+        rd_s = run_dst[sel]
+        first[0] = True
+        first[1:] = rd_s[1:] != rd_s[:-1]
+        upd_nodes = rd_s[first]
+        upd_labels = run_lab[sel][first]
+        label = label.copy()
+        label[upd_nodes] = upd_labels
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes).cast(out_schema.field("node").type),
+                "label": pa.array(nodes[label]).cast(
+                    out_schema.field("node").type
+                ),
+            }
+        )
+    )
+
+
+def label_propagation(edges_ds, src_col: str, dst_col: str,
+                      rounds: int = 6,
+                      num_partitions: int = _DEFAULT_PARTITIONS,
+                      small_edge_cutoff: int = 200_000):
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected simple graph: every node starts labeled with itself;
+    each round ALL nodes simultaneously adopt their neighbors' most
+    frequent label (ties -> smallest label). Runs EXACTLY ``rounds``
+    rounds — no convergence requirement, so the fixed-round SQL unroll
+    is deterministic on both engines even mid-oscillation.
+
+    Distributed round = one hash join (labels onto edge sources), one
+    (node, label) count groupby, one per-node argmax; labels
+    materialize between rounds (label-table-sized, not edge-sized).
+    Below ``small_edge_cutoff`` normalized edges, a driver numpy pass
+    computes the identical rounds (the kcore_nodes fast-path
+    precedent); tests force both paths. Returns (node, label)."""
+    P = _clamp_partitions(num_partitions)
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    node_type = edges.schema().base_schema.field("a").type
+    out_schema = pa.schema(
+        [pa.field("node", node_type), pa.field("label", node_type)]
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    if edges.count() <= small_edge_cutoff:
+        return _lpa_local(edges, rounds, out_schema)
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.chunked_array(
+                    list(b["a"].chunks) + list(b["b"].chunks),
+                    type=b["a"].type,
+                ),
+                "dst": pa.chunked_array(
+                    list(b["b"].chunks) + list(b["a"].chunks),
+                    type=b["a"].type,
+                ),
+            }
+        )
+
+    sym_ds = edges.map_batches(
+        sym, batch_format="pyarrow"
+    ).repartition(P).materialize()
+    labels = (
+        sym_ds.groupby("src")
+        .count()
+        .map_batches(
+            lambda b: pa.table({"node": b["src"], "label": b["src"]}),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+
+    def argmax(df):
+        df = df.sort_values(["count()", "label"],
+                            ascending=[False, True])
+        return df.iloc[:1][["dst", "label"]].rename(
+            columns={"dst": "node"}
+        )
+
+    for _ in range(rounds):
+        cnt = (
+            sym_ds.join(labels, join_type="inner", num_partitions=P,
+                        on=("src",), right_on=("node",))
+            .groupby(["dst", "label"])
+            .count()
+        )
+        labels = (
+            cnt.groupby("dst")
+            .map_groups(argmax, batch_format="pandas")
+            .repartition(P)
+            .materialize()
+        )
+    return labels

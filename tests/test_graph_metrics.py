@@ -68,3 +68,44 @@ def test_kcore_empty_and_nonconvergence_guard(ray_session):
         with _pytest.raises(RuntimeError, match="did not converge"):
             kcore_nodes(rd.from_arrow(tbl), "s", "d", k=2, iters=1,
                         small_edge_cutoff=cutoff)
+
+
+def test_label_propagation_matches_bruteforce(ray_session):
+    import random
+    from collections import Counter, defaultdict
+
+    from eschergraph_ray.functions.graph_metrics import label_propagation
+
+    rng = random.Random(23)
+    n = 40
+    edges = {(a, b) for _ in range(80)
+             for a, b in [sorted(rng.sample(range(n), 2))]}
+
+    def brute(rounds):
+        adj = defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b); adj[b].append(a)
+        label = {x: x for x in adj}
+        for _ in range(rounds):
+            label = {
+                x: sorted(
+                    Counter(label[m] for m in adj[x]).items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0][0]
+                for x in adj
+            }
+        return label
+
+    tbl = pa.table(
+        {
+            "s": pa.array([a for a, _ in edges], pa.int64()),
+            "d": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    for rounds, cutoff in [(3, 0), (3, 10**6), (6, 10**6)]:
+        out = label_propagation(
+            rd.from_arrow(tbl).repartition(3), "s", "d", rounds=rounds,
+            small_edge_cutoff=cutoff,
+        ).to_pandas()
+        got = dict(zip(out["node"], out["label"]))
+        assert got == brute(rounds), f"rounds={rounds} cutoff={cutoff}"
