@@ -2264,6 +2264,67 @@ def _lpa_oracle_sql(knn_sql: str, rounds: int) -> str:
     return "".join(parts)
 
 
+def _q_regional_revenue(sf_dir: str):
+    """TPC-H Q5-shaped star join (relational.regional_revenue): 1996
+    revenue per ASIA nation. The two fact tables meet in distributed
+    hash joins (lineitem joins orders-with-customer on o_orderkey);
+    supplier/nation/region are broadcast dimension lookups inside the
+    fact scan; revenue is exact int64 micro-units with the
+    round-half-parity device. Reads are column-pruned."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import regional_revenue
+
+    _context()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pydict()
+    asia = {
+        rk for rk, rn in zip(reg["r_regionkey"], reg["r_name"])
+        if rn == "ASIA"
+    }
+    region_nations = {
+        int(nk) for nk, nr in zip(nat["n_nationkey"], nat["n_regionkey"])
+        if nr in asia
+    }
+    nation_name = {
+        int(nk): nm for nk, nm in zip(nat["n_nationkey"], nat["n_name"])
+    }
+    supplier_nation = {
+        int(sk): int(snk)
+        for sk, snk in zip(sup["s_suppkey"], sup["s_nationkey"])
+    }
+    lo = int(pd_ts("1996-01-01"))
+    hi = int(pd_ts("1997-01-01"))
+    return regional_revenue(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ),
+        supplier_nation, nation_name, region_nations, lo, hi,
+    )
+
+
+def pd_ts(day: str) -> int:
+    """Microseconds-since-epoch of a date literal (timestamp[us])."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(day).replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp()) * 1_000_000
+
+
 _CMS_W, _CMS_D = 1024, 3
 
 
@@ -2598,13 +2659,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multi-round-green queries at the tail, so that over rounds every
     # query accumulates a driver-green row. Round 4 third session:
     # kg_fuzzy_name_pairs, events_approx_distinct, embeddings_kcore,
-    # doc_token_entropy, docs_hybrid_rrf, docs_cms_counts and
-    # embeddings_label_prop (new, never green) join the round-4 block,
-    # which makes kg_nodes position 50 and pushes kg_edges,
-    # kg_properties, kg_chunks, kg_lineage, kg_embeddings,
-    # kg_quick_search and dedup_simhash_documents (all r3-green) to
-    # positions 51-57 just outside the window. Round 4: the 8
-    # relational /
+    # doc_token_entropy, docs_hybrid_rrf, docs_cms_counts,
+    # embeddings_label_prop and regional_revenue (8 new, never green)
+    # join the round-4 block (49 head entries), which leaves kg_triples
+    # as position 50 and pushes kg_nodes, kg_edges, kg_properties,
+    # kg_chunks, kg_lineage, kg_embeddings, kg_quick_search and
+    # dedup_simhash_documents (all r3-green) to positions 51-58 just
+    # outside the window. Round 4: the 8 relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,
@@ -2679,6 +2740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hybrid_rrf": _q_docs_hybrid_rrf,
         "docs_cms_counts": _q_docs_cms_counts,
         "embeddings_label_prop": _q_embeddings_label_prop,
+        "regional_revenue": _q_regional_revenue,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3617,6 +3679,23 @@ def oracle_sql() -> dict[str, str]:
         "events_approx_distinct": _hll_oracle_sql(),
         # Count-Min replay (md5 bucket hash, exact-int bucket sums)
         "docs_cms_counts": _cms_oracle_sql(),
+        "regional_revenue": """
+            -- TPC-H Q5 shape (relational.regional_revenue): revenue in
+            -- exact int64 micro-units (same per-row round chain)
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 1e6, 0) AS BIGINT)) AS BIGINT)
+                     AS revenue_micro
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_micro DESC, n_name
+        """,
         "doc_token_entropy": r"""
             -- token-entropy replay (textstats.token_entropy): same
             -- [a-z]+ lowered tokens as the repetition rule; per-term

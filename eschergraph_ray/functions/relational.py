@@ -185,3 +185,123 @@ def antijoin_counts(keep_ds, drop_ds, keep_key: str, drop_key: str,
             batch_format="pyarrow",
         )
     )
+
+
+def regional_revenue(lineitem_ds, orders_ds, customer_ds,
+                     supplier_nation: dict, nation_name: dict,
+                     region_nations: set, date_lo_us: int, date_hi_us: int,
+                     num_partitions: int = 8):
+    """TPC-H Q5-shaped star join: revenue per nation for one region and
+    one order-date year, with the canonical big/small split a 100 TB
+    plan needs — the two FACT tables (lineitem, orders->customer) meet
+    in distributed hash joins keyed on o_orderkey, while the DIMENSION
+    tables (supplier->nation map, nation names, the region's nation
+    set) are broadcast into every task as plain lookup state (at this
+    size a closure capture; swap for an explicit ray.put handle when a
+    dimension outgrows task-arg inlining). Revenue is exact int64
+    micro-units: per row round(l_extendedprice * (1 - l_discount) *
+    1e6) with round-half-towards-infinity — the single-op chain DuckDB
+    round() replays bit-identically — then integer sums (a per-batch
+    combiner, so the final groupby moves nation-cardinality rows).
+    Returns (n_name, revenue_micro) sorted (revenue desc, name)."""
+    import numpy as np
+
+    from .graph_metrics import _clamp_partitions
+
+    P = _clamp_partitions(num_partitions)
+    sup_keys = np.array(sorted(supplier_nation), dtype=np.int64)
+    sup_nat = np.array([supplier_nation[k] for k in sup_keys], np.int64)
+    region_arr = np.array(sorted(region_nations), dtype=np.int64)
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(ts, date_lo_us), pc.less(ts, date_hi_us)
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}
+        )
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        )
+
+    oc = (
+        orders_ds.map_batches(ord_prep, batch_format="pyarrow")
+        .repartition(P)
+        .join(
+            customer_ds.map_batches(cust_prep, batch_format="pyarrow")
+            .repartition(P),
+            join_type="inner", num_partitions=P,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+    )
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = ep * (1.0 - disc) * 1e6  # same op order as the SQL
+        rev_micro = np.asarray(
+            pc.round(pa.array(rev), ndigits=0,
+                     round_mode="half_towards_infinity")
+        ).astype(np.int64)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = sup_nat[np.searchsorted(sup_keys, sk)]
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "s_nationkey": pa.array(s_nat, pa.int64()),
+                "rev_micro": pa.array(rev_micro, pa.int64()),
+            }
+        )
+
+    joined = (
+        lineitem_ds.map_batches(line_prep, batch_format="pyarrow")
+        .repartition(P)
+        .join(oc.repartition(P), join_type="inner", num_partitions=P,
+              on=("l_orderkey",), right_on=("o_orderkey",))
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        s_nat = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        c_nat = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        rev = b["rev_micro"].to_numpy(zero_copy_only=False)
+        keep = (s_nat == c_nat) & np.isin(s_nat, region_arr)
+        s_nat, rev = s_nat[keep], rev[keep]
+        u, inv = np.unique(s_nat, return_inverse=True)
+        part = np.zeros(len(u), np.int64)  # exact int64 combiner
+        np.add.at(part, inv, rev)
+        return pa.table(
+            {
+                "nationkey": pa.array(u, pa.int64()),
+                "rev": pa.array(part, pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .sum("rev")
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        names = [nation_name[int(k)] for k in b["nationkey"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_micro": pc.cast(b["sum(rev)"], pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(finalize, batch_format="pyarrow")
+        .sort(["revenue_micro", "n_name"], descending=[True, False])
+    )
