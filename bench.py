@@ -113,6 +113,10 @@ def main() -> None:
         "docs_bm25_indexed",
         "dedup_semantic",
         "events_running_total",
+        # round-4 third-session representatives (docs/embeddings only —
+        # no extra kg build at bench scale)
+        "docs_cms_counts",
+        "embeddings_label_prop",
     ):
         if name in qmap:
             queries[name] = round(bench_query(qmap[name]), 3)
