@@ -2317,6 +2317,46 @@ def _q_regional_revenue(sf_dir: str):
     )
 
 
+def _q_docs_from_jsonl(sf_dir: str):
+    """JSONL source coverage (sources/docfiles.py): the sf documents
+    table deterministically sharded to /tmp JSONL (atomic, _DONE-
+    marked, keyed by sf basename + row count), read back through
+    ray.data.read_json (one block per shard), then the doc_token_counts
+    stage — the oracle computes the same counts from the PARQUET view,
+    so a green row proves the JSONL decode path is lossless end-to-end
+    (embedded quotes/newlines/unicode included)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from eschergraph_ray.functions.text import _TOKEN_RE
+    from eschergraph_ray.sources.docfiles import (
+        export_documents_jsonl,
+        read_documents_jsonl,
+    )
+
+    _context()
+    src = f"{sf_dir}/documents.parquet"
+    n = pq.ParquetFile(src).metadata.num_rows
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    files = export_documents_jsonl(
+        src, f"/tmp/eschergraph_ray/docs-jsonl-v1-{sftag}-n{n}", shards=4
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        counts = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch["text"], ""), _TOKEN_RE.pattern
+            ),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": counts})
+
+    return read_documents_jsonl(files).map_batches(
+        f, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -2661,10 +2701,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kg_fuzzy_name_pairs, events_approx_distinct, embeddings_kcore,
     # doc_token_entropy, docs_hybrid_rrf, docs_cms_counts,
     # embeddings_label_prop and regional_revenue (8 new, never green)
-    # join the round-4 block (49 head entries), which leaves kg_triples
-    # as position 50 and pushes kg_nodes, kg_edges, kg_properties,
-    # kg_chunks, kg_lineage, kg_embeddings, kg_quick_search and
-    # dedup_simhash_documents (all r3-green) to positions 51-58 just
+    # join the round-4 block; the fourth-session addition
+    # docs_from_jsonl (never green) takes position 50, which pushes
+    # kg_triples, kg_nodes, kg_edges, kg_properties, kg_chunks,
+    # kg_lineage, kg_embeddings, kg_quick_search and
+    # dedup_simhash_documents (all r3-green) to positions 51-59 just
     # outside the window. Round 4: the 8 relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
@@ -2741,6 +2782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cms_counts": _q_docs_cms_counts,
         "embeddings_label_prop": _q_embeddings_label_prop,
         "regional_revenue": _q_regional_revenue,
+        "docs_from_jsonl": _q_docs_from_jsonl,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3679,6 +3721,16 @@ def oracle_sql() -> dict[str, str]:
         "events_approx_distinct": _hll_oracle_sql(),
         # Count-Min replay (md5 bucket hash, exact-int bucket sums)
         "docs_cms_counts": _cms_oracle_sql(),
+        "docs_from_jsonl": r"""
+            -- JSONL round-trip proof: the Ray side reads /tmp JSONL
+            -- shards exported from THIS parquet; identical counts from
+            -- the parquet view certify lossless decode
+            SELECT doc_id,
+                   CAST(array_length(regexp_extract_all(text,
+                        '[A-Za-z]+(''[A-Za-z]+)?|\d+|[^\w\s]'))
+                        AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
         "regional_revenue": """
             -- TPC-H Q5 shape (relational.regional_revenue): revenue in
             -- exact int64 micro-units (same per-row round chain)

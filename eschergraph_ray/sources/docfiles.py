@@ -1,0 +1,81 @@
+"""Text-file document sources: JSONL and CSV ingestion.
+
+The reference's Reader dispatches on file extension (txt/pdf —
+``eschergraph/builder/reader/reader.py``); the Ray-native analogue for
+bulk corpora is format-dispatching `ray.data` readers over sharded
+files. This module covers the two bulk text formats the sandbox can
+exercise for real (JSONL via ``read_json`` — pyarrow's newline-
+delimited JSON reader — and CSV via ``read_csv``), normalized to the
+``(doc_id, text)`` documents schema. Parquet stays the primary format
+(`pipelines/build.py`); these exist so a corpus that ARRIVES as
+JSONL/CSV enters the same pipelines with no conversion step.
+
+Scale shape: one block per input file (``override_num_blocks`` pins
+it — Ray's default splits files into cpu-count-dependent sub-blocks,
+the CLAUDE.md read_parquet trap, and read_json inherits it), so a
+100 TB drop of N shards fans out N-wide and each shard decodes in one
+task. The JSONL export helper exists for tests/oracles (deterministic,
+atomic, _DONE-marked); a production export would be a
+``write_json``-shaped task per block, not a driver loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+
+def export_documents_jsonl(parquet_path: str, out_dir: str,
+                           shards: int = 4) -> list[str]:
+    """Deterministically shard a documents parquet into JSONL files
+    (row i -> shard i % shards, preserving order within a shard).
+    Atomic + idempotent via a _DONE marker; returns the file list."""
+    import pyarrow.parquet as pq
+
+    done = os.path.join(out_dir, "_DONE")
+    files = [
+        os.path.join(out_dir, f"docs-{i:03d}.jsonl") for i in range(shards)
+    ]
+    if os.path.exists(done):
+        return files
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(parquet_path, columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    for i, path in enumerate(files):
+        with open(path + ".tmp", "w") as f:
+            for j in range(i, len(ids), shards):
+                f.write(json.dumps(
+                    {"doc_id": ids[j], "text": texts[j]},
+                    ensure_ascii=False,
+                ) + "\n")
+        os.replace(path + ".tmp", path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return files
+
+
+def read_documents_jsonl(files: list[str]):
+    """Documents from JSONL shards — one block per file."""
+    import ray.data as rd
+
+    return rd.read_json(sorted(files), override_num_blocks=len(files))
+
+
+def write_documents_csv(tbl: pa.Table, path: str) -> str:
+    """CSV export (arrow csv writer: full quoting, so embedded commas /
+    quotes / newlines in text round-trip)."""
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(tbl, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def read_documents_csv(files: list[str]):
+    """Documents from CSV shards — one block per file."""
+    import ray.data as rd
+
+    return rd.read_csv(sorted(files), override_num_blocks=len(files))
