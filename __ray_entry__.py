@@ -2357,6 +2357,150 @@ def _q_docs_from_jsonl(sf_dir: str):
     ).sort("doc_id")
 
 
+_BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
+_BLOOM_K = 4
+
+
+def _shingles3(text: str) -> list[str]:
+    """Sorted distinct word-3-gram shingles (the minhash shingle unit:
+    lower + whitespace split, functions/dedup.py)."""
+    ws = [w for w in (text or "").lower().split() if w]
+    return sorted({" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)})
+
+
+def _q_docs_oov_bloom(sf_dir: str):
+    """Bloom-filter phrase-novelty profiling (sketch.py bloom_build) —
+    the decontamination-style membership probe: the train half of the
+    corpus (deterministic md5 doc_id split, salt 'bloom') folds every
+    word-3-gram shingle instance into an m-bit filter. The mergeable-
+    sketch exchange is #batches * m/8 bytes (128 KB here), never
+    shingles, and inserts are idempotent so NO distinct/shuffle is
+    needed on the build side. Each held-out doc then probes its
+    distinct shingles against the broadcast bitmap (one vectorized
+    _cms_hash per hash index per BATCH, per-doc sums by
+    cumsum-segment) and reports (n_shingles, n_known) — n_known/n
+    is the doc's train-overlap rate. No false negatives; the
+    false-positive rate is deterministic given (md5, m, k) and the
+    oracle replays bit positions, the OR'd bit set and the
+    all-bits-present probe in SQL, so the row is byte-exact INCLUDING
+    false positives."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from eschergraph_ray.functions.sampling import hash_sample
+    from eschergraph_ray.functions.sketch import _cms_hash, bloom_build
+
+    docs = _docs(sf_dir)
+    build = hash_sample(docs, "doc_id", 0.5, salt="bloom")
+    probe = hash_sample(docs, "doc_id", 0.5, salt="bloom", invert=True)
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b["text"].to_pylist():
+            out.extend(_shingles3(t))
+        return pa.table({"shingle": pa.array(out, pa.string())})
+
+    bits = bloom_build(
+        build.map_batches(shingle_rows, batch_format="pyarrow"), "shingle",
+        m=_BLOOM_M, k=_BLOOM_K, hashname="md5",
+    )
+    ref = ray.put(bits)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        from eschergraph_ray.stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        bm = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        grams: list[str] = []
+        seg = [0]
+        for t in batch["text"].to_pylist():
+            grams.extend(_shingles3(t))
+            seg.append(len(grams))
+        hit = np.ones(len(grams), bool)
+        for i in range(_BLOOM_K):
+            pos = _cms_hash(grams, i, _BLOOM_M, hashname="md5")
+            hit &= (bm[pos >> 3] & np.left_shift(1, pos & 7).astype(np.uint8)) != 0
+        seg_a = np.asarray(seg, np.int64)
+        csum = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_shingles": pa.array(np.diff(seg_a)),
+                "n_known": pa.array(csum[seg_a[1:]] - csum[seg_a[:-1]]),
+            }
+        )
+
+    return probe.map_batches(flag, batch_format="pyarrow").sort("doc_id")
+
+
+def _bloom_oracle_sql() -> str:
+    """Full SQL replay of the md5-flavor Bloom filter: bit position i of
+    shingle = md5('i:' || g) 64-bit prefix % m; the filter is the
+    DISTINCT set of build-side positions; a probe shingle is 'known'
+    iff all k of its positions appear in that set. Shingles are the
+    minhash word-3-gram unit (regexp_split_to_array + position
+    self-joins, same as the dedup_minhash_neardup oracle)."""
+    m, k = _BLOOM_M, _BLOOM_K
+    klist = ",".join(str(i) for i in range(k))
+    pos = (
+        "CAST(CAST(concat('0x', substr(md5(concat(i, ':', g)), 1, 16)) "
+        f"AS UBIGINT) % {m} AS BIGINT)"
+    )
+    return f"""
+        WITH split AS MATERIALIZED (
+          SELECT doc_id, text,
+                 substr(md5(concat('bloom', CAST(doc_id AS VARCHAR))), 1, 4)
+                   < '8000' AS is_build
+          FROM documents
+        ),
+        wl AS MATERIALIZED (
+          SELECT doc_id, is_build,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM split
+        ),
+        words AS MATERIALIZED (
+          SELECT doc_id, is_build, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) AS i
+          FROM wl
+        ),
+        grams AS MATERIALIZED (
+          SELECT a.doc_id, a.is_build,
+                 a.w || ' ' || b.w || ' ' || c.w AS g
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        ),
+        ks AS (SELECT unnest([{klist}]) AS i),
+        bits AS MATERIALIZED (
+          SELECT DISTINCT {pos} AS pos
+          FROM (SELECT DISTINCT g FROM grams WHERE is_build) CROSS JOIN ks
+        ),
+        pt AS MATERIALIZED (
+          SELECT DISTINCT doc_id, g FROM grams WHERE NOT is_build
+        ),
+        flags AS (
+          SELECT p.doc_id, p.g,
+                 min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS hit
+          FROM (SELECT doc_id, g, {pos} AS pos FROM pt CROSS JOIN ks) p
+          LEFT JOIN bits b USING (pos)
+          GROUP BY p.doc_id, p.g
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(hit) AS BIGINT) AS n_known
+          FROM flags GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(a.n_known, 0) AS BIGINT) AS n_known
+        FROM split s LEFT JOIN agg a USING (doc_id)
+        WHERE NOT s.is_build ORDER BY doc_id
+    """
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -2783,6 +2927,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_label_prop": _q_embeddings_label_prop,
         "regional_revenue": _q_regional_revenue,
         "docs_from_jsonl": _q_docs_from_jsonl,
+        # fourth-session additions past the 50-query window (the window
+        # is already all never-green queries; these are sim-verified —
+        # see BASELINE.md — and will rotate in next round)
+        "docs_oov_bloom": _q_docs_oov_bloom,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3721,6 +3869,8 @@ def oracle_sql() -> dict[str, str]:
         "events_approx_distinct": _hll_oracle_sql(),
         # Count-Min replay (md5 bucket hash, exact-int bucket sums)
         "docs_cms_counts": _cms_oracle_sql(),
+        # Bloom replay (md5 bit positions, distinct-set membership)
+        "docs_oov_bloom": _bloom_oracle_sql(),
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from

@@ -276,3 +276,81 @@ def cms_query(mat: np.ndarray, values: list,
     for row in range(d):
         est = np.minimum(est, mat[row, _cms_hash(values, row, w, hashname)])
     return est
+
+
+# ---- Bloom filter ------------------------------------------------------
+# The third mergeable sketch: set MEMBERSHIP with no false negatives.
+# The curation use-case is cross-corpus exclusion ("drop anything whose
+# text already appears in the train shard / a blocklist") where the
+# build side is huge but the FILTER is tiny: m bits total, OR-mergeable,
+# so the build is the same one-packed-row-per-batch combiner as HLL/CMS
+# (#batches * m/8 bytes move, never values) and the probe is a
+# stateless broadcast-filter map. False positives are deterministic
+# given (hash, m, k) — with the md5 flavor the whole thing (bit
+# positions, the OR'd bit set, the all-bits-present probe) replays in
+# DuckDB SQL, so the ``docs_bloom_probe`` driver query is byte-exact
+# including any false positives. k independent hashes reuse _cms_hash
+# (seed = hash index); m must be a power of two (the position is a
+# 64-bit md5 prefix % m both sides).
+
+
+def bloom_partials(ds, col: str, m: int = 1 << 16, k: int = 4,
+                   hashname: str = "blake2b"):
+    """One packed m-bit bitmap row per batch (the combiner)."""
+    if m < 64 or m & (m - 1):
+        raise ValueError("m must be a power of two >= 64")
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in [1, 16]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        vals = batch[col].to_pylist()
+        bits = np.zeros(m // 8, np.uint8)
+        for i in range(k):
+            pos = _cms_hash(vals, i, m, hashname)
+            np.bitwise_or.at(
+                bits, pos >> 3, np.left_shift(1, pos & 7).astype(np.uint8)
+            )
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.large_binary())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def bloom_build(ds, col: str, m: int = 1 << 16, k: int = 4,
+                hashname: str = "blake2b") -> np.ndarray:
+    """OR-merged bitmap (model state, m/8 bytes on the driver)."""
+    bits = np.zeros(m // 8, np.uint8)
+    for b in bloom_partials(ds, col, m, k, hashname).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b["bloom"].to_pylist():
+            bits |= np.frombuffer(buf, np.uint8)
+    return bits
+
+
+def bloom_probe(ds, col: str, bits: np.ndarray, k: int = 4,
+                hashname: str = "blake2b", out_col: str = "maybe_member"):
+    """Append an int64 0/1 membership flag: 1 iff ALL k bit positions
+    are set (no false negatives; false-positive rate ~(set_bits/m)^k).
+    The bitmap is broadcast once via ``ray.put`` and fetched zero-copy
+    from each node's object store — never re-shipped per batch."""
+    import ray
+
+    m = len(bits) * 8
+    ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        bm = ray.get(ref)
+        vals = batch[col].to_pylist()
+        hit = np.ones(len(vals), bool)
+        for i in range(k):
+            pos = _cms_hash(vals, i, m, hashname)
+            hit &= (bm[pos >> 3] & np.left_shift(1, pos & 7).astype(np.uint8)) != 0
+        return batch.append_column(out_col, pa.array(hit.astype(np.int64)))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -79,3 +79,37 @@ def read_documents_csv(files: list[str]):
     import ray.data as rd
 
     return rd.read_csv(sorted(files), override_num_blocks=len(files))
+
+
+def read_documents_txt(files: list[str], encoding: str = "utf-8"):
+    """One document PER FILE from a directory of plain-text files —
+    the reference Reader's ``.txt`` branch
+    (``eschergraph/builder/reader/reader.py``: whole-file read, then
+    char chunking downstream). ``doc_id`` is the file basename without
+    extension; ``text`` is the full decoded file body (newlines kept —
+    chunking is a downstream stage, not the reader's job).
+
+    Shape: ``read_binary_files(include_paths=True)`` gives one block
+    per file and ships raw bytes zero-copy; decode happens vectorized
+    in the tasks (``pc.cast(binary -> string)`` validates UTF-8 in C).
+    Non-UTF-8 encodings fall back to a per-row Python decode (rare
+    path, explicit opt-in)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def decode(batch: pa.Table) -> pa.Table:
+        paths = [
+            os.path.splitext(os.path.basename(p))[0]
+            for p in batch["path"].to_pylist()
+        ]
+        if encoding == "utf-8":
+            text = pc.cast(batch["bytes"], pa.string())
+        else:
+            text = pa.array(
+                [b.decode(encoding) for b in batch["bytes"].to_pylist()]
+            )
+        return pa.table({"doc_id": pa.array(paths, pa.string()), "text": text})
+
+    return rd.read_binary_files(
+        sorted(files), include_paths=True, override_num_blocks=len(files)
+    ).map_batches(decode, batch_format="pyarrow")

@@ -39,6 +39,19 @@ def test_jsonl_roundtrip(tmp_path, ray_session):
     assert list(out["text"]) == NASTY
 
 
+def test_txt_directory(tmp_path, ray_session):
+    from eschergraph_ray.sources.docfiles import read_documents_txt
+
+    files = []
+    for i, body in enumerate(NASTY):
+        p = tmp_path / f"doc-{i:02d}.txt"
+        p.write_text(body, encoding="utf-8")
+        files.append(str(p))
+    out = read_documents_txt(files).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [f"doc-{i:02d}" for i in range(len(NASTY))]
+    assert list(out["text"]) == NASTY
+
+
 def test_csv_roundtrip(tmp_path, ray_session):
     p = write_documents_csv(_tbl(), str(tmp_path / "docs.csv"))
     out = read_documents_csv([p]).to_pandas().sort_values("doc_id")

@@ -172,3 +172,75 @@ def test_cms_md5_flavor_matches_guarantees(ray_session):
     for t, e in zip(probe, est):
         assert e >= true[t]  # never underestimates
     assert mat.sum() == 3 * len(vals)
+
+
+# ---- Bloom filter ------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_merge(ray_session):
+    from eschergraph_ray.functions.sketch import bloom_build, bloom_probe
+
+    members = [f"member-{i}" for i in range(200)]
+    others = [f"other-{i}" for i in range(200)]
+    bits1 = bloom_build(_ids_ds(members, blocks=1), "v", m=1 << 10, k=2)
+    bits7 = bloom_build(_ids_ds(members, blocks=7), "v", m=1 << 10, k=2)
+    # OR-merge is partitioning-invariant
+    assert (bits1 == bits7).all()
+    out = (
+        bloom_probe(_ids_ds(members + others), "v", bits1, k=2)
+        .to_pandas()
+        .set_index("v")["maybe_member"]
+    )
+    # every member flagged (no false negatives)
+    assert all(out[m] == 1 for m in members)
+    # small filter -> SOME false positives exist, but far from all
+    fp = sum(out[o] for o in others)
+    assert 0 < fp < len(others) * 3 // 4
+    # determinism: a second probe run returns identical flags
+    out2 = (
+        bloom_probe(_ids_ds(members + others), "v", bits1, k=2)
+        .to_pandas()
+        .set_index("v")["maybe_member"]
+    )
+    assert (out.sort_index() == out2.sort_index()).all()
+
+
+def test_bloom_md5_flavor_matches_duckdb_bits(ray_session):
+    """The md5 bit positions replay in DuckDB — the device the
+    docs_oov_bloom oracle relies on."""
+    import duckdb
+    import numpy as np
+
+    from eschergraph_ray.functions.sketch import _cms_hash, bloom_build
+
+    vals = [f"tok-{i}" for i in range(50)]
+    m, k = 1 << 10, 2
+    bits = bloom_build(_ids_ds(vals), "v", m=m, k=k, hashname="md5")
+    set_pos = {
+        int(p)
+        for p in np.flatnonzero(
+            np.unpackbits(bits, bitorder="little")
+        )
+    }
+    con = duckdb.connect()
+    sql_pos = {
+        r[0]
+        for r in con.execute(
+            f"""SELECT DISTINCT CAST(CAST(concat('0x',
+                    substr(md5(concat(i, ':', v)), 1, 16)) AS UBIGINT)
+                    % {m} AS BIGINT)
+                FROM (SELECT unnest($vals) AS v)
+                CROSS JOIN (SELECT unnest([0, 1]) AS i)""",
+            {"vals": vals},
+        ).fetchall()
+    }
+    assert set_pos == sql_pos
+
+
+def test_bloom_param_validation():
+    from eschergraph_ray.functions.sketch import bloom_partials
+
+    with pytest.raises(ValueError):
+        bloom_partials(None, "v", m=1000)  # not a power of two
+    with pytest.raises(ValueError):
+        bloom_partials(None, "v", k=0)
