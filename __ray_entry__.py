@@ -2501,6 +2501,50 @@ def _bloom_oracle_sql() -> str:
     """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(sf_dir: str):
+    """PIVOT to wide format (relational.pivot_wide): one row per user
+    with per-event-type counts plus the purchase-value sum in int64
+    micro-units. Each batch pre-aggregates to per-user partials with
+    one arrow hash-aggregate over if_else indicator columns, so the
+    groupby shuffle moves user-cardinality partials, never events —
+    the combiner shape that keeps a pivot one pass at 100 TB."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import pivot_wide
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+    return pivot_wide(
+        ds, "user_id", "event_type", _EVENT_TYPES,
+        val_col="value", val_category="purchase",
+    )
+
+
+def _pivot_oracle_sql() -> str:
+    counts = ",\n               ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+        -- PIVOT replay: conditional aggregation; purchase value summed
+        -- in int64 micro-units (per-row round BEFORE the sum — the
+        -- same quantization chain as the Ray side)
+        SELECT user_id,
+               {counts},
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 1e6, 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS purchase_micros
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -2931,6 +2975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is already all never-green queries; these are sim-verified —
         # see BASELINE.md — and will rotate in next round)
         "docs_oov_bloom": _q_docs_oov_bloom,
+        "events_pivot_by_type": _q_events_pivot,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3871,6 +3916,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cms_counts": _cms_oracle_sql(),
         # Bloom replay (md5 bit positions, distinct-set membership)
         "docs_oov_bloom": _bloom_oracle_sql(),
+        "events_pivot_by_type": _pivot_oracle_sql(),
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from

@@ -305,3 +305,80 @@ def regional_revenue(lineitem_ds, orders_ds, customer_ds,
         agg.map_batches(finalize, batch_format="pyarrow")
         .sort(["revenue_micro", "n_name"], descending=[True, False])
     )
+
+
+def pivot_wide(ds, key: str, pivot_col: str, categories: list[str],
+               val_col: str | None = None, val_category: str | None = None,
+               micros: int = 1_000_000):
+    """``PIVOT``: long (key, category, value) rows to ONE wide row per
+    key — ``n_<cat>`` count columns for each category in the caller's
+    CLOSED list, plus optionally ``<val_category>_micros``, the
+    micro-unit-quantized sum of ``val_col`` restricted to
+    ``val_category`` (int64 end to end — the cross-engine float-sum
+    trap never arises).
+
+    The category list must be closed and bounded (a pivot's output
+    schema IS its category list; discovering it from data would make
+    the schema data-dependent — callers that need discovery run a
+    cheap ``unique()`` first). Unknown categories fold into no column
+    (count-only queries can pass a prefix of the real domain).
+
+    Scale shape: each batch pre-aggregates to at most
+    (distinct keys in batch) rows with ONE arrow hash-aggregate over
+    if_else indicator columns (the combiner), so the groupby shuffle
+    moves key-cardinality-sized partials, never events. A hot key
+    costs one int64 row per batch."""
+    from ray.data.aggregate import Sum
+
+    if not categories:
+        raise ValueError("categories must be a non-empty closed list")
+    ncols = [f"n_{c}" for c in categories]
+    vcol = f"{val_category}_micros" if val_category is not None else None
+    if vcol is not None and val_col is None:
+        raise ValueError("val_category requires val_col")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        cols = {key: batch[key]}
+        cat = batch[pivot_col]
+        for c, nc in zip(categories, ncols):
+            cols[nc] = pc.cast(pc.equal(cat, c), pa.int64())
+        if vcol is not None:
+            q = pc.cast(
+                pc.round(
+                    pc.multiply(
+                        pc.cast(pc.fill_null(batch[val_col], 0.0),
+                                pa.float64()),
+                        float(micros),
+                    ),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            cols[vcol] = pc.if_else(
+                pc.equal(cat, val_category), q, pa.scalar(0, pa.int64())
+            )
+        out_cols = [c for c in cols if c != key]
+        t = pa.table(cols)
+        agg = pa.TableGroupBy(t, key).aggregate(
+            [(c, "sum") for c in out_cols]
+        )
+        return agg.rename_columns([key] + out_cols)
+
+    out_cols = ncols + ([vcol] if vcol else [])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(*[Sum(c) for c in out_cols])
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {key: batch[key]}
+        for c in out_cols:
+            cols[c] = pc.cast(batch[f"sum({c})"], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(key)

@@ -162,3 +162,41 @@ def test_antijoin_oracle_replay_sf0001():
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_pivot_wide_hand_computed(ray_session):
+    from eschergraph_ray.functions.relational import pivot_wide
+
+    t = pa.table(
+        {
+            "k": [1, 1, 2, 2, 2, 3],
+            "c": ["a", "b", "a", "a", "zzz", "b"],
+            "v": [1.5, 2.0, 0.25, 0.75, 99.0, None],
+        }
+    )
+    out = (
+        pivot_wide(rd.from_arrow(t).repartition(3), "k", "c", ["a", "b"],
+                   val_col="v", val_category="a")
+        .to_pandas()
+        .set_index("k")
+    )
+    assert list(out.columns) == ["n_a", "n_b", "a_micros"]
+    assert out.loc[1].tolist() == [1, 1, 1_500_000]
+    # unknown category 'zzz' folds into no column
+    assert out.loc[2].tolist() == [2, 0, 1_000_000]
+    # null value counts but contributes 0 micros
+    assert out.loc[3].tolist() == [0, 1, 0]
+
+
+def test_pivot_wide_counts_only_and_validation(ray_session):
+    import pytest
+
+    from eschergraph_ray.functions.relational import pivot_wide
+
+    t = pa.table({"k": [1, 2], "c": ["a", "a"]})
+    out = pivot_wide(rd.from_arrow(t), "k", "c", ["a"]).to_pandas()
+    assert out["n_a"].tolist() == [1, 1]
+    with pytest.raises(ValueError):
+        pivot_wide(rd.from_arrow(t), "k", "c", [])
+    with pytest.raises(ValueError):
+        pivot_wide(rd.from_arrow(t), "k", "c", ["a"], val_category="a")
