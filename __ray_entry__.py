@@ -2545,6 +2545,138 @@ def _pivot_oracle_sql() -> str:
     """
 
 
+def _q_users_orders_full_outer(sf_dir: str):
+    """FULL OUTER join coverage (Ray 2.49 native hash join): per-key
+    order counts/cents vs event counts, keys surviving from EITHER
+    side with a both/orders_only/events_only tag. Both sides are
+    pre-aggregated (key-cardinality partials through the join, never
+    rows); num_partitions clamped to cluster CPUs (the Ray 2.49
+    small-session join deadlock, graph_metrics._clamp_partitions);
+    both sides repartitioned to normalize sparse-aggregate blocks
+    before the join (the schema-less-empty-block crash guard)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from eschergraph_ray.functions.graph_metrics import _clamp_partitions
+
+    _context()
+
+    def cents(b: pa.Table) -> pa.Table:
+        # custkey >= 100 keeps all three outer cases populated (event
+        # users 0-99 become events_only rows)
+        b = b.filter(pc.greater_equal(b["o_custkey"], 100))
+        q = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(b["o_totalprice"], pa.float64()), 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": b["o_custkey"], "cents": q})
+
+    orders = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "n_orders": pc.cast(b["n_orders"], pa.int64()),
+                    "order_cents": pc.cast(b["sum(cents)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(4)
+    )
+    events = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "n_events": pc.cast(b["n_events"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(4)
+    )
+    joined = orders.join(
+        events,
+        "full_outer",
+        num_partitions=_clamp_partitions(4),
+        on=("o_custkey",),
+        right_on=("user_id",),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the join key into the LEFT key
+        # column; side membership survives in the aggregates' nullity
+        # (n_orders is non-null for every genuine left row, n_events
+        # for every right row)
+        has_o = pc.is_valid(b["n_orders"])
+        has_e = pc.is_valid(b["n_events"])
+        side = pc.if_else(
+            pc.and_(has_o, has_e),
+            pa.scalar("both"),
+            pc.if_else(
+                has_o, pa.scalar("orders_only"), pa.scalar("events_only")
+            ),
+        )
+        return pa.table(
+            {
+                "key_id": b["o_custkey"],
+                "n_orders": pc.fill_null(
+                    pc.cast(b["n_orders"], pa.int64()), 0
+                ),
+                "order_cents": pc.fill_null(
+                    pc.cast(b["order_cents"], pa.int64()), 0
+                ),
+                "n_events": pc.fill_null(
+                    pc.cast(b["n_events"], pa.int64()), 0
+                ),
+                "side": side,
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow").sort("key_id")
+
+
+_FULL_OUTER_SQL = """
+    -- FULL OUTER replay: keys from either side, zero-filled counts,
+    -- order value in exact int64 cents (per-row round before sum)
+    WITH o AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS order_cents
+      FROM orders WHERE o_custkey >= 100 GROUP BY o_custkey
+    ),
+    e AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT coalesce(o.k, e.k) AS key_id,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(o.order_cents, 0) AS BIGINT) AS order_cents,
+           CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+           CASE WHEN o.k IS NOT NULL AND e.k IS NOT NULL THEN 'both'
+                WHEN o.k IS NULL THEN 'events_only'
+                ELSE 'orders_only' END AS side
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    ORDER BY key_id
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -2976,6 +3108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # see BASELINE.md — and will rotate in next round)
         "docs_oov_bloom": _q_docs_oov_bloom,
         "events_pivot_by_type": _q_events_pivot,
+        "users_orders_full_outer": _q_users_orders_full_outer,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -3917,6 +4050,7 @@ def oracle_sql() -> dict[str, str]:
         # Bloom replay (md5 bit positions, distinct-set membership)
         "docs_oov_bloom": _bloom_oracle_sql(),
         "events_pivot_by_type": _pivot_oracle_sql(),
+        "users_orders_full_outer": _FULL_OUTER_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from
