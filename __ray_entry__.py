@@ -2677,6 +2677,45 @@ _FULL_OUTER_SQL = """
 """
 
 
+def _q_events_throttle(sf_dir: str):
+    """Keep-first-per-window compaction (windows.py
+    throttle_first_per_window): earliest event per (user, type, hour)
+    survives, the rest counted as suppressed — distributed argmin via
+    packed sortable (ts, id) string keys reduced to per-bucket partials
+    in the batch combiner (min/sum are associative; the shuffle moves
+    bucket-cardinality partials, never events)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import throttle_first_per_window
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return throttle_first_per_window(
+        ds, ["user_id", "event_type"], "ts", "event_id"
+    )
+
+
+_THROTTLE_SQL = """
+    -- keep-first replay: min over the same zero-padded (ts, id) packed
+    -- key; window start in pure int64 epoch-us arithmetic
+    WITH b AS (
+      SELECT user_id, event_type,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events
+    )
+    SELECT user_id, event_type, window_start_us,
+           CAST(substr(min(k), 22) AS BIGINT) AS kept_event_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+    FROM b GROUP BY user_id, event_type, window_start_us
+    ORDER BY user_id, event_type, window_start_us
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3109,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_oov_bloom": _q_docs_oov_bloom,
         "events_pivot_by_type": _q_events_pivot,
         "users_orders_full_outer": _q_users_orders_full_outer,
+        "events_throttle": _q_events_throttle,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4051,6 +4091,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_oov_bloom": _bloom_oracle_sql(),
         "events_pivot_by_type": _pivot_oracle_sql(),
         "users_orders_full_outer": _FULL_OUTER_SQL,
+        "events_throttle": _THROTTLE_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from

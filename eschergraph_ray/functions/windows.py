@@ -237,3 +237,73 @@ def funnel_counts(events_ds, key_col: str, ts_col: str, type_col: str,
             }
         )
     )
+
+
+def throttle_first_per_window(ds, key_cols: list[str], ts_col: str,
+                              id_col: str,
+                              window_us: int = 3_600_000_000):
+    """Keep-first-per-window compaction (event throttling / log
+    dedup): for each (key..., tumbling window) bucket, the EARLIEST
+    event survives (ties on ts broken by smallest id) and the rest are
+    counted as suppressed. Returns one row per occupied bucket:
+    ``(*key_cols, window_us_start, kept_<id_col>, n_suppressed)``.
+
+    Distributed argmin without a row shuffle: the batch combiner packs
+    ``(ts, id)`` into a zero-padded sortable string key and reduces
+    each batch to per-bucket ``(min_key, count)`` partials with one
+    arrow hash-aggregate, so the groupby moves bucket-cardinality
+    partials, never events — min and sum are both associative, a hot
+    bucket costs one row per batch. Window start is integer
+    ``(epoch_us // window) * window`` (same int arithmetic as SQL
+    ``//`` — no temporal-resolution parity risk)."""
+    if window_us <= 0:
+        raise ValueError("window_us must be positive")
+    from ray.data.aggregate import Min, Sum
+
+    kept_col = f"kept_{id_col}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        win = pc.multiply(pc.divide(ts, window_us), window_us)
+        k = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(ts, pa.string()), 20, padding="0"),
+            pc.utf8_lpad(pc.cast(batch[id_col], pa.string()), 12,
+                         padding="0"),
+            ":",
+        )
+        cols = {c: batch[c] for c in key_cols}
+        cols["window_start_us"] = win
+        cols["k"] = k
+        cols["one"] = pa.array(np.ones(len(batch), np.int64))
+        t = pa.table(cols)
+        agg = pa.TableGroupBy(t, key_cols + ["window_start_us"]).aggregate(
+            [("k", "min"), ("one", "sum")]
+        )
+        return agg.rename_columns(
+            key_cols + ["window_start_us", "k", "one"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_cols + ["window_start_us"])
+        .aggregate(Min("k"), Sum("one"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in key_cols}
+        cols["window_start_us"] = pc.cast(batch["window_start_us"],
+                                          pa.int64())
+        cols[kept_col] = pc.cast(
+            pc.utf8_slice_codeunits(batch["min(k)"], 21), pa.int64()
+        )
+        cols["n_suppressed"] = pc.subtract(
+            pc.cast(batch["sum(one)"], pa.int64()), 1
+        )
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        key_cols + ["window_start_us"]
+    )

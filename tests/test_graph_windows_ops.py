@@ -483,3 +483,43 @@ def test_funnel_oracle_replay_sf0001():
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_throttle_first_per_window_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import throttle_first_per_window
+
+    H = 3_600_000_000
+    t = pa.table(
+        {
+            "u": [1, 1, 1, 1, 2],
+            "ts": pa.array(
+                # u=1: three events in hour 0 (two tied at t=5, ids 9
+                # and 3 -> id 3 survives), one in hour 1; u=2 single
+                [5, 5, 100, H + 1, 50],
+                pa.timestamp("us"),
+            ),
+            "eid": [9, 3, 7, 8, 4],
+        }
+    )
+    out = (
+        throttle_first_per_window(
+            rd.from_arrow(t).repartition(3), ["u"], "ts", "eid"
+        )
+        .to_pandas()
+        .set_index(["u", "window_start_us"])
+    )
+    assert out.loc[(1, 0)].tolist() == [3, 2]
+    assert out.loc[(1, H)].tolist() == [8, 0]
+    assert out.loc[(2, 0)].tolist() == [4, 0]
+
+
+def test_throttle_window_validation():
+    import pytest
+
+    from eschergraph_ray.functions.windows import throttle_first_per_window
+
+    with pytest.raises(ValueError):
+        throttle_first_per_window(None, ["u"], "ts", "eid", window_us=0)
