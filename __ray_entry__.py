@@ -2716,6 +2716,56 @@ _THROTTLE_SQL = """
 """
 
 
+def _q_docs_bigram_nll(sf_dir: str):
+    """Order-2 LM quality scoring (vocab.py bigram_nll): corpus MLE
+    conditional bigram model -> broadcast integer micro-nat table ->
+    one streaming scoring pass; int64 per-doc aggregation keeps both
+    engines bit-identical (the unigram_nll device, one order up)."""
+    from eschergraph_ray.functions.vocab import bigram_nll
+
+    return bigram_nll(_docs(sf_dir), "doc_id", "text")
+
+
+_BIGRAM_NLL_SQL = """
+    -- bigram-LM replay (vocab.py bigram_nll): per-BIGRAM conditional
+    -- log-probs quantized to integer micro-nats (one ln per bigram
+    -- type), then pure int64 per-doc aggregation -> bit-stable nll
+    WITH wl AS (
+      SELECT doc_id, regexp_extract_all(lower(text),
+          '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      FROM wl
+    ),
+    inst AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    bi AS (SELECT w1, w2, count(*) AS n FROM inst GROUP BY w1, w2),
+    pre AS (
+      SELECT w1, CAST(sum(n) AS DOUBLE) AS np FROM bi GROUP BY w1
+    ),
+    q AS (
+      SELECT bi.w1, bi.w2,
+             CAST(round(ln(CAST(bi.n AS DOUBLE) / pre.np) * 1e6, 0)
+                  AS BIGINT) AS q
+      FROM bi JOIN pre USING (w1)
+    ),
+    agg AS (
+      SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(-sum(q.q) AS BIGINT) AS micro
+      FROM inst i JOIN q USING (w1, w2)
+      GROUP BY i.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(CAST(micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0)
+             / 1e6 AS nll
+    FROM agg
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3149,6 +3199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_by_type": _q_events_pivot,
         "users_orders_full_outer": _q_users_orders_full_outer,
         "events_throttle": _q_events_throttle,
+        "docs_bigram_nll": _q_docs_bigram_nll,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4092,6 +4143,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_by_type": _pivot_oracle_sql(),
         "users_orders_full_outer": _FULL_OUTER_SQL,
         "events_throttle": _THROTTLE_SQL,
+        "docs_bigram_nll": _BIGRAM_NLL_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from

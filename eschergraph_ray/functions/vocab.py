@@ -471,3 +471,137 @@ def bigram_pmi_topk(
         )
 
     return ranked.map_batches(finalize, batch_format="pyarrow")
+
+
+def bigram_nll(
+    ds,
+    id_col: str,
+    text_col: str,
+    max_vocab_broadcast: int = 100_000_000,
+):
+    """Order-2 language-model quality score: the mean negative
+    conditional log-likelihood of each document's adjacent-token
+    bigrams under the corpus MLE bigram model ``p(w2|w1) =
+    c(w1 w2) / c(w1 ·)`` — the next step up from :func:`unigram_nll`
+    (word salad scores high here even when its unigrams are common).
+    Returns ``(id_col, n_bigrams, nll)``; documents with fewer than
+    two tokens are omitted.
+
+    Shape: bigram counts via Counter partials + one vocabulary-sized
+    groupby-sum; prefix counts derive from the collected bigram table
+    itself (model-sized, on the driver) so the conditional is
+    self-consistent; the packed ``"w1 w2" -> q`` table is broadcast
+    once and pass 2 scores every document in one streaming
+    ``map_batches`` (tokens never contain whitespace, so the space
+    join is unambiguous).
+
+    Parity device: identical to :func:`unigram_nll` — per-BIGRAM
+    micro-nat quantization ``q = round(ln(c12 / c1) * 1e6)`` (one ln,
+    one multiply), int64 per-doc aggregation, zero-digit round of the
+    mean then one division by 1e6."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        c: "Counter[tuple]" = Counter()
+        for toks in _batch_token_counts(batch[text_col].to_pylist(), None):
+            c.update(zip(toks, toks[1:]))
+        return pa.table(
+            {
+                "w1": pa.array([a for a, _ in c.keys()], pa.string()),
+                "w2": pa.array([b for _, b in c.keys()], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    empty = pa.table(
+        {
+            id_col: pa.array([], id_type),
+            "n_bigrams": pa.array([], pa.int64()),
+            "nll": pa.array([], pa.float64()),
+        }
+    )
+    bi = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n"))
+        .materialize()
+    )
+    n_pairs = bi.count()
+    if n_pairs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    if n_pairs > max_vocab_broadcast:
+        raise ValueError(
+            f"bigram vocabulary ({n_pairs}) exceeds max_vocab_broadcast="
+            f"{max_vocab_broadcast}; prune the model first"
+        )
+    pdf = bi.to_pandas()
+    key = (pdf["w1"] + " " + pdf["w2"]).to_numpy()
+    n12 = pdf["sum(n)"].to_numpy(np.float64)
+    prefix = pdf.groupby("w1")["sum(n)"].transform("sum").to_numpy(np.float64)
+    order = np.argsort(key)
+    # micro-nat quantization: the ONLY float step, per bigram type
+    q = np.asarray(
+        pc.round(
+            pa.array(np.log(n12[order] / prefix[order]) * 1e6),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+    )
+    model_ref = ray.put((key[order], q))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        vocab, qs = ray.get(model_ref)  # node-cached
+        ids, n_out, micro_out = [], [], []
+        id_vals = batch[id_col].to_pylist()
+        for i, toks in enumerate(
+            _batch_token_counts(batch[text_col].to_pylist(), None)
+        ):
+            if len(toks) < 2:
+                continue
+            c = Counter(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+            terms = np.array(sorted(c.keys()))
+            tf = np.array([c[t] for t in terms], np.int64)
+            pos = np.searchsorted(vocab, terms)
+            # trained on this corpus -> every doc bigram is in-model
+            micro_out.append(-int((tf * qs[pos]).sum()))
+            n_out.append(int(tf.sum()))
+            ids.append(id_vals[i])
+        micro_arr = pa.array(micro_out, pa.int64())
+        n_arr = pa.array(n_out, pa.int64())
+        return pa.table(
+            {
+                id_col: pa.array(ids, id_type),
+                "n_bigrams": n_arr,
+                # zero-digit round of the mean micro-nat count, then one
+                # division by 1e6 (the unigram_nll fencepost-safe chain)
+                "nll": pc.divide(
+                    pc.round(
+                        pc.divide(
+                            pc.cast(micro_arr, pa.float64()),
+                            pc.cast(n_arr, pa.float64()),
+                        ),
+                        ndigits=0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    1e6,
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

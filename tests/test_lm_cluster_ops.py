@@ -251,3 +251,40 @@ def test_embeddings_kmeans_assign_oracle_sf0001():
     )
     assert len(got) == 500 and got["cluster"].nunique() > 1
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+# ---------- bigram NLL ----------
+
+
+def test_bigram_nll_hand_computed():
+    from eschergraph_ray.functions.vocab import bigram_nll
+
+    # corpus bigrams: doc1 "a b a c" -> (a b), (b a), (a c);
+    # doc2 "a b" -> (a b). prefix(a)=3, prefix(b)=1:
+    # p(b|a)=2/3, p(c|a)=1/3, p(a|b)=1
+    ds = rd.from_arrow(_docs_tbl([(1, "a b a c"), (2, "a b")]))
+    out = {r["doc_id"]: r for r in bigram_nll(ds, "doc_id", "text").take_all()}
+    q_ab = round(math.log(2 / 3) * 1e6)
+    q_ac = round(math.log(1 / 3) * 1e6)
+    want1 = round(-(q_ab + 0 + q_ac) / 3) / 1e6
+    want2 = round(-float(q_ab)) / 1e6
+    assert out[1]["n_bigrams"] == 3 and out[1]["nll"] == want1
+    assert out[2]["n_bigrams"] == 1 and out[2]["nll"] == want2
+    # the doc containing the rarer transition scores worse
+    assert out[1]["nll"] > out[2]["nll"]
+
+
+def test_bigram_nll_skips_short_docs():
+    from eschergraph_ray.functions.vocab import bigram_nll
+
+    ds = rd.from_arrow(_docs_tbl([(1, "a b"), (2, "solo"), (3, "")]))
+    out = bigram_nll(ds, "doc_id", "text").take_all()
+    assert sorted(r["doc_id"] for r in out) == [1]
+
+
+def test_bigram_nll_vocab_guard():
+    from eschergraph_ray.functions.vocab import bigram_nll
+
+    ds = rd.from_arrow(_docs_tbl([(1, "a b c d e")]))
+    with pytest.raises(ValueError, match="max_vocab_broadcast"):
+        bigram_nll(ds, "doc_id", "text", max_vocab_broadcast=2)
