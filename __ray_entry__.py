@@ -2766,6 +2766,34 @@ _BIGRAM_NLL_SQL = """
 """
 
 
+def _q_kg_bfs_layers(sf_dir: str):
+    """Neighborhood expansion over the built KG
+    (graph_metrics.bfs_layers): min-hop BFS layers out to 3 hops from
+    the deterministic seed (max-degree level-0 entity, ties to the
+    smallest name) — the provenance-walk / blast-radius primitive.
+    Small-dense KG takes the adjacency fast path; the distributed
+    rounds (per-hop semi-join frontier expansion) are exercised in
+    pytest with small_edge_cutoff=0. Oracle: recursive-CTE BFS over
+    the build's own edge parquet."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import bfs_layers
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    return bfs_layers(edges, "frm_name", "to_name", max_hops=3).sort(
+        ["hop", "node"]
+    )
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3200,6 +3228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_orders_full_outer": _q_users_orders_full_outer,
         "events_throttle": _q_events_throttle,
         "docs_bigram_nll": _q_docs_bigram_nll,
+        "kg_bfs_layers": _q_kg_bfs_layers,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4223,6 +4252,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
             FROM pairs WHERE levenshtein(name_a, name_b) <= 4
             ORDER BY name_a, name_b
+        """,
+        "kg_bfs_layers": f"""
+            -- recursive-CTE BFS replay (graph_metrics.bfs_layers):
+            -- undirected simple graph, deterministic max-degree seed
+            -- (ties -> smallest name), min hop per reachable node
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT least(frm_name, to_name) AS a,
+                     greatest(frm_name, to_name) AS b
+              FROM read_parquet('{_edges}')
+              WHERE level = 0 AND frm_name <> to_name
+            ),
+            sym AS (
+              SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0
+            ),
+            deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+            seed AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 1),
+            reach(node, hop) AS (
+              SELECT id, 0 FROM seed
+              UNION
+              SELECT s.dst, r.hop + 1
+              FROM reach r JOIN sym s ON s.src = r.node
+              WHERE r.hop < 3
+            )
+            SELECT node, CAST(min(hop) AS BIGINT) AS hop
+            FROM reach GROUP BY node
+            ORDER BY min(hop), node
         """,
         "kg_pagerank": f"""
             -- fixed-point PageRank replay (functions/pagerank.py):

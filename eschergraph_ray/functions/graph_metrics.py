@@ -779,3 +779,160 @@ def label_propagation(edges_ds, src_col: str, dst_col: str,
             .materialize()
         )
     return labels
+
+
+def _bfs_local(edges_mat, max_hops: int, out_schema: pa.Schema):
+    """Driver BFS over a small materialized (a, b) edge list — same
+    min-hop semantics as the distributed rounds."""
+    import numpy as np
+
+    tbl = pa.concat_tables(
+        list(edges_mat.iter_batches(batch_format="pyarrow"))
+        or [pa.schema([pa.field("a", out_schema.field("node").type),
+                       pa.field("b", out_schema.field("node").type)]
+                      ).empty_table()]
+    )
+    if tbl.num_rows == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    a = tbl["a"].to_numpy(zero_copy_only=False)
+    b = tbl["b"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    deg = np.bincount(ea, minlength=len(nodes)) + np.bincount(
+        eb, minlength=len(nodes)
+    )
+    # np.unique sorts ascending, argmax takes the FIRST max -> the
+    # lexicographically smallest among degree ties (the seed contract)
+    seed = int(np.argmax(deg))
+    hop = np.full(len(nodes), -1, np.int64)
+    hop[seed] = 0
+    frontier = np.zeros(len(nodes), bool)
+    frontier[seed] = True
+    for h in range(1, max_hops + 1):
+        touch = np.zeros(len(nodes), bool)
+        m = frontier[ea]
+        touch[eb[m]] = True
+        m = frontier[eb]
+        touch[ea[m]] = True
+        new = touch & (hop < 0)
+        if not new.any():
+            break
+        hop[new] = h
+        frontier = new
+    keep = hop >= 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes[keep]).cast(
+                    out_schema.field("node").type
+                ),
+                "hop": pa.array(hop[keep], pa.int64()),
+            }
+        )
+    )
+
+
+def bfs_layers(edges_ds, src_col: str, dst_col: str, max_hops: int = 3,
+               num_partitions: int = _DEFAULT_PARTITIONS,
+               small_edge_cutoff: int = 200_000):
+    """Min-hop BFS layers from a DETERMINISTIC seed (the max-degree
+    node of the undirected simple graph, ties to the smallest name —
+    computable identically by a SQL oracle) out to ``max_hops``.
+    Returns (node, hop) for every reachable node including the seed at
+    hop 0 — the neighborhood-expansion primitive (provenance walks,
+    blast-radius queries, "entities within k hops of X").
+
+    Distributed rounds: per-hop frontier expansion is two clamped
+    hash semi-joins of the (materialized, shrinking-frontier) node set
+    against the edge list plus one distinct-groupby — per round the
+    shuffle moves frontier-adjacent edges only, and the visited set
+    accumulates as a Dataset (never driver state). Below
+    ``small_edge_cutoff`` normalized edges the whole graph is
+    driver-affordable model state and numpy BFS replaces ~max_hops
+    rounds of join fixed costs (the triangle_counts /
+    kcore_nodes dense-path precedent; force the distributed path in
+    tests with small_edge_cutoff=0)."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    P = _clamp_partitions(num_partitions)
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    node_type = edges_ds.schema().base_schema.field(src_col).type
+    out_schema = pa.schema(
+        [pa.field("node", node_type), pa.field("hop", pa.int64())]
+    )
+    if edges.count() <= small_edge_cutoff:
+        return _bfs_local(edges, max_hops, out_schema)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        node = pa.chunked_array(
+            list(b["a"].chunks) + list(b["b"].chunks), type=b["a"].type
+        )
+        return pa.table({"node": node})
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+    )
+    seed_row = deg.sort(["count()", "node"], descending=[True, False]).limit(
+        1
+    ).take_all()
+    seed = seed_row[0]["node"]
+
+    def layer_tbl(names, h):
+        return pa.table(
+            {
+                "node": pa.array(names, node_type),
+                "hop": pa.array([h] * len(names), pa.int64()),
+            }
+        )
+
+    layers = [rd.from_arrow(layer_tbl([seed], 0))]
+    visited = rd.from_arrow(pa.table({"node": pa.array([seed], node_type)}))
+    frontier = visited.materialize()
+    for h in range(1, max_hops + 1):
+        f = frontier.repartition(P)
+        outs = []
+        for side, other in (("a", "b"), ("b", "a")):
+            hit = (
+                edges.repartition(P)
+                .join(f, join_type="left_semi", num_partitions=P,
+                      on=(side,), right_on=("node",))
+                .map_batches(
+                    lambda b, o=other: pa.table({"node": b[o]}),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            if hit.count() > 0:
+                outs.append(hit)
+        if not outs:
+            break
+        nxt = outs[0] if len(outs) == 1 else outs[0].union(outs[1])
+        nxt = (
+            nxt.groupby("node")
+            .count()
+            .map_batches(
+                lambda b: b.select(["node"]), batch_format="pyarrow"
+            )
+            .repartition(P)
+            .join(visited.repartition(P), join_type="left_anti",
+                  num_partitions=P, on=("node",))
+            .materialize()
+        )
+        if nxt.count() == 0:
+            break
+        layers.append(
+            nxt.map_batches(
+                lambda b, hh=h: b.append_column(
+                    "hop", pa.array([hh] * len(b), pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        visited = visited.union(nxt).materialize()
+        frontier = nxt
+    out = layers[0]
+    for ly in layers[1:]:
+        out = out.union(ly)
+    return out

@@ -109,3 +109,58 @@ def test_label_propagation_matches_bruteforce(ray_session):
         ).to_pandas()
         got = dict(zip(out["node"], out["label"]))
         assert got == brute(rounds), f"rounds={rounds} cutoff={cutoff}"
+
+
+# ---------- BFS layers ----------
+
+def _bfs_edges():
+    import pyarrow as pa
+    import ray.data as rd
+
+    # hub 'b' (degree 3) is the deterministic seed; path b-a-x-y plus
+    # isolated pair (p, q) that must NOT appear
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s": ["a", "b", "b", "b", "x", "p"],
+                "d": ["b", "c", "d", "a", "a", "q"],
+            }
+        )
+    )
+
+
+def test_bfs_layers_hand_local(ray_session):
+    from eschergraph_ray.functions.graph_metrics import bfs_layers
+
+    out = {
+        r["node"]: r["hop"]
+        for r in bfs_layers(_bfs_edges(), "s", "d", max_hops=3).take_all()
+    }
+    assert out == {"b": 0, "a": 1, "c": 1, "d": 1, "x": 2}
+    # y would be hop 3 if it existed; p/q unreachable -> absent
+
+
+def test_bfs_layers_distributed_matches_local(ray_session):
+    from eschergraph_ray.functions.graph_metrics import bfs_layers
+
+    loc = {
+        (r["node"], r["hop"])
+        for r in bfs_layers(_bfs_edges(), "s", "d", max_hops=2).take_all()
+    }
+    dist = {
+        (r["node"], r["hop"])
+        for r in bfs_layers(
+            _bfs_edges(), "s", "d", max_hops=2, num_partitions=2,
+            small_edge_cutoff=0,
+        ).take_all()
+    }
+    assert loc == dist and ("x", 2) in loc
+
+
+def test_bfs_layers_validation():
+    import pytest
+
+    from eschergraph_ray.functions.graph_metrics import bfs_layers
+
+    with pytest.raises(ValueError):
+        bfs_layers(None, "s", "d", max_hops=0)
