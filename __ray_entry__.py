@@ -2794,6 +2794,28 @@ def _q_kg_bfs_layers(sf_dir: str):
     )
 
 
+def _q_docs_token_budget(sf_dir: str):
+    """Budget-bounded corpus selection (sampling.select_token_budget):
+    docs ranked by token-distribution entropy (diversity desc, id asc)
+    admitted while the running token total fits 30% of the corpus —
+    the "best docs until N tokens" curation pass. Pass 1 reduces the
+    corpus to a per-score histogram; only the boundary tie group's
+    (id, tokens) rows reach the driver; pass 2 is a broadcast filter.
+    All-integer rule, so the SQL window replay is byte-exact."""
+    from eschergraph_ray.functions.sampling import select_token_budget
+    from eschergraph_ray.functions.textstats import token_entropy
+
+    scored = token_entropy(_docs(sf_dir), "doc_id", "text").map_batches(
+        lambda b: b.select(["doc_id", "n_tokens", "h_micro"]),
+        batch_format="pyarrow",
+    ).materialize()  # scored ints, doc-cardinality; consumed 3x
+    total = scored.sum("n_tokens") or 0
+    budget = int(total) * 3 // 10
+    return select_token_budget(
+        scored, "doc_id", "h_micro", "n_tokens", budget
+    ).sort(["h_micro", "doc_id"], descending=[True, False])
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3229,6 +3251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_throttle": _q_events_throttle,
         "docs_bigram_nll": _q_docs_bigram_nll,
         "kg_bfs_layers": _q_kg_bfs_layers,
+        "docs_token_budget": _q_docs_token_budget,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -5746,4 +5769,23 @@ def oracle_sql() -> dict[str, str]:
     # (term-order summation, same double arithmetic), so it shares the
     # scan oracle verbatim — any layout-induced divergence fails loudly
     d["docs_bm25_indexed"] = d["docs_bm25_topk"]
+    # budget-bounded selection composed over the entropy replay: the
+    # running-total window admits the same prefix the Ray histogram
+    # cutoff + boundary-tie-group settlement admits
+    d["docs_token_budget"] = f"""
+        WITH ent AS ({d['doc_token_entropy']}),
+        b AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 10 AS budget
+          FROM ent
+        ),
+        w AS (
+          SELECT doc_id, n_tokens, h_micro,
+                 sum(n_tokens) OVER (ORDER BY h_micro DESC, doc_id)
+                   AS cum
+          FROM ent
+        )
+        SELECT doc_id, n_tokens, h_micro
+        FROM w, b WHERE cum <= budget
+        ORDER BY h_micro DESC, doc_id
+    """
     return d

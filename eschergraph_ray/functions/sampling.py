@@ -155,3 +155,88 @@ def per_group_topk_sample(ds, group_col: str, id_col: str, k: int = 3,
         .groupby(group_col)
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def select_token_budget(ds, id_col: str, score_col: str, tokens_col: str,
+                        budget: int):
+    """Budget-bounded corpus selection: admit rows in
+    ``(score desc, id asc)`` order while the RUNNING token total stays
+    within ``budget`` — the "best docs until N tokens" curation pass
+    (SQL: ``sum(tokens) OVER (ORDER BY score DESC, id) <= budget``;
+    once one row overflows, every later row is excluded too, since the
+    running sum never decreases).
+
+    Distributed construction (no global sort of rows): pass 1 reduces
+    the corpus to a per-SCORE histogram ``(n_docs, sum_tokens)`` —
+    score-cardinality-sized, the micro-unit scores this repo emits are
+    bounded — and the driver's cumsum over it finds the cutoff score:
+    every strictly-better score is fully admitted, every strictly-worse
+    fully excluded. Only the single BOUNDARY score's rows (a tie
+    group) come back ``(id, tokens)`` to settle partial admission in
+    id order. Pass 2 is a stateless broadcast filter. Scores and
+    tokens must be integers (the parity discipline)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    hist = (
+        ds.groupby(score_col)
+        .aggregate(Count(alias_name="n_docs"), Sum(tokens_col))
+        .to_pandas()
+    )
+    def empty_sel():
+        return ds.map_batches(lambda b: b.slice(0, 0),
+                              batch_format="pyarrow")
+
+    if len(hist) == 0:
+        return empty_sel()
+    hist = hist.sort_values(score_col, ascending=False)
+    scores = hist[score_col].to_numpy(np.int64)
+    cum = hist[f"sum({tokens_col})"].to_numpy(np.int64).cumsum()
+    # cumsum is monotone (tokens >= 0): the admitted PREFIX of tie
+    # groups is exactly the ones whose cumulative total fits
+    n_full = int((cum <= budget).sum())
+    # all tie groups fit -> pure score filter, no boundary work
+    if n_full == len(scores):
+        lo = int(scores[-1])
+        return ds.map_batches(
+            lambda b: b.filter(pc.greater_equal(b[score_col], lo)),
+            batch_format="pyarrow",
+        )
+    boundary_score = int(scores[n_full])
+    prior = int(cum[n_full - 1]) if n_full else 0
+    # the boundary tie group (bounded: one score value), settled in
+    # id order on the driver
+    btbl = ds.map_batches(
+        lambda b: b.filter(pc.equal(b[score_col], boundary_score)),
+        batch_format="pyarrow",
+    ).select_columns([id_col, tokens_col]).to_pandas()
+    btbl = btbl.sort_values(id_col)
+    bcum = prior + btbl[tokens_col].to_numpy(np.int64).cumsum()
+    admitted = btbl[id_col].to_numpy()[bcum <= budget]
+    if n_full == 0 and len(admitted) == 0:
+        return empty_sel()
+    adm_sorted = np.sort(admitted)
+    min_full = int(scores[n_full - 1]) if n_full else None
+    adm_ref = ray.put(adm_sorted)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pyarrow.compute as pc
+
+        adm = ray.get(adm_ref)
+        s = batch[score_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = _np.zeros(len(batch), bool)
+        if min_full is not None:
+            mask |= s >= min_full
+        if len(adm):
+            pos = _np.searchsorted(adm, ids)
+            hit = (pos < len(adm)) & (adm[_np.minimum(pos, len(adm) - 1)] == ids)
+            mask |= (s == boundary_score) & hit
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

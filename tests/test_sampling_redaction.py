@@ -209,3 +209,48 @@ def test_markdown_table_malformed_specs_do_not_crash():
         ],
     )
     assert got == "| ok |  |\n| --- | --- |\n|  |  |\n"
+
+
+# ---------- budget-bounded selection ----------
+
+
+def test_select_token_budget_boundary_ties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import select_token_budget
+
+    # scores: 9 (one doc, 10 tok), 5 (tie group of three, 10 tok each,
+    # admitted in id order), 1 (never reached)
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "score": [9, 5, 5, 5, 1],
+            "tok": [10, 10, 10, 10, 10],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+
+    def sel(budget):
+        return sorted(
+            r["id"]
+            for r in select_token_budget(
+                ds, "id", "score", "tok", budget
+            ).take_all()
+        )
+
+    assert sel(10) == [1]          # exactly the top doc
+    assert sel(25) == [1, 2]       # one boundary doc fits
+    assert sel(30) == [1, 2, 3]    # running total rule, id order
+    assert sel(9) == []            # first doc overflows -> nothing
+    assert sel(1000) == [1, 2, 3, 4, 5]
+    assert sel(45) == [1, 2, 3, 4]  # full tie group, next score out
+
+
+def test_select_token_budget_validation(ray_session):
+    import pytest
+
+    from eschergraph_ray.functions.sampling import select_token_budget
+
+    with pytest.raises(ValueError):
+        select_token_budget(None, "id", "s", "t", -1)
