@@ -2816,6 +2816,30 @@ def _q_docs_token_budget(sf_dir: str):
     ).sort(["h_micro", "doc_id"], descending=[True, False])
 
 
+def _q_kg_link_prediction(sf_dir: str):
+    """Adamic-Adar link prediction over the built KG
+    (graph_metrics.adamic_adar_topk): top-25 NON-adjacent level-0
+    entity pairs by summed 1/ln(deg) over common neighbors — the
+    classic "missing edge" miner. The dense KG takes the (A*q)@A
+    fast path; the distributed wedge-join route is pytest-verified
+    identical. Integer micro weights keep both engines bit-equal."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import adamic_adar_topk
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    return adamic_adar_topk(edges, "frm_name", "to_name", k=25)
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3252,6 +3276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_nll": _q_docs_bigram_nll,
         "kg_bfs_layers": _q_kg_bfs_layers,
         "docs_token_budget": _q_docs_token_budget,
+        "kg_link_prediction": _q_kg_link_prediction,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4275,6 +4300,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
             FROM pairs WHERE levenshtein(name_a, name_b) <= 4
             ORDER BY name_a, name_b
+        """,
+        "kg_link_prediction": f"""
+            -- Adamic-Adar replay (graph_metrics.adamic_adar_topk):
+            -- per-node weight q = round(1e6/ln(deg)) (the one float
+            -- step), wedge self-join, exact int64 pair sums, adjacent
+            -- pairs excluded, all-integer top-25 boundary
+            WITH e0 AS (
+              SELECT DISTINCT least(frm_name, to_name) AS a,
+                     greatest(frm_name, to_name) AS b
+              FROM read_parquet('{_edges}')
+              WHERE level = 0 AND frm_name <> to_name
+            ),
+            sym AS (
+              SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0
+            ),
+            deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+            q AS (
+              SELECT id,
+                     CAST(round(1e6 / ln(CAST(d AS DOUBLE)), 0) AS BIGINT)
+                       AS q
+              FROM deg WHERE d >= 2
+            ),
+            wedge AS (
+              SELECT s1.dst AS u, s2.dst AS v, q.q
+              FROM sym s1
+              JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+              JOIN q ON q.id = s1.src
+            ),
+            sc AS (
+              SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+                     CAST(sum(q) AS BIGINT) AS aa_micro
+              FROM wedge GROUP BY u, v
+            )
+            SELECT sc.u AS node_a, sc.v AS node_b, sc.n_common, sc.aa_micro
+            FROM sc LEFT JOIN e0 ON e0.a = sc.u AND e0.b = sc.v
+            WHERE e0.a IS NULL
+            ORDER BY aa_micro DESC, node_a, node_b
+            LIMIT 25
         """,
         "kg_bfs_layers": f"""
             -- recursive-CTE BFS replay (graph_metrics.bfs_layers):

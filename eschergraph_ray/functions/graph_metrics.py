@@ -936,3 +936,220 @@ def bfs_layers(edges_ds, src_col: str, dst_col: str, max_hops: int = 3,
     for ly in layers[1:]:
         out = out.union(ly)
     return out
+
+
+def adamic_adar_topk(edges_ds, src_col: str, dst_col: str, k: int = 25,
+                     num_partitions: int = _DEFAULT_PARTITIONS,
+                     fastpath_max_nodes: int = 2048):
+    """Adamic-Adar link prediction over the undirected simple graph:
+    for every NON-adjacent pair (u, v) with at least one common
+    neighbor, ``aa = sum over common neighbors w of 1 / ln(deg(w))``
+    (Adamic & Adar 2003) — rarer hubs certify a stronger latent link.
+    Returns the top ``k`` rows ``(node_a, node_b, n_common, aa_micro)``
+    by (aa_micro desc, node_a, node_b).
+
+    Parity device: the per-NODE weight ``q_w = round(1e6 / ln(d_w))``
+    is the only float step (one ln, one division, zero-digit round —
+    identical in DuckDB), so pair scores are exact int64 sums; degree-1
+    centers generate no wedge and are dropped before the division.
+
+    Small-dense fast path (the triangle_counts precedent, the KG
+    regime): below ``fastpath_max_nodes`` distinct nodes the score
+    matrix is one ``(A*q) @ A`` matmul — int-valued float64 (q <=
+    1.5e6, n common neighbors <= n, far inside 2^53). The distributed
+    route mirrors the PMI pipeline: wedges via a hash SELF-JOIN of the
+    symmetrized edge list on the center (weights joined on, never
+    broadcast), pair groupby-sum, adjacency dropped with a clamped
+    left_anti join."""
+    import math
+
+    import numpy as np
+
+    P = _clamp_partitions(num_partitions)
+    node_type = edges_ds.schema().base_schema.field(src_col).type
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    empty = pa.table(
+        {
+            "node_a": pa.array([], node_type),
+            "node_b": pa.array([], node_type),
+            "n_common": pa.array([], pa.int64()),
+            "aa_micro": pa.array([], pa.int64()),
+        }
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        node = pa.chunked_array(
+            list(b["a"].chunks) + list(b["b"].chunks), type=b["a"].type
+        )
+        return pa.table({"node": node})
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .materialize()
+    )
+    if deg.count() <= fastpath_max_nodes:
+        nodes = sorted(
+            r["node"]
+            for b in deg.iter_batches(batch_format="pyarrow")
+            for r in b.select(["node"]).to_pylist()
+        )
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        A = np.zeros((n, n), np.float64)
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            ai = [idx[v] for v in b["a"].to_pylist()]
+            bi = [idx[v] for v in b["b"].to_pylist()]
+            A[ai, bi] = 1.0
+            A[bi, ai] = 1.0
+        d = A.sum(axis=1)
+        q = np.zeros(n, np.float64)
+        m2 = d >= 2
+        # the ONLY float step, once per node (libm log, like the SQL ln)
+        q[m2] = np.asarray(
+            pc.round(
+                pa.array(1e6 / np.log(d[m2])),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )
+        )
+        S = (A * q) @ A       # sum of center weights per (u, v) path
+        C = A @ A             # common-neighbor counts
+        iu, ju = np.triu_indices(n, 1)
+        keep = (C[iu, ju] > 0) & (A[iu, ju] == 0)
+        iu, ju = iu[keep], ju[keep]
+        aa = S[iu, ju].astype(np.int64)
+        nc = C[iu, ju].astype(np.int64)
+        order = np.lexsort((ju, iu, -aa))[:k]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node_a": pa.array([nodes[i] for i in iu[order]],
+                                       node_type),
+                    "node_b": pa.array([nodes[j] for j in ju[order]],
+                                       node_type),
+                    "n_common": pa.array(nc[order], pa.int64()),
+                    "aa_micro": pa.array(aa[order], pa.int64()),
+                }
+            )
+        )
+
+    # distributed route: weights for degree>=2 centers (one ln per node)
+    def weights(b: pa.Table) -> pa.Table:
+        bb = b.filter(pc.greater_equal(b["count()"], 2))
+        qv = pc.cast(
+            pc.round(
+                pc.divide(
+                    1e6,
+                    pc.ln(pc.cast(bb["count()"], pa.float64())),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"center": bb["node"], "q": qv})
+
+    qds = deg.map_batches(weights, batch_format="pyarrow").repartition(P)
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "center": pa.chunked_array(
+                    list(b["a"].chunks) + list(b["b"].chunks),
+                    type=b["a"].type,
+                ),
+                "nbr": pa.chunked_array(
+                    list(b["b"].chunks) + list(b["a"].chunks),
+                    type=b["a"].type,
+                ),
+            }
+        )
+
+    sym = (
+        edges.map_batches(symmetrize, batch_format="pyarrow")
+        .repartition(P)
+        .join(qds, join_type="inner", num_partitions=P, on=("center",))
+        .materialize()
+    )
+
+    def as_side(nbr_out: str, with_q: bool):
+        cols = ["center", nbr_out] + (["q"] if with_q else [])
+
+        def f(b: pa.Table, o=nbr_out, wq=with_q) -> pa.Table:
+            out = {"center": b["center"], o: b["nbr"]}
+            if wq:
+                out["q"] = b["q"]
+            return pa.table(out)
+
+        return sym.map_batches(f, batch_format="pyarrow")
+
+    wedges = (
+        as_side("u", with_q=True)
+        .join(as_side("v", with_q=False), join_type="inner",
+              num_partitions=P, on=("center",))
+        .map_batches(
+            lambda b: b.filter(pc.less(b["u"], b["v"])).select(
+                ["u", "v", "q"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    from ray.data.aggregate import Count, Sum
+
+    sc = (
+        wedges.groupby(["u", "v"])
+        .aggregate(Count(alias_name="n_common"), Sum("q"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "u": b["u"],
+                    "v": b["v"],
+                    "n_common": pc.cast(b["n_common"], pa.int64()),
+                    "aa_micro": pc.cast(b["sum(q)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+    if sc.count() == 0:
+        return rd.from_arrow(empty)
+    # drop adjacent pairs: edges are (a<b), wedge pairs are (u<v) —
+    # same orientation, one composite left_anti
+    pair_key = lambda t, x, y: t.map_batches(
+        lambda b, xx=x, yy=y: b.append_column(
+            "_pk",
+            pc.binary_join_element_wise(
+                pc.cast(b[xx], pa.string()), pc.cast(b[yy], pa.string()),
+                "\x1f",
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    ek = pair_key(edges, "a", "b").map_batches(
+        lambda b: b.select(["_pk"]), batch_format="pyarrow"
+    ).repartition(P)
+    nonadj = (
+        pair_key(sc, "u", "v")
+        .repartition(P)
+        .join(ek, join_type="left_anti", num_partitions=P, on=("_pk",))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node_a": b["u"],
+                    "node_b": b["v"],
+                    "n_common": b["n_common"],
+                    "aa_micro": b["aa_micro"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return nonadj.sort(
+        ["aa_micro", "node_a", "node_b"], descending=[True, False, False]
+    ).limit(k)

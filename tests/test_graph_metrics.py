@@ -164,3 +164,55 @@ def test_bfs_layers_validation():
 
     with pytest.raises(ValueError):
         bfs_layers(None, "s", "d", max_hops=0)
+
+
+# ---------- Adamic-Adar link prediction ----------
+
+def test_adamic_adar_hand_computed(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.graph_metrics import adamic_adar_topk
+
+    # square a-b-c-d-a plus chord a-c: non-adjacent pair is only (b, d)
+    # with common neighbors a (deg 3) and c (deg 3)
+    edges = rd.from_arrow(
+        pa.table(
+            {"s": ["a", "b", "c", "d", "a"], "d": ["b", "c", "d", "a", "c"]}
+        )
+    )
+    out = adamic_adar_topk(edges, "s", "d", k=10).take_all()
+    assert len(out) == 1
+    r = out[0]
+    q3 = round(1e6 / math.log(3))
+    assert (r["node_a"], r["node_b"]) == ("b", "d")
+    assert r["n_common"] == 2 and r["aa_micro"] == 2 * q3
+
+
+def test_adamic_adar_distributed_matches_local(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.graph_metrics import adamic_adar_topk
+
+    # star hub h with leaves x0..x4 plus edge x0-x1: every non-adjacent
+    # leaf pair shares hub h; (x0,x1) is adjacent and must be excluded
+    s = ["h"] * 5 + ["x0"]
+    d = [f"x{i}" for i in range(5)] + ["x1"]
+    edges = rd.from_arrow(pa.table({"s": s, "d": d}))
+    loc = [
+        (r["node_a"], r["node_b"], r["n_common"], r["aa_micro"])
+        for r in adamic_adar_topk(edges, "s", "d", k=50).take_all()
+    ]
+    dist = [
+        (r["node_a"], r["node_b"], r["n_common"], r["aa_micro"])
+        for r in adamic_adar_topk(
+            edges, "s", "d", k=50, num_partitions=2, fastpath_max_nodes=0
+        ).take_all()
+    ]
+    assert loc == dist
+    pairs = {(a, b) for a, b, *_ in loc}
+    assert ("x0", "x1") not in pairs  # adjacent pair excluded
+    assert ("x0", "x2") in pairs and len(pairs) == 9  # C(5,2) - 1
