@@ -117,6 +117,11 @@ def main() -> None:
         # no extra kg build at bench scale)
         "docs_cms_counts",
         "embeddings_label_prop",
+        # round-4 fourth-session representatives
+        "docs_oov_bloom",
+        "events_throttle",
+        "docs_bigram_nll",
+        "users_orders_full_outer",
     ):
         if name in qmap:
             queries[name] = round(bench_query(qmap[name]), 3)
