@@ -2840,6 +2840,78 @@ def _q_kg_link_prediction(sf_dir: str):
     return adamic_adar_topk(edges, "frm_name", "to_name", k=25)
 
 
+def _q_embeddings_cluster_profile(sf_dir: str):
+    """Per-cluster mean-embedding profile (features.group_vector_sums
+    over kmeans_assign keep_vec=True): the grouped VECTOR aggregate
+    Ray Data lacks natively — per-batch (key x d) int64 scatter
+    partials, driver combine, long-format all-integer output
+    (cluster, dim, n, sum_micro); mean = sum/n is the caller's one
+    division. The centroid-profile / embedding-drift primitive."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import group_vector_sums
+    from eschergraph_ray.functions.similarity import (
+        kmeans_assign,
+        seed_centroids,
+    )
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids, cent = seed_centroids(ds, "vec_id", "embedding", k=8)
+    assigned = kmeans_assign(
+        ds, ids, cent, "vec_id", "embedding", keep_vec=True
+    ).map_batches(
+        lambda b: b.select(["cluster", "embedding"]),
+        batch_format="pyarrow",
+    )
+    return group_vector_sums(assigned, "cluster", "embedding")
+
+
+_CLUSTER_PROFILE_SQL = """
+    -- grouped vector aggregate replay: the kmeans_assign CTE chain
+    -- (cosine in DOUBLE via zipped unnest, 1e-4 quantized argmax),
+    -- then per-(cluster, dim) exact int64 micro-unit sums
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    el AS (
+      SELECT e.vec_id, c.cid,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(c.cv) AS DOUBLE) AS y
+      FROM embeddings e, c
+    ),
+    sc AS (
+      SELECT vec_id, cid,
+             round(sum(x * y)
+                   / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                   * 1e4, 0) AS q
+      FROM el GROUP BY vec_id, cid
+    ),
+    rk AS (
+      SELECT vec_id, cid,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY q DESC, cid
+             ) AS r
+      FROM sc
+    ),
+    asg AS (SELECT vec_id, cid AS cluster FROM rk WHERE r = 1),
+    comp AS (
+      SELECT a.cluster,
+             generate_subscripts(e.embedding, 1) AS dim,
+             CAST(round(CAST(unnest(e.embedding) AS DOUBLE) * 1e6, 0)
+                  AS BIGINT) AS qv
+      FROM embeddings e JOIN asg a USING (vec_id)
+    )
+    SELECT cluster, dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qv) AS BIGINT) AS sum_micro
+    FROM comp GROUP BY cluster, dim
+    ORDER BY cluster, dim
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3277,6 +3349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_layers": _q_kg_bfs_layers,
         "docs_token_budget": _q_docs_token_budget,
         "kg_link_prediction": _q_kg_link_prediction,
+        "embeddings_cluster_profile": _q_embeddings_cluster_profile,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4221,6 +4294,7 @@ def oracle_sql() -> dict[str, str]:
         "users_orders_full_outer": _FULL_OUTER_SQL,
         "events_throttle": _THROTTLE_SQL,
         "docs_bigram_nll": _BIGRAM_NLL_SQL,
+        "embeddings_cluster_profile": _CLUSTER_PROFILE_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from

@@ -288,3 +288,85 @@ def gram_matrix_rows(ds, vec_col: str, unit: float = 1e6):
             }
         )
     )
+
+
+def group_vector_sums(ds, key_col: str, vec_col: str, unit: float = 1e6):
+    """Per-key elementwise vector sums — the grouped vector aggregate
+    Ray Data lacks natively (mean pooling per cluster / per source:
+    the centroid-profile and embedding-drift primitive). Every
+    component is first quantized to integer ``unit`` units
+    (``round(x * unit, 0)`` int64), so per-key accumulation is EXACT
+    and engine-independent; callers derive means as ``sum / n``
+    themselves (emitting both keeps the output all-integer — the
+    parity discipline).
+
+    Returns a LONG-format Dataset ``(key_col, dim, n, sum_micro)``
+    (dim 1-based, matching SQL ``generate_subscripts``).
+
+    Shape: each batch reduces to its own (keys-in-batch x d) int64
+    partial with one ``np.add.at`` scatter and emits ONE packed row
+    per key — the exchange moves (#batches x keys x d) integers,
+    never vectors; partials combine on the driver (key-cardinality x
+    d model state, the gram_matrix/kmeans_fit precedent)."""
+    from .similarity import _batch_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sums": pa.array([], pa.large_binary()),
+                }
+            )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(batch, vec_col)
+        q = _round0_half_away(mat * unit).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        acc = np.zeros((len(uk), q.shape[1]), np.int64)
+        np.add.at(acc, inv, q)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(uk, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "sums": pa.array([r.tobytes() for r in acc],
+                                 pa.large_binary()),
+            }
+        )
+
+    import ray.data as rd
+
+    totals: dict[int, tuple[int, np.ndarray]] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k, n, buf in zip(
+            b["k"].to_pylist(), b["n"].to_pylist(), b["sums"].to_pylist()
+        ):
+            v = np.frombuffer(buf, np.int64)
+            if k in totals:
+                pn, pv = totals[k]
+                totals[k] = (pn + n, pv + v)
+            else:
+                totals[k] = (n, v.copy())
+    ks, dims, ns, sums = [], [], [], []
+    for k in sorted(totals):
+        n, v = totals[k]
+        ks.extend([k] * len(v))
+        dims.extend(range(1, len(v) + 1))
+        ns.extend([n] * len(v))
+        sums.extend(v.tolist())
+    return rd.from_arrow(
+        pa.table(
+            {
+                key_col: pa.array(ks, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "sum_micro": pa.array(sums, pa.int64()),
+            }
+        )
+    )

@@ -304,7 +304,7 @@ def seed_centroids(ds, id_col: str, vec_col: str, k: int):
 
 
 def kmeans_assign(ds, centroid_ids, centroids: np.ndarray, id_col: str,
-                  vec_col: str):
+                  vec_col: str, keep_vec: bool = False):
     """Assign every embedding to its nearest centroid by cosine.
     Returns ``(id_col, cluster, cosine)`` — cluster is the CENTROID'S
     id (not an index) so assignments are stable under centroid-list
@@ -334,13 +334,16 @@ def kmeans_assign(ds, centroid_ids, centroids: np.ndarray, id_col: str,
 
         pin_arrow_threads()
         if len(batch) == 0:
-            return pa.table(
-                {
-                    id_col: pa.chunked_array([[]], type=batch[id_col].type),
-                    "cluster": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
+            cols0 = {
+                id_col: pa.chunked_array([[]], type=batch[id_col].type),
+                "cluster": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+            if keep_vec:
+                cols0[vec_col] = pa.chunked_array(
+                    [[]], type=batch[vec_col].type
+                )
+            return pa.table(cols0)
         cids, cent = ray.get(cent_ref)  # node-cached
         m = _normalize(_batch_matrix(batch, vec_col))
         q = np.asarray(
@@ -354,13 +357,14 @@ def kmeans_assign(ds, centroid_ids, centroids: np.ndarray, id_col: str,
         # ascending, so ties resolve to the smallest centroid id
         best = np.argmax(q, axis=1)
         rows = np.arange(len(m))
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "cluster": pa.array(cids[best], pa.int64()),
-                "cosine": pa.array(q[rows, best] / 1e4, pa.float64()),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "cluster": pa.array(cids[best], pa.int64()),
+            "cosine": pa.array(q[rows, best] / 1e4, pa.float64()),
+        }
+        if keep_vec:
+            cols[vec_col] = batch[vec_col]
+        return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow")
 

@@ -188,3 +188,35 @@ def test_zscore_oracle_replay_sf0001():
     g = got.groupby("event_type")["z"]
     assert (g.mean().abs() < 1e-3).all()
     assert ((g.std(ddof=0) - 1).abs() < 1e-2).all()
+
+# ---------- grouped vector sums ----------
+
+
+def test_group_vector_sums_hand_and_partition_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import group_vector_sums
+
+    t = pa.table(
+        {
+            "k": [1, 1, 2],
+            "v": [[0.5, -1.0], [0.25, 2.0], [1.0, 1.0]],
+        }
+    )
+
+    def run(blocks):
+        ds = rd.from_arrow(t)
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        return {
+            (r["k"], r["dim"]): (r["n"], r["sum_micro"])
+            for r in group_vector_sums(ds, "k", "v").take_all()
+        }
+
+    out = run(1)
+    assert out[(1, 1)] == (2, 750_000)
+    assert out[(1, 2)] == (2, 1_000_000)
+    assert out[(2, 1)] == (1, 1_000_000)
+    assert out == run(3)  # partial combine is partitioning-invariant
