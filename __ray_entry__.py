@@ -2912,6 +2912,31 @@ _CLUSTER_PROFILE_SQL = """
 """
 
 
+def _q_kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the KG
+    (graph_metrics.clustering_coefficients): triangles and degrees
+    composed into cc = 2*tri/(d*(d-1)) — exact ints into one float
+    division + zero-digit round (micro units). All degree>=2 level-0
+    entities, ranked (cc_micro desc, node)."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import (
+        clustering_coefficients,
+    )
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    return clustering_coefficients(edges, "frm_name", "to_name")
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3350,6 +3375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_budget": _q_docs_token_budget,
         "kg_link_prediction": _q_kg_link_prediction,
         "embeddings_cluster_profile": _q_embeddings_cluster_profile,
+        "kg_clustering_coeff": _q_kg_clustering,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4374,6 +4400,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
             FROM pairs WHERE levenshtein(name_a, name_b) <= 4
             ORDER BY name_a, name_b
+        """,
+        "kg_clustering_coeff": f"""
+            -- local clustering coefficient replay
+            -- (graph_metrics.clustering_coefficients): triangle CTE +
+            -- endpoint degrees, cc_micro = one float division over
+            -- exact ints, zero-digit round
+            WITH e0 AS (
+              SELECT DISTINCT least(frm_name, to_name) AS a,
+                              greatest(frm_name, to_name) AS b
+              FROM read_parquet('{_edges}')
+              WHERE level = 0 AND frm_name <> to_name
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e0 e1
+              JOIN e0 e2 ON e2.a = e1.b
+              JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ),
+            tcnt AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+              FROM corners GROUP BY node
+            ),
+            sym AS (
+              SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+            ),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS degree
+              FROM sym GROUP BY node HAVING count(*) >= 2
+            )
+            SELECT d.node, d.degree,
+                   CAST(coalesce(t.n_triangles, 0) AS BIGINT)
+                     AS n_triangles,
+                   CAST(round(2000000.0 * coalesce(t.n_triangles, 0)
+                              / (d.degree * (d.degree - 1)), 0)
+                        AS BIGINT) AS cc_micro
+            FROM deg d LEFT JOIN tcnt t USING (node)
+            ORDER BY cc_micro DESC, node
         """,
         "kg_link_prediction": f"""
             -- Adamic-Adar replay (graph_metrics.adamic_adar_topk):

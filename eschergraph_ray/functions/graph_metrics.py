@@ -1153,3 +1153,100 @@ def adamic_adar_topk(edges_ds, src_col: str, dst_col: str, k: int = 25,
     return nonadj.sort(
         ["aa_micro", "node_a", "node_b"], descending=[True, False, False]
     ).limit(k)
+
+
+def clustering_coefficients(edges_ds, src_col: str, dst_col: str,
+                            num_partitions: int = _DEFAULT_PARTITIONS):
+    """Per-node local clustering coefficient ``cc = 2*tri / (d*(d-1))``
+    over the undirected simple graph — the standard
+    how-clique-like-is-this-neighborhood metric, composed from
+    :func:`triangle_counts` and the endpoint-explode degree aggregate
+    (both already hub-safe). Nodes with degree < 2 are excluded (cc
+    undefined); nodes in no triangle report 0.
+
+    Returns ``(node, degree, n_triangles, cc_micro)`` with
+    ``cc_micro = round(2e6 * tri / (d*(d-1)), 0)`` — exact integers
+    into ONE float division + zero-digit round, identical in SQL."""
+    P = _clamp_partitions(num_partitions)
+    node_type = edges_ds.schema().base_schema.field(src_col).type
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    empty = pa.table(
+        {
+            "node": pa.array([], node_type),
+            "degree": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+            "cc_micro": pa.array([], pa.int64()),
+        }
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        node = pa.chunked_array(
+            list(b["a"].chunks) + list(b["b"].chunks), type=b["a"].type
+        )
+        return pa.table({"node": node})
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "degree": pc.cast(b["count()"], pa.int64()),
+                }
+            ).filter(pc.greater_equal(pc.field("degree"), 2)),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+    tri = triangle_counts(edges, "a", "b",
+                          num_partitions=P).repartition(P).materialize()
+    if tri.count() == 0:
+        joined = deg.map_batches(
+            lambda b: b.append_column(
+                "n_triangles", pa.array([0] * len(b), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = deg.join(
+            tri,
+            "left_outer",
+            num_partitions=P,
+            on=("node",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "degree": b["degree"],
+                    "n_triangles": pc.fill_null(
+                        pc.cast(b["n_triangles"], pa.int64()), 0
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def score(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["degree"], pa.float64())
+        t = pc.cast(b["n_triangles"], pa.float64())
+        cc = pc.cast(
+            pc.round(
+                pc.divide(
+                    pc.multiply(t, 2e6),
+                    pc.multiply(d, pc.subtract(d, 1.0)),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return b.append_column("cc_micro", cc)
+
+    return joined.map_batches(score, batch_format="pyarrow").sort(
+        ["cc_micro", "node"], descending=[True, False]
+    )

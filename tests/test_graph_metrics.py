@@ -216,3 +216,27 @@ def test_adamic_adar_distributed_matches_local(ray_session):
     pairs = {(a, b) for a, b, *_ in loc}
     assert ("x0", "x1") not in pairs  # adjacent pair excluded
     assert ("x0", "x2") in pairs and len(pairs) == 9  # C(5,2) - 1
+
+
+def test_clustering_coefficients_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.graph_metrics import (
+        clustering_coefficients,
+    )
+
+    # triangle a-b-c plus pendant d on a: cc(b)=cc(c)=1,
+    # cc(a)=2*1/(3*2)=1/3, d excluded (degree 1)
+    edges = rd.from_arrow(
+        pa.table({"s": ["a", "b", "c", "a"], "d": ["b", "c", "a", "d"]})
+    )
+    out = {
+        r["node"]: (r["degree"], r["n_triangles"], r["cc_micro"])
+        for r in clustering_coefficients(edges, "s", "d").take_all()
+    }
+    assert out == {
+        "a": (3, 1, 333333),
+        "b": (2, 1, 1000000),
+        "c": (2, 1, 1000000),
+    }
