@@ -2538,9 +2538,9 @@ def _pivot_oracle_sql() -> str:
         -- same quantization chain as the Ray side)
         SELECT user_id,
                {counts},
-               CAST(sum(CASE WHEN event_type = 'purchase'
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
                         THEN CAST(round(value * 1e6, 0) AS BIGINT)
-                        ELSE 0 END) AS BIGINT) AS purchase_micros
+                        ELSE 0 END), 0) AS BIGINT) AS purchase_micros
         FROM events GROUP BY user_id ORDER BY user_id
     """
 
@@ -2705,7 +2705,7 @@ _THROTTLE_SQL = """
       SELECT user_id, event_type,
              (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
-             lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+             lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
       FROM events
     )
     SELECT user_id, event_type, window_start_us,
@@ -3282,11 +3282,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # doc_token_entropy, docs_hybrid_rrf, docs_cms_counts,
     # embeddings_label_prop and regional_revenue (8 new, never green)
     # join the round-4 block; the fourth-session addition
-    # docs_from_jsonl (never green) takes position 50, which pushes
-    # kg_triples, kg_nodes, kg_edges, kg_properties, kg_chunks,
-    # kg_lineage, kg_embeddings, kg_quick_search and
-    # dedup_simhash_documents (all r3-green) to positions 51-59 just
-    # outside the window. Round 4: the 8 relational /
+    # docs_from_jsonl (never green) takes position 50 — the last slot
+    # inside the window. The ten OTHER fourth-session additions
+    # (docs_oov_bloom ... kg_clustering_coeff, never green,
+    # sim-verified) occupy positions 51-60, which pushes kg_triples,
+    # kg_nodes, kg_edges, kg_properties, kg_chunks, kg_lineage,
+    # kg_embeddings, kg_quick_search and dedup_simhash_documents (all
+    # r3-green) to positions 61-69. Round 4: the 8 relational /
     # temporal queries displaced by the r3 additions (orders_by_segment,
     # events_hourly, events_sliding_window, events_asof_join,
     # events_range_join, events_topk_per_type, top_users_by_value,

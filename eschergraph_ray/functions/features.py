@@ -307,8 +307,12 @@ def group_vector_sums(ds, key_col: str, vec_col: str, unit: float = 1e6):
     partial with one ``np.add.at`` scatter and emits ONE packed row
     per key — the exchange moves (#batches x keys x d) integers,
     never vectors; partials combine on the driver (key-cardinality x
-    d model state, the gram_matrix/kmeans_fit precedent)."""
+    d model state, the gram_matrix/kmeans_fit precedent). Keys may be
+    any hashable scalar type (ints, strings, ...) — the output column
+    keeps the input key type."""
     from .similarity import _batch_matrix
+
+    key_type = ds.schema().base_schema.field(key_col).type
 
     def partial(batch: pa.Table) -> pa.Table:
         from ..stages.chunking import pin_arrow_threads
@@ -317,7 +321,7 @@ def group_vector_sums(ds, key_col: str, vec_col: str, unit: float = 1e6):
         if len(batch) == 0:
             return pa.table(
                 {
-                    "k": pa.array([], pa.int64()),
+                    "k": pa.array([], key_type),
                     "n": pa.array([], pa.int64()),
                     "sums": pa.array([], pa.large_binary()),
                 }
@@ -331,7 +335,7 @@ def group_vector_sums(ds, key_col: str, vec_col: str, unit: float = 1e6):
         cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
-                "k": pa.array(uk, pa.int64()),
+                "k": pa.array(uk.tolist(), key_type),
                 "n": pa.array(cnt, pa.int64()),
                 "sums": pa.array([r.tobytes() for r in acc],
                                  pa.large_binary()),
@@ -363,7 +367,7 @@ def group_vector_sums(ds, key_col: str, vec_col: str, unit: float = 1e6):
     return rd.from_arrow(
         pa.table(
             {
-                key_col: pa.array(ks, pa.int64()),
+                key_col: pa.array(ks, key_type),
                 "dim": pa.array(dims, pa.int64()),
                 "n": pa.array(ns, pa.int64()),
                 "sum_micro": pa.array(sums, pa.int64()),

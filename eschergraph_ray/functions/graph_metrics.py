@@ -74,6 +74,20 @@ def _normalized_edges(edges_ds, src_col: str, dst_col: str):
     )
 
 
+def _explode_endpoints(edges):
+    """(a, b) edge list -> one 'node' row per endpoint (the degree /
+    seed aggregates' input) — zero-copy chunk concat, shared by the
+    triangle / BFS / Adamic-Adar / clustering / k-core family."""
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        node = pa.chunked_array(
+            list(b["a"].chunks) + list(b["b"].chunks), type=b["a"].type
+        )
+        return pa.table({"node": node})
+
+    return edges.map_batches(endpoints, batch_format="pyarrow")
+
+
 def knn_from_pairs(pairs_ds, a_col: str, b_col: str, score_col: str,
                    k: int, out_id: str = "id", out_nbr: str = "neighbor_id"):
     """Top-k neighbor graph from a scored undirected pair list — the
@@ -124,7 +138,8 @@ def knn_from_pairs(pairs_ds, a_col: str, b_col: str, score_col: str,
 def triangle_counts(edges_ds, src_col: str, dst_col: str,
                     num_partitions: int = _DEFAULT_PARTITIONS,
                     fastpath_max_nodes: int = 2048,
-                    fastpath_max_edges: int = 4_000_000):
+                    fastpath_max_edges: int = 4_000_000,
+                    pre_normalized: bool = False):
     """Per-node triangle participation counts.
 
     Returns ``(node, n_triangles)`` for every node in at least one
@@ -150,7 +165,14 @@ def triangle_counts(edges_ds, src_col: str, dst_col: str,
     # node type from the INPUT schema — an all-empty groupby output
     # carries no schema at all in Ray 2.49
     node_type = edges_ds.schema().base_schema.field(src_col).type
-    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    # pre_normalized: the caller already holds the distinct (a < b)
+    # loop-free edge list (e.g. clustering_coefficients) — skip the
+    # redundant full distinct-groupby shuffle
+    edges = (
+        edges_ds.materialize()
+        if pre_normalized
+        else _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    )
     empty = pa.table(
         {
             "node": pa.array([], node_type),
@@ -863,17 +885,7 @@ def bfs_layers(edges_ds, src_col: str, dst_col: str, max_hops: int = 3,
     if edges.count() <= small_edge_cutoff:
         return _bfs_local(edges, max_hops, out_schema)
 
-    def endpoints(b: pa.Table) -> pa.Table:
-        node = pa.chunked_array(
-            list(b["a"].chunks) + list(b["b"].chunks), type=b["a"].type
-        )
-        return pa.table({"node": node})
-
-    deg = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .count()
-    )
+    deg = _explode_endpoints(edges).groupby("node").count()
     seed_row = deg.sort(["count()", "node"], descending=[True, False]).limit(
         1
     ).take_all()
@@ -979,18 +991,7 @@ def adamic_adar_topk(edges_ds, src_col: str, dst_col: str, k: int = 25,
     if edges.count() == 0:
         return rd.from_arrow(empty)
 
-    def endpoints(b: pa.Table) -> pa.Table:
-        node = pa.chunked_array(
-            list(b["a"].chunks) + list(b["b"].chunks), type=b["a"].type
-        )
-        return pa.table({"node": node})
-
-    deg = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .count()
-        .materialize()
-    )
+    deg = _explode_endpoints(edges).groupby("node").count().materialize()
     if deg.count() <= fastpath_max_nodes:
         nodes = sorted(
             r["node"]
@@ -1181,14 +1182,8 @@ def clustering_coefficients(edges_ds, src_col: str, dst_col: str,
     if edges.count() == 0:
         return rd.from_arrow(empty)
 
-    def endpoints(b: pa.Table) -> pa.Table:
-        node = pa.chunked_array(
-            list(b["a"].chunks) + list(b["b"].chunks), type=b["a"].type
-        )
-        return pa.table({"node": node})
-
     deg = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
+        _explode_endpoints(edges)
         .groupby("node")
         .count()
         .map_batches(
@@ -1203,8 +1198,9 @@ def clustering_coefficients(edges_ds, src_col: str, dst_col: str,
         .repartition(P)
         .materialize()
     )
-    tri = triangle_counts(edges, "a", "b",
-                          num_partitions=P).repartition(P).materialize()
+    tri = triangle_counts(
+        edges, "a", "b", num_partitions=P, pre_normalized=True
+    ).repartition(P).materialize()
     if tri.count() == 0:
         joined = deg.map_batches(
             lambda b: b.append_column(

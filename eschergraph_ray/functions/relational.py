@@ -344,7 +344,12 @@ def pivot_wide(ds, key: str, pivot_col: str, categories: list[str],
         cols = {key: batch[key]}
         cat = batch[pivot_col]
         for c, nc in zip(categories, ncols):
-            cols[nc] = pc.cast(pc.equal(cat, c), pa.int64())
+            # NULL category counts as no category (the SQL CASE's
+            # ELSE 0), never a NULL indicator — an all-NULL key would
+            # otherwise sum to NULL where the oracle says 0
+            cols[nc] = pc.fill_null(
+                pc.cast(pc.equal(cat, c), pa.int64()), 0
+            )
         if vcol is not None:
             q = pc.cast(
                 pc.round(
@@ -378,7 +383,9 @@ def pivot_wide(ds, key: str, pivot_col: str, categories: list[str],
     def finalize(batch: pa.Table) -> pa.Table:
         cols = {key: batch[key]}
         for c in out_cols:
-            cols[c] = pc.cast(batch[f"sum({c})"], pa.int64())
+            cols[c] = pc.fill_null(
+                pc.cast(batch[f"sum({c})"], pa.int64()), 0
+            )
         return pa.table(cols)
 
     return agg.map_batches(finalize, batch_format="pyarrow").sort(key)

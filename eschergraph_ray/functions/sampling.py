@@ -167,7 +167,7 @@ def select_token_budget(ds, id_col: str, score_col: str, tokens_col: str,
     running sum never decreases).
 
     Distributed construction (no global sort of rows): pass 1 reduces
-    the corpus to a per-SCORE histogram ``(n_docs, sum_tokens)`` —
+    the corpus to a per-SCORE histogram of token totals —
     score-cardinality-sized, the micro-unit scores this repo emits are
     bounded — and the driver's cumsum over it finds the cutoff score:
     every strictly-better score is fully admitted, every strictly-worse
@@ -178,15 +178,11 @@ def select_token_budget(ds, id_col: str, score_col: str, tokens_col: str,
     import numpy as np
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    hist = (
-        ds.groupby(score_col)
-        .aggregate(Count(alias_name="n_docs"), Sum(tokens_col))
-        .to_pandas()
-    )
+    hist = ds.groupby(score_col).aggregate(Sum(tokens_col)).to_pandas()
     def empty_sel():
         return ds.map_batches(lambda b: b.slice(0, 0),
                               batch_format="pyarrow")

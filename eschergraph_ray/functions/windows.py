@@ -267,10 +267,15 @@ def throttle_first_per_window(ds, key_cols: list[str], ts_col: str,
 
         pin_arrow_threads()
         ts = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        if len(batch) and pc.min(ts).as_py() < 0:
+            raise ValueError(
+                "throttle_first_per_window requires non-negative "
+                "timestamps (lexicographic key order breaks below 0)"
+            )
         win = pc.multiply(pc.divide(ts, window_us), window_us)
         k = pc.binary_join_element_wise(
             pc.utf8_lpad(pc.cast(ts, pa.string()), 20, padding="0"),
-            pc.utf8_lpad(pc.cast(batch[id_col], pa.string()), 12,
+            pc.utf8_lpad(pc.cast(batch[id_col], pa.string()), 20,
                          padding="0"),
             ":",
         )

@@ -34,9 +34,13 @@ def export_documents_jsonl(parquet_path: str, out_dir: str,
     Atomic + idempotent via a _DONE marker; returns the file list."""
     import pyarrow.parquet as pq
 
-    done = os.path.join(out_dir, "_DONE")
+    # marker AND filenames encode the shard count: a re-call with a
+    # different ``shards`` is a different export that must neither
+    # return never-written paths nor clobber the other layout's files
+    done = os.path.join(out_dir, f"_DONE-{shards}")
     files = [
-        os.path.join(out_dir, f"docs-{i:03d}.jsonl") for i in range(shards)
+        os.path.join(out_dir, f"docs-{shards}x-{i:03d}.jsonl")
+        for i in range(shards)
     ]
     if os.path.exists(done):
         return files
@@ -65,11 +69,16 @@ def read_documents_jsonl(files: list[str]):
 
 
 def write_documents_csv(tbl: pa.Table, path: str) -> str:
-    """CSV export (arrow csv writer: full quoting, so embedded commas /
-    quotes / newlines in text round-trip)."""
+    """CSV export (arrow csv writer, quoting_style='all_valid': EVERY
+    valid value is quoted, so embedded commas / quotes / newlines AND
+    the empty string round-trip — the default 'needed' style leaves ""
+    unquoted and the reader maps it back to null)."""
     import pyarrow.csv as pacsv
 
-    pacsv.write_csv(tbl, path + ".tmp")
+    pacsv.write_csv(
+        tbl, path + ".tmp",
+        write_options=pacsv.WriteOptions(quoting_style="all_valid"),
+    )
     os.replace(path + ".tmp", path)
     return path
 

@@ -35,6 +35,9 @@ def test_jsonl_roundtrip(tmp_path, ray_session):
     files = export_documents_jsonl(str(src), str(tmp_path / "jl"), shards=2)
     # idempotent second call returns the same listing
     assert files == export_documents_jsonl(str(src), str(tmp_path / "jl"), 2)
+    # a DIFFERENT shard count is a different export, not a stale hit
+    f3 = export_documents_jsonl(str(src), str(tmp_path / "jl"), shards=3)
+    assert len(f3) == 3 and all(__import__("os").path.exists(p) for p in f3)
     out = read_documents_jsonl(files).to_pandas().sort_values("doc_id")
     assert list(out["text"]) == NASTY
 
@@ -55,6 +58,6 @@ def test_txt_directory(tmp_path, ray_session):
 def test_csv_roundtrip(tmp_path, ray_session):
     p = write_documents_csv(_tbl(), str(tmp_path / "docs.csv"))
     out = read_documents_csv([p]).to_pandas().sort_values("doc_id")
-    # arrow CSV reads the empty string back as null — normalize
-    got = ["" if t is None else t for t in out["text"]]
-    assert got == NASTY
+    # all_valid quoting writes "" quoted, so even the empty string
+    # round-trips losslessly — no normalization needed
+    assert list(out["text"]) == NASTY
