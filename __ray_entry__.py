@@ -2937,6 +2937,139 @@ def _q_kg_clustering(sf_dir: str):
     return clustering_coefficients(edges, "frm_name", "to_name")
 
 
+def _q_embeddings_cluster_purity(sf_dir: str):
+    """Cluster-quality evaluation against ground truth: the kmeans
+    assignment crossed with the embeddings table's label column into a
+    (cluster, label) contingency (one distributed groupby — counts,
+    never vectors), then per-cluster majority label and purity =
+    n_majority / n (micro units, one float division). The
+    contingency is cluster-x-label bounded (model state), so the
+    majority reduction is driver-side. The standard external cluster
+    eval a curation pipeline runs after any clustering pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.graph_metrics import _clamp_partitions
+    from eschergraph_ray.functions.similarity import (
+        kmeans_assign,
+        seed_centroids,
+    )
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids, cent = seed_centroids(ds, "vec_id", "embedding", k=8)
+    asg = kmeans_assign(ds, ids, cent, "vec_id", "embedding").map_batches(
+        lambda b: b.select(["vec_id", "cluster"]), batch_format="pyarrow"
+    ).repartition(4)
+    lab = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).repartition(4)
+    cont = (
+        asg.join(lab, "inner", num_partitions=_clamp_partitions(4),
+                 on=("vec_id",))
+        .groupby(["cluster", "label"])
+        .count()
+        .to_pandas()
+    )
+    rows = []
+    for cluster, g in cont.groupby("cluster"):
+        g = g.sort_values(["count()", "label"], ascending=[False, True])
+        n = int(g["count()"].sum())
+        nmaj = int(g["count()"].iloc[0])
+        rows.append(
+            {
+                "cluster": int(cluster),
+                "n": n,
+                "majority_label": int(g["label"].iloc[0]),
+                "n_majority": nmaj,
+            }
+        )
+    rows.sort(key=lambda r: r["cluster"])
+    nmaj_a = pa.array([r["n_majority"] for r in rows], pa.int64())
+    n_a = pa.array([r["n"] for r in rows], pa.int64())
+    purity = pc.cast(
+        pc.round(
+            pc.divide(
+                pc.multiply(pc.cast(nmaj_a, pa.float64()), 1e6),
+                pc.cast(n_a, pa.float64()),
+            ),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "cluster": pa.array([r["cluster"] for r in rows], pa.int64()),
+            "n": n_a,
+            "majority_label": pa.array(
+                [r["majority_label"] for r in rows], pa.int64()
+            ),
+            "n_majority": nmaj_a,
+            "purity_micro": purity,
+        }
+    )
+
+
+_CLUSTER_PURITY_SQL = """
+    -- external cluster eval replay: the kmeans_assign CTE chain, a
+    -- (cluster, label) contingency, per-cluster majority via
+    -- row_number (ties to the smallest label), purity as ONE float
+    -- division over exact ints
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    el AS (
+      SELECT e.vec_id, c.cid,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(c.cv) AS DOUBLE) AS y
+      FROM embeddings e, c
+    ),
+    sc AS (
+      SELECT vec_id, cid,
+             round(sum(x * y)
+                   / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                   * 1e4, 0) AS q
+      FROM el GROUP BY vec_id, cid
+    ),
+    rk AS (
+      SELECT vec_id, cid,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY q DESC, cid
+             ) AS r
+      FROM sc
+    ),
+    asg AS (SELECT vec_id, cid AS cluster FROM rk WHERE r = 1),
+    cont AS (
+      SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings e JOIN asg a USING (vec_id)
+      GROUP BY a.cluster, e.label
+    ),
+    tot AS (
+      SELECT cluster, CAST(sum(n) AS BIGINT) AS n
+      FROM cont GROUP BY cluster
+    ),
+    mj AS (
+      SELECT cluster, CAST(label AS BIGINT) AS majority_label,
+             n AS n_majority,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY n DESC, label
+             ) AS rr
+      FROM cont
+    )
+    SELECT t.cluster, t.n, m.majority_label, m.n_majority,
+           CAST(round(1000000.0 * m.n_majority / t.n, 0) AS BIGINT)
+             AS purity_micro
+    FROM tot t JOIN mj m ON m.cluster = t.cluster AND m.rr = 1
+    ORDER BY t.cluster
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3378,6 +3511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": _q_kg_link_prediction,
         "embeddings_cluster_profile": _q_embeddings_cluster_profile,
         "kg_clustering_coeff": _q_kg_clustering,
+        "embeddings_cluster_purity": _q_embeddings_cluster_purity,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4323,6 +4457,7 @@ def oracle_sql() -> dict[str, str]:
         "events_throttle": _THROTTLE_SQL,
         "docs_bigram_nll": _BIGRAM_NLL_SQL,
         "embeddings_cluster_profile": _CLUSTER_PROFILE_SQL,
+        "embeddings_cluster_purity": _CLUSTER_PURITY_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from
