@@ -3070,6 +3070,26 @@ _CLUSTER_PURITY_SQL = """
 """
 
 
+def _q_embeddings_knn_accuracy(sf_dir: str):
+    """kNN label-agreement eval (features.knn_label_agreement over the
+    semantic kNN graph): each vector's majority-neighbor label vs its
+    ground-truth label, per-label (n, n_agree) counts — embedding-
+    geometry quality. Majority vote is a distributed packed-key MAX
+    (count then inverted label), never a per-vector Python group."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import knn_label_agreement
+
+    _context()
+    knn = _q_embeddings_knn(sf_dir)
+    labels = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    return knn_label_agreement(
+        knn, labels, "vec_id", "neighbor_id", "label"
+    )
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3512,6 +3532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cluster_profile": _q_embeddings_cluster_profile,
         "kg_clustering_coeff": _q_kg_clustering,
         "embeddings_cluster_purity": _q_embeddings_cluster_purity,
+        "embeddings_knn_accuracy": _q_embeddings_knn_accuracy,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -5990,6 +6011,33 @@ def oracle_sql() -> dict[str, str]:
           FROM sym
         )
         SELECT vec_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 3
+    """
+    # kNN label agreement composed over the kNN replay: majority
+    # neighbor label (ties -> smallest), per-true-label agree counts
+    d["embeddings_knn_accuracy"] = f"""
+        WITH knn AS MATERIALIZED ({d['embeddings_knn_semantic']}),
+        nl AS (
+          SELECT k.vec_id, e.label AS nbr_label
+          FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+        ),
+        cnt AS (
+          SELECT vec_id, nbr_label, count(*) AS c
+          FROM nl GROUP BY vec_id, nbr_label
+        ),
+        pred AS (
+          SELECT vec_id, nbr_label AS pred_label,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY c DESC, nbr_label
+                 ) AS rr
+          FROM cnt
+        )
+        SELECT CAST(e.label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN p.pred_label = e.label
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM pred p JOIN embeddings e USING (vec_id)
+        WHERE p.rr = 1
+        GROUP BY e.label ORDER BY label
     """
     # k-core of the kNN graph: 12 unrolled peel rounds composed over
     # the kNN replay (graph_metrics.kcore_nodes)

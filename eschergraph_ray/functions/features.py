@@ -374,3 +374,119 @@ def group_vector_sums(ds, key_col: str, vec_col: str, unit: float = 1e6):
             }
         )
     )
+
+
+def knn_label_agreement(knn_ds, labels_ds, id_col: str, nbr_col: str,
+                        label_col: str):
+    """Embedding-quality evaluation by kNN label agreement: each
+    vector's predicted label is the MAJORITY label among its graph
+    neighbors (ties to the smallest label), compared against its own
+    ground-truth label — returns per-label ``(label, n, n_agree)``
+    (n = vectors of that true label that have neighbors). High
+    agreement = the embedding geometry respects the labels; the
+    standard sanity eval after any embedding/clustering change.
+
+    Distributed argmax without per-vector Python groups: neighbor
+    labels are counted with one groupby, then the (count, label)
+    argmax is a MAX over zero-padded packed keys (count lpad 10 ||
+    inverted label lpad 10 — maximizing count then minimizing label;
+    the throttle_first_per_window device pointed the other way).
+    Labels must be non-negative ints below 10^10."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from .graph_metrics import _clamp_partitions
+
+    P = _clamp_partitions(4)
+    INV = 9_999_999_999
+
+    nbr_labels = labels_ds.map_batches(
+        lambda b: pa.table(
+            {nbr_col: b[id_col], "nbr_label": b[label_col]}
+        ),
+        batch_format="pyarrow",
+    ).repartition(P)
+    cnt = (
+        knn_ds.map_batches(
+            lambda b: b.select([id_col, nbr_col]), batch_format="pyarrow"
+        )
+        .repartition(P)
+        .join(nbr_labels, "inner", num_partitions=P, on=(nbr_col,))
+        .groupby([id_col, "nbr_label"])
+        .count()
+    )
+
+    def pack(b: pa.Table) -> pa.Table:
+        lab = pc.cast(b["nbr_label"], pa.int64())
+        if len(b) and (pc.min(lab).as_py() < 0
+                       or pc.max(lab).as_py() > INV):
+            raise ValueError("labels must be in [0, 10^10)")
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(pc.cast(b["count()"], pa.int64()),
+                                 pa.string()), 10, padding="0"),
+            pc.utf8_lpad(pc.cast(pc.subtract(INV, lab), pa.string()),
+                         10, padding="0"),
+            ":",
+        )
+        return pa.table({id_col: b[id_col], "pk": key})
+
+    pred = (
+        cnt.map_batches(pack, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Max("pk"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: b[id_col],
+                    "pred_label": pc.subtract(
+                        INV,
+                        pc.cast(
+                            pc.utf8_slice_codeunits(b["max(pk)"], 11),
+                            pa.int64(),
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+    )
+    truth = labels_ds.map_batches(
+        lambda b: pa.table(
+            {id_col: b[id_col],
+             "label": pc.cast(b[label_col], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).repartition(P)
+    joined = pred.join(truth, "inner", num_partitions=P, on=(id_col,))
+
+    def score(b: pa.Table) -> pa.Table:
+        agree = pc.cast(
+            pc.equal(b["pred_label"], b["label"]), pa.int64()
+        )
+        return pa.table(
+            {
+                "label": b["label"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "agree": agree,
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("one"), Sum("agree"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "label": b["label"],
+                    "n": pc.cast(b["sum(one)"], pa.int64()),
+                    "n_agree": pc.cast(b["sum(agree)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("label")
+    )

@@ -220,3 +220,38 @@ def test_group_vector_sums_hand_and_partition_invariance(ray_session):
     assert out[(1, 2)] == (2, 1_000_000)
     assert out[(2, 1)] == (1, 1_000_000)
     assert out == run(3)  # partial combine is partitioning-invariant
+
+
+def test_knn_label_agreement_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import knn_label_agreement
+
+    # v1 (label 0): neighbors labeled 0,0,1 -> majority 0, agree
+    # v2 (label 1): neighbors labeled 0,0   -> majority 0, disagree
+    # v3 (label 0): neighbors labeled 0,1 (tie) -> smallest label 0, agree
+    # v4 (label 2): no neighbors -> excluded
+    knn = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": [1, 1, 1, 2, 2, 3, 3],
+                "neighbor_id": [10, 11, 12, 10, 11, 10, 12],
+            }
+        )
+    )
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": [1, 2, 3, 4, 10, 11, 12],
+                "label": [0, 1, 0, 2, 0, 0, 1],
+            }
+        )
+    )
+    out = {
+        r["label"]: (r["n"], r["n_agree"])
+        for r in knn_label_agreement(
+            knn, labels, "vec_id", "neighbor_id", "label"
+        ).take_all()
+    }
+    assert out == {0: (2, 2), 1: (1, 0)}
