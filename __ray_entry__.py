@@ -3090,6 +3090,34 @@ def _q_embeddings_knn_accuracy(sf_dir: str):
     )
 
 
+def _q_events_ntile(sf_dir: str):
+    """ntile(4) quartile bucketing per event type by (value, event_id)
+    (windows.group_ntile) — the remaining classic ranking window
+    function: exact ANSI equal-row-count buckets with the first
+    n mod k buckets one row larger, replayed by the identical divmod
+    arithmetic. Ordering ties broken by id, so both engines agree."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import group_ntile
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return group_ntile(ds, "event_type", "value", "event_id", k=4)
+
+
+_NTILE_SQL = """
+    -- ntile replay: same PARTITION/ORDER spec, integer buckets
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+           ) AS BIGINT) AS ntile
+    FROM events
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3533,6 +3561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering_coeff": _q_kg_clustering,
         "embeddings_cluster_purity": _q_embeddings_cluster_purity,
         "embeddings_knn_accuracy": _q_embeddings_knn_accuracy,
+        "events_ntile": _q_events_ntile,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4479,6 +4508,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigram_nll": _BIGRAM_NLL_SQL,
         "embeddings_cluster_profile": _CLUSTER_PROFILE_SQL,
         "embeddings_cluster_purity": _CLUSTER_PURITY_SQL,
+        "events_ntile": _NTILE_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from

@@ -312,3 +312,45 @@ def throttle_first_per_window(ds, key_cols: list[str], ts_col: str,
     return agg.map_batches(finalize, batch_format="pyarrow").sort(
         key_cols + ["window_start_us"]
     )
+
+
+def group_ntile(ds, key_col: str, val_col: str, id_col: str, k: int = 4):
+    """SQL ``ntile(k) OVER (PARTITION BY key ORDER BY val, id)``:
+    equal-ROW-COUNT buckets per key (the first ``n mod k`` buckets get
+    the extra row — DuckDB/ANSI semantics, replayed exactly with the
+    same divmod arithmetic). Ties order by id, so bucket assignment is
+    deterministic on both engines. Returns
+    ``(id_col, key_col, ntile)``.
+
+    Same per-key-fits-one-reducer contract as the other ordered window
+    ops here (``groupby(key).map_groups`` with an in-group vectorized
+    sort); keys are assumed bounded-cardinality-per-key, not
+    bounded-count."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def tiles(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(val_col, "ascending"), (id_col, "ascending")]
+        )
+        t = g.take(idx)
+        n = t.num_rows
+        q, rem = divmod(n, k)
+        r = np.arange(n, dtype=np.int64)
+        big = rem * (q + 1)
+        if q == 0:
+            # fewer rows than buckets: one row per bucket, in order
+            nt = r + 1
+        else:
+            nt = np.where(
+                r < big, r // (q + 1) + 1, rem + (r - big) // q + 1
+            )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                key_col: t[key_col],
+                "ntile": pa.array(nt, pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(tiles, batch_format="pyarrow")

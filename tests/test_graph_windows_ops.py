@@ -523,3 +523,41 @@ def test_throttle_window_validation():
 
     with pytest.raises(ValueError):
         throttle_first_per_window(None, ["u"], "ts", "eid", window_us=0)
+
+
+def test_group_ntile_uneven_buckets(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import group_ntile
+
+    # 6 rows / 4 buckets: sizes 2,2,1,1 (first n mod k buckets larger);
+    # value ties (30, 30) broken by id
+    t = pa.table(
+        {
+            "k": ["a"] * 6 + ["b"],
+            "v": [10.0, 20.0, 30.0, 30.0, 40.0, 50.0, 1.0],
+            "eid": [1, 2, 4, 3, 5, 6, 7],
+        }
+    )
+    out = {
+        (r["k"], r["eid"]): r["ntile"]
+        for r in group_ntile(
+            rd.from_arrow(t).repartition(3), "k", "v", "eid", k=4
+        ).take_all()
+    }
+    assert out == {
+        ("a", 1): 1, ("a", 2): 1,      # bucket 1: rows 1-2
+        ("a", 3): 2, ("a", 4): 2,      # tie at 30 -> id 3 before 4
+        ("a", 5): 3, ("a", 6): 4,
+        ("b", 7): 1,                    # single row, single bucket
+    }
+
+
+def test_group_ntile_validation():
+    import pytest
+
+    from eschergraph_ray.functions.windows import group_ntile
+
+    with pytest.raises(ValueError):
+        group_ntile(None, "k", "v", "id", k=0)
