@@ -3118,6 +3118,59 @@ _NTILE_SQL = """
 """
 
 
+def _q_docs_langid_accuracy(sf_dir: str):
+    """Lang-id quality eval against the documents table's ground-truth
+    lang column: the stopword-score predictor's per-true-language
+    (n, n_correct) confusion counts — 'zh' has no predictor class, so
+    its row records the honest 0. One clamped hash join + one
+    histogram-sized groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from eschergraph_ray.functions.graph_metrics import _clamp_partitions
+    from eschergraph_ray.functions.textstats import lang_id
+
+    _context()
+    P = _clamp_partitions(4)
+    pred = lang_id(_docs(sf_dir), "doc_id", "text").repartition(P)
+    truth = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).repartition(P)
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "correct": pc.cast(
+                    pc.equal(b["lang_pred"], b["lang"]), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        pred.join(truth, "inner", num_partitions=P, on=("doc_id",))
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("one"), Sum("correct"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b["lang"],
+                    "n": pc.cast(b["sum(one)"], pa.int64()),
+                    "n_correct": pc.cast(b["sum(correct)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("lang")
+    )
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3562,6 +3615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cluster_purity": _q_embeddings_cluster_purity,
         "embeddings_knn_accuracy": _q_embeddings_knn_accuracy,
         "events_ntile": _q_events_ntile,
+        "docs_langid_accuracy": _q_docs_langid_accuracy,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -6190,6 +6244,16 @@ def oracle_sql() -> dict[str, str]:
     # (term-order summation, same double arithmetic), so it shares the
     # scan oracle verbatim — any layout-induced divergence fails loudly
     d["docs_bm25_indexed"] = d["docs_bm25_topk"]
+    # lang-id confusion vs the ground-truth lang column, composed over
+    # the predictor replay
+    d["docs_langid_accuracy"] = f"""
+        WITH pred AS ({d['doc_lang_id']})
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN p.lang_pred = d.lang
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM pred p JOIN documents d USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang
+    """
     # budget-bounded selection composed over the entropy replay: the
     # running-total window admits the same prefix the Ray histogram
     # cutoff + boundary-tie-group settlement admits
