@@ -3171,6 +3171,41 @@ def _q_docs_langid_accuracy(sf_dir: str):
     )
 
 
+def _q_docs_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (sampling.
+    weighted_sample_ares, Efraimidis-Spirakis A-Res): top-100 docs by
+    ln(u)/n_chars priority with u a pure md5 hash of the id — longer
+    docs proportionally likelier, membership deterministic across
+    engines/retries/cluster sizes. Per-batch local top-k, so the
+    global sort sees #batches x k rows, never the corpus."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import weighted_sample_ares
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample_ares(ds, "doc_id", "n_chars", k=100)
+
+
+_WRS_SQL = """
+    -- A-Res replay: u = (md5-48-bit prefix + 0.5) / 2^48, priority
+    -- quantized to integer micro units in one expression, all-integer
+    -- rank boundary (pri desc, id)
+    SELECT doc_id, n_chars,
+           CAST(round(1e6 * ln(
+                 (CAST(CAST(concat('0x',
+                     substr(md5(concat('wrs', CAST(doc_id AS VARCHAR))),
+                            1, 12)) AS UBIGINT) AS DOUBLE) + 0.5)
+                 / 281474976710656.0)
+               / n_chars, 0) AS BIGINT) AS pri_micro
+    FROM documents
+    ORDER BY pri_micro DESC, doc_id
+    LIMIT 100
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3616,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_accuracy": _q_embeddings_knn_accuracy,
         "events_ntile": _q_events_ntile,
         "docs_langid_accuracy": _q_docs_langid_accuracy,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4563,6 +4599,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_cluster_profile": _CLUSTER_PROFILE_SQL,
         "embeddings_cluster_purity": _CLUSTER_PURITY_SQL,
         "events_ntile": _NTILE_SQL,
+        "docs_weighted_sample": _WRS_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from

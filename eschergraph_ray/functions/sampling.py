@@ -236,3 +236,80 @@ def select_token_budget(ds, id_col: str, score_col: str, tokens_col: str,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample_ares(ds, id_col: str, weight_col: str, k: int = 100,
+                         salt: str = "wrs"):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006 A-Res): item priority ``ln(u) / w`` with ``u`` a
+    pure hash of (salt, id) — the top-``k`` by priority is an exact
+    weighted sample, and membership is reproducible across retries,
+    cluster sizes and engines (no RNG state, the hash_sample doctrine
+    extended to weights). Returns ``(id_col, weight_col, pri_micro)``
+    ranked (pri_micro desc, id asc).
+
+    Parity device: ``u = (md5-48-bit + 0.5) / 2^48`` (never 0 or 1),
+    priority quantized to integer micro units in ONE expression —
+    ``round(1e6 * ln(u) / w, 0)`` — so the rank boundary is
+    all-integer. Weights must be positive.
+
+    Shape: priorities are per-row pure functions (no shuffle); each
+    batch keeps only its local top-k, so the final sort sees at most
+    #batches x k rows."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    TWO48 = float(1 << 48)
+
+    def pri(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ids = batch[id_col].to_pylist()
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        if len(w) and w.min() <= 0:
+            raise ValueError("weights must be positive")
+        v = np.fromiter(
+            (
+                int(
+                    hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:12], 16
+                )
+                for i in ids
+            ),
+            dtype=np.float64,
+            count=len(ids),
+        )
+        u = (v + 0.5) / TWO48
+        p = pc.cast(
+            pc.round(
+                pa.array(1e6 * np.log(u) / w),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                id_col: batch[id_col],
+                weight_col: batch[weight_col],
+                "pri_micro": p,
+            }
+        )
+        # local top-k: only #batches x k rows reach the global sort
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("pri_micro", "descending"), (id_col, "ascending")],
+        )
+        return t.take(idx[:k])
+
+    return (
+        ds.map_batches(pri, batch_format="pyarrow")
+        .sort(["pri_micro", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -254,3 +254,55 @@ def test_select_token_budget_validation(ray_session):
 
     with pytest.raises(ValueError):
         select_token_budget(None, "id", "s", "t", -1)
+
+
+# ---------- weighted sampling (A-Res) ----------
+
+
+def test_weighted_sample_ares_bias_and_formula(ray_session):
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import weighted_sample_ares
+
+    # one item 10000x heavier than 49 peers: virtually certain to be
+    # in any small sample
+    ids = list(range(50))
+    w = [1.0] * 50
+    w[7] = 10000.0
+    ds = rd.from_arrow(
+        pa.table({"id": pa.array(ids, pa.int64()), "w": w})
+    ).repartition(4)
+    out = weighted_sample_ares(ds, "id", "w", k=5).take_all()
+    got = {r["id"]: r["pri_micro"] for r in out}
+    assert len(got) == 5 and 7 in got
+    # exact priority formula replay for the heavy item
+    v = int(hashlib.md5(b"wrs7").hexdigest()[:12], 16)
+    u = (v + 0.5) / float(1 << 48)
+    assert got[7] == round(1e6 * math.log(u) / 10000.0)
+    # determinism across partitionings
+    out2 = weighted_sample_ares(
+        rd.from_arrow(pa.table({"id": pa.array(ids, pa.int64()), "w": w})),
+        "id", "w", k=5,
+    ).take_all()
+    assert [(r["id"], r["pri_micro"]) for r in out] == [
+        (r["id"], r["pri_micro"]) for r in out2
+    ]
+
+
+def test_weighted_sample_ares_validation(ray_session):
+    import pytest
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import weighted_sample_ares
+
+    with pytest.raises(ValueError):
+        weighted_sample_ares(None, "id", "w", k=0)
+    ds = rd.from_arrow(pa.table({"id": [1], "w": [0.0]}))
+    with pytest.raises(Exception, match="positive"):
+        weighted_sample_ares(ds, "id", "w", k=1).take_all()
