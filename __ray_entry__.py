@@ -3206,6 +3206,88 @@ _WRS_SQL = """
 """
 
 
+def _q_orders_events_corr(sf_dir: str):
+    """Pearson correlation between per-customer order count and event
+    count (the cross-table engagement analytics pass), composed over
+    the FULL OUTER aggregation's 'both' rows. All five moments (Sx,
+    Sy, Sxx, Syy, Sxy) accumulate as EXACT integers via per-batch
+    partials + one tiny sum; the final r is one float expression —
+    round(1e6 * (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) *
+    sqrt(n*Syy - Sy^2))) — computed in the same operation order as
+    the SQL replay. Output: one all-integer row (n, r_micro)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fo = _q_users_orders_full_outer(sf_dir)
+
+    def moments(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bb = b.filter(pc.equal(b["side"], "both"))
+        x = bb["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = bb["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    tot = fo.map_batches(moments, batch_format="pyarrow").sum(
+        ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    )
+    n = int(tot["sum(n)"])
+    sx, sy = int(tot["sum(sx)"]), int(tot["sum(sy)"])
+    sxx, syy, sxy = (
+        int(tot["sum(sxx)"]), int(tot["sum(syy)"]), int(tot["sum(sxy)"])
+    )
+    import math
+
+    num = float(n * sxy - sx * sy)  # exact python int -> one rounding
+    va = float(n * sxx - sx * sx)
+    vb = float(n * syy - sy * sy)
+    empty = pa.table(
+        {"n": pa.array([], pa.int64()), "r_micro": pa.array([], pa.int64())}
+    )
+    # degenerate: too few paired keys or zero variance -> no row (the
+    # SQL replay filters the same condition)
+    if n < 2 or va <= 0 or vb <= 0:
+        return empty
+    r_micro = pc.round(
+        pa.array([1e6 * num / (math.sqrt(va) * math.sqrt(vb))]),
+        ndigits=0,
+        round_mode="half_towards_infinity",
+    ).cast(pa.int64())
+    return pa.table({"n": pa.array([n], pa.int64()), "r_micro": r_micro})
+
+
+_CORR_SQL = f"""
+    -- Pearson replay composed over the FULL OUTER aggregation: exact
+    -- HUGEINT moments, one float expression in the same op order
+    WITH fo AS ({{_FO}}),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_orders) AS BIGINT) AS sx,
+             CAST(sum(n_events) AS BIGINT) AS sy,
+             CAST(sum(n_orders * n_orders) AS BIGINT) AS sxx,
+             CAST(sum(n_events * n_events) AS BIGINT) AS syy,
+             CAST(sum(n_orders * n_events) AS BIGINT) AS sxy
+      FROM fo WHERE side = 'both'
+    )
+    SELECT n,
+           CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 0)
+                AS BIGINT) AS r_micro
+    FROM m
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3652,6 +3734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": _q_events_ntile,
         "docs_langid_accuracy": _q_docs_langid_accuracy,
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "orders_events_corr": _q_orders_events_corr,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4600,6 +4683,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_cluster_purity": _CLUSTER_PURITY_SQL,
         "events_ntile": _NTILE_SQL,
         "docs_weighted_sample": _WRS_SQL,
+        "orders_events_corr": _CORR_SQL.replace("{_FO}", _FULL_OUTER_SQL),
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from
