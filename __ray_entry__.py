@@ -3288,6 +3288,56 @@ _CORR_SQL = f"""
 """
 
 
+def _q_events_retention(sf_dir: str):
+    """Day-1 / day-7 cohort retention (windows.retention_counts): users
+    bucketed by first-active day, counting exact-offset returns — the
+    classic growth curve. Activity collapses to distinct (user, day)
+    in one groupby; everything downstream is user-cardinality-sized.
+    All-integer day arithmetic (epoch_us // day)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import retention_counts
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_counts(ds, "user_id", "ts", offsets=(1, 7))
+
+
+_RETENTION_SQL = """
+    -- cohort retention replay: distinct (user, day), per-user min day,
+    -- exact-offset return flags, zero-filled left join
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) // 86400000000) * 86400000000 AS day
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, CAST(min(day) AS BIGINT) AS cohort_day
+      FROM days GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+      FROM first GROUP BY cohort_day
+    ),
+    rets AS (
+      SELECT f.cohort_day,
+             CAST(sum(CASE WHEN (d.day - f.cohort_day) // 86400000000 = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ret_1,
+             CAST(sum(CASE WHEN (d.day - f.cohort_day) // 86400000000 = 7
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ret_7
+      FROM days d JOIN first f USING (user_id)
+      GROUP BY f.cohort_day
+    )
+    SELECT s.cohort_day, s.n_users,
+           CAST(coalesce(r.ret_1, 0) AS BIGINT) AS ret_1,
+           CAST(coalesce(r.ret_7, 0) AS BIGINT) AS ret_7
+    FROM sizes s LEFT JOIN rets r USING (cohort_day)
+    ORDER BY s.cohort_day
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3735,6 +3785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid_accuracy": _q_docs_langid_accuracy,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "orders_events_corr": _q_orders_events_corr,
+        "events_retention": _q_events_retention,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4684,6 +4735,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ntile": _NTILE_SQL,
         "docs_weighted_sample": _WRS_SQL,
         "orders_events_corr": _CORR_SQL.replace("{_FO}", _FULL_OUTER_SQL),
+        "events_retention": _RETENTION_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from

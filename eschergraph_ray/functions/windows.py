@@ -354,3 +354,100 @@ def group_ntile(ds, key_col: str, val_col: str, id_col: str, k: int = 4):
         )
 
     return ds.groupby(key_col).map_groups(tiles, batch_format="pyarrow")
+
+
+def retention_counts(events_ds, user_col: str, ts_col: str,
+                     offsets: tuple = (1, 7),
+                     day_us: int = 86_400_000_000):
+    """Cohort retention: users grouped by FIRST-ACTIVE day, with, for
+    each requested day offset N, how many returned exactly on day
+    cohort+N — the classic day-1/day-7 growth curve. Returns one row
+    per cohort day: ``(cohort_day, n_users, ret_<N>...)`` (cohort_day
+    = int64 epoch-us of the day start; pure ``//`` arithmetic, no
+    temporal parity risk).
+
+    Shape: the event log collapses to distinct (user, day) pairs in
+    one groupby (activity multiplicity never shuffles), first-active
+    days are a per-user Min aggregate, the join back is a clamped
+    hash join, and the per-cohort flags are if_else indicator sums —
+    everything downstream of the first groupby is
+    user-cardinality-sized."""
+    import numpy as np
+    from ray.data.aggregate import Min, Sum
+
+    from .graph_metrics import _clamp_partitions
+
+    if not offsets or any(o < 1 for o in offsets):
+        raise ValueError("offsets must be positive day counts")
+    P = _clamp_partitions(4)
+
+    def to_days(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                user_col: b[user_col],
+                "day": pc.multiply(pc.divide(ts, day_us), day_us),
+            }
+        )
+
+    days = (
+        events_ds.map_batches(to_days, batch_format="pyarrow")
+        .groupby([user_col, "day"])
+        .count()
+        .map_batches(
+            lambda b: b.select([user_col, "day"]), batch_format="pyarrow"
+        )
+        .repartition(P)
+        .materialize()
+    )
+    first = (
+        days.groupby(user_col)
+        .aggregate(Min("day"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    user_col: b[user_col],
+                    "cohort_day": pc.cast(b["min(day)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+    sizes = first.groupby("cohort_day").count()
+    ret_cols = [f"ret_{o}" for o in offsets]
+
+    def flags(b: pa.Table) -> pa.Table:
+        off = pc.divide(
+            pc.subtract(pc.cast(b["day"], pa.int64()), b["cohort_day"]),
+            day_us,
+        )
+        cols = {"cohort_day": b["cohort_day"]}
+        for o, rc in zip(offsets, ret_cols):
+            cols[rc] = pc.cast(pc.equal(off, o), pa.int64())
+        return pa.table(cols)
+
+    rets = (
+        days.join(first, "inner", num_partitions=P, on=(user_col,))
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("cohort_day")
+        .aggregate(*[Sum(c) for c in ret_cols])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cols = {
+            "cohort_day": pc.cast(b["cohort_day"], pa.int64()),
+            "n_users": pc.cast(b["count()"], pa.int64()),
+        }
+        for c in ret_cols:
+            cols[c] = pc.fill_null(pc.cast(b[f"sum({c})"], pa.int64()), 0)
+        return pa.table(cols)
+
+    return (
+        sizes.repartition(P)
+        .join(rets.repartition(P), "left_outer", num_partitions=P,
+              on=("cohort_day",))
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort("cohort_day")
+    )

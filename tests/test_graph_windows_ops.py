@@ -561,3 +561,42 @@ def test_group_ntile_validation():
 
     with pytest.raises(ValueError):
         group_ntile(None, "k", "v", "id", k=0)
+
+
+def test_retention_counts_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import retention_counts
+
+    D = 86_400_000_000
+    # u1: first day 0, returns day 1 and day 7 (twice on day 1 — the
+    # distinct collapse must count once); u2: first day 0, never
+    # returns; u3: first day 2, returns day 3
+    rows = [
+        (1, 0), (1, D + 5), (1, D + 9), (1, 7 * D),
+        (2, 100),
+        (3, 2 * D), (3, 3 * D + 1),
+    ]
+    t = pa.table(
+        {
+            "user_id": [u for u, _ in rows],
+            "ts": pa.array([ts for _, ts in rows], pa.timestamp("us")),
+        }
+    )
+    out = {
+        r["cohort_day"]: (r["n_users"], r["ret_1"], r["ret_7"])
+        for r in retention_counts(
+            rd.from_arrow(t).repartition(3), "user_id", "ts"
+        ).take_all()
+    }
+    assert out == {0: (2, 1, 1), 2 * D: (1, 1, 0)}
+
+
+def test_retention_counts_validation():
+    import pytest
+
+    from eschergraph_ray.functions.windows import retention_counts
+
+    with pytest.raises(ValueError):
+        retention_counts(None, "u", "ts", offsets=(0,))
