@@ -3338,6 +3338,87 @@ _RETENTION_SQL = """
 """
 
 
+def _q_events_seasonality(sf_dir: str):
+    """Day-of-week seasonality profile: per-dow event counts and exact
+    int64 micro-value totals — the modular-time complement of the
+    tumbling/sliding windows. dow = (epoch_days + 4) % 7 (1970-01-01
+    was a Thursday; 0=Sunday..6=Saturday) computed with pure integer
+    arithmetic on BOTH engines, so no date-function parity surface at
+    all. Per-batch arrow hash-aggregate partials (the combiner), then
+    a 7-row groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+    DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        from eschergraph_ray.stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        days = pc.divide(ts, DAY)
+        # pyarrow has no modulo kernel (CLAUDE.md): 7 is not a power of
+        # two, so derive the remainder with divide+multiply+subtract
+        dpl = pc.add(days, 4)
+        dow = pc.subtract(dpl, pc.multiply(pc.divide(dpl, 7), 7))
+        micros = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(pc.fill_null(b["value"], 0.0),
+                                    pa.float64()), 1e6),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "dow": dow,
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "value_micros": micros,
+            }
+        )
+        return pa.TableGroupBy(t, "dow").aggregate(
+            [("one", "sum"), ("value_micros", "sum")]
+        ).rename_columns(["dow", "one", "value_micros"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dow")
+        .aggregate(Sum("one"), Sum("value_micros"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "dow": pc.cast(b["dow"], pa.int64()),
+                    "n": pc.cast(b["sum(one)"], pa.int64()),
+                    "value_micros": pc.cast(
+                        b["sum(value_micros)"], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("dow")
+    )
+
+
+_SEASONALITY_SQL = """
+    -- seasonality replay: pure-integer dow (epoch_days + 4) % 7,
+    -- exact int64 micro-value sums (per-row round before sum)
+    SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+             AS value_micros
+    FROM events GROUP BY dow ORDER BY dow
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3786,6 +3867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _q_docs_weighted_sample,
         "orders_events_corr": _q_orders_events_corr,
         "events_retention": _q_events_retention,
+        "events_seasonality": _q_events_seasonality,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4736,6 +4818,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_sample": _WRS_SQL,
         "orders_events_corr": _CORR_SQL.replace("{_FO}", _FULL_OUTER_SQL),
         "events_retention": _RETENTION_SQL,
+        "events_seasonality": _SEASONALITY_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from
