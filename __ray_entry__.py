@@ -3419,6 +3419,43 @@ _SEASONALITY_SQL = """
 """
 
 
+def _q_events_gini(sf_dir: str):
+    """Activity-concentration diagnostic (textstats.gini_concentration):
+    Gini coefficient of events-per-user — exact int64 rank-weighted
+    numerator/denominator, one float division (micro units). The
+    count table streams through the driver batch by batch (O(1)
+    memory), never as a list."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.textstats import gini_concentration
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return gini_concentration(ds, "user_id")
+
+
+_GINI_SQL = """
+    -- Gini replay: row_number over (count, key), exact int64
+    -- numerator 2*S - (n+1)*T over denominator n*T, one division
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t,
+             CAST(sum(i * x) AS BIGINT) AS s
+      FROM r
+    )
+    SELECT n AS n_keys, t AS total,
+           CAST(round(1e6 * CAST(2 * s - (n + 1) * t AS DOUBLE)
+                 / CAST(n * t AS DOUBLE), 0) AS BIGINT) AS gini_micro
+    FROM m WHERE n > 0 AND t > 0
+"""
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3868,6 +3905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_events_corr": _q_orders_events_corr,
         "events_retention": _q_events_retention,
         "events_seasonality": _q_events_seasonality,
+        "events_gini": _q_events_gini,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -4819,6 +4857,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_events_corr": _CORR_SQL.replace("{_FO}", _FULL_OUTER_SQL),
         "events_retention": _RETENTION_SQL,
         "events_seasonality": _SEASONALITY_SQL,
+        "events_gini": _GINI_SQL,
         "docs_from_jsonl": r"""
             -- JSONL round-trip proof: the Ray side reads /tmp JSONL
             -- shards exported from THIS parquet; identical counts from

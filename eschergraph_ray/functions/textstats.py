@@ -602,3 +602,59 @@ def token_entropy(ds, id_col: str, text_col: str):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def gini_concentration(ds, key_col: str):
+    """Gini coefficient of the per-key activity distribution — the
+    standard concentration/imbalance diagnostic (is 90% of the corpus
+    from 1% of sources / users?). Returns a one-row table
+    ``(n_keys, total, gini_micro)`` with
+    ``gini = (2*S - (n+1)*T) / (n*T)``, ``S`` the rank-weighted sum
+    over counts sorted ascending — numerator and denominator are EXACT
+    int64, so the only float step is one division + zero-digit round
+    (micro units). Tie order among equal counts cannot change S (a
+    run of equal x contributes x * sum(consecutive ranks) regardless
+    of permutation), so the SQL row_number replay agrees bit-for-bit.
+
+    Shape: one groupby to key-cardinality counts, one sort of the
+    count table, then the rank accumulation STREAMS through the
+    driver batch by batch (O(1) driver memory — counts never
+    materialize as a list)."""
+    import pyarrow.compute as pc
+
+    counts = (
+        ds.groupby(key_col)
+        .count()
+        .sort(["count()", key_col])
+    )
+    n = 0
+    total = 0
+    s = 0
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        xs = b["count()"].to_pylist()
+        for x in xs:
+            n += 1
+            total += x
+            s += n * x
+    if n == 0 or total == 0:
+        return pa.table(
+            {
+                "n_keys": pa.array([], pa.int64()),
+                "total": pa.array([], pa.int64()),
+                "gini_micro": pa.array([], pa.int64()),
+            }
+        )
+    num = float(2 * s - (n + 1) * total)  # exact python ints -> one cast
+    den = float(n * total)
+    gini = pc.round(
+        pa.array([1e6 * num / den]),
+        ndigits=0,
+        round_mode="half_towards_infinity",
+    ).cast(pa.int64())
+    return pa.table(
+        {
+            "n_keys": pa.array([n], pa.int64()),
+            "total": pa.array([total], pa.int64()),
+            "gini_micro": gini,
+        }
+    )

@@ -234,3 +234,23 @@ def test_token_entropy_hand_values(ray_session):
     assert out.loc[2, "h_micro"] == 0 and out.loc[2, "n_distinct"] == 1
     # case-folding: "mixed" counted twice
     assert out.loc[4, "n_tokens"] == 3 and out.loc[4, "n_distinct"] == 2
+
+
+def test_gini_concentration_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.textstats import gini_concentration
+
+    # perfect equality -> 0
+    eq = pa.table({"k": [1, 2, 3, 4], "v": [0] * 4})
+    out = gini_concentration(rd.from_arrow(eq), "k").to_pylist()[0]
+    assert out == {"n_keys": 4, "total": 4, "gini_micro": 0}
+    # skew: counts (1, 1, 6) sorted asc -> S = 1+2+18 = 21,
+    # gini = (42 - 4*8) / (3*8) = 10/24
+    sk = pa.table({"k": ["a", "b"] + ["c"] * 6})
+    out = gini_concentration(
+        rd.from_arrow(sk).repartition(3), "k"
+    ).to_pylist()[0]
+    assert out["n_keys"] == 3 and out["total"] == 8
+    assert out["gini_micro"] == round(1e6 * 10 / 24)
