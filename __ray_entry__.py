@@ -3456,6 +3456,59 @@ _GINI_SQL = """
 """
 
 
+def _q_docs_quality_by_source(sf_dir: str):
+    """Per-source quality report: the composed Gopher-rule verdict
+    (textstats.curation_verdict) rolled up by the documents table's
+    source column — per source (n_docs, per-rule pass counts, n_keep),
+    the "which feed is dirtiest" curation dashboard. One clamped hash
+    join + one source-cardinality groupby of 0/1 integers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from eschergraph_ray.functions.graph_metrics import _clamp_partitions
+    from eschergraph_ray.functions.textstats import curation_verdict
+
+    _context()
+    P = _clamp_partitions(4)
+    flags = ["len_ok", "alpha_ok", "stop_ok", "rep_ok", "lang_ok", "keep"]
+    verdict = curation_verdict(_docs(sf_dir), "doc_id", "text").repartition(P)
+    src = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).repartition(P)
+
+    def prep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cols = {"source": b["source"],
+                "one": pa.array(np.ones(len(b), np.int64))}
+        for f in flags:
+            cols[f] = pc.cast(b[f], pa.int64())
+        return pa.table(cols)
+
+    return (
+        verdict.join(src, "inner", num_partitions=P, on=("doc_id",))
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("one"), *[Sum(f) for f in flags])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "source": b["source"],
+                    "n_docs": pc.cast(b["sum(one)"], pa.int64()),
+                    **{
+                        f"n_{f}": pc.cast(b[f"sum({f})"], pa.int64())
+                        for f in flags
+                    },
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("source")
+    )
+
+
 def pd_ts(day: str) -> int:
     """Microseconds-since-epoch of a date literal (timestamp[us])."""
     import datetime as _dt
@@ -3906,6 +3959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "events_seasonality": _q_events_seasonality,
         "events_gini": _q_events_gini,
+        "docs_quality_by_source": _q_docs_quality_by_source,
         # flagship KG pipeline
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -6539,6 +6593,19 @@ def oracle_sql() -> dict[str, str]:
     # (term-order summation, same double arithmetic), so it shares the
     # scan oracle verbatim — any layout-induced divergence fails loudly
     d["docs_bm25_indexed"] = d["docs_bm25_topk"]
+    # per-source rollup composed over the Gopher-verdict replay
+    flags_sql = ", ".join(
+        f"CAST(sum(v.{f}) AS BIGINT) AS n_{f}"
+        for f in ["len_ok", "alpha_ok", "stop_ok", "rep_ok", "lang_ok",
+                  "keep"]
+    )
+    d["docs_quality_by_source"] = f"""
+        WITH v AS ({d['docs_curation_verdict']})
+        SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+               {flags_sql}
+        FROM v JOIN documents doc USING (doc_id)
+        GROUP BY doc.source ORDER BY doc.source
+    """
     # lang-id confusion vs the ground-truth lang column, composed over
     # the predictor replay
     d["docs_langid_accuracy"] = f"""
