@@ -3848,44 +3848,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries in registration order. With >50 queries registered, each
     # round rotates queries that have never (or least recently) produced
     # a driver-green CORRECTNESS row to the FRONT of the dict and parks
-    # multi-round-green queries at the tail, so that over rounds every
-    # query accumulates a driver-green row. Round 4 third session:
-    # kg_fuzzy_name_pairs, events_approx_distinct, embeddings_kcore,
-    # doc_token_entropy, docs_hybrid_rrf, docs_cms_counts,
-    # embeddings_label_prop and regional_revenue (8 new, never green)
-    # join the round-4 block; the fourth-session addition
-    # docs_from_jsonl (never green) takes position 50 — the last slot
-    # inside the window. The ten OTHER fourth-session additions
-    # (docs_oov_bloom ... kg_clustering_coeff, never green,
-    # sim-verified) occupy positions 51-60, which pushes kg_triples,
-    # kg_nodes, kg_edges, kg_properties, kg_chunks, kg_lineage,
-    # kg_embeddings, kg_quick_search and dedup_simhash_documents (all
-    # r3-green) to positions 61-69. Round 4: the 8 relational /
-    # temporal queries displaced by the r3 additions (orders_by_segment,
-    # events_hourly, events_sliding_window, events_asof_join,
-    # events_range_join, events_topk_per_type, top_users_by_value,
-    # sessionize_events) lead, followed by the 33 round-4 additions
-    # (docs_stratified_sample ... kg_entity_lifespan — never
-    # driver-green by construction; the last 15 — dedup_semantic,
-    # dedup_semantic_drops, kg_triangles, events_running_total,
-    # events_funnel, embeddings_quantize, events_zscore,
-    # events_percent_rank, events_resample_locf,
-    # embeddings_knn_semantic, kg_related_entities, embeddings_gram,
-    # events_rollup, customers_without_orders, kg_entity_lifespan —
-    # displaced kg_documents, kg_documents_tag_filter, kg_changelog,
-    # kg_sync_plan, kg_dashboard, kg_build_estimate, media_features,
-    # media_data_urls, media_table_markdown, media_kg_nodes,
-    # ann_lsh_indexed, ann_ivf_topk, ann_lsh_topk, dedup_embedding_lsh
-    # and dedup_minhash_neardup, all r3-green, to the tail); parked at
-    # the tail: 8 queries green in BOTH r2
-    # and r3 (doc_token_counts, doc_quality_counts, doc_lang_id,
-    # dedup_exact_documents, dedup_ngram_jaccard, dedup_embedding_cosine,
-    # ann_topk_cosine, docs_tag_filter) plus 8 r3-green text-analysis
-    # queries (doc_repetition_counts, doc_token_percentiles,
-    # docs_pack_sequences, docs_sample, docs_split_counts,
-    # docs_redact_pii, doc_fingerprints, dedup_fingerprint_pairs).
+    # recently-green queries at the tail, so that over rounds every
+    # query accumulates a driver-green row. Round 5: the 20
+    # fourth-session additions parked at positions 51-70 last round
+    # (never driver-green, sim-verified per BASELINE.md) take positions
+    # 1-20; new round-5 queries follow; the rest of the window is the
+    # r3-green flagship/KG-lifecycle/media/ANN family (last
+    # driver-checked two rounds ago — re-greening them at the r5 HEAD
+    # guards the core product against regression). Parked at the tail:
+    # the whole r4-green window (relational/temporal block +
+    # third/fourth-session additions, all green in CORRECTNESS_r04) and
+    # the multi-round-green r2+r3 text-analysis family. Cumulative
+    # driver-green union after r4: 100/120; this rotation closes the
+    # gap to all-registered-queries-driver-green.
     return {
-        # relational / windows (rotated in: never driver-green as of r3)
+        # ---- never driver-green (r4 fourth-session additions) ----
+        "docs_oov_bloom": _q_docs_oov_bloom,
+        "events_pivot_by_type": _q_events_pivot,
+        "users_orders_full_outer": _q_users_orders_full_outer,
+        "events_throttle": _q_events_throttle,
+        "docs_bigram_nll": _q_docs_bigram_nll,
+        "kg_bfs_layers": _q_kg_bfs_layers,
+        "docs_token_budget": _q_docs_token_budget,
+        "kg_link_prediction": _q_kg_link_prediction,
+        "embeddings_cluster_profile": _q_embeddings_cluster_profile,
+        "kg_clustering_coeff": _q_kg_clustering,
+        "embeddings_cluster_purity": _q_embeddings_cluster_purity,
+        "embeddings_knn_accuracy": _q_embeddings_knn_accuracy,
+        "events_ntile": _q_events_ntile,
+        "docs_langid_accuracy": _q_docs_langid_accuracy,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "orders_events_corr": _q_orders_events_corr,
+        "events_retention": _q_events_retention,
+        "events_seasonality": _q_events_seasonality,
+        "events_gini": _q_events_gini,
+        "docs_quality_by_source": _q_docs_quality_by_source,
+        # ---- round-5 additions (never driver-green by construction)
+        # are registered here, inside the window ----
+        # ---- r3-green core family, last driver-checked in round 3 ----
+        "kg_triples": _q_kg("triple"),
+        "kg_nodes": _q_kg("node"),
+        "kg_edges": _q_kg("edge"),
+        "kg_properties": _q_kg("property"),
+        "kg_chunks": _q_chunks,
+        "kg_lineage": _q_lineage,
+        "kg_embeddings": _q_kg_embeddings,
+        "kg_quick_search": _q_quick_search,
+        # dedup family
+        "dedup_simhash_documents": _q_simhash,
+        "dedup_minhash_neardup": _q_minhash_neardup,
+        "dedup_embedding_lsh": _q_embedding_lsh,
+        # similarity search
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_indexed": _q_ann_lsh_indexed,
+        # multimodal plumbing
+        "media_features": _q_media_features,
+        "media_data_urls": _q_media_data_urls,
+        "media_table_markdown": _q_media_table_markdown,
+        "media_kg_nodes": _q_media_kg_nodes,
+        "kg_dashboard": _q_kg_dashboard,
+        "kg_build_estimate": _q_build_estimate,
+        # graph lifecycle: documents, tags, change log, sync, search
+        "kg_documents": _q_kg_documents,
+        "kg_documents_tag_filter": _q_kg_documents_tag_filter,
+        "kg_changelog": _q_kg_changelog,
+        "kg_sync_plan": _q_kg_sync_plan,
+        "kg_global_search": _q_kg_global_search,
+        "kg_rag_answer": _q_kg_rag_answer,
+        "kg_global_answer": _q_kg_global_answer,
+        "kg_max_level": _q_kg_max_level,
+        "kg_entity_frequency": _q_kg_entity_frequency,
+        "kg_predicate_histogram": _q_kg_predicate_histogram,
+        # ---- tail: the whole r4-green window (CORRECTNESS_r04 rows
+        # 1-50), parked to make room for the rotation above ----
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
         "orders_by_segment": _q_orders_by_segment,
@@ -3894,7 +3930,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": _q_events_topk_per_type,
         "top_users_by_value": _q_top_users,
         "sessionize_events": _q_sessionize,
-        # round-4 additions (rotated in: never driver-green yet)
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_bm25_topk": _q_docs_bm25_topk,
         "dedup_components": _q_dedup_components,
@@ -3937,71 +3972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_label_prop": _q_embeddings_label_prop,
         "regional_revenue": _q_regional_revenue,
         "docs_from_jsonl": _q_docs_from_jsonl,
-        # fourth-session additions past the 50-query window (the window
-        # is already all never-green queries; these are sim-verified —
-        # see BASELINE.md — and will rotate in next round)
-        "docs_oov_bloom": _q_docs_oov_bloom,
-        "events_pivot_by_type": _q_events_pivot,
-        "users_orders_full_outer": _q_users_orders_full_outer,
-        "events_throttle": _q_events_throttle,
-        "docs_bigram_nll": _q_docs_bigram_nll,
-        "kg_bfs_layers": _q_kg_bfs_layers,
-        "docs_token_budget": _q_docs_token_budget,
-        "kg_link_prediction": _q_kg_link_prediction,
-        "embeddings_cluster_profile": _q_embeddings_cluster_profile,
-        "kg_clustering_coeff": _q_kg_clustering,
-        "embeddings_cluster_purity": _q_embeddings_cluster_purity,
-        "embeddings_knn_accuracy": _q_embeddings_knn_accuracy,
-        "events_ntile": _q_events_ntile,
-        "docs_langid_accuracy": _q_docs_langid_accuracy,
-        "docs_weighted_sample": _q_docs_weighted_sample,
-        "orders_events_corr": _q_orders_events_corr,
-        "events_retention": _q_events_retention,
-        "events_seasonality": _q_events_seasonality,
-        "events_gini": _q_events_gini,
-        "docs_quality_by_source": _q_docs_quality_by_source,
-        # flagship KG pipeline
-        "kg_triples": _q_kg("triple"),
-        "kg_nodes": _q_kg("node"),
-        "kg_edges": _q_kg("edge"),
-        "kg_properties": _q_kg("property"),
-        "kg_chunks": _q_chunks,
-        "kg_lineage": _q_lineage,
-        "kg_embeddings": _q_kg_embeddings,
-        "kg_quick_search": _q_quick_search,
-        # dedup family
-        "dedup_simhash_documents": _q_simhash,
-        "dedup_minhash_neardup": _q_minhash_neardup,
-        "dedup_embedding_lsh": _q_embedding_lsh,
-        # similarity search
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_lsh_indexed": _q_ann_lsh_indexed,
-        # multimodal plumbing
-        "media_features": _q_media_features,
-        "media_data_urls": _q_media_data_urls,
-        "media_table_markdown": _q_media_table_markdown,
-        "media_kg_nodes": _q_media_kg_nodes,
-        "kg_dashboard": _q_kg_dashboard,
-        "kg_build_estimate": _q_build_estimate,
-        # graph lifecycle: documents, tags, change log, sync, search
-        "kg_documents": _q_kg_documents,
-        "kg_documents_tag_filter": _q_kg_documents_tag_filter,
-        "kg_changelog": _q_kg_changelog,
-        "kg_sync_plan": _q_kg_sync_plan,
-        # ---- tail: multi-round driver-green (r2 + r3), parked outside
-        # the driver's 50-query window this round (events_props_filter,
-        # changelog_sync_actions, lineitem_pricing_summary,
-        # transcript_conv_stats, kg_predicate_histogram,
-        # kg_entity_frequency, kg_max_level, kg_global_answer,
-        # kg_rag_answer and kg_global_search rotated out to make room
-        # for the 10 late-round-4 additions above) ----
-        "kg_global_search": _q_kg_global_search,
-        "kg_rag_answer": _q_kg_rag_answer,
-        "kg_global_answer": _q_kg_global_answer,
-        "kg_max_level": _q_kg_max_level,
-        "kg_entity_frequency": _q_kg_entity_frequency,
-        "kg_predicate_histogram": _q_kg_predicate_histogram,
+        # ---- tail: multi-round driver-green (r2 + r3 + earlier) ----
         "transcript_conv_stats": _q_transcript_conv_stats,
         "events_props_filter": _q_events_props_filter,
         "changelog_sync_actions": _q_changelog_sync,
@@ -4014,8 +3985,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "ann_topk_cosine": _q_ann_topk,
         "docs_tag_filter": _q_docs_tag_filter,
-        # ---- tail: r3 driver-green text-analysis family, parked this
-        # round to make room for the 8 never-green round-4 additions ----
         "doc_repetition_counts": _q_doc_repetition,
         "doc_token_percentiles": _q_doc_token_percentiles,
         "docs_pack_sequences": _q_docs_pack_sequences,
