@@ -561,7 +561,7 @@ def _q_ann_ivf_topk(sf_dir: str):
     # oracle replays assignment + probing from the same centroids
     from eschergraph_ray.functions.similarity import train_ivf_centroids
 
-    cent = train_ivf_centroids(ds, "embedding")
+    cent = train_ivf_centroids(ds, "embedding", id_col="vec_id")
     n, dim = _embeddings_meta(sf_dir)
     _write_state_parquet(
         _planes_long_table(cent).rename_columns(["centroid_id", "dim_id", "w"]),
@@ -3240,6 +3240,13 @@ def _q_orders_events_corr(sf_dir: str):
     tot = fo.map_batches(moments, batch_format="pyarrow").sum(
         ["n", "sx", "sy", "sxx", "syy", "sxy"]
     )
+    # Dataset.sum returns None when the stream yields no blocks —
+    # degenerate-empty, same contract as the n<2 short-circuit below
+    if tot is None:
+        return pa.table(
+            {"n": pa.array([], pa.int64()),
+             "r_micro": pa.array([], pa.int64())}
+        )
     n = int(tot["sum(n)"])
     sx, sy = int(tot["sum(sx)"]), int(tot["sum(sy)"])
     sxx, syy, sxy = (

@@ -332,7 +332,8 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
                           min_count: int = 3,
                           num_partitions: int = _DEFAULT_PARTITIONS,
                           assume_distinct: bool = False,
-                          n_groups: int | None = None):
+                          n_groups: int | None = None,
+                          max_basket: int | None = 10_000):
     """Item-pair co-occurrence strength by PMI over grouped
     observations — "related entities" mining over the KG (items =
     level-0 entity names, groups = conversations) or any
@@ -348,8 +349,15 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
        groupby(group).map_groups pair loop costs ~1 ms of Python per
        basket and melts down at millions of baskets (measured 71 s ->
        ~10 s at sf0.1), while join fan-out per basket is the same
-       quadratic the pair table needs anyway. A df-cutoff for
-       pathological baskets belongs in the CALLER's input filter;
+       quadratic the pair table needs anyway. ``max_basket`` bounds
+       that quadratic: a group with more than ``max_basket`` distinct
+       items is DROPPED whole before any counting (the dedup.py
+       hot-gram df-cutoff device — one degenerate 10^5-item basket
+       would otherwise fan out 10^10 join rows), with a loud
+       dropped-basket warning; a dropped basket contributes to
+       neither pair counts, item counts, nor the group total N
+       (except a caller-passed ``n_groups``, which is the caller's
+       corpus-level denominator and is left untouched);
     3. pair counts — one groupby; rare pairs cut at ``min_count``
        BEFORE the joins so the scored table stays small;
     4. item counts joined on via two hash joins (no broadcast of the
@@ -403,6 +411,49 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
     # the documented Ray 2.49 hash-join crash; short-circuit instead
     if distinct.count() == 0:
         return rd.from_arrow(empty_result)
+    if max_basket is not None:
+        # basket-size cutoff: per-group distinct-item counts (one
+        # groupby over the distinct table — doubles as the N count
+        # below), oversized groups semi-joined OUT before the
+        # quadratic pair explode. Loud, never silent.
+        sizes = distinct.groupby(group_col).count().materialize()
+        n_dropped = sizes.map_batches(
+            lambda b: b.filter(pc.greater(b["count()"], max_basket)),
+            batch_format="pyarrow",
+        ).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cooccurrence_pmi_topk: dropping %d basket(s) with more "
+                "than max_basket=%d distinct items before pair "
+                "generation (quadratic-fan-out guard)",
+                n_dropped, max_basket,
+            )
+            ok = (
+                sizes.map_batches(
+                    lambda b: b.filter(
+                        pc.less_equal(b["count()"], max_basket)
+                    ).select([group_col]),
+                    batch_format="pyarrow",
+                )
+                .repartition(num_partitions)
+                .materialize()
+            )
+            if ok.count() == 0:
+                return rd.from_arrow(empty_result)
+            distinct = (
+                distinct.join(
+                    ok,
+                    join_type="left_semi",
+                    num_partitions=num_partitions,
+                    on=(group_col,),
+                )
+                .repartition(num_partitions)
+                .materialize()
+            )
+        if n_groups is None:
+            n_groups = sizes.count() - n_dropped
     if n_groups is None:
         # N = number of distinct groups — a COUNT over the grouped keys
         # (an integer off a shuffle, never a driver-side key list);

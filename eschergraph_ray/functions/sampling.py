@@ -182,7 +182,20 @@ def select_token_budget(ds, id_col: str, score_col: str, tokens_col: str,
 
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    hist = ds.groupby(score_col).aggregate(Sum(tokens_col)).to_pandas()
+    from ray.data.aggregate import Min
+
+    hist = ds.groupby(score_col).aggregate(
+        Sum(tokens_col), Min(tokens_col)
+    ).to_pandas()
+    # the running-sum-never-decreases contract (and hence the
+    # prefix-cutoff construction) requires non-negative token counts;
+    # a negative value would let the SQL running total dip back under
+    # budget and re-admit later rows — fail loud instead
+    if len(hist) and int(hist[f"min({tokens_col})"].min()) < 0:
+        raise ValueError(
+            "select_token_budget requires non-negative token counts "
+            "(a negative value breaks the monotone running-sum cutoff)"
+        )
     def empty_sel():
         return ds.map_batches(lambda b: b.slice(0, 0),
                               batch_format="pyarrow")

@@ -272,6 +272,14 @@ def throttle_first_per_window(ds, key_cols: list[str], ts_col: str,
                 "throttle_first_per_window requires non-negative "
                 "timestamps (lexicographic key order breaks below 0)"
             )
+        if len(batch) and pc.min(
+            pc.cast(batch[id_col], pa.int64())
+        ).as_py() < 0:
+            raise ValueError(
+                "throttle_first_per_window requires non-negative ids "
+                "('-' sorts before '0', so a negative id wins the "
+                "packed-key argmin with the wrong ordering)"
+            )
         win = pc.multiply(pc.divide(ts, window_us), window_us)
         k = pc.binary_join_element_wise(
             pc.utf8_lpad(pc.cast(ts, pa.string()), 20, padding="0"),

@@ -169,11 +169,15 @@ def _partition_duplicates_from(part_convs: set[str], doc_files: list[str]) -> li
     itself (the sidecar holds one row per conversation)."""
     if not doc_files or not part_convs:
         return []
+    import pyarrow.compute as pc
     import ray.data as rd
 
+    value_set = pa.array(sorted(part_convs), pa.string())
+
     def probe(batch: pa.Table) -> pa.Table:
-        mask = pa.array([c in part_convs for c in batch["conv_id"].to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(
+            pc.is_in(batch["conv_id"], value_set=value_set)
+        )
 
     dup = (
         rd.read_parquet(doc_files, columns=["conv_id"])

@@ -525,6 +525,68 @@ def test_throttle_window_validation():
         throttle_first_per_window(None, ["u"], "ts", "eid", window_us=0)
 
 
+def test_throttle_rejects_negative_ids(ray_session):
+    # '-' sorts before '0', so a negative id would win the packed-key
+    # argmin under the WRONG ordering — the guard fails loud instead
+    import pytest
+
+    from eschergraph_ray.functions.windows import throttle_first_per_window
+
+    t = pa.table(
+        {
+            "u": [1, 1],
+            "ts": pa.array([5, 6], pa.timestamp("us")),
+            "eid": [-3, 2],
+        }
+    )
+    # the ValueError is raised inside a Ray task -> arrives wrapped
+    with pytest.raises(Exception, match="non-negative ids"):
+        throttle_first_per_window(
+            rd.from_arrow(t), ["u"], "ts", "eid"
+        ).take_all()
+
+
+def test_cooccurrence_max_basket_drops_pathological_group(ray_session):
+    """The quadratic-fan-out guard: a basket over max_basket distinct
+    items is dropped WHOLE (contributes to no pair/item/N counts); the
+    other baskets' PMI reflects the reduced N."""
+    import math
+
+    hot = [("hot", f"i{j:02d}") for j in range(60)]
+    normal = [(f"g{i}", v) for i in range(3) for v in ("x", "y")]
+    tbl = pa.table(
+        {
+            "grp": pa.array([r[0] for r in hot + normal], pa.string()),
+            "item": pa.array([r[1] for r in hot + normal], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    # cutoff active: only the 3 normal baskets remain -> N=3 and the
+    # (x, y) pair has n_ab=n_a=n_b=3 -> pmi = ln(3*3/9) = 0
+    cut = cooccurrence_pmi_topk(
+        ds, "grp", "item", min_count=3, max_basket=10
+    ).take_all()
+    assert [(r["item_a"], r["item_b"], r["n_ab"], r["pmi_micro"])
+            for r in cut] == [("x", "y", 3, 0)]
+    # no cutoff: the hot basket joins N -> pmi = ln(3*4/9)
+    full = cooccurrence_pmi_topk(
+        ds, "grp", "item", min_count=3, max_basket=None
+    ).take_all()
+    assert [(r["item_a"], r["item_b"], r["n_ab"]) for r in full] == [
+        ("x", "y", 3)
+    ]
+    assert full[0]["pmi_micro"] == round(math.log(3 * 4 / 9) * 1e6)
+    # output-size bound: with the cutoff the hot basket's C(60,2)=1770
+    # pairs never materialize
+    assert cooccurrence_pmi_topk(
+        ds, "grp", "item", min_count=1, max_basket=10
+    ).count() == 1
+    n_all = cooccurrence_pmi_topk(
+        ds, "grp", "item", min_count=1, max_basket=None
+    ).count()
+    assert n_all == 1 + 60 * 59 // 2
+
+
 def test_group_ntile_uneven_buckets(ray_session):
     import pyarrow as pa
     import ray.data as rd

@@ -282,9 +282,44 @@ def test_bigram_nll_skips_short_docs():
     assert sorted(r["doc_id"] for r in out) == [1]
 
 
-def test_bigram_nll_vocab_guard():
+def test_bigram_nll_join_path_matches_broadcast():
+    """Past max_vocab_broadcast the op switches to the distributed
+    hash-join scoring path (VERDICT r4 #2) instead of refusing; both
+    paths quantize per-bigram micro-nats identically and sum in int64,
+    so outputs are byte-equal."""
     from eschergraph_ray.functions.vocab import bigram_nll
 
-    ds = rd.from_arrow(_docs_tbl([(1, "a b c d e")]))
-    with pytest.raises(ValueError, match="max_vocab_broadcast"):
-        bigram_nll(ds, "doc_id", "text", max_vocab_broadcast=2)
+    rows = [(1, "a b a c"), (2, "a b"), (3, "c a b d e a b"),
+            (4, "solo"), (5, "")]
+    ds = rd.from_arrow(_docs_tbl(rows)).repartition(3)
+    key = lambda r: r["doc_id"]  # noqa: E731
+    want = sorted(bigram_nll(ds, "doc_id", "text").take_all(), key=key)
+    got = sorted(
+        bigram_nll(ds, "doc_id", "text", force_join_path=True).take_all(),
+        key=key,
+    )
+    assert got == want and len(want) == 3
+    # an over-budget vocabulary takes the join path, not a ValueError
+    got2 = sorted(
+        bigram_nll(ds, "doc_id", "text", max_vocab_broadcast=2).take_all(),
+        key=key,
+    )
+    assert got2 == want
+
+
+def test_bigram_pmi_join_path_matches_broadcast():
+    from eschergraph_ray.functions.vocab import bigram_pmi_topk
+
+    rows = [(i, "big apple pie") for i in range(5)] + [
+        (10 + i, "big deal now then") for i in range(3)
+    ]
+    ds = rd.from_arrow(_docs_tbl(rows)).repartition(3)
+    want = bigram_pmi_topk(ds, "text", k=10, min_count=2).take_all()
+    got = bigram_pmi_topk(
+        ds, "text", k=10, min_count=2, force_join_path=True
+    ).take_all()
+    assert got == want and len(want) >= 3
+    got2 = bigram_pmi_topk(
+        ds, "text", k=10, min_count=2, max_vocab_broadcast=2
+    ).take_all()
+    assert got2 == want

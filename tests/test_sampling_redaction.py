@@ -254,6 +254,17 @@ def test_select_token_budget_validation(ray_session):
 
     with pytest.raises(ValueError):
         select_token_budget(None, "id", "s", "t", -1)
+    # a negative token count breaks the monotone running-sum cutoff
+    # (the SQL running total could dip back under budget) — fail loud
+    t = pa.table(
+        {
+            "id": [1, 2],
+            "s": [10, 9],
+            "t": [5, -3],
+        }
+    )
+    with pytest.raises(ValueError, match="non-negative token counts"):
+        select_token_budget(rd.from_arrow(t), "id", "s", "t", 100)
 
 
 # ---------- weighted sampling (A-Res) ----------

@@ -182,6 +182,51 @@ def test_ivf_topk_recall():
     assert 3 in set(approx)
 
 
+def test_ivf_centroid_sample_uniform_on_clustered_layout():
+    """A corpus laid out SORTED by cluster: first-N sampling trains the
+    quantizer on one corner of the space (the VERDICT r4 #3 failure);
+    the hash-rank sample (id_col given) covers every cluster."""
+    from eschergraph_ray.functions.similarity import train_ivf_centroids
+
+    dim, per = 8, 400
+    rows = []
+    for c in range(4):
+        for i in range(per):
+            v = np.zeros(dim)
+            v[c] = 1.0
+            # small in-cluster spread, deterministic
+            v[(c + 4) % dim] = 0.05 * ((i % 10) / 10.0)
+            rows.append(v)
+    m = np.asarray(rows)
+    tbl = pa.table(
+        {
+            "vec_id": list(range(len(m))),
+            "embedding": pa.array(
+                [r.tolist() for r in m], pa.list_(pa.float64())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    centers = np.eye(4, dim)
+
+    def coverage(cent):
+        return len({int(np.argmax(centers @ c)) for c in cent})
+
+    # n_centroids=8: enough seeds that a uniform sample always claims
+    # every cluster (at 4, Lloyd's local optimum can still collapse
+    # two centroids into one cluster even on a perfect sample)
+    biased = train_ivf_centroids(ds, "embedding", n_centroids=8,
+                                 sample_size=200)
+    uniform = train_ivf_centroids(ds, "embedding", n_centroids=8,
+                                  sample_size=200, id_col="vec_id")
+    assert coverage(biased) == 1  # first-N sees only cluster 0
+    assert coverage(uniform) == 4
+    # deterministic: same (seed, ids) -> same centroids
+    again = train_ivf_centroids(ds, "embedding", n_centroids=8,
+                                sample_size=200, id_col="vec_id")
+    assert np.array_equal(uniform, again)
+
+
 def test_lsh_partitioned_index_io_pruning(tmp_path):
     import os
 
