@@ -240,6 +240,24 @@ def _q_quick_search(sf_dir: str):
     return res.drop_columns(["embedding"])
 
 
+def _q_kg_rerank_topk(sf_dir: str):
+    """Pluggable second-stage reranker (reference
+    agents/reranker.py:24-47 / providers/jina.py:33-84, restated as
+    llm.Reranker + search.rerank_hits): quick_search's cosine top-40
+    level-0 hits re-scored by the deterministic token-overlap-Jaccard
+    mock (integer micro-units — round(1e6·|Q∩T|/|Q∪T|) under the repo
+    token grammar), kept while rerank_micro > 0, top-10 by
+    (rerank_micro desc, id). The SQL oracle replays the rerank with
+    list_distinct/list_intersect over the same side-written hits."""
+    from eschergraph_ray.llm import TokenOverlapReranker
+    from eschergraph_ray.pipelines.search import quick_search
+
+    _sidewrite_qvec("quick", QUICK_QUERY)
+    emb = _node_search_surface(sf_dir)
+    res = quick_search(emb, QUICK_QUERY, reranker=TokenOverlapReranker())
+    return res.drop_columns(["embedding"])
+
+
 # ---------------------------------------------------------------------------
 # dedup / similarity / text analysis over the driver's sf tables
 # ---------------------------------------------------------------------------
@@ -3892,6 +3910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_by_source": _q_docs_quality_by_source,
         # ---- round-5 additions (never driver-green by construction)
         # are registered here, inside the window ----
+        "kg_rerank_topk": _q_kg_rerank_topk,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -5904,6 +5923,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE sc.score > 0.1
             ORDER BY sc.score DESC, sv.id
             LIMIT 40
+        """,
+        "kg_rerank_topk": f"""
+            -- pluggable-reranker replay (agents/reranker.py:24-47):
+            -- the quick_search hits re-scored by token-overlap
+            -- Jaccard in integer micro-units — same single
+            -- divide-then-round as the Ray TokenOverlapReranker
+            WITH sv AS (SELECT * FROM read_parquet('{_surf}')),
+            ew AS (
+              SELECT id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM sv WHERE level = 0
+            ),
+            sc AS (
+              SELECT e.id, round(sum(CAST(e.v AS DOUBLE) * q.w), 4) AS score
+              FROM ew e JOIN read_parquet('{_qq}') q ON q.dim_id = e.d
+              GROUP BY e.id
+            ),
+            hits AS (
+              SELECT sv.id, sv.text, sv.type, sv.level, sv.document_id,
+                     sc.score
+              FROM sv JOIN sc ON sc.id = sv.id
+              WHERE sc.score > 0.1
+              ORDER BY sc.score DESC, sv.id
+              LIMIT 40
+            ),
+            tok AS (
+              SELECT *, list_distinct(regexp_extract_all(lower(text),
+                     '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS toks
+              FROM hits
+            ),
+            rr AS (
+              SELECT id, text, type, level, document_id, score,
+                     CAST(round(1e6 * len(list_intersect(toks,
+                              ['lennart','timmermans','the','senior','engineer']))
+                          / len(list_distinct(list_concat(toks,
+                              ['lennart','timmermans','the','senior','engineer']))),
+                          0) AS BIGINT) AS rerank_micro
+              FROM tok
+            )
+            SELECT id, text, type, level, document_id, score, rerank_micro
+            FROM rr WHERE rerank_micro > 0
+            ORDER BY rerank_micro DESC, id
+            LIMIT 10
         """,
         "kg_global_search": f"""
             -- level-1 community search (global_search.py:70,74-77):

@@ -219,3 +219,75 @@ class HashEmbedder:
             if n > 0:
                 out[i] = (v / n).astype(np.float32)
         return out
+
+
+class Reranker(Protocol):
+    """Pluggable second-stage rerank contract — the reference's
+    ``Reranker`` ABC (``eschergraph/agents/reranker.py:24-47``; Jina
+    transport at ``agents/providers/jina.py:33-84``). ``rerank``
+    returns at most ``top_n`` results ordered by relevance desc, each a
+    dict with the reference's ``RerankerResult`` fields: ``index``
+    (position in the input list), ``relevance_score`` (float),
+    ``text``. A real cross-encoder implementation holds its HTTP
+    client/model here and is constructed once per call site (the
+    candidate lists it sees are inherently bounded — vector-search
+    top_n, quick_search.py:139)."""
+
+    def rerank(
+        self, query: str, text_list: list[str], top_n: int
+    ) -> list[dict]: ...
+
+    def get_model_name(self) -> str: ...
+
+
+class TokenOverlapReranker:
+    """Deterministic mock reranker (JinaReranker stand-in): relevance =
+    Jaccard overlap of DISTINCT token sets between query and candidate
+    under the repo token grammar (functions/text.py:_TOKEN_RE), scored
+    in integer micro-units ``round(1e6 * |Q∩T| / |Q∪T|)`` so a DuckDB
+    oracle replays the exact ranking (list_distinct/list_intersect +
+    the same single divide-then-round). Ties order by input index asc
+    (stable), matching a stable-sort cross-encoder."""
+
+    model = "token-overlap-jaccard"
+    required_credentials: list[str] = []
+
+    def get_model_name(self) -> str:
+        return self.model
+
+    @staticmethod
+    def relevance_micro(query: str, text: str) -> int:
+        from .functions.text import _TOKEN_RE
+
+        q = set(_TOKEN_RE.findall((query or "").lower()))
+        t = set(_TOKEN_RE.findall((text or "").lower()))
+        union = len(q | t)
+        if union == 0:
+            return 0
+        inter = len(q & t)
+        # single divide then zero-digit round — the cross-engine-safe
+        # float chain (same device as vocab micro-nats)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return int(
+            pc.round(
+                pa.array([1e6 * inter / union]),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )[0].as_py()
+        )
+
+    def rerank(
+        self, query: str, text_list: list[str], top_n: int
+    ) -> list[dict]:
+        scored = [
+            {
+                "index": i,
+                "relevance_score": self.relevance_micro(query, t) / 1e6,
+                "text": t,
+            }
+            for i, t in enumerate(text_list)
+        ]
+        scored.sort(key=lambda r: (-r["relevance_score"], r["index"]))
+        return scored[:top_n]

@@ -118,19 +118,63 @@ def attribute_search(
     return scored.sort(["score", "id"], descending=[True, False]).limit(top_n)
 
 
+def rerank_hits(hits_ds, query: str, reranker, top_n: int,
+                text_col: str = "text", min_micro: int = 0):
+    """Second-stage reranking over a BOUNDED candidate set — the
+    reference's rerank step (``quick_search.py:139,145`` calls
+    ``Reranker.rerank`` on the vector-search hits;
+    ``agents/reranker.py:24-47``). The candidate list is inherently
+    small (vector-search top_n ≤ 40), so the rerank call happens
+    driver-side exactly like the reference's Jina HTTP call — the
+    distributed stage is the ``attribute_search`` that produced the
+    candidates. Returns a Dataset with the candidates' columns plus
+    integer ``rerank_micro`` (= round(1e6·relevance)), ordered by
+    (rerank_micro desc, id asc) and cut to ``top_n`` with
+    ``rerank_micro > min_micro`` (the reference's keep-while-relevant
+    loop, quick_search.py:180-209)."""
+    import ray.data as rd
+
+    tbl = pa.concat_tables(
+        list(hits_ds.iter_batches(batch_format="pyarrow"))
+    ) if not isinstance(hits_ds, pa.Table) else hits_ds
+    if len(tbl) == 0:
+        return rd.from_arrow(
+            tbl.append_column("rerank_micro", pa.array([], pa.int64()))
+        )
+    texts = tbl[text_col].to_pylist()
+    results = reranker.rerank(query, texts, top_n=len(texts))
+    micro = [0] * len(texts)
+    for r in results:
+        micro[r["index"]] = int(round(r["relevance_score"] * 1e6))
+    out = tbl.append_column("rerank_micro", pa.array(micro, pa.int64()))
+    out = out.filter(pc.greater(out["rerank_micro"], min_micro))
+    return (
+        rd.from_arrow(out)
+        .sort(["rerank_micro", "id"], descending=[True, False])
+        .limit(top_n)
+    )
+
+
 def quick_search(embeddings_ds, query: str, document_id: str | None = None,
-                 metadata: dict | None = None, embedder: Embedder | None = None):
+                 metadata: dict | None = None, embedder: Embedder | None = None,
+                 reranker=None, rerank_top_n: int = 10):
     """Level-0 attribute search (quick_search.py semantics). ``metadata``
     supports the reference's multi-document filtered search:
     ``{"document_id": [id1, id2, ...]}`` ($in) plus any other
-    column filters ($and-combined)."""
+    column filters ($and-combined). Passing a ``reranker``
+    (llm.Reranker) appends the reference's second rerank stage: the
+    cosine top-40 candidates are re-scored by the plugged model and cut
+    to ``rerank_top_n``."""
     if not query.strip():
         return embeddings_ds.limit(0)  # empty-query guard (quick_search.py:44-46)
-    return attribute_search(
+    hits = attribute_search(
         embeddings_ds, query, level=0, top_n=QUICK_TOP_N,
         threshold=QUICK_THRESHOLD, document_id=document_id,
         metadata=metadata, embedder=embedder,
     )
+    if reranker is None:
+        return hits
+    return rerank_hits(hits, query, reranker, top_n=rerank_top_n)
 
 
 def global_search(embeddings_ds, query: str, embedder: Embedder | None = None):

@@ -180,12 +180,13 @@ class ProviderLLM:
     # --- LLMClient protocol (prompt analogues cited per method) ---
 
     def extract_nodes_edges(self, chunk_text: str) -> dict:
-        """json_build.jinja analogue: entities + free-text relations."""
+        """prompts/templates/json_build.jinja (strict-variable render —
+        reference jinja_helper.py:16-44 surface)."""
+        from .prompts import process_template
+
         out = self._json_call(
             "Extract entities and relationships from the chunk.",
-            "Return JSON {\"entities\": [{\"name\", \"description\"}], "
-            "\"relationships\": [{\"source\", \"target\", \"relationship\"}]} "
-            f"for this chunk:\n{chunk_text}",
+            process_template("json_build.jinja", {"input_text": chunk_text}),
         )
         return {
             "entities": list(out.get("entities") or []),
@@ -193,11 +194,16 @@ class ProviderLLM:
         }
 
     def extract_properties(self, chunk_text: str, node_names: list[str]) -> list[dict]:
-        """json_property.jinja analogue: properties for KNOWN nodes only."""
+        """prompts/templates/json_property.jinja: properties for KNOWN
+        nodes only."""
+        from .prompts import process_template
+
         out = self._json_call(
             "Extract properties of the listed entities from the chunk.",
-            "Return JSON {\"properties\": [{\"entity_name\", \"properties\": [..]}]} "
-            f"restricted to entities {node_names} in this chunk:\n{chunk_text}",
+            process_template(
+                "json_property.jinja",
+                {"input_text": chunk_text, "current_nodes": str(node_names)},
+            ),
         )
         allowed = {n.lower() for n in node_names}
         return [
@@ -206,23 +212,29 @@ class ProviderLLM:
         ]
 
     def resolve_entities(self, names: list[str]) -> list[dict]:
-        """identifying_nodes.jinja analogue: canonical + merged aliases."""
+        """prompts/templates/identifying_nodes.jinja: canonical +
+        merged aliases."""
+        from .prompts import process_template
+
         out = self._json_call(
             "Group entity names that refer to the same real-world entity.",
-            "Return JSON {\"entities\": [{\"name\", \"merged entities\": [..]}]} "
-            f"for these names: {names}",
+            process_template("identifying_nodes.jinja",
+                             {"entities": str(names)}),
         )
         return list(out.get("entities") or [])
 
     def summarize_community(self, edges_csv: list[str], properties_csv: list[str]) -> dict:
-        """community_prompt.jinja analogue: {title, summary, findings[]}."""
+        """prompts/templates/community_prompt.jinja: {title, summary,
+        findings[]}."""
+        from .prompts import process_template
+
         out = self._json_call(
             "Summarize this community of related entities.",
-            "Return JSON {\"title\", \"summary\", \"findings\": "
-            "[{\"summary\", \"explanation\"}]} for relationships:\n"
-            + "\n".join(edges_csv)
-            + "\nproperties:\n"
-            + "\n".join(properties_csv),
+            process_template(
+                "community_prompt.jinja",
+                {"relationships": "\n".join(edges_csv),
+                 "properties": "\n".join(properties_csv)},
+            ),
         )
         return {
             "title": str(out.get("title", "community"))[:60],
@@ -231,23 +243,35 @@ class ProviderLLM:
         }
 
     def summarize_conversation(self, text: str) -> str:
-        return self._text_call("Summarize the conversation in <=40 words.", text)
+        from .prompts import process_template
+
+        return self._text_call(
+            "Summarize the conversation in <=40 words.",
+            process_template("summary.jinja", {"full_text": text}),
+        )
 
     def keywords(self, text: str) -> list[str]:
+        from .prompts import process_template
+
         out = self._json_call(
             "Extract the most important keywords.",
-            f'Return JSON {{"keywords": [..]}} (<=15) for:\n{text}',
+            process_template("json_keywords.jinja", {"full_text": text}),
         )
         return [str(k) for k in (out.get("keywords") or [])][:15] or ["conversation"]
 
     def extract_visual(self, caption: str, media_type: str,
                        features: list[float]) -> dict:
-        """Visual JSON_TABLE / JSON_FIGURE analogue (build_pipeline.py:316-341)."""
+        """prompts/templates/json_figure.jinja (JSON_TABLE/JSON_FIGURE
+        dispatch, build_pipeline.py:316-341)."""
+        from .prompts import process_template
+
         out = self._json_call(
             "Extract entities from this figure/table description.",
-            "Return JSON {\"entities\": [{\"main_node\", \"name\", \"description\"}], "
-            "\"relationships\": [{\"source\", \"target\", \"relationship\"}]} for a "
-            f"{media_type} captioned: {caption}",
+            process_template(
+                "json_figure.jinja",
+                {"figure_caption": f"({media_type}) {caption}",
+                 "keywords": ""},
+            ),
         )
         return {
             "entities": list(out.get("entities") or []),
@@ -255,10 +279,15 @@ class ProviderLLM:
         }
 
     def answer(self, query: str, contexts: list[str]) -> str:
-        """question_with_context.jinja analogue."""
+        """prompts/templates/search/question_with_context.jinja."""
+        from .prompts import process_template
+
         return self._text_call(
             "Answer strictly from the provided context.",
-            f"Question: {query}\nContext:\n" + "\n---\n".join(contexts),
+            process_template(
+                "search/question_with_context.jinja",
+                {"QUERY": query, "CONTEXT": "\n---\n".join(contexts)},
+            ),
         )
 
 
