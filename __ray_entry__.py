@@ -2375,6 +2375,96 @@ def _q_docs_from_jsonl(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_docs_jsonl_export(sf_dir: str):
+    """JSONL SINK coverage (docfiles.write_documents_jsonl — the
+    distributed export path: each block writes its own shard in the
+    task, content-hash names so retries rewrite not duplicate): export
+    the documents table, read the shards back, return (doc_id, text).
+    The oracle reads the PARQUET view, so a green row proves the WRITE
+    path is byte-lossless end-to-end (unicode, quotes, empties)."""
+    import shutil as _shutil
+
+    from eschergraph_ray.sources.docfiles import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    _context()
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/eschergraph_ray/jsonl-export-v1-{sftag}"
+    # clean slate: stale shards from an older corpus layout would
+    # otherwise survive beside this run's content-hash names
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    files = write_documents_jsonl(_docs(sf_dir), out_dir)
+    return read_documents_jsonl(files).select_columns(["doc_id", "text"])
+
+
+def _q_events_type_hour_mi(sf_dir: str):
+    """Mutual information between event type and hour-of-day
+    (functions/stats.py mutual_information): the drift/seasonality
+    dependence diagnostic. One contingency groupby (counts move, rows
+    never), marginals joined back from the cells, per-cell integer
+    micro-nats weighted in pure int64 — one (n, n_cells, mi_micro)
+    row, bit-identical to the SQL replay."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import mutual_information
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def hourify(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hr": pc.cast(pc.hour(b["ts"]), pa.int64()),
+            }
+        )
+
+    return mutual_information(
+        ds.map_batches(hourify, batch_format="pyarrow"), "event_type", "hr"
+    )
+
+
+def _q_kg_assoc_rules(sf_dir: str):
+    """Directed association rules over the KG's conversation baskets
+    (graph_metrics.association_rules_topk): confidence
+    n_ab/n_antecedent in integer micro-units + the pair's PMI
+    log-lift, both directions per co-occurring entity pair; top-25 by
+    (conf_micro desc, pmi_micro desc, names)."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import association_rules_topk
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(["conv_id", "name"])
+
+    nodes = load_kind(out, "node").map_batches(prep, batch_format="pyarrow")
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    n_convs = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(f"{out}/documents/*.parquet")
+    )
+    rules = association_rules_topk(
+        nodes, "conv_id", "name", min_count=3, assume_distinct=True,
+        n_groups=n_convs,
+    )
+    return rules.sort(
+        ["conf_micro", "pmi_micro", "antecedent", "consequent"],
+        descending=[True, True, False, False],
+    ).limit(25)
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -3911,6 +4001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-5 additions (never driver-green by construction)
         # are registered here, inside the window ----
         "kg_rerank_topk": _q_kg_rerank_topk,
+        "docs_jsonl_export": _q_docs_jsonl_export,
+        "events_type_hour_mi": _q_events_type_hour_mi,
+        "kg_assoc_rules": _q_kg_assoc_rules,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -6547,6 +6640,98 @@ def oracle_sql() -> dict[str, str]:
     # related entities: conversation-co-occurrence PMI over level-0
     # names (graph_metrics.cooccurrence_pmi_topk) — exact int counts,
     # integer micro-nat score (the bigram_pmi ln-replay device)
+    # JSONL export round-trip: the Ray side writes + reads back the
+    # shards; the oracle reads the parquet view — equality proves the
+    # distributed WRITE path lossless
+    d["docs_jsonl_export"] = "SELECT doc_id, text FROM documents"
+    # mutual information type x hour (stats.mutual_information):
+    # exact contingency counts, per-cell integer micro-nats
+    # q = round(ln(DOUBLE(n_xy)*N/(DOUBLE(n_x)*n_y))*1e6), weighted
+    # int64 total, one divide + zero-digit round — same op order as Ray
+    d["events_type_hour_mi"] = """
+        WITH base AS (
+          SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hr
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ),
+        cells AS (
+          SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_xy
+          FROM base GROUP BY event_type, hr
+        ),
+        mx AS (
+          SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x
+          FROM cells GROUP BY event_type
+        ),
+        my AS (
+          SELECT hr, CAST(sum(n_xy) AS BIGINT) AS n_y
+          FROM cells GROUP BY hr
+        ),
+        tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+        q AS (
+          SELECT c.n_xy,
+                 CAST(round(ln(CAST(c.n_xy AS DOUBLE) * t.n
+                               / (CAST(m1.n_x AS DOUBLE) * m2.n_y))
+                            * 1e6, 0) AS BIGINT) AS qq
+          FROM cells c
+          JOIN mx m1 USING (event_type)
+          JOIN my m2 USING (hr)
+          CROSS JOIN tot t
+        )
+        SELECT t.n,
+               (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+               CAST(round(CAST((SELECT sum(n_xy * qq) FROM q) AS DOUBLE)
+                          / t.n, 0) AS BIGINT) AS mi_micro
+        FROM tot t
+    """
+    # directed association rules composed over the SAME pair/marginal
+    # scaffolding as kg_related_entities: conf = round(1e6*n_ab/n_ante)
+    # per direction + the pair's pmi_micro
+    d["kg_assoc_rules"] = f"""
+        WITH dd AS (
+          SELECT DISTINCT conv_id, name
+          FROM read_parquet('{_nodes}') WHERE level = 0
+        ),
+        ng AS (SELECT CAST(count(*) AS BIGINT) AS n
+               FROM read_parquet('{_docs}')),
+        p AS (
+          SELECT a.name AS item_a, b.name AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM dd a JOIN dd b
+            ON a.conv_id = b.conv_id AND a.name < b.name
+          GROUP BY a.name, b.name
+          HAVING count(*) >= 3
+        ),
+        ic AS (
+          SELECT name, CAST(count(*) AS BIGINT) AS n_item
+          FROM dd GROUP BY name
+        ),
+        pairs AS (
+          SELECT p.item_a, p.item_b, p.n_ab,
+                 ia.n_item AS n_a, ib.n_item AS n_b,
+                 CAST(round(ln(CAST(p.n_ab * ng.n AS DOUBLE)
+                               / CAST(ia.n_item * ib.n_item AS DOUBLE))
+                            * 1e6, 0) AS BIGINT) AS pmi_micro
+          FROM p
+          JOIN ic ia ON ia.name = p.item_a
+          JOIN ic ib ON ib.name = p.item_b
+          CROSS JOIN ng
+        ),
+        rules AS (
+          SELECT item_a AS antecedent, item_b AS consequent, n_ab,
+                 CAST(round(1e6 * n_ab / n_a, 0) AS BIGINT) AS conf_micro,
+                 pmi_micro
+          FROM pairs
+          UNION ALL
+          SELECT item_b, item_a, n_ab,
+                 CAST(round(1e6 * n_ab / n_b, 0) AS BIGINT),
+                 pmi_micro
+          FROM pairs
+        )
+        SELECT antecedent, consequent, n_ab, conf_micro, pmi_micro
+        FROM rules
+        ORDER BY conf_micro DESC, pmi_micro DESC, antecedent, consequent
+        LIMIT 25
+    """
     d["kg_related_entities"] = f"""
         WITH dd AS (
           SELECT DISTINCT conv_id, name

@@ -333,7 +333,8 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
                           num_partitions: int = _DEFAULT_PARTITIONS,
                           assume_distinct: bool = False,
                           n_groups: int | None = None,
-                          max_basket: int | None = 10_000):
+                          max_basket: int | None = 10_000,
+                          include_item_counts: bool = False):
     """Item-pair co-occurrence strength by PMI over grouped
     observations — "related entities" mining over the KG (items =
     level-0 entity names, groups = conversations) or any
@@ -369,6 +370,8 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
 
     Returns ``(item_a, item_b, n_ab, pmi_micro)`` unranked; callers
     sort on (pmi_micro desc, item_a, item_b) and limit.
+    ``include_item_counts=True`` appends the joined ``n_a``/``n_b``
+    marginals (consumed by :func:`association_rules_topk`).
 
     ``assume_distinct=True`` skips the (group, item) dedup groupby for
     inputs the producer already guarantees unique (e.g. the KG's
@@ -399,14 +402,16 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
     # (the CLAUDE.md small-file lesson) — repartition once, then pin
     # for both join sides + N
     distinct = distinct.repartition(num_partitions).materialize()
-    empty_result = pa.table(
-        {
-            "item_a": pa.array([], ds.schema().base_schema.field(item_col).type),
-            "item_b": pa.array([], ds.schema().base_schema.field(item_col).type),
-            "n_ab": pa.array([], pa.int64()),
-            "pmi_micro": pa.array([], pa.int64()),
-        }
-    )
+    _ecols = {
+        "item_a": pa.array([], ds.schema().base_schema.field(item_col).type),
+        "item_b": pa.array([], ds.schema().base_schema.field(item_col).type),
+        "n_ab": pa.array([], pa.int64()),
+        "pmi_micro": pa.array([], pa.int64()),
+    }
+    if include_item_counts:
+        _ecols["n_a"] = pa.array([], pa.int64())
+        _ecols["n_b"] = pa.array([], pa.int64())
+    empty_result = pa.table(_ecols)
     # empty input would put an empty side into the self-join below —
     # the documented Ray 2.49 hash-join crash; short-circuit instead
     if distinct.count() == 0:
@@ -503,17 +508,7 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
     # real ones, which crash the chained hash join ("No match for
     # FieldRef") — repartition normalizes (dedup._nonempty_pairs device)
     if pair_counts.count() == 0:
-        t = ds.schema().base_schema.field(item_col).type
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "item_a": pa.array([], t),
-                    "item_b": pa.array([], t),
-                    "n_ab": pa.array([], pa.int64()),
-                    "pmi_micro": pa.array([], pa.int64()),
-                }
-            )
-        )
+        return rd.from_arrow(empty_result)
 
     pair_counts = pair_counts.repartition(num_partitions)
 
@@ -569,16 +564,101 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
                     round_mode="half_towards_infinity",
                 )
             ).astype(np.int64)
-        return pa.table(
-            {
-                "item_a": batch["item_a"],
-                "item_b": batch["item_b"],
-                "n_ab": pa.array(n_ab, pa.int64()),
-                "pmi_micro": pa.array(micro, pa.int64()),
-            }
-        )
+        cols = {
+            "item_a": batch["item_a"],
+            "item_b": batch["item_b"],
+            "n_ab": pa.array(n_ab, pa.int64()),
+            "pmi_micro": pa.array(micro, pa.int64()),
+        }
+        if include_item_counts:
+            cols["n_a"] = pa.array(n_a, pa.int64())
+            cols["n_b"] = pa.array(n_b, pa.int64())
+        return pa.table(cols)
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def association_rules_topk(ds, group_col: str, item_col: str,
+                           min_count: int = 3,
+                           num_partitions: int = _DEFAULT_PARTITIONS,
+                           assume_distinct: bool = False,
+                           n_groups: int | None = None,
+                           max_basket: int | None = 10_000):
+    """Directed association rules over grouped co-occurrences — the
+    market-basket rule miner (Agrawal & Srikant 1994 support/confidence
+    counts, exact not sampled) over the same (group, item) table as
+    :func:`cooccurrence_pmi_topk`: every surviving undirected pair
+    emits both rules ``a -> b`` and ``b -> a`` with
+
+      ``conf_micro = round(1e6 · n_ab / n_antecedent)``   (confidence)
+      ``pmi_micro``  = the pair's log-lift (shared with the PMI op)
+
+    Confidence answers "given the antecedent appears in a basket, how
+    often does the consequent?" — the actionable form of relatedness
+    (PMI is symmetric; confidence is not: a niche entity can strongly
+    imply a hub while the hub implies nothing). All counts and the
+    basket/min_count cuts are inherited from the PMI pipeline — one
+    code path, one set of guards. Returns ``(antecedent, consequent,
+    n_ab, conf_micro, pmi_micro)`` unranked; callers sort on
+    (conf_micro desc, pmi_micro desc, names) and limit."""
+    import numpy as np
+
+    pairs = cooccurrence_pmi_topk(
+        ds, group_col, item_col, min_count=min_count,
+        num_partitions=num_partitions, assume_distinct=assume_distinct,
+        n_groups=n_groups, max_basket=max_basket,
+        include_item_counts=True,
+    ).materialize()  # pair-table-sized (min_count-cut); consumed twice
+    if pairs.count() == 0:
+        t = ds.schema().base_schema.field(item_col).type
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "antecedent": pa.array([], t),
+                    "consequent": pa.array([], t),
+                    "n_ab": pa.array([], pa.int64()),
+                    "conf_micro": pa.array([], pa.int64()),
+                    "pmi_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def directed(batch: pa.Table) -> pa.Table:
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_b = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+
+        def conf(denom):
+            return pc.cast(
+                pc.round(
+                    pa.array(1e6 * n_ab / denom),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+
+        fwd = pa.table(
+            {
+                "antecedent": batch["item_a"],
+                "consequent": batch["item_b"],
+                "n_ab": batch["n_ab"],
+                "conf_micro": conf(n_a),
+                "pmi_micro": batch["pmi_micro"],
+            }
+        )
+        rev = pa.table(
+            {
+                "antecedent": batch["item_b"],
+                "consequent": batch["item_a"],
+                "n_ab": batch["n_ab"],
+                "conf_micro": conf(n_b),
+                "pmi_micro": batch["pmi_micro"],
+            }
+        )
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    return pairs.map_batches(directed, batch_format="pyarrow")
 
 
 def _kcore_local(edges_mat, k: int, iters: int, out_schema: pa.Schema):

@@ -68,6 +68,42 @@ def read_documents_jsonl(files: list[str]):
     return rd.read_json(sorted(files), override_num_blocks=len(files))
 
 
+def write_documents_jsonl(ds, out_dir: str) -> list[str]:
+    """Distributed JSONL sink — the production export path the module
+    docstring promises: each BLOCK writes its own shard inside the
+    task (``json.dumps(ensure_ascii=False)`` — lossless unicode), so a
+    100 TB export fans out block-wide with no driver loop and no
+    driver memory. Shard names are a content hash of the block's ids,
+    so task retries rewrite the same file (atomic tmp -> rename keyed
+    by pid; last writer wins with identical bytes) instead of
+    duplicating data. Returns the sorted shard list — read back with
+    :func:`read_documents_jsonl`."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        key = hashlib.md5(
+            ("|".join(str(i) for i in ids)).encode("utf-8")
+        ).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{key}.jsonl")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for i, t in zip(ids, texts):
+                f.write(json.dumps({"doc_id": i, "text": t},
+                                   ensure_ascii=False) + "\n")
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([len(ids)], pa.int64())})
+
+    shards = ds.map_batches(
+        write_shard, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return sorted(r["path"] for r in shards)
+
+
 def write_documents_csv(tbl: pa.Table, path: str) -> str:
     """CSV export (arrow csv writer, quoting_style='all_valid': EVERY
     valid value is quoted, so embedded commas / quotes / newlines AND

@@ -546,6 +546,73 @@ def test_throttle_rejects_negative_ids(ray_session):
         ).take_all()
 
 
+def test_association_rules_hand_computed(ray_session):
+    """Directed confidence over the shared pair scaffolding: baskets
+    g1-g3 = {x, y}, g4 = {x} -> rule y->x has confidence 1.0, x->y has
+    3/4; both carry the pair's pmi_micro = round(ln(3*4/(4*3))*1e6)=0."""
+    from eschergraph_ray.functions.graph_metrics import association_rules_topk
+
+    rows = [(f"g{i}", v) for i in range(3) for v in ("x", "y")] + [("g4", "x")]
+    tbl = pa.table(
+        {
+            "grp": pa.array([r[0] for r in rows], pa.string()),
+            "item": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    out = sorted(
+        association_rules_topk(
+            rd.from_arrow(tbl), "grp", "item", min_count=3
+        ).take_all(),
+        key=lambda r: r["antecedent"],
+    )
+    assert [(r["antecedent"], r["consequent"], r["n_ab"], r["conf_micro"],
+             r["pmi_micro"]) for r in out] == [
+        ("x", "y", 3, 750000, 0),
+        ("y", "x", 3, 1000000, 0),
+    ]
+    # empty input keeps the typed 5-column schema
+    empty = association_rules_topk(rd.from_arrow(tbl[:0]), "grp", "item")
+    assert empty.take_all() == []
+    assert empty.schema().names == [
+        "antecedent", "consequent", "n_ab", "conf_micro", "pmi_micro",
+    ]
+
+
+def test_mutual_information_hand_computed(ray_session):
+    import math
+
+    from eschergraph_ray.functions.stats import mutual_information
+
+    # dependent: cells a0=4, a1=2, b0=2, b1=2 -> N=10
+    xs = ["a"] * 6 + ["b"] * 4
+    ys = [0, 0, 0, 0, 1, 1, 0, 0, 1, 1]
+    ds = rd.from_arrow(pa.table({"x": xs, "y": ys})).repartition(3)
+    out = mutual_information(ds, "x", "y").take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 10 and r["n_cells"] == 4
+
+    def q(nxy, nx, ny):
+        return round(math.log(nxy * 10.0 / (nx * ny)) * 1e6)
+
+    total = (4 * q(4, 6, 6) + 2 * q(2, 6, 4)
+             + 2 * q(2, 4, 6) + 2 * q(2, 4, 4))
+    assert r["mi_micro"] == round(total / 10.0)
+    assert r["mi_micro"] > 0
+    # exact independence -> every cell's q = 0 -> MI = 0
+    xs2 = ["a", "a", "b", "b"]
+    ys2 = [0, 1, 0, 1]
+    ind = mutual_information(
+        rd.from_arrow(pa.table({"x": xs2, "y": ys2})), "x", "y"
+    ).take_all()[0]
+    assert ind["mi_micro"] == 0 and ind["n"] == 4
+    # empty input -> zero rows, typed schema
+    e = mutual_information(rd.from_arrow(pa.table({"x": xs2, "y": ys2})[:0]),
+                           "x", "y")
+    assert e.take_all() == []
+    assert e.schema().names == ["n", "n_cells", "mi_micro"]
+
+
 def test_cooccurrence_max_basket_drops_pathological_group(ray_session):
     """The quadratic-fan-out guard: a basket over max_basket distinct
     items is dropped WHOLE (contributes to no pair/item/N counts); the
