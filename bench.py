@@ -122,6 +122,10 @@ def main() -> None:
         "events_throttle",
         "docs_bigram_nll",
         "users_orders_full_outer",
+        # round-5 representatives (docs/events only — no extra kg
+        # build at bench scale)
+        "events_type_hour_mi",
+        "docs_jsonl_export",
     ):
         if name in qmap:
             queries[name] = round(bench_query(qmap[name]), 3)

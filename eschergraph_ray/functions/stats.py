@@ -42,19 +42,24 @@ def mutual_information(ds, x_col: str, y_col: str,
 
     num_partitions = _clamp_partitions(num_partitions)
 
-    def drop_nulls(batch: pa.Table) -> pa.Table:
-        return batch.select([x_col, y_col]).filter(
+    from ray.data.aggregate import Sum
+
+    def partial_cells(batch: pa.Table) -> pa.Table:
+        # combiner: per-batch contingency partials — the exchange moves
+        # at most cells-per-batch rows, never event rows
+        t = batch.select([x_col, y_col]).filter(
             pc.and_(pc.is_valid(batch[x_col]), pc.is_valid(batch[y_col]))
+        )
+        return (
+            t.group_by([x_col, y_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([x_col, y_col, "n_part"])
         )
 
     cells = (
-        ds.map_batches(drop_nulls, batch_format="pyarrow")
+        ds.map_batches(partial_cells, batch_format="pyarrow")
         .groupby([x_col, y_col])
-        .count()
-        .map_batches(
-            lambda b: b.rename_columns([x_col, y_col, "n_xy"]),
-            batch_format="pyarrow",
-        )
+        .aggregate(Sum("n_part", alias_name="n_xy"))
         .repartition(num_partitions)
         .materialize()
     )
