@@ -2465,6 +2465,79 @@ def _q_kg_assoc_rules(sf_dir: str):
     ).limit(25)
 
 
+def _q_events_transitions(sf_dir: str):
+    """Top-20 first-order Markov transitions between consecutive event
+    types within each user's (ts, event_id)-ordered stream
+    (windows.event_transitions): per-user histories meet in one
+    reducer and reduce to per-group transition partials; exact int64
+    counts, (n desc, src, dst) total order at the limit fencepost."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import event_transitions
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return event_transitions(
+        ds, "user_id", "ts", "event_id", "event_type", k=20
+    )
+
+
+def _q_events_anomaly_hours(sf_dir: str):
+    """Trailing-24-observed-hours burst detection on the hourly event
+    count series (windows.hourly_anomalies): combiner partials collapse
+    rows to hour cells; the windowed sweep runs in one reducer over
+    the span-bounded hour table; flag = pure-integer
+    n*100*24 > 150*trailing_sum predicate (ROWS frame semantics)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import hourly_anomalies
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return hourly_anomalies(ds, "ts", window=24, factor_pct=150)
+
+
+def _q_orders_segment_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift between open ('O') and
+    finished ('F') orders' total prices (stats.ks_drift): cent-
+    quantized value cells with per-segment combiner counts, CDF sweep
+    in one value-cardinality-bounded reducer, sup statistic
+    cross-multiplied in exact int64 (ks_num = max|cum_a*n_b -
+    cum_b*n_a|); only the reporting ks_micro divides."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import ks_drift
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderstatus"],
+    )
+    return ks_drift(ds, "o_totalprice", "o_orderstatus", "O", "F")
+
+
+def _q_embeddings_centroid_outliers(sf_dir: str):
+    """Top-20 off-distribution embeddings by integer squared distance
+    to the nearest of 8 deterministic reference centroids
+    (similarity.centroid_outliers): every coordinate quantized to
+    int64 micro-units BEFORE the distance, so Σ(xq-cq)² is exact on
+    both engines — no float association-order surface at all."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import centroid_outliers
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return centroid_outliers(
+        ds, "vec_id", "embedding", k_centroids=8, topk=20
+    )
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4004,6 +4077,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_export": _q_docs_jsonl_export,
         "events_type_hour_mi": _q_events_type_hour_mi,
         "kg_assoc_rules": _q_kg_assoc_rules,
+        "events_transitions": _q_events_transitions,
+        "events_anomaly_hours": _q_events_anomaly_hours,
+        "orders_segment_drift": _q_orders_segment_drift,
+        "embeddings_centroid_outliers": _q_embeddings_centroid_outliers,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -6731,6 +6808,100 @@ def oracle_sql() -> dict[str, str]:
         FROM rules
         ORDER BY conf_micro DESC, pmi_micro DESC, antecedent, consequent
         LIMIT 25
+    """
+    # Markov transitions: lead() over the same (ts, id) per-user order
+    # the Ray reducer sorts by; null types dropped BEFORE pairing on
+    # both engines; (n desc, src, dst) total order at the fencepost
+    d["events_transitions"] = """
+        WITH s AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS dst
+          FROM events WHERE event_type IS NOT NULL
+        )
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE dst IS NOT NULL
+        GROUP BY src, dst ORDER BY n DESC, src, dst LIMIT 20
+    """
+    # hourly burst detection: the ROWS frame over OBSERVED hours is
+    # exactly the Ray reducer's row-window (gaps not zero-filled);
+    # pure-integer flag predicate, no division
+    d["events_anomaly_hours"] = """
+        WITH h AS (
+          SELECT epoch_us(ts) // 3600000000 AS hr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY hr
+        ),
+        w AS (
+          SELECT hr, n,
+                 CAST(COALESCE(sum(n) OVER (
+                   ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS trail_n,
+                 row_number() OVER (ORDER BY hr) AS i
+          FROM h
+        )
+        SELECT CAST(hr AS BIGINT) AS hr, n, trail_n
+        FROM w WHERE i > 24 AND n * 100 * 24 > 150 * trail_n
+        ORDER BY hr
+    """
+    # two-sample KS: cent-quantized cells, window cumsums, sup taken
+    # over exact cross-multiplied int64; the single reporting division
+    # is CAST(int64 AS DOUBLE)/int64 + zero-digit round — same two
+    # IEEE ops the Ray reducer performs
+    d["orders_segment_drift"] = """
+        WITH v AS (
+          SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v,
+                 CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS ia
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('O','F')
+        ),
+        g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+                     CAST(sum(1 - ia) AS BIGINT) AS cb
+              FROM v GROUP BY v),
+        c AS (SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+                     CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+              FROM g),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+        k AS (SELECT CAST(max(abs(cum_a * (SELECT n_b FROM t)
+                                  - cum_b * (SELECT n_a FROM t)))
+                          AS BIGINT) AS ks_num FROM c)
+        SELECT t.n_a, t.n_b, k.ks_num,
+               CAST(round(CAST(k.ks_num * 1000000 AS DOUBLE)
+                          / (t.n_a * t.n_b), 0) AS BIGINT) AS ks_micro
+        FROM t, k
+    """
+    # centroid outliers: per-dim micro-int quantization on BOTH
+    # engines (float32->double exact, one multiply, zero-digit round),
+    # then Σ(xq-cq)² in exact integers — no float distance anywhere
+    d["embeddings_centroid_outliers"] = """
+        WITH q AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0)
+                      AS BIGINT) AS xq
+          FROM embeddings
+        ),
+        seeds AS (SELECT vec_id AS cid FROM embeddings
+                  ORDER BY vec_id LIMIT 8),
+        c AS (SELECT q.vec_id AS cid, q.dim, q.xq AS cq
+              FROM q JOIN seeds ON q.vec_id = seeds.cid),
+        d AS (
+          SELECT q.vec_id, c.cid,
+                 CAST(sum((q.xq - c.cq)*(q.xq - c.cq)) AS BIGINT) AS dist
+          FROM q JOIN c ON q.dim = c.dim
+          GROUP BY q.vec_id, c.cid
+        ),
+        best AS (
+          SELECT vec_id, cid, dist,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cid
+                 ) AS rn
+          FROM d
+        )
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist AS dist_sq
+        FROM best WHERE rn = 1
+        ORDER BY dist_sq DESC, vec_id LIMIT 20
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

@@ -488,3 +488,95 @@ def kmeans_fit(ds, id_col: str, vec_col: str, k: int, iters: int = 5):
                     new[ci] = acc[ci] / n
         cent = new
     return cent
+
+
+def centroid_outliers(ds, id_col: str, vec_col: str, k_centroids: int = 8,
+                      topk: int = 20):
+    """Distance-to-nearest-reference outlier scoring — the curation
+    diagnostic that surfaces the embeddings FARTHEST from every
+    reference centroid (mislabeled / off-distribution / garbage rows
+    in a training corpus). Returns the ``topk`` most-outlying rows as
+    ``(id_col, cluster, dist_sq)``, ordered ``(dist_sq DESC, id ASC)``;
+    ``cluster`` is the nearest reference's id, ties toward the
+    smallest id.
+
+    References are the embeddings of the ``k_centroids`` smallest ids
+    (the :func:`seed_centroids` determinism device), quantized to
+    integer micro-units — model-sized state, broadcast once.
+
+    Parity device (the round-4 integers-first lesson): every
+    coordinate is quantized ``xq = round(double(x) * 1e6, 0)`` int64
+    (float32→double is exact; multiply and zero-digit round are one
+    IEEE op each), and ``dist_sq = Σ (xq - cq)²`` is pure int64 — no
+    float ever enters the distance, so numpy's matmul association
+    order cannot diverge from SQL's sum. Bound: |xq| ≤ ~4e9 per unit
+    coordinate would overflow only past |x| ~ 1.2e4; embedding-scale
+    inputs (|x| ≤ ~1e2) keep Σ d·(Δ)² far inside int64.
+    """
+    import ray
+
+    def _quantize(m: np.ndarray) -> np.ndarray:
+        # round-half-away-from-zero == DuckDB round() == pyarrow
+        # half_towards_infinity, implemented on top of exact float64
+        q = pa.compute.round(
+            pa.array(m.ravel() * 1e6), ndigits=0,
+            round_mode="half_towards_infinity",
+        )
+        return np.asarray(pc.cast(q, pa.int64())).reshape(m.shape)
+
+    seed_rows = (
+        ds.select_columns([id_col, vec_col])
+        .sort(id_col)
+        .limit(k_centroids)
+        .take_all()
+    )
+    if not seed_rows:
+        return ds.select_columns([id_col]).map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: pa.chunked_array([[]], type=b[id_col].type),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist_sq": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    cids = np.asarray([r[id_col] for r in seed_rows], dtype=np.int64)
+    cq = _quantize(
+        np.asarray([r[vec_col] for r in seed_rows], dtype=np.float64)
+    )
+    cent_ref = ray.put((cids, cq))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.chunked_array([[]], type=batch[id_col].type),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist_sq": pa.array([], pa.int64()),
+                }
+            )
+        ids, c = ray.get(cent_ref)  # node-cached
+        xq = _quantize(_batch_matrix(batch, vec_col))
+        # ||x-c||² = x·x - 2x·c + c·c, all int64 (exact)
+        xx = np.einsum("ij,ij->i", xq, xq)[:, None]
+        cc = np.einsum("ij,ij->i", c, c)[None, :]
+        d = xx - 2 * (xq @ c.T) + cc
+        best = np.argmin(d, axis=1)  # first min → smallest centroid id
+        rows = np.arange(len(xq))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(ids[best], pa.int64()),
+                "dist_sq": pa.array(d[rows, best], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["dist_sq", id_col], descending=[True, False])
+        .limit(topk)
+    )

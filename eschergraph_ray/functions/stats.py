@@ -133,3 +133,117 @@ def mutual_information(ds, x_col: str, y_col: str,
             }
         )
     )
+
+
+def ks_drift(ds, val_col: str, seg_col: str, seg_a: str, seg_b: str,
+             cents: int = 100):
+    """Two-sample Kolmogorov–Smirnov distance between segments
+    ``seg_a`` and ``seg_b`` of ``val_col`` — the standard
+    distribution-drift detector a training-data pipeline runs between
+    shards / time slices / sources before mixing them. Returns one
+    row ``(n_a, n_b, ks_num, ks_micro)`` where
+    ``ks = ks_num / (n_a · n_b)`` and ``ks_micro = round(ks · 1e6)``;
+    empty if either segment has no rows.
+
+    Shape: per-batch arrow hash-aggregate partials collapse rows to
+    (quantized value, per-segment count) cells before the only
+    data-sized exchange; the CDF sweep runs in ONE reducer over the
+    distinct-value table — bounded by value cardinality, never row
+    count (the same contract as the hourly-anomaly sweep; a truly
+    continuous 100 TB column would first bucket to fixed precision,
+    which ``cents`` already is).
+
+    Parity device: values quantize to integer ``round(v · cents)``;
+    the sup statistic is computed CROSS-MULTIPLIED —
+    ``ks_num = max |cum_a · n_b − cum_b · n_a|`` — so the maximum is
+    taken over exact int64, never floats; only the final reporting
+    division happens in float (int64→double conversion + one divide +
+    zero-digit round, each one identical IEEE op on both engines).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        seg = batch[seg_col]
+        keep = pc.and_(
+            pc.is_valid(batch[val_col]),
+            pc.or_(pc.equal(seg, seg_a), pc.equal(seg, seg_b)),
+        )
+        t = batch.select([val_col, seg_col]).filter(keep)
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[val_col], pa.float64()),
+                            float(cents)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        is_a = pc.cast(pc.equal(t[seg_col], seg_a), pa.int64())
+        cells = pa.table(
+            {"v": v, "ca": is_a, "cb": pc.subtract(1, is_a)}
+        )
+        return (
+            cells.group_by("v")
+            .aggregate([("ca", "sum"), ("cb", "sum")])
+            .rename_columns(["v", "ca", "cb"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("ca", alias_name="ca"), Sum("cb", alias_name="cb"))
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("v")
+        ca = pc.cast(g["ca"], pa.int64()).to_numpy(zero_copy_only=False)
+        cb = pc.cast(g["cb"], pa.int64()).to_numpy(zero_copy_only=False)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        if n_a == 0 or n_b == 0:
+            return pa.table(
+                {
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                    "ks_num": pa.array([], pa.int64()),
+                    "ks_micro": pa.array([], pa.int64()),
+                }
+            )
+        cum_a = np.cumsum(ca, dtype=np.int64)
+        cum_b = np.cumsum(cb, dtype=np.int64)
+        ks_num = int(np.max(np.abs(cum_a * n_b - cum_b * n_a)))
+        ks_micro = int(
+            pc.round(
+                pa.array([(ks_num * 1_000_000) / (n_a * n_b)]),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )[0].as_py()
+        )
+        return pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "ks_num": pa.array([ks_num], pa.int64()),
+                "ks_micro": pa.array([ks_micro], pa.int64()),
+            }
+        )
+
+    return (
+        cells.map_batches(
+            lambda b: b.append_column(
+                "_one", pa.array([1] * len(b), pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_one")
+        .map_groups(
+            lambda g: sweep(g.drop_columns(["_one"])),
+            batch_format="pyarrow",
+        )
+    )

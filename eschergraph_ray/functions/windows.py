@@ -364,6 +364,154 @@ def group_ntile(ds, key_col: str, val_col: str, id_col: str, k: int = 4):
     return ds.groupby(key_col).map_groups(tiles, batch_format="pyarrow")
 
 
+def event_transitions(events_ds, key_col: str, ts_col: str, id_col: str,
+                      type_col: str, k: int = 20):
+    """Top-k first-order Markov transitions: how often does event type
+    ``src`` get immediately followed by ``dst`` within the same key's
+    ``(ts, id)``-ordered stream — the sequence-model complement of the
+    bigram LM (:mod:`vocab`), run over the event log instead of text.
+    The standard input to next-event prediction, funnel discovery and
+    bot detection in a training-data pipeline.
+
+    Shape: each key's (bounded) history meets in one reducer — the
+    same contract as :func:`running_totals` / sessionization — where
+    consecutive pairs reduce to a PER-GROUP transition count partial,
+    so the second exchange moves at most |types|² rows per group, and
+    the final groupby+top-k is transition-cardinality-sized. Null
+    types are dropped BEFORE pairing on both engines (adjacency is
+    defined over the non-null subsequence).
+
+    Parity: counts are exact int64; the top-k cut orders by
+    ``(n DESC, src ASC, dst ASC)`` — a total order, so the limit
+    fencepost is deterministic on both engines.
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.filter(pc.is_valid(group[type_col]))
+        if len(g) < 2:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        t = pc.cast(g[type_col], pa.string()).take(idx).combine_chunks()
+        part = pa.table({"src": t.slice(0, len(t) - 1),
+                         "dst": t.slice(1)})
+        return (
+            part.group_by(["src", "dst"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["src", "dst", "n_part"])
+        )
+
+    return (
+        events_ds.groupby(key_col)
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["src"],
+                    "dst": b["dst"],
+                    "n": pc.cast(b["n"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["n", "src", "dst"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def hourly_anomalies(events_ds, ts_col: str, window: int = 24,
+                     factor_pct: int = 300,
+                     hour_us: int = 3_600_000_000):
+    """Trailing-window burst detection over the hourly event-count
+    series: flag every OBSERVED hour whose count exceeds
+    ``factor_pct``% of the trailing mean of the previous ``window``
+    observed hours (frame semantics = SQL ``ROWS BETWEEN window
+    PRECEDING AND 1 PRECEDING`` over the hour-count table — gaps are
+    not zero-filled, matching the SQL frame exactly). The standard
+    ingest-monitoring / traffic-anomaly diagnostic.
+
+    Shape: per-batch arrow hash-aggregate partials (the combiner)
+    collapse event rows to hour cells before the only exchange; the
+    windowed pass runs in ONE reducer over the hour table, which is
+    bounded by the corpus time span (never by row count) — the same
+    bounded-cardinality argument as the seasonality profile. Returns
+    ``(hr, n, trail_n)`` for flagged hours, hour-ascending; the first
+    ``window`` observed hours are never flagged (incomplete frame).
+
+    Parity: hr is integer ``epoch_us // hour_us``; the flag predicate
+    ``n * 100 * window > factor_pct * trail_n`` is pure int64 — no
+    division anywhere.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    if window < 1 or factor_pct < 1:
+        raise ValueError("window and factor_pct must be positive")
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        t = pa.table({"hr": pc.divide(ts, hour_us)})
+        return (
+            t.group_by("hr")
+            .aggregate([([], "count_all")])
+            .rename_columns(["hr", "n_part"])
+        )
+
+    hours = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hr")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def flag(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("hr")
+        n = pc.cast(g["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        hr = pc.cast(g["hr"], pa.int64()).to_numpy(zero_copy_only=False)
+        cum = np.concatenate(([0], np.cumsum(n, dtype=np.int64)))
+        i = np.arange(len(n))
+        lo = np.maximum(i - window, 0)
+        trail = cum[i] - cum[lo]
+        keep = (i >= window) & (n * (100 * window) > factor_pct * trail)
+        return pa.table(
+            {
+                "hr": pa.array(hr[keep], pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+                "trail_n": pa.array(trail[keep], pa.int64()),
+            }
+        )
+
+    return (
+        hours.map_batches(
+            lambda b: b.append_column("_one", pa.array([1] * len(b), pa.int8())),
+            batch_format="pyarrow",
+        )
+        .groupby("_one")
+        .map_groups(
+            lambda g: flag(g.drop_columns(["_one"])), batch_format="pyarrow"
+        )
+        .sort("hr")
+    )
+
+
 def retention_counts(events_ds, user_col: str, ts_col: str,
                      offsets: tuple = (1, 7),
                      day_us: int = 86_400_000_000):

@@ -729,3 +729,129 @@ def test_retention_counts_validation():
 
     with pytest.raises(ValueError):
         retention_counts(None, "u", "ts", offsets=(0,))
+
+
+def test_event_transitions_hand(ray_session):
+    from eschergraph_ray.functions.windows import event_transitions
+
+    # user 1: a->b->a->b (ties on ts broken by id); user 2: b->c;
+    # user 3 single event (no pair); null type excised BEFORE pairing
+    # so user 4's a,None,c yields a->c
+    t = pa.table(
+        {
+            "uid": [1, 1, 1, 1, 2, 2, 3, 4, 4, 4],
+            "ts": [10, 20, 20, 30, 5, 6, 1, 1, 2, 3],
+            "eid": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+            "typ": ["a", "b", "a", "b", "b", "c", "a", "a", None, "c"],
+        }
+    )
+    out = (
+        event_transitions(
+            rd.from_arrow(t).repartition(3), "uid", "ts", "eid", "typ", k=10
+        )
+        .to_pandas()
+    )
+    got = {(r.src, r.dst): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1,
+                   ("a", "c"): 1}
+    # deterministic order: n desc then (src, dst) asc
+    assert list(out.itertuples(index=False))[0][:2] == ("a", "b")
+    # limit fencepost is the same total order
+    top2 = event_transitions(
+        rd.from_arrow(t), "uid", "ts", "eid", "typ", k=2
+    ).to_pandas()
+    assert [(r.src, r.dst) for r in top2.itertuples()] == [
+        ("a", "b"), ("a", "c")
+    ]
+
+
+def test_hourly_anomalies_planted_burst(ray_session):
+    from eschergraph_ray.functions.windows import hourly_anomalies
+
+    HOUR = 3_600_000_000
+    # 30 calm hours of 10 events, then one 100-event burst hour
+    ts = []
+    for h in range(30):
+        ts += [h * HOUR + i for i in range(10)]
+    ts += [30 * HOUR + i for i in range(100)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    out = hourly_anomalies(
+        rd.from_arrow(t).repartition(4), "ts", window=24, factor_pct=300
+    ).to_pandas()
+    # only the burst hour: 100*100*24 > 300*240; calm hours never flag
+    assert list(out["hr"]) == [30]
+    assert list(out["n"]) == [100] and list(out["trail_n"]) == [240]
+    # the first `window` observed hours are never flagged even if huge
+    head = pa.table(
+        {"ts": pa.array([0] * 50 + [HOUR] * 1, pa.timestamp("us"))}
+    )
+    assert len(hourly_anomalies(
+        rd.from_arrow(head), "ts", window=24, factor_pct=300
+    ).take_all()) == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        hourly_anomalies(rd.from_arrow(t), "ts", window=0)
+
+
+def test_ks_drift_extremes(ray_session):
+    from eschergraph_ray.functions.stats import ks_drift
+
+    # identical distributions -> ks 0
+    t = pa.table(
+        {
+            "v": [1.0, 2.0, 3.0, 1.0, 2.0, 3.0],
+            "seg": ["A", "A", "A", "B", "B", "B"],
+        }
+    )
+    r = ks_drift(rd.from_arrow(t).repartition(2), "v", "seg", "A", "B")
+    row = r.take_all()[0]
+    assert (row["n_a"], row["n_b"], row["ks_num"], row["ks_micro"]) == (
+        3, 3, 0, 0
+    )
+    # fully separated -> sup = n_a * n_b -> ks_micro = 1e6; other
+    # segments ignored
+    t2 = pa.table(
+        {
+            "v": [1.0, 2.0, 5.0, 6.0, 9.0],
+            "seg": ["A", "A", "B", "B", "C"],
+        }
+    )
+    row2 = ks_drift(rd.from_arrow(t2), "v", "seg", "A", "B").take_all()[0]
+    assert row2["ks_num"] == 4 and row2["ks_micro"] == 1_000_000
+    # an empty segment -> zero rows, typed schema
+    e = ks_drift(rd.from_arrow(t2), "v", "seg", "A", "Z")
+    assert e.take_all() == []
+    assert e.schema().names == ["n_a", "n_b", "ks_num", "ks_micro"]
+
+
+def test_centroid_outliers_planted(ray_session):
+    from eschergraph_ray.functions.similarity import centroid_outliers
+
+    # 2 reference centroids (ids 0, 1); id 99 planted far away
+    vecs = [[0.0, 0.0], [1.0, 0.0], [0.1, 0.0], [0.9, 0.1],
+            [100.0, 100.0]]
+    ids = [0, 1, 2, 3, 99]
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = centroid_outliers(
+        rd.from_arrow(t).repartition(2), "vec_id", "embedding",
+        k_centroids=2, topk=5,
+    ).to_pandas()
+    assert list(out["vec_id"])[0] == 99
+    # the references themselves are distance 0 and tie-break to the
+    # SMALLEST centroid id for equidistant points
+    byid = out.set_index("vec_id")
+    assert byid.loc[0, "dist_sq"] == 0 and byid.loc[1, "dist_sq"] == 0
+    # exact integer distances: id 2 -> (0.1*1e6)^2 = 1e10 to centroid 0
+    assert byid.loc[2, "cluster"] == 0
+    assert byid.loc[2, "dist_sq"] == 100_000 ** 2
+    # empty input -> typed empty
+    e = centroid_outliers(
+        rd.from_arrow(t[:0]), "vec_id", "embedding", k_centroids=2
+    )
+    assert e.take_all() == []
