@@ -2538,6 +2538,77 @@ def _q_embeddings_centroid_outliers(sf_dir: str):
     )
 
 
+def _q_docs_ascii_auc(sf_dir: str):
+    """Exact ROC-AUC (stats.rank_auc) of the ASCII-ratio scorer as an
+    is-English predictor — the eval-the-curation-scorer-before-
+    trusting-it metric. Score = round(ascii_chars·1e6 / chars) int64
+    (RE2 non-ASCII count, identical pattern both engines); pair
+    counts are pure int64 rank-sums over score cells; only the
+    reporting auc_micro divides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import rank_auc
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+
+    def score(b: pa.Table) -> pa.Table:
+        from eschergraph_ray.stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.and_(pc.is_valid(b["text"]), pc.is_valid(b["lang"])),
+            pc.greater(pc.utf8_length(pc.fill_null(b["text"], "")), 0),
+        )
+        t = b.filter(keep)
+        chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        non_ascii = pc.cast(
+            pc.count_substring_regex(t["text"], r"[^\x00-\x7f]"),
+            pa.int64(),
+        )
+        ascii_n = pc.subtract(chars, non_ascii)
+        s = pc.cast(
+            pc.round(
+                pc.divide(
+                    pc.cast(pc.multiply(ascii_n, 1_000_000), pa.float64()),
+                    pc.cast(chars, pa.float64()),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "s": s,
+                "label": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+            }
+        )
+
+    return rank_auc(
+        ds.map_batches(score, batch_format="pyarrow"), "s", "label"
+    )
+
+
+def _q_events_lag_xcorr(sf_dir: str):
+    """Lead-lag diagnostic (windows.lag_xcorr): raw integer
+    cross-correlation Σ_h view(h)·purchase(h+ℓ) for ℓ = 0..6 hours —
+    does purchasing trail viewing? Combiner partials collapse events
+    to (hour, type) cells; the lag sweep runs in one span-bounded
+    reducer; exact int64 throughout."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import lag_xcorr
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return lag_xcorr(ds, "ts", "event_type", "view", "purchase", max_lag=6)
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4081,6 +4152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_hours": _q_events_anomaly_hours,
         "orders_segment_drift": _q_orders_segment_drift,
         "embeddings_centroid_outliers": _q_embeddings_centroid_outliers,
+        "docs_ascii_auc": _q_docs_ascii_auc,
+        "events_lag_xcorr": _q_events_lag_xcorr,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -6902,6 +6975,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist AS dist_sq
         FROM best WHERE rn = 1
         ORDER BY dist_sq DESC, vec_id LIMIT 20
+    """
+    # exact ROC-AUC: rank-sum pair counts over score cells — pure
+    # int64 (no midranks); score = round(ascii*1e6/chars) with the
+    # same RE2 class both engines; one reporting division + round
+    d["docs_ascii_auc"] = r"""
+        WITH base AS (
+          SELECT length(text) AS chars,
+                 len(regexp_extract_all(text, '[^\x00-\x7f]'))
+                   AS non_ascii,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+          FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL
+            AND length(text) > 0
+        ),
+        sc AS (
+          SELECT CAST(round(CAST((chars - non_ascii) * 1000000
+                                 AS DOUBLE) / chars, 0) AS BIGINT) AS s,
+                 label
+          FROM base
+        ),
+        cells AS (
+          SELECT s, CAST(sum(label) AS BIGINT) AS np_,
+                 CAST(sum(1 - label) AS BIGINT) AS nn_
+          FROM sc GROUP BY s
+        ),
+        c AS (
+          SELECT np_, nn_,
+                 CAST(COALESCE(sum(nn_) OVER (
+                   ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+          FROM cells
+        ),
+        t AS (SELECT CAST(sum(np_) AS BIGINT) AS n_pos,
+                     CAST(sum(nn_) AS BIGINT) AS n_neg FROM cells),
+        k AS (SELECT CAST(2 * sum(np_ * cnb) + sum(np_ * nn_)
+                          AS BIGINT) AS auc_num2 FROM c)
+        SELECT t.n_pos, t.n_neg, k.auc_num2,
+               CAST(round(CAST(k.auc_num2 * 1000000 AS DOUBLE)
+                          / (2 * t.n_pos * t.n_neg), 0) AS BIGINT)
+                 AS auc_micro
+        FROM t, k
+    """
+    # lag cross-correlation: inner-join hour alignment per lag,
+    # exact int64 dot products; 7 correlated scalar subqueries over
+    # span-bounded hour tables
+    d["events_lag_xcorr"] = """
+        WITH e AS (
+          SELECT epoch_us(ts) // 3600000000 AS hr, event_type
+          FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        a AS (SELECT hr, CAST(count(*) AS BIGINT) AS n FROM e
+              WHERE event_type = 'view' GROUP BY hr),
+        b AS (SELECT hr, CAST(count(*) AS BIGINT) AS n FROM e
+              WHERE event_type = 'purchase' GROUP BY hr),
+        l AS (SELECT unnest(generate_series(0, 6)) AS lag)
+        SELECT CAST(l.lag AS BIGINT) AS lag,
+               CAST(COALESCE((SELECT sum(a.n * b.n) FROM a
+                              JOIN b ON b.hr = a.hr + l.lag), 0)
+                    AS BIGINT) AS xprod
+        FROM l ORDER BY lag
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

@@ -247,3 +247,110 @@ def ks_drift(ds, val_col: str, seg_col: str, seg_a: str, seg_b: str,
             batch_format="pyarrow",
         )
     )
+
+
+def rank_auc(ds, score_col: str, label_col: str):
+    """Exact ROC-AUC of an integer score against a binary label — the
+    Mann–Whitney rank-sum identity ``AUC = (#(neg<pos) + ties/2) /
+    (n_pos·n_neg)``, the standard eval for any curation scorer
+    (quality gates, langid, dedup confidence) before it is trusted to
+    filter a corpus. Returns one row
+    ``(n_pos, n_neg, auc_num2, auc_micro)`` with
+    ``AUC = auc_num2 / (2·n_pos·n_neg)``; empty if either class is
+    absent.
+
+    Shape: per-batch combiner partials collapse rows to
+    (score, n_pos, n_neg) cells; the pair count runs in ONE reducer
+    over the distinct-score table (value-cardinality-bounded, the
+    :func:`ks_drift` contract). Parity: the pair counts are pure
+    int64 (no midranks, no floats); only the reporting ``auc_micro``
+    divides (int64→double conversion + one divide + zero-digit
+    round, identical IEEE ops on both engines).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.is_valid(batch[score_col]), pc.is_valid(batch[label_col])
+        )
+        t = batch.select([score_col, label_col]).filter(keep)
+        pos = pc.cast(pc.equal(t[label_col], 1), pa.int64())
+        cells = pa.table(
+            {
+                "s": pc.cast(t[score_col], pa.int64()),
+                "np_": pos,
+                "nn_": pc.subtract(1, pos),
+            }
+        )
+        return (
+            cells.group_by("s")
+            .aggregate([("np_", "sum"), ("nn_", "sum")])
+            .rename_columns(["s", "np_", "nn_"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("np_", alias_name="np_"),
+                   Sum("nn_", alias_name="nn_"))
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("s")
+        np_c = pc.cast(g["np_"], pa.int64()).to_numpy(zero_copy_only=False)
+        nn_c = pc.cast(g["nn_"], pa.int64()).to_numpy(zero_copy_only=False)
+        n_pos, n_neg = int(np_c.sum()), int(nn_c.sum())
+        if n_pos == 0 or n_neg == 0:
+            return pa.table(
+                {
+                    "n_pos": pa.array([], pa.int64()),
+                    "n_neg": pa.array([], pa.int64()),
+                    "auc_num2": pa.array([], pa.int64()),
+                    "auc_micro": pa.array([], pa.int64()),
+                }
+            )
+        cum_neg_before = np.concatenate(
+            ([0], np.cumsum(nn_c, dtype=np.int64)[:-1])
+        )
+        correct = int(np.sum(np_c * cum_neg_before))
+        ties = int(np.sum(np_c * nn_c))
+        auc_num2 = 2 * correct + ties
+        auc_micro = int(
+            pc.round(
+                pa.array(
+                    [float(auc_num2 * 1_000_000)
+                     / float(2 * n_pos * n_neg)]
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )[0].as_py()
+        )
+        return pa.table(
+            {
+                "n_pos": pa.array([n_pos], pa.int64()),
+                "n_neg": pa.array([n_neg], pa.int64()),
+                "auc_num2": pa.array([auc_num2], pa.int64()),
+                "auc_micro": pa.array([auc_micro], pa.int64()),
+            }
+        )
+
+    return (
+        cells.map_batches(
+            lambda b: b.append_column(
+                "_one", pa.array([1] * len(b), pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_one")
+        .map_groups(
+            lambda g: sweep(g.drop_columns(["_one"])),
+            batch_format="pyarrow",
+        )
+    )

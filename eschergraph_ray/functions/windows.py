@@ -607,3 +607,93 @@ def retention_counts(events_ds, user_col: str, ts_col: str,
         .map_batches(finalize, batch_format="pyarrow")
         .sort("cohort_day")
     )
+
+
+def lag_xcorr(events_ds, ts_col: str, type_col: str, type_a: str,
+              type_b: str, max_lag: int = 6,
+              hour_us: int = 3_600_000_000):
+    """Lagged cross-correlation between two event types' hourly count
+    series: for each lag ``ℓ in 0..max_lag``, the raw integer dot
+    product ``Σ_h a(h)·b(h+ℓ)`` — does type_b follow type_a, and by
+    how many hours? (The lead-lag diagnostic behind funnel latency
+    and cause→effect mining.) Returns ``(lag, xprod)`` for every lag,
+    lag-ascending; hours where either series is absent contribute 0
+    (inner-join semantics, identical on both engines).
+
+    Shape: one combiner pass collapses events to per-(hour, type)
+    cells; the lag sweep runs in ONE reducer over the span-bounded
+    hour table (the :func:`hourly_anomalies` contract). Every product
+    and sum is exact int64.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0")
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.or_(
+            pc.equal(b[type_col], type_a), pc.equal(b[type_col], type_b)
+        )
+        t = b.select([ts_col, type_col]).filter(keep)
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        # independent indicators so type_a == type_b (autocorrelation)
+        # is well-defined too
+        cells = pa.table(
+            {
+                "hr": pc.divide(ts, hour_us),
+                "na": pc.cast(pc.equal(t[type_col], type_a), pa.int64()),
+                "nb": pc.cast(pc.equal(t[type_col], type_b), pa.int64()),
+            }
+        )
+        return (
+            cells.group_by("hr")
+            .aggregate([("na", "sum"), ("nb", "sum")])
+            .rename_columns(["hr", "na", "nb"])
+        )
+
+    hours = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hr")
+        .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("hr")
+        hr = pc.cast(g["hr"], pa.int64()).to_numpy(zero_copy_only=False)
+        na = pc.cast(g["na"], pa.int64()).to_numpy(zero_copy_only=False)
+        nb = pc.cast(g["nb"], pa.int64()).to_numpy(zero_copy_only=False)
+        lags = np.arange(max_lag + 1, dtype=np.int64)
+        prods = np.zeros(max_lag + 1, dtype=np.int64)
+        for li in range(max_lag + 1):
+            j = np.searchsorted(hr, hr + li)
+            ok = (j < len(hr))
+            ok[ok] &= hr[j[ok]] == hr[ok] + li
+            prods[li] = int(np.sum(na[ok] * nb[j[ok]]))
+        return pa.table(
+            {
+                "lag": pa.array(lags, pa.int64()),
+                "xprod": pa.array(prods, pa.int64()),
+            }
+        )
+
+    return (
+        hours.map_batches(
+            lambda b: b.append_column(
+                "_one", pa.array([1] * len(b), pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_one")
+        .map_groups(
+            lambda g: sweep(g.drop_columns(["_one"])),
+            batch_format="pyarrow",
+        )
+        .sort("lag")
+    )

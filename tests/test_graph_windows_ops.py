@@ -855,3 +855,70 @@ def test_centroid_outliers_planted(ray_session):
         rd.from_arrow(t[:0]), "vec_id", "embedding", k_centroids=2
     )
     assert e.take_all() == []
+
+
+def test_rank_auc_hand(ray_session):
+    from eschergraph_ray.functions.stats import rank_auc
+
+    # perfect separation -> AUC 1; reversed -> 0; all-tied -> 0.5
+    t = pa.table({"s": [1, 2, 10, 20], "label": [0, 0, 1, 1]})
+    r = rank_auc(rd.from_arrow(t).repartition(2), "s", "label").take_all()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_num2"], r["auc_micro"]) == (
+        2, 2, 8, 1_000_000
+    )
+    rev = rank_auc(
+        rd.from_arrow(pa.table({"s": [10, 20, 1, 2],
+                                "label": [0, 0, 1, 1]})), "s", "label"
+    ).take_all()[0]
+    assert rev["auc_num2"] == 0 and rev["auc_micro"] == 0
+    tied = rank_auc(
+        rd.from_arrow(pa.table({"s": [5, 5, 5, 5],
+                                "label": [0, 1, 0, 1]})), "s", "label"
+    ).take_all()[0]
+    assert tied["auc_num2"] == 4 and tied["auc_micro"] == 500_000
+    # mixed hand case: pos {2, 3}, neg {1, 3} ->
+    # correct = (2>1) + (3>1) = 2, ties = 1 -> AUC = 5/8
+    m = rank_auc(
+        rd.from_arrow(pa.table({"s": [2, 3, 1, 3],
+                                "label": [1, 1, 0, 0]})), "s", "label"
+    ).take_all()[0]
+    assert m["auc_num2"] == 5 and m["auc_micro"] == 625_000
+    # single-class -> zero rows, typed schema
+    e = rank_auc(
+        rd.from_arrow(pa.table({"s": [1, 2], "label": [1, 1]})),
+        "s", "label",
+    )
+    assert e.take_all() == []
+    assert e.schema().names == ["n_pos", "n_neg", "auc_num2", "auc_micro"]
+
+
+def test_lag_xcorr_hand(ray_session):
+    import pytest
+
+    from eschergraph_ray.functions.windows import lag_xcorr
+
+    HOUR = 3_600_000_000
+    # a fires at hours 0,1; b fires at hours 2,3 (2 events at hour 3):
+    # lag 2 aligns both a-hours with a b-hour -> peak
+    rows = [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (3, "b"), (1, "c")]
+    t = pa.table(
+        {
+            "ts": pa.array([h * HOUR for h, _ in rows], pa.timestamp("us")),
+            "typ": [ty for _, ty in rows],
+        }
+    )
+    out = lag_xcorr(
+        rd.from_arrow(t).repartition(2), "ts", "typ", "a", "b", max_lag=3
+    ).to_pandas()
+    assert list(out["lag"]) == [0, 1, 2, 3]
+    # lag1: a@1 x b@2 = 1; lag2: a@0xb@2 + a@1xb@3 = 1+2 = 3;
+    # lag3: a@0xb@3 = 2
+    assert list(out["xprod"]) == [0, 1, 3, 2]
+    # autocorrelation (type_a == type_b) is well-defined: lag 0 is the
+    # sum of squared counts
+    auto = lag_xcorr(
+        rd.from_arrow(t), "ts", "typ", "b", "b", max_lag=1
+    ).to_pandas()
+    assert list(auto["xprod"])[0] == 1 * 1 + 2 * 2
+    with pytest.raises(ValueError):
+        lag_xcorr(rd.from_arrow(t), "ts", "typ", "a", "b", max_lag=-1)
