@@ -126,6 +126,10 @@ def main() -> None:
         # build at bench scale)
         "events_type_hour_mi",
         "docs_jsonl_export",
+        "events_transitions",
+        "orders_segment_drift",
+        "docs_ascii_auc",
+        "embeddings_centroid_outliers",
     ):
         if name in qmap:
             queries[name] = round(bench_query(qmap[name]), 3)
