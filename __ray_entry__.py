@@ -2609,6 +2609,22 @@ def _q_events_lag_xcorr(sf_dir: str):
     return lag_xcorr(ds, "ts", "event_type", "view", "purchase", max_lag=6)
 
 
+def _q_docs_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix
+    (decontam.source_overlap_matrix): distinct shared word-3-gram
+    shingles per source pair (md5 shingle device). The self-join's
+    fan-out is bounded by the source count per side — no hot-key
+    quadratic; counts exact int64."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.decontam import source_overlap_matrix
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    return source_overlap_matrix(ds, "text", "source", shingle_k=3)
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4154,6 +4170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_centroid_outliers": _q_embeddings_centroid_outliers,
         "docs_ascii_auc": _q_docs_ascii_auc,
         "events_lag_xcorr": _q_events_lag_xcorr,
+        "docs_source_overlap": _q_docs_source_overlap,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -7035,6 +7052,43 @@ def oracle_sql() -> dict[str, str]:
                               JOIN b ON b.hr = a.hr + l.lag), 0)
                     AS BIGINT) AS xprod
         FROM l ORDER BY lag
+    """
+    # cross-source shingle overlap: the same md5 word-3-gram grammar
+    # as the MinHash replay (incl. the 1-2-word whole-text path),
+    # distinct per (shingle, source), bounded-fan-out self-join
+    d["docs_source_overlap"] = """
+        WITH wl AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
+        ),
+        words AS (
+          SELECT doc_id, source, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) AS i
+          FROM wl WHERE len(ws) >= 3
+        ),
+        grams AS (
+          SELECT DISTINCT a.source AS src,
+                 CAST(CAST(md5_number_lower(a.w || ' ' || b.w || ' ' || c.w)
+                           AS HUGEINT) % 9223372036854775808 AS BIGINT) AS x
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        ),
+        short AS (
+          SELECT DISTINCT source AS src,
+                 CAST(CAST(md5_number_lower(array_to_string(ws, ' '))
+                           AS HUGEINT) % 9223372036854775808 AS BIGINT) AS x
+          FROM wl WHERE len(ws) BETWEEN 1 AND 2
+        ),
+        ds AS (SELECT src, x FROM grams UNION SELECT src, x FROM short)
+        SELECT a.src AS src_a, b.src AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ds a JOIN ds b ON a.x = b.x AND a.src <= b.src
+        GROUP BY a.src, b.src
+        ORDER BY src_a, src_b
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

@@ -275,3 +275,124 @@ def mask_repeated_spans(
         )
 
     return ds.map_batches(mask, batch_format="pyarrow")
+
+
+def source_overlap_matrix(docs_ds, text_col: str, source_col: str,
+                          shingle_k: int = 3):
+    """Cross-source contamination matrix: for every (unordered) pair
+    of sources, how many DISTINCT word-``shingle_k``-gram shingles
+    they share — the corpus-level leakage diagnostic run before
+    trusting a source split as an held-out set (the pairwise
+    generalization of :func:`decontaminate`, which needs a designated
+    benchmark side). Diagonal rows carry each source's own distinct
+    shingle count. Returns ``(src_a, src_b, n_shared)`` with
+    ``src_a <= src_b``, ordered by the pair.
+
+    Shape: per-batch DISTINCT (shingle, source) combiner partials →
+    one global distinct groupby → a self hash-join on the shingle
+    hash whose fan-out is bounded by the SOURCE count per side (a
+    shingle appears at most once per source after the distinct — no
+    hot-key quadratic possible) → per-batch pair-count partials
+    (≤ S² rows per batch) → a pair-cardinality-sized groupby.
+
+    Parity: shingles hash with the md5 word-gram device
+    (``dedup._word_shingles`` == DuckDB ``md5_number_lower``), so the
+    SQL replay recomputes the same sets from raw text; counts are
+    exact int64.
+    """
+    from .dedup import _word_shingles
+    from .graph_metrics import _clamp_partitions
+
+    P = _clamp_partitions(8)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        xs, srcs = [], []
+        texts = batch[text_col].to_pylist()
+        sources = batch[source_col].to_pylist()
+        for t, s in zip(texts, sources):
+            if s is None:
+                continue
+            for h in _word_shingles(t or "", shingle_k):
+                # low 63 bits: Ray's shuffle block builders reject
+                # uint64 values past int64 range; the SQL replay masks
+                # identically (HUGEINT % 2^63) so sets stay equal
+                xs.append(h & 0x7FFFFFFFFFFFFFFF)
+                srcs.append(s)
+        t = pa.table(
+            {
+                "x": pa.array(xs, pa.int64()),
+                "src": pa.array(srcs, pa.string()),
+            }
+        )
+        # per-batch distinct combiner: repeated grams within a batch
+        # never reach the exchange
+        return (
+            t.group_by(["x", "src"])
+            .aggregate([([], "count_all")])
+            .select(["x", "src"])
+        )
+
+    distinct = (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["x", "src"])
+        .count()
+        .map_batches(lambda b: b.select(["x", "src"]),
+                     batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
+    if distinct.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        )
+    left = distinct.map_batches(
+        lambda b: b.rename_columns(["x", "src_a"]), batch_format="pyarrow"
+    )
+    right = distinct.map_batches(
+        lambda b: b.rename_columns(["x", "src_b"]), batch_format="pyarrow"
+    )
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = batch.filter(
+            pc.less_equal(batch["src_a"], batch["src_b"])
+        ).select(["src_a", "src_b"])
+        return (
+            t.group_by(["src_a", "src_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["src_a", "src_b", "n_part"])
+        )
+
+    return (
+        left.join(right, join_type="inner", num_partitions=P, on=("x",))
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("n_part", alias_name="n_shared"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src_a": b["src_a"],
+                    "src_b": b["src_b"],
+                    "n_shared": pc.cast(b["n_shared"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["src_a", "src_b"])
+    )

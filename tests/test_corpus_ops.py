@@ -461,3 +461,39 @@ def test_dedup_survivors_oracle_sf0001():
     want = sorted(con.execute(E.oracle_sql()["dedup_survivors"]).df()["doc_id"])
     assert len(got) < 500  # some documents actually dropped
     assert got == want
+
+
+def test_source_overlap_matrix_hand():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.decontam import source_overlap_matrix
+
+    # s1/s2 share exactly the shingle "a b c"; s3 shares nothing;
+    # a 2-word doc uses the whole-text path; empty text and null
+    # source contribute nothing
+    docs = pa.table(
+        {
+            "text": [
+                "a b c d",        # s1: shingles {a b c, b c d}
+                "x a b c y",      # s2: {x a b, a b c, b c y}
+                "p q",            # s3: whole-text shingle {p q}
+                "",               # s1: nothing
+                "ignored text here",  # null source: dropped
+            ],
+            "source": ["s1", "s2", "s3", "s1", None],
+        }
+    )
+    out = source_overlap_matrix(
+        rd.from_arrow(docs).repartition(2), "text", "source"
+    ).to_pandas()
+    got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
+    assert got == {
+        ("s1", "s1"): 2, ("s2", "s2"): 3, ("s3", "s3"): 1,
+        ("s1", "s2"): 1,
+    }
+    # ordered by pair; empty input -> typed empty
+    assert list(out["src_a"]) == sorted(out["src_a"])
+    e = source_overlap_matrix(rd.from_arrow(docs[:0]), "text", "source")
+    assert e.take_all() == []
+    assert e.schema().names == ["src_a", "src_b", "n_shared"]
