@@ -2625,6 +2625,23 @@ def _q_docs_source_overlap(sf_dir: str):
     return source_overlap_matrix(ds, "text", "source", shingle_k=3)
 
 
+def _q_orders_profile(sf_dir: str):
+    """Per-column data-quality profile of the orders table
+    (relational.table_profile): row/null counts from one partial-sum
+    pass, exact NDV per column via distinct combiner + cardinality-
+    sized groupby (the 100 TB path swaps the NDV legs for the HLL
+    sketch; the exact legs are the oracle)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import table_profile
+
+    _context()
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    return table_profile(ds, cols)
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4171,6 +4188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ascii_auc": _q_docs_ascii_auc,
         "events_lag_xcorr": _q_events_lag_xcorr,
         "docs_source_overlap": _q_docs_source_overlap,
+        "orders_profile": _q_orders_profile,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -7089,6 +7107,46 @@ def oracle_sql() -> dict[str, str]:
         FROM ds a JOIN ds b ON a.x = b.x AND a.src <= b.src
         GROUP BY a.src, b.src
         ORDER BY src_a, src_b
+    """
+    # per-column profile: one UNION ALL leg per column; SQL
+    # count(DISTINCT) NULL-exclusion matches the Ray distinct legs
+    d["orders_profile"] = """
+        SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice' AS "column", CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_totalprice) AS BIGINT) AS ndv
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate' AS "column", CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_orderdate) AS BIGINT) AS ndv
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority' AS "column", CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv
+        FROM orders
+        ORDER BY "column"
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

@@ -497,3 +497,30 @@ def test_source_overlap_matrix_hand():
     e = source_overlap_matrix(rd.from_arrow(docs[:0]), "text", "source")
     assert e.take_all() == []
     assert e.schema().names == ["src_a", "src_b", "n_shared"]
+
+
+def test_table_profile_hand():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import table_profile
+
+    t = pa.table(
+        {
+            "a": [1, 1, 2, None, 3],
+            "b": ["x", "x", "x", "x", None],
+            "c": [1.5, 1.5, None, None, 2.5],
+        }
+    )
+    out = table_profile(
+        rd.from_arrow(t).repartition(2), ["a", "b", "c"]
+    ).to_pandas()
+    assert list(out["column"]) == ["a", "b", "c"]  # name-ordered
+    assert list(out["n"]) == [5, 5, 5]
+    assert list(out["n_null"]) == [1, 1, 2]
+    # NDV excludes NULLs (SQL count(DISTINCT) semantics)
+    assert list(out["ndv"]) == [3, 1, 2]
+    import pytest
+
+    with pytest.raises(ValueError):
+        table_profile(rd.from_arrow(t), [])
