@@ -2642,6 +2642,68 @@ def _q_orders_profile(sf_dir: str):
     return table_profile(ds, cols)
 
 
+def _q_docs_auc_by_source(sf_dir: str):
+    """Slice-based evaluation (stats.rank_auc_by_group): the ASCII-
+    ratio is-English scorer's ROC-AUC computed per SOURCE — a scorer
+    fine globally can be broken on one slice. Per-group rank-sum
+    sweeps over score cells; single-class slices omitted (AUC
+    undefined) on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import rank_auc_by_group
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang", "source"])
+
+    def score(b: pa.Table) -> pa.Table:
+        from eschergraph_ray.stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.is_valid(b["text"]), pc.is_valid(b["lang"])),
+                pc.is_valid(b["source"]),
+            ),
+            pc.greater(pc.utf8_length(pc.fill_null(b["text"], "")), 0),
+        )
+        t = b.filter(keep)
+        chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        non_ascii = pc.cast(
+            pc.count_substring_regex(t["text"], r"[^\x00-\x7f]"),
+            pa.int64(),
+        )
+        s = pc.cast(
+            pc.round(
+                pc.divide(
+                    pc.cast(
+                        pc.multiply(pc.subtract(chars, non_ascii),
+                                    1_000_000),
+                        pa.float64(),
+                    ),
+                    pc.cast(chars, pa.float64()),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "s": s,
+                "label": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+            }
+        )
+
+    return rank_auc_by_group(
+        ds.map_batches(score, batch_format="pyarrow"),
+        "source", "s", "label",
+    )
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4189,6 +4251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_xcorr": _q_events_lag_xcorr,
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_profile": _q_orders_profile,
+        "docs_auc_by_source": _q_docs_auc_by_source,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -7147,6 +7210,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv
         FROM orders
         ORDER BY "column"
+    """
+    # per-slice AUC: the global rank-sum replay PARTITIONed BY
+    # source; HAVING drops single-class slices (matching the Ray
+    # sweep's empty return)
+    d["docs_auc_by_source"] = r"""
+        WITH base AS (
+          SELECT source, length(text) AS chars,
+                 len(regexp_extract_all(text, '[^\x00-\x7f]'))
+                   AS non_ascii,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+          FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL
+            AND source IS NOT NULL AND length(text) > 0
+        ),
+        sc AS (
+          SELECT source,
+                 CAST(round(CAST((chars - non_ascii) * 1000000
+                                 AS DOUBLE) / chars, 0) AS BIGINT) AS s,
+                 label
+          FROM base
+        ),
+        cells AS (
+          SELECT source, s, CAST(sum(label) AS BIGINT) AS np_,
+                 CAST(sum(1 - label) AS BIGINT) AS nn_
+          FROM sc GROUP BY source, s
+        ),
+        c AS (
+          SELECT source, np_, nn_,
+                 CAST(COALESCE(sum(nn_) OVER (
+                   PARTITION BY source ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cnb
+          FROM cells
+        ),
+        t AS (
+          SELECT source, CAST(sum(np_) AS BIGINT) AS n_pos,
+                 CAST(sum(nn_) AS BIGINT) AS n_neg,
+                 CAST(2 * sum(np_ * cnb) + sum(np_ * nn_)
+                      AS BIGINT) AS auc_num2
+          FROM c GROUP BY source
+          HAVING sum(np_) > 0 AND sum(nn_) > 0
+        )
+        SELECT source, n_pos, n_neg, auc_num2,
+               CAST(round(CAST(auc_num2 * 1000000 AS DOUBLE)
+                          / (2 * n_pos * n_neg), 0) AS BIGINT)
+                 AS auc_micro
+        FROM t ORDER BY source
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

@@ -354,3 +354,108 @@ def rank_auc(ds, score_col: str, label_col: str):
             batch_format="pyarrow",
         )
     )
+
+
+def rank_auc_by_group(ds, group_col: str, score_col: str,
+                      label_col: str):
+    """Per-slice ROC-AUC — :func:`rank_auc` computed independently for
+    every value of ``group_col`` (the slice-based evaluation surface:
+    a scorer that looks fine globally can be broken on one source /
+    language / time slice). Returns one row per group that has BOTH
+    classes — ``(group_col, n_pos, n_neg, auc_num2, auc_micro)``,
+    group-ascending; single-class groups are omitted (AUC undefined),
+    matching the SQL replay's HAVING clause.
+
+    Shape: per-batch combiner partials collapse rows to
+    (group, score, n_pos, n_neg) cells; each group's rank-sum sweep
+    runs in its own reducer over that group's score cells
+    (``groupby(group).map_groups`` — per-group value cardinality
+    bounded). Same pure-int64 parity as :func:`rank_auc`.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(batch[group_col]),
+                pc.is_valid(batch[score_col]),
+            ),
+            pc.is_valid(batch[label_col]),
+        )
+        t = batch.select([group_col, score_col, label_col]).filter(keep)
+        pos = pc.cast(pc.equal(t[label_col], 1), pa.int64())
+        cells = pa.table(
+            {
+                group_col: t[group_col],
+                "s": pc.cast(t[score_col], pa.int64()),
+                "np_": pos,
+                "nn_": pc.subtract(1, pos),
+            }
+        )
+        return (
+            cells.group_by([group_col, "s"])
+            .aggregate([("np_", "sum"), ("nn_", "sum")])
+            .rename_columns([group_col, "s", "np_", "nn_"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "s"])
+        .aggregate(Sum("np_", alias_name="np_"),
+                   Sum("nn_", alias_name="nn_"))
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("s")
+        np_c = pc.cast(g["np_"], pa.int64()).to_numpy(zero_copy_only=False)
+        nn_c = pc.cast(g["nn_"], pa.int64()).to_numpy(zero_copy_only=False)
+        n_pos, n_neg = int(np_c.sum()), int(nn_c.sum())
+        gval = group[group_col][:1]
+        if n_pos == 0 or n_neg == 0:
+            return pa.table(
+                {
+                    group_col: gval[:0],
+                    "n_pos": pa.array([], pa.int64()),
+                    "n_neg": pa.array([], pa.int64()),
+                    "auc_num2": pa.array([], pa.int64()),
+                    "auc_micro": pa.array([], pa.int64()),
+                }
+            )
+        cum_neg_before = np.concatenate(
+            ([0], np.cumsum(nn_c, dtype=np.int64)[:-1])
+        )
+        correct = int(np.sum(np_c * cum_neg_before))
+        ties = int(np.sum(np_c * nn_c))
+        auc_num2 = 2 * correct + ties
+        auc_micro = int(
+            pc.round(
+                pa.array(
+                    [float(auc_num2 * 1_000_000)
+                     / float(2 * n_pos * n_neg)]
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )[0].as_py()
+        )
+        return pa.table(
+            {
+                group_col: gval,
+                "n_pos": pa.array([n_pos], pa.int64()),
+                "n_neg": pa.array([n_neg], pa.int64()),
+                "auc_num2": pa.array([auc_num2], pa.int64()),
+                "auc_micro": pa.array([auc_micro], pa.int64()),
+            }
+        )
+
+    return (
+        cells.groupby(group_col)
+        .map_groups(sweep, batch_format="pyarrow")
+        .sort(group_col)
+    )

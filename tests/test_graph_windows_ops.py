@@ -922,3 +922,23 @@ def test_lag_xcorr_hand(ray_session):
     assert list(auto["xprod"])[0] == 1 * 1 + 2 * 2
     with pytest.raises(ValueError):
         lag_xcorr(rd.from_arrow(t), "ts", "typ", "a", "b", max_lag=-1)
+
+
+def test_rank_auc_by_group_hand(ray_session):
+    from eschergraph_ray.functions.stats import rank_auc_by_group
+
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "a", "b", "b", "b", "b", "c", "c"],
+            "s": [1, 2, 10, 20, 10, 20, 1, 2, 5, 6],
+            "label": [0, 0, 1, 1, 0, 0, 1, 1, 1, 1],
+        }
+    )
+    out = rank_auc_by_group(
+        rd.from_arrow(t).repartition(3), "g", "s", "label"
+    ).to_pandas()
+    # group a: perfect; group b: reversed; group c: single-class ->
+    # omitted
+    assert list(out["g"]) == ["a", "b"]
+    assert list(out["auc_micro"]) == [1_000_000, 0]
+    assert list(out["n_pos"]) == [2, 2] and list(out["n_neg"]) == [2, 2]
