@@ -398,71 +398,111 @@ def table_profile(ds, cols: list[str]):
     shard before trusting it (row counts stable? nulls crept in? key
     cardinality sane?).
 
-    Shape: row and null counts come from ONE streaming pass of
-    per-batch partial sums (a C-column-wide cell row per batch); the
-    exact NDV per column is a per-batch DISTINCT combiner followed by
-    a distinct groupby whose output is counted — one
-    cardinality-sized exchange per column, never row-sized (at 100 TB
-    you would swap the NDV legs for the md5-replayable HLL sketch in
-    :mod:`sketch`; the exact legs ARE the oracle). SQL-NDV
-    semantics: NULLs are excluded from the distinct count.
+    Shape: ONE streaming pass emits per-batch cells — the DISTINCT
+    non-null values of every column (rendered to strings: int /
+    string / timestamp renderings are trivially injective and
+    float64's Arrow cast is shortest-round-trip, so distinct-on-string
+    == distinct-on-value) plus one null/total counter row per column —
+    then one cell-sized groupby dedupes values globally and a
+    column-cardinality-sized aggregate folds the profile. Two
+    cell-sized exchanges TOTAL regardless of column count (at 100 TB
+    a high-NDV column would swap its distinct leg for the
+    md5-replayable HLL sketch in :mod:`sketch`; the exact legs ARE
+    the oracle). SQL-NDV semantics: NULLs excluded from the distinct
+    count.
     """
-    import numpy as np
+    from ray.data.aggregate import Sum
 
     if not cols:
         raise ValueError("cols must be non-empty")
 
-    def null_partial(batch: pa.Table) -> pa.Table:
+    def cells(batch: pa.Table) -> pa.Table:
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
-        data = {"n_part": pa.array([len(batch)], pa.int64())}
+        import numpy as np
+
+        parts = []
         for c in cols:
-            data[f"null_{c}"] = pa.array(
-                [int(pc.sum(
-                    pc.cast(pc.is_null(batch[c]), pa.int64())
-                ).as_py() or 0)],
-                pa.int64(),
+            valid = batch[c].drop_null()
+            sv = pc.cast(valid, pa.string())
+            u = pc.unique(
+                sv.combine_chunks()
+                if isinstance(sv, pa.ChunkedArray) else sv
             )
-        return pa.table(data)
-
-    counts_ds = ds.map_batches(null_partial, batch_format="pyarrow")
-    total = counts_ds.sum(["n_part"] + [f"null_{c}" for c in cols])
-    if total is None:  # Dataset.sum yields None on a no-block stream
-        total = {f"sum(null_{c})": 0 for c in cols} | {"sum(n_part)": 0}
-    n = int(total["sum(n_part)"] or 0)
-
-    ndvs = {}
-    for c in cols:
-        one = ds.select_columns([c])
-
-        def distinct_part(batch: pa.Table, _c=c) -> pa.Table:
-            from ..stages.chunking import pin_arrow_threads
-
-            pin_arrow_threads()
-            t = batch.filter(pc.is_valid(batch[_c]))
-            return (
-                t.group_by(_c).aggregate([([], "count_all")]).select([_c])
+            k = len(u)
+            parts.append(
+                pa.table(
+                    {
+                        "column": pa.repeat(pa.scalar(c), k),
+                        "v": u,
+                        "is_ctr": pa.array(
+                            np.zeros(k, np.int8), pa.int8()
+                        ),
+                        "nn_part": pa.array(np.zeros(k, np.int64)),
+                        "n_part": pa.array(np.zeros(k, np.int64)),
+                    }
+                )
             )
+            # one counter row per column: is_ctr=1 carries the batch's
+            # null/total tallies (the marker keeps it disjoint from any
+            # real value; Ray's shuffle rejects NULL group keys)
+            parts.append(
+                pa.table(
+                    {
+                        "column": pa.array([c], pa.string()),
+                        "v": pa.array([""], pa.string()),
+                        "is_ctr": pa.array([1], pa.int8()),
+                        "nn_part": pa.array(
+                            [len(batch) - len(valid)], pa.int64()
+                        ),
+                        "n_part": pa.array([len(batch)], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts).combine_chunks()
 
-        ndvs[c] = (
-            one.map_batches(distinct_part, batch_format="pyarrow")
-            .groupby(c)
-            .count()
-            .count()
+    agg = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["column", "v", "is_ctr"])
+        .aggregate(Sum("nn_part", alias_name="nn"),
+                   Sum("n_part", alias_name="nr"))
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        is_val = pc.equal(pc.cast(batch["is_ctr"], pa.int8()), 0)
+        return pa.table(
+            {
+                "column": batch["column"],
+                "ndv_part": pc.cast(is_val, pa.int64()),
+                "nn_part": pc.if_else(
+                    is_val, 0, pc.cast(pc.fill_null(batch["nn"], 0),
+                                       pa.int64())
+                ),
+                "n_part": pc.if_else(
+                    is_val, 0, pc.cast(pc.fill_null(batch["nr"], 0),
+                                       pa.int64())
+                ),
+            }
         )
 
-    out = pa.table(
-        {
-            "column": pa.array(sorted(cols), pa.string()),
-            "n": pa.array([n] * len(cols), pa.int64()),
-            "n_null": pa.array(
-                [int(total[f"sum(null_{c})"] or 0) for c in sorted(cols)],
-                pa.int64(),
-            ),
-            "ndv": pa.array(
-                [int(ndvs[c]) for c in sorted(cols)], pa.int64()
-            ),
-        }
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "column": batch["column"],
+                "n": pc.cast(batch["sum(n_part)"], pa.int64()),
+                "n_null": pc.cast(batch["sum(nn_part)"], pa.int64()),
+                "ndv": pc.cast(batch["sum(ndv_part)"], pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(fold, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("n_part"), Sum("nn_part"), Sum("ndv_part"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort("column")
     )
-    return rd.from_arrow(out)

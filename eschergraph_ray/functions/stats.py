@@ -234,18 +234,9 @@ def ks_drift(ds, val_col: str, seg_col: str, seg_a: str, seg_b: str,
             }
         )
 
-    return (
-        cells.map_batches(
-            lambda b: b.append_column(
-                "_one", pa.array([1] * len(b), pa.int8())
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("_one")
-        .map_groups(
-            lambda g: sweep(g.drop_columns(["_one"])),
-            batch_format="pyarrow",
-        )
+    # value-cardinality-bounded cell table: one block, one sweep
+    return cells.repartition(1).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -341,18 +332,9 @@ def rank_auc(ds, score_col: str, label_col: str):
             }
         )
 
-    return (
-        cells.map_batches(
-            lambda b: b.append_column(
-                "_one", pa.array([1] * len(b), pa.int8())
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("_one")
-        .map_groups(
-            lambda g: sweep(g.drop_columns(["_one"])),
-            batch_format="pyarrow",
-        )
+    # value-cardinality-bounded cell table: one block, one sweep
+    return cells.repartition(1).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None
     )
 
 

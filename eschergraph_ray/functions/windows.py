@@ -388,6 +388,10 @@ def event_transitions(events_ds, key_col: str, ts_col: str, id_col: str,
     from ray.data.aggregate import Sum
 
     def pairs(group: pa.Table) -> pa.Table:
+        # groups are tiny (one key's history): emit raw consecutive
+        # pairs; the per-BATCH combiner below aggregates across many
+        # groups at once (a per-group hash-aggregate here costs more
+        # than it saves)
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
@@ -397,17 +401,21 @@ def event_transitions(events_ds, key_col: str, ts_col: str, id_col: str,
                 {
                     "src": pa.array([], pa.string()),
                     "dst": pa.array([], pa.string()),
-                    "n_part": pa.array([], pa.int64()),
                 }
             )
         idx = pc.sort_indices(
             g, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
         )
         t = pc.cast(g[type_col], pa.string()).take(idx).combine_chunks()
-        part = pa.table({"src": t.slice(0, len(t) - 1),
+        return pa.table({"src": t.slice(0, len(t) - 1),
                          "dst": t.slice(1)})
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
         return (
-            part.group_by(["src", "dst"])
+            batch.group_by(["src", "dst"])
             .aggregate([([], "count_all")])
             .rename_columns(["src", "dst", "n_part"])
         )
@@ -415,6 +423,7 @@ def event_transitions(events_ds, key_col: str, ts_col: str, id_col: str,
     return (
         events_ds.groupby(key_col)
         .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(combiner, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .aggregate(Sum("n_part", alias_name="n"))
         .map_batches(
@@ -499,15 +508,11 @@ def hourly_anomalies(events_ds, ts_col: str, window: int = 24,
             }
         )
 
+    # the hour table is span-bounded: one block, one batch, one sweep
+    # (repartition(1) + batch_size=None — cheaper than a keyed groupby)
     return (
-        hours.map_batches(
-            lambda b: b.append_column("_one", pa.array([1] * len(b), pa.int8())),
-            batch_format="pyarrow",
-        )
-        .groupby("_one")
-        .map_groups(
-            lambda g: flag(g.drop_columns(["_one"])), batch_format="pyarrow"
-        )
+        hours.repartition(1)
+        .map_batches(flag, batch_format="pyarrow", batch_size=None)
         .sort("hr")
     )
 
@@ -684,16 +689,7 @@ def lag_xcorr(events_ds, ts_col: str, type_col: str, type_a: str,
         )
 
     return (
-        hours.map_batches(
-            lambda b: b.append_column(
-                "_one", pa.array([1] * len(b), pa.int8())
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("_one")
-        .map_groups(
-            lambda g: sweep(g.drop_columns(["_one"])),
-            batch_format="pyarrow",
-        )
+        hours.repartition(1)
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
         .sort("lag")
     )
