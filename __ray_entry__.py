@@ -2704,6 +2704,106 @@ def _q_docs_auc_by_source(sf_dir: str):
     )
 
 
+def _q_docs_curation_pipeline(sf_dir: str):
+    """End-to-end curation pipeline COMPOSED from the repo's own
+    operators — the "would a reference user's whole workflow run here"
+    proof: (1) Gopher-style quality gate (textstats.curation_verdict),
+    (2) exact near-dup removal among survivors (dedup.exact_dedup,
+    min-id survivor), (3) token-budget selection preferring longer
+    docs at half the surviving token mass
+    (sampling.select_token_budget), (4) per-source manifest rollup
+    (source, n_docs, tokens). Gates compose via native left_semi
+    joins with the clamp/repartition guards; every stage's parity
+    device is the one its standalone oracle already proved."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from eschergraph_ray.functions.dedup import exact_dedup
+    from eschergraph_ray.functions.graph_metrics import _clamp_partitions
+    from eschergraph_ray.functions.sampling import select_token_budget
+    from eschergraph_ray.functions.text import _TOKEN_RE
+    from eschergraph_ray.functions.textstats import curation_verdict
+
+    _context()
+    P = _clamp_partitions(8)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    keep_ids = (
+        curation_verdict(docs, "doc_id", "text")
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["keep"], 1)).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+    if keep_ids.count() == 0:
+        return rd.from_arrow(empty)
+    kept = (
+        docs.repartition(P)
+        .join(keep_ids, join_type="left_semi", num_partitions=P,
+              on=("doc_id",))
+        .repartition(P)
+        .materialize()
+    )
+    surv_ids = exact_dedup(kept, "doc_id", "text").repartition(P).materialize()
+    sd = kept.join(
+        surv_ids, join_type="left_semi", num_partitions=P, on=("doc_id",)
+    )
+
+    def tok(b: pa.Table) -> pa.Table:
+        from eschergraph_ray.stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        counts = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(b["text"], ""), _TOKEN_RE.pattern
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tokens": counts,
+            }
+        )
+
+    scored = sd.map_batches(tok, batch_format="pyarrow").materialize()
+    total = scored.sum("n_tokens") or 0
+    budget = int(total) // 2
+    sel = select_token_budget(
+        scored, "doc_id", "n_tokens", "n_tokens", budget
+    )
+    return (
+        sel.groupby("source")
+        .aggregate(Count(), Sum("n_tokens"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "source": b["source"],
+                    "n_docs": pc.cast(b["count()"], pa.int64()),
+                    "tokens": pc.cast(b["sum(n_tokens)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("source")
+    )
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4252,6 +4352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_overlap": _q_docs_source_overlap,
         "orders_profile": _q_orders_profile,
         "docs_auc_by_source": _q_docs_auc_by_source,
+        "docs_curation_pipeline": _q_docs_curation_pipeline,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -7257,6 +7358,76 @@ def oracle_sql() -> dict[str, str]:
                           / (2 * n_pos * n_neg), 0) AS BIGINT)
                  AS auc_micro
         FROM t ORDER BY source
+    """
+    # composed curation pipeline: each stage's CTE is the SAME replay
+    # its standalone oracle proved (verdict rules, GROUP BY text
+    # min-id dedup, token regex, running-sum budget window), chained
+    d["docs_curation_pipeline"] = """
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(array_length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+                 CAST(array_length(regexp_extract_all(lower(text), '[a-z'']+')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                      x -> x IN ('the','and','of','a','to','in','is','it','that','for','on','with'))) AS BIGINT)
+                      AS n_stopwords,
+                 list_distinct(regexp_extract_all(lower(text), '[a-z'']+')) AS ws,
+                 regexp_extract_all(lower(text), '[a-z]+') AS reps
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, n_chars, n_alpha, n_words, n_stopwords,
+                 CAST(len(reps) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(reps)) AS BIGINT) AS n_distinct,
+                 len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu'))) AS s_de,
+                 len(list_filter(ws, x -> x IN ('the','and','of','to','in','is','that','it','with','for'))) AS s_en,
+                 len(list_filter(ws, x -> x IN ('el','la','los','las','y','es','que','de','un','una','por'))) AS s_es,
+                 len(list_filter(ws, x -> x IN ('le','la','les','et','est','que','des','une','dans','pour'))) AS s_fr,
+                 len(list_filter(ws, x -> x IN ('il','la','che','di','e','un','una','per','con','sono'))) AS s_it
+          FROM q
+        ),
+        v AS (
+          SELECT doc_id,
+                 CAST(n_words BETWEEN 10 AND 100000 AS BIGINT)
+                 * CAST(5 * n_alpha >= 3 * n_chars AS BIGINT)
+                 * CAST(50 * n_stopwords >= n_words AS BIGINT)
+                 * CAST(10 * n_distinct >= 3 * n_tokens AS BIGINT)
+                 * CAST(CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'und'
+                             WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'de'
+                             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+                             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+                             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+                             ELSE 'it' END = 'en' AS BIGINT) AS keep
+          FROM s
+        ),
+        kept AS (
+          SELECT d.doc_id, d.text, d.source
+          FROM documents d JOIN v ON d.doc_id = v.doc_id
+          WHERE v.keep = 1
+        ),
+        surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+        sd AS (SELECT k.* FROM kept k JOIN surv ON k.doc_id = surv.doc_id),
+        tok AS (
+          SELECT doc_id, source,
+                 CAST(array_length(regexp_extract_all(text,
+                      '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS BIGINT)
+                   AS n_tokens
+          FROM sd
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget
+                FROM tok),
+        sel AS (
+          SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS run
+          FROM tok
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM sel, tot WHERE run <= tot.budget
+        GROUP BY source ORDER BY source
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (
