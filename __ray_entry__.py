@@ -2804,6 +2804,22 @@ def _q_docs_curation_pipeline(sf_dir: str):
     )
 
 
+def _q_events_trend(sf_dir: str):
+    """Per-type hourly-count OLS trend over the full corpus span
+    (windows.hourly_trend): exact integer slope fraction
+    (missing hours count as zero); x-only sums are closed-form, only
+    Σy/Σxy touch the span-bounded cell table. The
+    which-types-are-growing drift detector."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import hourly_trend
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return hourly_trend(ds, "ts", "event_type")
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4353,6 +4369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": _q_orders_profile,
         "docs_auc_by_source": _q_docs_auc_by_source,
         "docs_curation_pipeline": _q_docs_curation_pipeline,
+        "events_trend": _q_events_trend,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -7428,6 +7445,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_tokens) AS BIGINT) AS tokens
         FROM sel, tot WHERE run <= tot.budget
         GROUP BY source ORDER BY source
+    """
+    # OLS trend replay: closed-form x sums over the full span,
+    # integer slope fraction, one float-cast reporting division
+    d["events_trend"] = """
+        WITH e AS (
+          SELECT epoch_us(ts) // 3600000000 AS hr, event_type AS typ
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        cells AS (
+          SELECT typ, hr, CAST(count(*) AS BIGINT) AS cnt
+          FROM e GROUP BY typ, hr
+        ),
+        span AS (
+          SELECT CAST(min(hr) AS BIGINT) AS lo,
+                 CAST(max(hr) - min(hr) + 1 AS BIGINT) AS h
+          FROM cells
+        ),
+        cons AS (
+          SELECT h, lo, h * (h - 1) // 2 AS sx,
+                 (h - 1) * h * (2 * h - 1) // 6 AS sxx
+          FROM span
+        ),
+        t AS (
+          SELECT typ, CAST(sum(cnt) AS BIGINT) AS sy,
+                 CAST(sum(cnt * (hr - (SELECT lo FROM span)))
+                      AS BIGINT) AS sxy
+          FROM cells GROUP BY typ
+        )
+        SELECT typ AS event_type, CAST(c.h AS BIGINT) AS n_hours,
+               CAST(c.h * t.sxy - c.sx * t.sy AS BIGINT) AS slope_num,
+               CAST(c.h * c.sxx - c.sx * c.sx AS BIGINT) AS slope_den,
+               CAST(round(CAST((c.h * t.sxy - c.sx * t.sy) * 1000000
+                               AS DOUBLE)
+                          / (c.h * c.sxx - c.sx * c.sx), 0)
+                    AS BIGINT) AS slope_micro
+        FROM t, cons c ORDER BY event_type
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

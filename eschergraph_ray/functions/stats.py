@@ -220,7 +220,10 @@ def ks_drift(ds, val_col: str, seg_col: str, seg_a: str, seg_b: str,
         ks_num = int(np.max(np.abs(cum_a * n_b - cum_b * n_a)))
         ks_micro = int(
             pc.round(
-                pa.array([(ks_num * 1_000_000) / (n_a * n_b)]),
+                # float() FIRST (== SQL's CAST AS DOUBLE), then ONE
+                # IEEE divide — Python's big-int true division rounds
+                # once overall and can differ in the last ulp
+                pa.array([float(ks_num * 1_000_000) / float(n_a * n_b)]),
                 ndigits=0,
                 round_mode="half_towards_infinity",
             )[0].as_py()

@@ -693,3 +693,121 @@ def lag_xcorr(events_ds, ts_col: str, type_col: str, type_a: str,
         .map_batches(sweep, batch_format="pyarrow", batch_size=None)
         .sort("lag")
     )
+
+
+def hourly_trend(events_ds, ts_col: str, type_col: str,
+                 hour_us: int = 3_600_000_000):
+    """Per-type linear trend of the hourly count series over the
+    corpus's FULL hour span (missing hours count as zero — a type
+    that dies out trends down): the exact ordinary-least-squares
+    slope, kept as an integer fraction. The traffic-drift detector
+    behind "which event types are growing/shrinking".
+
+    For x = hour − first_hour over a span of h hours, the x-only sums
+    are closed-form (n = h, Σx = h(h−1)/2, Σx² = (h−1)h(2h−1)/6);
+    only Σy and Σxy touch data, accumulated over the (span-bounded)
+    hour-cell table. Returns per type
+    ``(event_type, n_hours, slope_num, slope_den, slope_micro)`` with
+    ``slope = slope_num / slope_den`` events/hour —
+    ``slope_num = n·Σxy − Σx·Σy``, ``slope_den = n·Σx² − (Σx)²``
+    exact int64; ``slope_micro = round(1e6·num/den)`` is the one
+    reporting division (float-cast first, both engines identical).
+    Empty input or a single-hour span (slope undefined) yields zero
+    rows.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = b.select([ts_col, type_col]).filter(
+            pc.is_valid(b[type_col])
+        )
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        cells = pa.table(
+            {"typ": pc.cast(t[type_col], pa.string()),
+             "hr": pc.divide(ts, hour_us)}
+        )
+        return (
+            cells.group_by(["typ", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["typ", "hr", "cnt"])
+        )
+
+    cells = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["typ", "hr"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )  # span x type bounded
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_hours": pa.array([], pa.int64()),
+            "slope_num": pa.array([], pa.int64()),
+            "slope_den": pa.array([], pa.int64()),
+            "slope_micro": pa.array([], pa.int64()),
+        }
+    )
+    if cells.count() == 0:
+        return rd.from_arrow(empty)
+    lo = int(cells.min("hr"))
+    hi = int(cells.max("hr"))
+    h = hi - lo + 1
+    if h < 2:
+        return rd.from_arrow(empty)
+    sx = h * (h - 1) // 2
+    sxx = (h - 1) * h * (2 * h - 1) // 6
+    den = h * sxx - sx * sx
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if len(group) == 0:
+            return empty
+        g = group.sort_by("typ")
+        typ = g["typ"]
+        cnt = pc.cast(g["cnt"], pa.int64()).to_numpy(zero_copy_only=False)
+        x = (pc.cast(g["hr"], pa.int64()).to_numpy(zero_copy_only=False)
+             - lo)
+        tkeys = pc.cast(typ, pa.string()).to_pylist()
+        out_t, out_num, out_mic = [], [], []
+        i = 0
+        n = len(tkeys)
+        while i < n:
+            j = i
+            sy = sxy = 0
+            while j < n and tkeys[j] == tkeys[i]:
+                sy += int(cnt[j])
+                sxy += int(cnt[j]) * int(x[j])
+                j += 1
+            num = h * sxy - sx * sy
+            out_t.append(tkeys[i])
+            out_num.append(num)
+            out_mic.append(int(
+                pc.round(
+                    pa.array([float(num * 1_000_000) / float(den)]),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                )[0].as_py()
+            ))
+            i = j
+        k = len(out_t)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "n_hours": pa.array([h] * k, pa.int64()),
+                "slope_num": pa.array(out_num, pa.int64()),
+                "slope_den": pa.array([den] * k, pa.int64()),
+                "slope_micro": pa.array(out_mic, pa.int64()),
+            }
+        )
+
+    return (
+        cells.repartition(1)
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .sort("event_type")
+    )

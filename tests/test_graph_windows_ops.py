@@ -942,3 +942,37 @@ def test_rank_auc_by_group_hand(ray_session):
     assert list(out["g"]) == ["a", "b"]
     assert list(out["auc_micro"]) == [1_000_000, 0]
     assert list(out["n_pos"]) == [2, 2] and list(out["n_neg"]) == [2, 2]
+
+
+def test_hourly_trend_hand(ray_session):
+    from eschergraph_ray.functions.windows import hourly_trend
+
+    HOUR = 3_600_000_000
+    # span hours 0..3 (h=4): type "up" counts [1,2,3,4] -> slope 1;
+    # type "gap" appears only at hour 0 (missing hours = 0) -> down
+    ts, typ = [], []
+    for x, n in enumerate([1, 2, 3, 4]):
+        ts += [x * HOUR] * n
+        typ += ["up"] * n
+    ts += [0, 0]
+    typ += ["gap", "gap"]
+    t = pa.table(
+        {"ts": pa.array(ts, pa.timestamp("us")), "typ": typ}
+    )
+    out = hourly_trend(
+        rd.from_arrow(t).repartition(2), "ts", "typ"
+    ).to_pandas()
+    assert list(out["event_type"]) == ["gap", "up"]
+    # h=4: sx=6, sxx=14, den=4*14-36=20
+    assert set(out["slope_den"]) == {20} and set(out["n_hours"]) == {4}
+    up = out[out.event_type == "up"].iloc[0]
+    # sy=10, sxy=0+2+6+12=20 -> num=4*20-6*10=20 -> slope exactly 1
+    assert up["slope_num"] == 20 and up["slope_micro"] == 1_000_000
+    gap = out[out.event_type == "gap"].iloc[0]
+    # sy=2, sxy=0 -> num=-12 -> slope -0.6
+    assert gap["slope_num"] == -12 and gap["slope_micro"] == -600_000
+    # single-hour span -> undefined -> zero rows
+    one = pa.table(
+        {"ts": pa.array([0, 1], pa.timestamp("us")), "typ": ["a", "a"]}
+    )
+    assert hourly_trend(rd.from_arrow(one), "ts", "typ").take_all() == []
