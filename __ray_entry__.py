@@ -2820,6 +2820,23 @@ def _q_events_trend(sf_dir: str):
     return hourly_trend(ds, "ts", "event_type")
 
 
+def _q_orders_robust_stats(sf_dir: str):
+    """Per-status robust price profile (stats.robust_stats_by_group):
+    discrete-inverse-CDF median and MAD plus the |x-med| > 3*MAD
+    outlier count — the heavy-tail-safe anomaly profile. One
+    data-sized cell exchange; every statistic an exact integer."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import robust_stats_by_group
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+    )
+    return robust_stats_by_group(ds, "o_orderstatus", "o_totalprice")
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4370,6 +4387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_auc_by_source": _q_docs_auc_by_source,
         "docs_curation_pipeline": _q_docs_curation_pipeline,
         "events_trend": _q_events_trend,
+        "orders_robust_stats": _q_orders_robust_stats,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -7481,6 +7499,67 @@ def oracle_sql() -> dict[str, str]:
                           / (c.h * c.sxx - c.sx * c.sx), 0)
                     AS BIGINT) AS slope_micro
         FROM t, cons c ORDER BY event_type
+    """
+    # robust stats replay: quantile_disc(0.5) = smallest value with
+    # 2*cum >= n (per group), MAD over the |v-med| distribution,
+    # pure-integer outlier rule — no division anywhere
+    d["orders_robust_stats"] = """
+        WITH vv AS (
+          SELECT o_orderstatus AS g,
+                 CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+        ),
+        cells AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM vv GROUP BY g, v
+        ),
+        tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n
+                FROM cells GROUP BY g),
+        c1 AS (
+          SELECT g, v, cnt,
+                 CAST(sum(cnt) OVER (
+                   PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS cum
+          FROM cells
+        ),
+        med AS (
+          SELECT c1.g, CAST(min(v) AS BIGINT) AS med
+          FROM c1 JOIN tot ON c1.g = tot.g
+          WHERE 2 * cum >= n GROUP BY c1.g
+        ),
+        dev AS (
+          SELECT c.g, abs(c.v - m.med) AS d,
+                 CAST(sum(c.cnt) AS BIGINT) AS cnt
+          FROM cells c JOIN med m ON c.g = m.g
+          GROUP BY c.g, abs(c.v - m.med)
+        ),
+        c2 AS (
+          SELECT g, d, cnt,
+                 CAST(sum(cnt) OVER (
+                   PARTITION BY g ORDER BY d ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS cum
+          FROM dev
+        ),
+        mad AS (
+          SELECT c2.g, CAST(min(d) AS BIGINT) AS mad
+          FROM c2 JOIN tot ON c2.g = tot.g
+          WHERE 2 * cum >= n GROUP BY c2.g
+        ),
+        outs AS (
+          SELECT dev.g,
+                 CAST(sum(CASE WHEN dev.d > 3 * mad.mad
+                               THEN dev.cnt ELSE 0 END)
+                      AS BIGINT) AS n_outliers
+          FROM dev JOIN mad ON dev.g = mad.g GROUP BY dev.g
+        )
+        SELECT t.g AS o_orderstatus, t.n, m.med AS med_cents,
+               md.mad AS mad_cents, o.n_outliers
+        FROM tot t
+        JOIN med m ON t.g = m.g
+        JOIN mad md ON t.g = md.g
+        JOIN outs o ON t.g = o.g
+        ORDER BY o_orderstatus
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

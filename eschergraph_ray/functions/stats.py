@@ -444,3 +444,94 @@ def rank_auc_by_group(ds, group_col: str, score_col: str,
         .map_groups(sweep, batch_format="pyarrow")
         .sort(group_col)
     )
+
+
+def robust_stats_by_group(ds, group_col: str, val_col: str,
+                          cents: int = 100, k_mad: int = 3):
+    """Per-group robust statistics — ``(group, n, med_cents,
+    mad_cents, n_outliers)`` where ``med`` / ``mad`` are the discrete
+    inverse-CDF medians (SQL ``quantile_disc(0.5)``: smallest value
+    whose cumulative count reaches half) of the value and of the
+    absolute deviation, and ``n_outliers`` counts rows with
+    ``|x − med| > k_mad · mad`` — the heavy-tail-safe anomaly profile
+    (mean/stddev break on the very outliers you're hunting). Groups
+    ascending; values quantized to integer ``cents``.
+
+    Shape: per-batch combiner partials collapse rows to
+    (group, value, count) cells — the only data-sized exchange — and
+    EVERYTHING downstream (median, deviation distribution, MAD,
+    outlier count) happens in one per-group reducer over that group's
+    value cells, value-cardinality-bounded (the :func:`ks_drift`
+    contract). Every statistic is an exact integer; no division
+    anywhere.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.is_valid(batch[group_col]), pc.is_valid(batch[val_col])
+        )
+        t = batch.select([group_col, val_col]).filter(keep)
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[val_col], pa.float64()),
+                            float(cents)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        cells = pa.table({group_col: t[group_col], "v": v})
+        return (
+            cells.group_by([group_col, "v"])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, "v", "cnt"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def inv_cdf_half(vals: "np.ndarray", cnts: "np.ndarray", n: int):
+        # smallest value with 2*cum >= n (quantile_disc(0.5))
+        cum = np.cumsum(cnts, dtype=np.int64)
+        return int(vals[np.argmax(2 * cum >= n)])
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("v")
+        v = pc.cast(g["v"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(g["cnt"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = int(c.sum())
+        med = inv_cdf_half(v, c, n)
+        d = np.abs(v - med)
+        order = np.argsort(d, kind="stable")
+        ds_, cs_ = d[order], c[order]
+        # collapse equal deviations (two values can share |v - med|)
+        uniq, start = np.unique(ds_, return_index=True)
+        csum = np.add.reduceat(cs_, start)
+        mad = inv_cdf_half(uniq, csum, n)
+        n_out = int(csum[uniq > k_mad * mad].sum())
+        return pa.table(
+            {
+                group_col: group[group_col][:1],
+                "n": pa.array([n], pa.int64()),
+                "med_cents": pa.array([med], pa.int64()),
+                "mad_cents": pa.array([mad], pa.int64()),
+                "n_outliers": pa.array([n_out], pa.int64()),
+            }
+        )
+
+    return (
+        cells.groupby(group_col)
+        .map_groups(sweep, batch_format="pyarrow")
+        .sort(group_col)
+    )

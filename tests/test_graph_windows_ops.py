@@ -976,3 +976,31 @@ def test_hourly_trend_hand(ray_session):
         {"ts": pa.array([0, 1], pa.timestamp("us")), "typ": ["a", "a"]}
     )
     assert hourly_trend(rd.from_arrow(one), "ts", "typ").take_all() == []
+
+
+def test_robust_stats_by_group_hand(ray_session):
+    from eschergraph_ray.functions.stats import robust_stats_by_group
+
+    # group a: values [1,2,3,4,100] -> n=5, med: cum [1,2,3,4,5],
+    # 2*cum>=5 at v=3 -> med=300c; |d|=[200,100,0,100,9700] ->
+    # d-cells {0:1,100:2,200:1,9700:1} cum [1,3,4,5] -> mad: 2*cum>=5
+    # at d=100 -> mad=100c; outliers d>300: the 9700 row -> 1
+    t = pa.table(
+        {
+            "g": ["a"] * 5 + ["b"] * 2,
+            "v": [1.0, 2.0, 3.0, 4.0, 100.0, 5.0, 5.0],
+        }
+    )
+    out = robust_stats_by_group(
+        rd.from_arrow(t).repartition(3), "g", "v"
+    ).to_pandas()
+    a = out[out.g == "a"].iloc[0]
+    assert (a["n"], a["med_cents"], a["mad_cents"], a["n_outliers"]) == (
+        5, 300, 100, 1
+    )
+    # constant group: mad 0 -> every non-median row is an "outlier"
+    # under d > 0, but all values equal the median -> 0
+    b = out[out.g == "b"].iloc[0]
+    assert (b["n"], b["med_cents"], b["mad_cents"], b["n_outliers"]) == (
+        2, 500, 0, 0
+    )
