@@ -2837,6 +2837,62 @@ def _q_orders_robust_stats(sf_dir: str):
     return robust_stats_by_group(ds, "o_orderstatus", "o_totalprice")
 
 
+def _q_events_active_users(sf_dir: str):
+    """Rolling 7-day distinct active users per day (DAU/WAU —
+    windows.rolling_active_users): distinct (user, day) pairs once,
+    vectorized window explode clipped to the broadcast observed-day
+    set, Max-indicator re-distinct — exchanges are pairs × 7, never
+    raw events. All-integer epoch-day arithmetic."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import rolling_active_users
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return rolling_active_users(ds, "user_id", "ts", window_days=7)
+
+
+def _q_events_session_paths(sf_dir: str):
+    """Top-15 session event-type paths (windows.session_paths):
+    sessionize per user (30-min gap, the sessionize_events rule),
+    render each session's first 8 types as a '>'-joined path, count
+    corpus-wide with a per-batch combiner so the final exchange is
+    path-cardinality-sized. Total-order (ts, event_id) sequencing and
+    an (n DESC, path ASC) cut keep both engines byte-identical."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import session_paths
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return session_paths(
+        ds, "user_id", "ts", "event_id", "event_type",
+        gap_us=1_800_000_000, max_len=8, k=15,
+    )
+
+
+def _q_users_rfm(sf_dir: str):
+    """RFM quartile segmentation of the customer base
+    (relational.rfm_segments): per-customer recency/frequency/monetary
+    aggregate (the one data-sized exchange), three ANSI ntile(4)
+    scores in one bounded sweep, ≤64-row segment-grid counts."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import rfm_segments
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return rfm_segments(ds, "o_custkey", "o_orderdate", "o_totalprice", k=4)
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4388,6 +4444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation_pipeline": _q_docs_curation_pipeline,
         "events_trend": _q_events_trend,
         "orders_robust_stats": _q_orders_robust_stats,
+        "events_active_users": _q_events_active_users,
+        "events_session_paths": _q_events_session_paths,
+        "users_rfm": _q_users_rfm,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -7560,6 +7619,101 @@ def oracle_sql() -> dict[str, str]:
         JOIN mad md ON t.g = md.g
         JOIN outs o ON t.g = o.g
         ORDER BY o_orderstatus
+    """
+    # DAU/WAU replay: distinct (user, day) pairs once, then each
+    # observed day counts distinct users over its trailing 7-day
+    # window — pure // day arithmetic, all BIGINT
+    d["events_active_users"] = """
+        WITH pairs AS (
+          SELECT DISTINCT
+                 (epoch_us(ts) // 86400000000) * 86400000000 AS day,
+                 user_id
+          FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        days AS (SELECT DISTINCT day FROM pairs)
+        SELECT d.day,
+               CAST(count(DISTINCT CASE WHEN p.day = d.day
+                                        THEN p.user_id END)
+                    AS BIGINT) AS dau,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM days d
+        JOIN pairs p
+          ON p.day <= d.day AND p.day > d.day - 7 * 86400000000
+        GROUP BY d.day
+        ORDER BY d.day
+    """
+    # session-path replay: 30-min-gap sessionization via lag + running
+    # sum, first-8 types per session list()-aggregated in (ts, id)
+    # order, top-15 by (n DESC, path ASC)
+    d["events_session_paths"] = """
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        ),
+        b AS (
+          SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                           OR tus - lag(tus) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        s AS (
+          SELECT *, sum(brk) OVER (
+            PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING
+          ) AS sid
+          FROM b
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, sid ORDER BY tus, event_id
+          ) AS rn
+          FROM s
+        ),
+        p AS (
+          SELECT user_id, sid,
+                 array_to_string(
+                   list(event_type ORDER BY tus, event_id), '>'
+                 ) AS path
+          FROM r WHERE rn <= 8 GROUP BY user_id, sid
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT 15
+    """
+    # RFM replay: per-customer (recency day, order count, cents sum)
+    # then three ANSI ntile(4) scores ordered value-DESC with custkey
+    # tie-break, counted per segment cell
+    d["users_rfm"] = """
+        WITH agg AS (
+          SELECT o_custkey,
+                 max((epoch_us(o_orderdate) // 86400000000)
+                     * 86400000000) AS rec,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                      AS BIGINT) AS mon
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+            AND o_totalprice IS NOT NULL
+          GROUP BY o_custkey
+        ),
+        sc AS (
+          SELECT
+            CAST(ntile(4) OVER (ORDER BY rec DESC, o_custkey)
+                 AS BIGINT) AS r_score,
+            CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey)
+                 AS BIGINT) AS f_score,
+            CAST(ntile(4) OVER (ORDER BY mon DESC, o_custkey)
+                 AS BIGINT) AS m_score
+          FROM agg
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM sc GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

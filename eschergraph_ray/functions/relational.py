@@ -506,3 +506,121 @@ def table_profile(ds, cols: list[str]):
         .map_batches(finalize, batch_format="pyarrow")
         .sort("column")
     )
+
+
+def rfm_segments(orders_ds, cust_col: str, date_col: str, price_col: str,
+                 k: int = 4, day_us: int = 86_400_000_000):
+    """RFM quartile segmentation — the classic customer-value grid:
+    per-customer Recency (latest order day), Frequency (order count)
+    and Monetary (total cents) each get an ANSI ``ntile(k)`` score
+    ordered value-DESC with customer-key tie-break (bucket 1 = best),
+    and the output is the ≤ k³-row count of customers per
+    ``(r_score, f_score, m_score)`` cell.
+
+    Shape: the per-customer aggregate is the only data-sized exchange;
+    the three ntile scores are computed in ONE bounded sweep over the
+    customer-cardinality aggregate (``repartition(1)`` +
+    ``batch_size=None`` — the cheap global-sweep device, no extra hash
+    shuffle). Scale path: past one reducer, swap the exact ntile for
+    quantile-BOUNDARY bucketing (the stats inverse-CDF device) — same
+    grid, documented tie-split deviation.
+
+    Parity: days and cents are pure ``//`` / zero-digit-round int64;
+    the ntile arithmetic is the shared
+    :func:`..functions.windows.ansi_ntile_positions` divmod; ordering
+    ``(value DESC, custkey ASC)`` is a total order on both engines."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .windows import ansi_ntile_positions
+
+    out_schema = pa.schema(
+        [
+            ("r_score", pa.int64()),
+            ("f_score", pa.int64()),
+            ("m_score", pa.int64()),
+            ("n_customers", pa.int64()),
+        ]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = batch.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(batch[cust_col]),
+                        pc.is_valid(batch[date_col])),
+                pc.is_valid(batch[price_col]),
+            )
+        )
+        day = pc.multiply(
+            pc.divide(
+                pc.cast(pc.cast(t[date_col], pa.timestamp("us")),
+                        pa.int64()),
+                day_us,
+            ),
+            day_us,
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[price_col], pa.float64()), 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({cust_col: t[cust_col], "day": day, "cents": cents})
+
+    agg = (
+        orders_ds.map_batches(quantize, batch_format="pyarrow")
+        .groupby(cust_col)
+        .aggregate(
+            Max("day", alias_name="rec"),
+            Count(alias_name="freq"),
+            Sum("cents", alias_name="mon"),
+        )
+        # the sweep below repartition(1)s anyway; materializing here
+        # lets the empty input short-circuit (schema-less empty
+        # aggregate blocks are the known Ray 2.49 trap)
+        .materialize()
+    )
+    if agg.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        cust = pc.cast(batch[cust_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cols = {}
+        for src, name in (("rec", "r_score"), ("freq", "f_score"),
+                          ("mon", "m_score")):
+            v = pc.cast(batch[src], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            order = np.lexsort((cust, -v))  # value DESC, custkey ASC
+            s = np.empty(n, np.int64)
+            s[order] = ansi_ntile_positions(n, k)
+            cols[name] = pa.array(s)
+        cells = (
+            pa.table(cols)
+            .group_by(["r_score", "f_score", "m_score"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["r_score", "f_score", "m_score",
+                             "n_customers"])
+        )
+        return cells.set_column(
+            3, "n_customers", pc.cast(cells["n_customers"], pa.int64())
+        )
+
+    return (
+        agg.repartition(1)
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .sort(["r_score", "f_score", "m_score"])
+    )

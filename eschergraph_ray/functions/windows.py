@@ -322,6 +322,20 @@ def throttle_first_per_window(ds, key_cols: list[str], ts_col: str,
     )
 
 
+def ansi_ntile_positions(n: int, k: int) -> "np.ndarray":
+    """1-based ANSI ``ntile(k)`` bucket ids for rank positions
+    ``0..n-1``: the first ``n mod k`` buckets get one extra row —
+    DuckDB/ANSI semantics, shared by :func:`group_ntile` and the RFM
+    sweep so every caller replays the identical divmod arithmetic."""
+    q, rem = divmod(n, k)
+    r = np.arange(n, dtype=np.int64)
+    if q == 0:
+        # fewer rows than buckets: one row per bucket, in order
+        return r + 1
+    big = rem * (q + 1)
+    return np.where(r < big, r // (q + 1) + 1, rem + (r - big) // q + 1)
+
+
 def group_ntile(ds, key_col: str, val_col: str, id_col: str, k: int = 4):
     """SQL ``ntile(k) OVER (PARTITION BY key ORDER BY val, id)``:
     equal-ROW-COUNT buckets per key (the first ``n mod k`` buckets get
@@ -342,17 +356,7 @@ def group_ntile(ds, key_col: str, val_col: str, id_col: str, k: int = 4):
             g, sort_keys=[(val_col, "ascending"), (id_col, "ascending")]
         )
         t = g.take(idx)
-        n = t.num_rows
-        q, rem = divmod(n, k)
-        r = np.arange(n, dtype=np.int64)
-        big = rem * (q + 1)
-        if q == 0:
-            # fewer rows than buckets: one row per bucket, in order
-            nt = r + 1
-        else:
-            nt = np.where(
-                r < big, r // (q + 1) + 1, rem + (r - big) // q + 1
-            )
+        nt = ansi_ntile_positions(t.num_rows, k)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -810,4 +814,187 @@ def hourly_trend(events_ds, ts_col: str, type_col: str,
         cells.repartition(1)
         .map_batches(sweep, batch_format="pyarrow", batch_size=None)
         .sort("event_type")
+    )
+
+
+def rolling_active_users(events_ds, user_col: str, ts_col: str,
+                         window_days: int = 7,
+                         day_us: int = 86_400_000_000):
+    """Rolling N-day distinct active users per observed day — the
+    DAU/WAU growth curve, the first chart every event-log pipeline
+    ships. Returns one row per day that has events:
+    ``(day, dau, wau)`` with ``day`` = int64 epoch-us day start,
+    ``dau`` = distinct users that day, ``wau`` = distinct users in the
+    trailing ``window_days`` window ending that day.
+
+    Shape: the event log collapses to distinct ``(user, day)`` pairs
+    in one groupby (activity multiplicity never shuffles — the
+    retention_counts device), each pair is EXPLODED into the
+    ``window_days`` trailing windows it contributes to (vectorized
+    ``np.repeat``) and clipped against the broadcast observed-day set
+    (calendar-cardinality, ray.put once), then distinct membership per
+    ``(window day, user)`` is re-derived with a Max indicator — every
+    exchange after the first groupby is pairs × window_days, never raw
+    events. Pure ``//`` day arithmetic on both engines, all-int64
+    output."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+
+    out_schema = pa.schema(
+        [("day", pa.int64()), ("dau", pa.int64()), ("wau", pa.int64())]
+    )
+
+    def to_days(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = b.filter(
+            pc.and_(pc.is_valid(b[ts_col]), pc.is_valid(b[user_col]))
+        )
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                user_col: t[user_col],
+                "day": pc.multiply(pc.divide(ts, day_us), day_us),
+            }
+        )
+
+    pairs = (
+        events_ds.map_batches(to_days, batch_format="pyarrow")
+        .groupby([user_col, "day"])
+        .count()
+        .map_batches(
+            lambda b: b.select([user_col, "day"]), batch_format="pyarrow"
+        )
+        .materialize()  # pairs-cardinality; reused twice below
+    )
+    days = pairs.unique("day")  # observed-day set: calendar-sized
+    if not days:
+        return rd.from_arrow(out_schema.empty_table())
+    days_ref = ray.put(np.asarray(sorted(days), np.int64))
+
+    def explode(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        observed = ray.get(days_ref)
+        src = pc.cast(b["day"], pa.int64()).to_numpy(zero_copy_only=False)
+        usr = b[user_col].to_numpy(zero_copy_only=False)
+        offs = np.arange(window_days, dtype=np.int64) * day_us
+        tgt = (src[:, None] + offs[None, :]).ravel()
+        usr_r = np.repeat(usr, window_days)
+        is_dau = (tgt == np.repeat(src, window_days)).astype(np.int64)
+        keep = np.isin(tgt, observed)
+        return pa.table(
+            {
+                "day": pa.array(tgt[keep]),
+                user_col: pa.array(usr_r[keep]),
+                "is_dau": pa.array(is_dau[keep]),
+            }
+        )
+
+    return (
+        pairs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["day", user_col])
+        .aggregate(Max("is_dau", alias_name="is_dau"))
+        .groupby("day")
+        .aggregate(Count(alias_name="wau"), Sum("is_dau", alias_name="dau"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pc.cast(b["day"], pa.int64()),
+                    "dau": pc.cast(b["dau"], pa.int64()),
+                    "wau": pc.cast(b["wau"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("day")
+    )
+
+
+def session_paths(events_ds, user_col: str, ts_col: str, id_col: str,
+                  type_col: str, gap_us: int = 1_800_000_000,
+                  max_len: int = 8, k: int = 15):
+    """Top-k session event-type paths: sessionize each user's stream
+    (same gap rule as `sessionize_events`), render each session's
+    first ``max_len`` event types as a ``'>'``-joined path string, and
+    count path frequencies corpus-wide — the sequential-pattern-mining
+    staple behind funnel discovery and bot fingerprinting.
+
+    Shape: each user's (bounded) history meets in one reducer — the
+    sessionization contract — where it reduces to one path row per
+    session; a per-BATCH combiner pre-aggregates path counts so the
+    final exchange is path-cardinality-sized (``max_len`` bounds the
+    string, so a runaway session can't emit an unbounded key).
+
+    Parity: ordering is ``(ts, id)`` — a total order — on both
+    engines; nulls in user/ts/type are dropped BEFORE sessionizing;
+    the top-k cut orders by ``(n DESC, path ASC)``."""
+    from ray.data.aggregate import Sum
+
+    def paths(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.filter(
+            pc.and_(pc.is_valid(group[type_col]),
+                    pc.is_valid(group[ts_col]))
+        )
+        if g.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        idx = pc.sort_indices(
+            g, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        t = g.take(idx)
+        ts = pc.cast(
+            pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        types = pc.cast(t[type_col], pa.string()).to_pylist()
+        brk = np.ones(len(ts), bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ts))
+        out = [
+            ">".join(types[s:min(e, s + max_len)])
+            for s, e in zip(starts, ends)
+        ]
+        return pa.table({"path": pa.array(out, pa.string())})
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        return b.select([user_col, ts_col, id_col, type_col]).filter(
+            pc.is_valid(b[user_col])
+        )
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        return (
+            batch.group_by("path")
+            .aggregate([([], "count_all")])
+            .rename_columns(["path", "n_part"])
+        )
+
+    return (
+        events_ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(paths, batch_format="pyarrow")
+        .map_batches(combiner, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(
+            lambda b: pa.table(
+                {"path": b["path"], "n": pc.cast(b["n"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["n", "path"], descending=[True, False])
+        .limit(k)
     )

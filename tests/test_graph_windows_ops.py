@@ -1004,3 +1004,144 @@ def test_robust_stats_by_group_hand(ray_session):
     assert (b["n"], b["med_cents"], b["mad_cents"], b["n_outliers"]) == (
         2, 500, 0, 0
     )
+
+
+# ---------- rolling active users (DAU/WAU) ----------
+
+
+def test_ansi_ntile_positions_shared_math():
+    from eschergraph_ray.functions.windows import ansi_ntile_positions
+
+    # n=10, k=4: first 10 mod 4 = 2 buckets get 3 rows, rest get 2
+    assert ansi_ntile_positions(10, 4).tolist() == [
+        1, 1, 1, 2, 2, 2, 3, 3, 4, 4
+    ]
+    # fewer rows than buckets: one per bucket in order
+    assert ansi_ntile_positions(3, 4).tolist() == [1, 2, 3]
+
+
+def test_rolling_active_users_hand():
+    import pytest
+
+    from eschergraph_ray.functions.windows import rolling_active_users
+
+    D = 86_400_000_000
+    t = pa.table(
+        {
+            "u": pa.array([1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([0, 10, D + 5, 3 * D + 7], pa.timestamp("us")),
+        }
+    )
+    out = (
+        rolling_active_users(rd.from_arrow(t).repartition(2), "u", "ts",
+                             window_days=2)
+        .to_pandas()
+        .set_index("day")
+    )
+    # day0: users {1,2}; day1: {2} (window {day0,day1} -> {1,2});
+    # day3: {3} (day2 unobserved, so its window is just day3)
+    assert out.loc[0].tolist() == [2, 2]
+    assert out.loc[D].tolist() == [1, 2]
+    assert out.loc[3 * D].tolist() == [1, 1]
+    assert len(out) == 3
+    with pytest.raises(ValueError):
+        rolling_active_users(None, "u", "ts", window_days=0)
+
+
+def test_rolling_active_users_empty():
+    from eschergraph_ray.functions.windows import rolling_active_users
+
+    t = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+    out = rolling_active_users(rd.from_arrow(t), "u", "ts")
+    assert out.schema().names == ["day", "dau", "wau"]
+    assert out.count() == 0
+
+
+def test_rolling_active_users_oracle_replay_sf0001(ray_session):
+    import duckdb
+
+    from eschergraph_ray.functions.windows import rolling_active_users
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    got = (
+        rolling_active_users(ds, "user_id", "ts", window_days=7)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH pairs AS (
+          SELECT DISTINCT
+                 (epoch_us(ts) // 86400000000) * 86400000000 AS day,
+                 user_id
+          FROM read_parquet('{SF}/events.parquet')
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        days AS (SELECT DISTINCT day FROM pairs)
+        SELECT d.day,
+               CAST(count(DISTINCT CASE WHEN p.day = d.day
+                                        THEN p.user_id END)
+                    AS BIGINT) AS dau,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM days d
+        JOIN pairs p ON p.day <= d.day
+                    AND p.day > d.day - 7 * 86400000000
+        GROUP BY d.day ORDER BY d.day
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------- session paths ----------
+
+
+def test_session_paths_hand():
+    from eschergraph_ray.functions.windows import session_paths
+
+    S = 1_000_000
+    rows = [
+        # user 1: A,B within one session; C two hours later
+        (1, 0 * S, 1, "A"),
+        (1, 60 * S, 2, "B"),
+        (1, 7200 * S, 3, "C"),
+        # user 2: five X at 1s intervals, max_len=3 truncates
+        *[(2, i * S, 10 + i, "X") for i in range(5)],
+    ]
+    t = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "eid": pa.array([r[2] for r in rows], pa.int64()),
+            "typ": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        session_paths(rd.from_arrow(t).repartition(2), "u", "ts", "eid",
+                      "typ", gap_us=1_800_000_000, max_len=3, k=10)
+        .to_pandas()
+        .set_index("path")["n"]
+    )
+    assert out.to_dict() == {"A>B": 1, "C": 1, "X>X>X": 1}
+
+
+def test_session_paths_tie_and_topk_cut():
+    from eschergraph_ray.functions.windows import session_paths
+
+    # two users with path "A", one with "B": k=1 keeps the n=2 path
+    t = pa.table(
+        {
+            "u": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([0, 0, 0], pa.timestamp("us")),
+            "eid": pa.array([1, 2, 3], pa.int64()),
+            "typ": pa.array(["A", "A", "B"], pa.string()),
+        }
+    )
+    out = session_paths(
+        rd.from_arrow(t), "u", "ts", "eid", "typ", k=1
+    ).to_pandas()
+    assert out["path"].tolist() == ["A"] and out["n"].tolist() == [2]

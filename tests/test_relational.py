@@ -200,3 +200,64 @@ def test_pivot_wide_counts_only_and_validation(ray_session):
         pivot_wide(rd.from_arrow(t), "k", "c", [])
     with pytest.raises(ValueError):
         pivot_wide(rd.from_arrow(t), "k", "c", ["a"], val_category="a")
+
+
+def test_rfm_segments_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import rfm_segments
+
+    D = 86_400_000_000
+    # cust1: 2 orders (days 10,20) $10 each; cust2: 1 order day 30 $5;
+    # cust3: 3 orders day 5 $1 each; cust4: 1 order day 1 $100
+    rows = [
+        (1, 10, 10.0), (1, 20, 10.0),
+        (2, 30, 5.0),
+        (3, 5, 1.0), (3, 5, 1.0), (3, 5, 1.0),
+        (4, 1, 100.0),
+    ]
+    t = pa.table(
+        {
+            "c": pa.array([r[0] for r in rows], pa.int64()),
+            "d": pa.array([r[1] * D for r in rows], pa.timestamp("us")),
+            "p": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    out = (
+        rfm_segments(rd.from_arrow(t).repartition(3), "c", "d", "p", k=2)
+        .to_pandas()
+    )
+    # rec desc: c2,c1 | c3,c4 ; freq desc (tie by key): c3,c1 | c2,c4 ;
+    # mon desc: c4,c1 | c2,c3 -> cells all singletons
+    cells = {
+        tuple(r[:3]): r[3]
+        for r in out[["r_score", "f_score", "m_score",
+                      "n_customers"]].itertuples(index=False)
+    }
+    assert cells == {
+        (1, 1, 1): 1,  # cust1
+        (1, 2, 2): 1,  # cust2
+        (2, 1, 2): 1,  # cust3
+        (2, 2, 1): 1,  # cust4
+    }
+
+
+def test_rfm_segments_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import rfm_segments
+
+    t = pa.table(
+        {
+            "c": pa.array([], pa.int64()),
+            "d": pa.array([], pa.timestamp("us")),
+            "p": pa.array([], pa.float64()),
+        }
+    )
+    out = rfm_segments(rd.from_arrow(t), "c", "d", "p")
+    assert out.schema().names == [
+        "r_score", "f_score", "m_score", "n_customers"
+    ]
+    assert out.count() == 0
