@@ -2893,6 +2893,57 @@ def _q_users_rfm(sf_dir: str):
     return rfm_segments(ds, "o_custkey", "o_orderdate", "o_totalprice", k=4)
 
 
+def _q_orders_pareto(sf_dir: str):
+    """Revenue-concentration deciles (relational.pareto_deciles):
+    customers ranked by spend DESC into ntile(10) buckets with exact
+    int64 bucket sums and a round(1e6*cum/total) cumulative share —
+    the Lorenz-curve complement of events_gini."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import pareto_deciles
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return pareto_deciles(ds, "o_custkey", "o_totalprice", k=10)
+
+
+def _q_events_changepoint(sf_dir: str):
+    """Per-type CUSUM changepoint over the observed hourly profile
+    (windows.activity_changepoint): argmax |m*cum_i - i*T| in exact
+    int64, count partials only — the behavior-shift detector."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import activity_changepoint
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return activity_changepoint(ds, "ts", "event_type")
+
+
+def _q_orders_approx_quantiles(sf_dir: str):
+    """Sampled quantile sketch (sampling.sampled_quantiles): a
+    deterministic md5 1/16th sample of orders, exact inverse-CDF
+    quantiles of the sample at binary-exact p — the bounded-exchange
+    scale path for quantiles over near-unique value columns (the
+    exact path, orders_profile/doc_token_percentiles, ships the full
+    value histogram)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import sampled_quantiles
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return sampled_quantiles(
+        ds, "o_orderkey", "o_totalprice", fraction=0.0625, salt="aq"
+    )
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4447,6 +4498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_active_users": _q_events_active_users,
         "events_session_paths": _q_events_session_paths,
         "users_rfm": _q_users_rfm,
+        "orders_pareto": _q_orders_pareto,
+        "events_changepoint": _q_events_changepoint,
+        "orders_approx_quantiles": _q_orders_approx_quantiles,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -7714,6 +7768,100 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_customers
         FROM sc GROUP BY r_score, f_score, m_score
         ORDER BY r_score, f_score, m_score
+    """
+    # Pareto replay: ntile(10) by spend DESC, exact int64 bucket sums,
+    # window cumsum, one double divide + zero-digit round for the share
+    d["orders_pareto"] = """
+        WITH agg AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY o_custkey
+        ),
+        sc AS (
+          SELECT CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey)
+                      AS BIGINT) AS decile, cents
+          FROM agg
+        ),
+        g AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM sc GROUP BY decile
+        ),
+        t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM g),
+        c AS (
+          SELECT decile, n_keys, cents,
+                 CAST(sum(cents) OVER (ORDER BY decile
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_cents
+          FROM g
+        )
+        SELECT c.decile, c.n_keys, c.cents, c.cum_cents,
+               CAST(round(CAST(c.cum_cents * 1000000 AS DOUBLE)
+                          / t.total, 0) AS BIGINT) AS share_micro
+        FROM c, t ORDER BY c.decile
+    """
+    # CUSUM replay: observed hour-cells per type, dev_i = m*cum - i*T,
+    # argmax |dev| with smallest-hour tie via (d DESC, hr) row_number
+    d["events_changepoint"] = """
+        WITH cells AS (
+          SELECT event_type AS typ, epoch_us(ts) // 3600000000 AS hr,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT typ, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(cnt) AS BIGINT) AS t
+          FROM cells GROUP BY typ
+        ),
+        seq AS (
+          SELECT typ, hr,
+                 CAST(row_number() OVER (PARTITION BY typ ORDER BY hr)
+                      AS BIGINT) AS i,
+                 CAST(sum(cnt) OVER (PARTITION BY typ ORDER BY hr
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM cells
+        ),
+        dev AS (
+          SELECT s.typ, s.hr,
+                 CAST(abs(tot.m * s.cum - s.i * tot.t) AS BIGINT) AS d
+          FROM seq s JOIN tot ON s.typ = tot.typ
+        ),
+        best AS (
+          SELECT typ, hr, d,
+                 row_number() OVER (PARTITION BY typ
+                                    ORDER BY d DESC, hr) AS rk
+          FROM dev
+        )
+        SELECT b.typ AS event_type, tot.m AS n_cells,
+               tot.t AS n_events, CAST(b.hr AS BIGINT) AS cp_hr,
+               b.d AS dev_abs
+        FROM best b JOIN tot ON b.typ = tot.typ
+        WHERE b.rk = 1
+        ORDER BY event_type
+    """
+    # sampled-quantile replay: md5 hash-mod membership (1/16 = hex
+    # '1000'), quantile_disc inverse-CDF at binary-exact p
+    d["orders_approx_quantiles"] = """
+        WITH s AS (
+          SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND substr(md5(concat('aq', CAST(o_orderkey AS VARCHAR))),
+                       1, 4) < '1000'
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sample,
+               CAST(quantile_disc(v, 0.0625) AS BIGINT) AS q0625,
+               CAST(quantile_disc(v, 0.25) AS BIGINT) AS q2500,
+               CAST(quantile_disc(v, 0.5) AS BIGINT) AS q5000,
+               CAST(quantile_disc(v, 0.75) AS BIGINT) AS q7500,
+               CAST(quantile_disc(v, 0.9375) AS BIGINT) AS q9375
+        FROM s HAVING count(*) > 0
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

@@ -624,3 +624,107 @@ def rfm_segments(orders_ds, cust_col: str, date_col: str, price_col: str,
         .map_batches(sweep, batch_format="pyarrow", batch_size=None)
         .sort(["r_score", "f_score", "m_score"])
     )
+
+
+def pareto_deciles(orders_ds, key_col: str, price_col: str, k: int = 10):
+    """Revenue-concentration (Lorenz/Pareto) deciles: keys ranked by
+    total spend DESC are cut into ``k`` ANSI ntile buckets and each
+    bucket reports ``(n_keys, cents, cum_cents, share_micro)`` — the
+    "top 10% of customers carry X% of revenue" curve, the concentration
+    complement of the Gini diagnostic.
+
+    Same dataflow as :func:`rfm_segments`: the per-key cents aggregate
+    is the only data-sized exchange; ranking + bucket sums + the
+    cumulative sweep all happen in one bounded pass over the
+    key-cardinality aggregate. ``share_micro = round(1e6·cum/total)``
+    is the single reporting division — the int64 product is formed
+    first on both engines, then ONE double divide + zero-digit round."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .windows import ansi_ntile_positions
+
+    out_schema = pa.schema(
+        [
+            ("decile", pa.int64()),
+            ("n_keys", pa.int64()),
+            ("cents", pa.int64()),
+            ("cum_cents", pa.int64()),
+            ("share_micro", pa.int64()),
+        ]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = batch.filter(
+            pc.and_(pc.is_valid(batch[key_col]),
+                    pc.is_valid(batch[price_col]))
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[price_col], pa.float64()), 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({key_col: t[key_col], "cents": cents})
+
+    agg = (
+        orders_ds.map_batches(quantize, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("cents", alias_name="cents"))
+        .materialize()
+    )
+    if agg.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        key = pc.cast(batch[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = pc.cast(batch["cents"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((key, -v))  # spend DESC, key ASC
+        tiles = np.empty(n, np.int64)
+        tiles[order] = ansi_ntile_positions(n, k)
+        n_keys = np.bincount(tiles, minlength=k + 1)[1:]
+        cents = np.zeros(k, np.int64)  # exact int64 segment sums
+        np.add.at(cents, tiles - 1, v)
+        present = n_keys > 0
+        cum = np.cumsum(cents, dtype=np.int64)
+        total = int(cum[-1])
+        share = pc.cast(
+            pc.round(
+                pa.array((cum * 1_000_000).astype(np.float64)
+                         / float(total)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        dec = np.arange(1, k + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "decile": pa.array(dec[present]),
+                "n_keys": pa.array(n_keys[present]),
+                "cents": pa.array(cents[present]),
+                "cum_cents": pa.array(cum[present]),
+                "share_micro": pa.array(share[present]),
+            }
+        )
+
+    return (
+        agg.repartition(1)
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .sort("decile")
+    )

@@ -326,3 +326,79 @@ def weighted_sample_ares(ds, id_col: str, weight_col: str, k: int = 100,
         .sort(["pri_micro", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def sampled_quantiles(ds, id_col: str, val_col: str, fraction: float,
+                      salt: str = "", cents: int = 100,
+                      ps: tuple = (0.0625, 0.25, 0.5, 0.75, 0.9375)):
+    """Approximate corpus quantiles from a deterministic hash-mod
+    sample — the sketch-shaped scale path for quantiles over columns
+    whose full value histogram is too wide to exchange: sample
+    ``fraction`` of rows by md5(salt+id) (membership replayable in
+    SQL), quantize to integer cents, and invert the SAMPLE's exact CDF
+    with the shared inverse-CDF rule (``histogram_percentiles``).
+
+    ``ps`` must be binary-exact fractions (k/2^m) so ``p·n`` is the
+    identical float on both engines. Returns ONE row:
+    ``(n_sample, q<pppp>...)`` with pppp = p·10⁴ zero-padded; empty
+    sample ⇒ zero rows (oracle pairs with ``HAVING count(*) > 0``).
+
+    Shape: the per-batch hash filter drops (1-fraction) of rows before
+    anything moves; the only exchange is the sample's value histogram
+    (groupby(value).count), then one bounded sweep."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .textstats import histogram_percentiles
+
+    names = [f"q{int(round(p * 10000)):04d}" for p in ps]
+    out_schema = pa.schema(
+        [("n_sample", pa.int64())] + [(nm, pa.int64()) for nm in names]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[val_col]))
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[val_col], pa.float64()),
+                            float(cents)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"v": v})
+
+    hist = (
+        hash_sample(ds, id_col, fraction, salt)
+        .map_batches(quantize, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Count(alias_name="cnt"))
+        .materialize()
+    )
+    if hist.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        pairs = list(
+            zip(
+                pc.cast(batch["v"], pa.int64()).to_pylist(),
+                pc.cast(batch["cnt"], pa.int64()).to_pylist(),
+            )
+        )
+        picks = histogram_percentiles(pairs, ps)
+        n = sum(c for _v, c in pairs)
+        cols = {"n_sample": pa.array([n], pa.int64())}
+        for nm, pick in zip(names, picks):
+            cols[nm] = pa.array([pick], pa.int64())
+        return pa.table(cols)
+
+    return hist.repartition(1).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None
+    )

@@ -998,3 +998,104 @@ def session_paths(events_ds, user_col: str, ts_col: str, id_col: str,
         .sort(["n", "path"], descending=[True, False])
         .limit(k)
     )
+
+
+def activity_changepoint(events_ds, ts_col: str, type_col: str,
+                         hour_us: int = 3_600_000_000):
+    """Per-type CUSUM changepoint over the OBSERVED hourly activity
+    profile: for each event type, the hour where the cumulative count
+    deviates most from a uniform spread across its observed hours —
+    the standard "when did this stream's behavior shift" detector
+    (Page's CUSUM on the count series, argmax of |S_i|).
+
+    For a type with m observed hour-cells totalling T events,
+    ``dev_i = m·cum_i − i·T`` (i = 1-based cell rank, exact int64;
+    dev_m ≡ 0). Returns per type
+    ``(event_type, n_cells, n_events, cp_hr, dev_abs)`` where
+    ``cp_hr`` is the epoch-hour with max |dev| (smallest hour on ties
+    — argmax over the hour-ascending sequence picks the first max on
+    both engines).
+
+    Shape: per-batch (type, hour) count partials (the hourly_trend
+    combiner — counts move, never rows), one span×type-bounded
+    groupby, then a single bounded sweep (``repartition(1)`` +
+    ``batch_size=None``)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = b.select([ts_col, type_col]).filter(
+            pc.and_(pc.is_valid(b[type_col]), pc.is_valid(b[ts_col]))
+        )
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        cells = pa.table(
+            {"typ": pc.cast(t[type_col], pa.string()),
+             "hr": pc.divide(ts, hour_us)}
+        )
+        return (
+            cells.group_by(["typ", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["typ", "hr", "cnt"])
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_cells", pa.int64()),
+            ("n_events", pa.int64()),
+            ("cp_hr", pa.int64()),
+            ("dev_abs", pa.int64()),
+        ]
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if len(group) == 0:
+            return out_schema.empty_table()
+        g = group.sort_by([("typ", "ascending"), ("hr", "ascending")])
+        typ = pc.cast(g["typ"], pa.string()).to_pylist()
+        hr = pc.cast(g["hr"], pa.int64()).to_numpy(zero_copy_only=False)
+        cnt = pc.cast(g["cnt"], pa.int64()).to_numpy(zero_copy_only=False)
+        rows = {name: [] for name in out_schema.names}
+        i = 0
+        n = len(typ)
+        while i < n:
+            j = i
+            while j < n and typ[j] == typ[i]:
+                j += 1
+            c = cnt[i:j]
+            m = j - i
+            total = int(c.sum())
+            cum = np.cumsum(c, dtype=np.int64)
+            dev = np.abs(m * cum - np.arange(1, m + 1, dtype=np.int64)
+                         * total)
+            best = int(np.argmax(dev))  # first max = smallest hour
+            rows["event_type"].append(typ[i])
+            rows["n_cells"].append(m)
+            rows["n_events"].append(total)
+            rows["cp_hr"].append(int(hr[i + best]))
+            rows["dev_abs"].append(int(dev[best]))
+            i = j
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "n_cells": pa.array(rows["n_cells"], pa.int64()),
+                "n_events": pa.array(rows["n_events"], pa.int64()),
+                "cp_hr": pa.array(rows["cp_hr"], pa.int64()),
+                "dev_abs": pa.array(rows["dev_abs"], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["typ", "hr"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .repartition(1)
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .sort("event_type")
+    )

@@ -1145,3 +1145,44 @@ def test_session_paths_tie_and_topk_cut():
         rd.from_arrow(t), "u", "ts", "eid", "typ", k=1
     ).to_pandas()
     assert out["path"].tolist() == ["A"] and out["n"].tolist() == [2]
+
+
+# ---------- activity changepoint ----------
+
+
+def test_activity_changepoint_planted_shift():
+    from eschergraph_ray.functions.windows import activity_changepoint
+
+    H = 3_600_000_000
+    # type A: hourly counts [1,1,5,5] over hours 0..3 -> m=4, T=12,
+    # dev = |4*cum - i*12| = [8,16,8,0] -> changepoint at hour 1
+    ts, typ = [], []
+    for hr, c in enumerate([1, 1, 5, 5]):
+        for j in range(c):
+            ts.append(hr * H + j)
+            typ.append("A")
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "typ": pa.array(typ, pa.string()),
+        }
+    )
+    out = activity_changepoint(
+        rd.from_arrow(t).repartition(3), "ts", "typ"
+    ).to_pandas()
+    assert out.iloc[0].tolist() == ["A", 4, 12, 1, 16]
+
+
+def test_activity_changepoint_tie_smallest_hour():
+    from eschergraph_ray.functions.windows import activity_changepoint
+
+    H = 3_600_000_000
+    # uniform [2,2]: dev = [0,0] everywhere -> tie -> smallest hour
+    t = pa.table(
+        {
+            "ts": pa.array([0, 1, H, H + 1], pa.timestamp("us")),
+            "typ": pa.array(["B"] * 4, pa.string()),
+        }
+    )
+    out = activity_changepoint(rd.from_arrow(t), "ts", "typ").to_pandas()
+    assert out.iloc[0].tolist() == ["B", 2, 4, 0, 0]

@@ -261,3 +261,43 @@ def test_rfm_segments_empty(ray_session):
         "r_score", "f_score", "m_score", "n_customers"
     ]
     assert out.count() == 0
+
+
+def test_pareto_deciles_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import pareto_deciles
+
+    t = pa.table(
+        {
+            "c": pa.array([4, 1, 1, 2, 3], pa.int64()),
+            "p": pa.array([100.0, 10.0, 10.0, 5.0, 3.0], pa.float64()),
+        }
+    )
+    out = pareto_deciles(
+        rd.from_arrow(t).repartition(2), "c", "p", k=2
+    ).to_pandas()
+    # spend: c4=10000, c1=2000, c2=500, c3=300 cents
+    # bucket1 {c4,c1}=12000; bucket2 {c2,c3}=800; total 12800
+    assert out["decile"].tolist() == [1, 2]
+    assert out["n_keys"].tolist() == [2, 2]
+    assert out["cents"].tolist() == [12000, 800]
+    assert out["cum_cents"].tolist() == [12000, 12800]
+    assert out["share_micro"].tolist() == [937500, 1000000]
+
+
+def test_pareto_deciles_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import pareto_deciles
+
+    t = pa.table(
+        {"c": pa.array([], pa.int64()), "p": pa.array([], pa.float64())}
+    )
+    out = pareto_deciles(rd.from_arrow(t), "c", "p")
+    assert out.count() == 0
+    assert out.schema().names == [
+        "decile", "n_keys", "cents", "cum_cents", "share_micro"
+    ]

@@ -317,3 +317,57 @@ def test_weighted_sample_ares_validation(ray_session):
     ds = rd.from_arrow(pa.table({"id": [1], "w": [0.0]}))
     with pytest.raises(Exception, match="positive"):
         weighted_sample_ares(ds, "id", "w", k=1).take_all()
+
+
+def test_sampled_quantiles_duckdb_replay(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import sampled_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    got = sampled_quantiles(
+        ds, "o_orderkey", "o_totalprice", fraction=0.0625, salt="aq"
+    ).to_pandas()
+    want = duckdb.sql(
+        f"""
+        WITH s AS (
+          SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v
+          FROM read_parquet('{sf}/orders.parquet')
+          WHERE o_totalprice IS NOT NULL
+            AND substr(md5(concat('aq', CAST(o_orderkey AS VARCHAR))),
+                       1, 4) < '1000'
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sample,
+               CAST(quantile_disc(v, 0.0625) AS BIGINT) AS q0625,
+               CAST(quantile_disc(v, 0.25) AS BIGINT) AS q2500,
+               CAST(quantile_disc(v, 0.5) AS BIGINT) AS q5000,
+               CAST(quantile_disc(v, 0.75) AS BIGINT) AS q7500,
+               CAST(quantile_disc(v, 0.9375) AS BIGINT) AS q9375
+        FROM s HAVING count(*) > 0
+        """
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_sample"].iloc[0] > 0
+
+
+def test_sampled_quantiles_empty_sample(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sampling import sampled_quantiles
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    out = sampled_quantiles(rd.from_arrow(t), "id", "v", fraction=0.0)
+    assert out.count() == 0
+    assert out.schema().names[0] == "n_sample"
