@@ -2944,6 +2944,97 @@ def _q_orders_approx_quantiles(sf_dir: str):
     )
 
 
+def _q_parts_copurchase(sf_dir: str):
+    """Market-basket pair mining over order line items — the
+    cooccurrence_pmi_topk device (distributed self-join with the
+    max_basket quadratic guard) applied to a RELATIONAL basket table
+    instead of the KG's conversation baskets: top co-purchased part
+    pairs by PMI lift. Exact int64 counts, micro-nat scores."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.graph_metrics import (
+        cooccurrence_pmi_topk,
+    )
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pairs = cooccurrence_pmi_topk(
+        ds, "l_orderkey", "l_partkey", min_count=2, max_basket=1000
+    )
+    return pairs.sort(
+        ["pmi_micro", "item_a", "item_b"], descending=[True, False, False]
+    ).limit(25)
+
+
+def _q_events_cube(sf_dir: str):
+    """GROUP BY CUBE (event_type, day-of-week) counts + micro-value
+    sums (relational.cube_counts): all four grouping sets from ONE
+    data-sized exchange — the finest cells re-aggregate into both
+    single-key levels and the grand total. Sentinels 'ALL'/-1 keep the
+    cross-engine compare NULL-free."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import cube_counts
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def add_dow(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(
+            pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        # 1970-01-01 is a Thursday: +4 lands Monday=0 (the
+        # events_seasonality convention; no pyarrow modulo kernel)
+        dow = (ts // 86_400_000_000 + 4) % 7
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "dow": pa.array(dow, pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    return cube_counts(
+        ds.map_batches(add_dow, batch_format="pyarrow"),
+        "event_type", "dow", "value", "ALL", -1,
+    )
+
+
+def _q_docs_csv_export(sf_dir: str):
+    """CSV SINK coverage (docfiles.write_csv_sharded — per-block shard
+    writes, all_valid quoting, content-hash names): export the
+    documents metadata projection, read the shards back, return the
+    rows. The oracle reads the PARQUET view, so a green row proves the
+    CSV write+read path is value-lossless end-to-end."""
+    import shutil as _shutil
+
+    import ray.data as rd
+
+    from eschergraph_ray.sources.docfiles import (
+        read_documents_csv,
+        write_csv_sharded,
+    )
+
+    _context()
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/eschergraph_ray/csv-export-v1-{sftag}"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    files = write_csv_sharded(ds, out_dir, "doc_id")
+    return read_documents_csv(files)
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4501,6 +4592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pareto": _q_orders_pareto,
         "events_changepoint": _q_events_changepoint,
         "orders_approx_quantiles": _q_orders_approx_quantiles,
+        "parts_copurchase": _q_parts_copurchase,
+        "events_cube": _q_events_cube,
+        "docs_csv_export": _q_docs_csv_export,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -7862,6 +7956,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(quantile_disc(v, 0.75) AS BIGINT) AS q7500,
                CAST(quantile_disc(v, 0.9375) AS BIGINT) AS q9375
         FROM s HAVING count(*) > 0
+    """
+    # co-purchase replay: distinct (order, part) baskets, pair
+    # self-join a<b, marginals joined back, PMI in integer micro-nats
+    # (the kg_related_entities formula over a relational basket table)
+    d["parts_copurchase"] = """
+        WITH dd AS (
+          SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+          FROM lineitem
+        ),
+        ng AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM dd),
+        p AS (
+          SELECT a.item AS item_a, b.item AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM dd a JOIN dd b
+            ON a.g = b.g AND a.item < b.item
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+        ),
+        ic AS (
+          SELECT item, CAST(count(*) AS BIGINT) AS n_item
+          FROM dd GROUP BY item
+        )
+        SELECT p.item_a, p.item_b, p.n_ab,
+               CAST(round(ln(CAST(p.n_ab * ng.n AS DOUBLE)
+                             / CAST(ia.n_item * ib.n_item AS DOUBLE))
+                          * 1e6, 0) AS BIGINT) AS pmi_micro
+        FROM p
+        JOIN ic ia ON ia.item = p.item_a
+        JOIN ic ib ON ib.item = p.item_b, ng
+        ORDER BY pmi_micro DESC, item_a, item_b
+        LIMIT 25
+    """
+    # CUBE replay: micro-quantized values, all four grouping sets,
+    # sentinel-coalesced rolled-up keys
+    d["events_cube"] = """
+        WITH base AS (
+          SELECT event_type,
+                 CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                      AS BIGINT) AS dow,
+                 CAST(round(value * 1000000.0, 0) AS BIGINT) AS vm
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL
+        )
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(dow, -1) AS dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vm) AS BIGINT) AS sum_micro
+        FROM base
+        GROUP BY CUBE (event_type, dow)
+        ORDER BY event_type, dow
+    """
+    # CSV round-trip: the oracle reads the PARQUET view — a green row
+    # proves the sharded CSV write+read path is value-lossless
+    d["docs_csv_export"] = """
+        SELECT doc_id, lang, source, n_chars FROM documents
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

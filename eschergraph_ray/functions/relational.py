@@ -728,3 +728,107 @@ def pareto_deciles(orders_ds, key_col: str, price_col: str, k: int = 10):
         .map_batches(sweep, batch_format="pyarrow", batch_size=None)
         .sort("decile")
     )
+
+
+def cube_counts(ds, k1: str, k2: str, val_col: str,
+                sentinel1, sentinel2, scale: float = 1_000_000.0):
+    """Two-key ``GROUP BY CUBE (k1, k2)``: the four grouping sets
+    (k1,k2), (k1), (k2) and () with rolled-up key positions taking the
+    caller's sentinels — completes the grouping-sets family next to
+    :func:`rollup_counts` (which lacks the (k2) set).
+
+    Same one-scan plan as the rollup: the FINEST level is the only
+    data-sized exchange (values quantized to int64 ``scale`` units);
+    the three coarser levels re-aggregate the cell-cardinality finest
+    table. Empty input yields the single grand-total row SQL CUBE
+    emits (n 0, NULL sum)."""
+    from ray.data.aggregate import Count, Sum
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = batch.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(batch[k1]), pc.is_valid(batch[k2])),
+                pc.is_valid(batch[val_col]),
+            )
+        )
+        xc = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[val_col], pa.float64()), scale),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({k1: t[k1], k2: t[k2], "xc": xc})
+
+    finest = (
+        ds.map_batches(quantize, batch_format="pyarrow")
+        .groupby([k1, k2])
+        .aggregate(Count(), Sum("xc"))
+        .materialize()
+    )  # cell-cardinality-sized
+
+    t1 = pa.scalar(sentinel1).type
+    t2 = pa.scalar(sentinel2).type
+
+    def lvl0(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                k1: batch[k1],
+                k2: batch[k2],
+                "n": pc.cast(batch["count()"], pa.int64()),
+                "sum_micro": pc.cast(batch["sum(xc)"], pa.int64()),
+            }
+        )
+
+    level0 = finest.map_batches(lvl0, batch_format="pyarrow")
+
+    def roll(key, sentinel, sentinel_type):
+        return (
+            level0.groupby(key)
+            .aggregate(Sum("n"), Sum("sum_micro"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        k1: (b[k1] if key == k1 else pa.array(
+                            [sentinel] * len(b), sentinel_type)),
+                        k2: (b[k2] if key == k2 else pa.array(
+                            [sentinel] * len(b), sentinel_type)),
+                        "n": pc.cast(b["sum(n)"], pa.int64()),
+                        "sum_micro": pc.cast(b["sum(sum_micro)"],
+                                             pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    level_k1 = roll(k1, sentinel2, t2)
+    level_k2 = roll(k2, sentinel1, t1)
+
+    totals = level0.map_batches(
+        lambda b: b.select(["n", "sum_micro"]), batch_format="pyarrow"
+    ).sum(["n", "sum_micro"])
+    tot_n = totals["sum(n)"] if totals else None
+    tot_s = totals["sum(sum_micro)"] if totals else None
+    total_tbl = pa.table(
+        {
+            k1: pa.array([sentinel1], t1),
+            k2: pa.array([sentinel2], t2),
+            "n": pa.array([int(tot_n) if tot_n is not None else 0],
+                          pa.int64()),
+            "sum_micro": pa.array(
+                [int(tot_s) if tot_s is not None else None], pa.int64()
+            ),
+        }
+    )
+    if tot_n is None:
+        return rd.from_arrow(total_tbl)
+    return (
+        level0.union(level_k1)
+        .union(level_k2)
+        .union(rd.from_arrow(total_tbl))
+    )

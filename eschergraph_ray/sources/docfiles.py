@@ -158,3 +158,40 @@ def read_documents_txt(files: list[str], encoding: str = "utf-8"):
     return rd.read_binary_files(
         sorted(files), include_paths=True, override_num_blocks=len(files)
     ).map_batches(decode, batch_format="pyarrow")
+
+
+def write_csv_sharded(ds, out_dir: str, id_col: str) -> list[str]:
+    """Distributed CSV sink — the CSV counterpart of
+    :func:`write_documents_jsonl`: each BLOCK writes its own shard
+    inside the task with the arrow csv writer
+    (``quoting_style='all_valid'`` so embedded commas / quotes /
+    newlines and empty strings round-trip), shard names are a content
+    hash of the block's ids (task retries rewrite the same file via
+    pid-keyed tmp + atomic rename instead of duplicating data), and no
+    bytes ever pass through the driver. Returns the sorted shard list
+    — read back with :func:`read_documents_csv`."""
+    import hashlib
+
+    import pyarrow.csv as pacsv
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        key = hashlib.md5(
+            ("|".join(str(i) for i in ids)).encode("utf-8")
+        ).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{key}.csv")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pacsv.write_csv(
+            batch, tmp,
+            write_options=pacsv.WriteOptions(quoting_style="all_valid"),
+        )
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([len(ids)], pa.int64())})
+
+    shards = ds.map_batches(
+        write_shard, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return sorted(r["path"] for r in shards)

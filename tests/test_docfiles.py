@@ -61,3 +61,56 @@ def test_csv_roundtrip(tmp_path, ray_session):
     # all_valid quoting writes "" quoted, so even the empty string
     # round-trips losslessly — no normalization needed
     assert list(out["text"]) == NASTY
+
+
+def test_write_csv_sharded_roundtrip_nasty_values(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.sources.docfiles import (
+        read_documents_csv,
+        write_csv_sharded,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "txt": pa.array(
+                ['comma, inside', 'quote " inside', "uni ✓ çödé", ""],
+                pa.string(),
+            ),
+            "n": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    files = write_csv_sharded(
+        rd.from_arrow(t).repartition(2), str(tmp_path / "csv"), "doc_id"
+    )
+    assert len(files) >= 1
+    back = (
+        read_documents_csv(files)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["doc_id"].tolist() == [1, 2, 3, 4]
+    assert back["txt"].tolist() == [
+        "comma, inside", 'quote " inside', "uni ✓ çödé", ""
+    ]
+    assert back["n"].tolist() == [10, 20, 30, 40]
+
+
+def test_write_csv_sharded_retry_same_name(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.sources.docfiles import write_csv_sharded
+
+    t = pa.table(
+        {"doc_id": pa.array([7, 8], pa.int64()),
+         "v": pa.array([1, 2], pa.int64())}
+    )
+    d = str(tmp_path / "csv2")
+    f1 = write_csv_sharded(rd.from_arrow(t), d, "doc_id")
+    f2 = write_csv_sharded(rd.from_arrow(t), d, "doc_id")
+    # content-hash names: a rerun rewrites the SAME file set
+    assert f1 == f2

@@ -301,3 +301,55 @@ def test_pareto_deciles_empty(ray_session):
     assert out.schema().names == [
         "decile", "n_keys", "cents", "cum_cents", "share_micro"
     ]
+
+
+def test_cube_counts_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import cube_counts
+
+    t = pa.table(
+        {
+            "k1": pa.array(["a", "a", "b"], pa.string()),
+            "k2": pa.array([1, 2, 1], pa.int64()),
+            "v": pa.array([1.5, 2.0, 0.25], pa.float64()),
+        }
+    )
+    out = (
+        cube_counts(rd.from_arrow(t).repartition(2), "k1", "k2", "v",
+                    "ALL", -1)
+        .to_pandas()
+        .set_index(["k1", "k2"])
+        .sort_index()
+    )
+    M = 1_000_000
+    assert out.loc[("a", 1)].tolist() == [1, int(1.5 * M)]
+    assert out.loc[("a", 2)].tolist() == [1, 2 * M]
+    assert out.loc[("b", 1)].tolist() == [1, M // 4]
+    assert out.loc[("a", -1)].tolist() == [2, int(3.5 * M)]
+    assert out.loc[("b", -1)].tolist() == [1, M // 4]
+    assert out.loc[("ALL", 1)].tolist() == [2, int(1.75 * M)]
+    assert out.loc[("ALL", 2)].tolist() == [1, 2 * M]
+    assert out.loc[("ALL", -1)].tolist() == [3, int(3.75 * M)]
+    assert len(out) == 8
+
+
+def test_cube_counts_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import cube_counts
+
+    t = pa.table(
+        {
+            "k1": pa.array([], pa.string()),
+            "k2": pa.array([], pa.int64()),
+            "v": pa.array([], pa.float64()),
+        }
+    )
+    out = cube_counts(rd.from_arrow(t), "k1", "k2", "v", "ALL", -1)
+    rows = out.take_all()
+    assert len(rows) == 1
+    assert rows[0]["k1"] == "ALL" and rows[0]["k2"] == -1
+    assert rows[0]["n"] == 0 and rows[0]["sum_micro"] is None
