@@ -3035,6 +3035,24 @@ def _q_docs_csv_export(sf_dir: str):
     return read_documents_csv(files)
 
 
+def _q_embeddings_pq_codes(sf_dir: str):
+    """Product quantization of the embedding table
+    (similarity.pq_codes, Jégou et al. 2011): 4 subspaces × 16
+    hash-rank codebook rows, int64 micro-quantized coordinates so
+    every subspace L2² distance and argmin is exact — the 128×
+    compression path for a 100 TB embedding column. One streaming
+    assignment pass against broadcast codebook model state."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import pq_codes
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_codes(ds, "vec_id", "embedding", m=4, n_codes=16, salt="pq")
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4595,6 +4613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase": _q_parts_copurchase,
         "events_cube": _q_events_cube,
         "docs_csv_export": _q_docs_csv_export,
+        "embeddings_pq_codes": _q_embeddings_pq_codes,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -8012,6 +8031,53 @@ def oracle_sql() -> dict[str, str]:
     # proves the sharded CSV write+read path is value-lossless
     d["docs_csv_export"] = """
         SELECT doc_id, lang, source, n_chars FROM documents
+    """
+    # PQ replay: codebook = 16 hash-rank-smallest rows, coordinates
+    # micro-quantized, zipped unnest + generate_subscripts explode,
+    # exact int64 subspace L2², argmin via (dq, code) row_number
+    d["embeddings_pq_codes"] = """
+        WITH nd AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d
+                    FROM embeddings),
+        cb AS (
+          SELECT vec_id AS cb_id, embedding,
+                 row_number() OVER (
+                   ORDER BY md5(concat('pq', CAST(vec_id AS VARCHAR))),
+                            vec_id
+                 ) AS code
+          FROM embeddings
+          QUALIFY code <= 16
+        ),
+        cbd AS (
+          SELECT code, generate_subscripts(embedding, 1) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000.0, 0) AS BIGINT) AS c
+          FROM cb
+        ),
+        vd AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000.0, 0) AS BIGINT) AS x
+          FROM embeddings
+        ),
+        dist AS (
+          SELECT v.vec_id,
+                 CAST(((v.dim - 1) * 4) // nd.d AS BIGINT) AS subspace,
+                 c.code,
+                 CAST(sum((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dq
+          FROM vd v JOIN cbd c ON v.dim = c.dim, nd
+          GROUP BY 1, 2, 3
+        ),
+        best AS (
+          SELECT vec_id, subspace, code, dq,
+                 row_number() OVER (
+                   PARTITION BY vec_id, subspace ORDER BY dq, code
+                 ) AS rk
+          FROM dist
+        )
+        SELECT vec_id, subspace, CAST(code AS BIGINT) AS code,
+               dq AS dist_q
+        FROM best WHERE rk = 1
+        ORDER BY vec_id, subspace
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

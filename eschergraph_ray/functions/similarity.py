@@ -580,3 +580,124 @@ def centroid_outliers(ds, id_col: str, vec_col: str, k_centroids: int = 8,
         .sort(["dist_sq", id_col], descending=[True, False])
         .limit(topk)
     )
+
+
+def _micro_quantize(vals: np.ndarray) -> np.ndarray:
+    """int64 micro-units via the shared zero-digit-round device
+    (pc.round half_towards_infinity == DuckDB round(x*1e6, 0))."""
+    arr = pa.array(np.asarray(vals, np.float64).ravel())
+    q = pc.cast(
+        pc.round(pc.multiply(arr, 1_000_000.0), ndigits=0,
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    return q.reshape(np.asarray(vals).shape)
+
+
+def pq_codes(ds, id_col: str, vec_col: str, m: int = 4,
+             n_codes: int = 16, salt: str = "pq"):
+    """Product quantization (Jégou et al. 2011): split each vector
+    into ``m`` contiguous subspaces and encode each subspace as the id
+    of its nearest codebook row — the compression path that makes a
+    100 TB embedding column searchable (m·log2(n_codes) bits per
+    vector; here 4×4 = 2 bytes against 256 float bytes).
+
+    Sandbox-deterministic training: the codebook is the ``n_codes``
+    hash-rank-smallest rows (md5(salt+id) — the uniform
+    train_ivf_centroids sampling device; a k-means refinement would
+    drop in here at the cost of SQL replayability). Coordinates are
+    micro-quantized to int64 on BOTH engines, so every subspace L2²
+    distance is an EXACT integer — no float association order — and
+    ties break to the smallest code rank.
+
+    Shape: the codebook is model state (n_codes × d int64, ray.put
+    once); assignment is one streaming pass of vectorized numpy
+    integer ops; nothing shuffles but the output rows. Returns
+    ``(id_col, subspace, code, dist_q)`` — subspace 0-based, code =
+    1-based hash-rank order."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    if m < 1 or n_codes < 1:
+        raise ValueError("m and n_codes must be >= 1")
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("subspace", pa.int64()),
+            ("code", pa.int64()),
+            ("dist_q", pa.int64()),
+        ]
+    )
+    n = ds.count()
+    if n == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    # ---- codebook: adaptive hash-threshold prefilter + tiny sort ----
+    rate = min(1.0, (4.0 * n_codes) / n)
+    thr = "g" if rate >= 1.0 else format(max(1, int(rate * 16**8)), "08x")
+
+    def hash_rank(batch: pa.Table) -> pa.Table:
+        h = pa.array(
+            [
+                hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()
+                for i in batch[id_col].to_pylist()
+            ],
+            pa.string(),
+        )
+        t = pa.table(
+            {"_h": h, id_col: batch[id_col], vec_col: batch[vec_col]}
+        )
+        if thr == "g":
+            return t
+        return t.filter(pc.less(t["_h"], thr))
+
+    rows = (
+        ds.map_batches(hash_rank, batch_format="pyarrow")
+        .sort(["_h", id_col])
+        .limit(n_codes)
+        .take_all()
+    )
+    C = _micro_quantize(
+        np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    )
+    d = C.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        cb = ray.get(ref)
+        X = _micro_quantize(_batch_matrix(batch, vec_col))
+        b = X.shape[0]
+        parts = []
+        for s in range(m):
+            lo, hi = s * dsub, (s + 1) * dsub
+            diff = X[:, None, lo:hi] - cb[None, :, lo:hi]
+            dq = np.einsum("bkd,bkd->bk", diff, diff)
+            code = np.argmin(dq, axis=1)  # first min = smallest rank
+            parts.append(
+                pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "subspace": pa.array(np.full(b, s, np.int64)),
+                        "code": pa.array(code.astype(np.int64) + 1),
+                        "dist_q": pa.array(
+                            dq[np.arange(b), code].astype(np.int64)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts).combine_chunks()
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort(
+        [id_col, "subspace"]
+    )

@@ -375,3 +375,64 @@ def test_transcripts_tiny_corpus():
     d = transcripts_parquet_dir(3, root="/tmp/eschergraph_ray_test_tiny")
     t = pads.dataset(d).to_table()
     assert len(set(t["conv_id"].to_pylist())) == 3
+
+
+def test_pq_codes_codebook_rows_encode_to_themselves(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import pq_codes
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    out = pq_codes(
+        rd.from_arrow(t).repartition(3), "vec_id", "embedding",
+        m=2, n_codes=4,
+    ).to_pandas()
+    assert len(out) == 80  # 40 vecs x 2 subspaces
+    assert set(out["subspace"]) == {0, 1}
+    assert out["code"].between(1, 4).all()
+    # every codebook row must encode to itself with dist 0 in both
+    # subspaces: exactly n_codes * m zero-distance rows at minimum
+    zero = out[out["dist_q"] == 0]
+    assert len(zero) >= 8
+    # determinism: rerun byte-identical
+    out2 = pq_codes(
+        rd.from_arrow(t), "vec_id", "embedding", m=2, n_codes=4
+    ).to_pandas()
+    assert out.equals(out2)
+
+
+def test_pq_codes_validation_and_empty(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import pq_codes
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1], pa.int64()),
+            "embedding": pa.array([[1.0, 2.0, 3.0]],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    with pytest.raises(ValueError):
+        pq_codes(rd.from_arrow(t), "vec_id", "embedding", m=2)
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        }
+    )
+    out = pq_codes(rd.from_arrow(empty), "vec_id", "embedding")
+    assert out.count() == 0
+    assert out.schema().names == ["vec_id", "subspace", "code", "dist_q"]
