@@ -3053,6 +3053,21 @@ def _q_embeddings_pq_codes(sf_dir: str):
     return pq_codes(ds, "vec_id", "embedding", m=4, n_codes=16, salt="pq")
 
 
+def _q_dedup_containment(sf_dir: str):
+    """Asymmetric n-gram CONTAINMENT pairs
+    (dedup.ngram_containment_pairs, Broder's containment measure):
+    n_common / min(|A|,|B|) — flags short-doc-quoted-in-long-doc
+    inclusion that symmetric Jaccard dilutes below threshold. Same
+    distributed shingle-join shape (hot-gram df-cutoff, broadcast
+    sizes fast path) as dedup_ngram_jaccard."""
+    from eschergraph_ray.functions.dedup import ngram_containment_pairs
+
+    _context()
+    return ngram_containment_pairs(
+        _docs(sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4614,6 +4629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": _q_events_cube,
         "docs_csv_export": _q_docs_csv_export,
         "embeddings_pq_codes": _q_embeddings_pq_codes,
+        "dedup_containment": _q_dedup_containment,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -8078,6 +8094,39 @@ def oracle_sql() -> dict[str, str]:
                dq AS dist_q
         FROM best WHERE rk = 1
         ORDER BY vec_id, subspace
+    """
+    # containment replay: the ngram-jaccard shingle CTEs with the
+    # asymmetric n_common / least(|A|,|B|) formula
+    d["dedup_containment"] = """
+        WITH wl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        words AS (
+          SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+          FROM wl
+        ),
+        grams AS (
+          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM grams a
+          JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_common / least(sa.n, sb.n), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common / least(sa.n, sb.n) >= 0.5
     """
     d["kg_related_entities"] = f"""
         WITH dd AS (

@@ -923,3 +923,129 @@ def embedding_lsh_near_dup_pairs(ds, id_col: str, vec_col: str,
         )
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(ds, id_col: str, text_col: str, n: int = 3,
+                            threshold: float = 0.5,
+                            df_cutoff: int = 2000,
+                            num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+                            broadcast_sizes_below: int = 2_000_000):
+    """EXACT n-gram CONTAINMENT pairs — the asymmetric complement of
+    :func:`ngram_jaccard_pairs`: ``containment = n_common /
+    min(|A|, |B|)`` flags a short document quoted inside a long one,
+    which symmetric Jaccard dilutes toward zero (the Broder
+    containment measure; the standard quote-inclusion / boilerplate
+    curation gate).
+
+    Identical distributed shape to the Jaccard op (same explode, same
+    hot-gram df-cutoff, same broadcast-sizes fast path with join
+    fallback); only the scoring formula differs, and the same
+    lower-bound semantics hold when the cutoff is active."""
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        ids, gs, parts = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            words = (t or "").lower().split()
+            grams = {
+                " ".join(words[k:k + n]) for k in range(len(words) - n + 1)
+            }
+            for g in grams:
+                ids.append(i)
+                gs.append(g)
+                parts.append(zlib.crc32(g.encode()) & (_PAIR_PARTITIONS - 1))
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "gram": pa.array(gs, pa.string()),
+                "_part": pa.array(parts, pa.int64()),
+            }
+        )
+
+    grams = ds.map_batches(explode, batch_format="pyarrow")
+    sizes = _pinned_payload(
+        grams.groupby(id_col).aggregate(Count(alias_name="n_grams"))
+    )
+
+    inter = (
+        _bucket_pairs_vectorized(grams, ["gram"], id_col, df_cutoff)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_common"))
+    )
+    inter = _nonempty_pairs(inter)
+    if inter is None:
+        import ray.data as rd
+
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(_empty_pairs_table(id_type, "containment"))
+
+    def score_np(nc: np.ndarray, na: np.ndarray, nb: np.ndarray):
+        # same IEEE double division as DuckDB n_common / least(na, nb)
+        return nc.astype(np.float64) / np.minimum(na, nb).astype(
+            np.float64
+        )
+
+    if sizes.count() <= broadcast_sizes_below:
+        import ray as _ray
+
+        pdf = sizes.to_pandas()
+        order = np.argsort(pdf[id_col].to_numpy())
+        side_ref = _ray.put(
+            (pdf[id_col].to_numpy()[order],
+             pdf["n_grams"].to_numpy()[order])
+        )
+
+        def cont_broadcast(batch: pa.Table) -> pa.Table:
+            ids_np, cnt_np = _ray.get(side_ref)
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            pa_i = np.searchsorted(ids_np, a)
+            pb_i = np.searchsorted(ids_np, b)
+            if not ((ids_np[pa_i] == a).all()
+                    and (ids_np[pb_i] == b).all()):
+                raise RuntimeError(
+                    "pair id missing from broadcast size table"
+                )
+            nc = batch["n_common"].to_numpy(zero_copy_only=False)
+            c = pa.array(score_np(nc, cnt_np[pa_i], cnt_np[pb_i]))
+            out = pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "containment": pc.round(
+                        c, 6, round_mode="half_towards_infinity"
+                    ),
+                }
+            )
+            return out.filter(pc.greater_equal(c, threshold))
+
+        return inter.map_batches(cont_broadcast, batch_format="pyarrow")
+
+    j1 = _attach_payload(inter, sizes, "id_a", id_col, "n_grams", "n_a",
+                         num_partitions)
+    j2 = _attach_payload(j1, sizes, "id_b", id_col, "n_grams", "n_b",
+                         num_partitions)
+
+    def cont(batch: pa.Table) -> pa.Table:
+        c = pa.array(
+            score_np(
+                batch["n_common"].to_numpy(zero_copy_only=False),
+                batch["n_a"].to_numpy(zero_copy_only=False),
+                batch["n_b"].to_numpy(zero_copy_only=False),
+            )
+        )
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "containment": pc.round(
+                    c, 6, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+        return out.filter(pc.greater_equal(c, threshold))
+
+    return j2.map_batches(cont, batch_format="pyarrow")

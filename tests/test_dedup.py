@@ -265,3 +265,52 @@ def test_simhash_matches_scalar_reference_and_duckdb_hash():
     )
     for i, t in enumerate(texts):
         assert int(got[i]) == scalar_simhash(t), (i, t)
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"q{i}" for i in range(12))
+    long = short + " " + " ".join(f"w{i}" for i in range(300))
+    other = " ".join(f"z{i}" for i in range(50))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([short, long, other], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    cont = ngram_containment_pairs(
+        ds, "doc_id", "text", n=3, threshold=0.5
+    ).to_pandas()
+    # the short doc is fully contained: containment = 1.0
+    assert cont[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert cont["containment"].iloc[0] == 1.0
+    # symmetric jaccard dilutes the same pair below 0.5
+    jac = ngram_jaccard_pairs(
+        ds, "doc_id", "text", n=3, threshold=0.5
+    ).to_pandas()
+    assert len(jac) == 0
+
+
+def test_containment_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.dedup import ngram_containment_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    out = ngram_containment_pairs(rd.from_arrow(t), "doc_id", "text")
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b", "containment"]
