@@ -3068,6 +3068,86 @@ def _q_dedup_containment(sf_dir: str):
     )
 
 
+def _q_embeddings_mmr(sf_dir: str):
+    """Maximal-Marginal-Relevance diversified top-5
+    (similarity.mmr_topk, Carbonell & Goldstein 1998) for query
+    vec_id=0 over a 20-candidate pool: greedy
+    argmax(3·min-dist-to-picked − 7·dist-to-query), everything int64
+    micro-quantized L2² so the selection chain is byte-replayable as
+    five unrolled SQL stages."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import mmr_topk
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mmr_topk(ds, "vec_id", "embedding", query_id=0,
+                    pool_size=20, k=5)
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Unrolled greedy MMR replay: stage r picks the argmax of
+    3*min(dp to picked) - 7*dqq among the unpicked pool."""
+    stages = [
+        's1 AS (SELECT vec_id, dqq, CAST(-7 * dqq AS BIGINT) AS score, '
+        "1 AS r FROM pool ORDER BY dqq, vec_id LIMIT 1)"
+    ]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, r)
+        )
+        stages.append(f"""
+        c{r} AS (
+          SELECT p.vec_id, p.dqq,
+                 CAST(3 * min(pds.dp) - 7 * p.dqq AS BIGINT) AS score
+          FROM pool p JOIN pds ON pds.ia = p.vec_id
+          WHERE pds.ib IN ({prev}) AND p.vec_id NOT IN ({prev})
+          GROUP BY p.vec_id, p.dqq
+        ),
+        s{r} AS (SELECT vec_id, dqq, score, {r} AS r FROM c{r}
+                 ORDER BY score DESC, vec_id LIMIT 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{j}" for j in range(1, k + 1)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000.0, 0) AS BIGINT) AS x
+          FROM embeddings
+        ),
+        q AS (SELECT dim, x AS qx FROM v WHERE vec_id = 0),
+        dq AS (
+          SELECT v.vec_id,
+                 CAST(sum((v.x - q.qx) * (v.x - q.qx)) AS BIGINT) AS dqq
+          FROM v JOIN q ON v.dim = q.dim
+          WHERE v.vec_id <> 0
+          GROUP BY v.vec_id
+        ),
+        pool AS (
+          SELECT vec_id, dqq,
+                 row_number() OVER (ORDER BY dqq, vec_id) AS rk
+          FROM dq QUALIFY rk <= 20
+        ),
+        pv AS (SELECT v.* FROM v JOIN pool ON v.vec_id = pool.vec_id),
+        pd AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(sum((va.x - vb.x) * (va.x - vb.x)) AS BIGINT) AS dp
+          FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+          JOIN pv va ON va.vec_id = a.vec_id
+          JOIN pv vb ON vb.vec_id = b.vec_id AND vb.dim = va.dim
+          GROUP BY 1, 2
+        ),
+        pds AS (SELECT ia, ib, dp FROM pd
+                UNION ALL SELECT ib AS ia, ia AS ib, dp FROM pd),
+        {",".join(stages)}
+        SELECT CAST(r AS BIGINT) AS "rank", vec_id, dqq AS dist_q, score
+        FROM ({union}) ORDER BY r
+    """
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4630,6 +4710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_csv_export": _q_docs_csv_export,
         "embeddings_pq_codes": _q_embeddings_pq_codes,
         "dedup_containment": _q_dedup_containment,
+        "embeddings_mmr": _q_embeddings_mmr,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -8128,6 +8209,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_common / least(sa.n, sb.n) >= 0.5
     """
+    d["embeddings_mmr"] = _mmr_oracle_sql(k=5)
     d["kg_related_entities"] = f"""
         WITH dd AS (
           SELECT DISTINCT conv_id, name

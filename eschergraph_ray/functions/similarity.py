@@ -701,3 +701,125 @@ def pq_codes(ds, id_col: str, vec_col: str, m: int = 4,
     return ds.map_batches(assign, batch_format="pyarrow").sort(
         [id_col, "subspace"]
     )
+
+
+def mmr_topk(ds, id_col: str, vec_col: str, query_id,
+             pool_size: int = 20, k: int = 5,
+             w_rel: int = 7, w_div: int = 3):
+    """Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    Goldstein 1998): greedily pick ``k`` results maximizing
+    ``w_rel·relevance − w_div·max-similarity-to-already-picked`` — the
+    standard de-redundancy stage after a top-k search.
+
+    Integer-exact variant: relevance = −L2² to the query and
+    similarity = −L2² between candidates, both over int64
+    micro-quantized coordinates (the pq_codes device), so the greedy
+    argmax ``score = w_div·min_s dp(d,s) − w_rel·dq(d)`` is pure int64
+    with (score DESC, id ASC) tie-breaks — byte-replayable as k
+    unrolled SQL selection stages. Integer λ weights (default 7:3 ≈
+    λ=0.7 scaled ×10) keep the combination exact.
+
+    Shape: the distance-to-query pass streams (one broadcast query
+    row); only the ``pool_size`` best candidates — model-sized — are
+    materialized for the O(pool²) pairwise matrix and the greedy loop.
+    Returns ``(rank, id_col, dist_q, score)``; the first pick's score
+    is ``−w_rel·dq`` (no diversity term yet)."""
+    import ray
+    import ray.data as rd
+
+    if k < 1 or pool_size < k:
+        raise ValueError("need pool_size >= k >= 1")
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema(
+        [
+            ("rank", pa.int64()),
+            (id_col, id_type),
+            ("dist_q", pa.int64()),
+            ("score", pa.int64()),
+        ]
+    )
+    qrows = ds.map_batches(
+        lambda b: b.filter(pc.equal(b[id_col], query_id)),
+        batch_format="pyarrow",
+    ).take_all()
+    if not qrows:
+        raise ValueError(f"query id {query_id!r} not found")
+    qv = _micro_quantize(
+        np.asarray(qrows[0][vec_col], dtype=np.float64)
+    )
+    qref = ray.put(qv)
+
+    def dist_to_query(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        q = ray.get(qref)
+        keep = pc.invert(pc.equal(batch[id_col], query_id))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], id_type),
+                 "dist_q": pa.array([], pa.int64()),
+                 vec_col: t[vec_col]}
+            )
+        X = _micro_quantize(_batch_matrix(t, vec_col))
+        diff = X - q[None, :]
+        dq = np.einsum("bd,bd->b", diff, diff)
+        return pa.table(
+            {id_col: t[id_col],
+             "dist_q": pa.array(dq.astype(np.int64)),
+             vec_col: t[vec_col]}
+        )
+
+    pool = (
+        ds.map_batches(dist_to_query, batch_format="pyarrow")
+        .sort(["dist_q", id_col])
+        .limit(pool_size)
+        .take_all()
+    )  # model-sized: pool_size rows
+    if not pool:
+        return rd.from_arrow(out_schema.empty_table())
+    ids = [r[id_col] for r in pool]
+    dqq = np.asarray([r["dist_q"] for r in pool], np.int64)
+    P = _micro_quantize(
+        np.asarray([r[vec_col] for r in pool], dtype=np.float64)
+    )
+    n = len(ids)
+    diff = P[:, None, :] - P[None, :, :]
+    dp = np.einsum("abd,abd->ab", diff, diff)  # int64 pairwise L2²
+
+    selected: list[int] = []
+    ranks, out_ids, out_dq, out_sc = [], [], [], []
+    for r in range(1, min(k, n) + 1):
+        best_i, best_score = -1, None
+        for i in range(n):
+            if i in selected:
+                continue
+            if selected:
+                score = int(w_div * dp[i, selected].min()
+                            - w_rel * dqq[i])
+            else:
+                score = int(-w_rel * dqq[i])
+            # argmax with (score DESC, id ASC); pool is id-sorted
+            # within equal dist, and i iterates in (dist, id) order,
+            # so strict '>' keeps the smaller id on ties only if ids
+            # ascend with i — compare explicitly instead
+            if (best_score is None or score > best_score
+                    or (score == best_score and ids[i] < ids[best_i])):
+                best_i, best_score = i, score
+        selected.append(best_i)
+        ranks.append(r)
+        out_ids.append(ids[best_i])
+        out_dq.append(int(dqq[best_i]))
+        out_sc.append(best_score)
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(ranks, pa.int64()),
+                id_col: pa.array(out_ids, id_type),
+                "dist_q": pa.array(out_dq, pa.int64()),
+                "score": pa.array(out_sc, pa.int64()),
+            }
+        )
+    )

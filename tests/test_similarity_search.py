@@ -436,3 +436,37 @@ def test_pq_codes_validation_and_empty(ray_session):
     out = pq_codes(rd.from_arrow(empty), "vec_id", "embedding")
     assert out.count() == 0
     assert out.schema().names == ["vec_id", "subspace", "code", "dist_q"]
+
+
+def test_mmr_prefers_diverse_over_duplicate(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import mmr_topk
+
+    # q=(0,0); a=(1,0); b == a exactly (duplicate); c=(0,1.1).
+    # Relevance alone ranks (a, b); MMR's diversity term zeroes b
+    # (dp(b,a)=0 -> score -7*dq) and picks c second.
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.1]],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    out = mmr_topk(
+        rd.from_arrow(t).repartition(2), "vec_id", "embedding",
+        query_id=0, pool_size=3, k=2,
+    ).to_pandas()
+    assert out["rank"].tolist() == [1, 2]
+    assert out["vec_id"].tolist() == [1, 3]  # not the duplicate (2)
+    # first pick's score is -7*dq; dq(a) = (1e6)^2
+    assert out["score"].iloc[0] == -7 * 10**12
+    with pytest.raises(ValueError):
+        mmr_topk(rd.from_arrow(t), "vec_id", "embedding", query_id=0,
+                 pool_size=1, k=2)
+    with pytest.raises(ValueError):
+        mmr_topk(rd.from_arrow(t), "vec_id", "embedding", query_id=99)
