@@ -3148,6 +3148,113 @@ def _mmr_oracle_sql(k: int = 5) -> str:
     """
 
 
+def _q_sessions_dow_stats(sf_dir: str):
+    """Per-weekday session-duration robust stats: sessionize
+    (windows.session_durations, the shared 30-min-gap rule) then the
+    stats.robust_stats_by_group reducer over exact microsecond
+    durations (cents=1 — identity quantization for already-integer
+    values): median/MAD/outlier engagement profile per day-of-week."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import robust_stats_by_group
+    from eschergraph_ray.functions.windows import session_durations
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    durs = session_durations(ds, "user_id", "ts", "event_id")
+    stats = robust_stats_by_group(durs, "dow", "dur_us", cents=1)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dow": b["dow"],
+                "n": b["n"],
+                "med_us": b["med_cents"],
+                "mad_us": b["mad_cents"],
+                "n_outliers": b["n_outliers"],
+            }
+        )
+
+    return stats.map_batches(rename, batch_format="pyarrow").sort("dow")
+
+
+def _q_orders_semijoin_discounted(sf_dir: str):
+    """Native left_semi hash join (the Ray 2.49 join type the
+    anti-join op's sibling): orders containing at least one
+    deep-discount line item (l_discount > 0.09), counted by priority —
+    the EXISTS-subquery shape. The lineitem side collapses to distinct
+    orderkeys with a per-batch distinct combiner before the join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from eschergraph_ray.functions.graph_metrics import _clamp_partitions
+
+    _context()
+    P = _clamp_partitions(8)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_discount"]
+    )
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["l_discount"], 0.09))
+        return (
+            t.select(["l_orderkey"]).group_by(["l_orderkey"]).aggregate([])
+        )
+
+    keys = (
+        li.map_batches(distinct_keys, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .count()
+        .map_batches(lambda b: b.select(["l_orderkey"]),
+                     batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
+    orders = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        .repartition(P)
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "o_orderpriority": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
+    if keys.count() == 0 or orders.count() == 0:
+        return rd.from_arrow(empty)
+    hit = orders.join(
+        keys,
+        join_type="left_semi",
+        num_partitions=P,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    return (
+        hit.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "n_orders": pc.cast(b["n_orders"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("o_orderpriority")
+    )
+
+
 _BLOOM_M = 1 << 20  # bits; power of two (position = md5 prefix % m)
 _BLOOM_K = 4
 
@@ -4711,6 +4818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pq_codes": _q_embeddings_pq_codes,
         "dedup_containment": _q_dedup_containment,
         "embeddings_mmr": _q_embeddings_mmr,
+        "sessions_dow_stats": _q_sessions_dow_stats,
+        "orders_semijoin_discounted": _q_orders_semijoin_discounted,
         # ---- r3-green core family, last driver-checked in round 3 ----
         "kg_triples": _q_kg("triple"),
         "kg_nodes": _q_kg("node"),
@@ -8210,6 +8319,100 @@ def oracle_sql() -> dict[str, str]:
         WHERE n_common / least(sa.n, sb.n) >= 0.5
     """
     d["embeddings_mmr"] = _mmr_oracle_sql(k=5)
+    # session-duration robust stats: sessionize replay (the
+    # events_session_paths window chain) -> the orders_robust_stats
+    # inverse-CDF chain over (dow, duration)
+    d["sessions_dow_stats"] = """
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        b AS (
+          SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                           OR tus - lag(tus) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        s AS (
+          SELECT *, sum(brk) OVER (
+            PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING
+          ) AS sid
+          FROM b
+        ),
+        sess AS (
+          SELECT user_id, sid, min(tus) AS t0,
+                 max(tus) - min(tus) AS dur
+          FROM s GROUP BY 1, 2
+        ),
+        vv AS (
+          SELECT CAST((t0 // 86400000000 + 4) % 7 AS BIGINT) AS g,
+                 CAST(dur AS BIGINT) AS v
+          FROM sess
+        ),
+        cells AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM vv GROUP BY g, v
+        ),
+        tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n
+                FROM cells GROUP BY g),
+        c1 AS (
+          SELECT g, v, cnt,
+                 CAST(sum(cnt) OVER (
+                   PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS cum
+          FROM cells
+        ),
+        med AS (
+          SELECT c1.g, CAST(min(v) AS BIGINT) AS med
+          FROM c1 JOIN tot ON c1.g = tot.g
+          WHERE 2 * cum >= n GROUP BY c1.g
+        ),
+        dev AS (
+          SELECT c.g, abs(c.v - m.med) AS d,
+                 CAST(sum(c.cnt) AS BIGINT) AS cnt
+          FROM cells c JOIN med m ON c.g = m.g
+          GROUP BY c.g, abs(c.v - m.med)
+        ),
+        c2 AS (
+          SELECT g, d, cnt,
+                 CAST(sum(cnt) OVER (
+                   PARTITION BY g ORDER BY d ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS cum
+          FROM dev
+        ),
+        mad AS (
+          SELECT c2.g, CAST(min(d) AS BIGINT) AS mad
+          FROM c2 JOIN tot ON c2.g = tot.g
+          WHERE 2 * cum >= n GROUP BY c2.g
+        ),
+        outs AS (
+          SELECT dev.g,
+                 CAST(sum(CASE WHEN dev.d > 3 * mad.mad
+                               THEN dev.cnt ELSE 0 END)
+                      AS BIGINT) AS n_outliers
+          FROM dev JOIN mad ON dev.g = mad.g GROUP BY dev.g
+        )
+        SELECT t.g AS dow, t.n, m.med AS med_us, md.mad AS mad_us,
+               o.n_outliers
+        FROM tot t
+        JOIN med m ON t.g = m.g
+        JOIN mad md ON t.g = md.g
+        JOIN outs o ON t.g = o.g
+        ORDER BY dow
+    """
+    # semi-join replay: EXISTS deep-discount line item
+    d["orders_semijoin_discounted"] = """
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09
+        )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """
     d["kg_related_entities"] = f"""
         WITH dd AS (
           SELECT DISTINCT conv_id, name

@@ -1099,3 +1099,57 @@ def activity_changepoint(events_ds, ts_col: str, type_col: str,
         .map_batches(sweep, batch_format="pyarrow", batch_size=None)
         .sort("event_type")
     )
+
+
+def session_durations(events_ds, user_col: str, ts_col: str, id_col: str,
+                      gap_us: int = 1_800_000_000,
+                      day_us: int = 86_400_000_000):
+    """Session durations keyed by start day-of-week: sessionize each
+    user's stream (the shared 30-min-gap rule) and emit one
+    ``(dow, dur_us)`` row per session — duration = last−first event
+    (0 for singletons), dow of the session's start day (epoch-day + 4
+    mod 7, Monday=0). The feed for per-weekday engagement robust
+    stats; same per-user-meets-one-reducer contract as
+    :func:`session_paths`."""
+
+    def sessions(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.filter(pc.is_valid(group[ts_col]))
+        if g.num_rows == 0:
+            return pa.table(
+                {"dow": pa.array([], pa.int64()),
+                 "dur_us": pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(
+            g, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        ts = pc.cast(
+            pc.cast(g.take(idx)[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        brk = np.ones(len(ts), bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ts)) - 1
+        t0 = ts[starts]
+        return pa.table(
+            {
+                "dow": pa.array((t0 // day_us + 4) % 7, pa.int64()),
+                "dur_us": pa.array(ts[ends] - t0, pa.int64()),
+            }
+        )
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        return b.select([user_col, ts_col, id_col]).filter(
+            pc.is_valid(b[user_col])
+        )
+
+    return (
+        events_ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(sessions, batch_format="pyarrow")
+    )

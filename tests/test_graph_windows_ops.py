@@ -1186,3 +1186,30 @@ def test_activity_changepoint_tie_smallest_hour():
     )
     out = activity_changepoint(rd.from_arrow(t), "ts", "typ").to_pandas()
     assert out.iloc[0].tolist() == ["B", 2, 4, 0, 0]
+
+
+def test_session_durations_hand():
+    from eschergraph_ray.functions.windows import session_durations
+
+    S = 1_000_000
+    D = 86_400_000_000
+    # user 1: two sessions — [0, 60s] (dur 60s) then 2h later a
+    # singleton (dur 0); user 2: one event 3 days in (Thu+3=Sunday)
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [0, 60 * S, 7200 * S, 3 * D + 5], pa.timestamp("us")
+            ),
+            "eid": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = (
+        session_durations(rd.from_arrow(t).repartition(2), "u", "ts",
+                          "eid")
+        .to_pandas()
+        .sort_values(["dow", "dur_us"])
+        .reset_index(drop=True)
+    )
+    # epoch day 0 = Thursday = dow 3; day 3 = Sunday = dow 6
+    assert out.values.tolist() == [[3, 0], [3, 60 * S], [6, 0]]
