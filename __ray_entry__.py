@@ -2991,8 +2991,8 @@ def _q_events_cube(sf_dir: str):
         ts = pc.cast(
             pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
         ).to_numpy(zero_copy_only=False)
-        # 1970-01-01 is a Thursday: +4 lands Monday=0 (the
-        # events_seasonality convention; no pyarrow modulo kernel)
+        # (epoch_day + 4) % 7: Sunday=0 (the events_seasonality
+        # convention; no pyarrow modulo kernel, so numpy)
         dow = (ts // 86_400_000_000 + 4) % 7
         return pa.table(
             {

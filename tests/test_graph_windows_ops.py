@@ -1211,5 +1211,6 @@ def test_session_durations_hand():
         .sort_values(["dow", "dur_us"])
         .reset_index(drop=True)
     )
-    # epoch day 0 = Thursday = dow 3; day 3 = Sunday = dow 6
-    assert out.values.tolist() == [[3, 0], [3, 60 * S], [6, 0]]
+    # (epoch_day + 4) % 7 — the events_seasonality convention:
+    # day 0 (Thu) -> 4, day 3 (Sun) -> 0
+    assert out.values.tolist() == [[0, 0], [4, 0], [4, 60 * S]]
