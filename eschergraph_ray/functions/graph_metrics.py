@@ -1377,3 +1377,322 @@ def clustering_coefficients(edges_ds, src_col: str, dst_col: str,
     return joined.map_batches(score, batch_format="pyarrow").sort(
         ["cc_micro", "node"], descending=[True, False]
     )
+
+
+def degree_assortativity(edges_ds, src_col: str, dst_col: str,
+                         num_partitions: int = _DEFAULT_PARTITIONS):
+    """Degree assortativity of the undirected simple graph — do hubs
+    link to hubs (r > 0) or to leaves (r < 0)? (Newman 2002, "Mixing
+    patterns in networks".) The single most-quoted global mixing
+    diagnostic for a built knowledge graph.
+
+    Over the symmetrized edge-endpoint degree pairs (x, y) — each
+    undirected edge contributes both (deg u, deg v) and (deg v, deg u),
+    which makes the two marginals identical — Pearson's r collapses to
+    the PURE RATIONAL ``(n*sxy - sx*sx) / (n*sxx - sx*sx)`` (no sqrt:
+    the two marginal variances are the same term), so the result is
+    exact integer arithmetic into ONE double division + zero-digit
+    round, bit-replayable in SQL.
+
+    Shape: degree table via the endpoint-explode groupby, two hash
+    joins to attach endpoint degrees, then per-batch int64 moment
+    partials (n, sx, sxy, sxx) — only batch-count rows reach the
+    driver, combined in arbitrary-precision Python ints (the moments
+    exceed int64 long before the data stops fitting a cluster).
+
+    Returns one row ``(n_pairs, r_micro)`` — ``r_micro = round(1e6 *
+    num / den, 0)`` as int64, NULL when den == 0 (regular graph);
+    zero rows on an empty graph.
+    """
+    P = _clamp_partitions(num_partitions)
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    empty = pa.table(
+        {
+            "n_pairs": pa.array([], pa.int64()),
+            "r_micro": pa.array([], pa.int64()),
+        }
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
+    deg = (
+        _explode_endpoints(edges)
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "d": pc.cast(b["count()"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+    joined = (
+        edges.repartition(P)
+        .join(
+            deg.map_batches(
+                lambda b: b.rename_columns(["node", "dx"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner", num_partitions=P,
+            on=("a",), right_on=("node",),
+        )
+        .repartition(P)
+        .join(
+            deg.map_batches(
+                lambda b: b.rename_columns(["node", "dy"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner", num_partitions=P,
+            on=("b",), right_on=("node",),
+        )
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        x = b["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # symmetrized: each edge as (x,y) AND (y,x)
+        return pa.table(
+            {
+                "n": pa.array([2 * len(x)], pa.int64()),
+                "sx": pa.array([int((x + y).sum())], pa.int64()),
+                "sxy": pa.array([2 * int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum() + (y * y).sum())],
+                                pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    if den == 0:
+        r_micro = pa.array([None], pa.int64())
+    else:
+        # ONE double multiply + ONE divide + zero-digit round — the
+        # same IEEE ops as SQL round(CAST(num AS DOUBLE)*1e6/CAST(den
+        # AS DOUBLE), 0)
+        r_micro = pc.cast(
+            pc.round(
+                pa.array([float(num) * 1e6 / float(den)]),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+    return rd.from_arrow(
+        pa.table({"n_pairs": pa.array([n], pa.int64()),
+                  "r_micro": r_micro})
+    )
+
+
+def partition_modularity(edges_ds, membership_ds, src_col: str,
+                         dst_col: str, node_col: str, comm_col: str,
+                         num_partitions: int = _DEFAULT_PARTITIONS,
+                         broadcast_limit: int = 500_000):
+    """Per-community modularity decomposition of a node partition over
+    the undirected simple graph — the objective Louvain/Leiden optimize
+    (Newman & Girvan 2004), evaluated EXACTLY: with m edges, e_c
+    intra-community edges and d_c the community degree sum, community
+    c's modularity contribution is ``e_c/m - (d_c/2m)^2``; scaled by
+    4m^2 it is the INTEGER ``4m*e_c - d_c^2``. Global Q =
+    sum(contrib_num) / (4m^2) — both engines compare pure int64 rows,
+    no float anywhere.
+
+    Shape: membership (node -> community) attaches to edge endpoints
+    via ray.put-broadcast dictionary lookup below ``broadcast_limit``
+    memberships (one streaming pass, groupby moves community-cardinality
+    partials only) or two distributed hash joins past it (tests force
+    both paths); degree sums ride the endpoint-explode groupby. The
+    partition is restricted to non-isolated nodes (degree 0 contributes
+    nothing to either term). Returns
+    ``(community, intra_edges, degree_sum, contrib_num)`` ordered by
+    (contrib_num desc, community).
+    """
+    import ray
+
+    P = _clamp_partitions(num_partitions)
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    comm_type = membership_ds.schema().base_schema.field(comm_col).type
+    empty = pa.table(
+        {
+            "community": pa.array([], comm_type),
+            "intra_edges": pa.array([], pa.int64()),
+            "degree_sum": pa.array([], pa.int64()),
+            "contrib_num": pa.array([], pa.int64()),
+        }
+    )
+    m = edges.count()
+    if m == 0:
+        return rd.from_arrow(empty)
+
+    membership = membership_ds.map_batches(
+        lambda b: pa.table({"node": b[node_col], "comm": b[comm_col]}),
+        batch_format="pyarrow",
+    ).repartition(P).materialize()
+    n_members = membership.count()
+
+    from ray.data.aggregate import Sum
+
+    if n_members <= broadcast_limit:
+        # broadcast fast path: vectorized index_in + take against the
+        # ray.put membership arrays — the exchange moves per-batch
+        # per-community partials only
+        mt = pa.concat_tables(
+            list(membership.iter_batches(batch_format="pyarrow"))
+        ).combine_chunks()
+        ref = ray.put((mt["node"].combine_chunks(),
+                       mt["comm"].combine_chunks()))
+
+        def _resolve(r):
+            return r if isinstance(r, tuple) else ray.get(r)
+
+        def _map_comm(col, nodes_arr, comm_arr):
+            return comm_arr.take(pc.index_in(col, value_set=nodes_arr))
+
+        def tag(b: pa.Table, _ref=ref) -> pa.Table:
+            from ..stages.chunking import pin_arrow_threads
+
+            pin_arrow_threads()
+            nodes_arr, comm_arr = _resolve(_ref)
+            return pa.table(
+                {
+                    "ca": _map_comm(b["a"], nodes_arr, comm_arr),
+                    "cb": _map_comm(b["b"], nodes_arr, comm_arr),
+                }
+            )
+
+        tagged = edges.map_batches(tag, batch_format="pyarrow")
+    else:
+        tagged = (
+            edges.repartition(P)
+            .join(
+                membership.map_batches(
+                    lambda b: b.rename_columns(["node", "ca"]),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner", num_partitions=P,
+                on=("a",), right_on=("node",),
+            )
+            .repartition(P)
+            .join(
+                membership.map_batches(
+                    lambda b: b.rename_columns(["node", "cb"]),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner", num_partitions=P,
+                on=("b",), right_on=("node",),
+            )
+            .map_batches(
+                lambda b: b.select(["ca", "cb"]),
+                batch_format="pyarrow",
+            )
+        )
+
+    def intra_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["ca"], b["cb"]))
+        return (
+            t.select(["ca"])
+            .group_by(["ca"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["comm", "e_part"])
+        )
+
+    intra = (
+        tagged.map_batches(intra_partial, batch_format="pyarrow")
+        .groupby("comm")
+        .aggregate(Sum("e_part", alias_name="intra_edges"))
+        .repartition(P)
+        .materialize()
+    )
+
+    # community degree sums over non-isolated nodes
+    deg = (
+        _explode_endpoints(edges)
+        .groupby("node")
+        .count()
+    )
+    if n_members <= broadcast_limit:
+        def deg_tag(b: pa.Table, _ref=ref) -> pa.Table:
+            nodes_arr, comm_arr = _resolve(_ref)
+            t = pa.table(
+                {
+                    "comm": _map_comm(b["node"], nodes_arr, comm_arr),
+                    "d": pc.cast(b["count()"], pa.int64()),
+                }
+            )
+            # membership misses -> null comm; drop them to match the
+            # join fallback's inner-join semantics
+            return t.filter(pc.is_valid(t["comm"]))
+
+        deg_comm = deg.map_batches(deg_tag, batch_format="pyarrow")
+    else:
+        deg_comm = (
+            deg.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "d": pc.cast(b["count()"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(P)
+            .join(membership, join_type="inner", num_partitions=P,
+                  on=("node",))
+            .map_batches(lambda b: b.select(["comm", "d"]),
+                         batch_format="pyarrow")
+        )
+    dsum = (
+        deg_comm.groupby("comm")
+        .aggregate(Sum("d", alias_name="degree_sum"))
+        .repartition(P)
+        .materialize()
+    )
+    if dsum.count() == 0:
+        return rd.from_arrow(empty)
+
+    if intra.count() == 0:
+        joined = dsum.map_batches(
+            lambda b: b.append_column(
+                "intra_edges", pa.array([0] * len(b), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = dsum.join(
+            intra, join_type="left_outer", num_partitions=P,
+            on=("comm",),
+        )
+
+    def finalize(b: pa.Table, _m=m) -> pa.Table:
+        e_c = pc.fill_null(pc.cast(b["intra_edges"], pa.int64()), 0)
+        d_c = pc.cast(b["degree_sum"], pa.int64())
+        contrib = pc.subtract(
+            pc.multiply(pa.scalar(4 * _m, pa.int64()), e_c),
+            pc.multiply(d_c, d_c),
+        )
+        return pa.table(
+            {
+                "community": b["comm"],
+                "intra_edges": e_c,
+                "degree_sum": d_c,
+                "contrib_num": contrib,
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow").sort(
+        ["contrib_num", "community"], descending=[True, False]
+    )

@@ -240,3 +240,178 @@ def test_clustering_coefficients_hand(ray_session):
         "b": (2, 1, 1000000),
         "c": (2, 1, 1000000),
     }
+
+
+def test_degree_assortativity_matches_bruteforce(ray_session):
+    import random
+
+    from eschergraph_ray.functions.graph_metrics import degree_assortativity
+
+    rng = random.Random(7)
+    n = 40
+    edges = {(a, b) for _ in range(140)
+             for a, b in [sorted(rng.sample(range(n), 2))]}
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    nn = len(xs)
+    sx = sum(xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = nn * sxy - sx * sx, nn * sxx - sx * sx
+    import math
+
+    want = math.floor(abs(float(num) * 1e6 / float(den)) + 0.5)
+    want = want if num * den >= 0 else -want
+
+    tbl = pa.table(
+        {
+            "s": pa.array([a for a, _ in edges], pa.int64()),
+            "d": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    out = degree_assortativity(
+        rd.from_arrow(tbl).repartition(3), "s", "d"
+    ).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_pairs"][0]) == nn
+    assert int(out["r_micro"][0]) == want
+    # duplicate + reversed edges normalize away -> identical result
+    tbl2 = pa.table(
+        {
+            "s": pa.array([a for a, _ in edges] + [b for _, b in edges],
+                          pa.int64()),
+            "d": pa.array([b for _, b in edges] + [a for a, _ in edges],
+                          pa.int64()),
+        }
+    )
+    out2 = degree_assortativity(rd.from_arrow(tbl2), "s", "d").to_pandas()
+    assert out2.equals(out)
+
+
+def test_degree_assortativity_degenerate(ray_session):
+    from eschergraph_ray.functions.graph_metrics import degree_assortativity
+
+    # 4-cycle: 2-regular -> den == 0 -> NULL r_micro
+    tbl = pa.table(
+        {
+            "s": pa.array([0, 1, 2, 3], pa.int64()),
+            "d": pa.array([1, 2, 3, 0], pa.int64()),
+        }
+    )
+    out = degree_assortativity(rd.from_arrow(tbl), "s", "d").to_pandas()
+    assert int(out["n_pairs"][0]) == 8
+    assert out["r_micro"].isna().all()
+    # empty graph -> zero rows (schema kept)
+    empty = pa.table({"s": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.int64())})
+    got = degree_assortativity(rd.from_arrow(empty), "s", "d")
+    assert got.count() == 0
+
+
+def test_partition_modularity_matches_bruteforce(ray_session):
+    import random
+    from collections import Counter
+
+    from eschergraph_ray.functions.graph_metrics import partition_modularity
+
+    rng = random.Random(23)
+    n = 50
+    # two planted blocks with sparse cross links
+    edges = set()
+    for _ in range(160):
+        if rng.random() < 0.8:
+            side = rng.randrange(2)
+            a, b = rng.sample(range(side * 25, side * 25 + 25), 2)
+        else:
+            a, b = rng.randrange(0, 25), rng.randrange(25, 50)
+        a, b = min(a, b), max(a, b)
+        if a != b:
+            edges.add((a, b))
+    member = {v: f"c{v % 3}" for v in range(n)}
+
+    m = len(edges)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    e_c, d_c = Counter(), Counter()
+    for a, b in edges:
+        if member[a] == member[b]:
+            e_c[member[a]] += 1
+    for v, d in deg.items():
+        d_c[member[v]] += d
+    want = {
+        c: (e_c.get(c, 0), d_c[c], 4 * m * e_c.get(c, 0) - d_c[c] ** 2)
+        for c in d_c
+    }
+
+    tbl = pa.table(
+        {
+            "s": pa.array([a for a, _ in edges], pa.int64()),
+            "d": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    mem_tbl = pa.table(
+        {
+            "node": pa.array(sorted(member), pa.int64()),
+            "comm": pa.array([member[v] for v in sorted(member)],
+                             pa.string()),
+        }
+    )
+    for limit in (0, 10**6):
+        # limit=0 forces the join fallback; the large limit broadcasts
+        out = partition_modularity(
+            rd.from_arrow(tbl).repartition(3),
+            rd.from_arrow(mem_tbl), "s", "d", "node", "comm",
+            broadcast_limit=limit,
+        ).to_pandas()
+        got = {
+            r["community"]: (int(r["intra_edges"]), int(r["degree_sum"]),
+                             int(r["contrib_num"]))
+            for _, r in out.iterrows()
+        }
+        assert got == want, f"limit={limit}"
+        # ordered by (contrib_num desc, community)
+        key = list(zip(-out["contrib_num"], out["community"]))
+        assert key == sorted(key)
+
+
+def test_partition_modularity_membership_miss(ray_session):
+    """Nodes absent from the membership drop out identically on both
+    paths (inner-join semantics)."""
+    from eschergraph_ray.functions.graph_metrics import partition_modularity
+
+    tbl = pa.table(
+        {
+            "s": pa.array([0, 1, 2], pa.int64()),
+            "d": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    mem = pa.table(
+        {
+            "node": pa.array([0, 1, 2], pa.int64()),
+            "comm": pa.array(["x", "x", "y"], pa.string()),
+        }
+    )
+    outs = []
+    for limit in (0, 10**6):
+        out = partition_modularity(
+            rd.from_arrow(tbl), rd.from_arrow(mem), "s", "d",
+            "node", "comm", broadcast_limit=limit,
+        ).to_pandas()
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    got = {
+        r["community"]: (int(r["intra_edges"]), int(r["degree_sum"]))
+        for _, r in outs[0].iterrows()
+    }
+    # m=3; node 3 unmembered: its degree never reaches a community
+    assert got == {"x": (1, 3), "y": (0, 2)}
