@@ -4820,6 +4820,41 @@ def _q_kg_modularity(sf_dir: str):
     )
 
 
+def _q_events_scd2(sf_dir: str):
+    """SCD type-2 history of each user's event_type — the warehouse
+    gaps-and-islands transform (windows.scd2_intervals): per-user runs
+    of equal consecutive types collapse to (valid_from_us, valid_to_us,
+    n_events) validity intervals; per-user histories meet in one
+    reducer and only runs-per-user rows move. Exact int64 everywhere;
+    NULL valid_to marks the still-current run."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import scd2_intervals
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return scd2_intervals(ds, "user_id", "ts", "event_id", "event_type")
+
+
+def _q_events_benford(sf_dir: str):
+    """Benford's-law first-digit audit of event values
+    (stats.benford_digits): integer-cents quantization, first digit
+    from the INTEGER's string form, hardcoded micro-probability table —
+    every cell exact int64 (observed, n*E_d, 1e6*obs - n*E_d). One
+    streaming pass of ≤9-row digit partials; all 9 digits always
+    reported (zero-observation digits are the suspicious ones)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import benford_digits
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return benford_digits(ds, "value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -5008,6 +5043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest; a future rotation would move them into the window)
         "kg_assortativity": _q_kg_assortativity,
         "kg_modularity": _q_kg_modularity,
+        "events_scd2": _q_events_scd2,
+        "events_benford": _q_events_benford,
     }
 
 
@@ -8698,5 +8735,74 @@ def oracle_sql() -> dict[str, str]:
                  AS contrib_num
         FROM dc LEFT JOIN ec ON ec.comm = dc.comm CROSS JOIN mm
         ORDER BY contrib_num DESC, community
+    """
+    # SCD type-2 replay (windows.scd2_intervals): the classic
+    # gaps-and-islands chain — lag marks changes, a running sum of the
+    # change flags labels islands, islands aggregate to runs, lead
+    # attaches the next run's start as valid_to
+    d["events_scd2"] = """
+        WITH s AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER w AS prev
+          FROM events WHERE event_type IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        c AS (
+          SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                         THEN 1 ELSE 0 END AS chg
+          FROM s
+        ),
+        g AS (
+          SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM c
+        ),
+        runs AS (
+          SELECT user_id, min(event_type) AS event_type, grp,
+                 CAST(min(epoch_us(ts)) AS BIGINT) AS valid_from_us,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM g GROUP BY user_id, grp
+        )
+        SELECT user_id, event_type, valid_from_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id
+                                         ORDER BY grp) AS valid_to_us,
+               n_events
+        FROM runs
+        ORDER BY user_id, valid_from_us, event_type
+    """
+    # Benford first-digit audit (stats.benford_digits): integer cents,
+    # first digit of the INTEGER's string form, hardcoded
+    # round(1e6*log10(1+1/d)) table — all-BIGINT cells
+    d["events_benford"] = """
+        WITH c AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        p AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+          FROM c WHERE cents > 0
+        ),
+        o AS (
+          SELECT digit, CAST(count(*) AS BIGINT) AS observed
+          FROM p GROUP BY digit
+        ),
+        e AS (
+          SELECT * FROM (VALUES
+            (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+            (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+          ) AS t(digit, emicro)
+        ),
+        nn AS (
+          SELECT CAST(coalesce(sum(observed), 0) AS BIGINT) AS n FROM o
+        )
+        SELECT e.digit,
+               CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
+               CAST(nn.n * e.emicro AS BIGINT) AS expected_micro,
+               CAST(1000000 * coalesce(o.observed, 0)
+                    - nn.n * e.emicro AS BIGINT) AS dev_micro
+        FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN nn
+        ORDER BY e.digit
     """
     return d

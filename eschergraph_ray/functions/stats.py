@@ -535,3 +535,81 @@ def robust_stats_by_group(ds, group_col: str, val_col: str,
         .map_groups(sweep, batch_format="pyarrow")
         .sort(group_col)
     )
+
+
+# round(1e6 * log10(1 + 1/d)) for d = 1..9 — hardcoded as INTEGER
+# constants on BOTH engines (they sum to exactly 1_000_000), so the
+# expected-count arithmetic never touches a logarithm at runtime
+BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_digits(ds, val_col: str):
+    """Benford's-law first-digit audit of a positive currency column —
+    the classic fraud / synthetic-data / unit-mixup detector (Benford
+    1938; Nigrini's forensic-accounting standard). Values quantize to
+    integer cents (the repo's micro-unit device), the first decimal
+    digit comes from the INTEGER's string form (identical on both
+    engines — no double formatting anywhere), and expectations use the
+    hardcoded integer Benford table, so every output cell is exact
+    int64: ``expected_micro = n * BENFORD_MICRO[d]`` and ``dev_micro =
+    1e6*observed - expected_micro`` (micro-count units).
+
+    Shape: one streaming pass of per-batch digit-count partials (at
+    most 9 rows per batch reach the exchange), one 9-row groupby; all
+    9 digits always present in the output (observed = 0 rows too —
+    they are exactly the suspicious ones). Non-positive cents are
+    excluded (no leading digit).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(b[val_col], pa.float64()), 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        cents = pc.filter(cents, pc.greater(cents, 0))
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1),
+            pa.int64(),
+        )
+        return (
+            pa.table({"digit": digit})
+            .group_by(["digit"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["digit", "n_part"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n_part", alias_name="observed"))
+        .take_all()
+    )
+    obs = {int(r["digit"]): int(r["observed"]) for r in counts}
+    n = sum(obs.values())
+    digits = list(range(1, 10))
+    observed = [obs.get(d, 0) for d in digits]
+    expected = [n * BENFORD_MICRO[d] for d in digits]
+    dev = [1_000_000 * o - e for o, e in zip(observed, expected)]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(digits, pa.int64()),
+                "observed": pa.array(observed, pa.int64()),
+                "expected_micro": pa.array(expected, pa.int64()),
+                "dev_micro": pa.array(dev, pa.int64()),
+            }
+        )
+    )

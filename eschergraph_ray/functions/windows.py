@@ -1153,3 +1153,96 @@ def session_durations(events_ds, user_col: str, ts_col: str, id_col: str,
         .groupby(user_col)
         .map_groups(sessions, batch_format="pyarrow")
     )
+
+
+def scd2_intervals(events_ds, key_col: str, ts_col: str, id_col: str,
+                   attr_col: str):
+    """Slowly-changing-dimension TYPE-2 history building — the
+    warehouse-standard "collapse an event stream into validity
+    intervals" transform: per key, consecutive runs of the same
+    ``attr_col`` value become one row ``(valid_from_us, valid_to_us,
+    n_events)``, where valid_to is the NEXT run's start (NULL while
+    current). The gaps-and-islands window chain in SQL terms, the
+    dimension-table feed in pipeline terms.
+
+    Shape: each key's (bounded) history meets in one reducer — the
+    sessionize/transitions contract — and reduces to runs-per-key rows
+    (never event rows) before anything else moves. Null attributes are
+    dropped first on both engines (runs are defined over the non-null
+    subsequence). All outputs are exact int64 microseconds/counts; the
+    final (key, valid_from, attr) order is total because event ids
+    break ts ties inside the sort, and two runs can only share a
+    valid_from if raw timestamps collide across a boundary — attr
+    disambiguates the output order even then.
+    """
+    import numpy as np
+
+    def intervals(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.filter(pc.is_valid(group[attr_col]))
+        empty = pa.table(
+            {
+                "key": pa.array([], group[key_col].type),
+                "attr": pa.array([], pa.string()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        ).rename_columns([key_col, attr_col, "valid_from_us",
+                          "valid_to_us", "n_events"])
+        if len(g) == 0:
+            return empty
+        idx = pc.sort_indices(
+            g, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        attr = pc.cast(g[attr_col], pa.string()).take(idx)
+        ts = (
+            pc.cast(g[ts_col].take(idx), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        a = attr.to_numpy(zero_copy_only=False)
+        chg = np.ones(len(a), dtype=bool)
+        chg[1:] = a[1:] != a[:-1]
+        starts = np.flatnonzero(chg)
+        ends = np.append(starts[1:], len(a))
+        valid_from = ts[starts]
+        # the last run is still current -> NULL valid_to
+        to_np = np.append(valid_from[1:], -1)
+        mask = np.zeros(len(starts), dtype=bool)
+        if len(mask):
+            mask[-1] = True
+        to_arr = pa.array(
+            np.ma.masked_array(to_np, mask=mask), pa.int64()
+        )
+        return pa.table(
+            {
+                key_col: pa.array(
+                    [g[key_col][0].as_py()] * len(starts),
+                    group[key_col].type,
+                ),
+                attr_col: pa.array(a[starts], pa.string()),
+                "valid_from_us": pa.array(valid_from, pa.int64()),
+                "valid_to_us": to_arr,
+                "n_events": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        return b.select([key_col, ts_col, id_col, attr_col]).filter(
+            pc.is_valid(b[key_col])
+        )
+
+    return (
+        events_ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(intervals, batch_format="pyarrow")
+        .sort([key_col, "valid_from_us", attr_col])
+    )

@@ -1214,3 +1214,128 @@ def test_session_durations_hand():
     # (epoch_day + 4) % 7 — the events_seasonality convention:
     # day 0 (Thu) -> 4, day 3 (Sun) -> 0
     assert out.values.tolist() == [[0, 0], [4, 0], [4, 60 * S]]
+
+
+def test_scd2_intervals_matches_bruteforce(ray_session):
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import scd2_intervals
+
+    rng = random.Random(31)
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = 1000
+        for _ in range(rng.randrange(0, 25)):
+            t += rng.randrange(1, 50)
+            attr = rng.choice(["a", "b", "c", None])
+            rows.append((u, t, eid, attr))
+            eid += 1
+    # brute force per user over the non-null subsequence
+    want = []
+    for u in range(8):
+        seq = sorted(
+            [(t, i, a) for (uu, t, i, a) in rows
+             if uu == u and a is not None]
+        )
+        runs = []
+        for t, i, a in seq:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, t, 1])
+        for j, (a, t, n) in enumerate(runs):
+            to = runs[j + 1][1] if j + 1 < len(runs) else None
+            want.append((u, a, t, to, n))
+    want.sort(key=lambda r: (r[0], r[2], r[1]))
+
+    tbl = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "eid": pa.array([r[2] for r in rows], pa.int64()),
+            "attr": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = scd2_intervals(
+        rd.from_arrow(tbl).repartition(3), "u", "ts", "eid", "attr"
+    ).to_pandas()
+    got = [
+        (
+            int(r["u"]), r["attr"], int(r["valid_from_us"]),
+            None if pd.isna(r["valid_to_us"]) else int(r["valid_to_us"]),
+            int(r["n_events"]),
+        )
+        for _, r in out.iterrows()
+    ]
+    assert got == want
+
+
+def test_scd2_intervals_single_run_and_empty(ray_session):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import scd2_intervals
+
+    tbl = pa.table(
+        {
+            "u": pa.array([5, 5], pa.int64()),
+            "ts": pa.array([7, 9], pa.timestamp("us")),
+            "eid": pa.array([0, 1], pa.int64()),
+            "attr": pa.array(["x", "x"], pa.string()),
+        }
+    )
+    out = scd2_intervals(rd.from_arrow(tbl), "u", "ts", "eid",
+                         "attr").to_pandas()
+    assert len(out) == 1
+    assert out["n_events"][0] == 2 and out["valid_to_us"].isna().all()
+    # all-null attr -> zero rows
+    tbl2 = pa.table(
+        {
+            "u": pa.array([1], pa.int64()),
+            "ts": pa.array([1], pa.timestamp("us")),
+            "eid": pa.array([0], pa.int64()),
+            "attr": pa.array([None], pa.string()),
+        }
+    )
+    assert scd2_intervals(rd.from_arrow(tbl2), "u", "ts", "eid",
+                          "attr").count() == 0
+
+
+def test_benford_digits_hand(ray_session):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import BENFORD_MICRO, benford_digits
+
+    # cents: 101, 123456, 250, 250, 999, -500 (dropped), 0 (dropped),
+    # 0.004 -> 0 cents (dropped); digits: 1, 1, 2, 2, 9
+    vals = [1.01, 1234.56, 2.50, 2.50, 9.99, -5.0, 0.0, 0.004]
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    out = benford_digits(
+        rd.from_arrow(tbl).repartition(2), "v"
+    ).to_pandas()
+    assert list(out["digit"]) == list(range(1, 10))
+    obs = dict(zip(out["digit"], out["observed"]))
+    assert obs == {1: 2, 2: 2, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+    n = 5
+    for _, r in out.iterrows():
+        d = int(r["digit"])
+        assert int(r["expected_micro"]) == n * BENFORD_MICRO[d]
+        assert int(r["dev_micro"]) == (
+            1_000_000 * int(r["observed"]) - n * BENFORD_MICRO[d]
+        )
+
+
+def test_benford_digits_empty(ray_session):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import benford_digits
+
+    tbl = pa.table({"v": pa.array([], pa.float64())})
+    out = benford_digits(rd.from_arrow(tbl), "v").to_pandas()
+    # all 9 digits, all zeros
+    assert len(out) == 9
+    assert (out["observed"] == 0).all()
+    assert (out["expected_micro"] == 0).all()
