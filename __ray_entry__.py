@@ -4855,6 +4855,153 @@ def _q_events_benford(sf_dir: str):
     return benford_digits(ds, "value")
 
 
+def _q_orders_priority_quantiles(sf_dir: str):
+    """Per-priority EXACT p50/p90/p99 price floors
+    (stats.group_quantiles): inverse-CDF discrete quantiles over
+    integer cents with the all-integer ``100*cum >= p*n`` threshold —
+    no interpolation, no float fencepost. One (group, value, count)
+    combiner exchange, per-group histogram sweeps in one reducer."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import group_quantiles
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return group_quantiles(ds, "o_orderpriority", "o_totalprice",
+                           p_pcts=(50, 90, 99))
+
+
+def _q_events_entropy_by_type(sf_dir: str):
+    """Hour-of-day Shannon entropy per event type in integer
+    micro-nats (stats.entropy_by_group): how bursty vs around-the-clock
+    each type is — the per-group complement of events_type_hour_mi,
+    same micro-nat parity device (per-cell q = round(1e6*ln(n/n_i)),
+    int64 weighted total, one divide + zero-digit round)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import entropy_by_group
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def hourify(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hr": pc.cast(pc.hour(b["ts"]), pa.int64()),
+            }
+        )
+
+    return entropy_by_group(
+        ds.map_batches(hourify, batch_format="pyarrow"),
+        "event_type", "hr",
+    )
+
+
+def _q_events_type_user_hll(sf_dir: str):
+    """Per-event-type approximate distinct users
+    (sketch.approx_distinct_by_group): the md5-variant HLL folded per
+    (batch, group) — group-cardinality-bounded register rows move, the
+    merged registers are driver model state, and zeros + estimate
+    replay exactly in SQL (exact HUGEINT harmonic denominator,
+    floor(x+0.5))."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import approx_distinct_by_group
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return approx_distinct_by_group(ds, "event_type", "user_id", p=12)
+
+
+def _q_parts_brand_rank_delta(sf_dir: str):
+    """Brand revenue leaderboard diff between the earliest and latest
+    ship years (relational.rank_delta_periods): lineitem revenue
+    quantized to integer micro-units per row (the Q1 device), the part
+    dimension broadcast as plain lookup state (never shuffled), one
+    groupby to the (brand × year) aggregate, ranks by (revenue desc,
+    brand) — a total order, exact int64 everywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import rank_delta_periods
+
+    _context()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_ref = ray.put(
+        (part["p_partkey"].combine_chunks(),
+         part["p_brand"].combine_chunks())
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def prep(b: pa.Table, _ref=brand_ref) -> pa.Table:
+        keys, brands = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        rev = pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"]),
+        )
+        return pa.table(
+            {
+                "p_brand": brands.take(
+                    pc.index_in(b["l_partkey"], value_set=keys)
+                ),
+                "yr": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+                "rev_micro": pc.cast(
+                    pc.round(pc.multiply(rev, 10000.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return rank_delta_periods(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "p_brand", "yr", "rev_micro",
+    )
+
+
+def _q_docs_orc_export(sf_dir: str):
+    """ORC SINK + SOURCE coverage (docfiles.write_orc_sharded /
+    read_documents_orc — block-parallel shards with content-hash
+    retry-stable names; the reader composes read_binary_files with an
+    in-task pyarrow.orc decode since Ray 2.49 ships no read_orc):
+    export the documents table to ORC, read the shards back, return
+    (doc_id, text, source). The oracle reads the PARQUET view, so a
+    green row proves the format round-trip is lossless end-to-end."""
+    import shutil as _shutil
+
+    from eschergraph_ray.sources.docfiles import (
+        read_documents_orc,
+        write_orc_sharded,
+    )
+
+    _context()
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/eschergraph_ray/orc-export-v1-{sftag}"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    files = write_orc_sharded(ds, out_dir, "doc_id")
+    return read_documents_orc(files)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -5045,6 +5192,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_modularity": _q_kg_modularity,
         "events_scd2": _q_events_scd2,
         "events_benford": _q_events_benford,
+        "orders_priority_quantiles": _q_orders_priority_quantiles,
+        "events_entropy_by_type": _q_events_entropy_by_type,
+        "events_type_user_hll": _q_events_type_user_hll,
+        "parts_brand_rank_delta": _q_parts_brand_rank_delta,
+        "docs_orc_export": _q_docs_orc_export,
     }
 
 
@@ -8805,4 +8957,145 @@ def oracle_sql() -> dict[str, str]:
         FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN nn
         ORDER BY e.digit
     """
+    # per-group exact inverse-CDF quantiles (stats.group_quantiles):
+    # smallest v with 100*cum >= p*n — all-integer threshold
+    d["orders_priority_quantiles"] = """
+        WITH vals AS (
+          SELECT o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        ),
+        cells AS (
+          SELECT o_orderpriority, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM vals GROUP BY o_orderpriority, v
+        ),
+        cum AS (
+          SELECT o_orderpriority, v,
+                 sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+          FROM cells
+        )
+        SELECT o_orderpriority, CAST(any_value(n) AS BIGINT) AS n,
+               CAST(min(CASE WHEN 100 * cum >= 50 * n THEN v END)
+                    AS BIGINT) AS p50_cents,
+               CAST(min(CASE WHEN 100 * cum >= 90 * n THEN v END)
+                    AS BIGINT) AS p90_cents,
+               CAST(min(CASE WHEN 100 * cum >= 99 * n THEN v END)
+                    AS BIGINT) AS p99_cents
+        FROM cum GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    # per-group entropy in micro-nats (stats.entropy_by_group): same
+    # quantization discipline as events_type_hour_mi
+    d["events_entropy_by_type"] = """
+        WITH base AS (
+          SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hr
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ),
+        cells AS (
+          SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_i
+          FROM base GROUP BY event_type, hr
+        ),
+        tot AS (
+          SELECT event_type, CAST(sum(n_i) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_items
+          FROM cells GROUP BY event_type
+        ),
+        q AS (
+          SELECT c.event_type, c.n_i,
+                 CAST(round(ln(CAST(t.n AS DOUBLE) / c.n_i) * 1e6, 0)
+                      AS BIGINT) AS q
+          FROM cells c JOIN tot t USING (event_type)
+        ),
+        w AS (
+          SELECT event_type, CAST(sum(n_i * q) AS BIGINT) AS total
+          FROM q GROUP BY event_type
+        )
+        SELECT t.event_type, t.n, t.n_items,
+               CAST(round(CAST(w.total AS DOUBLE) / t.n, 0) AS BIGINT)
+                 AS h_micro
+        FROM tot t JOIN w USING (event_type) ORDER BY t.event_type
+    """
+    # grouped md5-HLL replay (sketch.approx_distinct_by_group): the
+    # _hll_oracle_sql device with GROUP BY event_type at every level
+    # (p=12: m=4096, 52 suffix bits, top rank 53)
+    d["events_type_user_hll"] = """
+        WITH hv AS (
+          SELECT event_type,
+                 CAST(concat('0x',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                 AS UBIGINT) AS hv
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ),
+        regs AS (
+          SELECT event_type,
+                 max(CASE WHEN (hv & 4503599627370495::UBIGINT) = 0
+                          THEN 53
+                     ELSE position('1' IN
+                          lpad(bin(hv & 4503599627370495::UBIGINT),
+                               52, '0'))
+                     END) AS r
+          FROM hv GROUP BY event_type, hv >> 52
+        ),
+        agg AS (
+          SELECT event_type, count(*) AS nonzero,
+                 (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                   * CAST(1::HUGEINT << 53 AS DOUBLE)
+                   / CAST(sum(1::HUGEINT << (53 - r))
+                          + CAST(4096 - count(*) AS HUGEINT)
+                            * (1::HUGEINT << 53) AS DOUBLE) AS raw
+          FROM regs GROUP BY event_type
+        )
+        SELECT event_type, CAST(12 AS BIGINT) AS p,
+               CAST(4096 - nonzero AS BIGINT) AS zeros,
+               CASE WHEN raw <= 2.5 * 4096 AND (4096 - nonzero) > 0
+                    THEN CAST(floor(4096 * ln(CAST(4096 AS DOUBLE)
+                              / (4096 - nonzero)) + 0.5) AS BIGINT)
+                    ELSE CAST(floor(raw + 0.5) AS BIGINT)
+               END AS approx_n
+        FROM agg ORDER BY event_type
+    """
+    # two-period brand leaderboard diff (relational.rank_delta_periods)
+    # over Q1-device integer micro revenue; ranks are row_number over
+    # the (val desc, brand) total order
+    d["parts_brand_rank_delta"] = """
+        WITH rev AS (
+          SELECT p.p_brand, CAST(year(l_shipdate) AS BIGINT) AS yr,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT) AS rev_micro
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        agg AS (
+          SELECT p_brand, yr, CAST(sum(rev_micro) AS BIGINT) AS val
+          FROM rev GROUP BY p_brand, yr
+        ),
+        pp AS (
+          SELECT CAST(min(yr) AS BIGINT) AS pa,
+                 CAST(max(yr) AS BIGINT) AS pb
+          FROM agg
+        ),
+        ra AS (
+          SELECT p_brand, val,
+                 row_number() OVER (ORDER BY val DESC, p_brand) AS rnk
+          FROM agg, pp WHERE yr = pp.pa
+        ),
+        rb AS (
+          SELECT p_brand, val,
+                 row_number() OVER (ORDER BY val DESC, p_brand) AS rnk
+          FROM agg, pp WHERE yr = pp.pb
+        )
+        SELECT ra.p_brand, pp.pa AS period_a, pp.pb AS period_b,
+               ra.val AS val_a_micro, rb.val AS val_b_micro,
+               CAST(ra.rnk AS BIGINT) AS rank_a,
+               CAST(rb.rnk AS BIGINT) AS rank_b,
+               CAST(ra.rnk - rb.rnk AS BIGINT) AS rank_delta
+        FROM ra JOIN rb USING (p_brand) CROSS JOIN pp
+        ORDER BY rank_delta DESC, ra.p_brand
+    """
+    # ORC round-trip: oracle reads the parquet view — a green row
+    # proves the ORC write+read path is lossless
+    d["docs_orc_export"] = "SELECT doc_id, text, source FROM documents"
     return d

@@ -832,3 +832,86 @@ def cube_counts(ds, k1: str, k2: str, val_col: str,
         .union(level_k2)
         .union(rd.from_arrow(total_tbl))
     )
+
+
+def rank_delta_periods(ds, key_col: str, period_col: str,
+                       val_micro_col: str):
+    """Two-period trending-rank comparison: sum ``val_micro_col`` per
+    (key, period), pick the EARLIEST and LATEST period present in the
+    data, rank keys inside each by (value desc, key asc — a total
+    order, so rank fenceposts are deterministic), and report the rank
+    movement of every key present in BOTH periods. The
+    "what's-trending / what collapsed" leaderboard-diff every
+    analytics pipeline ships.
+
+    Shape: ONE groupby collapses the fact stream to the
+    (key × period)-cardinality aggregate; the rank/diff pass runs on
+    that dimension-sized table driver-side (leaderboards are model
+    state, like k-means centroids — a key space too large to rank on
+    the driver has no readable leaderboard either). Inputs must
+    already be integer micro-units; sums are exact int64.
+
+    Returns ``(key, period_a, period_b, val_a_micro, val_b_micro,
+    rank_a, rank_b, rank_delta)`` sorted by (rank_delta desc, key) —
+    positive delta = climbed. Empty input -> zero rows.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.groupby([key_col, period_col])
+        .aggregate(Sum(val_micro_col, alias_name="val"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.string()),
+            "period_a": pa.array([], pa.int64()),
+            "period_b": pa.array([], pa.int64()),
+            "val_a_micro": pa.array([], pa.int64()),
+            "val_b_micro": pa.array([], pa.int64()),
+            "rank_a": pa.array([], pa.int64()),
+            "rank_b": pa.array([], pa.int64()),
+            "rank_delta": pa.array([], pa.int64()),
+        }
+    ).rename_columns([key_col, "period_a", "period_b", "val_a_micro",
+                      "val_b_micro", "rank_a", "rank_b", "rank_delta"])
+    if not agg:
+        return rd.from_arrow(empty)
+    periods = sorted({int(r[period_col]) for r in agg})
+    pa_, pb = periods[0], periods[-1]
+    if pa_ == pb:
+        return rd.from_arrow(empty)
+
+    def ranks(period):
+        rows = sorted(
+            ((int(r["val"]), r[key_col]) for r in agg
+             if int(r[period_col]) == period),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return {k: (i + 1, v) for i, (v, k) in enumerate(rows)}
+
+    ra, rb = ranks(pa_), ranks(pb)
+    both = sorted(set(ra) & set(rb))
+    out = sorted(
+        (
+            (k, ra[k][1], rb[k][1], ra[k][0], rb[k][0],
+             ra[k][0] - rb[k][0])
+            for k in both
+        ),
+        key=lambda t: (-t[5], t[0]),
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                key_col: pa.array([t[0] for t in out]),
+                "period_a": pa.array([pa_] * len(out), pa.int64()),
+                "period_b": pa.array([pb] * len(out), pa.int64()),
+                "val_a_micro": pa.array([t[1] for t in out], pa.int64()),
+                "val_b_micro": pa.array([t[2] for t in out], pa.int64()),
+                "rank_a": pa.array([t[3] for t in out], pa.int64()),
+                "rank_b": pa.array([t[4] for t in out], pa.int64()),
+                "rank_delta": pa.array([t[5] for t in out], pa.int64()),
+            }
+        )
+    )

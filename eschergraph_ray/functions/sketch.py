@@ -354,3 +354,77 @@ def bloom_probe(ds, col: str, bits: np.ndarray, k: int = 4,
         return batch.append_column(out_col, pa.array(hit.astype(np.int64)))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def approx_distinct_by_group(ds, group_col: str, col: str, p: int = 12,
+                             hashname: str = "md5",
+                             max_groups: int = 10_000) -> pa.Table:
+    """Per-group HLL: approximate distinct ``col`` values for every
+    ``group_col`` value in ONE streaming pass — the cardinality
+    profile a pipeline wants per segment (distinct users per event
+    type, distinct tokens per source) without a per-group exact
+    distinct shuffle. Same mergeable-register shape as
+    :func:`approx_distinct_multi`: each batch folds each group's
+    values into a fresh 2^p register array (rows are (group, packed
+    regs) — group-cardinality-bounded per batch), registers max-merge
+    on the driver (model state: groups × 2^p bytes, guarded by
+    ``max_groups`` with a loud error — a million-group profile wants
+    the exact groupby instead), estimates use the SQL-replay
+    estimator. Returns (group, p, zeros, approx_n) sorted by group;
+    null groups/values are dropped.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pa.compute.and_(
+            pa.compute.is_valid(batch[group_col]),
+            pa.compute.is_valid(batch[col]),
+        )
+        t = batch.select([group_col, col]).filter(keep)
+        groups, blobs = [], []
+        if len(t):
+            gv = t[group_col].to_pylist()
+            vv = t[col].to_pylist()
+            by = {}
+            for g, v in zip(gv, vv):
+                by.setdefault(g, []).append(v)
+            for g, vals in by.items():
+                groups.append(g)
+                blobs.append(_fold(_hash64(vals, hashname), p).tobytes())
+        return pa.table(
+            {
+                "grp": pa.array(groups),
+                "regs": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    merged: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g, buf in zip(b["grp"].to_pylist(), b["regs"].to_pylist()):
+            prev = merged.get(g)
+            cur = np.frombuffer(buf, np.uint8)
+            merged[g] = cur if prev is None else np.maximum(prev, cur)
+            if len(merged) > max_groups:
+                raise ValueError(
+                    f"approx_distinct_by_group: >{max_groups} groups — "
+                    "register state no longer model-sized; use an exact "
+                    "groupby count_distinct or raise max_groups"
+                )
+    rows = []
+    for g in sorted(merged):
+        zeros, n = hll_estimate_replay(merged[g], p)
+        rows.append((g, zeros, n))
+    return pa.table(
+        {
+            group_col: pa.array([r[0] for r in rows]),
+            "p": pa.array([p] * len(rows), pa.int64()),
+            "zeros": pa.array([r[1] for r in rows], pa.int64()),
+            "approx_n": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

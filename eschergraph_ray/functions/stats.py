@@ -613,3 +613,156 @@ def benford_digits(ds, val_col: str):
             }
         )
     )
+
+
+def group_quantiles(ds, group_col: str, val_col: str,
+                    p_pcts: tuple = (50, 90, 99), cents: int = 100):
+    """Per-group EXACT discrete quantiles — ``(group, n, p{P}_cents
+    ...)`` where each quantile is the inverse CDF at P percent: the
+    smallest value whose cumulative count satisfies ``100*cum >=
+    P*n`` (all-integer comparison — no float threshold, no
+    interpolation; the repo's quantile_disc convention). The grouped
+    complement of the global sampled sketch (`sampling.py`): exact
+    p50/p90/p99 latency/price floors per segment.
+
+    Shape: per-batch combiner partials collapse rows to (group, value,
+    count) cells — the only data-sized exchange — then each group's
+    quantile sweep runs over its value-cardinality-bounded histogram
+    in one reducer (the :func:`robust_stats_by_group` contract).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    pcts = sorted(int(p) for p in p_pcts)
+    if any(not 0 < p <= 100 for p in pcts):
+        raise ValueError("p_pcts must be integer percents in (0, 100]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.is_valid(batch[group_col]), pc.is_valid(batch[val_col])
+        )
+        t = batch.select([group_col, val_col]).filter(keep)
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[val_col], pa.float64()),
+                            float(cents)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        cells = pa.table({group_col: t[group_col], "v": v})
+        return (
+            cells.group_by([group_col, "v"])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, "v", "cnt"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("v")
+        v = pc.cast(g["v"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(g["cnt"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = int(c.sum())
+        cum = np.cumsum(c, dtype=np.int64)
+        cols = {group_col: group[group_col][:1],
+                "n": pa.array([n], pa.int64())}
+        for p in pcts:
+            q = int(v[np.argmax(100 * cum >= p * n)])
+            cols[f"p{p}_cents"] = pa.array([q], pa.int64())
+        return pa.table(cols)
+
+    return (
+        cells.groupby(group_col)
+        .map_groups(sweep, batch_format="pyarrow")
+        .sort(group_col)
+    )
+
+
+def entropy_by_group(ds, group_col: str, item_col: str):
+    """Shannon entropy of each group's item distribution, in integer
+    micro-nats — how concentrated vs spread is every segment's
+    behavior (a per-group complement of :func:`mutual_information`,
+    same micro-nat parity discipline): ``H = Σ (n_i/n) ln(n/n_i)``
+    computed as per-cell ``q = round(1e6·ln(DOUBLE(n)/n_i))`` int64,
+    weighted total ``Σ n_i·q`` in pure int64 (order-free), final
+    ``h_micro = round(total/n)`` — one divide + zero-digit round per
+    step, bit-identical in SQL.
+
+    Shape: one contingency groupby builds (group, item, n_i) cells —
+    the only pass over the data — then each group's sweep reduces its
+    item-cardinality-bounded cell list in one reducer. Returns
+    ``(group, n, n_items, h_micro)`` sorted by group; null
+    groups/items are dropped first (SQL aggregate semantics).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.is_valid(batch[group_col]), pc.is_valid(batch[item_col])
+        )
+        t = batch.select([group_col, item_col]).filter(keep)
+        return (
+            t.group_by([group_col, item_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, item_col, "n_part"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, item_col])
+        .aggregate(Sum("n_part", alias_name="n_i"))
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        c = pc.cast(group["n_i"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n = int(c.sum())
+        q = np.asarray(
+            pc.round(
+                pa.array(np.log(float(n) / c.astype(np.float64)) * 1e6),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ).cast(pa.int64())
+        )
+        total = int((c * q).sum())
+        h = int(
+            pc.round(
+                pa.array([total / float(n)]),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )[0].as_py()
+        )
+        return pa.table(
+            {
+                group_col: group[group_col][:1],
+                "n": pa.array([n], pa.int64()),
+                "n_items": pa.array([len(c)], pa.int64()),
+                "h_micro": pa.array([h], pa.int64()),
+            }
+        )
+
+    return (
+        cells.groupby(group_col)
+        .map_groups(sweep, batch_format="pyarrow")
+        .sort(group_col)
+    )

@@ -114,3 +114,33 @@ def test_write_csv_sharded_retry_same_name(ray_session, tmp_path):
     f2 = write_csv_sharded(rd.from_arrow(t), d, "doc_id")
     # content-hash names: a rerun rewrites the SAME file set
     assert f1 == f2
+
+
+def test_orc_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.sources.docfiles import (
+        read_documents_orc,
+        write_orc_sharded,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(['a "q"', "รถ\nnl", "", "x,y"], pa.string()),
+            "score": pa.array([1.5, None, 0.0, -2.25], pa.float64()),
+        }
+    )
+    files = write_orc_sharded(
+        rd.from_arrow(t).repartition(3), str(tmp_path / "orc"), "doc_id"
+    )
+    assert len(files) >= 2  # sharded, not one giant file
+    back = (
+        read_documents_orc(files)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(want)

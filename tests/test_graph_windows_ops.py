@@ -1339,3 +1339,140 @@ def test_benford_digits_empty(ray_session):
     assert len(out) == 9
     assert (out["observed"] == 0).all()
     assert (out["expected_micro"] == 0).all()
+
+
+def test_group_quantiles_matches_bruteforce(ray_session):
+    import random
+
+    from eschergraph_ray.functions.stats import group_quantiles
+
+    rng = random.Random(13)
+    rows = [(rng.choice(["a", "b", "c"]), round(rng.uniform(0, 50), 2))
+            for _ in range(400)]
+    rows += [("d", 1.0)]  # single-row group
+    tbl = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+    out = group_quantiles(
+        rd.from_arrow(tbl).repartition(3), "g", "v", p_pcts=(50, 90, 99)
+    ).to_pandas()
+
+    def brute(g):
+        vals = sorted(round(v * 100) for gg, v in rows if gg == g)
+        n = len(vals)
+        qs = {}
+        for p in (50, 90, 99):
+            cum = 0
+            for i, v in enumerate(vals):
+                cum += 1
+                if 100 * cum >= p * n:
+                    qs[p] = v
+                    break
+        return n, qs
+
+    assert list(out["g"]) == ["a", "b", "c", "d"]
+    for _, r in out.iterrows():
+        n, qs = brute(r["g"])
+        assert int(r["n"]) == n
+        for p in (50, 90, 99):
+            assert int(r[f"p{p}_cents"]) == qs[p], (r["g"], p)
+
+
+def test_entropy_by_group_hand(ray_session):
+    import math
+
+    from eschergraph_ray.functions.stats import entropy_by_group
+
+    # group 'u': uniform over 4 items -> H = ln 4; 'k': constant -> 0
+    rows = [("u", i % 4) for i in range(40)] + [("k", 9)] * 7
+    rows += [(None, 1), ("u", None)]  # dropped
+    tbl = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "it": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    out = entropy_by_group(
+        rd.from_arrow(tbl).repartition(2), "g", "it"
+    ).to_pandas()
+    got = {r["g"]: (int(r["n"]), int(r["n_items"]), int(r["h_micro"]))
+           for _, r in out.iterrows()}
+    assert got["k"] == (7, 1, 0)
+    n, items, h = got["u"]
+    assert (n, items) == (40, 4)
+    assert abs(h - round(math.log(4) * 1e6)) <= 1
+
+
+def test_approx_distinct_by_group_accuracy(ray_session):
+    from eschergraph_ray.functions.sketch import approx_distinct_by_group
+
+    rows = []
+    for g, n_distinct in [("a", 500), ("b", 40), ("c", 1)]:
+        for i in range(n_distinct):
+            rows += [(g, f"{g}-{i}")] * 2  # duplicates must not count
+    tbl = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    out = approx_distinct_by_group(
+        rd.from_arrow(tbl).repartition(4), "g", "v", p=12
+    ).to_pandas()
+    got = dict(zip(out["g"], out["approx_n"]))
+    assert set(got) == {"a", "b", "c"}
+    assert abs(got["a"] - 500) <= 50  # ~1.6% expected error at p=12
+    assert abs(got["b"] - 40) <= 6
+    assert got["c"] == 1
+    # partition-count independence (max-merge is order-free)
+    out2 = approx_distinct_by_group(
+        rd.from_arrow(tbl).repartition(1), "g", "v", p=12
+    ).to_pandas()
+    assert out2.equals(out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="groups"):
+        approx_distinct_by_group(
+            rd.from_arrow(tbl), "g", "v", p=12, max_groups=1
+        )
+
+
+def test_rank_delta_periods_hand(ray_session):
+    from eschergraph_ray.functions.relational import rank_delta_periods
+
+    # period 1 ranks: x(30) 1, y(20) 2, z(10) 3
+    # period 3 ranks: z(50) 1, x(25) 2  (y absent -> excluded)
+    rows = [
+        ("x", 1, 30), ("y", 1, 20), ("z", 1, 10),
+        ("z", 3, 50), ("x", 3, 25),
+        ("w", 2, 99),  # middle period never compared
+    ]
+    tbl = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "per": pa.array([r[1] for r in rows], pa.int64()),
+            "val": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = rank_delta_periods(
+        rd.from_arrow(tbl).repartition(2), "k", "per", "val"
+    ).to_pandas()
+    assert list(out["k"]) == ["z", "x"]  # sorted by delta desc
+    z = out.iloc[0]
+    assert (int(z["period_a"]), int(z["period_b"])) == (1, 3)
+    assert (int(z["rank_a"]), int(z["rank_b"]), int(z["rank_delta"])) == (3, 1, 2)
+    x = out.iloc[1]
+    assert (int(x["rank_a"]), int(x["rank_b"]), int(x["rank_delta"])) == (1, 2, -1)
+    # one-period input -> zero rows
+    one = pa.table(
+        {
+            "k": pa.array(["x"], pa.string()),
+            "per": pa.array([1], pa.int64()),
+            "val": pa.array([5], pa.int64()),
+        }
+    )
+    assert rank_delta_periods(rd.from_arrow(one), "k", "per", "val").count() == 0
