@@ -1380,7 +1380,8 @@ def clustering_coefficients(edges_ds, src_col: str, dst_col: str,
 
 
 def degree_assortativity(edges_ds, src_col: str, dst_col: str,
-                         num_partitions: int = _DEFAULT_PARTITIONS):
+                         num_partitions: int = _DEFAULT_PARTITIONS,
+                         small_edge_cutoff: int = 200_000):
     """Degree assortativity of the undirected simple graph — do hubs
     link to hubs (r > 0) or to leaves (r < 0)? (Newman 2002, "Mixing
     patterns in networks".) The single most-quoted global mixing
@@ -1398,12 +1399,17 @@ def degree_assortativity(edges_ds, src_col: str, dst_col: str,
     joins to attach endpoint degrees, then per-batch int64 moment
     partials (n, sx, sxy, sxx) — only batch-count rows reach the
     driver, combined in arbitrary-precision Python ints (the moments
-    exceed int64 long before the data stops fitting a cluster).
+    exceed int64 long before the data stops fitting a cluster). Below
+    ``small_edge_cutoff`` normalized edges a driver numpy pass computes
+    the identical moments (the kcore/label-prop small-graph precedent —
+    two hash joins on a hundreds-of-nodes KG cost seconds of fixed
+    overhead); tests force both paths.
 
     Returns one row ``(n_pairs, r_micro)`` — ``r_micro = round(1e6 *
     num / den, 0)`` as int64, NULL when den == 0 (regular graph);
     zero rows on an empty graph.
     """
+    import numpy as np
     P = _clamp_partitions(num_partitions)
     edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
     empty = pa.table(
@@ -1412,8 +1418,28 @@ def degree_assortativity(edges_ds, src_col: str, dst_col: str,
             "r_micro": pa.array([], pa.int64()),
         }
     )
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(empty)
+
+    if n_edges <= small_edge_cutoff:
+        # identical moments, one driver numpy pass: degrees by
+        # factorize+bincount, symmetrized sums. int64 is safe here —
+        # at <=2e5 edges deg<=4e5, so sxx <= (4e5)^2 * 4e5 ~ 6.4e16.
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow"))
+        )
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b_ = tbl["b"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(np.concatenate([a, b_]), return_inverse=True)
+        deg_all = np.bincount(inv).astype(np.int64)
+        x = deg_all[inv[: len(a)]]
+        y = deg_all[inv[len(a):]]
+        n = 2 * len(x)
+        sx = int((x + y).sum())
+        sxy = 2 * int((x * y).sum())
+        sxx = int((x * x).sum() + (y * y).sum())
+        return _assortativity_result(n, sx, sxy, sxx)
 
     deg = (
         _explode_endpoints(edges)
@@ -1476,6 +1502,13 @@ def degree_assortativity(edges_ds, src_col: str, dst_col: str,
     sx = sum(int(r["sx"]) for r in parts)
     sxy = sum(int(r["sxy"]) for r in parts)
     sxx = sum(int(r["sxx"]) for r in parts)
+    return _assortativity_result(n, sx, sxy, sxx)
+
+
+def _assortativity_result(n: int, sx: int, sxy: int, sxx: int):
+    """Exact-integer moments -> the one-row (n_pairs, r_micro) table —
+    shared by degree_assortativity's driver and distributed paths so
+    both are bit-identical."""
     num = n * sxy - sx * sx
     den = n * sxx - sx * sx
     if den == 0:
@@ -1498,10 +1531,97 @@ def degree_assortativity(edges_ds, src_col: str, dst_col: str,
     )
 
 
+def _modularity_local(edges_mat, membership_mat, m: int,
+                      empty: pa.Table):
+    """Driver pyarrow pass over a small materialized (a, b) edge list +
+    (node, comm) membership — exactly the distributed decomposition's
+    semantics (index_in community tagging with null-drop inner-join
+    behavior, count/sum aggregates, (contrib desc, community) order),
+    so both paths are bit-identical."""
+    et = pa.concat_tables(
+        list(edges_mat.iter_batches(batch_format="pyarrow"))
+    ).combine_chunks()
+    mt = pa.concat_tables(
+        list(membership_mat.iter_batches(batch_format="pyarrow"))
+    ).combine_chunks()
+    nodes_arr = mt["node"].combine_chunks()
+    comm_arr = mt["comm"].combine_chunks()
+
+    ca = comm_arr.take(pc.index_in(et["a"], value_set=nodes_arr))
+    cb = comm_arr.take(pc.index_in(et["b"], value_set=nodes_arr))
+    # intra edges per community (null ca/cb -> null equal -> dropped,
+    # matching the distributed filter)
+    pairs = pa.table({"ca": ca, "cb": cb})
+    intra_agg = (
+        pairs.filter(pc.equal(pairs["ca"], pairs["cb"]))
+        .select(["ca"])
+        .group_by(["ca"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["comm", "intra_edges"])
+    )
+
+    # community degree sums over non-isolated nodes (membership misses
+    # dropped = inner-join semantics)
+    ep = pa.table(
+        {"node": pa.concat_arrays(et["a"].chunks + et["b"].chunks)}
+    )
+    degt = ep.group_by(["node"]).aggregate([([], "count_all")])
+    dt = pa.table(
+        {
+            "comm": comm_arr.take(
+                pc.index_in(degt["node"], value_set=nodes_arr)
+            ),
+            "d": pc.cast(degt["count_all"], pa.int64()),
+        }
+    )
+    dt = dt.filter(pc.is_valid(dt["comm"]))
+    dsum_t = (
+        dt.group_by(["comm"])
+        .aggregate([("d", "sum")])
+        .rename_columns(["comm", "degree_sum"])
+    )
+    if dsum_t.num_rows == 0:
+        return rd.from_arrow(empty)
+
+    if intra_agg.num_rows == 0:
+        e_c = pa.array([0] * dsum_t.num_rows, pa.int64())
+    else:
+        idx = pc.index_in(
+            dsum_t["comm"], value_set=intra_agg["comm"].combine_chunks()
+        )
+        e_c = pc.fill_null(
+            pc.cast(
+                intra_agg["intra_edges"].combine_chunks().take(idx),
+                pa.int64(),
+            ),
+            0,
+        )
+    d_c = pc.cast(dsum_t["degree_sum"], pa.int64())
+    contrib = pc.subtract(
+        pc.multiply(pa.scalar(4 * m, pa.int64()), e_c),
+        pc.multiply(d_c, d_c),
+    )
+    out = pa.table(
+        {
+            "community": dsum_t["comm"],
+            "intra_edges": e_c,
+            "degree_sum": d_c,
+            "contrib_num": contrib,
+        }
+    )
+    order = pc.sort_indices(
+        out,
+        sort_keys=[("contrib_num", "descending"),
+                   ("community", "ascending")],
+    )
+    return rd.from_arrow(out.take(order).combine_chunks())
+
+
 def partition_modularity(edges_ds, membership_ds, src_col: str,
                          dst_col: str, node_col: str, comm_col: str,
                          num_partitions: int = _DEFAULT_PARTITIONS,
-                         broadcast_limit: int = 500_000):
+                         broadcast_limit: int = 500_000,
+                         small_edge_cutoff: int = 200_000):
     """Per-community modularity decomposition of a node partition over
     the undirected simple graph — the objective Louvain/Leiden optimize
     (Newman & Girvan 2004), evaluated EXACTLY: with m edges, e_c
@@ -1517,9 +1637,12 @@ def partition_modularity(edges_ds, membership_ds, src_col: str,
     partials only) or two distributed hash joins past it (tests force
     both paths); degree sums ride the endpoint-explode groupby. The
     partition is restricted to non-isolated nodes (degree 0 contributes
-    nothing to either term). Returns
-    ``(community, intra_edges, degree_sum, contrib_num)`` ordered by
-    (contrib_num desc, community).
+    nothing to either term). Below ``small_edge_cutoff`` normalized
+    edges (when the membership also fits the broadcast budget) the
+    whole decomposition runs as one driver pyarrow pass — the
+    kcore/assortativity small-KG precedent; tests force every path.
+    Returns ``(community, intra_edges, degree_sum, contrib_num)``
+    ordered by (contrib_num desc, community).
     """
     import ray
 
@@ -1541,8 +1664,13 @@ def partition_modularity(edges_ds, membership_ds, src_col: str,
     membership = membership_ds.map_batches(
         lambda b: pa.table({"node": b[node_col], "comm": b[comm_col]}),
         batch_format="pyarrow",
-    ).repartition(P).materialize()
+    ).materialize()
     n_members = membership.count()
+
+    if m <= small_edge_cutoff and n_members <= broadcast_limit:
+        return _modularity_local(edges, membership, m, empty)
+
+    membership = membership.repartition(P).materialize()
 
     from ray.data.aggregate import Sum
 

@@ -754,7 +754,17 @@ _KIND_COLUMNS = {
 
 
 def load_kind(out_dir: str, kind: str):
-    """Read one logical output table back as a Dataset (column-pruned)."""
+    """Read one logical output table back as a Dataset (column-pruned).
+
+    Coalesces MANY-small-file builds into ~32 MiB blocks at the read
+    (the round-4 incremental-probe lesson: one block per tiny partition
+    file makes per-block fixed costs dominate every downstream shuffle
+    — 3.1 s -> 0.5 s on the sf0.1 membership groupby). Size-aware: a
+    build whose files already exceed the target keeps file granularity,
+    so a real many-TB build loses no read parallelism.
+    """
+    import math
+
     import ray.data as rd
 
     cols = _KIND_COLUMNS[kind]
@@ -766,7 +776,14 @@ def load_kind(out_dir: str, kind: str):
             paths.extend(
                 os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
             )
-    ds = rd.read_parquet(paths, columns=list(cols))
+    import ray
+
+    total = sum(os.path.getsize(p) for p in paths)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if (
+        ray.is_initialized()) else 8
+    nb = min(len(paths), max(8, cpus, math.ceil(total / (32 << 20))))
+    ds = rd.read_parquet(paths, columns=list(cols),
+                         override_num_blocks=max(nb, 1))
     if any(k != v for k, v in cols.items()):
         ds = ds.map_batches(
             lambda t, c=cols: t.rename_columns([c[name] for name in t.column_names]),

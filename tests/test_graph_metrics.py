@@ -277,12 +277,16 @@ def test_degree_assortativity_matches_bruteforce(ray_session):
             "d": pa.array([b for _, b in edges], pa.int64()),
         }
     )
-    out = degree_assortativity(
-        rd.from_arrow(tbl).repartition(3), "s", "d"
-    ).to_pandas()
-    assert len(out) == 1
-    assert int(out["n_pairs"][0]) == nn
-    assert int(out["r_micro"][0]) == want
+    # cutoff=0 forces the distributed join/moments path; the default
+    # takes the driver numpy fast path — bit-identical results
+    for cutoff in (0, 200_000):
+        out = degree_assortativity(
+            rd.from_arrow(tbl).repartition(3), "s", "d",
+            small_edge_cutoff=cutoff,
+        ).to_pandas()
+        assert len(out) == 1
+        assert int(out["n_pairs"][0]) == nn
+        assert int(out["r_micro"][0]) == want
     # duplicate + reversed edges normalize away -> identical result
     tbl2 = pa.table(
         {
@@ -366,19 +370,20 @@ def test_partition_modularity_matches_bruteforce(ray_session):
                              pa.string()),
         }
     )
-    for limit in (0, 10**6):
-        # limit=0 forces the join fallback; the large limit broadcasts
+    # (broadcast_limit, small_edge_cutoff): join fallback, distributed
+    # broadcast tag, and the driver fast path — all bit-identical
+    for limit, cutoff in ((0, 0), (10**6, 0), (10**6, 200_000)):
         out = partition_modularity(
             rd.from_arrow(tbl).repartition(3),
             rd.from_arrow(mem_tbl), "s", "d", "node", "comm",
-            broadcast_limit=limit,
+            broadcast_limit=limit, small_edge_cutoff=cutoff,
         ).to_pandas()
         got = {
             r["community"]: (int(r["intra_edges"]), int(r["degree_sum"]),
                              int(r["contrib_num"]))
             for _, r in out.iterrows()
         }
-        assert got == want, f"limit={limit}"
+        assert got == want, f"limit={limit} cutoff={cutoff}"
         # ordered by (contrib_num desc, community)
         key = list(zip(-out["contrib_num"], out["community"]))
         assert key == sorted(key)
@@ -402,13 +407,15 @@ def test_partition_modularity_membership_miss(ray_session):
         }
     )
     outs = []
-    for limit in (0, 10**6):
+    for limit, cutoff in ((0, 0), (10**6, 0), (10**6, 200_000)):
         out = partition_modularity(
             rd.from_arrow(tbl), rd.from_arrow(mem), "s", "d",
             "node", "comm", broadcast_limit=limit,
+            small_edge_cutoff=cutoff,
         ).to_pandas()
         outs.append(out)
     assert outs[0].equals(outs[1])
+    assert outs[0].equals(outs[2])
     got = {
         r["community"]: (int(r["intra_edges"]), int(r["degree_sum"]))
         for _, r in outs[0].iterrows()
