@@ -261,12 +261,51 @@ def minhash_lsh_candidates(
     pairs = _bucket_pairs_vectorized(
         exploded, ["band_id", "band_hash"], id_col, df_cutoff
     )
-    from ray.data.aggregate import Count
+    # distinct unordered pairs via the int-bucket combine (the native
+    # (id_a, id_b) groupby re-shuffles the whole band fan-out on wide
+    # string keys)
+    return _pair_counts_bucketed(pairs, out_col="n_bands").select_columns(
+        ["id_a", "id_b"]
+    )
+
+
+def _pair_counts_bucketed(pairs_ds, out_col: str = "n_common",
+                          num_buckets: int = 64):
+    """Occurrence counts per unordered (id_a, id_b) pair WITHOUT a
+    native groupby over the composite key: a sort shuffle of the
+    ~quadratic pair fan-out on wide (string, string) keys is the most
+    expensive exchange in the near-dup family (measured 49 s native vs
+    0.8 s bucketed for 1.5M pairs at sf0.1). Rows are bucketed by
+    ``crc32(id_a) % num_buckets`` — every row of a pair shares id_a,
+    so ONE bucket holds the pair whole and the per-bucket Arrow
+    group_by is its complete, exact count. The exchange key is a
+    single small int; bucket size = fan-out / num_buckets plus hot-id
+    skew, which the pair producer's df_cutoff already bounds."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        t = batch.select(["id_a", "id_b"])
+        u = pc.unique(t["id_a"].combine_chunks())
+        lut = {
+            v: zlib.crc32(str(v).encode()) % num_buckets
+            for v in u.to_pylist()
+        }
+        bk = pa.array([lut[v] for v in t["id_a"].to_pylist()], pa.int32())
+        return t.append_column("bucket", bk)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["id_a", "id_b"])
+            .group_by(["id_a", "id_b"])
+            .aggregate([("id_a", "count")])
+            .rename_columns(["id_a", "id_b", out_col])
+        )
 
     return (
-        pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands")).select_columns(
-            ["id_a", "id_b"]
-        )
+        pairs_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -310,10 +349,43 @@ def _empty_pairs_table(id_type: pa.DataType, value_col: str) -> pa.Table:
 
 def _attach_payload(pairs_ds, payload_ds, pair_key: str, id_col: str,
                     payload_col: str, out_col: str,
-                    num_partitions: int = DEFAULT_JOIN_PARTITIONS):
-    """Distributed hash join: pairs_ds[pair_key] == payload_ds[id_col],
-    bringing ``payload_col`` in as ``out_col``. The payload table must
-    carry its payload as a join-safe type (binary/fixed-width)."""
+                    num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+                    broadcast_limit: int = 200_000):
+    """Attach pairs_ds[pair_key] == payload_ds[id_col], bringing
+    ``payload_col`` in as ``out_col``. The payload table must carry
+    its payload as a join-safe type (binary/fixed-width).
+
+    Below ``broadcast_limit`` payload rows the attach is a ray.put
+    broadcast + vectorized index_in/take lookup inside one streaming
+    map (inner semantics: missing keys drop) — the pairs stream never
+    shuffles, which matters because candidate-pair tables are often
+    ~quadratic in the (small) payload table they reference. Past the
+    limit: the distributed hash join, unchanged."""
+    import ray
+
+    n_payload = payload_ds.count()
+    mt = None
+    if n_payload <= broadcast_limit:
+        mt = pa.concat_tables(
+            list(payload_ds.iter_batches(batch_format="pyarrow"))
+        ).combine_chunks()
+        if mt.nbytes > (256 << 20):  # fat payloads: keep the join
+            mt = None
+    if mt is not None:
+        ref = ray.put((mt[id_col].combine_chunks(),
+                       mt[payload_col].combine_chunks()))
+
+        def attach(b: pa.Table, _ref=ref) -> pa.Table:
+            from ..stages.chunking import pin_arrow_threads
+
+            pin_arrow_threads()
+            r = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+            ids_arr, payload = r
+            vals = payload.take(pc.index_in(b[pair_key], value_set=ids_arr))
+            t = b.append_column(out_col, vals)
+            return t.filter(pc.is_valid(t[out_col]))
+
+        return pairs_ds.map_batches(attach, batch_format="pyarrow")
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.select([id_col, payload_col]).rename_columns([id_col, out_col])
@@ -588,10 +660,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,
     # carry degenerate empty blocks (see _pinned_payload)
     sizes = _pinned_payload(grams.groupby(id_col).aggregate(Count(alias_name="n_grams")))
 
-    inter = (
+    inter = _pair_counts_bucketed(
         _bucket_pairs_vectorized(grams, ["gram"], id_col, df_cutoff)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_common"))
     )
     inter = _nonempty_pairs(inter)
     if inter is None:
@@ -800,8 +870,13 @@ def embedding_lsh_candidates(ds, id_col: str, vec_col: str,
                              num_planes: int = 64, bands: int = 16, seed: int = 7):
     """Hyperplane-LSH candidate pairs (the sub-quadratic scale path):
     sign-bit signature under ``num_planes`` seeded random hyperplanes,
-    banded into ``bands`` buckets; groupby (band_id, band_hash) is THE
-    shuffle; pairs within a bucket, distinct per unordered pair."""
+    banded into ``bands`` buckets; groupby (band_id, band_hash) over
+    the (id, band) rows is THE shuffle. Pairs are distinct per
+    unordered pair BY CONSTRUCTION via the emit-once rule — each row
+    carries its full packed signature (+8*bands bytes of shuffle
+    payload) and a bucket emits a pair only when no EARLIER band also
+    matched, which deletes the pairs-stream distinct groupby that
+    otherwise re-shuffles the whole quadratic candidate fan-out."""
     if bands < 1 or num_planes % bands:
         raise ValueError(f"bands ({bands}) must divide num_planes ({num_planes})")
     bits_per_band = num_planes // bands
@@ -822,44 +897,70 @@ def embedding_lsh_candidates(ds, id_col: str, vec_col: str,
         ).reshape(n, -1)
         planes = _planes(mat.shape[1])
         bits = (mat @ planes) >= 0  # (n, num_planes) bool
-        ids, bids, bhash = [], [], []
+        # band hashes in one reshape-matmul; each (id, band) row also
+        # carries the row's FULL packed signature so the bucket stage
+        # can apply the emit-once rule without a second lookup
         weights = (1 << np.arange(bits_per_band, dtype=np.int64))
-        for r, id_ in enumerate(batch[id_col].to_pylist()):
-            row = bits[r].astype(np.int64)
-            for bi in range(bands):
-                val = int(
-                    (row[bi * bits_per_band : (bi + 1) * bits_per_band] * weights).sum()
-                )
-                ids.append(id_)
-                bids.append(bi)
-                bhash.append(val)
+        vals = bits.reshape(n, bands, bits_per_band).astype(np.int64) @ weights
+        ids_arr = batch[id_col].combine_chunks()
+        sig_bytes = [vals[r].tobytes() for r in range(n)]
         return pa.table(
             {
-                id_col: pa.array(ids, batch[id_col].type),
-                "band_id": pa.array(bids, pa.int32()),
-                "band_hash": pa.array(bhash, pa.int64()),
+                id_col: ids_arr.take(
+                    pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+                ),
+                "band_id": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(vals.ravel(), pa.int64()),
+                "sig": pa.array(
+                    [s for s in sig_bytes for _ in range(bands)],
+                    pa.large_binary(),
+                ),
             }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_col].to_pylist()))
-        a_, b_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_.append(ids[i])
-                b_.append(ids[j])
+        # sorted ids + the i<j upper triangle via triu_indices, then
+        # the EMIT-ONCE rule: a pair is emitted only from its FIRST
+        # matching band (any earlier-band hash equality suppresses
+        # it), so the global pair stream is distinct by construction —
+        # no 8M-row distinct-pair shuffle afterwards, and no per-pair
+        # Python loop (a degenerate bucket melts down in Python long
+        # before numpy)
         t = group[id_col].type
-        return pa.table({"id_a": pa.array(a_, t), "id_b": pa.array(b_, t)})
-
-    from ray.data.aggregate import Count
+        bi = int(group["band_id"][0].as_py())
+        tbl = group.select([id_col, "sig"]).combine_chunks()
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(id_col, "ascending")]))
+        if tbl.num_rows > 1:  # defensive id dedupe (the old set() behavior)
+            ids0 = tbl[id_col].combine_chunks()
+            if isinstance(ids0, pa.ChunkedArray):
+                ids0 = pa.concat_arrays(ids0.chunks)
+            first = pa.concat_arrays([
+                pa.array([True]),
+                pc.not_equal(ids0.slice(1), ids0.slice(0, len(ids0) - 1)),
+            ])
+            tbl = tbl.filter(first)
+        n = tbl.num_rows
+        S = np.frombuffer(
+            b"".join(tbl["sig"].to_pylist()), dtype=np.int64
+        ).reshape(n, bands)
+        iu, ju = np.triu_indices(n, k=1)
+        if bi > 0 and len(iu):
+            seen_earlier = (S[iu, :bi] == S[ju, :bi]).any(axis=1)
+            iu, ju = iu[~seen_earlier], ju[~seen_earlier]
+        ids = tbl[id_col]
+        return pa.table(
+            {
+                "id_a": ids.take(pa.array(iu, pa.int64())),
+                "id_b": ids.take(pa.array(ju, pa.int64())),
+            }
+        ).cast(pa.schema([("id_a", t), ("id_b", t)]))
 
     return (
         ds.map_batches(sig, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["id_a", "id_b"])
     )
 
 
@@ -896,24 +997,52 @@ def embedding_lsh_near_dup_pairs(ds, id_col: str, vec_col: str,
     j2 = _attach_payload(j1, vecs, "id_b", id_col, "vec", "vec_b", num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = batch["id_a"].type
+        n = batch.num_rows
+        if n:
+            # pass 1 — vectorized prefilter: one batched cosine sweep
+            # with a margin wider than both the 4-digit round's reach
+            # (5e-5) and any dgemm-vs-ddot accumulation drift, so no
+            # pair the exact pass would keep can be dropped. This cuts
+            # the per-pair Python pass below from every candidate
+            # (degenerate low-threshold banding admits most of the
+            # quadratic) to just the near-threshold survivors.
+            va = np.frombuffer(
+                b"".join(batch["vec_a"].to_pylist()), dtype=np.float64
+            ).reshape(n, -1)
+            vb = np.frombuffer(
+                b"".join(batch["vec_b"].to_pylist()), dtype=np.float64
+            ).reshape(n, -1)
+            na = np.linalg.norm(va, axis=1)
+            na[na == 0] = 1.0
+            nb = np.linalg.norm(vb, axis=1)
+            nb[nb == 0] = 1.0
+            s = np.einsum(
+                "bd,bd->b", va / na[:, None], vb / nb[:, None]
+            )
+            keep = np.nonzero(s >= threshold - 1e-4)[0]
+            batch = batch.take(pa.array(keep, pa.int64()))
         a_, b_, s_ = [], [], []
-        for a, b, va, vb in zip(
+        for a, b, va_, vb_ in zip(
             batch["id_a"].to_pylist(),
             batch["id_b"].to_pylist(),
             batch["vec_a"].to_pylist(),
             batch["vec_b"].to_pylist(),
         ):
-            x = _unpack_f64(va)
-            y = _unpack_f64(vb)
+            x = _unpack_f64(va_)
+            y = _unpack_f64(vb_)
             nx = np.linalg.norm(x) or 1.0
             ny = np.linalg.norm(y) or 1.0
-            # np.round: value-parity with embedding_near_dup_pairs
+            # pass 2 — np.round per pair: byte-identical value parity
+            # with embedding_near_dup_pairs (and the SQL replay)
             sim = float(np.round((x / nx) @ (y / ny), 4))
             if sim >= threshold:
                 a_.append(a)
                 b_.append(b)
                 s_.append(sim)
-        t = batch["id_a"].type
         return pa.table(
             {
                 "id_a": pa.array(a_, t),
@@ -970,10 +1099,8 @@ def ngram_containment_pairs(ds, id_col: str, text_col: str, n: int = 3,
         grams.groupby(id_col).aggregate(Count(alias_name="n_grams"))
     )
 
-    inter = (
+    inter = _pair_counts_bucketed(
         _bucket_pairs_vectorized(grams, ["gram"], id_col, df_cutoff)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_common"))
     )
     inter = _nonempty_pairs(inter)
     if inter is None:

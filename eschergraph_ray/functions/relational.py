@@ -835,7 +835,8 @@ def cube_counts(ds, k1: str, k2: str, val_col: str,
 
 
 def rank_delta_periods(ds, key_col: str, period_col: str,
-                       val_micro_col: str):
+                       val_micro_col: str,
+                       max_rows: int = 2_000_000):
     """Two-period trending-rank comparison: sum ``val_micro_col`` per
     (key, period), pick the EARLIEST and LATEST period present in the
     data, rank keys inside each by (value desc, key asc — a total
@@ -848,7 +849,9 @@ def rank_delta_periods(ds, key_col: str, period_col: str,
     (key × period)-cardinality aggregate; the rank/diff pass runs on
     that dimension-sized table driver-side (leaderboards are model
     state, like k-means centroids — a key space too large to rank on
-    the driver has no readable leaderboard either). Inputs must
+    the driver has no readable leaderboard either). ``max_rows``
+    makes that assumption LOUD: past it the op raises instead of
+    OOMing the driver (the max_vocab_broadcast device). Inputs must
     already be integer micro-units; sums are exact int64.
 
     Returns ``(key, period_a, period_b, val_a_micro, val_b_micro,
@@ -858,11 +861,20 @@ def rank_delta_periods(ds, key_col: str, period_col: str,
     import numpy as np
     from ray.data.aggregate import Sum
 
-    agg = (
+    aggm = (
         ds.groupby([key_col, period_col])
         .aggregate(Sum(val_micro_col, alias_name="val"))
-        .take_all()
+        .materialize()
     )
+    n_cells = aggm.count()
+    if n_cells > max_rows:
+        raise ValueError(
+            f"rank_delta_periods: {n_cells} (key, period) cells exceed "
+            f"max_rows={max_rows} — the leaderboard rank/diff pass is "
+            "driver-side model state; pre-filter the key space (top-N "
+            "per period) or raise max_rows deliberately"
+        )
+    agg = aggm.take_all()
     empty = pa.table(
         {
             "key": pa.array([], pa.string()),

@@ -95,15 +95,21 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
     ]
     if len(hashes) <= window:
         return [min(hashes)]
-    out = []
-    prev = -1
     h = np.array(hashes, dtype=np.uint64)
-    for i in range(len(hashes) - window + 1):
-        j = i + int(np.argmin(h[i : i + window]))
-        if j != prev:
-            out.append(int(h[j]))
-            prev = j
-    return out
+    # vectorized per-window first-min: argmin over the sliding window
+    # view replaces the per-window Python loop. The selected index
+    # sequence j is non-decreasing (a window's first-min either stays
+    # in view or is replaced by a later element), so the original
+    # "skip if same index as the previously EMITTED one" dedup is
+    # exactly the consecutive-duplicate drop below.
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(h, window)
+    j = np.arange(len(h) - window + 1) + np.argmin(w, axis=1)
+    keep = np.empty(len(j), bool)
+    keep[0] = True
+    keep[1:] = j[1:] != j[:-1]
+    return [int(x) for x in h[j[keep]]]
 
 
 def fingerprint_docs(ds, id_col: str, text_col: str, k: int = 5, window: int = 4):
@@ -131,9 +137,11 @@ def fingerprint_near_pairs(ds, id_col: str, text_col: str, k: int = 5,
                            min_overlap: float = 0.5, df_cutoff: int = 256):
     """MOSS-style copy detection over winnowing fingerprints
     (Schleimer et al. 2003 §4): explode per-doc fingerprint sets ->
-    groupby(fingerprint) pairs (the shuffle; buckets over ``df_cutoff``
-    docs are cut like ngram_jaccard_pairs' hot grams) -> count shared
-    fingerprints per pair -> join per-doc set sizes back by id ->
+    df-filter fingerprints (df >= 2 AND df <= ``df_cutoff``; most
+    winnowing fps are df=1 noise and hot ones are template boilerplate,
+    exactly ngram_jaccard_pairs' hot-gram cut) -> SELF-JOIN on the
+    fingerprint for pair fan-out -> shared-fp counts per pair via the
+    int-bucket combine -> join per-doc set sizes back by id ->
     overlap coefficient n_common / min(n_a, n_b). Fully distributed;
     same join infrastructure as the other near-dup verifiers.
 
@@ -154,38 +162,92 @@ def fingerprint_near_pairs(ds, id_col: str, text_col: str, k: int = 5,
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, fps = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            for fp in set(winnow_fingerprints(t, k, window)):
-                ids.append(i)
-                fps.append(fp - (1 << 63))
+        # fp - 2^63 exactly, for ALL uint64 values: flip the top bit
+        # and reinterpret (an astype+subtract pair wraps for fp >= 2^63)
+        per_doc = [
+            (np.unique(
+                np.asarray(winnow_fingerprints(t, k, window), np.uint64)
+            ) ^ np.uint64(1 << 63)).view(np.int64)
+            for t in batch[text_col].to_pylist()
+        ]
+        counts = np.array([len(f) for f in per_doc], np.int64)
+        idx = np.repeat(np.arange(len(per_doc), dtype=np.int64), counts)
+        ids_arr = batch[id_col].combine_chunks()
         return pa.table(
-            {id_col: pa.array(ids, batch[id_col].type),
-             "fp": pa.array(fps, pa.int64())}
+            {
+                id_col: ids_arr.take(pa.array(idx)),
+                "fp": pa.array(
+                    np.concatenate(per_doc) if per_doc else
+                    np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
         )
 
-    fps = ds.map_batches(explode, batch_format="pyarrow")
+    # materialized ONCE: consumed by both the sizes groupby and the
+    # pair groupby — without the pin the md5 fingerprinting pass (the
+    # compute-heavy stage) re-executes per consumer
+    fps = ds.map_batches(explode, batch_format="pyarrow").materialize()
     # pinned + coalesced: consumed by two joins (see _pinned_payload)
     sizes = _pinned_payload(fps.groupby(id_col).aggregate(Count(alias_name="n_fp")))
 
-    def fp_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_col].to_pylist()))
-        a_, b_ = [], []
-        if len(ids) <= df_cutoff:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_.append(ids[i])
-                    b_.append(ids[j])
-        t = group[id_col].type
-        return pa.table({"id_a": pa.array(a_, t), "id_b": pa.array(b_, t)})
+    # pair generation as a df-filtered SELF-JOIN on the fingerprint
+    # (the cooccurrence_pmi device) instead of groupby(fp).map_groups:
+    # winnowing fps are mostly df=1, so millions of one-row groups pay
+    # pure per-group Python overhead for zero pairs. df >= 2 keeps only
+    # pair-producing fps; df <= df_cutoff is the same hot-template cut
+    # the per-group path applied (group size == df: per-doc fps are
+    # distinct by construction).
+    from .dedup import DEFAULT_JOIN_PARTITIONS
 
-    inter = (
-        fps.groupby("fp")
-        .map_groups(fp_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_common"))
+    P = DEFAULT_JOIN_PARTITIONS
+    dfs = fps.groupby("fp").aggregate(Count(alias_name="df"))
+    ok = dfs.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b["df"], 2),
+                    pc.less_equal(b["df"], df_cutoff))
+        ).select(["fp"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if ok.count() == 0:
+        import ray.data as rd
+
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(_empty_pairs_table(id_type, "overlap"))
+    elig = (
+        fps.repartition(P)
+        .join(ok.repartition(P), join_type="left_semi",
+              num_partitions=P, on=("fp",))
+        .repartition(P)
+        .materialize()
     )
-    inter = inter.map_batches(
+
+    def as_side(out: str):
+        return elig.map_batches(
+            lambda b, o=out: b.select(["fp", id_col]).rename_columns(
+                ["fp", o]
+            ),
+            batch_format="pyarrow",
+        )
+
+    # shared-fp counts per pair via the int-bucket combine (see
+    # dedup._pair_counts_bucketed: a native groupby over the
+    # (string, string) pair key re-shuffles the whole quadratic
+    # fan-out — measured 49 s native vs 0.8 s bucketed at sf0.1)
+    from .dedup import _pair_counts_bucketed
+
+    raw_pairs = (
+        as_side("id_a")
+        .join(as_side("id_b"), join_type="inner",
+              num_partitions=P, on=("fp",))
+        .map_batches(
+            lambda b: b.filter(pc.less(b["id_a"], b["id_b"])).select(
+                ["id_a", "id_b"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    inter = _pair_counts_bucketed(raw_pairs).map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_common"], min_common)),
         batch_format="pyarrow",
     )

@@ -1476,3 +1476,10 @@ def test_rank_delta_periods_hand(ray_session):
         }
     )
     assert rank_delta_periods(rd.from_arrow(one), "k", "per", "val").count() == 0
+    # driver-state guard is LOUD, not an OOM: 5 cells > max_rows=4
+    import pytest
+
+    with pytest.raises(ValueError, match="max_rows"):
+        rank_delta_periods(
+            rd.from_arrow(tbl), "k", "per", "val", max_rows=4
+        )
