@@ -270,7 +270,8 @@ def minhash_lsh_candidates(
 
 
 def _pair_counts_bucketed(pairs_ds, out_col: str = "n_common",
-                          num_buckets: int = 64):
+                          num_buckets: int = 64, a_col: str = "id_a",
+                          b_col: str = "id_b", sum_col: str | None = None):
     """Occurrence counts per unordered (id_a, id_b) pair WITHOUT a
     native groupby over the composite key: a sort shuffle of the
     ~quadratic pair fan-out on wide (string, string) keys is the most
@@ -280,26 +281,31 @@ def _pair_counts_bucketed(pairs_ds, out_col: str = "n_common",
     so ONE bucket holds the pair whole and the per-bucket Arrow
     group_by is its complete, exact count. The exchange key is a
     single small int; bucket size = fan-out / num_buckets plus hot-id
-    skew, which the pair producer's df_cutoff already bounds."""
+    skew, which the pair producer's df_cutoff already bounds.
+
+    ``sum_col``: sum that int column per pair instead of counting rows
+    (the combiner-partials shape, e.g. cooccurrence_pmi's n_part)."""
+    cols = [a_col, b_col] + ([sum_col] if sum_col else [])
 
     def bucket(batch: pa.Table) -> pa.Table:
         import zlib
 
-        t = batch.select(["id_a", "id_b"])
-        u = pc.unique(t["id_a"].combine_chunks())
+        t = batch.select(cols)
+        u = pc.unique(t[a_col].combine_chunks())
         lut = {
             v: zlib.crc32(str(v).encode()) % num_buckets
             for v in u.to_pylist()
         }
-        bk = pa.array([lut[v] for v in t["id_a"].to_pylist()], pa.int32())
+        bk = pa.array([lut[v] for v in t[a_col].to_pylist()], pa.int32())
         return t.append_column("bucket", bk)
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        agg = (sum_col, "sum") if sum_col else (a_col, "count")
         return (
-            group.select(["id_a", "id_b"])
-            .group_by(["id_a", "id_b"])
-            .aggregate([("id_a", "count")])
-            .rename_columns(["id_a", "id_b", out_col])
+            group.select(cols)
+            .group_by([a_col, b_col])
+            .aggregate([agg])
+            .rename_columns([a_col, b_col, out_col])
         )
 
     return (

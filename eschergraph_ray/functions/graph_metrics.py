@@ -359,10 +359,13 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
        neither pair counts, item counts, nor the group total N
        (except a caller-passed ``n_groups``, which is the caller's
        corpus-level denominator and is left untouched);
-    3. pair counts — one groupby; rare pairs cut at ``min_count``
-       BEFORE the joins so the scored table stays small;
-    4. item counts joined on via two hash joins (no broadcast of the
-       full vocabulary — scale-safe for web-scale entity sets);
+    3. pair counts — the int-bucket combine (dedup._pair_counts_bucketed;
+       a native composite-key groupby would re-shuffle the whole
+       basket fan-out); rare pairs cut at ``min_count`` BEFORE the
+       attach so the scored table stays small;
+    4. item counts attached via dedup._attach_payload — broadcast
+       lookup below its budget, two hash joins past it (web-scale
+       entity sets stay scale-safe);
     5. one scoring pass emitting integer micro-nats
        ``round(ln(expr) * 1e6)`` (the vocab.bigram_pmi parity device:
        a single float expression over exact ints, then an all-integer
@@ -382,19 +385,21 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
 
     num_partitions = _clamp_partitions(num_partitions)
 
+    from .dedup import _pair_counts_bucketed
+
     if assume_distinct:
         distinct = ds.map_batches(
             lambda b: b.select([group_col, item_col]),
             batch_format="pyarrow",
         )
     else:
-        distinct = (
-            ds.groupby([group_col, item_col])
-            .count()
-            .map_batches(
-                lambda b: b.select([group_col, item_col]),
-                batch_format="pyarrow",
-            )
+        # (group, item) dedupe via the int-bucket combine — a native
+        # composite-key groupby sort-shuffles the whole fact stream
+        distinct = _pair_counts_bucketed(
+            ds, out_col="_n", a_col=group_col, b_col=item_col
+        ).map_batches(
+            lambda b: b.select([group_col, item_col]),
+            batch_format="pyarrow",
         )
 
     # coalesce: a partitioned build read arrives as hundreds of tiny
@@ -493,15 +498,17 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
         )
         .map_batches(partial_pair_counts, batch_format="pyarrow")
     )
-    pair_counts = (
-        pair_rows.groupby(["item_a", "item_b"])
-        .sum("n_part")
-        .map_batches(
-            lambda b: b.rename_columns(["item_a", "item_b", "n_ab"]).filter(
-                pc.greater_equal(b.column(2), min_count)
-            ),
-            batch_format="pyarrow",
-        )
+    # pair-partial SUM via the int-bucket combine (see
+    # dedup._pair_counts_bucketed): a native groupby over the
+    # (item_a, item_b) composite key re-shuffles the whole ~quadratic
+    # basket fan-out on wide keys — bucketing by crc32(item_a) moves
+    # the same rows on one small int and aggregates exactly
+    pair_counts = _pair_counts_bucketed(
+        pair_rows, out_col="n_ab", a_col="item_a", b_col="item_b",
+        sum_col="n_part",
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_ab"], min_count)),
+        batch_format="pyarrow",
     )
     pair_counts = pair_counts.materialize()
     # sparse-key aggregates can emit schema-less EMPTY blocks next to
@@ -521,26 +528,18 @@ def cooccurrence_pmi_topk(ds, group_col: str, item_col: str,
         )
         # normalize sparse-key empty blocks (join-side crash guard)
         .repartition(num_partitions)
-    ).materialize()  # consumed by BOTH joins
+    ).materialize()  # consumed by BOTH attaches
 
-    def side(key: str, out: str):
-        return item_counts.map_batches(
-            lambda b, k=key, o=out: b.rename_columns([k, o]),
-            batch_format="pyarrow",
-        )
+    # marginal attach via dedup._attach_payload: ray.put broadcast +
+    # index_in lookup below its row/byte budget (vocabulary-sized
+    # tables — two joins' worth of barriers saved), the distributed
+    # hash join past it (web-scale entity sets stay scale-safe)
+    from .dedup import _attach_payload
 
-    j1 = pair_counts.join(
-        side("item_a", "n_a"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("item_a",),
-    ).repartition(num_partitions)
-    j2 = j1.join(
-        side("item_b", "n_b"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("item_b",),
-    ).repartition(num_partitions)
+    j1 = _attach_payload(pair_counts, item_counts, "item_a", item_col,
+                         "n_item", "n_a", num_partitions)
+    j2 = _attach_payload(j1, item_counts, "item_b", item_col,
+                         "n_item", "n_b", num_partitions)
 
     def score(batch: pa.Table) -> pa.Table:
         from ..stages.chunking import pin_arrow_threads
