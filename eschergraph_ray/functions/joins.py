@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _scalar_tie_cols(right_cols: list[str], right_types: dict) -> list[str]:
@@ -235,12 +236,24 @@ def asof_join(
     rt_type = right_ds.schema().base_schema.field(right_time).type
     tie_cols = _scalar_tie_cols(right_cols, right_types)
 
+    num_buckets = 64
+
     def tag(side: int, time_col: str, cols: list[str]):
         other_types = left_types if side == 1 else right_types
 
         def f(batch: pa.Table) -> pa.Table:
+            import zlib
+
+            u = pc.unique(batch[key].combine_chunks())
+            lut = {
+                v: zlib.crc32(str(v).encode()) % num_buckets
+                for v in u.to_pylist()
+            }
             out = {
                 key: batch[key],
+                "_bk": pa.array(
+                    [lut[v] for v in batch[key].to_pylist()], pa.int32()
+                ),
                 "_t": pa.compute.cast(batch[time_col], pa.int64()),
                 "_side": pa.array([side] * len(batch), pa.int8()),
             }
@@ -257,12 +270,17 @@ def asof_join(
     tagged_r = right_ds.map_batches(tag(1, right_time, right_cols), batch_format="pyarrow")
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
+        # one C-level merge_asof(by=key) per HASH BUCKET of keys — a
+        # per-key map_groups costs one pandas call per key (tens of
+        # thousands of micro-groups was most of this join's wall time);
+        # per-key matching semantics are pandas' `by` grouping, C-side
         lf = group[group["_side"] == 0].sort_values("_t", kind="mergesort")
         # deterministic tie-break on duplicate right timestamps: sort by
         # the SCALAR payload columns too, so merge_asof (which picks the
-        # LAST equal-_t row) always picks the payload-max row,
+        # LAST equal-_t row per key) always picks the payload-max row,
         # independent of shuffle arrival order (list-typed payloads
-        # cannot be sort keys — see _scalar_tie_cols)
+        # cannot be sort keys — see _scalar_tie_cols); global _t-major
+        # order keeps each key's equal-_t run in tie_cols order
         rf = group[group["_side"] == 1].sort_values(
             ["_t"] + tie_cols, kind="mergesort"
         )
@@ -276,8 +294,9 @@ def asof_join(
         rf = rf.assign(_rt=rf["_t"])
         m = pd.merge_asof(
             lf[[key, "_t"] + [f"c0_{c}" for c in left_cols]],
-            rf[["_t", "_rt"] + [f"c1_{c}" for c in right_cols]],
+            rf[[key, "_t", "_rt"] + [f"c1_{c}" for c in right_cols]],
             on="_t",
+            by=key,
             direction="backward",
             allow_exact_matches=True,
         )
@@ -291,7 +310,7 @@ def asof_join(
 
     out = (
         tagged_l.union(tagged_r)
-        .groupby(key)
+        .groupby("_bk")
         .map_groups(merge, batch_format="pandas")
     )
 
@@ -321,16 +340,19 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
                         left_cols, right_cols, right_suffix, bucket_us):
     """Skew-safe as-of join (see ``asof_join``).
 
-    Stages (all distributed):
-    1. tag both sides with (key, bucket=floor(t/B));
-    2. bucket summaries: per (key, bucket) the latest right row, plus
-       which buckets contain left rows — both TINY (<= one row per
-       non-empty bucket);
-    3. per-key carry walk over the summaries (bounded by #buckets per
-       key, not rows): for every left bucket, the latest right row from
-       any EARLIER bucket -> a carry row injected into that bucket;
-    4. groupby (key, bucket): pandas merge_asof over the bucket's own
-       rights plus the carry."""
+    Stages (all distributed; every grouped pass runs per HASH BUCKET
+    of keys with the per-(key, bucket) work done C-side in pandas —
+    one Python call per micro-group was most of the join's wall time):
+    1. tag both sides with (key, bucket=floor(t/B)) + the hash bucket;
+    2. bucket summaries: per (key, bucket) the latest right row
+       (groupby.tail(1) after the tie-break sort) plus a left-presence
+       marker — both TINY (<= one row per non-empty bucket);
+    3. carry: for every left bucket, the latest right row from any
+       STRICTLY EARLIER bucket — itself a merge_asof(by=key,
+       allow_exact_matches=False) on the bucket index, with the
+       match's _b rewritten to the left bucket (the injection);
+    4. final merge_asof(by=[key, bucket]) over the bucket's own rights
+       plus the carry."""
     import pyarrow.compute as pc
 
     left_types = {c: left_ds.schema().base_schema.field(c).type for c in left_cols}
@@ -339,11 +361,23 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
     rt_type = right_ds.schema().base_schema.field(right_time).type
     tie_cols = _scalar_tie_cols(right_cols, right_types)
 
+    num_buckets = 64
+
     def tag(side, time_col, cols, other_types):
         def f(batch: pa.Table) -> pa.Table:
+            import zlib
+
             t = pc.cast(batch[time_col], pa.int64())
+            u = pc.unique(batch[key].combine_chunks())
+            lut = {
+                v: zlib.crc32(str(v).encode()) % num_buckets
+                for v in u.to_pylist()
+            }
             out = {
                 key: batch[key],
+                "_bk": pa.array(
+                    [lut[v] for v in batch[key].to_pylist()], pa.int32()
+                ),
                 "_b": pc.cast(
                     pc.floor(pc.divide(pc.cast(t, pa.float64()), bucket_us)),
                     pa.int64(),
@@ -370,49 +404,58 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
     # tagged lineage per branch, doubling input IO and tag CPU
     both = tl.union(tr).materialize()
 
-    # 2. per-(key, bucket) summaries: latest right row (full payload) and
-    # a left-presence marker, in ONE grouped pass
+    # 2. per-(key, bucket) summaries — latest right row (full payload)
+    # and a left-presence marker — computed VECTORIZED per hash bucket
+    # of keys: one map_groups call per distinct (key, bucket) was one
+    # pandas invocation per micro-group (hundreds of thousands at
+    # sf0.1, most of this join's wall time); per-bucket
+    # groupby.tail/head(1) is the same selection C-side
     def summarize(group: pd.DataFrame) -> pd.DataFrame:
-        rows = []
         rf = group[group["_side"] == 1]
         if len(rf):
             # deterministic on duplicate max-_t rows: payload-max wins
-            # (same scalar-only tie-break as the merge pass)
+            # (same scalar-only tie-break as the merge pass); groupby
+            # preserves sort order within each (key, _b)
             rf = rf.sort_values(["_t"] + tie_cols, kind="mergesort")
-            rows.append(rf.iloc[-1])
+            rf = rf.groupby([key, "_b"], sort=False).tail(1)
         lf = group[group["_side"] == 0]
         if len(lf):
-            marker = lf.iloc[0].copy()
-            marker["_side"] = 0  # left-presence marker
-            rows.append(marker)
-        return pd.DataFrame(rows)
+            lf = lf.groupby([key, "_b"], sort=False).head(1)
+        return pd.concat([rf, lf], ignore_index=True)
 
-    summaries = both.groupby([key, "_b"]).map_groups(
+    summaries = both.groupby("_bk").map_groups(
         summarize, batch_format="pandas"
     )
 
-    # 3. per-key carry walk (input: <= 2 rows per non-empty bucket)
+    # 3. per-key carry walk — itself a strict-backward as-of join of
+    # the left-presence markers against the right summaries on the
+    # BUCKET INDEX (last right row from any strictly-earlier bucket),
+    # one C-level merge_asof(by=key) per hash bucket
     def carry(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["_b", "_side"], kind="mergesort")
-        out = []
-        last_right = None
-        for _, row in g.iterrows():
-            if row["_side"] == 0 and last_right is not None:
-                c = last_right.copy()
-                c["_b"] = row["_b"]  # inject into the left bucket's reducer
-                out.append(c)
-            elif row["_side"] == 1:
-                last_right = row
-        return pd.DataFrame(out, columns=list(group.columns))
+        rs = group[group["_side"] == 1].sort_values("_b", kind="mergesort")
+        ls = group[group["_side"] == 0].sort_values("_b", kind="mergesort")
+        if len(rs) == 0 or len(ls) == 0:
+            return pd.DataFrame(columns=list(group.columns))
+        m = pd.merge_asof(
+            ls[[key, "_b"]],  # output _b = the LEFT bucket (injection)
+            rs,
+            on="_b",
+            by=key,
+            direction="backward",
+            allow_exact_matches=False,  # strictly earlier buckets only
+        )
+        m = m[m["_t"].notna()]  # left buckets with no prior right: drop
+        return m[list(group.columns)]
 
-    carries = summaries.groupby(key).map_groups(carry, batch_format="pandas")
+    carries = summaries.groupby("_bk").map_groups(carry, batch_format="pandas")
 
     # back to arrow blocks with the tagged schema: the union below mixes
     # block types otherwise, and pandas NaN-promotes the null side's
     # columns to float
     key_type = left_ds.schema().base_schema.field(key).type
     tagged_schema = pa.schema(
-        [(key, key_type), ("_b", pa.int64()), ("_t", pa.int64()), ("_side", pa.int8())]
+        [(key, key_type), ("_bk", pa.int32()), ("_b", pa.int64()),
+         ("_t", pa.int64()), ("_side", pa.int8())]
         + [(f"c0_{c}", left_types[c]) for c in left_cols]
         + [(f"c1_{c}", right_types[c]) for c in right_cols]
     )
@@ -440,7 +483,10 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
 
     both = both.map_batches(align, batch_format="pyarrow")
 
-    # 4. per-(key, bucket) merge with carries injected as right rows
+    # 4. merge with carries injected as right rows — one C-level
+    # merge_asof(by=[key, _b]) per hash bucket (the carry's _b was
+    # rewritten to the left bucket, so per-(key, bucket) matching
+    # semantics are pandas' `by` grouping)
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lf = group[group["_side"] == 0].sort_values("_t", kind="mergesort")
         rf = group[group["_side"] == 1].sort_values(
@@ -455,9 +501,10 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
             )
         rf = rf.assign(_rt=rf["_t"])
         m = pd.merge_asof(
-            lf[[key, "_t"] + [f"c0_{c}" for c in left_cols]],
-            rf[["_t", "_rt"] + [f"c1_{c}" for c in right_cols]],
+            lf[[key, "_b", "_t"] + [f"c0_{c}" for c in left_cols]],
+            rf[[key, "_b", "_t", "_rt"] + [f"c1_{c}" for c in right_cols]],
             on="_t",
+            by=[key, "_b"],
             direction="backward",
             allow_exact_matches=True,
         )
@@ -471,7 +518,7 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
 
     out = (
         both.union(carries)
-        .groupby([key, "_b"])
+        .groupby("_bk")
         .map_groups(merge, batch_format="pandas")
     )
 
