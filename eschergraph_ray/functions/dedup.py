@@ -271,7 +271,8 @@ def minhash_lsh_candidates(
 
 def _pair_counts_bucketed(pairs_ds, out_col: str = "n_common",
                           num_buckets: int = 64, a_col: str = "id_a",
-                          b_col: str = "id_b", sum_col: str | None = None):
+                          b_col: str = "id_b", sum_col: str | None = None,
+                          min_col: str | None = None):
     """Occurrence counts per unordered (id_a, id_b) pair WITHOUT a
     native groupby over the composite key: a sort shuffle of the
     ~quadratic pair fan-out on wide (string, string) keys is the most
@@ -284,8 +285,10 @@ def _pair_counts_bucketed(pairs_ds, out_col: str = "n_common",
     skew, which the pair producer's df_cutoff already bounds.
 
     ``sum_col``: sum that int column per pair instead of counting rows
-    (the combiner-partials shape, e.g. cooccurrence_pmi's n_part)."""
-    cols = [a_col, b_col] + ([sum_col] if sum_col else [])
+    (the combiner-partials shape, e.g. cooccurrence_pmi's n_part);
+    ``min_col``: per-pair minimum instead (simhash's best hamming)."""
+    val_col = sum_col or min_col
+    cols = [a_col, b_col] + ([val_col] if val_col else [])
 
     def bucket(batch: pa.Table) -> pa.Table:
         import zlib
@@ -300,7 +303,12 @@ def _pair_counts_bucketed(pairs_ds, out_col: str = "n_common",
         return t.append_column("bucket", bk)
 
     def per_bucket(group: pa.Table) -> pa.Table:
-        agg = (sum_col, "sum") if sum_col else (a_col, "count")
+        if sum_col:
+            agg = (sum_col, "sum")
+        elif min_col:
+            agg = (min_col, "min")
+        else:
+            agg = (a_col, "count")
         return (
             group.select(cols)
             .group_by([a_col, b_col])
@@ -607,16 +615,15 @@ def simhash_near_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
             }
         )
 
-    from ray.data.aggregate import Min
-
     cand = (
         sigs.map_batches(explode, batch_format="pyarrow")
         .groupby(["band_id", "band_val"])
         .map_groups(pairs, batch_format="pyarrow")
     )
-    return (
-        cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
-    )
+    # per-pair best hamming via the int-bucket combine (a native
+    # composite-key groupby re-shuffles the whole band fan-out)
+    return _pair_counts_bucketed(cand, out_col="hamming",
+                                 min_col="hamming")
 
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3,

@@ -259,13 +259,15 @@ def probe_minhash_index(
             }
         )
 
-    from ray.data.aggregate import Count
+    from .dedup import _pair_counts_bucketed
 
     cand = (
-        tagged.groupby("_part")
-        .map_groups(cross_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"))
+        _pair_counts_bucketed(
+            tagged.groupby("_part").map_groups(
+                cross_pairs, batch_format="pyarrow"
+            ),
+            out_col="n_bands",
+        )
         .select_columns(["id_a", "id_b"])
         .materialize()
     )
