@@ -1582,6 +1582,79 @@ def _q_build_estimate(sf_dir: str):
     )
 
 
+def _q_orders_top_unshipped(sf_dir: str):
+    """TPC-H Q3-shaped shipping-priority query
+    (relational.top_unshipped_orders): top-10 BUILDING-segment orders
+    by open revenue — ordered before 1998-06-15, lineitems shipping
+    after it. Segment customers semi-join out the orders fact; lineitem
+    revenue pre-aggregates per order in an int64 combiner before the
+    one fact-fact join; revenue exact micro-units."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import top_unshipped_orders
+
+    _context()
+    cutoff = 897_868_800_000_000  # 1998-06-15 epoch us
+    return top_unshipped_orders(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate", "o_orderpriority"]),
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"]),
+        segment="BUILDING", cutoff_us=cutoff, k=10,
+    )
+
+
+def _q_kg_ppr(sf_dir: str):
+    """Personalized PageRank over the built KG's level-0 edges
+    (functions/pagerank.py seed_nodes): restart mass lands only on the
+    three highest-degree entities (ties -> min name — a deterministic,
+    SQL-derivable seed set), ranking "what's most related to the
+    graph's hubs". Same all-int64 fixed-point recurrence as
+    kg_pagerank, 3 unrolled iterations, top-25 by (pr desc, node)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.pagerank import pagerank_fixed_point
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        node = pa.chunked_array(
+            list(b["frm_name"].chunks) + list(b["to_name"].chunks),
+            type=b["frm_name"].type,
+        )
+        return pa.table({"node": node})
+
+    seeds = [
+        r["node"]
+        for r in (
+            edges.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("node")
+            .count()
+            .sort(["count()", "node"], descending=[True, False])
+            .limit(3)
+            .take_all()
+        )
+    ]
+    pr = pagerank_fixed_point(
+        edges, "frm_name", "to_name", iters=3, seed_nodes=seeds
+    )
+    return pr.sort(["pr", "node"], descending=[True, False]).limit(25)
+
+
 def _q_docs_stratified_sample(sf_dir: str):
     """Per-language corpus mixing (functions/sampling.py
     stratified_sample): keep 10% of en, 30% of zh, 50% of es, all of
@@ -5197,7 +5270,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_user_hll": _q_events_type_user_hll,
         "parts_brand_rank_delta": _q_parts_brand_rank_delta,
         "docs_orc_export": _q_docs_orc_export,
+        "events_ohlc_hourly": _q_events_ohlc_hourly,
+        "kg_ppr": _q_kg_ppr,
+        "orders_top_unshipped": _q_orders_top_unshipped,
     }
+
+
+def _q_events_ohlc_hourly(sf_dir: str):
+    """OHLC candlestick downsampling per (event_type, epoch hour)
+    (functions/windows.py ohlc_by_group): open/close by the
+    deterministic (ts, event_id) order, high/low/count — values
+    micro-quantized to int64 before any aggregation so both engines
+    compare pure integers. One streaming partial pass + one bounded
+    combine sweep (the span-bounded repartition(1) device)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import ohlc_by_group
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+    return ohlc_by_group(ev, "event_type", "ts", "event_id", "value")
 
 
 def _chunks_replay_sql(corpus_glob: str) -> str:
@@ -6318,6 +6413,68 @@ def oracle_sql() -> dict[str, str]:
               SELECT deg.id,
                      CAST(150000 + (85 * coalesce(m3.s, 0)) // 100 AS BIGINT) AS p
               FROM deg LEFT JOIN m3 USING (id)
+            )
+            SELECT id AS node, p AS pr FROM p3
+            ORDER BY pr DESC, node
+            LIMIT 25
+        """,
+        "kg_ppr": f"""
+            -- personalized PageRank replay (pagerank.py seed_nodes):
+            -- restart mass only on the top-3 degree seeds (ties ->
+            -- min name), same BIGINT recurrence, 3 unrolled rounds
+            WITH e0 AS (
+              SELECT frm_name AS a, to_name AS b
+              FROM read_parquet('{_edges}') WHERE level = 0
+            ),
+            sym AS (
+              SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0
+            ),
+            deg AS (
+              SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+              FROM sym GROUP BY src
+            ),
+            seeds AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 3),
+            p0 AS (
+              SELECT deg.id,
+                     CAST(CASE WHEN s.id IS NOT NULL THEN 1000000
+                          ELSE 0 END AS BIGINT) AS p,
+                     deg.d,
+                     CAST(CASE WHEN s.id IS NOT NULL THEN 150000
+                          ELSE 0 END AS BIGINT) AS base
+              FROM deg LEFT JOIN seeds s USING (id)
+            ),
+            m1 AS (
+              SELECT s.dst AS id, CAST(sum(p0.p // p0.d) AS BIGINT) AS s
+              FROM sym s JOIN p0 ON p0.id = s.src GROUP BY s.dst
+            ),
+            p1 AS (
+              SELECT p0.id,
+                     CAST(p0.base + (85 * coalesce(m1.s, 0)) // 100
+                          AS BIGINT) AS p,
+                     p0.d, p0.base
+              FROM p0 LEFT JOIN m1 USING (id)
+            ),
+            m2 AS (
+              SELECT s.dst AS id, CAST(sum(p1.p // p1.d) AS BIGINT) AS s
+              FROM sym s JOIN p1 ON p1.id = s.src GROUP BY s.dst
+            ),
+            p2 AS (
+              SELECT p1.id,
+                     CAST(p1.base + (85 * coalesce(m2.s, 0)) // 100
+                          AS BIGINT) AS p,
+                     p1.d, p1.base
+              FROM p1 LEFT JOIN m2 USING (id)
+            ),
+            m3 AS (
+              SELECT s.dst AS id, CAST(sum(p2.p // p2.d) AS BIGINT) AS s
+              FROM sym s JOIN p2 ON p2.id = s.src GROUP BY s.dst
+            ),
+            p3 AS (
+              SELECT p2.id,
+                     CAST(p2.base + (85 * coalesce(m3.s, 0)) // 100
+                          AS BIGINT) AS p
+              FROM p2 LEFT JOIN m3 USING (id)
             )
             SELECT id AS node, p AS pr FROM p3
             ORDER BY pr DESC, node
@@ -9098,4 +9255,57 @@ def oracle_sql() -> dict[str, str]:
     # ORC round-trip: oracle reads the parquet view — a green row
     # proves the ORC write+read path is lossless
     d["docs_orc_export"] = "SELECT doc_id, text, source FROM documents"
+    # OHLC: micro-quantized int64 values; open/close by row_number over
+    # (ts, event_id) — the deterministic tie-break both engines share
+    d["events_ohlc_hourly"] = """
+        WITH q AS (
+          SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS bucket,
+                 epoch_us(ts) AS tus, event_id,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS v
+          FROM events
+        ),
+        w AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY event_type, bucket
+                   ORDER BY tus, event_id
+                 ) AS ra,
+                 row_number() OVER (
+                   PARTITION BY event_type, bucket
+                   ORDER BY tus DESC, event_id DESC
+                 ) AS rd
+          FROM q
+        )
+        SELECT event_type,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(max(CASE WHEN ra = 1 THEN v END) AS BIGINT)
+                 AS open_micro,
+               CAST(max(v) AS BIGINT) AS high_micro,
+               CAST(min(v) AS BIGINT) AS low_micro,
+               CAST(max(CASE WHEN rd = 1 THEN v END) AS BIGINT)
+                 AS close_micro,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM w
+        GROUP BY event_type, bucket
+        ORDER BY event_type, bucket
+    """
+    # Q3 shape: micro-quantize each lineitem revenue term, int sums
+    d["orders_top_unshipped"] = """
+        SELECT l.l_orderkey AS o_orderkey,
+               CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+               o.o_orderpriority,
+               CAST(sum(CAST(round(
+                   l.l_extendedprice * (1 - l.l_discount) * 1e6, 0
+               ) AS BIGINT)) AS BIGINT) AS revenue_micro
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND epoch_us(o.o_orderdate) < 897868800000000
+          AND epoch_us(l.l_shipdate) > 897868800000000
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_micro DESC, o_orderdate_us, o_orderkey
+        LIMIT 10
+    """
     return d

@@ -51,11 +51,19 @@ def pagerank_fixed_point(
     dst_col: str,
     iters: int = 3,
     broadcast_nodes_below: int = 10_000_000,
+    seed_nodes: list | None = None,
 ):
     """Dataset of ``(node, pr)`` over the UNDIRECTED multigraph of
     ``edges_ds`` (each edge contributes in both directions; parallel
     edges count — degree is incident-edge multiplicity). ``pr`` is the
-    int64 fixed-point score after ``iters`` rounds."""
+    int64 fixed-point score after ``iters`` rounds.
+
+    ``seed_nodes``: PERSONALIZED PageRank — restart mass lands only on
+    the seed set (p_0 = P0 on seeds else 0; the per-round base term is
+    BASE on seeds else 0), the standard "related to THESE entities"
+    ranking. The seed list is query-state (a handful of ids), shipped
+    by closure; the same integer recurrence stays exactly
+    SQL-replayable. Seeds absent from the graph contribute nothing."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -86,7 +94,13 @@ def pagerank_fixed_point(
         order = np.argsort(ids)
         ids = ids[order]
         d = pdf["count()"].to_numpy(np.int64)[order]
-        p = np.full(n_nodes, P0, np.int64)
+        if seed_nodes is None:
+            base = np.full(n_nodes, BASE, np.int64)
+            p = np.full(n_nodes, P0, np.int64)
+        else:
+            mask = np.isin(ids, np.asarray(list(seed_nodes)))
+            base = np.where(mask, BASE, 0).astype(np.int64)
+            p = np.where(mask, P0, 0).astype(np.int64)
 
         for _ in range(iters):
             contrib_ref = ray.put((ids, p // d))
@@ -115,18 +129,26 @@ def pagerank_fixed_point(
             s = np.zeros(n_nodes, np.int64)
             pos = np.searchsorted(ids, sums["id"].to_numpy())
             s[pos] = sums["s"].to_numpy(np.int64)
-            p = BASE + (85 * s) // 100
+            p = base + (85 * s) // 100
 
         return rd.from_arrow(
             pa.table({"node": pa.array(ids), "pr": pa.array(p, pa.int64())})
         )
 
     # ---- distributed fallback: never centralizes the score table ----
+    def _base_arr(id_arr):
+        """Seed-masked base/p0 mask as int64 0/1 (1 everywhere when
+        not personalized); the seed list is tiny closure state."""
+        if seed_nodes is None:
+            return pa.array([1] * len(id_arr), pa.int64())
+        vs = pa.array(list(seed_nodes), type=id_arr.type)
+        return pc.cast(pc.is_in(id_arr, value_set=vs), pa.int64())
+
     scores = deg.map_batches(
         lambda b: pa.table(
             {
                 "id": b["src"],
-                "p": pa.array([P0] * len(b), pa.int64()),
+                "p": pc.multiply(_base_arr(b["src"]), P0),
                 "d": pc.cast(b["count()"], pa.int64()),
             }
         ),
@@ -214,7 +236,10 @@ def pagerank_fixed_point(
                     "id": b["id"],
                     # arrow integer divide truncates toward zero ==
                     # floor for these all-positive values — exact int64
-                    "p": pc.add(BASE, pc.divide(pc.multiply(b["s"], 85), 100)),
+                    "p": pc.add(
+                        pc.multiply(_base_arr(b["id"]), BASE),
+                        pc.divide(pc.multiply(b["s"], 85), 100),
+                    ),
                     "d": b["d"],
                 }
             ),

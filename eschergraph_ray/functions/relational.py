@@ -927,3 +927,127 @@ def rank_delta_periods(ds, key_col: str, period_col: str,
             }
         )
     )
+
+
+def top_unshipped_orders(customer_ds, orders_ds, lineitem_ds, segment: str,
+                         cutoff_us: int, k: int = 10,
+                         num_partitions: int = 8):
+    """TPC-H Q3-shaped shipping-priority query: top-k orders by OPEN
+    revenue for one market segment — orders placed before the cutoff
+    whose lineitems ship after it.
+
+    The 100 TB split: the segment's customers SEMI-join out the orders
+    fact (native left_semi — no payload moves), lineitem revenue
+    pre-aggregates per order in a per-batch int64 combiner so the one
+    fact-fact hash join moves order-cardinality rows, never raw
+    lineitems. Revenue is exact micro-units (the regional_revenue
+    one-op chain: round(extendedprice * (1 - discount) * 1e6) half-
+    towards-infinity, then integer sums). Returns (o_orderkey,
+    o_orderdate_us, o_orderpriority, revenue_micro) top-k by
+    (revenue desc, orderdate, orderkey)."""
+    import numpy as np
+
+    from .graph_metrics import _clamp_partitions
+
+    P = _clamp_partitions(num_partitions)
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate_us": pa.array([], pa.int64()),
+            "o_orderpriority": pa.array([], pa.string()),
+            "revenue_micro": pa.array([], pa.int64()),
+        }
+    )
+    import ray.data as rd
+
+    cust = customer_ds.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], segment)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    ).repartition(P).materialize()
+    if cust.count() == 0:
+        return rd.from_arrow(empty)
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        b = b.filter(pc.less(ts, cutoff_us))
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_orderdate_us": pc.cast(b["o_orderdate"], pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        )
+
+    orders = (
+        orders_ds.map_batches(ord_prep, batch_format="pyarrow")
+        .repartition(P)
+        .join(cust, join_type="left_semi", num_partitions=P,
+              on=("o_custkey",), right_on=("c_custkey",))
+        .repartition(P)
+        .materialize()
+    )
+    if orders.count() == 0:
+        return rd.from_arrow(empty)
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(b["l_shipdate"], pa.int64())
+        b = b.filter(pc.greater(ts, cutoff_us))
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = ep * (1.0 - disc) * 1e6  # same op order as the SQL
+        rev_micro = np.asarray(
+            pc.round(pa.array(rev), ndigits=0,
+                     round_mode="half_towards_infinity")
+        ).astype(np.int64)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ok, return_inverse=True)
+        part = np.zeros(len(u), np.int64)  # exact int64 combiner
+        np.add.at(part, inv, rev_micro)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(u, pa.int64()),
+                "rev": pa.array(part, pa.int64()),
+            }
+        )
+
+    rev = (
+        lineitem_ds.map_batches(line_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("rev")
+        .map_batches(
+            lambda b: b.rename_columns(["l_orderkey", "revenue_micro"]),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+    if rev.count() == 0:
+        return rd.from_arrow(empty)
+
+    joined = rev.join(
+        orders, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "o_orderdate_us": pc.cast(b["o_orderdate_us"], pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue_micro": pc.cast(b["revenue_micro"], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(finalize, batch_format="pyarrow")
+        .sort(["revenue_micro", "o_orderdate_us", "o_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+    )

@@ -1246,3 +1246,118 @@ def scd2_intervals(events_ds, key_col: str, ts_col: str, id_col: str,
         .map_groups(intervals, batch_format="pyarrow")
         .sort([key_col, "valid_from_us", attr_col])
     )
+
+
+def ohlc_by_group(events_ds, group_col: str, ts_col: str, id_col: str,
+                  val_col: str, bucket_us: int = 3_600_000_000):
+    """OHLC downsampling — the candlestick aggregation every
+    timeseries store ships: per (group, time bucket) the OPEN (value
+    of the first event by (ts, id) — id breaks timestamp ties
+    deterministically), HIGH, LOW, CLOSE (last event's value) and the
+    event count.
+
+    Values are micro-quantized to int64 BEFORE any aggregation
+    (``round(v * 1e6, 0)`` half-towards-infinity — the repo's standard
+    float-parity device), so min/max/first/last are pure integer
+    selections both engines agree on bit-for-bit.
+
+    Shape: one streaming pass emits per-batch per-(group, bucket)
+    partials (first/last carry their (ts, id) argument key), then a
+    single bounded sweep combines them — (group x bucket) cardinality
+    is span-bounded model state, the repartition(1) + one-batch
+    map_batches device that beats a keyed groupby on bounded tables.
+    Returns ``(group, bucket, open_micro, high_micro, low_micro,
+    close_micro, n_events)`` sorted by (group, bucket)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(b[val_col], pa.float64()), 1e6),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "g": b[group_col].to_pandas(),
+                "bkt": pc.divide(ts, bucket_us).to_pandas(),
+                "ts": ts.to_pandas(),
+                "i": pc.cast(b[id_col], pa.int64()).to_pandas(),
+                "v": v.to_pandas(),
+            }
+        ).sort_values(["g", "bkt", "ts", "i"], kind="mergesort")
+        gb = df.groupby(["g", "bkt"], sort=False)
+        head = gb.head(1).set_index(["g", "bkt"])
+        tail = gb.tail(1).set_index(["g", "bkt"])
+        agg = gb.agg(lo=("v", "min"), hi=("v", "max"), n=("v", "size"))
+        out = agg.join(head[["ts", "i", "v"]].rename(
+            columns={"ts": "f_ts", "i": "f_id", "v": "f_v"}
+        )).join(tail[["ts", "i", "v"]].rename(
+            columns={"ts": "l_ts", "i": "l_id", "v": "l_v"}
+        )).reset_index()
+        return pa.table(
+            {
+                "g": pa.array(out["g"], b[group_col].type),
+                "bkt": pa.array(out["bkt"], pa.int64()),
+                "lo": pa.array(out["lo"], pa.int64()),
+                "hi": pa.array(out["hi"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+                "f_ts": pa.array(out["f_ts"], pa.int64()),
+                "f_id": pa.array(out["f_id"], pa.int64()),
+                "f_v": pa.array(out["f_v"], pa.int64()),
+                "l_ts": pa.array(out["l_ts"], pa.int64()),
+                "l_id": pa.array(out["l_id"], pa.int64()),
+                "l_v": pa.array(out["l_v"], pa.int64()),
+            }
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        df = b.to_pandas()
+        if len(df) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], b["g"].type),
+                    "bucket": pa.array([], pa.int64()),
+                    "open_micro": pa.array([], pa.int64()),
+                    "high_micro": pa.array([], pa.int64()),
+                    "low_micro": pa.array([], pa.int64()),
+                    "close_micro": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        fdf = df.sort_values(["g", "bkt", "f_ts", "f_id"], kind="mergesort")
+        opens = fdf.groupby(["g", "bkt"], sort=False)["f_v"].first()
+        ldf = df.sort_values(["g", "bkt", "l_ts", "l_id"], kind="mergesort")
+        closes = ldf.groupby(["g", "bkt"], sort=False)["l_v"].last()
+        agg = df.groupby(["g", "bkt"]).agg(
+            low_micro=("lo", "min"), high_micro=("hi", "max"),
+            n_events=("n", "sum"),
+        )
+        out = agg.join(opens.rename("open_micro")).join(
+            closes.rename("close_micro")
+        ).reset_index().sort_values(["g", "bkt"], kind="mergesort")
+        return pa.table(
+            {
+                group_col: pa.array(out["g"], b["g"].type),
+                "bucket": pa.array(out["bkt"], pa.int64()),
+                "open_micro": pa.array(out["open_micro"], pa.int64()),
+                "high_micro": pa.array(out["high_micro"], pa.int64()),
+                "low_micro": pa.array(out["low_micro"], pa.int64()),
+                "close_micro": pa.array(out["close_micro"], pa.int64()),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )

@@ -1483,3 +1483,46 @@ def test_rank_delta_periods_hand(ray_session):
         rank_delta_periods(
             rd.from_arrow(tbl), "k", "per", "val", max_rows=4
         )
+
+
+def test_ohlc_by_group_hand(ray_session):
+    from eschergraph_ray.functions.windows import ohlc_by_group
+
+    H = 3_600_000_000  # one hour in us
+    # group "a", bucket 0: events at t=10(v=1.5), t=5(v=2.25), t=20(v=0.5)
+    #   open = 2.25 (earliest ts), close = 0.5, hi = 2.25e6, lo = 0.5e6
+    # group "a", bucket 1: single event v=-1.0000005 (rounds away from 0)
+    # group "b", bucket 0: ts TIE at t=7 -> id breaks it (id 10 opens,
+    #   id 11 closes)
+    rows = [
+        ("a", 10, 1, 1.5), ("a", 5, 2, 2.25), ("a", 20, 3, 0.5),
+        ("a", H + 1, 4, -1.0000005),
+        ("b", 7, 10, 3.0), ("b", 7, 11, 4.0),
+    ]
+    tbl = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "eid": pa.array([r[2] for r in rows], pa.int64()),
+            "v": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    out = ohlc_by_group(
+        rd.from_arrow(tbl).repartition(3), "g", "ts", "eid", "v"
+    ).to_pandas()
+    got = {
+        (r["g"], int(r["bucket"])): (
+            int(r["open_micro"]), int(r["high_micro"]),
+            int(r["low_micro"]), int(r["close_micro"]), int(r["n_events"])
+        )
+        for _, r in out.iterrows()
+    }
+    assert got == {
+        ("a", 0): (2_250_000, 2_250_000, 500_000, 500_000, 3),
+        # -1.0000005 * 1e6 = -1000000.5 -> half-towards-infinity -> -1000001
+        ("a", 1): (-1_000_001, -1_000_001, -1_000_001, -1_000_001, 1),
+        ("b", 0): (3_000_000, 4_000_000, 3_000_000, 4_000_000, 2),
+    }
+    # sorted by (group, bucket)
+    key = list(zip(out["g"], out["bucket"]))
+    assert key == sorted(key)

@@ -71,3 +71,31 @@ def test_empty_edges():
     out = pagerank_fixed_point(_edges([]), "a", "b")
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "pr"}
+
+
+def _reference_ppr(pairs, iters, seeds):
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = sorted({a for a, _ in sym})
+    deg = {v: sum(1 for a, _ in sym if a == v) for v in nodes}
+    p = {v: (P0 if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in sym:
+            s[b] += p[a] // deg[a]
+        p = {
+            v: (BASE if v in seeds else 0) + (85 * s[v]) // 100
+            for v in nodes
+        }
+    return p
+
+
+def test_personalized_matches_reference_both_paths():
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    seeds = ["a", "zz-not-in-graph"]  # absent seeds contribute nothing
+    want = _reference_ppr(pairs, 3, set(seeds))
+    fast = _run(pairs, iters=3, seed_nodes=seeds)
+    slow = _run(pairs, iters=3, seed_nodes=seeds, broadcast_nodes_below=0)
+    assert fast == slow == want
+    # mass concentrates near the seed: its neighbour outranks the
+    # far end of the chain
+    assert fast["b"] > fast["e"]

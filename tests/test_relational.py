@@ -353,3 +353,52 @@ def test_cube_counts_empty(ray_session):
     assert len(rows) == 1
     assert rows[0]["k1"] == "ALL" and rows[0]["k2"] == -1
     assert rows[0]["n"] == 0 and rows[0]["sum_micro"] is None
+
+
+def test_top_unshipped_orders_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import top_unshipped_orders
+
+    D = 1_000_000  # cutoff us
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_mktsegment": pa.array(["BUILDING", "AUTO", "BUILDING"],
+                                     pa.string()),
+        }
+    )
+    orders = pa.table(
+        {
+            # o1: BUILDING, before cutoff -> eligible
+            # o2: AUTO segment -> excluded
+            # o3: BUILDING but ordered AT cutoff (not <) -> excluded
+            # o4: BUILDING, before cutoff, but all lineitems shipped -> drops
+            "o_orderkey": pa.array([10, 20, 30, 40], pa.int64()),
+            "o_custkey": pa.array([1, 2, 3, 1], pa.int64()),
+            "o_orderdate": pa.array([D - 10, D - 10, D, D - 5],
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "3-MED",
+                                         "4-LOW"], pa.string()),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([10, 10, 20, 30, 40], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 50.0, 70.0, 80.0, 60.0],
+                                        pa.float64()),
+            "l_discount": pa.array([0.1, 0.0, 0.0, 0.0, 0.0], pa.float64()),
+            # order 40's only lineitem shipped BEFORE the cutoff
+            "l_shipdate": pa.array([D + 1, D + 2, D + 3, D + 4, D - 1],
+                                   pa.timestamp("us")),
+        }
+    )
+    out = top_unshipped_orders(
+        rd.from_arrow(cust), rd.from_arrow(orders).repartition(2),
+        rd.from_arrow(li).repartition(2), "BUILDING", D, k=10,
+    ).to_pandas()
+    assert list(out["o_orderkey"]) == [10]
+    # 100*0.9*1e6 + 50*1e6 = 140_000_000
+    assert int(out["revenue_micro"][0]) == 140_000_000
+    assert out["o_orderpriority"][0] == "1-URGENT"
