@@ -1582,6 +1582,21 @@ def _q_build_estimate(sf_dir: str):
     )
 
 
+def _q_dedup_jaccard_prefix(sf_dir: str):
+    """EXACT Jaccard >= 0.5 near-dup pairs via PPJoin-style prefix
+    filtering (functions/dedup.py jaccard_prefix_pairs; Chaudhuri 2006
+    / Xiao 2008): candidates come from each doc's few RAREST shingles
+    (the prefix), so no df-cutoff lower-bound caveat — the result set
+    is exactly the threshold predicate, or the op refuses loudly.
+    Same md5 shingle universe as the MinHash family, so the oracle
+    replays the (df, hash) prefix order from the raw text."""
+    from eschergraph_ray.functions.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        _docs(sf_dir), "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+
+
 def _q_orders_top_unshipped(sf_dir: str):
     """TPC-H Q3-shaped shipping-priority query
     (relational.top_unshipped_orders): top-10 BUILDING-segment orders
@@ -5273,6 +5288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc_hourly": _q_events_ohlc_hourly,
         "kg_ppr": _q_kg_ppr,
         "orders_top_unshipped": _q_orders_top_unshipped,
+        "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
     }
 
 
@@ -9307,5 +9323,64 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, 3
         ORDER BY revenue_micro DESC, o_orderdate_us, o_orderkey
         LIMIT 10
+    """
+    # PPJoin prefix-filter replay: the (df, hash) prefix order, the
+    # prefix-intersection candidate join, exact Jaccard at 0.5 — the
+    # same md5 shingle CTEs as the MinHash oracle
+    d["dedup_jaccard_prefix"] = """
+        WITH wl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        words AS (
+          SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+          FROM wl WHERE len(ws) >= 3
+        ),
+        grams AS (
+          SELECT DISTINCT a.doc_id,
+                 md5_number_lower(a.w || ' ' || b.w || ' ' || c.w) AS x
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        ),
+        short AS (
+          SELECT doc_id, md5_number_lower(array_to_string(ws, ' ')) AS x
+          FROM wl WHERE len(ws) BETWEEN 1 AND 2
+        ),
+        sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        sizes AS (SELECT doc_id, count(*) AS g FROM sh GROUP BY doc_id),
+        dfs AS (SELECT x, count(*) AS df FROM sh GROUP BY x),
+        ranked AS (
+          SELECT s.doc_id, s.x, z.g,
+                 row_number() OVER (
+                   PARTITION BY s.doc_id ORDER BY d.df, s.x
+                 ) AS rn
+          FROM sh s
+          JOIN dfs d ON d.x = s.x
+          JOIN sizes z USING (doc_id)
+        ),
+        pfx AS (
+          SELECT doc_id, x FROM ranked
+          WHERE rn <= g - CAST(ceil(0.5 * g) AS BIGINT) + 1
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pfx a JOIN pfx b ON b.x = a.x AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b2 ON b2.doc_id = c.id_b AND b2.x = a.x
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               round(n_common / (sa.g + sb.g - n_common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE n_common / (sa.g + sb.g - n_common) >= 0.5
     """
     return d

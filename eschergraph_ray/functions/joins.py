@@ -404,13 +404,50 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
     # tagged lineage per branch, doubling input IO and tag CPU
     both = tl.union(tr).materialize()
 
+    # tagged schema + pandas->arrow normalizer, shared by every grouped
+    # pass below: pandas NaN-promotes the null side's columns, and
+    # PANDAS-block outputs feeding a downstream shuffle are ~15x slower
+    # to sort (the dedup.py prefix lesson) — every map_groups returns
+    # Arrow through this
+    key_type = left_ds.schema().base_schema.field(key).type
+    tagged_schema = pa.schema(
+        [(key, key_type), ("_bk", pa.int32()), ("_b", pa.int64()),
+         ("_t", pa.int64()), ("_side", pa.int8())]
+        + [(f"c0_{c}", left_types[c]) for c in left_cols]
+        + [(f"c1_{c}", right_types[c]) for c in right_cols]
+    )
+
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        arrays = []
+        for field in tagged_schema:
+            if field.name in df.columns:
+                s = df[field.name]
+                try:
+                    # vectorized: from_pandas=True maps NaN -> null and
+                    # losslessly narrows NaN-promoted float ints
+                    arrays.append(pa.array(s, type=field.type,
+                                           from_pandas=True))
+                except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError,
+                        ValueError):
+                    # _isna_scalar fallback: pd.isna on a list/ndarray
+                    # cell returns an array (ambiguous truth value)
+                    arrays.append(
+                        pa.array(
+                            [None if _isna_scalar(v) else v for v in s],
+                            field.type,
+                        )
+                    )
+            else:
+                arrays.append(pa.nulls(len(df), field.type))
+        return pa.Table.from_arrays(arrays, schema=tagged_schema)
+
     # 2. per-(key, bucket) summaries — latest right row (full payload)
     # and a left-presence marker — computed VECTORIZED per hash bucket
     # of keys: one map_groups call per distinct (key, bucket) was one
     # pandas invocation per micro-group (hundreds of thousands at
     # sf0.1, most of this join's wall time); per-bucket
     # groupby.tail/head(1) is the same selection C-side
-    def summarize(group: pd.DataFrame) -> pd.DataFrame:
+    def summarize(group: pd.DataFrame) -> pa.Table:
         rf = group[group["_side"] == 1]
         if len(rf):
             # deterministic on duplicate max-_t rows: payload-max wins
@@ -421,7 +458,7 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
         lf = group[group["_side"] == 0]
         if len(lf):
             lf = lf.groupby([key, "_b"], sort=False).head(1)
-        return pd.concat([rf, lf], ignore_index=True)
+        return to_arrow(pd.concat([rf, lf], ignore_index=True))
 
     summaries = both.groupby("_bk").map_groups(
         summarize, batch_format="pandas"
@@ -435,7 +472,7 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
         rs = group[group["_side"] == 1].sort_values("_b", kind="mergesort")
         ls = group[group["_side"] == 0].sort_values("_b", kind="mergesort")
         if len(rs) == 0 or len(ls) == 0:
-            return pd.DataFrame(columns=list(group.columns))
+            return tagged_schema.empty_table()
         m = pd.merge_asof(
             ls[[key, "_b"]],  # output _b = the LEFT bucket (injection)
             rs,
@@ -445,38 +482,9 @@ def _asof_join_bucketed(left_ds, right_ds, key, left_time, right_time,
             allow_exact_matches=False,  # strictly earlier buckets only
         )
         m = m[m["_t"].notna()]  # left buckets with no prior right: drop
-        return m[list(group.columns)]
+        return to_arrow(m[list(group.columns)])
 
     carries = summaries.groupby("_bk").map_groups(carry, batch_format="pandas")
-
-    # back to arrow blocks with the tagged schema: the union below mixes
-    # block types otherwise, and pandas NaN-promotes the null side's
-    # columns to float
-    key_type = left_ds.schema().base_schema.field(key).type
-    tagged_schema = pa.schema(
-        [(key, key_type), ("_bk", pa.int32()), ("_b", pa.int64()),
-         ("_t", pa.int64()), ("_side", pa.int8())]
-        + [(f"c0_{c}", left_types[c]) for c in left_cols]
-        + [(f"c1_{c}", right_types[c]) for c in right_cols]
-    )
-
-    def to_arrow(df: pd.DataFrame) -> pa.Table:
-        arrays = []
-        for field in tagged_schema:
-            if field.name in df.columns:
-                arrays.append(
-                    pa.array(
-                        # _isna_scalar: pd.isna on a list/ndarray cell
-                        # returns an array (ambiguous truth value)
-                        [None if _isna_scalar(v) else v for v in df[field.name]],
-                        field.type,
-                    )
-                )
-            else:
-                arrays.append(pa.nulls(len(df), field.type))
-        return pa.Table.from_arrays(arrays, schema=tagged_schema)
-
-    carries = carries.map_batches(to_arrow, batch_format="pandas")
 
     def align(batch: pa.Table) -> pa.Table:
         return batch.select(tagged_schema.names).cast(tagged_schema)

@@ -314,3 +314,61 @@ def test_containment_empty_input(ray_session):
     out = ngram_containment_pairs(rd.from_arrow(t), "doc_id", "text")
     assert out.count() == 0
     assert out.schema().names == ["id_a", "id_b", "containment"]
+
+
+def test_jaccard_prefix_pairs_exact_vs_bruteforce(ray_session):
+    """The prefix filter must find EVERY pair >= threshold (no
+    df-cutoff lower-bound caveat) — compared against the brute-force
+    all-pairs shingle Jaccard."""
+    import numpy as np
+
+    from eschergraph_ray.functions.dedup import (
+        _word_shingles,
+        jaccard_prefix_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = {
+        "d1": base,
+        "d2": base + " extra tail words here",       # near-dup of d1
+        "d3": "completely different content about ray data pipelines",
+        "d4": base.replace("quick", "slow"),          # near-dup of d1
+        "d5": "ray data pipelines process completely different content",
+        "d6": "tiny",                                 # short-text path
+    }
+    want = {}
+    ks = sorted(docs)
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            a = _word_shingles(docs[ks[i]], 3)
+            b = _word_shingles(docs[ks[j]], 3)
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:
+                want[(ks[i], ks[j])] = float(np.floor(jac * 1e6 + 0.5) / 1e6)
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ks, pa.string()),
+            "text": pa.array([docs[k] for k in ks], pa.string()),
+        }
+    )
+    out = jaccard_prefix_pairs(
+        rd.from_arrow(tbl).repartition(3), "doc_id", "text",
+        shingle_k=3, threshold=0.5,
+    ).to_pandas()
+    got = {
+        (r["id_a"], r["id_b"]): float(r["jaccard"])
+        for _, r in out.iterrows()
+    }
+    assert got == want and len(want) >= 2  # the planted near-dups exist
+
+    # exact-or-refuse: an absurdly low prefix_df_cutoff trips the guard
+    import pytest
+
+    with pytest.raises(ValueError, match="prefix_df_cutoff"):
+        jaccard_prefix_pairs(
+            rd.from_arrow(tbl), "doc_id", "text", shingle_k=3,
+            threshold=0.5, prefix_df_cutoff=1,
+        )
