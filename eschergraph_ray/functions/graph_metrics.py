@@ -913,8 +913,12 @@ def label_propagation(edges_ds, src_col: str, dst_col: str,
     def argmax(df):
         df = df.sort_values(["count()", "label"],
                             ascending=[False, True])
-        return df.iloc[:1][["dst", "label"]].rename(
-            columns={"dst": "node"}
+        # ARROW out: pandas-block outputs make the next round's join
+        # and repartition shuffles ~15x slower (the dedup.py prefix
+        # lesson)
+        return pa.Table.from_pandas(
+            df.iloc[:1][["dst", "label"]].rename(columns={"dst": "node"}),
+            preserve_index=False,
         )
 
     for _ in range(rounds):
