@@ -1582,6 +1582,23 @@ def _q_build_estimate(sf_dir: str):
     )
 
 
+def _q_events_drawdown(sf_dir: str):
+    """Maximum drawdown per event type over the hourly cumulative
+    micro-value series (functions/windows.py hourly_drawdown): the
+    peak-to-trough risk metric, exact int64 end to end (per-event
+    micro-quantization, integer cumsum/cummax), ties -> first bucket.
+    One bucket-cardinality groupby + the span-bounded sweep."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import hourly_drawdown
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return hourly_drawdown(ev, "ts", "event_type", "value")
+
+
 def _q_dedup_jaccard_prefix(sf_dir: str):
     """EXACT Jaccard >= 0.5 near-dup pairs via PPJoin-style prefix
     filtering (functions/dedup.py jaccard_prefix_pairs; Chaudhuri 2006
@@ -5289,6 +5306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _q_kg_ppr,
         "orders_top_unshipped": _q_orders_top_unshipped,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
+        "events_drawdown": _q_events_drawdown,
     }
 
 
@@ -9382,5 +9400,48 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = i.id_a
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE n_common / (sa.g + sb.g - n_common) >= 0.5
+    """
+    # max drawdown: integer cum/runmax window replay, first-bucket ties
+    d["events_drawdown"] = """
+        WITH q AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS bkt,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS v
+          FROM events
+        ),
+        h AS (
+          SELECT event_type, bkt, CAST(sum(v) AS BIGINT) AS hv
+          FROM q GROUP BY event_type, bkt
+        ),
+        c AS (
+          SELECT event_type, bkt,
+                 sum(hv) OVER (PARTITION BY event_type ORDER BY bkt)
+                   AS cum
+          FROM h
+        ),
+        r AS (
+          SELECT event_type, bkt, cum,
+                 max(cum) OVER (PARTITION BY event_type ORDER BY bkt)
+                   AS runmax
+          FROM c
+        ),
+        x AS (
+          SELECT event_type, bkt, runmax - cum AS dd,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY runmax - cum DESC, bkt
+                 ) AS rn
+          FROM r
+        ),
+        n AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets
+          FROM h GROUP BY event_type
+        )
+        SELECT x.event_type,
+               CAST(dd AS BIGINT) AS max_drawdown_micro,
+               CAST(bkt AS BIGINT) AS trough_bucket,
+               n.n_buckets
+        FROM x JOIN n USING (event_type)
+        WHERE rn = 1
+        ORDER BY x.event_type
     """
     return d

@@ -1361,3 +1361,92 @@ def ohlc_by_group(events_ds, group_col: str, ts_col: str, id_col: str,
         .repartition(1)
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
+
+
+def hourly_drawdown(events_ds, ts_col: str, type_col: str, val_col: str,
+                    bucket_us: int = 3_600_000_000):
+    """Maximum drawdown per type over the bucketed cumulative value
+    series — the classic peak-to-trough risk metric: with cum(h) the
+    running total of per-bucket value sums and runmax(h) its running
+    maximum, drawdown(h) = runmax(h) - cum(h) and the answer is its
+    maximum (ties -> FIRST bucket, the deterministic argmax).
+
+    Values are micro-quantized to int64 per event before any sum (the
+    standard parity device), so cum/runmax/drawdown are pure integer
+    series both engines replay bit-for-bit via SQL window functions.
+
+    Shape: per-batch (type, bucket) partials -> one bucket-cardinality
+    groupby -> the span-bounded repartition(1) sweep (cumsum/cummax
+    are C-side pandas). Returns ``(event_type, max_drawdown_micro,
+    trough_bucket, n_buckets)`` sorted by type."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(b[val_col], pa.float64()), 1e6),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "t": b[type_col],
+                "bkt": pc.divide(ts, bucket_us),
+                "v": v,
+            }
+        )
+        return (
+            t.group_by(["t", "bkt"])
+            .aggregate([("v", "sum")])
+            .rename_columns(["t", "bkt", "hv"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    hourly = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["t", "bkt"])
+        .aggregate(Sum("hv", alias_name="hv"))
+    )
+
+    def sweep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], b["t"].type),
+                    "max_drawdown_micro": pa.array([], pa.int64()),
+                    "trough_bucket": pa.array([], pa.int64()),
+                    "n_buckets": pa.array([], pa.int64()),
+                }
+            )
+        df = b.to_pandas().sort_values(["t", "bkt"], kind="mergesort")
+        g = df.groupby("t", sort=True)
+        cum = g["hv"].cumsum()
+        runmax = cum.groupby(df["t"], sort=False).cummax()
+        df = df.assign(dd=(runmax - cum))
+        # idxmax picks the FIRST max — rows are in bucket order, so
+        # this is the (dd desc, bucket asc) argmax the SQL replays
+        pick = df.loc[df.groupby("t", sort=True)["dd"].idxmax()]
+        sizes = g.size()
+        out = pd.DataFrame(
+            {
+                "event_type": pick["t"].to_numpy(),
+                "max_drawdown_micro": pick["dd"].to_numpy("int64"),
+                "trough_bucket": pick["bkt"].to_numpy("int64"),
+                "n_buckets": sizes.loc[pick["t"]].to_numpy("int64"),
+            }
+        ).sort_values("event_type", kind="mergesort")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        hourly.repartition(1)
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )

@@ -1526,3 +1526,35 @@ def test_ohlc_by_group_hand(ray_session):
     # sorted by (group, bucket)
     key = list(zip(out["g"], out["bucket"]))
     assert key == sorted(key)
+
+
+def test_hourly_drawdown_hand(ray_session):
+    from eschergraph_ray.functions.windows import hourly_drawdown
+
+    H = 3_600_000_000
+    # type "a" hourly sums: +10, -4, -3, +5  (micro: x1e6)
+    #   cum: 10, 6, 3, 8; runmax: 10, 10, 10, 10
+    #   dd:  0, 4, 7, 2 -> max 7 at bucket 2
+    # type "b": strictly rising -> dd 0 everywhere, trough = bucket 0
+    rows = [
+        ("a", 0, 10.0), ("a", 1, -4.0), ("a", 2, -3.0), ("a", 3, 5.0),
+        ("b", 0, 1.0), ("b", 1, 2.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] * H + 7 for r in rows],
+                           pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    out = hourly_drawdown(
+        rd.from_arrow(tbl).repartition(3), "ts", "event_type", "value"
+    ).to_pandas()
+    got = {
+        r["event_type"]: (int(r["max_drawdown_micro"]),
+                          int(r["trough_bucket"]), int(r["n_buckets"]))
+        for _, r in out.iterrows()
+    }
+    assert got == {"a": (7_000_000, 2, 4), "b": (0, 0, 2)}
+    assert list(out["event_type"]) == ["a", "b"]
