@@ -1614,6 +1614,131 @@ def _q_dedup_jaccard_prefix(sf_dir: str):
     )
 
 
+def _q_parts_skyline(sf_dir: str):
+    """2-D skyline / Pareto frontier of the parts catalog
+    (functions/relational.py skyline_2d; Börzsönyi et al. ICDE 2001):
+    parts no other part beats on BOTH price (min) and size (max).
+    Distributive: each block shrinks to its local frontier with a
+    sort-free numpy kernel, one tiny final pass — no shuffle at all;
+    the candidate union is guarded, never an OOM. Exactly the SQL
+    NOT-EXISTS dominance predicate (duplicates of a frontier point
+    all survive)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import skyline_2d
+
+    _context()
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    return skyline_2d(parts, "p_partkey", "p_retailprice", "p_size")
+
+
+def _q_customers_order_dist(sf_dir: str):
+    """TPC-H Q13-shaped customer distribution
+    (functions/relational.py order_count_distribution): how many
+    customers placed exactly k non-URGENT orders, INCLUDING the
+    zero-order bucket (Q13's left join exists only to count the
+    silent customers). Join-free: per-customer counts are one groupby
+    over the filtered orders fact, the distribution a second groupby
+    over that customer-cardinality table, and the zero bucket is two
+    scalar counts."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import (
+        order_count_distribution,
+    )
+
+    _context()
+    return order_count_distribution(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"]),
+        exclude_priority="1-URGENT",
+    )
+
+
+def _q_events_interarrival(sf_dir: str):
+    """Per-type inter-arrival cadence over each user's per-type event
+    stream (functions/windows.py interarrival_stats): gaps between a
+    user's consecutive same-type events, aggregated per type to
+    n/sum/avg/min/max microseconds — the burstiness diagnostic. The
+    composite (user, type) key never hits Ray's sort-shuffle: rows
+    bucket by user&63, the per-stream sort/diff is one np.lexsort
+    inside the bucket group, and only per-(bucket, type) partials
+    shuffle (type-cardinality final aggregate). avg is floor division
+    — exact int64 in both engines."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import interarrival_stats
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return interarrival_stats(ev, "user_id", "event_type", "ts",
+                              "event_id")
+
+
+def _q_kg_hits(sf_dir: str):
+    """Integer HITS hubs & authorities over the built KG's level-0
+    directed edges (functions/pagerank.py hits_fixed_point; Kleinberg
+    1999) — the two-sided complement to kg_pagerank: entities that
+    POINT AT well-cited entities (hubs) vs. entities well-cited BY
+    good hubs (authorities). All-int64 recurrence (max-normalization
+    instead of L2 so every step is a sum + floor division), 2 rounds,
+    exactly SQL-replayable; top-25 by (auth desc, node)."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.pagerank import hits_fixed_point
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    sc = hits_fixed_point(edges, "frm_name", "to_name", iters=2)
+    return sc.sort(["auth", "node"], descending=[True, False]).limit(25)
+
+
+def _q_kg_harmonic(sf_dir: str):
+    """Sampled-seed harmonic centrality over the built KG's level-0
+    undirected simple graph (functions/graph_metrics.py
+    harmonic_centrality_seeds; Boldi & Vigna 2014): for each of the
+    top-3 degree entities, sum of 1e6 // hop over nodes within 4 hops
+    plus the reached count — the exact-integer closeness diagnostic
+    for the KG's hubs. Reuses the bfs_layers frontier machinery
+    (numpy sweep on the small KG, join rounds at scale); the oracle
+    replays the recursive-CTE BFS crossed with the seed set."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import (
+        harmonic_centrality_seeds,
+    )
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    return harmonic_centrality_seeds(
+        edges, "frm_name", "to_name", n_seeds=3, max_hops=4
+    )
+
+
 def _q_orders_top_unshipped(sf_dir: str):
     """TPC-H Q3-shaped shipping-priority query
     (relational.top_unshipped_orders): top-10 BUILDING-segment orders
@@ -5307,6 +5432,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_unshipped": _q_orders_top_unshipped,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "events_drawdown": _q_events_drawdown,
+        "parts_skyline": _q_parts_skyline,
+        "customers_order_dist": _q_customers_order_dist,
+        "events_interarrival": _q_events_interarrival,
+        "kg_hits": _q_kg_hits,
+        "kg_harmonic": _q_kg_harmonic,
     }
 
 
@@ -9443,5 +9573,158 @@ def oracle_sql() -> dict[str, str]:
         FROM x JOIN n USING (event_type)
         WHERE rn = 1
         ORDER BY x.event_type
+    """
+    d["parts_skyline"] = """
+        -- 2-D skyline dominance predicate replayed verbatim
+        -- (relational.skyline_2d): minimize cent-quantized price,
+        -- maximize size; duplicates of a frontier point all survive
+        WITH q AS (
+          SELECT p_partkey,
+                 CAST(round(p_retailprice * 100, 0) AS BIGINT) AS pc,
+                 CAST(p_size AS BIGINT) AS sz
+          FROM part
+        )
+        SELECT x.p_partkey, x.pc AS price_cents, x.sz AS size
+        FROM q x
+        WHERE NOT EXISTS (
+          SELECT 1 FROM q y
+          WHERE y.pc <= x.pc AND y.sz >= x.sz
+            AND (y.pc < x.pc OR y.sz > x.sz)
+        )
+        ORDER BY price_cents, size DESC, p_partkey
+    """
+    d["customers_order_dist"] = """
+        -- TPC-H Q13 shape (relational.order_count_distribution):
+        -- per-customer qualifying-order counts + the zero bucket
+        WITH q AS (
+          SELECT o_custkey FROM orders
+          WHERE o_orderpriority <> '1-URGENT'
+        ),
+        cc AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+          FROM q GROUP BY o_custkey
+        ),
+        dist AS (
+          SELECT c AS c_count, CAST(count(*) AS BIGINT) AS custdist
+          FROM cc GROUP BY c
+          UNION ALL
+          SELECT CAST(0 AS BIGINT),
+                 CAST((SELECT count(*) FROM customer)
+                      - (SELECT count(*) FROM cc) AS BIGINT)
+        )
+        SELECT c_count, custdist FROM dist WHERE custdist > 0
+        ORDER BY custdist DESC, c_count DESC
+    """
+    d["events_interarrival"] = """
+        -- per-(user, type) lag gaps aggregated per type
+        -- (windows.interarrival_stats); avg is BIGINT floor division
+        WITH q AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id
+                 ) AS gap
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+               CAST(sum(gap) // count(*) AS BIGINT) AS avg_gap_us,
+               CAST(min(gap) AS BIGINT) AS min_gap_us,
+               CAST(max(gap) AS BIGINT) AS max_gap_us
+        FROM q WHERE gap IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+    d["kg_hits"] = f"""
+        -- integer HITS replay (functions/pagerank.py
+        -- hits_fixed_point): 2 unrolled rounds over the level-0
+        -- directed edges, max-normalized BIGINT floor arithmetic
+        WITH e0 AS (
+          SELECT frm_name AS a, to_name AS b
+          FROM read_parquet('{_edges}') WHERE level = 0
+        ),
+        nodes AS (SELECT a AS id FROM e0 UNION SELECT b AS id FROM e0),
+        a0 AS (SELECT id, CAST(1000000 AS BIGINT) AS v FROM nodes),
+        h1r AS (
+          SELECT e.a AS id, CAST(sum(a0.v) AS BIGINT) AS r
+          FROM e0 e JOIN a0 ON a0.id = e.b GROUP BY e.a
+        ),
+        h1 AS (
+          SELECT n.id,
+                 CAST(coalesce(h1r.r, 0) * 1000000
+                      // (SELECT max(r) FROM h1r) AS BIGINT) AS v
+          FROM nodes n LEFT JOIN h1r ON h1r.id = n.id
+        ),
+        a1r AS (
+          SELECT e.b AS id, CAST(sum(h1.v) AS BIGINT) AS r
+          FROM e0 e JOIN h1 ON h1.id = e.a GROUP BY e.b
+        ),
+        a1 AS (
+          SELECT n.id,
+                 CAST(coalesce(a1r.r, 0) * 1000000
+                      // (SELECT max(r) FROM a1r) AS BIGINT) AS v
+          FROM nodes n LEFT JOIN a1r ON a1r.id = n.id
+        ),
+        h2r AS (
+          SELECT e.a AS id, CAST(sum(a1.v) AS BIGINT) AS r
+          FROM e0 e JOIN a1 ON a1.id = e.b GROUP BY e.a
+        ),
+        h2 AS (
+          SELECT n.id,
+                 CAST(coalesce(h2r.r, 0) * 1000000
+                      // (SELECT max(r) FROM h2r) AS BIGINT) AS v
+          FROM nodes n LEFT JOIN h2r ON h2r.id = n.id
+        ),
+        a2r AS (
+          SELECT e.b AS id, CAST(sum(h2.v) AS BIGINT) AS r
+          FROM e0 e JOIN h2 ON h2.id = e.a GROUP BY e.b
+        ),
+        a2 AS (
+          SELECT n.id,
+                 CAST(coalesce(a2r.r, 0) * 1000000
+                      // (SELECT max(r) FROM a2r) AS BIGINT) AS v
+          FROM nodes n LEFT JOIN a2r ON a2r.id = n.id
+        )
+        SELECT a2.id AS node, a2.v AS auth, h2.v AS hub
+        FROM a2 JOIN h2 ON h2.id = a2.id
+        ORDER BY auth DESC, node
+        LIMIT 25
+    """
+    d["kg_harmonic"] = f"""
+        -- sampled-seed harmonic centrality replay
+        -- (graph_metrics.harmonic_centrality_seeds): recursive-CTE
+        -- min-hop BFS crossed with the top-3-degree seed set,
+        -- harmonic = sum(1000000 // hop) over hops 1..4
+        WITH RECURSIVE e0 AS (
+          SELECT DISTINCT least(frm_name, to_name) AS a,
+                 greatest(frm_name, to_name) AS b
+          FROM read_parquet('{_edges}')
+          WHERE level = 0 AND frm_name <> to_name
+        ),
+        sym AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b AS src, a AS dst FROM e0
+        ),
+        deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+        seeds AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 3),
+        reach(seed, node, hop) AS (
+          SELECT id, id, 0 FROM seeds
+          UNION
+          SELECT r.seed, s.dst, r.hop + 1
+          FROM reach r JOIN sym s ON s.src = r.node
+          WHERE r.hop < 4
+        ),
+        mh AS (
+          SELECT seed, node, CAST(min(hop) AS BIGINT) AS hop
+          FROM reach GROUP BY seed, node
+        )
+        SELECT seed,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_micro
+        FROM mh WHERE hop > 0
+        GROUP BY seed
+        ORDER BY seed
     """
     return d

@@ -1024,6 +1024,14 @@ def bfs_layers(edges_ds, src_col: str, dst_col: str, max_hops: int = 3,
         1
     ).take_all()
     seed = seed_row[0]["node"]
+    return _bfs_dist(edges, seed, max_hops, node_type, P)
+
+
+def _bfs_dist(edges, seed, max_hops: int, node_type, P: int):
+    """Distributed min-hop BFS from one given seed over a materialized
+    normalized (a, b) edge list — the shared frontier-expansion loop
+    behind :func:`bfs_layers` and :func:`harmonic_centrality_seeds`.
+    Returns the (node, hop) layer dataset including the seed at 0."""
 
     def layer_tbl(names, h):
         return pa.table(
@@ -1826,4 +1834,118 @@ def partition_modularity(edges_ds, membership_ds, src_col: str,
 
     return joined.map_batches(finalize, batch_format="pyarrow").sort(
         ["contrib_num", "community"], descending=[True, False]
+    )
+
+
+def harmonic_centrality_seeds(edges_ds, src_col: str, dst_col: str,
+                              n_seeds: int = 3, max_hops: int = 4,
+                              num_partitions: int = _DEFAULT_PARTITIONS,
+                              small_edge_cutoff: int = 200_000):
+    """Sampled-seed harmonic centrality (Boldi & Vigna 2014 "Axioms
+    for centrality"): for each of the ``n_seeds`` top-degree nodes
+    (ties -> smallest name, the bfs_layers/kg_ppr seed contract),
+    ``harmonic_micro = sum over nodes within max_hops of
+    1_000_000 // hop`` plus the reached-node count — the exact-integer
+    closeness diagnostic for the graph's hubs (full harmonic
+    centrality over every node is O(V·E); seeding at the hubs is the
+    standard sampled estimate and what the dashboard actually wants).
+
+    Shape: one normalize + one degree groupby pick the seeds; each
+    seed runs the shared min-hop BFS (numpy sweep below
+    ``small_edge_cutoff`` normalized edges, else the
+    frontier-expansion join rounds of :func:`bfs_layers` — per round
+    the shuffle moves frontier-adjacent edges only). Per-seed output
+    is two scalars (model state); hop distances divide 1e6 with FLOOR
+    division, so the whole statistic is int64-exact in both engines.
+
+    Returns ``(seed, n_reached, harmonic_micro)`` sorted by seed;
+    ``n_reached`` excludes the seed itself.
+    """
+    import numpy as np
+
+    if max_hops < 1 or n_seeds < 1:
+        raise ValueError("max_hops and n_seeds must be >= 1")
+    P = _clamp_partitions(num_partitions)
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    node_type = edges_ds.schema().base_schema.field(src_col).type
+    out_schema = pa.schema(
+        [pa.field("seed", node_type), pa.field("n_reached", pa.int64()),
+         pa.field("harmonic_micro", pa.int64())]
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    deg = _explode_endpoints(edges).groupby("node").count()
+    seeds = sorted(
+        r["node"]
+        for r in deg.sort(["count()", "node"], descending=[True, False])
+        .limit(n_seeds)
+        .take_all()
+    )
+
+    if edges.count() <= small_edge_cutoff:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow"))
+        )
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        ea, eb = inv[: len(a)], inv[len(a):]
+        rows = []
+        for seed in seeds:
+            s_idx = int(np.searchsorted(nodes, seed))
+            hop = np.full(len(nodes), -1, np.int64)
+            hop[s_idx] = 0
+            frontier = np.zeros(len(nodes), bool)
+            frontier[s_idx] = True
+            for h in range(1, max_hops + 1):
+                touch = np.zeros(len(nodes), bool)
+                touch[eb[frontier[ea]]] = True
+                touch[ea[frontier[eb]]] = True
+                new = touch & (hop < 0)
+                if not new.any():
+                    break
+                hop[new] = h
+                frontier = new
+            m = hop > 0
+            rows.append(
+                (seed, int(m.sum()), int((1_000_000 // hop[m]).sum()))
+            )
+    else:
+        rows = []
+        for seed in seeds:
+            lay = _bfs_dist(edges, seed, max_hops, node_type, P)
+
+            def hpart(batch: pa.Table) -> pa.Table:
+                from ..stages.chunking import pin_arrow_threads
+
+                pin_arrow_threads()
+                hop = batch["hop"].to_numpy(zero_copy_only=False)
+                mm = hop > 0
+                return pa.table(
+                    {
+                        "n": pa.array([int(mm.sum())], pa.int64()),
+                        "s": pa.array(
+                            [int((1_000_000 // hop[mm]).sum())],
+                            pa.int64(),
+                        ),
+                    }
+                )
+
+            tot = lay.map_batches(
+                hpart, batch_format="pyarrow"
+            ).sum(["n", "s"])
+            rows.append((seed, int(tot["sum(n)"]), int(tot["sum(s)"])))
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "seed": pa.array([r[0] for r in rows], node_type),
+                "n_reached": pa.array([r[1] for r in rows], pa.int64()),
+                "harmonic_micro": pa.array(
+                    [r[2] for r in rows], pa.int64()
+                ),
+            }
+        )
     )

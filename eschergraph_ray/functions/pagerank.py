@@ -250,3 +250,276 @@ def pagerank_fixed_point(
         lambda b: pa.table({"node": b["id"], "pr": b["p"]}),
         batch_format="pyarrow",
     )
+
+
+def hits_fixed_point(
+    edges_ds,
+    src_col: str,
+    dst_col: str,
+    iters: int = 2,
+    broadcast_nodes_below: int = 10_000_000,
+):
+    """Integer HITS (Kleinberg 1999 hubs & authorities) over the
+    DIRECTED multigraph of ``edges_ds`` — the two-sided complement to
+    :func:`pagerank_fixed_point`: a good HUB points at good
+    authorities, a good AUTHORITY is pointed at by good hubs.
+
+    All arithmetic is int64 fixed-point, exactly SQL-replayable:
+
+      a_0(v)  = 1_000_000                                (uniform)
+      hr(u)   = sum over out-edges (u, v) of a(v)        (raw hub)
+      h(u)    = hr(u) * 1_000_000 // max(hr)             (normalize)
+      ar(v)   = sum over in-edges  (u, v) of h(u)        (raw auth)
+      a(v)    = ar(v) * 1_000_000 // max(ar)
+
+    The max-normalization replaces the usual L2 norm so every step
+    stays integer (sums and floor divisions are order-free in both
+    engines). A fixed small ``iters`` is the operator contract, as for
+    PageRank. Overflow bound: raw * SCALE must fit int64, i.e. max
+    weighted in/out degree < ~9.2e6 — checked loudly per round.
+
+    Returns ``(node, auth, hub)`` for every node of the graph (a node
+    with no out-edges has hub 0; no in-edges, auth 0 after round 1).
+
+    Two execution paths, identical results (the pagerank device):
+    broadcast fast path below ``broadcast_nodes_below`` nodes (scores
+    are model state: one searchsorted message pass per direction per
+    round, groupby-sum shuffles, driver-side normalize); tagged-union
+    fallback above it that never centralizes the score table — the
+    per-round max is a scalar aggregate, the only driver state.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    SCALE = 1_000_000
+    OVERFLOW = (2**63 - 1) // SCALE
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        return pa.table(
+            {"src": batch[src_col], "dst": batch[dst_col]}
+        ).combine_chunks()
+
+    edges = edges_ds.map_batches(prep, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        sch = pa.schema(
+            [("node", pa.string()), ("auth", pa.int64()),
+             ("hub", pa.int64())]
+        )
+        return rd.from_arrow(sch.empty_table())
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"id": batch["src"]}),
+                pa.table({"id": batch["dst"]}),
+            ]
+        ).combine_chunks()
+
+    nodes = (
+        edges.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("id")
+        .count()
+        .materialize()
+    )
+    n_nodes = nodes.count()
+
+    if n_nodes <= broadcast_nodes_below:
+        ids = np.sort(nodes.to_pandas()["id"].to_numpy())
+        a = np.full(n_nodes, SCALE, np.int64)
+        h = np.zeros(n_nodes, np.int64)
+
+        def _pass(scores: np.ndarray, key: str, other: str) -> np.ndarray:
+            ref = ray.put((ids, scores))
+
+            def msg(batch: pa.Table, _ref=ref) -> pa.Table:
+                from ..stages.chunking import pin_arrow_threads
+
+                pin_arrow_threads()
+                ids_s, sc = ray.get(_ref)  # node-cached
+                ov = batch[other].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "id": batch[key],
+                        "contrib": pa.array(
+                            sc[np.searchsorted(ids_s, ov)], pa.int64()
+                        ),
+                    }
+                )
+
+            sums = (
+                edges.map_batches(msg, batch_format="pyarrow")
+                .groupby("id")
+                .aggregate(Sum("contrib", alias_name="s"))
+                .to_pandas()
+            )
+            raw = np.zeros(n_nodes, np.int64)
+            pos = np.searchsorted(ids, sums["id"].to_numpy())
+            raw[pos] = sums["s"].to_numpy(np.int64)
+            m = int(raw.max())
+            if m > OVERFLOW:
+                raise ValueError(
+                    f"hits_fixed_point: raw score {m} would overflow "
+                    "int64 under SCALE normalization — reduce degree "
+                    "skew or rescale"
+                )
+            return (raw * SCALE) // m if m > 0 else raw
+
+        for _ in range(iters):
+            h = _pass(a, key="src", other="dst")
+            a = _pass(h, key="dst", other="src")
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(ids),
+                    "auth": pa.array(a, pa.int64()),
+                    "hub": pa.array(h, pa.int64()),
+                }
+            )
+        )
+
+    # ---- distributed fallback: never centralizes the score table ----
+    node_ids = nodes.map_batches(
+        lambda b: pa.table({"id": b["id"]}), batch_format="pyarrow"
+    ).materialize()
+
+    def _tag_edges(key: str, other: str):
+        def tag(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": batch[key],
+                    "other": batch[other],
+                    "val": pa.nulls(len(batch), pa.int64()),
+                    "_side": pa.array([0] * len(batch), pa.int8()),
+                }
+            )
+
+        return tag
+
+    def _tag_scores(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["id"],
+                "other": pa.nulls(len(batch), batch["id"].type),
+                "val": batch["v"],
+                "_side": pa.array([1] * len(batch), pa.int8()),
+            }
+        )
+
+    def _propagate(group: pa.Table) -> pa.Table:
+        srow = group.filter(pc.equal(group["_side"], 1))
+        val = srow["val"][0].as_py()
+        dsts = group.filter(pc.equal(group["_side"], 0))["other"]
+        return pa.table(
+            {
+                "id": dsts.combine_chunks(),
+                "contrib": pa.array([val] * len(dsts), pa.int64()),
+            }
+        )
+
+    def _dist_pass(scores_ds, owner: str, recv: str):
+        """One message round: the score of each edge's ``owner`` end
+        flows to its ``recv`` end; returns normalized sums over every
+        node (missing message = 0). The tagged-union group key is the
+        OWNER (score rows and its edges meet in one reducer)."""
+        sums = (
+            edges.map_batches(_tag_edges(owner, recv),
+                              batch_format="pyarrow")
+            .union(scores_ds.map_batches(_tag_scores,
+                                         batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(_propagate, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(Sum("contrib", alias_name="s"))
+        )
+        merged = (
+            sums.map_batches(
+                lambda b: pa.table(
+                    {"id": b["id"], "s": pc.cast(b["s"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .union(
+                node_ids.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "id": b["id"],
+                            "s": pa.array([0] * len(b), pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            .groupby("id")
+            .aggregate(Sum("s", alias_name="raw"))
+            .materialize()
+        )
+        mrow = merged.max("raw")
+        m = int(mrow) if mrow is not None else 0
+        if m > OVERFLOW:
+            raise ValueError(
+                f"hits_fixed_point: raw score {m} would overflow int64 "
+                "under SCALE normalization — reduce degree skew or "
+                "rescale"
+            )
+
+        def norm(b: pa.Table) -> pa.Table:
+            raw = pc.cast(b["raw"], pa.int64())
+            v = (
+                pc.divide(pc.multiply(raw, SCALE), m) if m > 0 else raw
+            )
+            return pa.table({"id": b["id"], "v": v})
+
+        return merged.map_batches(norm, batch_format="pyarrow").materialize()
+
+    a_ds = node_ids.map_batches(
+        lambda b: pa.table(
+            {"id": b["id"], "v": pa.array([SCALE] * len(b), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    h_ds = None
+    for _ in range(iters):
+        # hub(u) sums a(v) over out-edges: a lives on dst, flows to src
+        h_ds = _dist_pass(a_ds, owner="dst", recv="src")
+        # auth(v) sums h(u) over in-edges: h lives on src, flows to dst
+        a_ds = _dist_pass(h_ds, owner="src", recv="dst")
+
+    def tag_a(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b["id"],
+                "a": b["v"],
+                "h": pa.array([0] * len(b), pa.int64()),
+            }
+        )
+
+    def tag_h(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b["id"],
+                "a": pa.array([0] * len(b), pa.int64()),
+                "h": b["v"],
+            }
+        )
+
+    return (
+        a_ds.map_batches(tag_a, batch_format="pyarrow")
+        .union(h_ds.map_batches(tag_h, batch_format="pyarrow"))
+        .groupby("id")
+        .aggregate(Sum("a", alias_name="auth"), Sum("h", alias_name="hub"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["id"],
+                    "auth": pc.cast(b["auth"], pa.int64()),
+                    "hub": pc.cast(b["hub"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -9,6 +9,7 @@ join, skew-safe: a hot key contributes rows to exactly one reducer).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -1051,3 +1052,176 @@ def top_unshipped_orders(customer_ds, orders_ds, lineitem_ds, segment: str,
               descending=[True, False, False])
         .limit(k)
     )
+
+
+def skyline_2d(ds, id_col: str, min_col: str, max_col: str,
+               cents: int = 100, max_candidates: int = 5_000_000):
+    """2-D skyline (Pareto frontier): rows not DOMINATED by any other
+    row, minimizing ``min_col`` while maximizing ``max_col`` — the
+    classic multi-criteria shortlist (Börzsönyi/Kossmann/Stocker,
+    ICDE 2001 "The Skyline Operator"). y dominates x iff
+    ``y.min <= x.min AND y.max >= x.max`` with at least one strict;
+    exact duplicates of a frontier point all survive (matches the SQL
+    ``NOT EXISTS`` predicate verbatim).
+
+    The 100 TB shape: the skyline is DISTRIBUTIVE — a global frontier
+    point is a frontier point of every subset containing it — so pass
+    1 computes each block's local skyline with a vectorized kernel
+    (sort-free: per-price group-max + exclusive running max, pure
+    numpy), shrinking each block to its frontier (typically
+    O(log n) of it); pass 2 runs the same kernel once over the tiny
+    union. No shuffle at all — the only materialization is the
+    candidate union, guarded by ``max_candidates`` (a loud ValueError,
+    never an OOM). ``min_col`` is cent-quantized int64 (zero-digit
+    half-away round, both engines identical); ``max_col`` is cast
+    int64.
+
+    Returns ``(id_col, price_cents, size)`` sorted by
+    (price_cents asc, size desc, id asc).
+    """
+    import ray.data as rd
+
+    def _frontier_mask(price, size):
+        """Bool mask of non-dominated points. Survive iff size equals
+        the max size of the OWN price group AND strictly exceeds the
+        max size over all strictly cheaper groups."""
+        up, inv = np.unique(price, return_inverse=True)
+        gmax = np.full(len(up), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(gmax, inv, size)
+        run = np.maximum.accumulate(gmax)
+        excl = np.empty(len(up), np.int64)
+        excl[0] = np.iinfo(np.int64).min
+        excl[1:] = run[:-1]
+        return (size == gmax[inv]) & (size > excl[inv])
+
+    def _kernel(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "price_cents": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                }
+            )
+        if "price_cents" in batch.column_names:  # pass 2: already quantized
+            price = batch["price_cents"].to_numpy(zero_copy_only=False)
+            size = batch["size"].to_numpy(zero_copy_only=False)
+        else:
+            price = np.asarray(
+                pc.cast(
+                    pc.round(
+                        pc.multiply(pc.cast(batch[min_col], pa.float64()),
+                                    float(cents)),
+                        ndigits=0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                )
+            )
+            size = np.asarray(pc.cast(batch[max_col], pa.int64()))
+        keep = _frontier_mask(price, size)
+        m = pa.array(keep)
+        return pa.table(
+            {
+                id_col: pc.cast(pc.filter(batch[id_col], m), pa.int64()),
+                "price_cents": pa.array(price[keep], pa.int64()),
+                "size": pa.array(size[keep], pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(_kernel, batch_format="pyarrow").materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        # fresh from_arrow table: an empty MATERIALIZED dataset loses
+        # its schema on to_pandas (the round-4 empty-dataset trap)
+        return rd.from_arrow(
+            pa.schema(
+                [(id_col, pa.int64()), ("price_cents", pa.int64()),
+                 ("size", pa.int64())]
+            ).empty_table()
+        )
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"skyline_2d: {n_cand} local-frontier candidates exceed "
+            f"max_candidates={max_candidates}; the input's frontier is "
+            "degenerate (near-total ordering by both criteria) — raise "
+            "the guard or pre-bucket the min_col range"
+        )
+    return (
+        cand.repartition(1)
+        .map_batches(_kernel, batch_format="pyarrow", batch_size=None)
+        .sort(["price_cents", "size", id_col],
+              descending=[False, True, False])
+    )
+
+
+def order_count_distribution(customer_ds, orders_ds,
+                             exclude_priority: str):
+    """TPC-H Q13-shaped customer-distribution query: how many
+    customers placed exactly k qualifying orders, INCLUDING the
+    zero-order bucket the plain groupby can't see (Q13's left join
+    exists only to count the silent customers).
+
+    The 100 TB split: no join at all — per-customer counts are one
+    groupby over the (filtered) orders fact; the distribution is a
+    second groupby over that customer-cardinality table; the
+    zero-order bucket is arithmetic (total customers − customers with
+    ≥1 qualifying order, two scalar counts). Assumes orders⊂customers
+    referential integrity (TPC-H guarantees it; an orphan custkey
+    would count as a customer). Returns ``(c_count, custdist)``
+    sorted by (custdist desc, c_count desc); the zero row appears
+    only when such customers exist, matching the SQL's
+    ``HAVING custdist > 0`` framing.
+    """
+    import ray.data as rd
+
+    total_customers = customer_ds.count()
+
+    counts = (
+        orders_ds.map_batches(
+            lambda b: b.filter(
+                pc.not_equal(b["o_orderpriority"], exclude_priority)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .count()
+        .materialize()  # customer-cardinality
+    )
+    with_orders = counts.count()
+
+    dist = (
+        counts.map_batches(
+            lambda b: pa.table(
+                {"c_count": pc.cast(b["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_count")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "c_count": pc.cast(b["c_count"], pa.int64()),
+                    "custdist": pc.cast(b["count()"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    zero = total_customers - with_orders
+    if zero > 0:
+        dist = dist.union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "c_count": pa.array([0], pa.int64()),
+                        "custdist": pa.array([zero], pa.int64()),
+                    }
+                )
+            )
+        )
+    return dist.sort(["custdist", "c_count"], descending=[True, True])

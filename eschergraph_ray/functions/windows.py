@@ -1450,3 +1450,133 @@ def hourly_drawdown(events_ds, ts_col: str, type_col: str, val_col: str,
         hourly.repartition(1)
         .map_batches(sweep, batch_format="pyarrow", batch_size=None)
     )
+
+
+def interarrival_stats(events_ds, user_col: str, type_col: str,
+                       ts_col: str, id_col: str,
+                       num_buckets: int = 64):
+    """Per-type inter-arrival statistics over each user's PER-TYPE
+    event stream — the burstiness/cadence diagnostic (how often does
+    a user click vs. purchase): for every (user, type) stream sorted
+    by ``(ts, id)``, the gaps between consecutive events, aggregated
+    per type to ``(n_gaps, sum_gap_us, avg_gap_us, min_gap_us,
+    max_gap_us)``. Singleton streams contribute no gaps; a type whose
+    every user has one event is absent (matching SQL ``lag``).
+
+    The 100 TB shape — the round-5 wide-key lesson applied at design
+    time: grouping by the COMPOSITE (user, type) key would sort-shuffle
+    the whole stream (the 49 s pathology), so rows shuffle by
+    ``user & (num_buckets-1)`` int bucket instead (exact: a user's
+    rows land in one reducer) and the per-(user, type) sort/diff runs
+    C-side inside the bucket group with one ``np.lexsort``. The bucket
+    pass emits per-(bucket, type) PARTIALS, so the final shuffle is
+    type-cardinality sized. avg is floor division (exact int64, both
+    engines).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    P = int(num_buckets)
+    if P & (P - 1) or P <= 0:
+        raise ValueError("num_buckets must be a power of two")
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        m = pc.and_(pc.is_valid(b[user_col]), pc.is_valid(b[ts_col]))
+        b = b.filter(m)
+        return pa.table(
+            {
+                "_bkt": pc.bit_wise_and(
+                    pc.cast(b[user_col], pa.int64()), P - 1
+                ),
+                "u": pc.cast(b[user_col], pa.int64()),
+                "t": b[type_col],
+                "ts": pc.cast(
+                    pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()
+                ),
+                "i": pc.cast(b[id_col], pa.int64()),
+            }
+        )
+
+    def gaps(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "mn": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        tarr = group["t"].combine_chunks()
+        if isinstance(tarr, pa.ChunkedArray):
+            tarr = tarr.combine_chunks()
+        tdict = tarr.dictionary_encode()
+        tcode = np.asarray(tdict.indices, np.int64)
+        u = group["u"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        iv = group["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((iv, ts, tcode, u))
+        us, cs, tss = u[order], tcode[order], ts[order]
+        same = (us[1:] == us[:-1]) & (cs[1:] == cs[:-1])
+        if not same.any():
+            return empty
+        gap = (tss[1:] - tss[:-1])[same]
+        code = cs[1:][same]
+        k = len(tdict.dictionary)
+        n = np.zeros(k, np.int64)
+        s = np.zeros(k, np.int64)
+        mn = np.full(k, np.iinfo(np.int64).max, np.int64)
+        mx = np.full(k, np.iinfo(np.int64).min, np.int64)
+        np.add.at(n, code, 1)
+        np.add.at(s, code, gap)
+        np.minimum.at(mn, code, gap)
+        np.maximum.at(mx, code, gap)
+        hit = n > 0
+        return pa.table(
+            {
+                "event_type": tdict.dictionary.filter(pa.array(hit)),
+                "n": pa.array(n[hit], pa.int64()),
+                "s": pa.array(s[hit], pa.int64()),
+                "mn": pa.array(mn[hit], pa.int64()),
+                "mx": pa.array(mx[hit], pa.int64()),
+            }
+        )
+
+    agg = (
+        events_ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(gaps, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n_gaps"),
+            Sum("s", alias_name="sum_gap_us"),
+            Min("mn", alias_name="min_gap_us"),
+            Max("mx", alias_name="max_gap_us"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n_gaps"], pa.int64())
+        s = pc.cast(b["sum_gap_us"], pa.int64())
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_gaps": n,
+                "sum_gap_us": s,
+                # gaps are >= 0 so arrow's truncate == floor == SQL //
+                "avg_gap_us": pc.divide(s, n),
+                "min_gap_us": pc.cast(b["min_gap_us"], pa.int64()),
+                "max_gap_us": pc.cast(b["max_gap_us"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "event_type"
+    )

@@ -422,3 +422,94 @@ def test_partition_modularity_membership_miss(ray_session):
     }
     # m=3; node 3 unmembered: its degree never reaches a community
     assert got == {"x": (1, 3), "y": (0, 2)}
+
+
+# ---------- harmonic_centrality_seeds ----------
+
+
+def _harm_reference(pairs, seeds, max_hops):
+    """Driver replay: per-seed BFS hop counts over the simple graph."""
+    adj = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for seed in seeds:
+        hop = {seed: 0}
+        frontier = [seed]
+        for h in range(1, max_hops + 1):
+            nxt = [
+                v for u in frontier for v in adj.get(u, ())
+                if v not in hop
+            ]
+            for v in set(nxt):
+                hop[v] = h
+            frontier = sorted(set(nxt))
+            if not frontier:
+                break
+        reached = [hh for hh in hop.values() if hh > 0]
+        out[seed] = (
+            len(reached),
+            sum(1_000_000 // hh for hh in reached),
+        )
+    return out
+
+
+def test_harmonic_hand_and_paths(ray_session):
+    from eschergraph_ray.functions.graph_metrics import (
+        harmonic_centrality_seeds,
+    )
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("b", "d"), ("b", "a"),  # dup edge
+        ("x", "a"), ("p", "q"), ("c", "e"), ("e", "f"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "s": [s for s, _ in pairs],
+                "d": [d for _, d in pairs],
+            }
+        )
+    )
+    got = {
+        r["seed"]: (r["n_reached"], r["harmonic_micro"])
+        for r in harmonic_centrality_seeds(
+            ds, "s", "d", n_seeds=2, max_hops=3
+        ).take_all()
+    }
+    # degree (simple graph): b=3, a=3, c=2 ... ties a/b -> 'a','b'
+    want = _harm_reference(pairs, ["a", "b"], 3)
+    assert got == want
+    # the isolated pair is never reached
+    assert all(n < 8 for n, _ in got.values())
+    dist = {
+        r["seed"]: (r["n_reached"], r["harmonic_micro"])
+        for r in harmonic_centrality_seeds(
+            ds, "s", "d", n_seeds=2, max_hops=3, small_edge_cutoff=0,
+            num_partitions=2,
+        ).take_all()
+    }
+    assert dist == got
+
+
+def test_harmonic_empty_and_validation(ray_session):
+    import pytest
+
+    from eschergraph_ray.functions.graph_metrics import (
+        harmonic_centrality_seeds,
+    )
+
+    empty = rd.from_arrow(
+        pa.table({"s": pa.array([], pa.string()),
+                  "d": pa.array([], pa.string())})
+    )
+    out = harmonic_centrality_seeds(empty, "s", "d")
+    assert out.count() == 0
+    assert set(out.schema().names) == {
+        "seed", "n_reached", "harmonic_micro"
+    }
+    with pytest.raises(ValueError, match=">= 1"):
+        harmonic_centrality_seeds(empty, "s", "d", max_hops=0)

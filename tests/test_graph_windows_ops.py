@@ -1558,3 +1558,116 @@ def test_hourly_drawdown_hand(ray_session):
     }
     assert got == {"a": (7_000_000, 2, 4), "b": (0, 0, 2)}
     assert list(out["event_type"]) == ["a", "b"]
+
+
+# ---------- interarrival_stats ----------
+
+
+def _ia_events(rows):
+    """rows: (event_id, user, type, ts_us)."""
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(
+                    [r[2] for r in rows], pa.string()
+                ),
+                "ts": pa.array(
+                    [r[3] for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+    )
+
+
+def test_interarrival_hand(ray_session):
+    from eschergraph_ray.functions.windows import interarrival_stats
+
+    rows = [
+        # user 1 clicks at 0, 10, 40 -> gaps 10, 30
+        (1, 1, "click", 0),
+        (2, 1, "click", 10),
+        (3, 1, "click", 40),
+        # user 2 clicks once -> no gap; views at 5, 12 -> gap 7
+        (4, 2, "click", 100),
+        (5, 2, "view", 5),
+        (6, 2, "view", 12),
+        # same-ts tie within one stream -> gap 0 (order by id)
+        (7, 3, "view", 50),
+        (8, 3, "view", 50),
+    ]
+    out = interarrival_stats(
+        _ia_events(rows), "user_id", "event_type", "ts", "event_id"
+    ).to_pandas()
+    got = {
+        r.event_type: (r.n_gaps, r.sum_gap_us, r.avg_gap_us,
+                       r.min_gap_us, r.max_gap_us)
+        for r in out.itertuples()
+    }
+    assert got == {
+        "click": (2, 40, 20, 10, 30),
+        "view": (2, 7, 3, 0, 7),
+    }
+
+
+def test_interarrival_bucket_invariance_and_sql(ray_session):
+    from eschergraph_ray.functions.windows import interarrival_stats
+
+    rng = np.random.default_rng(11)
+    n = 800
+    rows = list(
+        zip(
+            range(n),
+            rng.integers(0, 37, n).tolist(),
+            rng.choice(["a", "b", "c"], n).tolist(),
+            rng.integers(0, 10_000, n).tolist(),
+        )
+    )
+    ds = _ia_events(rows)
+    r64 = interarrival_stats(
+        ds, "user_id", "event_type", "ts", "event_id", num_buckets=64
+    ).to_pandas()
+    r1 = interarrival_stats(
+        _ia_events(rows), "user_id", "event_type", "ts", "event_id",
+        num_buckets=1,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(r64, r1)
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts_us"]
+    )
+    o = duckdb.sql(
+        """
+        WITH q AS (
+          SELECT event_type,
+                 ts_us - lag(ts_us) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id) AS gap
+          FROM df
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) n_gaps,
+               CAST(sum(gap) AS BIGINT) sum_gap_us,
+               CAST(sum(gap) // count(*) AS BIGINT) avg_gap_us,
+               CAST(min(gap) AS BIGINT) min_gap_us,
+               CAST(max(gap) AS BIGINT) max_gap_us
+        FROM q WHERE gap IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+        """
+    ).df()
+    pd.testing.assert_frame_equal(r64, o, check_dtype=False)
+
+
+def test_interarrival_empty_and_validation(ray_session):
+    import pytest
+
+    from eschergraph_ray.functions.windows import interarrival_stats
+
+    out = interarrival_stats(
+        _ia_events([]), "user_id", "event_type", "ts", "event_id"
+    )
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="power of two"):
+        interarrival_stats(
+            _ia_events([]), "user_id", "event_type", "ts", "event_id",
+            num_buckets=48,
+        )

@@ -99,3 +99,58 @@ def test_personalized_matches_reference_both_paths():
     # mass concentrates near the seed: its neighbour outranks the
     # far end of the chain
     assert fast["b"] > fast["e"]
+
+
+# ---------------- hits_fixed_point ----------------
+
+SCALE = 1_000_000
+
+
+def _reference_hits(pairs, iters):
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    a = {v: SCALE for v in nodes}
+    h = {v: 0 for v in nodes}
+
+    def norm(raw):
+        m = max(raw.values())
+        return (
+            {v: (raw[v] * SCALE) // m for v in raw} if m > 0 else raw
+        )
+
+    for _ in range(iters):
+        h = norm({v: sum(a[d] for s, d in pairs if s == v) for v in nodes})
+        a = norm({v: sum(h[s] for s, d in pairs if d == v) for v in nodes})
+    return {v: (a[v], h[v]) for v in nodes}
+
+
+def _run_hits(pairs, **kw):
+    from eschergraph_ray.functions.pagerank import hits_fixed_point
+
+    out = hits_fixed_point(_edges(pairs), "a", "b", **kw).to_pandas()
+    return {r.node: (r.auth, r.hub) for r in out.itertuples()}
+
+
+def test_hits_matches_reference_both_paths():
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+        ("c", "b"), ("d", "a"), ("e", "b"), ("a", "b"),  # parallel edge
+    ]
+    want = _reference_hits(pairs, 2)
+    fast = _run_hits(pairs, iters=2)
+    slow = _run_hits(pairs, iters=2, broadcast_nodes_below=0)
+    assert fast == slow == want
+    # e has no in-edges: zero authority; b is the most-cited node
+    assert fast["e"][0] == 0
+    assert max(fast, key=lambda v: fast[v][0]) == "b"
+
+
+def test_hits_dangling_and_empty():
+    from eschergraph_ray.functions.pagerank import hits_fixed_point
+
+    out = hits_fixed_point(_edges([]), "a", "b")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "auth", "hub"}
+    # pure sink: hub 0, auth max; pure source: auth 0
+    got = _run_hits([("s", "t"), ("s2", "t")], iters=2)
+    assert got["t"][1] == 0 and got["t"][0] == SCALE
+    assert got["s"][0] == 0

@@ -402,3 +402,142 @@ def test_top_unshipped_orders_hand(ray_session):
     # 100*0.9*1e6 + 50*1e6 = 140_000_000
     assert int(out["revenue_micro"][0]) == 140_000_000
     assert out["o_orderpriority"][0] == "1-URGENT"
+
+
+# ---------------- skyline_2d ----------------
+
+
+def _sky(rows, **kw):
+    from eschergraph_ray.functions.relational import skyline_2d
+
+    tbl = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "price": pa.array([r[1] for r in rows], pa.float64()),
+            "size": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = skyline_2d(
+        rd.from_arrow(tbl), "id", "price", "size", **kw
+    ).to_pandas()
+    return list(zip(out["id"], out["price_cents"], out["size"]))
+
+
+def test_skyline_hand_computed():
+    # (2.0, 10) dominates (3.0, 10) and (2.5, 5); duplicates of a
+    # frontier point both survive; (1.0, 3) survives (cheapest)
+    rows = [
+        (1, 2.0, 10),
+        (2, 3.0, 10),   # dominated: same size, dearer
+        (3, 2.5, 5),    # dominated by id 1 on both
+        (4, 2.0, 10),   # duplicate frontier point -> survives
+        (5, 1.0, 3),    # cheapest -> frontier
+        (6, 1.0, 2),    # dominated by 5: same price, smaller
+    ]
+    got = _sky(rows)
+    assert got == [(5, 100, 3), (1, 200, 10), (4, 200, 10)]
+
+
+def test_skyline_multiblock_matches_single():
+    # force many blocks so pass-1 local frontiers + pass-2 reduce run
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(1, 9), rng.randrange(1, 50))
+            for i in range(500)]
+    from eschergraph_ray.functions.relational import skyline_2d
+
+    tbl = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "price": pa.array([r[1] for r in rows], pa.float64()),
+            "size": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    one = skyline_2d(rd.from_arrow(tbl), "id", "price", "size").to_pandas()
+    many = skyline_2d(
+        rd.from_arrow(tbl).repartition(17), "id", "price", "size"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(one, many)
+    # brute-force dominance check
+    pts = {r[0]: (round(r[1] * 100), r[2]) for r in rows}
+    def dominated(i):
+        pi, si = pts[i]
+        return any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in pts.items() if j != i
+        )
+    want = sorted(
+        [i for i in pts if not dominated(i)],
+        key=lambda i: (pts[i][0], -pts[i][1], i),
+    )
+    assert list(one["id"]) == want
+
+
+def test_skyline_empty_and_guard():
+    import pytest
+
+    from eschergraph_ray.functions.relational import skyline_2d
+
+    empty = skyline_2d(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "price": pa.array([], pa.float64()),
+                    "size": pa.array([], pa.int64()),
+                }
+            )
+        ),
+        "id", "price", "size",
+    )
+    # empty datasets are checked via schema/count, never to_pandas
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"id", "price_cents", "size"}
+    # a strictly anti-chained input (dearer is always bigger) IS its
+    # own frontier -> the candidate guard trips loudly
+    rows = [(i, float(i), i) for i in range(50)]
+    with pytest.raises(ValueError, match="max_candidates"):
+        _sky(rows, max_candidates=10)
+
+
+# ---------------- order_count_distribution ----------------
+
+
+def _ocd(customers, orders, exclude="X"):
+    from eschergraph_ray.functions.relational import (
+        order_count_distribution,
+    )
+
+    c = pa.table({"c_custkey": pa.array(customers, pa.int64())})
+    o = pa.table(
+        {
+            "o_custkey": pa.array([x[0] for x in orders], pa.int64()),
+            "o_orderpriority": pa.array(
+                [x[1] for x in orders], pa.string()
+            ),
+        }
+    )
+    out = order_count_distribution(
+        rd.from_arrow(c), rd.from_arrow(o), exclude_priority=exclude
+    ).to_pandas()
+    return list(zip(out["c_count"], out["custdist"]))
+
+
+def test_order_count_distribution_hand():
+    customers = [1, 2, 3, 4, 5]
+    orders = [
+        (1, "A"), (1, "A"), (2, "A"),
+        (3, "X"), (3, "X"),          # all excluded -> zero bucket
+        (4, "A"), (4, "X"),          # one qualifying
+    ]
+    got = _ocd(customers, orders)
+    # counts: c1=2, c2=1, c4=1 -> dist {2:1, 1:2}; zero bucket = 2;
+    # order is (custdist desc, c_count desc)
+    assert got == [(1, 2), (0, 2), (2, 1)]
+
+
+def test_order_count_distribution_no_zero_bucket():
+    got = _ocd([1, 2], [(1, "A"), (2, "A")])
+    assert got == [(1, 2)]
+    assert all(c != 0 for c, _ in got)
