@@ -1709,6 +1709,26 @@ def _q_kg_hits(sf_dir: str):
     return sc.sort(["auth", "node"], descending=[True, False]).limit(25)
 
 
+def _q_docs_ctfidf_by_source(sf_dir: str):
+    """Class-based TF-IDF top terms per source (functions/vocab.py
+    ctfidf_top_terms; BERTopic c-TF-IDF, Grootendorst 2022): each
+    source as one pseudo-document, score = tf * ln(1 + A/f). The
+    composite (source, token) key never sort-shuffles — crc32(token)
+    buckets compute tf AND the corpus-wide f in one grouped pass;
+    ranking is on the unrounded score with only the reported value
+    micro-quantized."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import ctfidf_top_terms
+
+    _context()
+    return ctfidf_top_terms(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"]),
+        "source", "text", m=5,
+    )
+
+
 def _q_kg_harmonic(sf_dir: str):
     """Sampled-seed harmonic centrality over the built KG's level-0
     undirected simple graph (functions/graph_metrics.py
@@ -5437,6 +5457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": _q_events_interarrival,
         "kg_hits": _q_kg_hits,
         "kg_harmonic": _q_kg_harmonic,
+        "docs_ctfidf_by_source": _q_docs_ctfidf_by_source,
     }
 
 
@@ -9726,5 +9747,45 @@ def oracle_sql() -> dict[str, str]:
         FROM mh WHERE hop > 0
         GROUP BY seed
         ORDER BY seed
+    """
+    d["docs_ctfidf_by_source"] = """
+        -- c-TF-IDF replay (vocab.ctfidf_top_terms): per-class tf,
+        -- corpus-wide f, A = T/k one scalar division; rank on the
+        -- UNROUNDED score (ties -> token), report round(s*1e6, 0)
+        WITH tok AS (
+          SELECT source, unnest(regexp_extract_all(lower(text),
+              '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY source, token
+        ),
+        ft AS (
+          SELECT token, CAST(sum(tf) AS BIGINT) AS f
+          FROM tf GROUP BY token
+        ),
+        tot AS (
+          SELECT CAST(sum(tf) AS BIGINT) AS T,
+                 CAST(count(DISTINCT source) AS BIGINT) AS k
+          FROM tf
+        ),
+        sc AS (
+          SELECT source, token,
+                 tf * ln(1 + (CAST(tot.T AS DOUBLE) / tot.k) / f) AS s,
+                 CAST(round(
+                   tf * ln(1 + (CAST(tot.T AS DOUBLE) / tot.k) / f)
+                     * 1e6, 0) AS BIGINT) AS score_micro
+          FROM tf JOIN ft USING (token) CROSS JOIN tot
+        ),
+        rk AS (
+          SELECT source, token, score_micro,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY s DESC, token
+                 ) AS rn
+          FROM sc
+        )
+        SELECT source, token, score_micro FROM rk WHERE rn <= 5
+        ORDER BY source, token
     """
     return d

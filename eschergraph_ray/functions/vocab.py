@@ -819,3 +819,175 @@ def bigram_nll(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def ctfidf_top_terms(ds, class_col: str, text_col: str, m: int = 5,
+                     num_buckets: int = 64):
+    """Class-based TF-IDF (the BERTopic c-TF-IDF shape, Grootendorst
+    2022): treat each class (source) as ONE pseudo-document and rank
+    its most characteristic terms — ``score = tf_{t,c} * ln(1 + A /
+    f_t)`` with ``tf_{t,c}`` the term's total count in the class,
+    ``f_t`` its corpus-wide count and ``A`` the average tokens per
+    class. The grouped complement to :func:`tfidf_top_terms` (which is
+    per-document): "what words make THIS source different".
+
+    Shape — the wide-key lesson applied: (class, token) never hits
+    Ray's composite-key sort-shuffle. Per-batch Counter partials
+    bucket by ``crc32(token)`` (all of a token's rows share a bucket,
+    so the per-bucket Arrow group_by is exact AND can compute the
+    corpus-wide ``f_t`` in the same pass); scoring is one vectorized
+    map over the class×vocab table; top-m per class reduces per-batch
+    partials before a class-cardinality final pass (Arrow out).
+
+    Parity: ``A = T/k`` is one scalar division both engines share;
+    the per-term weight is the single float expression
+    ``ln(1 + A / f)``; scores rank UNROUNDED (ties -> token asc) and
+    only the reported ``score_micro = round(tf * w * 1e6, 0)`` is
+    quantized — a zero-digit round, identical IEEE op in DuckDB.
+
+    Returns ``(class_col, token, score_micro)``, at most ``m`` rows
+    per class, sorted by (class, token).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            class_col: pa.array([], pa.string()),
+            "token": pa.array([], pa.string()),
+            "score_micro": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import zlib
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        per_class: dict[str, Counter] = {}
+        classes = batch[class_col].to_pylist()
+        for cls, toks in zip(
+            classes, _batch_token_counts(batch[text_col].to_pylist(), None)
+        ):
+            per_class.setdefault(cls, Counter()).update(toks)
+        srcs, toks_out, tfs = [], [], []
+        for cls, c in per_class.items():
+            srcs.extend([cls] * len(c))
+            toks_out.extend(c.keys())
+            tfs.extend(c.values())
+        lut = {
+            t: zlib.crc32(t.encode()) % num_buckets
+            for t in set(toks_out)
+        }
+        return pa.table(
+            {
+                "bucket": pa.array([lut[t] for t in toks_out],
+                                   pa.int32()),
+                "src": pa.array(srcs, pa.string()),
+                "token": pa.array(toks_out, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.group_by(["src", "token"]).aggregate([("tf", "sum")])
+        ft = g.group_by("token").aggregate([("tf_sum", "sum")])
+        ft_tok = np.asarray(ft["token"])
+        order = np.argsort(ft_tok)
+        f_sorted = ft["tf_sum_sum"].to_numpy(zero_copy_only=False)[order]
+        pos = np.searchsorted(ft_tok[order], np.asarray(g["token"]))
+        return pa.table(
+            {
+                "src": g["src"],
+                "token": g["token"],
+                "tf": pc.cast(g["tf_sum"], pa.int64()),
+                "f": pa.array(f_sorted[pos], pa.int64()),
+            }
+        )
+
+    tok = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    totals = tok.sum("tf")
+    if totals is None:
+        return rd.from_arrow(empty)
+    T = int(totals)
+    k = tok.groupby("src").count().count()
+    A = T / k  # ONE scalar double division, shared with the SQL
+
+    def topm(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    class_col: pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "_s": pa.array([], pa.float64()),
+                    "score_micro": pa.array([], pa.int64()),
+                }
+            )
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        f = batch["f"].to_numpy(zero_copy_only=False)
+        s = tf * np.log(1.0 + A / f)  # rank on the UNROUNDED score
+        srcs = np.asarray(batch["src"])
+        toks = np.asarray(batch["token"])
+        order = np.lexsort((toks, -s, srcs))
+        ss, stok, sscore = srcs[order], toks[order], s[order]
+        _, starts = np.unique(ss, return_index=True)
+        keep = np.zeros(len(ss), bool)
+        for st in starts:
+            keep[st: st + m] = True
+        # clip rank runs at the next class boundary
+        bounds = np.append(starts[1:], len(ss))
+        for st, en in zip(starts, bounds):
+            keep[min(st + m, en): en] = False
+        # carry the UNROUNDED score so the final rank replays the
+        # SQL's ordering exactly; quantize only the reported value
+        micro = pc.cast(
+            pc.round(
+                pa.array(sscore[keep] * 1e6, pa.float64()),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                class_col: pa.array(ss[keep], pa.string()),
+                "token": pa.array(stok[keep], pa.string()),
+                "_s": pa.array(sscore[keep], pa.float64()),
+                "score_micro": micro,
+            }
+        )
+
+    cand = tok.map_batches(topm, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        # every global top-m row survives its batch's partial cut, so
+        # ranking the candidates on the carried unrounded score is the
+        # SQL's exact (score desc, token asc) order
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("_s", "descending"), ("token", "ascending")],
+        )
+        return group.take(idx[:m]).drop_columns(["_s"])
+
+    return (
+        cand.groupby(class_col)
+        .map_groups(final, batch_format="pyarrow")
+        .sort([class_col, "token"])
+    )

@@ -323,3 +323,100 @@ def test_bigram_pmi_join_path_matches_broadcast():
         ds, "text", k=10, min_count=2, max_vocab_broadcast=2
     ).take_all()
     assert got2 == want
+
+
+# ---------- ctfidf_top_terms ----------
+
+
+def _ctfidf_run(rows, m=2, **kw):
+    from eschergraph_ray.functions.vocab import ctfidf_top_terms
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    return ctfidf_top_terms(ds, "source", "text", m=m, **kw).to_pandas()
+
+
+def test_ctfidf_hand(ray_session):
+    # class A: "cat cat dog", class B: "dog fish" ->
+    # T=5, k=2, A=2.5; f: cat 2, dog 2, fish 1
+    out = _ctfidf_run([("A", "cat cat dog"), ("B", "dog fish")], m=2)
+    got = {(r.source, r.token): r.score_micro for r in out.itertuples()}
+    import math
+
+    A = 5 / 2
+    w = lambda f: math.log(1 + A / f)
+    exp = {
+        ("A", "cat"): round(2 * w(2) * 1e6),
+        ("A", "dog"): round(1 * w(2) * 1e6),
+        ("B", "dog"): round(1 * w(2) * 1e6),
+        ("B", "fish"): round(1 * w(1) * 1e6),
+    }
+    assert got == exp
+    # the class-exclusive rare term outranks the shared one in B
+    assert got[("B", "fish")] > got[("B", "dog")]
+
+
+def test_ctfidf_multiblock_and_duckdb(ray_session):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (f"s{rng.integers(0, 4)}",
+         " ".join(rng.choice(vocab, size=rng.integers(3, 25)).tolist()))
+        for _ in range(200)
+    ]
+    from eschergraph_ray.functions.vocab import ctfidf_top_terms
+
+    tbl = pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    one = ctfidf_top_terms(
+        rd.from_arrow(tbl), "source", "text", m=3
+    ).to_pandas()
+    many = ctfidf_top_terms(
+        rd.from_arrow(tbl).repartition(11), "source", "text", m=3,
+        num_buckets=8,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(one, many)
+    df = pd.DataFrame(rows, columns=["source", "text"])
+    o = duckdb.sql(
+        """
+        WITH tok AS (
+          SELECT source, unnest(regexp_extract_all(lower(text),
+              '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS token
+          FROM df
+        ),
+        tf AS (SELECT source, token, CAST(count(*) AS BIGINT) tf
+               FROM tok GROUP BY source, token),
+        ft AS (SELECT token, CAST(sum(tf) AS BIGINT) f
+               FROM tf GROUP BY token),
+        tot AS (SELECT CAST(sum(tf) AS BIGINT) T,
+                       CAST(count(DISTINCT source) AS BIGINT) k FROM tf),
+        sc AS (
+          SELECT source, token,
+                 tf * ln(1 + (CAST(tot.T AS DOUBLE) / tot.k) / f) AS s,
+                 CAST(round(
+                   tf * ln(1 + (CAST(tot.T AS DOUBLE) / tot.k) / f)
+                     * 1e6, 0) AS BIGINT) AS score_micro
+          FROM tf JOIN ft USING (token) CROSS JOIN tot
+        ),
+        rk AS (SELECT source, token, score_micro, row_number() OVER (
+                 PARTITION BY source ORDER BY s DESC, token) rn FROM sc)
+        SELECT source, token, score_micro FROM rk WHERE rn <= 3
+        ORDER BY source, token
+        """
+    ).df()
+    pd.testing.assert_frame_equal(one, o, check_dtype=False)
+
+
+def test_ctfidf_empty(ray_session):
+    out_ds = _ctfidf_run([], m=2)
+    assert len(out_ds) == 0
