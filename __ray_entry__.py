@@ -1709,6 +1709,27 @@ def _q_kg_hits(sf_dir: str):
     return sc.sort(["auth", "node"], descending=[True, False]).limit(25)
 
 
+def _q_events_user_overlap_hll(sf_dir: str):
+    """HLL set algebra between two event types' user sets
+    (functions/sketch.py hll_set_algebra): |A|, |B|, |A∪B| from
+    register max-merges and |A∩B| by inclusion-exclusion — sketch
+    MERGEABILITY demonstrated (the union is one elementwise max over
+    state that already exists; no shuffle). Same md5 fold as
+    events_type_user_hll, so the oracle replays every register and
+    the three estimates byte-match."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import hll_set_algebra
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_set_algebra(
+        ev, "event_type", "user_id", "click", "purchase", p=12
+    )
+
+
 def _q_docs_ctfidf_by_source(sf_dir: str):
     """Class-based TF-IDF top terms per source (functions/vocab.py
     ctfidf_top_terms; BERTopic c-TF-IDF, Grootendorst 2022): each
@@ -5458,6 +5479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _q_kg_hits,
         "kg_harmonic": _q_kg_harmonic,
         "docs_ctfidf_by_source": _q_docs_ctfidf_by_source,
+        "events_user_overlap_hll": _q_events_user_overlap_hll,
     }
 
 
@@ -9787,5 +9809,73 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, token, score_micro FROM rk WHERE rn <= 5
         ORDER BY source, token
+    """
+    d["events_user_overlap_hll"] = """
+        -- HLL set-algebra replay (sketch.hll_set_algebra): per-type
+        -- registers, union = per-bucket max over BOTH types' rows,
+        -- intersection by inclusion-exclusion; the estimator is the
+        -- events_type_user_hll exact-HUGEINT replay
+        WITH hv AS (
+          SELECT event_type,
+                 CAST(concat('0x',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                 AS UBIGINT) AS hv
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+            AND user_id IS NOT NULL
+        ),
+        regs AS (
+          SELECT event_type AS grp,
+                 max(CASE WHEN (hv & 4503599627370495::UBIGINT) = 0
+                          THEN 53
+                     ELSE position('1' IN
+                          lpad(bin(hv & 4503599627370495::UBIGINT),
+                               52, '0'))
+                     END) AS r
+          FROM hv GROUP BY event_type, hv >> 52
+        ),
+        uregs AS (
+          SELECT '(union)' AS grp,
+                 max(CASE WHEN (hv & 4503599627370495::UBIGINT) = 0
+                          THEN 53
+                     ELSE position('1' IN
+                          lpad(bin(hv & 4503599627370495::UBIGINT),
+                               52, '0'))
+                     END) AS r
+          FROM hv GROUP BY hv >> 52
+        ),
+        allregs AS (
+          SELECT grp, r FROM regs UNION ALL SELECT grp, r FROM uregs
+        ),
+        agg AS (
+          SELECT grp, count(*) AS nonzero,
+                 (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                   * CAST(1::HUGEINT << 53 AS DOUBLE)
+                   / CAST(sum(1::HUGEINT << (53 - r))
+                          + CAST(4096 - count(*) AS HUGEINT)
+                            * (1::HUGEINT << 53) AS DOUBLE) AS raw
+          FROM allregs GROUP BY grp
+        ),
+        est AS (
+          SELECT grp,
+                 CASE WHEN raw <= 2.5 * 4096 AND (4096 - nonzero) > 0
+                      THEN CAST(floor(4096 * ln(CAST(4096 AS DOUBLE)
+                                / (4096 - nonzero)) + 0.5) AS BIGINT)
+                      ELSE CAST(floor(raw + 0.5) AS BIGINT)
+                 END AS n
+          FROM agg
+        )
+        SELECT 'click' AS group_a, 'purchase' AS group_b,
+               CAST(12 AS BIGINT) AS p,
+               coalesce((SELECT n FROM est WHERE grp = 'click'), 0)
+                 AS approx_a,
+               coalesce((SELECT n FROM est WHERE grp = 'purchase'), 0)
+                 AS approx_b,
+               coalesce((SELECT n FROM est WHERE grp = '(union)'), 0)
+                 AS approx_union,
+               coalesce((SELECT n FROM est WHERE grp = 'click'), 0)
+                 + coalesce((SELECT n FROM est WHERE grp = 'purchase'), 0)
+                 - coalesce((SELECT n FROM est WHERE grp = '(union)'), 0)
+                 AS approx_intersection
     """
     return d

@@ -428,3 +428,83 @@ def approx_distinct_by_group(ds, group_col: str, col: str, p: int = 12,
             "approx_n": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def hll_set_algebra(ds, group_col: str, col: str, group_a, group_b,
+                    p: int = 12, hashname: str = "md5") -> pa.Table:
+    """Mergeable-sketch SET ALGEBRA between two groups' value sets:
+    ``|A|``, ``|B|``, ``|A ∪ B|`` from HLL register max-merges and
+    ``|A ∩ B| = |A| + |B| - |A ∪ B|`` by inclusion-exclusion — the
+    overlap estimate exact distinct joins can't give without shuffling
+    both sides. Mergeability is WHY sketches matter at 100 TB: the
+    union costs one elementwise max over two 2^p register arrays that
+    already exist; no data moves at all.
+
+    One streaming pass filtered to the two groups (same md5 fold as
+    :func:`approx_distinct_by_group`, so the SQL oracle replays every
+    register); a group with no rows has all-zero registers and
+    estimates 0 (the oracle coalesces the same way). The intersection
+    estimate is reported RAW (it can go slightly negative within
+    sketch error; both engines compute the identical integer).
+
+    Returns a one-row table ``(group_a, group_b, p, approx_a,
+    approx_b, approx_union, approx_intersection)``.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pa.compute.and_(
+            pa.compute.is_in(
+                batch[group_col],
+                value_set=pa.array([group_a, group_b]),
+            ),
+            pa.compute.is_valid(batch[col]),
+        )
+        t = batch.select([group_col, col]).filter(keep)
+        groups, blobs = [], []
+        if len(t):
+            gv = t[group_col].to_pylist()
+            vv = t[col].to_pylist()
+            by: dict = {}
+            for g, v in zip(gv, vv):
+                by.setdefault(g, []).append(v)
+            for g, vals in by.items():
+                groups.append(g)
+                blobs.append(_fold(_hash64(vals, hashname), p).tobytes())
+        return pa.table(
+            {
+                "grp": pa.array(groups, pa.string()),
+                "regs": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    regs = {group_a: np.zeros(m, np.uint8), group_b: np.zeros(m, np.uint8)}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g, buf in zip(b["grp"].to_pylist(), b["regs"].to_pylist()):
+            regs[g] = np.maximum(regs[g], np.frombuffer(buf, np.uint8))
+
+    _, est_a = hll_estimate_replay(regs[group_a], p)
+    _, est_b = hll_estimate_replay(regs[group_b], p)
+    _, est_u = hll_estimate_replay(
+        np.maximum(regs[group_a], regs[group_b]), p
+    )
+    return pa.table(
+        {
+            "group_a": pa.array([str(group_a)], pa.string()),
+            "group_b": pa.array([str(group_b)], pa.string()),
+            "p": pa.array([p], pa.int64()),
+            "approx_a": pa.array([est_a], pa.int64()),
+            "approx_b": pa.array([est_b], pa.int64()),
+            "approx_union": pa.array([est_u], pa.int64()),
+            "approx_intersection": pa.array(
+                [est_a + est_b - est_u], pa.int64()
+            ),
+        }
+    )

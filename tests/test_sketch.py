@@ -244,3 +244,59 @@ def test_bloom_param_validation():
         bloom_partials(None, "v", m=1000)  # not a power of two
     with pytest.raises(ValueError):
         bloom_partials(None, "v", k=0)
+
+
+# ---------- hll_set_algebra ----------
+
+
+def test_hll_set_algebra_known_overlap(ray_session):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import (
+        approx_distinct_by_group, hll_set_algebra,
+    )
+
+    # A = 0..2999, B = 2000..4999 -> true |A|=3000 |B|=3000 |A∪B|=5000
+    rows_a = [("A", i) for i in range(3000)]
+    rows_b = [("B", i) for i in range(2000, 5000)]
+    tbl = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows_a + rows_b], pa.string()),
+            "v": pa.array([r[1] for r in rows_a + rows_b], pa.int64()),
+        }
+    )
+    out = hll_set_algebra(
+        rd.from_arrow(tbl), "g", "v", "A", "B", p=12
+    ).to_pydict()
+    ea, eb = out["approx_a"][0], out["approx_b"][0]
+    eu, ei = out["approx_union"][0], out["approx_intersection"][0]
+    # within the sketch's ~1.6% band (p=12), generous 10% test bound
+    assert abs(ea - 3000) < 300 and abs(eb - 3000) < 300
+    assert abs(eu - 5000) < 500
+    assert abs(ei - 1000) < 500
+    assert ei == ea + eb - eu
+    # per-group estimates agree with the md5-replay group estimator
+    byg = approx_distinct_by_group(
+        rd.from_arrow(tbl), "g", "v", p=12
+    ).to_pydict()
+    assert dict(zip(byg["g"], byg["approx_n"])) == {"A": ea, "B": eb}
+
+
+def test_hll_set_algebra_idempotent_and_absent(ray_session):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import hll_set_algebra
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["A"] * 500, pa.string()),
+            "v": pa.array(list(range(500)), pa.int64()),
+        }
+    )
+    # B absent: |B| = 0, union == A, intersection == 0
+    out = hll_set_algebra(
+        rd.from_arrow(tbl), "g", "v", "A", "B", p=12
+    ).to_pydict()
+    assert out["approx_b"][0] == 0
+    assert out["approx_union"][0] == out["approx_a"][0]
+    assert out["approx_intersection"][0] == 0
