@@ -9669,6 +9669,7 @@ def oracle_sql() -> dict[str, str]:
                  ) AS gap
           FROM events
           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_gaps,

@@ -937,6 +937,29 @@ def label_propagation(edges_ds, src_col: str, dst_col: str,
     return labels
 
 
+def _np_bfs_hops(n_nodes: int, ea, eb, seed_idx: int, max_hops: int):
+    """Min-hop numpy BFS sweep over index-encoded undirected edges —
+    the ONE frontier loop shared by :func:`_bfs_local` and
+    :func:`harmonic_centrality_seeds`; returns the per-node hop array
+    (-1 = unreachable within max_hops)."""
+    import numpy as np
+
+    hop = np.full(n_nodes, -1, np.int64)
+    hop[seed_idx] = 0
+    frontier = np.zeros(n_nodes, bool)
+    frontier[seed_idx] = True
+    for h in range(1, max_hops + 1):
+        touch = np.zeros(n_nodes, bool)
+        touch[eb[frontier[ea]]] = True
+        touch[ea[frontier[eb]]] = True
+        new = touch & (hop < 0)
+        if not new.any():
+            break
+        hop[new] = h
+        frontier = new
+    return hop
+
+
 def _bfs_local(edges_mat, max_hops: int, out_schema: pa.Schema):
     """Driver BFS over a small materialized (a, b) edge list — same
     min-hop semantics as the distributed rounds."""
@@ -960,21 +983,7 @@ def _bfs_local(edges_mat, max_hops: int, out_schema: pa.Schema):
     # np.unique sorts ascending, argmax takes the FIRST max -> the
     # lexicographically smallest among degree ties (the seed contract)
     seed = int(np.argmax(deg))
-    hop = np.full(len(nodes), -1, np.int64)
-    hop[seed] = 0
-    frontier = np.zeros(len(nodes), bool)
-    frontier[seed] = True
-    for h in range(1, max_hops + 1):
-        touch = np.zeros(len(nodes), bool)
-        m = frontier[ea]
-        touch[eb[m]] = True
-        m = frontier[eb]
-        touch[ea[m]] = True
-        new = touch & (hop < 0)
-        if not new.any():
-            break
-        hop[new] = h
-        frontier = new
+    hop = _np_bfs_hops(len(nodes), ea, eb, seed, max_hops)
     keep = hop >= 0
     return rd.from_arrow(
         pa.table(
@@ -1895,19 +1904,7 @@ def harmonic_centrality_seeds(edges_ds, src_col: str, dst_col: str,
         rows = []
         for seed in seeds:
             s_idx = int(np.searchsorted(nodes, seed))
-            hop = np.full(len(nodes), -1, np.int64)
-            hop[s_idx] = 0
-            frontier = np.zeros(len(nodes), bool)
-            frontier[s_idx] = True
-            for h in range(1, max_hops + 1):
-                touch = np.zeros(len(nodes), bool)
-                touch[eb[frontier[ea]]] = True
-                touch[ea[frontier[eb]]] = True
-                new = touch & (hop < 0)
-                if not new.any():
-                    break
-                hop[new] = h
-                frontier = new
+            hop = _np_bfs_hops(len(nodes), ea, eb, s_idx, max_hops)
             m = hop > 0
             rows.append(
                 (seed, int(m.sum()), int((1_000_000 // hop[m]).sum()))

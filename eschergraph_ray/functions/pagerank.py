@@ -290,8 +290,10 @@ def hits_fixed_point(
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     SCALE = 1_000_000
     OVERFLOW = (2**63 - 1) // SCALE
 

@@ -1094,7 +1094,11 @@ def skyline_2d(ds, id_col: str, min_col: str, max_col: str,
         excl[1:] = run[:-1]
         return (size == gmax[inv]) & (size > excl[inv])
 
-    def _kernel(batch: pa.Table) -> pa.Table:
+    def _kernel(batch: pa.Table, quantized: bool) -> pa.Table:
+        """``quantized=False``: pass 1 over raw (min_col, max_col)
+        input; ``True``: pass 2 over pass 1's own output schema — an
+        explicit flag, never sniffed from column names (a user column
+        that happens to be called price_cents must still quantize)."""
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
@@ -1106,7 +1110,7 @@ def skyline_2d(ds, id_col: str, min_col: str, max_col: str,
                     "size": pa.array([], pa.int64()),
                 }
             )
-        if "price_cents" in batch.column_names:  # pass 2: already quantized
+        if quantized:  # pass 2: pass 1 already quantized
             price = batch["price_cents"].to_numpy(zero_copy_only=False)
             size = batch["size"].to_numpy(zero_copy_only=False)
         else:
@@ -1132,7 +1136,9 @@ def skyline_2d(ds, id_col: str, min_col: str, max_col: str,
             }
         )
 
-    cand = ds.map_batches(_kernel, batch_format="pyarrow").materialize()
+    cand = ds.map_batches(
+        lambda b: _kernel(b, quantized=False), batch_format="pyarrow"
+    ).materialize()
     n_cand = cand.count()
     if n_cand == 0:
         # fresh from_arrow table: an empty MATERIALIZED dataset loses
@@ -1152,7 +1158,10 @@ def skyline_2d(ds, id_col: str, min_col: str, max_col: str,
         )
     return (
         cand.repartition(1)
-        .map_batches(_kernel, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda b: _kernel(b, quantized=True),
+            batch_format="pyarrow", batch_size=None,
+        )
         .sort(["price_cents", "size", id_col],
               descending=[False, True, False])
     )

@@ -356,6 +356,20 @@ def bloom_probe(ds, col: str, bits: np.ndarray, k: int = 4,
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def _fold_by_group(gv: list, vv: list, p: int, hashname: str):
+    """(groups, packed-register blobs) for one batch's rows — the
+    shared per-group md5 fold behind :func:`approx_distinct_by_group`
+    and :func:`hll_set_algebra` (one place to fix the hash/fold)."""
+    by: dict = {}
+    for g, v in zip(gv, vv):
+        by.setdefault(g, []).append(v)
+    groups, blobs = [], []
+    for g, vals in by.items():
+        groups.append(g)
+        blobs.append(_fold(_hash64(vals, hashname), p).tobytes())
+    return groups, blobs
+
+
 def approx_distinct_by_group(ds, group_col: str, col: str, p: int = 12,
                              hashname: str = "md5",
                              max_groups: int = 10_000) -> pa.Table:
@@ -387,14 +401,9 @@ def approx_distinct_by_group(ds, group_col: str, col: str, p: int = 12,
         t = batch.select([group_col, col]).filter(keep)
         groups, blobs = [], []
         if len(t):
-            gv = t[group_col].to_pylist()
-            vv = t[col].to_pylist()
-            by = {}
-            for g, v in zip(gv, vv):
-                by.setdefault(g, []).append(v)
-            for g, vals in by.items():
-                groups.append(g)
-                blobs.append(_fold(_hash64(vals, hashname), p).tobytes())
+            groups, blobs = _fold_by_group(
+                t[group_col].to_pylist(), t[col].to_pylist(), p, hashname
+            )
         return pa.table(
             {
                 "grp": pa.array(groups),
@@ -468,14 +477,9 @@ def hll_set_algebra(ds, group_col: str, col: str, group_a, group_b,
         t = batch.select([group_col, col]).filter(keep)
         groups, blobs = [], []
         if len(t):
-            gv = t[group_col].to_pylist()
-            vv = t[col].to_pylist()
-            by: dict = {}
-            for g, v in zip(gv, vv):
-                by.setdefault(g, []).append(v)
-            for g, vals in by.items():
-                groups.append(g)
-                blobs.append(_fold(_hash64(vals, hashname), p).tobytes())
+            groups, blobs = _fold_by_group(
+                t[group_col].to_pylist(), t[col].to_pylist(), p, hashname
+            )
         return pa.table(
             {
                 "grp": pa.array(groups, pa.string()),

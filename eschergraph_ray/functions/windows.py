@@ -1483,7 +1483,12 @@ def interarrival_stats(events_ds, user_col: str, type_col: str,
         from ..stages.chunking import pin_arrow_threads
 
         pin_arrow_threads()
-        m = pc.and_(pc.is_valid(b[user_col]), pc.is_valid(b[ts_col]))
+        # type nulls are dropped on BOTH engines (a null dictionary
+        # index would poison the lexsort codes; SQL filters the same)
+        m = pc.and_(
+            pc.and_(pc.is_valid(b[user_col]), pc.is_valid(b[ts_col])),
+            pc.is_valid(b[type_col]),
+        )
         b = b.filter(m)
         return pa.table(
             {

@@ -1596,6 +1596,9 @@ def test_interarrival_hand(ray_session):
         # same-ts tie within one stream -> gap 0 (order by id)
         (7, 3, "view", 50),
         (8, 3, "view", 50),
+        # null-type rows are dropped on both engines, never crash
+        (9, 1, None, 20),
+        (10, 1, None, 30),
     ]
     out = interarrival_stats(
         _ia_events(rows), "user_id", "event_type", "ts", "event_id"

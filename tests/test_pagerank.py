@@ -145,8 +145,12 @@ def test_hits_matches_reference_both_paths():
 
 
 def test_hits_dangling_and_empty():
+    import pytest
+
     from eschergraph_ray.functions.pagerank import hits_fixed_point
 
+    with pytest.raises(ValueError, match=">= 1"):
+        hits_fixed_point(_edges([]), "a", "b", iters=0)
     out = hits_fixed_point(_edges([]), "a", "b")
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "auth", "hub"}
