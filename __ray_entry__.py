@@ -701,6 +701,29 @@ def _q_media_data_urls(sf_dir: str):
     )
 
 
+def _q_media_frame_samples(sf_dir: str):
+    """Video frame sampling (functions/multimodal.py
+    sample_video_frames): each video row fans out to one row per
+    every_ms tick on a bounded actor pool — the video-modality
+    training-data stage (schema/fan-out/actor plumbing real, codec
+    stubbed behind strict=True). The stub frame identity is
+    md5(to_base64(payload) || ':' || ts) so the oracle replays even
+    the fake decode byte-for-byte from the shared blob corpus."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.multimodal import (
+        sample_video_frames,
+        synthetic_media_table,
+    )
+
+    _context()
+    _write_state_parquet(synthetic_media_table(32), _media_blobs_file())
+    ds = rd.read_parquet(_media_blobs_file())
+    return sample_video_frames(ds, every_ms=250).sort(
+        ["media_id", "ts_ms"]
+    )
+
+
 def _table_specs_file() -> str:
     return f"{_ORACLE_STATE}/table-specs-n24.parquet"
 
@@ -5480,6 +5503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_harmonic": _q_kg_harmonic,
         "docs_ctfidf_by_source": _q_docs_ctfidf_by_source,
         "events_user_overlap_hll": _q_events_user_overlap_hll,
+        "media_frame_samples": _q_media_frame_samples,
     }
 
 
@@ -9878,5 +9902,32 @@ def oracle_sql() -> dict[str, str]:
                  + coalesce((SELECT n FROM est WHERE grp = 'purchase'), 0)
                  - coalesce((SELECT n FROM est WHERE grp = '(union)'), 0)
                  AS approx_intersection
+    """
+    d["media_frame_samples"] = f"""
+        -- frame-sampling replay (multimodal.sample_video_frames):
+        -- constant-bound tick series (no lateral generate_series in
+        -- DuckDB 1.0) filtered to each video's duration; the stub
+        -- frame identity recomputes via the to_base64/md5 parity
+        WITH v AS (
+          SELECT media_id, payload, width, height, duration_ms
+          FROM read_parquet('{_ORACLE_STATE}/media-blobs-n32.parquet')
+          WHERE media_type LIKE 'video/%' AND duration_ms > 0
+        ),
+        g AS (SELECT unnest(generate_series(0, 1023)) AS i),
+        ticks AS (
+          SELECT v.media_id, v.payload, v.width, v.height,
+                 g.i AS frame_idx, g.i * 250 AS ts_ms
+          FROM v, g
+          WHERE g.i * 250 < v.duration_ms
+        )
+        SELECT media_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(ts_ms AS BIGINT) AS ts_ms,
+               CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               md5(concat(to_base64(payload), ':',
+                          CAST(ts_ms AS VARCHAR))) AS frame_md5
+        FROM ticks
+        ORDER BY media_id, ts_ms
     """
     return d

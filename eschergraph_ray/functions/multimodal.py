@@ -349,3 +349,79 @@ def media_build_logs(media_ds, llm_factory=None, concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class FrameSampleActor:
+    """video payload -> one row per sampled frame tick (0, every_ms,
+    2*every_ms, ... < duration_ms) — the frame-sampling stage of a
+    video training-data pipeline (restates the M5 visual path's
+    per-element fan-out for the video modality).
+
+    Real deployment: ``__init__`` opens the codec once per actor;
+    ``__call__`` seeks each tick and decodes. The stub keeps the
+    fan-out REAL and makes even the fake frame identity
+    oracle-replayable: ``frame_md5 = md5(to_base64(payload) || ':' ||
+    ts_ms)`` — both engines recompute it byte-identically (the proven
+    to_base64/md5 parity devices). ``strict=True`` raises the honest
+    NotImplementedError at the codec boundary.
+    """
+
+    def __init__(self, every_ms: int = 250, strict: bool = False):
+        if every_ms <= 0:
+            raise ValueError("every_ms must be positive")
+        self.every_ms = every_ms
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "video codecs are not available in this environment; "
+                "plug a real decoder here (opened once per actor)"
+            )
+        ids, idxs, tss, ws, hs, fps = [], [], [], [], [], []
+        for mid, mt, payload, w, h, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if not (mt or "").startswith("video/") or not dur or dur <= 0:
+                continue
+            b64 = base64.b64encode(payload or b"").decode()
+            for idx, ts in enumerate(range(0, dur, self.every_ms)):
+                ids.append(mid)
+                idxs.append(idx)
+                tss.append(ts)
+                ws.append(w)
+                hs.append(h)
+                fps.append(
+                    hashlib.md5(f"{b64}:{ts}".encode()).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "ts_ms": pa.array(tss, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "frame_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def sample_video_frames(ds, every_ms: int = 250, concurrency: int = 2,
+                        batch_size: int = 16, strict: bool = False):
+    """Actor-pool frame sampling over a media Dataset: video rows fan
+    out to ``ceil(duration_ms / every_ms)`` frame rows; image/audio
+    rows are dropped. Small ``batch_size`` on purpose — payloads are
+    large binaries and the fan-out multiplies rows (memory-aware
+    sizing, same discipline as :func:`extract_media_features`)."""
+    return ds.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={"every_ms": every_ms, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -254,3 +254,52 @@ def test_gini_concentration_hand(ray_session):
     ).to_pylist()[0]
     assert out["n_keys"] == 3 and out["total"] == 8
     assert out["gini_micro"] == round(1e6 * 10 / 24)
+
+
+# ---------- sample_video_frames ----------
+
+
+def test_frame_sampling_hand(ray_session):
+    import base64
+    import hashlib
+
+    from eschergraph_ray.functions.multimodal import (
+        sample_video_frames,
+        synthetic_media_table,
+    )
+
+    tbl = synthetic_media_table(9)  # ids m0000..m0008, video at i%3==2
+    out = sample_video_frames(
+        rd.from_arrow(tbl), every_ms=250
+    ).to_pandas().sort_values(["media_id", "ts_ms"]).reset_index(drop=True)
+    # only the 3 video rows fan out; duration 1000+i -> ceil(d/250)
+    vids = {r["media_id"]: r for r in tbl.to_pylist()
+            if r["media_type"].startswith("video/")}
+    assert set(out["media_id"]) == set(vids)
+    for mid, r in vids.items():
+        sub = out[out["media_id"] == mid]
+        ticks = list(range(0, r["duration_ms"], 250))
+        assert list(sub["ts_ms"]) == ticks
+        assert list(sub["frame_idx"]) == list(range(len(ticks)))
+        b64 = base64.b64encode(r["payload"]).decode()
+        want = [hashlib.md5(f"{b64}:{t}".encode()).hexdigest()
+                for t in ticks]
+        assert list(sub["frame_md5"]) == want
+
+
+def test_frame_sampling_strict_and_validation(ray_session):
+    import pytest
+
+    from eschergraph_ray.functions.multimodal import (
+        FrameSampleActor,
+        sample_video_frames,
+        synthetic_media_table,
+    )
+
+    with pytest.raises(ValueError, match="positive"):
+        FrameSampleActor(every_ms=0)
+    ds = sample_video_frames(
+        rd.from_arrow(synthetic_media_table(3)), strict=True
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        ds.count()
