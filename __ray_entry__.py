@@ -724,6 +724,26 @@ def _q_media_frame_samples(sf_dir: str):
     )
 
 
+def _q_media_resize(sf_dir: str):
+    """Image resize stage (functions/multimodal.py resize_images):
+    bounded-dimension thumbnails on a small-batch actor pool — the
+    dimension math is pure integer ((w * max_dim) // longest, min 1)
+    and the stub resized-payload tag is md5(to_base64(payload) || ':'
+    || WxH), so the oracle replays the whole transform from the
+    shared blob corpus; codec stubbed behind strict=True."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.multimodal import (
+        resize_images,
+        synthetic_media_table,
+    )
+
+    _context()
+    _write_state_parquet(synthetic_media_table(32), _media_blobs_file())
+    ds = rd.read_parquet(_media_blobs_file())
+    return resize_images(ds, max_dim=48).sort("media_id")
+
+
 def _table_specs_file() -> str:
     return f"{_ORACLE_STATE}/table-specs-n24.parquet"
 
@@ -5504,6 +5524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ctfidf_by_source": _q_docs_ctfidf_by_source,
         "events_user_overlap_hll": _q_events_user_overlap_hll,
         "media_frame_samples": _q_media_frame_samples,
+        "media_resize": _q_media_resize,
     }
 
 
@@ -9929,5 +9950,37 @@ def oracle_sql() -> dict[str, str]:
                           CAST(ts_ms AS VARCHAR))) AS frame_md5
         FROM ticks
         ORDER BY media_id, ts_ms
+    """
+    d["media_resize"] = f"""
+        -- resize replay (multimodal.resize_images): pure-integer
+        -- bounded dims + the to_base64/md5 stub-payload parity
+        WITH i AS (
+          SELECT media_id, payload, width, height
+          FROM read_parquet('{_ORACLE_STATE}/media-blobs-n32.parquet')
+          WHERE media_type LIKE 'image/%'
+            AND width > 0 AND height > 0
+        ),
+        dims AS (
+          SELECT media_id, payload, width, height,
+                 CASE WHEN greatest(width, height) > 48
+                      THEN greatest(1, (width * 48)
+                                       // greatest(width, height))
+                      ELSE width END AS new_width,
+                 CASE WHEN greatest(width, height) > 48
+                      THEN greatest(1, (height * 48)
+                                       // greatest(width, height))
+                      ELSE height END AS new_height
+          FROM i
+        )
+        SELECT media_id,
+               CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               CAST(new_width AS BIGINT) AS new_width,
+               CAST(new_height AS BIGINT) AS new_height,
+               md5(concat(to_base64(payload), ':',
+                          CAST(new_width AS VARCHAR), 'x',
+                          CAST(new_height AS VARCHAR))) AS resized_md5
+        FROM dims
+        ORDER BY media_id
     """
     return d

@@ -425,3 +425,82 @@ def sample_video_frames(ds, every_ms: int = 250, concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizeActor:
+    """image payload -> bounded-dimension payload + new dims — the
+    resize/thumbnail stage of an image training-data pipeline.
+
+    Dimension math is PURE INTEGER (oracle-replayable): an image whose
+    longest side exceeds ``max_dim`` scales to
+    ``new_w = (w * max_dim) // max(w, h)`` (same for h, min 1);
+    smaller images pass through untouched. Real deployment: __init__
+    loads the image library once per actor; __call__ decodes, resizes,
+    re-encodes. The stub keeps the metadata transform real and tags
+    the fake resized payload as ``md5(to_base64(payload) || ':' ||
+    new_w || 'x' || new_h)`` — both engines recompute it.
+    ``strict=True`` raises at the codec boundary.
+    """
+
+    def __init__(self, max_dim: int = 32, strict: bool = False):
+        if max_dim <= 0:
+            raise ValueError("max_dim must be positive")
+        self.max_dim = max_dim
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "plug a real resizer here (loaded once per actor)"
+            )
+        ids, ows, ohs, nws, nhs, fps = [], [], [], [], [], []
+        for mid, mt, payload, w, h in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            if not (mt or "").startswith("image/") or not w or not h:
+                continue
+            longest = max(w, h)
+            if longest > self.max_dim:
+                nw = max(1, (w * self.max_dim) // longest)
+                nh = max(1, (h * self.max_dim) // longest)
+            else:
+                nw, nh = w, h
+            b64 = base64.b64encode(payload or b"").decode()
+            ids.append(mid)
+            ows.append(w)
+            ohs.append(h)
+            nws.append(nw)
+            nhs.append(nh)
+            fps.append(
+                hashlib.md5(f"{b64}:{nw}x{nh}".encode()).hexdigest()
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "width": pa.array(ows, pa.int64()),
+                "height": pa.array(ohs, pa.int64()),
+                "new_width": pa.array(nws, pa.int64()),
+                "new_height": pa.array(nhs, pa.int64()),
+                "resized_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def resize_images(ds, max_dim: int = 32, concurrency: int = 2,
+                  batch_size: int = 16, strict: bool = False):
+    """Actor-pool image resize over a media Dataset: image rows emit
+    integer-exact bounded dimensions (+ the replayable stub payload
+    tag); non-images are dropped. Small batches — binary payloads
+    (the extract_media_features memory discipline)."""
+    return ds.map_batches(
+        ImageResizeActor,
+        fn_constructor_kwargs={"max_dim": max_dim, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

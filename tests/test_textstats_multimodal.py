@@ -303,3 +303,66 @@ def test_frame_sampling_strict_and_validation(ray_session):
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         ds.count()
+
+
+# ---------- resize_images ----------
+
+
+def test_resize_hand_dims(ray_session):
+    import base64
+    import hashlib
+
+    from eschergraph_ray.functions.multimodal import (
+        MEDIA_SCHEMA, resize_images,
+    )
+
+    rows = [
+        # (id, type, w, h) -> expected (nw, nh) at max_dim=32
+        ("a", "image/png", 64, 64, 32, 32),
+        ("b", "image/png", 100, 50, 32, 16),   # wide
+        ("c", "image/png", 10, 100, 3, 32),    # tall, floor to 3
+        ("d", "image/png", 20, 20, 20, 20),    # under bound: untouched
+        ("e", "image/png", 1000, 7, 32, 1),    # extreme ratio -> min 1
+        ("f", "video/mp4", 64, 64, -1, -1),    # non-image: dropped
+    ]
+    tbl = pa.Table.from_pydict(
+        {
+            "media_id": [r[0] for r in rows],
+            "media_type": [r[1] for r in rows],
+            "payload": [f"blob-{r[0]}".encode() for r in rows],
+            "width": [r[2] for r in rows],
+            "height": [r[3] for r in rows],
+            "duration_ms": [0] * len(rows),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = resize_images(
+        rd.from_arrow(tbl), max_dim=32
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    got = {
+        r.media_id: (r.new_width, r.new_height, r.resized_md5)
+        for r in out.itertuples()
+    }
+    assert set(got) == {"a", "b", "c", "d", "e"}
+    for mid, _, w, h, nw, nh in rows:
+        if mid not in got:
+            continue
+        b64 = base64.b64encode(f"blob-{mid}".encode()).decode()
+        want_md5 = hashlib.md5(f"{b64}:{nw}x{nh}".encode()).hexdigest()
+        assert got[mid] == (nw, nh, want_md5), mid
+
+
+def test_resize_strict_and_validation(ray_session):
+    import pytest
+
+    from eschergraph_ray.functions.multimodal import (
+        ImageResizeActor, resize_images, synthetic_media_table,
+    )
+
+    with pytest.raises(ValueError, match="positive"):
+        ImageResizeActor(max_dim=0)
+    ds = resize_images(
+        rd.from_arrow(synthetic_media_table(3)), strict=True
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        ds.count()
