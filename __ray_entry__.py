@@ -701,6 +701,25 @@ def _q_media_data_urls(sf_dir: str):
     )
 
 
+def _q_docs_checksum(sf_dir: str):
+    """Order-independent corpus integrity checksum
+    (functions/sketch.py content_checksum): per-row 60-bit md5 prefix
+    of doc_id:text, XOR-folded — partitioning/retry order cannot
+    change it, one changed byte or dropped/duplicated row flips it
+    (paired with the row count). The end-to-end integrity gate a
+    pipeline runs after every copy/repartition/format round-trip;
+    per-batch (n, xor) partials, two scalars of driver state."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import content_checksum
+
+    _context()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return content_checksum(ds, ["doc_id", "text"])
+
+
 def _q_media_frame_samples(sf_dir: str):
     """Video frame sampling (functions/multimodal.py
     sample_video_frames): each video row fans out to one row per
@@ -5525,6 +5544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_overlap_hll": _q_events_user_overlap_hll,
         "media_frame_samples": _q_media_frame_samples,
         "media_resize": _q_media_resize,
+        "docs_checksum": _q_docs_checksum,
     }
 
 
@@ -9982,5 +10002,17 @@ def oracle_sql() -> dict[str, str]:
                           CAST(new_height AS VARCHAR))) AS resized_md5
         FROM dims
         ORDER BY media_id
+    """
+    d["docs_checksum"] = """
+        -- integrity-checksum replay (sketch.content_checksum):
+        -- bit_xor of per-row 60-bit md5 prefixes — XOR is order-free,
+        -- so both engines agree regardless of scan order
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(CAST(concat('0x',
+                    substr(md5(concat(
+                        coalesce(CAST(doc_id AS VARCHAR), 'NULL'), ':',
+                        coalesce(text, 'NULL'))), 1, 15))
+                    AS BIGINT)) AS BIGINT) AS xor_checksum
+        FROM documents
     """
     return d

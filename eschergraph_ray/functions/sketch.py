@@ -512,3 +512,53 @@ def hll_set_algebra(ds, group_col: str, col: str, group_a, group_b,
             ),
         }
     )
+
+
+def content_checksum(ds, cols: list[str], sep: str = ":") -> pa.Table:
+    """Order-independent corpus checksum: each row keys to the 60-bit
+    md5 prefix of its ``sep``-joined column values and the keys
+    XOR-fold (commutative + associative + self-inverse — partitioning
+    and retry order cannot change it, and unlike a sum it cannot
+    overflow). The cheap end-to-end integrity gate between pipeline
+    stages: a copy / repartition / format round-trip that preserves
+    the rows preserves the checksum; one changed byte, one dropped or
+    duplicated row flips it (a row duplicated TWICE cancels — pair
+    with the row count, which is why both are returned).
+
+    One streaming pass of per-batch ``(n, xor)`` partials; the reduce
+    folds batch-count-many rows driver-side (two scalars of model
+    state). NULL values stringify as ``'NULL'`` (the SQL coalesces
+    identically). Returns a one-row table ``(n_rows, xor_checksum)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        colvals = [batch[c].to_pylist() for c in cols]
+        x = 0
+        for row in zip(*colvals):
+            s = sep.join("NULL" if v is None else str(v) for v in row)
+            x ^= int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "x": pa.array([x], pa.int64()),
+            }
+        )
+
+    n_rows, xor = 0, 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for n, x in zip(b["n"].to_pylist(), b["x"].to_pylist()):
+            n_rows += n
+            xor ^= x
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "xor_checksum": pa.array([xor], pa.int64()),
+        }
+    )

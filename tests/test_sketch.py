@@ -300,3 +300,67 @@ def test_hll_set_algebra_idempotent_and_absent(ray_session):
     assert out["approx_b"][0] == 0
     assert out["approx_union"][0] == out["approx_a"][0]
     assert out["approx_intersection"][0] == 0
+
+
+# ---------- content_checksum ----------
+
+
+def test_content_checksum_invariance_and_sensitivity(ray_session):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import content_checksum
+
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(100)), pa.int64()),
+            "t": pa.array([f"row {i}" for i in range(100)], pa.string()),
+        }
+    )
+    base = content_checksum(rd.from_arrow(tbl), ["id", "t"]).to_pydict()
+    assert base["n_rows"] == [100]
+    # partitioning / order invariance
+    many = content_checksum(
+        rd.from_arrow(tbl).repartition(7), ["id", "t"]
+    ).to_pydict()
+    shuffled = content_checksum(
+        rd.from_arrow(tbl.take(list(reversed(range(100))))), ["id", "t"]
+    ).to_pydict()
+    assert many == base and shuffled["xor_checksum"] == base["xor_checksum"]
+    # one changed byte flips it; a dropped row flips it
+    mut = tbl.set_column(1, "t", pa.array(
+        ["row 0!"] + [f"row {i}" for i in range(1, 100)], pa.string()))
+    assert content_checksum(
+        rd.from_arrow(mut), ["id", "t"]
+    ).to_pydict()["xor_checksum"] != base["xor_checksum"]
+    assert content_checksum(
+        rd.from_arrow(tbl.slice(0, 99)), ["id", "t"]
+    ).to_pydict()["xor_checksum"] != base["xor_checksum"]
+
+
+def test_content_checksum_duckdb_and_nulls(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import content_checksum
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, None], pa.int64()),
+            "t": pa.array(["a", None, "c"], pa.string()),
+        }
+    )
+    got = content_checksum(rd.from_arrow(tbl), ["id", "t"]).to_pydict()
+    # query the ARROW table directly: to_pandas would float-ify the
+    # nullable int64 ('1.0' vs '1') and break the varchar cast parity
+    o = duckdb.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) n_rows,
+               CAST(bit_xor(CAST(concat('0x', substr(md5(concat(
+                    coalesce(CAST(id AS VARCHAR), 'NULL'), ':',
+                    coalesce(t, 'NULL'))), 1, 15)) AS BIGINT))
+                    AS BIGINT) xor_checksum
+        FROM tbl
+        """
+    ).df()
+    assert got["n_rows"][0] == int(o["n_rows"][0])
+    assert got["xor_checksum"][0] == int(o["xor_checksum"][0])
