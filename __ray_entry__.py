@@ -5335,6 +5335,294 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_lineitem_promo_share(sf_dir: str):
+    """TPC-H Q14-shaped promo revenue share per 1996 ship month
+    (functions/tpch.py promo_revenue_by_month): revenue from PROMO-type
+    parts vs total revenue, both exact int64 micro-units (the share is
+    one trivial client division — shipping two integers keeps the
+    compare bit-exact). The promo part set is a broadcast sorted-array
+    membership test inside the one fact scan; a per-batch month
+    combiner means the final groupby moves month-cardinality rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import promo_revenue_by_month
+
+    _context()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"]
+    return promo_revenue_by_month(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"]),
+        promo.to_numpy(),
+        pd_ts("1996-01-01"), pd_ts("1997-01-01"),
+    )
+
+
+def _q_parts_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity revenue for Brand#4
+    (functions/tpch.py small_qty_revenue): lineitems whose quantity
+    falls below 1/5 of their part's average quantity. The fractional
+    comparison is exact integer algebra (den*qty*cnt < num*sum — no
+    float average ever materializes); pass 1 is a part-cardinality
+    combiner groupby, the per-part model broadcasts into pass 2."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import small_qty_revenue
+
+    _context()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand = part.filter(
+        pc.equal(part["p_brand"], "Brand#4")
+    )["p_partkey"]
+    return small_qty_revenue(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"]),
+        brand.to_numpy(), frac_num=1, frac_den=5,
+    )
+
+
+def _q_orders_large_volume(sf_dir: str):
+    """TPC-H Q18-shaped large-volume orders (functions/tpch.py
+    large_volume_orders): orders whose total lineitem quantity exceeds
+    250, enriched with customer name and order facts, top-100 by
+    (totalprice desc, date, orderkey). The quantity HAVING runs as a
+    per-batch int64 combiner + order-cardinality groupby; only the
+    threshold-small survivor set moves through the two hash joins."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import large_volume_orders
+
+    _context()
+    return large_volume_orders(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_quantity"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate", "o_totalprice"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"]),
+        qty_threshold=250, k=100,
+    )
+
+
+def _q_nations_volume_shipping(sf_dir: str):
+    """TPC-H Q7-shaped two-nation shipping volume (functions/tpch.py
+    volume_shipping): 1996-97 revenue between NATION_1 suppliers and
+    NATION_2 customers, both directions, per ship year. Lineitem meets
+    orders->customer in distributed hash joins; supplier->nation and
+    the name map broadcast; a per-batch combiner on the tiny
+    (nation, nation, year) key space collapses the joined stream."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import volume_shipping
+
+    _context()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pydict()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pydict()
+    return volume_shipping(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount",
+                                 "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        supplier_nation={
+            int(k): int(v)
+            for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])
+        },
+        nation_name={
+            int(k): str(v)
+            for k, v in zip(nat["n_nationkey"], nat["n_name"])
+        },
+        nation_a="NATION_1", nation_b="NATION_2",
+        date_lo_us=pd_ts("1996-01-01"), date_hi_us=pd_ts("1998-01-01"),
+    )
+
+
+def _q_customers_returned_revenue(sf_dir: str):
+    """TPC-H Q10-shaped returned-item revenue (functions/tpch.py
+    returned_item_revenue): per-customer revenue from RETURNED
+    lineitems of 1996-Q3 orders, top-20 by (revenue desc, custkey).
+    lineitem pre-aggregates per order in an int64 combiner (the only
+    full-fact scan); only the top-k join the customer dim for names."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import returned_item_revenue
+
+    _context()
+    return returned_item_revenue(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_extendedprice",
+                                 "l_discount", "l_returnflag"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name", "c_acctbal"]),
+        date_lo_us=pd_ts("1996-07-01"), date_hi_us=pd_ts("1996-10-01"),
+        k=20,
+    )
+
+
+def _q_lineitem_banded_revenue(sf_dir: str):
+    """TPC-H Q19-shaped banded revenue (functions/tpch.py
+    banded_revenue): total revenue from lineitems matching ANY of
+    three (brand, size range, quantity range) bands — the OR-of-ANDs
+    compound predicate as one vectorized numpy pass per batch against
+    broadcast part attributes; one scalar row out, no shuffle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import banded_revenue
+
+    _context()
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).sort_by("p_partkey")
+    return banded_revenue(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"]),
+        part["p_partkey"].to_numpy(),
+        np.asarray(part["p_brand"].to_pylist()),
+        part["p_size"].to_numpy(),
+        bands=[("Brand#4", 1, 15, 1, 20),
+               ("Brand#2", 10, 30, 5, 25),
+               ("Brand#19", 20, 50, 26, 40)],
+    )
+
+
+def _q_suppliers_top_revenue(sf_dir: str):
+    """TPC-H Q15-shaped top supplier (functions/tpch.py
+    top_supplier_revenue): the supplier(s) with maximum shipped
+    revenue in 1996-Q1, ALL ties surviving — exactly the SQL
+    ``total = (SELECT max(total))`` predicate. One fact scan with a
+    per-batch suppkey combiner; only the winner set joins the dim."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import top_supplier_revenue
+
+    _context()
+    return top_supplier_revenue(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]),
+        pd_ts("1996-01-01"), pd_ts("1996-04-01"),
+    )
+
+
+def _q_nations_market_share(sf_dir: str):
+    """TPC-H Q8-shaped market share (functions/tpch.py market_share):
+    per order year, NATION_1's share of STANDARD-part revenue sold to
+    ASIA customers — numerator and denominator ship as exact int64
+    micro-units (the share is one client division). Part-type set and
+    supplier->nation map broadcast; per-(orderkey, target-bit)
+    combiner bounds the fact-fact join at order cardinality."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import market_share
+
+    _context()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    tpk = part.filter(pc.equal(part["p_type"], "STANDARD"))["p_partkey"]
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pydict()
+    asia = {rk for rk, rn in zip(reg["r_regionkey"], reg["r_name"])
+            if rn == "ASIA"}
+    region_nations = {
+        int(nk) for nk, nr in zip(nat["n_nationkey"], nat["n_regionkey"])
+        if nr in asia
+    }
+    target = next(
+        int(nk) for nk, nm in zip(nat["n_nationkey"], nat["n_name"])
+        if nm == "NATION_1"
+    )
+    return market_share(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        type_partkeys=tpk.to_numpy(),
+        supplier_nation={
+            int(k): int(v)
+            for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])
+        },
+        region_cust_nations=region_nations,
+        target_nation=target,
+    )
+
+
+def _q_orders_late_priority(sf_dir: str):
+    """TPC-H Q4-shaped priority check (functions/tpch.py
+    late_shipment_priorities; adapted — no l_commitdate in this
+    schema, so "late" = last shipment left >60 days after the order
+    date): per priority, how many 1996 orders shipped late. The
+    EXISTS collapses to a per-order max-shipdate combiner; the final
+    groupby is priority-cardinality."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import late_shipment_priorities
+
+    _context()
+    return late_shipment_priorities(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"]),
+        pd_ts("1996-01-01"), pd_ts("1997-01-01"), grace_days=60,
+    )
+
+
+def _q_customers_waiting(sf_dir: str):
+    """TPC-H Q22-shaped dormant high-value accounts (functions/tpch.py
+    waiting_customers; adapted — no phone country code and every
+    customer has SOME order, so the cohort keys on nation and recent
+    dormancy): customers whose balance beats the average POSITIVE
+    balance with no order since 1999-01-01, counted and summed per
+    nation. The above-average predicate is exact integer algebra
+    (bal*n_pos > sum_pos); dormancy is a native left_anti join."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import waiting_customers
+
+    _context()
+    return waiting_customers(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey",
+                                 "c_acctbal"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate"]),
+        since_us=pd_ts("1999-01-01"),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -5545,6 +5833,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_samples": _q_media_frame_samples,
         "media_resize": _q_media_resize,
         "docs_checksum": _q_docs_checksum,
+        # classic warehouse shapes (functions/tpch.py): Q14 Q17 Q18
+        # Q7 Q10 Q19 — same tail policy as the block above
+        "lineitem_promo_share": _q_lineitem_promo_share,
+        "parts_small_qty_revenue": _q_parts_small_qty_revenue,
+        "orders_large_volume": _q_orders_large_volume,
+        "nations_volume_shipping": _q_nations_volume_shipping,
+        "customers_returned_revenue": _q_customers_returned_revenue,
+        "lineitem_banded_revenue": _q_lineitem_banded_revenue,
+        "suppliers_top_revenue": _q_suppliers_top_revenue,
+        "nations_market_share": _q_nations_market_share,
+        "orders_late_priority": _q_orders_late_priority,
+        "customers_waiting": _q_customers_waiting,
     }
 
 
@@ -10014,5 +10314,224 @@ def oracle_sql() -> dict[str, str]:
                         coalesce(text, 'NULL'))), 1, 15))
                     AS BIGINT)) AS BIGINT) AS xor_checksum
         FROM documents
+    """
+    d["lineitem_promo_share"] = """
+        -- Q14 replay (tpch.promo_revenue_by_month): per-month promo
+        -- vs total revenue, exact micro-units, 1996 ship window
+        SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+               CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(round(l.l_extendedprice
+                                  * (1 - l.l_discount) * 1e6, 0)
+                                  AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS promo_rev_micro,
+               CAST(sum(CAST(round(l.l_extendedprice
+                    * (1 - l.l_discount) * 1e6, 0) AS BIGINT))
+                    AS BIGINT) AS total_rev_micro
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE epoch_us(l.l_shipdate) >= 820454400000000
+          AND epoch_us(l.l_shipdate) < 852076800000000
+        GROUP BY 1 ORDER BY 1
+    """
+    d["parts_small_qty_revenue"] = """
+        -- Q17 replay (tpch.small_qty_revenue): den*qty*cnt < num*sum
+        -- integer algebra, Brand#4, 1/5 of the per-part average
+        WITH bl AS (
+          SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                      * 1e6, 0) AS BIGINT) AS rev
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#4'
+        ),
+        st AS (
+          SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM bl GROUP BY 1
+        ),
+        small AS (
+          SELECT rev FROM bl JOIN st USING (l_partkey)
+          WHERE 5 * qty * c < 1 * s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(rev), 0) AS BIGINT) AS revenue_micro,
+               CAST(coalesce(sum(rev), 0) // 7 AS BIGINT)
+                 AS avg_yearly_micro
+        FROM small
+    """
+    d["orders_large_volume"] = """
+        -- Q18 replay (tpch.large_volume_orders): HAVING sum(qty) >
+        -- 250, customer-named, top-100 on the unique-key total order
+        WITH q AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+        )
+        SELECT c.c_name, o.o_orderkey,
+               CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                 AS o_orderdate_us,
+               CAST(round(o.o_totalprice * 1e6, 0) AS BIGINT)
+                 AS o_totalprice_micro,
+               q.sum_qty
+        FROM q
+        JOIN orders o ON o.o_orderkey = q.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o_totalprice_micro DESC, o_orderdate_us, o.o_orderkey
+        LIMIT 100
+    """
+    d["nations_volume_shipping"] = """
+        -- Q7 replay (tpch.volume_shipping): NATION_1 <-> NATION_2
+        -- shipped revenue per (supp nation, cust nation, ship year)
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 1e6,
+                      0) AS BIGINT) AS rev,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year
+          FROM lineitem
+          WHERE epoch_us(l_shipdate) >= 820454400000000
+            AND epoch_us(l_shipdate) < 883612800000000
+        )
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               l.l_year, CAST(sum(l.rev) AS BIGINT) AS revenue_micro
+        FROM l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+           OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    d["customers_returned_revenue"] = """
+        -- Q10 replay (tpch.returned_item_revenue): returned-lineitem
+        -- revenue for 1996-Q3 orders, top-20 customers
+        WITH rev AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(round(l_extendedprice
+                      * (1 - l_discount) * 1e6, 0) AS BIGINT))
+                      AS BIGINT) AS r
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+        ),
+        per_cust AS (
+          SELECT o.o_custkey, CAST(sum(rev.r) AS BIGINT)
+                   AS revenue_micro
+          FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
+          WHERE epoch_us(o.o_orderdate) >= 836179200000000
+            AND epoch_us(o.o_orderdate) < 844128000000000
+          GROUP BY 1
+          ORDER BY revenue_micro DESC, o.o_custkey LIMIT 20
+        )
+        SELECT p.o_custkey AS c_custkey, c.c_name,
+               CAST(round(c.c_acctbal * 1e6, 0) AS BIGINT)
+                 AS c_acctbal_micro,
+               p.revenue_micro
+        FROM per_cust p
+        JOIN customer c ON c.c_custkey = p.o_custkey
+        ORDER BY revenue_micro DESC, c_custkey
+    """
+    d["lineitem_banded_revenue"] = """
+        -- Q19 replay (tpch.banded_revenue): OR-of-ANDs band predicate
+        WITH hit AS (
+          SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                      * 1e6, 0) AS BIGINT) AS rev
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+                 AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 20)
+             OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                 AND CAST(l.l_quantity AS BIGINT) BETWEEN 5 AND 25)
+             OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50
+                 AND CAST(l.l_quantity AS BIGINT) BETWEEN 26 AND 40)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(rev), 0) AS BIGINT) AS revenue_micro
+        FROM hit
+    """
+    d["suppliers_top_revenue"] = """
+        -- Q15 replay (tpch.top_supplier_revenue): max-revenue
+        -- supplier(s) in 1996-Q1, ties all survive
+        WITH r AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                      * 1e6, 0) AS BIGINT)) AS BIGINT) AS total
+          FROM lineitem
+          WHERE epoch_us(l_shipdate) >= 820454400000000
+            AND epoch_us(l_shipdate) < 828316800000000
+          GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name,
+               r.total AS total_revenue_micro
+        FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total = (SELECT max(total) FROM r)
+        ORDER BY s.s_suppkey
+    """
+    d["nations_market_share"] = """
+        -- Q8 replay (tpch.market_share): NATION_1 vs all-nation
+        -- STANDARD-part revenue to ASIA customers, per order year
+        WITH l AS (
+          SELECT l.l_orderkey,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                      * 1e6, 0) AS BIGINT) AS rev,
+                 (ns.n_name = 'NATION_1') AS is_target
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+                     AND p.p_type = 'STANDARD'
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        )
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN l.is_target THEN l.rev ELSE 0 END)
+                    AS BIGINT) AS nation_rev_micro,
+               CAST(sum(l.rev) AS BIGINT) AS total_rev_micro
+        FROM l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer cu ON cu.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = cu.c_nationkey
+        JOIN region rg ON rg.r_regionkey = nc.n_regionkey
+                      AND rg.r_name = 'ASIA'
+        GROUP BY 1 ORDER BY 1
+    """
+    d["orders_late_priority"] = """
+        -- Q4 replay (tpch.late_shipment_priorities): 1996 orders
+        -- whose LAST shipment left > 60 days after the order date
+        WITH ms AS (
+          SELECT l_orderkey, max(epoch_us(l_shipdate)) AS last_ship
+          FROM lineitem GROUP BY 1
+        )
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o JOIN ms ON ms.l_orderkey = o.o_orderkey
+        WHERE epoch_us(o.o_orderdate) >= 820454400000000
+          AND epoch_us(o.o_orderdate) < 852076800000000
+          AND ms.last_ship > epoch_us(o.o_orderdate) + 5184000000000
+        GROUP BY 1 ORDER BY 1
+    """
+    d["customers_waiting"] = """
+        -- Q22 replay (tpch.waiting_customers): above-average-positive
+        -- balance (exact bal*n > sum integer algebra), no order since
+        -- 1999-01-01, grouped by nation
+        WITH s AS (
+          SELECT CAST(sum(CAST(round(c_acctbal * 1e6, 0) AS BIGINT))
+                      AS BIGINT) AS sp,
+                 CAST(count(*) AS BIGINT) AS np
+          FROM customer WHERE c_acctbal > 0
+        ),
+        recent AS (
+          SELECT o_custkey FROM orders
+          WHERE epoch_us(o_orderdate) >= 915148800000000
+        ),
+        w AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                 CAST(round(c_acctbal * 1e6, 0) AS BIGINT) AS bal
+          FROM customer, s
+          WHERE CAST(round(c_acctbal * 1e6, 0) AS BIGINT) * s.np > s.sp
+            AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        )
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+               CAST(sum(bal) AS BIGINT) AS total_bal_micro
+        FROM w GROUP BY 1 ORDER BY 1
     """
     return d

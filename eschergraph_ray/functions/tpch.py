@@ -1,0 +1,1085 @@
+"""Classic warehouse query shapes over the TPC-H-ish test tables that
+the registry did not yet cover: promo revenue share (Q14), small-
+quantity revenue (Q17), large-volume orders (Q18), two-nation volume
+shipping (Q7), returned-item revenue (Q10), and an OR-of-ANDs banded
+revenue filter (Q19).
+
+House rules shared with :mod:`.relational`: money is exact int64
+micro-units via the one-op chain ``round(extendedprice * (1 -
+discount) * 1e6)`` with half-towards-infinity (DuckDB ``round()``
+replays it bit-identically); per-batch int64 combiners shrink every
+fact stream to key cardinality before any shuffle; dimension lookups
+(part flags, supplier nations, name maps) are broadcast as sorted
+numpy arrays searched with ``searchsorted`` — ``ray.put`` handles at
+the size where task-arg inlining stops being free; fact-fact meets are
+distributed hash joins with the clamp/repartition/short-circuit guards
+Ray 2.49 needs (see CLAUDE.md join quirks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .graph_metrics import _clamp_partitions
+
+
+def _rev_micro(batch: pa.Table) -> np.ndarray:
+    """round(l_extendedprice * (1 - l_discount) * 1e6) as exact int64,
+    same op order and half-towards-infinity rounding as the SQL."""
+    ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+    disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+    rev = ep * (1.0 - disc) * 1e6
+    return np.asarray(
+        pc.round(pa.array(rev), ndigits=0,
+                 round_mode="half_towards_infinity")
+    ).astype(np.int64)
+
+
+def _price_micro(col: pa.ChunkedArray) -> pa.Array:
+    """round(price * 1e6) exact int64 (DuckDB round parity)."""
+    v = col.to_numpy(zero_copy_only=False) * 1e6
+    return pa.array(
+        np.asarray(
+            pc.round(pa.array(v), ndigits=0,
+                     round_mode="half_towards_infinity")
+        ).astype(np.int64),
+        pa.int64(),
+    )
+
+
+def _month_str(ts_us: np.ndarray) -> np.ndarray:
+    """Epoch-us -> 'YYYY-MM' strings (strftime('%Y-%m') parity)."""
+    return (
+        ts_us.astype("datetime64[us]").astype("datetime64[M]").astype(str)
+    )
+
+
+def promo_revenue_by_month(lineitem_ds, promo_partkeys: np.ndarray,
+                           date_lo_us: int, date_hi_us: int):
+    """TPC-H Q14 shape: per ship-month in the window, revenue from
+    PROMO-type parts vs total revenue — both exact int64 micro-units
+    (the percentage is one trivial client-side division; shipping two
+    integers keeps the cross-engine compare bit-exact).
+
+    One scan: the promo flag is a broadcast sorted-partkey membership
+    test (``np.isin`` against a dimension array — at 100 TB a
+    ``ray.put`` handle), and a per-batch month combiner means the
+    final groupby moves month-cardinality rows. Returns
+    ``(ship_month, promo_rev_micro, total_rev_micro)`` sorted by
+    month."""
+    promo = np.sort(np.asarray(promo_partkeys, dtype=np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(b["l_shipdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, date_lo_us),
+                       pc.less(ts, date_hi_us))
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({
+                "ship_month": pa.array([], pa.string()),
+                "promo_rev": pa.array([], pa.int64()),
+                "total_rev": pa.array([], pa.int64()),
+            })
+        rev = _rev_micro(b)
+        months = _month_str(
+            b["l_shipdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        is_promo = np.isin(pk, promo)
+        u, inv = np.unique(months, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        pro = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, rev)
+        np.add.at(pro, inv[is_promo], rev[is_promo])
+        return pa.table({
+            "ship_month": pa.array(u, pa.string()),
+            "promo_rev": pa.array(pro, pa.int64()),
+            "total_rev": pa.array(tot, pa.int64()),
+        })
+
+    agg = (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_month")
+        .sum(["promo_rev", "total_rev"])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ship_month": b["ship_month"],
+            "promo_rev_micro": pc.cast(b["sum(promo_rev)"], pa.int64()),
+            "total_rev_micro": pc.cast(b["sum(total_rev)"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "ship_month"
+    )
+
+
+def small_qty_revenue(lineitem_ds, brand_partkeys: np.ndarray,
+                      frac_num: int = 1, frac_den: int = 5,
+                      max_parts_broadcast: int = 2_000_000):
+    """TPC-H Q17 shape: total revenue (and its //7 "yearly" figure)
+    from lineitems of one brand's parts whose quantity falls below
+    ``frac_num/frac_den`` of that part's average quantity.
+
+    The fractional-average comparison is EXACT integer algebra:
+    ``qty < (num/den) * (sum/cnt)  <=>  den*qty*cnt < num*sum`` with
+    integer-valued quantities — no float avg ever materializes, so
+    both engines agree bit-for-bit. Two scans of the (brand-filtered)
+    lineitem stream: pass 1 builds per-part ``(sum_qty, cnt)`` with a
+    per-batch combiner (part-cardinality shuffle), the model — one
+    brand's parts — broadcasts back into pass 2 behind a loud size
+    guard. Returns one row ``(n_items, revenue_micro,
+    avg_yearly_micro)``."""
+    brand = np.sort(np.asarray(brand_partkeys, dtype=np.int64))
+    if frac_num <= 0 or frac_den <= 0:
+        raise ValueError("frac_num and frac_den must be positive")
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(pk, brand)
+        pk = pk[keep]
+        qty = (
+            b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+            .astype(np.int64)
+        )
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        c = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, qty)
+        np.add.at(c, inv, 1)
+        return pa.table({
+            "pk": pa.array(u, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "c": pa.array(c, pa.int64()),
+        })
+
+    stats = (
+        lineitem_ds.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .sum(["s", "c"])
+        .materialize()
+    )
+    n_parts = stats.count()
+    if n_parts > max_parts_broadcast:
+        raise ValueError(
+            f"brand has {n_parts} parts > max_parts_broadcast="
+            f"{max_parts_broadcast}; raise the guard or join "
+            "distributed instead of broadcasting the model"
+        )
+    empty = pa.table({
+        "n_items": pa.array([0], pa.int64()),
+        "revenue_micro": pa.array([0], pa.int64()),
+        "avg_yearly_micro": pa.array([0], pa.int64()),
+    })
+    if n_parts == 0:
+        return rd.from_arrow(empty)
+    st = pa.concat_tables(list(stats.iter_batches(batch_format="pyarrow")))
+    pk_keys = st["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk_keys)
+    pk_keys = pk_keys[order]
+    sum_q = (
+        st["sum(s)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    )
+    cnt_q = (
+        st["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    )
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(pk, pk_keys)
+        b = b.filter(pa.array(keep))
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "r": pa.array([0], pa.int64())})
+        pk = pk[keep]
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        idx = np.searchsorted(pk_keys, pk)
+        small = frac_den * qty * cnt_q[idx] < frac_num * sum_q[idx]
+        rev = _rev_micro(b)[small]
+        return pa.table({
+            "n": pa.array([int(small.sum())], pa.int64()),
+            "r": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    tot = lineitem_ds.map_batches(
+        rev_partial, batch_format="pyarrow"
+    ).sum(["n", "r"])
+    if tot is None:
+        return rd.from_arrow(empty)
+    n, r = int(tot["sum(n)"]), int(tot["sum(r)"])
+    return rd.from_arrow(pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "revenue_micro": pa.array([r], pa.int64()),
+        "avg_yearly_micro": pa.array([r // 7], pa.int64()),
+    }))
+
+
+def large_volume_orders(lineitem_ds, orders_ds, customer_ds,
+                        qty_threshold: int, k: int = 100,
+                        num_partitions: int = 8):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    the threshold, with customer name, order date/price, and the
+    quantity — top-k by (totalprice desc, orderdate, orderkey).
+
+    Per-batch int64 quantity combiner -> order-cardinality groupby ->
+    HAVING filter; the surviving set is threshold-small by
+    construction, so the two enrichment joins (orders fact, customer
+    dim) move only it. Both joins carry the Ray 2.49 guards: clamped
+    partitions, repartition on each side, materialize + count
+    short-circuit for the empty-side crash. Quantities stay int64;
+    o_totalprice ships as exact micro-units."""
+    P = _clamp_partitions(num_partitions)
+    empty = pa.table({
+        "c_name": pa.array([], pa.string()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderdate_us": pa.array([], pa.int64()),
+        "o_totalprice_micro": pa.array([], pa.int64()),
+        "sum_qty": pa.array([], pa.int64()),
+    })
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        u, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, qty)
+        return pa.table({
+            "l_orderkey": pa.array(u, pa.int64()),
+            "q": pa.array(s, pa.int64()),
+        })
+
+    big = (
+        lineitem_ds.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("q")
+        .map_batches(
+            lambda b: b.rename_columns(["l_orderkey", "sum_qty"]).filter(
+                pc.greater(b["sum(q)"], qty_threshold)
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+    if big.count() == 0:
+        return rd.from_arrow(empty)
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_orderdate_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "o_totalprice_micro": _price_micro(b["o_totalprice"]),
+        })
+
+    enriched = (
+        big.join(
+            orders_ds.map_batches(ord_prep, batch_format="pyarrow")
+            .repartition(P),
+            join_type="inner", num_partitions=P,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        .repartition(P)
+        .materialize()
+    )
+    if enriched.count() == 0:
+        return rd.from_arrow(empty)
+
+    named = enriched.join(
+        customer_ds.map_batches(
+            lambda b: b.select(["c_custkey", "c_name"]),
+            batch_format="pyarrow",
+        ).repartition(P),
+        join_type="inner", num_partitions=P,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": b["c_name"],
+            "o_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+            "o_orderdate_us": pc.cast(b["o_orderdate_us"], pa.int64()),
+            "o_totalprice_micro": pc.cast(
+                b["o_totalprice_micro"], pa.int64()
+            ),
+            "sum_qty": pc.cast(b["sum_qty"], pa.int64()),
+        })
+
+    return (
+        named.map_batches(finalize, batch_format="pyarrow")
+        .sort(["o_totalprice_micro", "o_orderdate_us", "o_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def volume_shipping(lineitem_ds, orders_ds, customer_ds,
+                    supplier_nation: dict, nation_name: dict,
+                    nation_a: str, nation_b: str,
+                    date_lo_us: int, date_hi_us: int,
+                    num_partitions: int = 8):
+    """TPC-H Q7 shape: shipped revenue between two nations (both
+    directions), grouped by (supplier nation, customer nation, ship
+    year). The regional_revenue split, one key wider: lineitem meets
+    orders->customer in distributed hash joins on o_orderkey while
+    supplier->nation and the nation-name map broadcast; a per-batch
+    combiner on the tiny (nation, nation, year) key space collapses
+    the joined stream before the final groupby. Revenue exact int64
+    micro-units. Returns ``(supp_nation, cust_nation, l_year,
+    revenue_micro)`` sorted by the three keys."""
+    P = _clamp_partitions(num_partitions)
+    name_to_key = {v: k for k, v in nation_name.items()}
+    if nation_a not in name_to_key or nation_b not in name_to_key:
+        raise ValueError("both nations must exist in nation_name")
+    ka, kb = name_to_key[nation_a], name_to_key[nation_b]
+    pair = {(ka, kb), (kb, ka)}
+    sup_keys = np.array(sorted(supplier_nation), dtype=np.int64)
+    sup_nat = np.array([supplier_nation[k] for k in sup_keys], np.int64)
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(b["l_shipdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, date_lo_us),
+                       pc.less(ts, date_hi_us))
+        b = b.filter(keep)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = sup_nat[np.searchsorted(sup_keys, sk)]
+        nation_ok = (s_nat == ka) | (s_nat == kb)
+        b = b.filter(pa.array(nation_ok))
+        s_nat = s_nat[nation_ok]
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        years = (
+            ship.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970
+        )
+        # per-batch combiner on (orderkey, nation-bit, year): the join
+        # then moves at most order-cardinality rows (orderkey < 2^49,
+        # years within 1970..6065 — both loud if violated)
+        ok = (
+            b["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        yoff = years - 1970
+        if len(ok) and (ok.max() >= 1 << 49 or yoff.max() >= 4096
+                        or yoff.min() < 0):
+            raise ValueError("orderkey/year outside the packed range")
+        key = ok * 8192 + np.where(s_nat == kb, 4096, 0) + yoff
+        u, inv = np.unique(key, return_inverse=True)
+        part = np.zeros(len(u), np.int64)
+        np.add.at(part, inv, _rev_micro(b))
+        return pa.table({
+            "l_orderkey": pa.array(u // 8192, pa.int64()),
+            "s_nationkey": pa.array(
+                np.where(u % 8192 >= 4096, kb, ka), pa.int64()
+            ),
+            "l_year": pa.array(u % 4096 + 1970, pa.int64()),
+            "rev_micro": pa.array(part, pa.int64()),
+        })
+
+    oc = (
+        orders_ds.map_batches(
+            lambda b: b.select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .join(
+            customer_ds.map_batches(
+                lambda b: pa.table({
+                    "c_custkey": b["c_custkey"],
+                    "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                }),
+                batch_format="pyarrow",
+            ).repartition(P),
+            join_type="inner", num_partitions=P,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+    )
+
+    empty = pa.table({
+        "supp_nation": pa.array([], pa.string()),
+        "cust_nation": pa.array([], pa.string()),
+        "l_year": pa.array([], pa.int64()),
+        "revenue_micro": pa.array([], pa.int64()),
+    })
+    # the combined partials are at most order-cardinality; materialize
+    # + count guards Ray 2.49's empty-side join crash (CLAUDE.md)
+    lines = (
+        lineitem_ds.map_batches(line_prep, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
+    if lines.count() == 0:
+        return rd.from_arrow(empty)
+
+    joined = lines.join(
+        oc.repartition(P), join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        s_nat = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        c_nat = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = ((s_nat == ka) & (c_nat == kb)) | (
+            (s_nat == kb) & (c_nat == ka)
+        )
+        b = b.filter(pa.array(keep))
+        if b.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            })
+        s_nat = s_nat[keep]
+        year = b["l_year"].to_numpy(zero_copy_only=False)
+        rev = b["rev_micro"].to_numpy(zero_copy_only=False)
+        # pack (s_nation, year) into one int key: nations < 2^20
+        key = s_nat * 1_048_576 + year
+        u, inv = np.unique(key, return_inverse=True)
+        part = np.zeros(len(u), np.int64)
+        np.add.at(part, inv, rev)
+        return pa.table({
+            "key": pa.array(u, pa.int64()),
+            "rev": pa.array(part, pa.int64()),
+        })
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "key"
+    ).sum("rev")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False)
+        s_nat = key // 1_048_576
+        year = key % 1_048_576
+        supp = [nation_name[int(x)] for x in s_nat]
+        cust = [nation_name[kb if int(x) == ka else ka] for x in s_nat]
+        return pa.table({
+            "supp_nation": pa.array(supp, pa.string()),
+            "cust_nation": pa.array(cust, pa.string()),
+            "l_year": pa.array(year, pa.int64()),
+            "revenue_micro": pc.cast(b["sum(rev)"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+def returned_item_revenue(lineitem_ds, orders_ds, customer_ds,
+                          date_lo_us: int, date_hi_us: int, k: int = 20,
+                          num_partitions: int = 8):
+    """TPC-H Q10 shape: per-customer revenue from RETURNED lineitems
+    (l_returnflag = 'R') of orders placed in the window — top-k by
+    (revenue desc, custkey).
+
+    lineitem pre-aggregates per order in an int64 combiner (the only
+    full-fact scan); the order->custkey map joins distributed; the
+    per-customer groupby then moves customer-cardinality rows, and
+    only the top-k join against the customer dim for names. Returns
+    ``(c_custkey, c_name, c_acctbal_micro, revenue_micro)``."""
+    P = _clamp_partitions(num_partitions)
+    empty = pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "c_acctbal_micro": pa.array([], pa.int64()),
+        "revenue_micro": pa.array([], pa.int64()),
+    })
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        if b.num_rows == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            })
+        rev = _rev_micro(b)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ok, return_inverse=True)
+        part = np.zeros(len(u), np.int64)
+        np.add.at(part, inv, rev)
+        return pa.table({
+            "l_orderkey": pa.array(u, pa.int64()),
+            "rev": pa.array(part, pa.int64()),
+        })
+
+    rev = (
+        lineitem_ds.map_batches(line_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("rev")
+        .repartition(P)
+        .materialize()
+    )
+    if rev.count() == 0:
+        return rd.from_arrow(empty)
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, date_lo_us),
+                       pc.less(ts, date_hi_us))
+        b = b.filter(keep)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+        })
+
+    # window-filtered key map is order-in-window cardinality; the
+    # materialize + count guards Ray 2.49's empty-side join crash
+    in_window = (
+        orders_ds.map_batches(ord_prep, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
+    if in_window.count() == 0:
+        return rd.from_arrow(empty)
+
+    per_cust = (
+        rev.join(
+            in_window,
+            join_type="inner", num_partitions=P,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        .groupby("o_custkey")
+        .sum("sum(rev)")
+        .map_batches(
+            lambda b: b.rename_columns(["o_custkey", "revenue_micro"]),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue_micro", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .repartition(1)
+        .materialize()
+    )
+    if per_cust.count() == 0:
+        return rd.from_arrow(empty)
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"],
+            "c_acctbal_micro": _price_micro(b["c_acctbal"]),
+        })
+
+    named = per_cust.join(
+        customer_ds.map_batches(cust_prep, batch_format="pyarrow")
+        .repartition(P),
+        join_type="inner", num_partitions=P,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "c_name": b["c_name"],
+            "c_acctbal_micro": pc.cast(b["c_acctbal_micro"], pa.int64()),
+            "revenue_micro": pc.cast(b["revenue_micro"], pa.int64()),
+        })
+
+    return named.map_batches(finalize, batch_format="pyarrow").sort(
+        ["revenue_micro", "c_custkey"], descending=[True, False]
+    )
+
+
+def banded_revenue(lineitem_ds, part_keys: np.ndarray,
+                   part_brands: np.ndarray, part_sizes: np.ndarray,
+                   bands: list[tuple[str, int, int, int, int]]):
+    """TPC-H Q19 shape: total revenue from lineitems matching ANY of
+    the (brand, size range, quantity range) bands — the OR-of-ANDs
+    compound predicate evaluated as one vectorized numpy pass per
+    batch against broadcast part attributes. Returns one row
+    ``(n_items, revenue_micro)``.
+
+    ``part_keys`` must be sorted ascending; brands/sizes align to it.
+    At 100 TB the three part arrays ride a single ``ray.put`` handle;
+    here task-arg capture is cheaper."""
+    part_keys = np.asarray(part_keys, dtype=np.int64)
+    if len(part_keys) == 0:
+        raise ValueError("part_keys must be non-empty")
+    if np.any(np.diff(part_keys) < 0):
+        raise ValueError("part_keys must be sorted ascending")
+    part_brands = np.asarray(part_brands)
+    part_sizes = np.asarray(part_sizes, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(part_keys, pk), 0,
+                      len(part_keys) - 1)
+        hit = part_keys[idx] == pk
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        brands = part_brands[idx]
+        sizes = part_sizes[idx]
+        keep = np.zeros(len(pk), dtype=bool)
+        for brand, size_lo, size_hi, qty_lo, qty_hi in bands:
+            keep |= (
+                hit
+                & (brands == brand)
+                & (sizes >= size_lo) & (sizes <= size_hi)
+                & (qty >= qty_lo) & (qty <= qty_hi)
+            )
+        rev = _rev_micro(b)[keep]
+        return pa.table({
+            "n": pa.array([int(keep.sum())], pa.int64()),
+            "r": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    tot = lineitem_ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).sum(["n", "r"])
+    n, r = (0, 0) if tot is None else (int(tot["sum(n)"]),
+                                       int(tot["sum(r)"]))
+    return rd.from_arrow(pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "revenue_micro": pa.array([r], pa.int64()),
+    }))
+
+
+def top_supplier_revenue(lineitem_ds, supplier_ds,
+                         date_lo_us: int, date_hi_us: int,
+                         num_partitions: int = 8):
+    """TPC-H Q15 shape: the supplier(s) with the maximum shipped
+    revenue in the window — ALL ties survive, exactly the SQL
+    ``total = (SELECT max(total))`` predicate.
+
+    One fact scan with a per-batch suppkey combiner -> a
+    supplier-cardinality groupby (materialized: it is both the max
+    source and the filter input); only the tiny winner set joins the
+    supplier dim for names. Returns ``(s_suppkey, s_name,
+    total_revenue_micro)`` sorted by suppkey."""
+    P = _clamp_partitions(num_partitions)
+    empty = pa.table({
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+        "total_revenue_micro": pa.array([], pa.int64()),
+    })
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(b["l_shipdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, date_lo_us),
+                       pc.less(ts, date_hi_us))
+        b = b.filter(keep)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(sk, return_inverse=True)
+        part = np.zeros(len(u), np.int64)
+        np.add.at(part, inv, _rev_micro(b))
+        return pa.table({
+            "l_suppkey": pa.array(u, pa.int64()),
+            "rev": pa.array(part, pa.int64()),
+        })
+
+    per_supp = (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .sum("rev")
+        .repartition(P)
+        .materialize()
+    )
+    if per_supp.count() == 0:
+        return rd.from_arrow(empty)
+    best = per_supp.max("sum(rev)")
+
+    winners = per_supp.map_batches(
+        lambda b: b.rename_columns(
+            ["s_suppkey", "total_revenue_micro"]
+        ).filter(pc.equal(b["sum(rev)"], best)),
+        batch_format="pyarrow",
+    ).repartition(P)
+
+    named = winners.join(
+        supplier_ds.map_batches(
+            lambda b: b.select(["s_suppkey", "s_name"]),
+            batch_format="pyarrow",
+        ).repartition(P).map_batches(
+            lambda b: b.rename_columns(["suppkey_dim", "s_name"]),
+            batch_format="pyarrow",
+        ),
+        join_type="inner", num_partitions=P,
+        on=("s_suppkey",), right_on=("suppkey_dim",),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": pc.cast(b["s_suppkey"], pa.int64()),
+            "s_name": b["s_name"],
+            "total_revenue_micro": pc.cast(
+                b["total_revenue_micro"], pa.int64()
+            ),
+        })
+
+    return named.map_batches(finalize, batch_format="pyarrow").sort(
+        "s_suppkey"
+    )
+
+
+def market_share(lineitem_ds, orders_ds, customer_ds,
+                 type_partkeys: np.ndarray, supplier_nation: dict,
+                 region_cust_nations: set, target_nation: int,
+                 num_partitions: int = 8):
+    """TPC-H Q8 shape: per order year, the target nation's shipped
+    revenue vs ALL nations' revenue for one part type sold to one
+    region's customers — both exact int64 micro-units (the share is
+    one client division).
+
+    The part-type set and supplier->nation map broadcast into the one
+    lineitem scan, which combines per (orderkey, is-target-bit) so the
+    fact-fact join moves at most order-cardinality rows; the customer
+    region filter broadcasts into the orders->customer join; the final
+    groupby runs on year cardinality. Returns ``(o_year,
+    nation_rev_micro, total_rev_micro)`` sorted by year."""
+    P = _clamp_partitions(num_partitions)
+    tpk = np.sort(np.asarray(type_partkeys, dtype=np.int64))
+    sup_keys = np.array(sorted(supplier_nation), dtype=np.int64)
+    sup_nat = np.array([supplier_nation[k] for k in sup_keys], np.int64)
+    region = np.sort(np.fromiter(region_cust_nations, dtype=np.int64,
+                                 count=len(region_cust_nations)))
+    empty = pa.table({
+        "o_year": pa.array([], pa.int64()),
+        "nation_rev_micro": pa.array([], pa.int64()),
+        "total_rev_micro": pa.array([], pa.int64()),
+    })
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(np.isin(pk, tpk)))
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = sup_nat[np.searchsorted(sup_keys, sk)]
+        ok = (
+            b["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(ok) and ok.max() >= 1 << 62:
+            raise ValueError("orderkey outside the packed range")
+        key = ok * 2 + (s_nat == target_nation)
+        u, inv = np.unique(key, return_inverse=True)
+        part = np.zeros(len(u), np.int64)
+        np.add.at(part, inv, _rev_micro(b))
+        return pa.table({
+            "l_orderkey": pa.array(u // 2, pa.int64()),
+            "is_target": pa.array((u % 2).astype(bool)),
+            "rev": pa.array(part, pa.int64()),
+        })
+
+    lines = (
+        lineitem_ds.map_batches(line_prep, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
+    if lines.count() == 0:
+        return rd.from_arrow(empty)
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        nk = (
+            b["c_nationkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = b.filter(pa.array(np.isin(nk, region)))
+        return pa.table({"c_custkey": b["c_custkey"]})
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        ts = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        years = (
+            ts.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970
+        )
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_year": pa.array(years, pa.int64()),
+        })
+
+    oc = (
+        orders_ds.map_batches(ord_prep, batch_format="pyarrow")
+        .repartition(P)
+        .join(
+            customer_ds.map_batches(cust_prep, batch_format="pyarrow")
+            .repartition(P),
+            join_type="left_semi", num_partitions=P,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        .repartition(P)
+        .materialize()
+    )
+    if oc.count() == 0:
+        return rd.from_arrow(empty)
+
+    joined = lines.join(
+        oc, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        year = b["o_year"].to_numpy(zero_copy_only=False)
+        rev = b["rev"].to_numpy(zero_copy_only=False)
+        tgt = b["is_target"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(year, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        nat = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, rev)
+        np.add.at(nat, inv[tgt], rev[tgt])
+        return pa.table({
+            "o_year": pa.array(u, pa.int64()),
+            "nat": pa.array(nat, pa.int64()),
+            "tot": pa.array(tot, pa.int64()),
+        })
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_year"
+    ).sum(["nat", "tot"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": pc.cast(b["o_year"], pa.int64()),
+            "nation_rev_micro": pc.cast(b["sum(nat)"], pa.int64()),
+            "total_rev_micro": pc.cast(b["sum(tot)"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "o_year"
+    )
+
+
+def late_shipment_priorities(lineitem_ds, orders_ds,
+                             date_lo_us: int, date_hi_us: int,
+                             grace_days: int = 60,
+                             num_partitions: int = 8):
+    """TPC-H Q4 shape (adapted to this schema: no l_commitdate, so
+    "late" means the order's LAST shipment left more than
+    ``grace_days`` after the order date): per order priority, how many
+    window orders had a late shipment.
+
+    The EXISTS collapses to ``max(l_shipdate) > o_orderdate + grace``
+    — a per-order max combiner (the only full-fact scan) joins the
+    window-filtered order keys; the final groupby is
+    priority-cardinality. Returns ``(o_orderpriority, order_count)``
+    sorted by priority."""
+    P = _clamp_partitions(num_partitions)
+    grace_us = int(grace_days) * 86_400_000_000
+    empty = pa.table({
+        "o_orderpriority": pa.array([], pa.string()),
+        "order_count": pa.array([], pa.int64()),
+    })
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ts = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        u, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({
+            "l_orderkey": pa.array(u, pa.int64()),
+            "ms": pa.array(mx, pa.int64()),
+        })
+
+    last_ship = (
+        lineitem_ds.map_batches(ship_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .max("ms")
+        .repartition(P)
+        .materialize()
+    )
+    if last_ship.count() == 0:
+        return rd.from_arrow(empty)
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, date_lo_us),
+                       pc.less(ts, date_hi_us))
+        b = b.filter(keep)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderdate_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    in_window = (
+        orders_ds.map_batches(ord_prep, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
+    if in_window.count() == 0:
+        return rd.from_arrow(empty)
+
+    joined = in_window.join(
+        last_ship, join_type="inner", num_partitions=P,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        late = pc.greater(
+            b["max(ms)"],
+            pc.add(b["o_orderdate_us"], grace_us),
+        )
+        b = b.filter(late)
+        t = b.group_by("o_orderpriority").aggregate([
+            ("o_orderkey", "count")
+        ])
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n": pc.cast(t["o_orderkey_count"], pa.int64()),
+        })
+
+    agg = joined.map_batches(
+        late_partial, batch_format="pyarrow"
+    ).groupby("o_orderpriority").sum("n")
+
+    return agg.map_batches(
+        lambda b: b.rename_columns(["o_orderpriority", "order_count"]),
+        batch_format="pyarrow",
+    ).sort("o_orderpriority")
+
+
+def waiting_customers(customer_ds, orders_ds, since_us: int,
+                      num_partitions: int = 8):
+    """TPC-H Q22 shape (adapted: this schema has no phone country
+    code, and every customer has SOME order — so the cohort is
+    dormant high-value accounts, grouped by nation): customers whose
+    balance beats the average POSITIVE balance and who placed no
+    order since the cutoff.
+
+    The above-average predicate is exact integer algebra
+    (bal·n_pos > sum_pos — no float average), its two scalars one
+    combiner pass over the dim; dormancy is a native left_anti join
+    against the date-filtered order keys (duplicate keys are fine for
+    an existence test — no distinct shuffle). Returns
+    ``(c_nationkey, n_custs, total_bal_micro)`` sorted by nation."""
+    P = _clamp_partitions(num_partitions)
+    empty = pa.table({
+        "c_nationkey": pa.array([], pa.int64()),
+        "n_custs": pa.array([], pa.int64()),
+        "total_bal_micro": pa.array([], pa.int64()),
+    })
+
+    def bal_micro(col) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False) * 1e6
+        return np.asarray(
+            pc.round(pa.array(v), ndigits=0,
+                     round_mode="half_towards_infinity")
+        ).astype(np.int64)
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        micro = bal_micro(b["c_acctbal"])[bal > 0]
+        return pa.table({
+            "s": pa.array([int(micro.sum())], pa.int64()),
+            "n": pa.array([len(micro)], pa.int64()),
+        })
+
+    tot = customer_ds.map_batches(
+        pos_partial, batch_format="pyarrow"
+    ).sum(["s", "n"])
+    if tot is None or int(tot["sum(n)"]) == 0:
+        return rd.from_arrow(empty)
+    sum_pos, n_pos = int(tot["sum(s)"]), int(tot["sum(n)"])
+
+    def rich_prep(b: pa.Table) -> pa.Table:
+        micro = bal_micro(b["c_acctbal"])
+        if len(micro) and abs(int(micro.max())) > (1 << 62) // n_pos:
+            raise ValueError(
+                "bal*n_pos would overflow int64; rescale the "
+                "micro-unit before comparing"
+            )
+        keep = micro * n_pos > sum_pos
+        b = b.filter(pa.array(keep))
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "bal": pa.array(micro[keep], pa.int64()),
+        })
+
+    rich = (
+        customer_ds.map_batches(rich_prep, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
+    if rich.count() == 0:
+        return rd.from_arrow(empty)
+
+    def recent_prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        b = b.filter(pc.greater_equal(ts, since_us))
+        return pa.table({"o_custkey": b["o_custkey"]})
+
+    recent = (
+        orders_ds.map_batches(recent_prep, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
+    dormant = rich if recent.count() == 0 else rich.join(
+        recent, join_type="left_anti", num_partitions=P,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        bal = b["bal"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nk, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, bal)
+        return pa.table({
+            "c_nationkey": pa.array(u, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+        })
+
+    agg = dormant.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_nationkey"
+    ).sum(["n", "s"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "n_custs": pc.cast(b["sum(n)"], pa.int64()),
+            "total_bal_micro": pc.cast(b["sum(s)"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "c_nationkey"
+    )
