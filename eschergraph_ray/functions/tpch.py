@@ -229,19 +229,51 @@ def small_qty_revenue(lineitem_ds, brand_partkeys: np.ndarray,
     }))
 
 
+def _collect_matching(ds, key_col: str, keys: np.ndarray,
+                      prep=None) -> pa.Table | None:
+    """Stream ``ds`` once, keep only rows whose ``key_col`` is in the
+    broadcast sorted ``keys``, and pull the matches to the driver as
+    one Arrow table (``prep`` maps each matched batch first). The
+    scale contract: ``keys`` is a SMALL survivor set and ``key_col``
+    is unique per row in ``ds``, so the collected table is bounded by
+    ``len(keys)`` — the dim/fact stream is filtered in place with no
+    shuffle and no JoinOperator. Returns None when nothing matched."""
+    ks = np.sort(np.asarray(keys, dtype=np.int64))
+
+    def f(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        v = b[key_col].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(np.isin(v, ks)))
+        return prep(b) if prep is not None else b
+
+    tbls = list(
+        ds.map_batches(f, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls).combine_chunks()
+
+
 def large_volume_orders(lineitem_ds, orders_ds, customer_ds,
                         qty_threshold: int, k: int = 100,
-                        num_partitions: int = 8):
+                        num_partitions: int = 8,
+                        max_broadcast: int = 1_000_000):
     """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
     the threshold, with customer name, order date/price, and the
     quantity — top-k by (totalprice desc, orderdate, orderkey).
 
     Per-batch int64 quantity combiner -> order-cardinality groupby ->
     HAVING filter; the surviving set is threshold-small by
-    construction, so the two enrichment joins (orders fact, customer
-    dim) move only it. Both joins carry the Ray 2.49 guards: clamped
-    partitions, repartition on each side, materialize + count
-    short-circuit for the empty-side crash. Quantities stay int64;
+    construction. Fast path (survivors <= max_broadcast): the two
+    enrichments are broadcast-filtered STREAMING scans of orders and
+    customer — no JoinOperator, no shuffle of either table — merged
+    client-side on the bounded survivor set. Above the guard, the
+    distributed hash joins run with the Ray 2.49
+    clamp/repartition/short-circuit guards. Quantities stay int64;
     o_totalprice ships as exact micro-units."""
     P = _clamp_partitions(num_partitions)
     empty = pa.table({
@@ -291,6 +323,60 @@ def large_volume_orders(lineitem_ds, orders_ds, customer_ds,
             "o_orderdate_us": pc.cast(b["o_orderdate"], pa.int64()),
             "o_totalprice_micro": _price_micro(b["o_totalprice"]),
         })
+
+    if big.count() <= max_broadcast:
+        bt = pa.concat_tables(
+            list(big.iter_batches(batch_format="pyarrow"))
+        )
+        sv_ok = (
+            bt["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        sv_qty = (
+            bt["sum_qty"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(sv_ok)
+        sv_ok, sv_qty = sv_ok[order], sv_qty[order]
+        om = _collect_matching(orders_ds, "o_orderkey", sv_ok,
+                               prep=ord_prep)
+        if om is None:
+            return rd.from_arrow(empty)
+        o_ok = om["o_orderkey"].to_numpy(zero_copy_only=False)
+        o_ck = om["o_custkey"].to_numpy(zero_copy_only=False)
+        cm = _collect_matching(
+            customer_ds, "c_custkey", np.unique(o_ck),
+            prep=lambda b: b.select(["c_custkey", "c_name"]),
+        )
+        if cm is None:
+            return rd.from_arrow(empty)
+        c_ck = (
+            cm["c_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        c_order = np.argsort(c_ck)
+        c_ck = c_ck[c_order]
+        c_names = np.asarray(cm["c_name"].to_pylist(),
+                             dtype=object)[c_order]
+        # inner semantics: drop orders whose customer is missing
+        ci = np.clip(np.searchsorted(c_ck, o_ck), 0, len(c_ck) - 1)
+        hit = c_ck[ci] == o_ck
+        o_ok, o_ck, ci = o_ok[hit], o_ck[hit], ci[hit]
+        date = (
+            om["o_orderdate_us"].to_numpy(zero_copy_only=False)[hit]
+        )
+        price = (
+            om["o_totalprice_micro"].to_numpy(zero_copy_only=False)[hit]
+        )
+        qty = sv_qty[np.searchsorted(sv_ok, o_ok)]
+        top = np.lexsort((o_ok, date, -price))[:k]
+        return rd.from_arrow(pa.table({
+            "c_name": pa.array(c_names[ci][top], pa.string()),
+            "o_orderkey": pa.array(o_ok[top], pa.int64()),
+            "o_orderdate_us": pa.array(date[top], pa.int64()),
+            "o_totalprice_micro": pa.array(price[top], pa.int64()),
+            "sum_qty": pa.array(qty[top], pa.int64()),
+        }))
 
     enriched = (
         big.join(
@@ -352,7 +438,6 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds,
     if nation_a not in name_to_key or nation_b not in name_to_key:
         raise ValueError("both nations must exist in nation_name")
     ka, kb = name_to_key[nation_a], name_to_key[nation_b]
-    pair = {(ka, kb), (kb, ka)}
     sup_keys = np.array(sorted(supplier_nation), dtype=np.int64)
     sup_nat = np.array([supplier_nation[k] for k in sup_keys], np.int64)
 
@@ -587,24 +672,42 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_ds,
             "c_acctbal_micro": _price_micro(b["c_acctbal"]),
         })
 
-    named = per_cust.join(
-        customer_ds.map_batches(cust_prep, batch_format="pyarrow")
-        .repartition(P),
-        join_type="inner", num_partitions=P,
-        on=("o_custkey",), right_on=("c_custkey",),
+    # the top-k set is <= k rows BY CONSTRUCTION, so the name/balance
+    # enrichment is always a broadcast-filtered streaming scan of the
+    # customer dim — no JoinOperator, no shuffle of the dim
+    pt = pa.concat_tables(
+        list(per_cust.iter_batches(batch_format="pyarrow"))
     )
-
-    def finalize(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
-            "c_name": b["c_name"],
-            "c_acctbal_micro": pc.cast(b["c_acctbal_micro"], pa.int64()),
-            "revenue_micro": pc.cast(b["revenue_micro"], pa.int64()),
-        })
-
-    return named.map_batches(finalize, batch_format="pyarrow").sort(
-        ["revenue_micro", "c_custkey"], descending=[True, False]
+    t_ck = (
+        pt["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     )
+    order = np.argsort(t_ck)
+    t_ck = t_ck[order]
+    t_rev = (
+        pt["revenue_micro"].to_numpy(zero_copy_only=False)
+        .astype(np.int64)[order]
+    )
+    cm = _collect_matching(customer_ds, "c_custkey", t_ck,
+                           prep=cust_prep)
+    if cm is None:
+        return rd.from_arrow(empty)
+    c_ck = (
+        cm["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    c_order = np.argsort(c_ck)
+    c_ck = c_ck[c_order]
+    names = np.asarray(cm["c_name"].to_pylist(), dtype=object)[c_order]
+    bal = (
+        cm["c_acctbal_micro"].to_numpy(zero_copy_only=False)[c_order]
+    )
+    rev = t_rev[np.searchsorted(t_ck, c_ck)]
+    out = np.lexsort((c_ck, -rev))
+    return rd.from_arrow(pa.table({
+        "c_custkey": pa.array(c_ck[out], pa.int64()),
+        "c_name": pa.array(names[out], pa.string()),
+        "c_acctbal_micro": pa.array(bal[out], pa.int64()),
+        "revenue_micro": pa.array(rev[out], pa.int64()),
+    }))
 
 
 def banded_revenue(lineitem_ds, part_keys: np.ndarray,
@@ -667,16 +770,20 @@ def banded_revenue(lineitem_ds, part_keys: np.ndarray,
 
 def top_supplier_revenue(lineitem_ds, supplier_ds,
                          date_lo_us: int, date_hi_us: int,
-                         num_partitions: int = 8):
+                         num_partitions: int = 8,
+                         max_broadcast: int = 1_000_000):
     """TPC-H Q15 shape: the supplier(s) with the maximum shipped
     revenue in the window — ALL ties survive, exactly the SQL
     ``total = (SELECT max(total))`` predicate.
 
     One fact scan with a per-batch suppkey combiner -> a
     supplier-cardinality groupby (materialized: it is both the max
-    source and the filter input); only the tiny winner set joins the
-    supplier dim for names. Returns ``(s_suppkey, s_name,
-    total_revenue_micro)`` sorted by suppkey."""
+    source and the filter input). Fast path (winners <=
+    max_broadcast): names come from a broadcast-filtered STREAMING
+    scan of the supplier dim — no JoinOperator; above the guard, the
+    distributed hash join runs with the usual Ray 2.49 guards.
+    Returns ``(s_suppkey, s_name, total_revenue_micro)`` sorted by
+    suppkey."""
     P = _clamp_partitions(num_partitions)
     empty = pa.table({
         "s_suppkey": pa.array([], pa.int64()),
@@ -718,6 +825,43 @@ def top_supplier_revenue(lineitem_ds, supplier_ds,
         ).filter(pc.equal(b["sum(rev)"], best)),
         batch_format="pyarrow",
     ).repartition(P)
+
+    winners = winners.materialize()
+    if winners.count() <= max_broadcast:
+        wt = pa.concat_tables(
+            list(winners.iter_batches(batch_format="pyarrow"))
+        )
+        w_sk = (
+            wt["s_suppkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(w_sk)
+        w_sk = w_sk[order]
+        w_tot = (
+            wt["total_revenue_micro"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+        )
+        sm = _collect_matching(
+            supplier_ds, "s_suppkey", w_sk,
+            prep=lambda b: b.select(["s_suppkey", "s_name"]),
+        )
+        if sm is None:
+            return rd.from_arrow(empty)
+        s_sk = (
+            sm["s_suppkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        s_order = np.argsort(s_sk)
+        s_sk = s_sk[s_order]
+        s_names = np.asarray(sm["s_name"].to_pylist(),
+                             dtype=object)[s_order]
+        # inner semantics: only winners present in the dim survive
+        tot = w_tot[np.searchsorted(w_sk, s_sk)]
+        return rd.from_arrow(pa.table({
+            "s_suppkey": pa.array(s_sk, pa.int64()),
+            "s_name": pa.array(s_names, pa.string()),
+            "total_revenue_micro": pa.array(tot, pa.int64()),
+        }))
 
     named = winners.join(
         supplier_ds.map_batches(

@@ -625,3 +625,37 @@ def test_waiting_customers_oracle_sf0001():
         FROM w GROUP BY 1
     """).df()
     _cmp(got, want)
+
+
+def test_large_volume_broadcast_vs_join_parity():
+    from eschergraph_ray.functions.tpch import large_volume_orders
+
+    args = (
+        rd.read_parquet(f"{SF}/lineitem.parquet"),
+        rd.read_parquet(f"{SF}/orders.parquet"),
+        rd.read_parquet(f"{SF}/customer.parquet"),
+    )
+    fast = large_volume_orders(*args, qty_threshold=200, k=50).to_pandas()
+    slow = large_volume_orders(
+        *args, qty_threshold=200, k=50, max_broadcast=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_top_supplier_broadcast_vs_join_parity():
+    from eschergraph_ray.functions.tpch import top_supplier_revenue
+
+    args = (
+        rd.read_parquet(f"{SF}/lineitem.parquet"),
+        rd.read_parquet(f"{SF}/supplier.parquet"),
+        _ts("1996-01-01"), _ts("1997-01-01"),
+    )
+    fast = top_supplier_revenue(*args).to_pandas()
+    slow = top_supplier_revenue(*args, max_broadcast=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True),
+        check_dtype=False,
+    )
