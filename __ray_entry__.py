@@ -5623,6 +5623,61 @@ def _q_customers_waiting(sf_dir: str):
     )
 
 
+def _q_events_ewma_hourly(sf_dir: str):
+    """Integer EWMA (alpha=1/2) per type over the hourly value series
+    (functions/windows.py ewma_by_group): s(h) = (s(h-1)+v(h)) // 2 —
+    every smoothing step one int64 add + floor division, so the SQL
+    recursive-CTE replay is bit-exact (no float alpha powers). Bucket
+    partials combine per batch; the recurrence runs in the
+    span-bounded repartition(1) sweep."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import ewma_by_group
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    return ewma_by_group(ev, "event_type", "ts", "value")
+
+
+def _q_events_streak_histogram(sf_dir: str):
+    """Gaps-and-islands activity streaks (functions/windows.py
+    activity_streaks): each user's longest run of consecutive active
+    days, aggregated to a (streak_len, n_users) histogram — the
+    day - dense_rank island trick. The wide (user, day) key buckets
+    by user&63 (one np.lexsort island sweep per bucket); only
+    histogram-sized partials shuffle."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import activity_streaks
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return activity_streaks(ev, "user_id", "ts")
+
+
+def _q_events_topk_dense(sf_dir: str):
+    """Per-type dense-rank top-k with ties (functions/windows.py
+    topk_dense_by_group): every event whose micro-quantized value is
+    among its type's 3 largest DISTINCT values — dense_rank() <= 3.
+    Distributive: per-batch local top-k distinct candidates concat on
+    the driver (tiny by construction), the k-th distinct value per
+    type broadcasts back as a streaming filter threshold — the full
+    stream never shuffles."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import topk_dense_by_group
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return topk_dense_by_group(ev, "event_type", "event_id", "value",
+                               k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -5845,6 +5900,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_market_share": _q_nations_market_share,
         "orders_late_priority": _q_orders_late_priority,
         "customers_waiting": _q_customers_waiting,
+        # window-function shapes: recursive smoothing, gaps-and-
+        # islands, dense-rank ties
+        "events_ewma_hourly": _q_events_ewma_hourly,
+        "events_streak_histogram": _q_events_streak_histogram,
+        "events_topk_dense": _q_events_topk_dense,
     }
 
 
@@ -10533,5 +10593,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
                CAST(sum(bal) AS BIGINT) AS total_bal_micro
         FROM w GROUP BY 1 ORDER BY 1
+    """
+    d["events_ewma_hourly"] = """
+        -- integer-EWMA replay (windows.ewma_by_group): recursive CTE
+        -- walks each type's hourly series carrying s=(s+v)//2
+        WITH RECURSIVE h AS MATERIALIZED (
+          SELECT event_type AS t,
+                 epoch_us(ts) // 3600000000 AS bkt,
+                 CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+                      AS BIGINT) AS bv
+          FROM events GROUP BY 1, 2
+        ),
+        r AS MATERIALIZED (
+          SELECT t, bkt, bv,
+                 CAST(row_number() OVER (PARTITION BY t ORDER BY bkt)
+                      AS INT) AS rn
+          FROM h
+        ),
+        w AS (
+          SELECT t, bkt, bv, rn, bv AS s FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.t, r.bkt, r.bv, r.rn, (w.s + r.bv) // 2 AS s
+          FROM w JOIN r ON r.t = w.t AND r.rn = w.rn + 1
+        )
+        SELECT t AS event_type, CAST(bkt AS BIGINT) AS bucket,
+               bv AS value_micro, CAST(s AS BIGINT) AS ewma_micro
+        FROM w ORDER BY event_type, bucket
+    """
+    d["events_streak_histogram"] = """
+        -- gaps-and-islands replay (windows.activity_streaks): the
+        -- day - row_number island trick, longest run per user
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        i AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS isl
+          FROM d
+        ),
+        runs AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS len
+          FROM i GROUP BY user_id, isl
+        ),
+        best AS (
+          SELECT user_id, max(len) AS streak_len FROM runs
+          GROUP BY user_id
+        )
+        SELECT CAST(streak_len AS BIGINT) AS streak_len,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM best GROUP BY 1 ORDER BY 1
+    """
+    d["events_topk_dense"] = """
+        -- dense_rank()<=k ties replay (windows.topk_dense_by_group)
+        WITH q AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro,
+                 dense_rank() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 1e6, 0) AS BIGINT) DESC
+                 ) AS dr
+          FROM events
+        )
+        SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+               value_micro
+        FROM q WHERE dr <= 3
+        ORDER BY event_type, value_micro DESC, event_id
     """
     return d

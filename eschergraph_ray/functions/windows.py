@@ -1585,3 +1585,271 @@ def interarrival_stats(events_ds, user_col: str, type_col: str,
     return agg.map_batches(finalize, batch_format="pyarrow").sort(
         "event_type"
     )
+
+
+def ewma_by_group(events_ds, type_col: str, ts_col: str, val_col: str,
+                  bucket_us: int = 3_600_000_000):
+    """Integer EWMA (alpha = 1/2) per type over the bucketed value
+    series: with v(h) the per-bucket micro-quantized value sum over
+    OBSERVED buckets in order, s(1) = v(1) and
+    s(h) = (s(h-1) + v(h)) // 2 — the halving recurrence keeps every
+    step a single int64 add + floor division, so both engines replay
+    the smoothed series bit-for-bit (no float alpha powers ever
+    materialize; SQL replays via a recursive CTE bounded by the
+    bucket span).
+
+    Shape: per-batch (type, bucket) partials -> one bucket-cardinality
+    groupby -> the span-bounded repartition(1) sweep (the recurrence
+    itself is a tiny per-type Python loop over bucket counts, which
+    the span bounds — the same contract as hourly_drawdown). Returns
+    ``(event_type, bucket, value_micro, ewma_micro)`` sorted by
+    (type, bucket)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(b[val_col], pa.float64()), 1e6),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"t": b[type_col], "bkt": pc.divide(ts, bucket_us), "v": v}
+        )
+        return (
+            t.group_by(["t", "bkt"])
+            .aggregate([("v", "sum")])
+            .rename_columns(["t", "bkt", "bv"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    bucketed = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["t", "bkt"])
+        .aggregate(Sum("bv", alias_name="bv"))
+    )
+
+    def sweep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        empty = pa.table({
+            "event_type": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "value_micro": pa.array([], pa.int64()),
+            "ewma_micro": pa.array([], pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        t = np.asarray(b["t"].to_pylist(), dtype=object)
+        bkt = b["bkt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["bv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bkt, t))
+        t, bkt, v = t[order], bkt[order], v[order]
+        s = np.empty(len(v), np.int64)
+        prev_t = None
+        for i in range(len(v)):
+            if t[i] != prev_t:
+                s[i] = v[i]
+                prev_t = t[i]
+            else:
+                # floor division matches DuckDB // on int64
+                s[i] = (s[i - 1] + v[i]) // 2
+        return pa.table({
+            "event_type": pa.array(list(t), pa.string()),
+            "bucket": pa.array(bkt, pa.int64()),
+            "value_micro": pa.array(v, pa.int64()),
+            "ewma_micro": pa.array(s, pa.int64()),
+        })
+
+    return (
+        bucketed.repartition(1)
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def activity_streaks(events_ds, user_col: str, ts_col: str,
+                     day_us: int = 86_400_000_000,
+                     n_buckets: int = 64):
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days, aggregated to a histogram ``(streak_len, n_users)`` — the
+    classic ``day - dense_rank`` island trick, fully replayable in SQL
+    window functions.
+
+    The wide (user, day) key never hits Ray's sort-shuffle: per-batch
+    distinct (user, day) partials bucket by ``user & (n_buckets-1)``
+    (an int key; a user's days all share its bucket, so the per-bucket
+    pass sees every user whole), each bucket group deduplicates days
+    and computes all its users' longest islands in one np.lexsort +
+    boundary-diff sweep, and only (streak_len) partial counts shuffle
+    — a histogram-sized final aggregate."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.and_(pc.is_valid(b[user_col]),
+                             pc.is_valid(b[ts_col])))
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            np.asarray(ts).astype(np.int64) // day_us
+        )
+        pairs = np.unique(np.stack([u, day], axis=1), axis=0)
+        return pa.table({
+            "bucket": pa.array(
+                np.bitwise_and(pairs[:, 0], n_buckets - 1), pa.int64()
+            ),
+            "u": pa.array(pairs[:, 0], pa.int64()),
+            "day": pa.array(pairs[:, 1], pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        # drop cross-batch duplicate (user, day) pairs
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        u, day = u[keep], day[keep]
+        if len(u) == 0:
+            return pa.table({"streak_len": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # island id = day - rank-within-user; same (u, island) ->
+        # consecutive run. new island where user changes OR gap > 1
+        new_run = np.ones(len(u), bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1] + 1)
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_user = u[new_run]
+        # longest run per user (runs of one user are contiguous)
+        first = np.ones(len(run_user), bool)
+        first[1:] = run_user[1:] != run_user[:-1]
+        user_grp = np.cumsum(first) - 1
+        best = np.zeros(user_grp[-1] + 1, np.int64)
+        np.maximum.at(best, user_grp, run_len)
+        lens, counts = np.unique(best, return_counts=True)
+        return pa.table({
+            "streak_len": pa.array(lens, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("streak_len")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+    return hist.map_batches(
+        lambda b: pa.table({
+            "streak_len": pc.cast(b["streak_len"], pa.int64()),
+            "n_users": pc.cast(b["n_users"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("streak_len")
+
+
+def topk_dense_by_group(events_ds, type_col: str, id_col: str,
+                        val_col: str, k: int = 3):
+    """All rows whose value is among each group's k largest DISTINCT
+    values — ``dense_rank() <= k``, the ties-keep-everything variant
+    of per-group top-k (micro-quantized so rank boundaries are exact
+    integers on both engines).
+
+    Distributive: each batch keeps only its local top-k distinct
+    values per group (a superset of the global winners), the tiny
+    (group, value) candidate table combines once, the k-th distinct
+    value per group broadcasts back as the threshold of a streaming
+    filter scan — the full stream is never shuffled. Returns
+    ``(event_type, event_id, value_micro)`` sorted by
+    (type, value desc, id)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def micro(b: pa.Table) -> np.ndarray:
+        return np.asarray(
+            pc.cast(
+                pc.round(
+                    pc.multiply(pc.cast(b[val_col], pa.float64()), 1e6),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        )
+
+    def cand_partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = pa.table({"t": b[type_col], "v": pa.array(micro(b))})
+        t = t.group_by(["t", "v"]).aggregate([])
+        # local top-k distinct per group
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = (
+            df.sort_values(["t", "v"], ascending=[True, False])
+            .groupby("t", sort=False).head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # local candidates are <= k distinct values per (group, batch) —
+    # tiny by construction, so they concat on the driver (no shuffle)
+    ct = pa.concat_tables(
+        list(
+            events_ds.map_batches(cand_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    if ct.num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "event_id": pa.array([], pa.int64()),
+            "value_micro": pa.array([], pa.int64()),
+        }))
+    import pandas as pd
+
+    cdf = (
+        ct.to_pandas().drop_duplicates(["t", "v"])
+        .sort_values(["t", "v"], ascending=[True, False])
+    )
+    thr = cdf.groupby("t", sort=False).head(k).groupby("t")["v"].min()
+    thr_types = np.asarray(thr.index.to_numpy(), dtype=object)
+    t_order = np.argsort(thr_types)
+    thr_types = thr_types[t_order]
+    thr_vals = thr.to_numpy("int64")[t_order]
+
+    def keep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        v = micro(b)
+        tt = np.asarray(b[type_col].to_pylist(), dtype=object)
+        idx = np.clip(np.searchsorted(thr_types, tt), 0,
+                      len(thr_types) - 1)
+        ok = (thr_types[idx] == tt) & (v >= thr_vals[idx])
+        b = b.filter(pa.array(ok))
+        return pa.table({
+            "event_type": b[type_col],
+            "event_id": pc.cast(b[id_col], pa.int64()),
+            "value_micro": pa.array(v[ok], pa.int64()),
+        })
+
+    return events_ds.map_batches(keep, batch_format="pyarrow").sort(
+        ["event_type", "value_micro", "event_id"],
+        descending=[False, True, False],
+    )

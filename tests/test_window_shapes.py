@@ -1,0 +1,187 @@
+"""Window-function shapes (functions/windows.py additions): integer
+EWMA, gaps-and-islands streaks, dense-rank top-k — hand-computed
+semantics plus sf0.001 DuckDB oracle replays."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from eschergraph_ray.functions.windows import (
+    activity_streaks,
+    ewma_by_group,
+    topk_dense_by_group,
+)
+
+SF = "/root/testdata/sf0.001"
+HOUR = 3_600_000_000
+
+
+def _ev(rows):
+    """events-ish table from (event_id, user_id, type, ts_us, value)."""
+    ei, ui, ty, ts, v = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array(ei, pa.int64()),
+        "user_id": pa.array(ui, pa.int64()),
+        "event_type": pa.array(ty, pa.string()),
+        "ts": pa.array(np.array(ts, "datetime64[us]")),
+        "value": pa.array([float(x) for x in v], pa.float64()),
+    }))
+
+
+def test_ewma_halving_recurrence():
+    ev = _ev([
+        (1, 1, "a", 0 * HOUR, 100.0),
+        (2, 1, "a", 1 * HOUR, 50.0),
+        (3, 1, "a", 2 * HOUR, 70.0),
+        (4, 1, "b", 0 * HOUR, 9.0),
+    ])
+    out = ewma_by_group(ev, "event_type", "ts", "value").to_pandas()
+    got = {(r.event_type, r.bucket): (r.value_micro, r.ewma_micro)
+           for r in out.itertuples()}
+    assert got[("a", 0)] == (100_000_000, 100_000_000)
+    assert got[("a", 1)] == (50_000_000, 75_000_000)
+    assert got[("a", 2)] == (70_000_000, 72_500_000)
+    assert got[("b", 0)] == (9_000_000, 9_000_000)
+
+
+def test_ewma_sums_within_bucket():
+    ev = _ev([
+        (1, 1, "a", 0, 1.0),
+        (2, 1, "a", 1000, 2.0),   # same hour -> summed first
+        (3, 1, "a", 1 * HOUR, 1.0),
+    ])
+    out = ewma_by_group(ev, "event_type", "ts", "value").to_pandas()
+    assert list(out.value_micro) == [3_000_000, 1_000_000]
+    assert list(out.ewma_micro) == [3_000_000, 2_000_000]
+
+
+def test_streaks_hand_computed():
+    day = 86_400_000_000
+    ev = _ev([
+        # user 1: days 1,2,3 then 7,8 -> best 3
+        (1, 1, "a", 1 * day, 0.0), (2, 1, "a", 2 * day, 0.0),
+        (3, 1, "a", 3 * day, 0.0), (4, 1, "a", 7 * day, 0.0),
+        (5, 1, "a", 8 * day, 0.0),
+        # two events same day count once
+        (6, 2, "a", 5 * day, 0.0), (7, 2, "a", 5 * day + 9, 0.0),
+        # user 3: days 10,11 -> best 2
+        (8, 3, "a", 10 * day, 0.0), (9, 3, "a", 11 * day, 0.0),
+    ])
+    out = activity_streaks(ev, "user_id", "ts").to_pandas()
+    got = dict(zip(out.streak_len, out.n_users))
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_topk_dense_keeps_ties():
+    ev = _ev([
+        (1, 1, "a", 0, 5.0), (2, 1, "a", 0, 5.0),   # both rank 1
+        (3, 1, "a", 0, 4.0),                        # rank 2
+        (4, 1, "a", 0, 3.0), (5, 1, "a", 0, 2.0),   # rank 3, cut
+        (6, 1, "b", 0, 1.0),
+    ])
+    out = topk_dense_by_group(ev, "event_type", "event_id", "value",
+                              k=2).to_pandas()
+    a = out[out.event_type == "a"]
+    assert sorted(a.event_id) == [1, 2, 3]
+    assert list(out[out.event_type == "b"].event_id) == [6]
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    return con
+
+
+def _cmp(got, want):
+    g = (got[sorted(got.columns)].sort_values(sorted(got.columns))
+         .reset_index(drop=True))
+    w = (want[sorted(want.columns)].sort_values(sorted(want.columns))
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_ewma_oracle_sf0001():
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    got = ewma_by_group(ev, "event_type", "ts", "value").to_pandas()
+    want = _con().execute("""
+        WITH RECURSIVE h AS MATERIALIZED (
+          SELECT event_type AS t, epoch_us(ts) // 3600000000 AS bkt,
+                 CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+                      AS BIGINT) AS bv
+          FROM events GROUP BY 1, 2
+        ),
+        r AS MATERIALIZED (
+          SELECT t, bkt, bv,
+                 CAST(row_number() OVER (PARTITION BY t ORDER BY bkt)
+                      AS INT) AS rn
+          FROM h
+        ),
+        w AS (
+          SELECT t, bkt, bv, rn, bv AS s FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.t, r.bkt, r.bv, r.rn, (w.s + r.bv) // 2 AS s
+          FROM w JOIN r ON r.t = w.t AND r.rn = w.rn + 1
+        )
+        SELECT t AS event_type, CAST(bkt AS BIGINT) AS bucket,
+               bv AS value_micro, CAST(s AS BIGINT) AS ewma_micro
+        FROM w
+    """).df()
+    _cmp(got, want)
+
+
+def test_streaks_oracle_sf0001():
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    got = activity_streaks(ev, "user_id", "ts").to_pandas()
+    want = _con().execute("""
+        WITH d AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        i AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS isl
+          FROM d
+        ),
+        runs AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS len
+          FROM i GROUP BY user_id, isl
+        ),
+        best AS (
+          SELECT user_id, max(len) AS streak_len FROM runs
+          GROUP BY user_id
+        )
+        SELECT CAST(streak_len AS BIGINT) AS streak_len,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM best GROUP BY 1
+    """).df()
+    _cmp(got, want)
+
+
+def test_topk_dense_oracle_sf0001():
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    got = topk_dense_by_group(ev, "event_type", "event_id", "value",
+                              k=3).to_pandas()
+    want = _con().execute("""
+        WITH q AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro,
+                 dense_rank() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 1e6, 0) AS BIGINT) DESC
+                 ) AS dr
+          FROM events
+        )
+        SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+               value_micro
+        FROM q WHERE dr <= 3
+    """).df()
+    _cmp(got, want)
