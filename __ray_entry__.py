@@ -5678,6 +5678,45 @@ def _q_events_topk_dense(sf_dir: str):
                                k=3)
 
 
+def _q_events_attribution(sf_dir: str):
+    """Last-touch attribution (functions/windows.py
+    last_touch_attribution): each purchase credits the most recent
+    preceding non-purchase event in the same user's (ts, id)-ordered
+    stream ('none' for first-touch purchases), aggregated per source
+    type with exact micro-unit purchase value. user&63 bucketing, one
+    lexsort + maximum.accumulate forward-fill per bucket, only
+    type-cardinality partials shuffle."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import last_touch_attribution
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    return last_touch_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "value",
+        target_type="purchase",
+    )
+
+
+def _q_docs_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve (functions/vocab.py vocab_coverage):
+    token occurrences covered by the top-{10,100,1k,10k} vocabulary
+    vs total — the tokenizer-budget diagnostic, pure integers (the
+    ratio is one client division). One token-cardinality count; only
+    the top max(N) rows leave the sort."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import vocab_coverage
+
+    _context()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return vocab_coverage(docs, "text")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -5905,6 +5944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma_hourly": _q_events_ewma_hourly,
         "events_streak_histogram": _q_events_streak_histogram,
         "events_topk_dense": _q_events_topk_dense,
+        "events_attribution": _q_events_attribution,
+        "docs_vocab_coverage": _q_docs_vocab_coverage,
     }
 
 
@@ -10662,5 +10703,50 @@ def oracle_sql() -> dict[str, str]:
                value_micro
         FROM q WHERE dr <= 3
         ORDER BY event_type, value_micro DESC, event_id
+    """
+    d["events_attribution"] = """
+        -- last-touch replay (windows.last_touch_attribution):
+        -- last_value IGNORE NULLS over the 1-PRECEDING frame
+        WITH o AS (
+          SELECT user_id, event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS vmic,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS src
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT coalesce(src, 'none') AS source_type,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(vmic) AS BIGINT) AS purchase_value_micro
+        FROM o WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+    """
+    d["docs_vocab_coverage"] = """
+        -- coverage-curve replay (vocab.vocab_coverage): cumulative
+        -- occurrence mass of the (count desc, token asc) rank prefix
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(text),
+              '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS token
+          FROM documents
+        ),
+        counts AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY 1
+        ),
+        ranked AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rn
+          FROM counts
+        )
+        SELECT CAST(v.n_vocab AS BIGINT) AS n_vocab,
+               (SELECT CAST(coalesce(sum(n), 0) AS BIGINT)
+                FROM ranked WHERE rn <= v.n_vocab) AS covered_tokens,
+               (SELECT CAST(sum(n) AS BIGINT) FROM counts)
+                 AS total_tokens
+        FROM (VALUES (10), (100), (1000), (10000)) AS v(n_vocab)
+        ORDER BY 1
     """
     return d

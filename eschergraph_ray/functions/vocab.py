@@ -991,3 +991,44 @@ def ctfidf_top_terms(ds, class_col: str, text_col: str, m: int = 5,
         .map_groups(final, batch_format="pyarrow")
         .sort([class_col, "token"])
     )
+
+
+def vocab_coverage(ds, text_col: str,
+                   ns: tuple = (10, 100, 1000, 10000)):
+    """Vocabulary coverage curve: for each cutoff N, how many token
+    OCCURRENCES the top-N vocabulary (by count desc, token asc — the
+    deterministic rank) covers, vs the total — the classic
+    tokenizer-budget diagnostic. Ships pure integers
+    ``(n_vocab, covered_tokens, total_tokens)``; the coverage ratio
+    is one client division.
+
+    One token-cardinality count (the vocab_topk machinery), the total
+    a scalar sum, and only the top max(ns) rows leave the sort — the
+    corpus itself is scanned once and never shuffled."""
+    import numpy as np
+    import ray.data as rd
+
+    if not ns or any(int(n) < 1 for n in ns):
+        raise ValueError("ns must be non-empty positive cutoffs")
+    ns = sorted(int(n) for n in ns)
+    counts = token_counts(ds, text_col).materialize()
+    total = counts.sum("n") or 0
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(
+        ns[-1]
+    )
+    tv = pa.concat_tables(
+        list(top.iter_batches(batch_format="pyarrow"))
+    ) if total else None
+    cum = (
+        np.cumsum(tv["n"].to_numpy(zero_copy_only=False))
+        if tv is not None and tv.num_rows
+        else np.zeros(0, np.int64)
+    )
+    covered = [
+        int(cum[min(n, len(cum)) - 1]) if len(cum) else 0 for n in ns
+    ]
+    return rd.from_arrow(pa.table({
+        "n_vocab": pa.array(ns, pa.int64()),
+        "covered_tokens": pa.array(covered, pa.int64()),
+        "total_tokens": pa.array([int(total)] * len(ns), pa.int64()),
+    }))

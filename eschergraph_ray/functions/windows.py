@@ -1853,3 +1853,104 @@ def topk_dense_by_group(events_ds, type_col: str, id_col: str,
         ["event_type", "value_micro", "event_id"],
         descending=[False, True, False],
     )
+
+
+def last_touch_attribution(events_ds, user_col: str, type_col: str,
+                           ts_col: str, id_col: str, val_col: str,
+                           target_type: str, n_buckets: int = 64):
+    """Marketing-style last-touch attribution: each ``target_type``
+    event is credited to the most recent PRECEDING event of any OTHER
+    type in the same user's (ts, id)-ordered stream ('none' when the
+    target is the user's first touch), aggregated per source type to
+    ``(source_type, n_purchases, purchase_value_micro)``.
+
+    The per-user ordered walk never hits Ray's sort-shuffle: rows
+    bucket by ``user & (n_buckets-1)``, one np.lexsort per bucket
+    group orders ALL its users' streams at once, a single
+    maximum.accumulate forward-fills the last non-target index
+    (user-boundary-checked), and only (source_type) partials shuffle
+    — a type-cardinality final aggregate. SQL replays via
+    ``last_value(... IGNORE NULLS) OVER (... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``. Assumes one bucket's events fit one
+    reducer (the sessionize contract; salt by time range first for
+    hot buckets at extreme scale)."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+
+    def prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.and_(pc.is_valid(b[user_col]),
+                             pc.is_valid(b[ts_col])))
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(b[val_col], pa.float64()), 1e6),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({
+            "bucket": pa.array(np.bitwise_and(u, n_buckets - 1),
+                               pa.int64()),
+            "u": pa.array(u, pa.int64()),
+            "t": b[type_col],
+            "ts": pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                          pa.int64()),
+            "eid": pc.cast(b[id_col], pa.int64()),
+            "vmic": v,
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        vmic = g["vmic"].to_numpy(zero_copy_only=False)
+        types = np.asarray(g["t"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, vmic, types = u[order], vmic[order], types[order]
+        is_src = types != target_type
+        idx = np.arange(len(u))
+        ff = np.maximum.accumulate(np.where(is_src, idx, -1))
+        tgt = types == target_type
+        src = np.full(tgt.sum(), "none", dtype=object)
+        fft = ff[tgt]
+        # a fill from another user's stream means "no touch yet"
+        valid = (fft >= 0) & (u[fft] == u[tgt])
+        src[valid] = types[fft[valid]]
+        sv, inv = np.unique(src, return_inverse=True)
+        n = np.zeros(len(sv), np.int64)
+        s = np.zeros(len(sv), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, vmic[tgt])
+        return pa.table({
+            "source_type": pa.array(list(sv), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        events_ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=None)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("source_type")
+        .aggregate(Sum("n", alias_name="n_purchases"),
+                   Sum("s", alias_name="purchase_value_micro"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source_type": b["source_type"],
+            "n_purchases": pc.cast(b["n_purchases"], pa.int64()),
+            "purchase_value_micro": pc.cast(
+                b["purchase_value_micro"], pa.int64()
+            ),
+        }),
+        batch_format="pyarrow",
+    ).sort("source_type")

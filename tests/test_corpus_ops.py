@@ -524,3 +524,59 @@ def test_table_profile_hand():
 
     with pytest.raises(ValueError):
         table_profile(rd.from_arrow(t), [])
+
+
+def test_vocab_coverage_hand_computed():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import vocab_coverage
+
+    docs = rd.from_arrow(pa.table({
+        "text": pa.array(["a a a b b c", "a b z"], pa.string()),
+    }))
+    out = vocab_coverage(docs, "text", ns=(1, 2, 10)).to_pandas()
+    # counts: a=4 b=3 c=1 z=1 -> total 9; top1=4, top2=7, top10=9
+    assert list(out.n_vocab) == [1, 2, 10]
+    assert list(out.covered_tokens) == [4, 7, 9]
+    assert list(out.total_tokens) == [9, 9, 9]
+
+
+def test_vocab_coverage_oracle_sf0001():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import vocab_coverage
+
+    sf = "/root/testdata/sf0.001"
+    got = vocab_coverage(
+        rd.read_parquet(f"{sf}/documents.parquet", columns=["text"]),
+        "text", ns=(10, 100, 1000),
+    ).to_pandas()
+    want = duckdb.connect().execute(f"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(text),
+              '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS token
+          FROM read_parquet('{sf}/documents.parquet')
+        ),
+        counts AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY 1
+        ),
+        ranked AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rn
+          FROM counts
+        )
+        SELECT CAST(v.n_vocab AS BIGINT) AS n_vocab,
+               (SELECT CAST(coalesce(sum(n), 0) AS BIGINT)
+                FROM ranked WHERE rn <= v.n_vocab) AS covered_tokens,
+               (SELECT CAST(sum(n) AS BIGINT) FROM counts)
+                 AS total_tokens
+        FROM (VALUES (10), (100), (1000)) AS v(n_vocab)
+        ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )

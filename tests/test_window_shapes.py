@@ -185,3 +185,71 @@ def test_topk_dense_oracle_sf0001():
         FROM q WHERE dr <= 3
     """).df()
     _cmp(got, want)
+
+
+def test_attribution_hand_computed():
+    from eschergraph_ray.functions.windows import last_touch_attribution
+
+    ev = _ev([
+        (1, 1, "view", 100, 0.0),
+        (2, 1, "purchase", 200, 10.0),     # <- view
+        (3, 1, "click", 300, 0.0),
+        (4, 1, "purchase", 400, 5.0),      # <- click
+        (5, 2, "purchase", 50, 7.0),       # <- none (first touch)
+        (6, 2, "purchase", 60, 3.0),       # <- none (prev is purchase)
+    ])
+    out = last_touch_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "value",
+        target_type="purchase",
+    ).to_pandas()
+    got = {r.source_type: (r.n_purchases, r.purchase_value_micro)
+           for r in out.itertuples()}
+    assert got == {"view": (1, 10_000_000), "click": (1, 5_000_000),
+                   "none": (2, 10_000_000)}
+
+
+def test_attribution_same_ts_ordered_by_id():
+    from eschergraph_ray.functions.windows import last_touch_attribution
+
+    # same timestamp: event_id breaks the tie, so the signup (id 1)
+    # precedes the purchase (id 2)
+    ev = _ev([
+        (2, 1, "purchase", 100, 1.0),
+        (1, 1, "signup", 100, 0.0),
+    ])
+    out = last_touch_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "value",
+        target_type="purchase",
+    ).to_pandas()
+    assert dict(zip(out.source_type, out.n_purchases)) == {"signup": 1}
+
+
+def test_attribution_oracle_sf0001():
+    from eschergraph_ray.functions.windows import last_touch_attribution
+
+    ev = rd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    got = last_touch_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "value",
+        target_type="purchase",
+    ).to_pandas()
+    want = _con().execute("""
+        WITH o AS (
+          SELECT user_id, event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS vmic,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS src
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT coalesce(src, 'none') AS source_type,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(vmic) AS BIGINT) AS purchase_value_micro
+        FROM o WHERE event_type = 'purchase' GROUP BY 1
+    """).df()
+    _cmp(got, want)
