@@ -5717,6 +5717,65 @@ def _q_docs_vocab_coverage(sf_dir: str):
     return vocab_coverage(docs, "text")
 
 
+def _q_lineitem_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast revenue change (functions/tpch.py
+    forecast_revenue_change): sum(extendedprice * discount) over the
+    1996 ship window, discount band [0.04, 0.06], quantity < 24 — a
+    pure filter-sum, per-batch scalar partials, no shuffle."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import forecast_revenue_change
+
+    _context()
+    return forecast_revenue_change(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_quantity", "l_extendedprice",
+                                 "l_discount", "l_shipdate"]),
+        pd_ts("1996-01-01"), pd_ts("1997-01-01"),
+        disc_lo=0.04, disc_hi=0.06, qty_below=24,
+    )
+
+
+def _q_orders_mom_revenue(sf_dir: str):
+    """Month-over-month order value deltas (functions/windows.py
+    period_over_period): per order month, micro-quantized totalprice
+    sum, the previous month's sum (0 first) and the signed delta —
+    three exact integers (growth ratio one client division).
+    Month-cardinality combiner groupby + the span-bounded lag
+    sweep."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import period_over_period
+
+    _context()
+    return period_over_period(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"]),
+        "o_orderdate", "o_totalprice", bucket="month",
+    )
+
+
+def _q_embeddings_mutual_nn(sf_dir: str):
+    """Reciprocal best matches over the SemDeDup pair list
+    (graph_metrics.mutual_nn_pairs composed over
+    semdedup.semantic_dedup_pairs + knn_from_pairs rank-1): pairs
+    where each embedding is the other's best in-cluster cosine
+    neighbor — the high-precision alignment/dedup candidate set. The
+    mutuality test is a packed-int-key groupby counting 2 (the
+    wide-key lesson), output bounded by node count."""
+    from eschergraph_ray.functions.graph_metrics import (
+        knn_from_pairs,
+        mutual_nn_pairs,
+    )
+
+    pairs = _q_dedup_semantic(sf_dir)
+    knn = knn_from_pairs(
+        pairs, "id_a", "id_b", "cosine", k=1,
+        out_id="vec_id", out_nbr="neighbor_id",
+    )
+    return mutual_nn_pairs(knn, "vec_id", "neighbor_id", "cosine")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -5946,6 +6005,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_dense": _q_events_topk_dense,
         "events_attribution": _q_events_attribution,
         "docs_vocab_coverage": _q_docs_vocab_coverage,
+        "lineitem_forecast_revenue": _q_lineitem_forecast_revenue,
+        "orders_mom_revenue": _q_orders_mom_revenue,
+        "embeddings_mutual_nn": _q_embeddings_mutual_nn,
     }
 
 
@@ -10748,5 +10810,49 @@ def oracle_sql() -> dict[str, str]:
                  AS total_tokens
         FROM (VALUES (10), (100), (1000), (10000)) AS v(n_vocab)
         ORDER BY 1
+    """
+    d["lineitem_forecast_revenue"] = """
+        -- Q6 replay (tpch.forecast_revenue_change): filter-sum of
+        -- extendedprice * discount, per-row micro round
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(CAST(round(
+                   l_extendedprice * l_discount * 1e6, 0) AS BIGINT)),
+                   0) AS BIGINT) AS revenue_micro
+        FROM lineitem
+        WHERE epoch_us(l_shipdate) >= 820454400000000
+          AND epoch_us(l_shipdate) < 852076800000000
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """
+    d["orders_mom_revenue"] = """
+        -- MoM replay (windows.period_over_period): lag over month
+        -- buckets, 0-coalesced first month, integer deltas
+        WITH m AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS bucket,
+                 CAST(sum(CAST(round(o_totalprice * 1e6, 0)
+                      AS BIGINT)) AS BIGINT) AS value_micro
+          FROM orders GROUP BY 1
+        )
+        SELECT bucket, value_micro,
+               CAST(coalesce(lag(value_micro)
+                    OVER (ORDER BY bucket), 0) AS BIGINT) AS prev_micro,
+               CAST(value_micro - coalesce(lag(value_micro)
+                    OVER (ORDER BY bucket), 0) AS BIGINT)
+                 AS delta_micro
+        FROM m ORDER BY bucket
+    """
+    d["embeddings_mutual_nn"] = f"""
+        -- reciprocal-best-match replay composed over the kNN replay:
+        -- rank-1 both ways (graph_metrics.mutual_nn_pairs)
+        WITH knn AS ({d['embeddings_knn_semantic']}),
+        r1 AS (
+          SELECT vec_id, neighbor_id, cosine FROM knn WHERE rnk = 1
+        )
+        SELECT a.vec_id AS id_a, a.neighbor_id AS id_b, a.cosine
+        FROM r1 a
+        JOIN r1 b ON b.vec_id = a.neighbor_id
+                 AND b.neighbor_id = a.vec_id
+        WHERE a.vec_id < a.neighbor_id
+        ORDER BY id_a, id_b
     """
     return d

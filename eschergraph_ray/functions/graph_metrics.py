@@ -1946,3 +1946,63 @@ def harmonic_centrality_seeds(edges_ds, src_col: str, dst_col: str,
             }
         )
     )
+
+
+def mutual_nn_pairs(knn_ds, id_col: str, nbr_col: str, score_col: str,
+                    rank_col: str = "rnk"):
+    """Reciprocal best matches from a kNN table: pairs (a, b) where b
+    is a's rank-1 neighbor AND a is b's — the mutual-nearest-neighbor
+    filter used for high-precision alignment/dedup candidates
+    (``a < b`` once per pair, the shared score carried through).
+
+    Each rank-1 row ships as its sorted pair packed into ONE int64
+    key (ids must fit 31 bits — loud guard), so the mutuality test is
+    a packed-key groupby counting 2 — the wide-key lesson: never
+    sort-shuffle an (id, id) composite. Output bounded by node count.
+    Returns ``(id_a, id_b, {score_col})`` sorted by (id_a, id_b)."""
+    import ray.data as rd
+
+    def pack(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.equal(b[rank_col], 1))
+        u = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[nbr_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) and (u.min() < 0 or v.min() < 0
+                       or max(u.max(), v.max()) >= 1 << 31):
+            raise ValueError("ids must fit 31 bits for pair packing")
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.table({
+            "key": pa.array(lo * (1 << 31) + hi, pa.int64()),
+            "s": pc.cast(b[score_col], pa.float64()),
+        })
+
+    from ray.data.aggregate import Count, Max
+
+    agg = (
+        knn_ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Count(alias_name="c"), Max("s", alias_name="s"))
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = b.filter(pc.equal(b["c"], 2))
+        key = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "id_a": pa.array(key >> 31, pa.int64()),
+            "id_b": pa.array(key & ((1 << 31) - 1), pa.int64()),
+            "score": pc.cast(b["s"], pa.float64()),
+        })
+
+    out = agg.map_batches(unpack, batch_format="pyarrow")
+    if score_col != "score":
+        out = out.map_batches(
+            lambda b: b.rename_columns(["id_a", "id_b", score_col]),
+            batch_format="pyarrow",
+        )
+    return out.sort(["id_a", "id_b"])

@@ -1227,3 +1227,54 @@ def waiting_customers(customer_ds, orders_ds, since_us: int,
     return agg.map_batches(finalize, batch_format="pyarrow").sort(
         "c_nationkey"
     )
+
+
+def forecast_revenue_change(lineitem_ds, date_lo_us: int,
+                            date_hi_us: int, disc_lo: float,
+                            disc_hi: float, qty_below: int):
+    """TPC-H Q6 shape: revenue that would have been gained by
+    eliminating small discounts — ``sum(extendedprice * discount)``
+    over the (ship window, discount band, small quantity) filter, as
+    one scalar row ``(n_items, revenue_micro)``.
+
+    Pure filter-sum: one scan, per-batch scalar partials, no shuffle
+    at all. The discount band compares the SAME doubles both engines
+    read from parquet (no arithmetic before the compare), and revenue
+    micro-quantizes per row with the house one-op round chain —
+    documented divergence from the spec's unrounded sum, shared with
+    every revenue op here."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(b["l_shipdate"], pa.int64())
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (
+            (np.asarray(ts) >= date_lo_us)
+            & (np.asarray(ts) < date_hi_us)
+            & (disc >= disc_lo) & (disc <= disc_hi)
+            & (qty < qty_below)
+        )
+        b = b.filter(pa.array(keep))
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        rev = ep * b["l_discount"].to_numpy(zero_copy_only=False) * 1e6
+        rev_micro = np.asarray(
+            pc.round(pa.array(rev), ndigits=0,
+                     round_mode="half_towards_infinity")
+        ).astype(np.int64)
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "r": pa.array([int(rev_micro.sum())], pa.int64()),
+        })
+
+    tot = lineitem_ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).sum(["n", "r"])
+    n, r = (0, 0) if tot is None else (int(tot["sum(n)"]),
+                                       int(tot["sum(r)"]))
+    return rd.from_arrow(pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "revenue_micro": pa.array([r], pa.int64()),
+    }))

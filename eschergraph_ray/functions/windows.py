@@ -1954,3 +1954,77 @@ def last_touch_attribution(events_ds, user_col: str, type_col: str,
         }),
         batch_format="pyarrow",
     ).sort("source_type")
+
+
+def period_over_period(ds, ts_col: str, val_col: str,
+                       bucket: str = "month"):
+    """Period-over-period value deltas: per calendar bucket, the
+    micro-quantized value sum, the previous bucket's sum (0 for the
+    first), and the signed delta — the classic MoM growth report as
+    three exact integers (the growth ratio is one client division).
+
+    Per-batch bucket combiner -> bucket-cardinality groupby -> the
+    span-bounded repartition(1) sweep for the lag. ``bucket`` is
+    'month' or 'day' (calendar buckets; strftime parity with SQL).
+    Returns ``(bucket, value_micro, prev_micro, delta_micro)``
+    sorted."""
+    if bucket not in ("month", "day"):
+        raise ValueError("bucket must be 'month' or 'day'")
+    np_unit = {"month": "datetime64[M]", "day": "datetime64[D]"}[bucket]
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = np.asarray(
+            pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        ).astype("datetime64[us]")
+        key = ts.astype(np_unit).astype(str)
+        v = np.asarray(
+            pc.cast(
+                pc.round(
+                    pc.multiply(pc.cast(b[val_col], pa.float64()), 1e6),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        )
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({
+            "bucket": pa.array(u, pa.string()),
+            "v": pa.array(s, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("v", alias_name="v"))
+    )
+
+    def sweep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.string()),
+                "value_micro": pa.array([], pa.int64()),
+                "prev_micro": pa.array([], pa.int64()),
+                "delta_micro": pa.array([], pa.int64()),
+            })
+        key = np.asarray(b["bucket"].to_pylist(), dtype=object)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(key)
+        key, v = key[order], v[order]
+        prev = np.concatenate([[0], v[:-1]])
+        return pa.table({
+            "bucket": pa.array(list(key), pa.string()),
+            "value_micro": pa.array(v, pa.int64()),
+            "prev_micro": pa.array(prev, pa.int64()),
+            "delta_micro": pa.array(v - prev, pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None
+    )

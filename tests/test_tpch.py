@@ -659,3 +659,39 @@ def test_top_supplier_broadcast_vs_join_parity():
         fast.reset_index(drop=True), slow.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_forecast_revenue_hand_computed():
+    from eschergraph_ray.functions.tpch import forecast_revenue_change
+
+    li = _li([
+        (1, 0, 1, 10, 100.0, 0.05, "N", "1996-05-01"),  # hit: 5.0
+        (2, 0, 1, 30, 100.0, 0.05, "N", "1996-05-01"),  # qty out
+        (3, 0, 1, 10, 100.0, 0.09, "N", "1996-05-01"),  # disc out
+        (4, 0, 1, 10, 100.0, 0.05, "N", "1999-05-01"),  # date out
+    ])
+    out = forecast_revenue_change(
+        li, _ts("1996-01-01"), _ts("1997-01-01"),
+        disc_lo=0.04, disc_hi=0.06, qty_below=24,
+    ).to_pandas()
+    assert (out.n_items[0], out.revenue_micro[0]) == (1, 5_000_000)
+
+
+def test_forecast_revenue_oracle_sf0001():
+    from eschergraph_ray.functions.tpch import forecast_revenue_change
+
+    got = forecast_revenue_change(
+        rd.read_parquet(f"{SF}/lineitem.parquet"),
+        _ts("1996-01-01"), _ts("1997-01-01"),
+        disc_lo=0.04, disc_hi=0.06, qty_below=24,
+    ).to_pandas()
+    want = _con().execute("""
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(CAST(round(
+                   l_extendedprice * l_discount * 1e6, 0) AS BIGINT)),
+                   0) AS BIGINT) AS revenue_micro
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """).df()
+    _cmp(got, want)

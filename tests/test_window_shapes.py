@@ -253,3 +253,77 @@ def test_attribution_oracle_sf0001():
         FROM o WHERE event_type = 'purchase' GROUP BY 1
     """).df()
     _cmp(got, want)
+
+
+def test_period_over_period_hand_computed():
+    from eschergraph_ray.functions.windows import period_over_period
+
+    month = 31 * 86_400_000_000
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(np.array([0, 10, month, 2 * month],
+                                "datetime64[us]")),
+        "value": pa.array([1.0, 2.0, 10.0, 4.0], pa.float64()),
+    }))
+    out = period_over_period(ds, "ts", "value",
+                             bucket="month").to_pandas()
+    assert list(out.bucket) == ["1970-01", "1970-02", "1970-03"]
+    assert list(out.value_micro) == [3_000_000, 10_000_000, 4_000_000]
+    assert list(out.prev_micro) == [0, 3_000_000, 10_000_000]
+    assert list(out.delta_micro) == [3_000_000, 7_000_000, -6_000_000]
+
+
+def test_period_over_period_oracle_sf0001():
+    from eschergraph_ray.functions.windows import period_over_period
+
+    got = period_over_period(
+        rd.read_parquet(f"{SF}/events.parquet",
+                        columns=["ts", "value"]),
+        "ts", "value", bucket="day",
+    ).to_pandas()
+    want = _con().execute("""
+        WITH m AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS bucket,
+                 CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+                      AS BIGINT) AS value_micro
+          FROM events GROUP BY 1
+        )
+        SELECT bucket, value_micro,
+               CAST(coalesce(lag(value_micro) OVER (ORDER BY bucket),
+                    0) AS BIGINT) AS prev_micro,
+               CAST(value_micro - coalesce(lag(value_micro)
+                    OVER (ORDER BY bucket), 0) AS BIGINT)
+                 AS delta_micro
+        FROM m ORDER BY bucket
+    """).df()
+    _cmp(got, want)
+
+
+def test_mutual_nn_hand_computed():
+    from eschergraph_ray.functions.graph_metrics import mutual_nn_pairs
+
+    # rank-1 edges: 1->2, 2->1 (mutual); 3->1 (one-way); 4->5, 5->4
+    knn = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "neighbor_id": pa.array([2, 1, 1, 5, 4], pa.int64()),
+        "cosine": pa.array([0.9, 0.9, 0.5, 0.8, 0.8], pa.float64()),
+        "rnk": pa.array([1, 1, 1, 1, 1], pa.int64()),
+    }))
+    out = mutual_nn_pairs(knn, "vec_id", "neighbor_id",
+                          "cosine").to_pandas()
+    assert list(zip(out.id_a, out.id_b)) == [(1, 2), (4, 5)]
+    assert list(out.cosine) == [0.9, 0.8]
+
+
+def test_mutual_nn_ignores_lower_ranks():
+    from eschergraph_ray.functions.graph_metrics import mutual_nn_pairs
+
+    knn = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 1, 2], pa.int64()),
+        "neighbor_id": pa.array([3, 2, 1], pa.int64()),
+        "cosine": pa.array([0.9, 0.8, 0.8], pa.float64()),
+        "rnk": pa.array([1, 2, 1], pa.int64()),
+    }))
+    # 1's rank-1 is 3, so (1,2) is not mutual even though 2->1
+    out = mutual_nn_pairs(knn, "vec_id", "neighbor_id",
+                          "cosine").to_pandas()
+    assert len(out) == 0
