@@ -5776,6 +5776,57 @@ def _q_embeddings_mutual_nn(sf_dir: str):
     return mutual_nn_pairs(knn, "vec_id", "neighbor_id", "cosine")
 
 
+def _q_events_value_histogram(sf_dir: str):
+    """Equal-width value histogram per type (functions/stats.py
+    value_histogram): bin = (v - vmin) * 10 // span over GLOBAL
+    integer micro min/max, so bucket edges are exact on both engines.
+    Two scans: one scalar min/max aggregate, one per-batch
+    (type, bin) combiner -> bin-cardinality groupby."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import value_histogram
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return value_histogram(ev, "event_type", "value", nbins=10)
+
+
+def _q_events_props_stats(sf_dir: str):
+    """Per-type integer stats of the JSON props key 'k'
+    (functions/stats.py json_int_stats): vectorized pc.extract_regex
+    named-group extraction (no per-row json.loads), per-batch
+    n/sum/min/max combiner, one type-cardinality exchange."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import json_int_stats
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    return json_int_stats(ev, "event_type", "props", key="k")
+
+
+def _q_events_bounce_rate(sf_dir: str):
+    """Session bounce rate per entry type (functions/windows.py
+    session_bounce_rate): sessions split on >30-min gaps in each
+    user's (ts, id)-ordered stream; a bounce is a one-event session.
+    Two exact counts per entry type (the rate is one client
+    division); user&63 bucketing, one lexsort + boundary-diff per
+    bucket, only type-cardinality partials shuffle."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import session_bounce_rate
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return session_bounce_rate(ev, "user_id", "event_type", "ts",
+                               "event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -6008,6 +6059,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_forecast_revenue": _q_lineitem_forecast_revenue,
         "orders_mom_revenue": _q_orders_mom_revenue,
         "embeddings_mutual_nn": _q_embeddings_mutual_nn,
+        "events_value_histogram": _q_events_value_histogram,
+        "events_props_stats": _q_events_props_stats,
+        "events_bounce_rate": _q_events_bounce_rate,
     }
 
 
@@ -10854,5 +10908,71 @@ def oracle_sql() -> dict[str, str]:
                  AND b.neighbor_id = a.vec_id
         WHERE a.vec_id < a.neighbor_id
         ORDER BY id_a, id_b
+    """
+    d["events_value_histogram"] = """
+        -- equal-width histogram replay (stats.value_histogram):
+        -- global integer micro min/max, bin = (v-lo)*n // span
+        WITH q AS (
+          SELECT event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS v
+          FROM events
+        ),
+        mm AS (
+          SELECT min(v) AS lo, max(v) - min(v) + 1 AS span FROM q
+        )
+        SELECT q.event_type AS "group",
+               CAST((q.v - mm.lo) * 10 // mm.span AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q, mm
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["events_props_stats"] = """
+        -- JSON int-extraction stats replay (stats.json_int_stats)
+        WITH q AS (
+          SELECT event_type,
+                 CAST(nullif(regexp_extract(props,
+                      '"k":\\s*(-?\\d+)', 1), '') AS BIGINT) AS v
+          FROM events
+        )
+        SELECT event_type AS "group",
+               CAST(count(v) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v,
+               CAST(max(v) AS BIGINT) AS max_v
+        FROM q WHERE v IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """
+    d["events_bounce_rate"] = """
+        -- bounce-rate replay (windows.session_bounce_rate): lag-gap
+        -- session flag + running-sum session id, first_value entry
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id)
+        ),
+        s AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e
+        ),
+        per AS (
+          SELECT DISTINCT user_id, sid,
+                 first_value(event_type) OVER (
+                   PARTITION BY user_id, sid ORDER BY t, event_id
+                 ) AS entry_type,
+                 count(*) OVER (PARTITION BY user_id, sid) AS n
+          FROM s
+        )
+        SELECT entry_type,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces
+        FROM per GROUP BY 1 ORDER BY 1
     """
     return d

@@ -766,3 +766,151 @@ def entropy_by_group(ds, group_col: str, item_col: str):
         .map_groups(sweep, batch_format="pyarrow")
         .sort(group_col)
     )
+
+
+def value_histogram(ds, group_col: str, val_col: str, nbins: int = 10):
+    """Equal-width histogram of micro-quantized values per group —
+    ``bin = (v - vmin) * nbins // (vmax - vmin + 1)`` with the GLOBAL
+    integer min/max, so bin edges are exact integers and both engines
+    bucket identically (the +1 keeps the max value inside the last
+    bin). Returns ``(group, bin, n)`` sorted; the bin's real-valued
+    edges are one client reconstruction from (vmin, vmax).
+
+    Two scans (the small_qty_revenue precedent): pass 1 is a scalar
+    min/max aggregate, pass 2 a per-batch (group, bin) combiner ->
+    one bin-cardinality groupby."""
+    import numpy as np
+
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+
+    def micro(b: pa.Table) -> np.ndarray:
+        return np.asarray(
+            pc.cast(
+                pc.round(
+                    pc.multiply(pc.cast(b[val_col], pa.float64()), 1e6),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        )
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        v = micro(b)
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({
+            "lo": pa.array([int(v.min())], pa.int64()),
+            "hi": pa.array([int(v.max())], pa.int64()),
+        })
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow")
+    vmin = mm.min("lo")
+    empty = pa.table({
+        "group": pa.array([], pa.string()),
+        "bin": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    })
+    if vmin is None:
+        return rd.from_arrow(empty)
+    vmax = mm.max("hi")
+    span = int(vmax) - int(vmin) + 1
+    lo = int(vmin)
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        v = micro(b)
+        bins = (v - lo) * nbins // span
+        t = pa.table({
+            "group": b[group_col],
+            "bin": pa.array(bins, pa.int64()),
+        })
+        return (
+            t.group_by(["group", "bin"])
+            .aggregate([("bin", "count")])
+            .rename_columns(["group", "bin", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["group", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "group": b["group"],
+            "bin": pc.cast(b["bin"], pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort(["group", "bin"])
+
+
+def json_int_stats(ds, group_col: str, json_col: str, key: str):
+    """Per-group n/sum/min/max of an integer JSON property extracted
+    VECTORIZED from a fixed-shape JSON column (pc.extract_regex with
+    a named group — the CLAUDE.md device; no per-row json.loads).
+    Rows without the key drop out (SQL FILTER parity). Returns
+    ``(group, n, sum_v, min_v, max_v)`` sorted by group — one
+    group-cardinality exchange."""
+    import numpy as np
+
+    pattern = '"' + key + '":\\s*(?P<v>-?\\d+)'
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ex = pc.extract_regex(b[json_col], pattern)
+        valid = pc.is_valid(ex)
+        vals = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        t = pa.table({"g": b[group_col], "v": vals}).filter(valid)
+        g = np.asarray(t["g"].to_pylist(), dtype=object)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(g, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        s = np.zeros(len(u), np.int64)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, v)
+        np.minimum.at(mn, inv, v)
+        np.maximum.at(mx, inv, v)
+        return pa.table({
+            "group": pa.array(list(u), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "mn": pa.array(mn, pa.int64()),
+            "mx": pa.array(mx, pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("group")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="sum_v"),
+            Min("mn", alias_name="min_v"),
+            Max("mx", alias_name="max_v"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "group": b["group"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_v": pc.cast(b["sum_v"], pa.int64()),
+            "min_v": pc.cast(b["min_v"], pa.int64()),
+            "max_v": pc.cast(b["max_v"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("group")

@@ -2028,3 +2028,84 @@ def period_over_period(ds, ts_col: str, val_col: str,
     return agg.repartition(1).map_batches(
         sweep, batch_format="pyarrow", batch_size=None
     )
+
+
+def session_bounce_rate(events_ds, user_col: str, type_col: str,
+                        ts_col: str, id_col: str,
+                        gap_us: int = 1_800_000_000,
+                        n_buckets: int = 64):
+    """Per entry type (the first event of each session), how many
+    sessions started there and how many BOUNCED (one-event sessions)
+    — sessions split where the same user's (ts, id)-ordered gap
+    exceeds ``gap_us`` (the sessionize_events rule). The bounce rate
+    is one client division over two exact counts.
+
+    Same shuffle discipline as last_touch_attribution: user&bucket
+    grouping, one lexsort per bucket, session boundaries and sizes as
+    boundary-diff numpy, only (entry_type) partials shuffle. SQL
+    replays via the lag-gap flag + running-sum session id windows."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+
+    def prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.and_(pc.is_valid(b[user_col]),
+                             pc.is_valid(b[ts_col])))
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(np.bitwise_and(u, n_buckets - 1),
+                               pa.int64()),
+            "u": pa.array(u, pa.int64()),
+            "t": b[type_col],
+            "ts": pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                          pa.int64()),
+            "eid": pc.cast(b[id_col], pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        types = np.asarray(g["t"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, types = u[order], ts[order], types[order]
+        new_s = np.ones(len(u), bool)
+        new_s[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sid = np.cumsum(new_s) - 1
+        size = np.bincount(sid)
+        entry = types[new_s]
+        sv, inv = np.unique(entry, return_inverse=True)
+        ns = np.zeros(len(sv), np.int64)
+        nb = np.zeros(len(sv), np.int64)
+        np.add.at(ns, inv, 1)
+        np.add.at(nb, inv[size == 1], 1)
+        return pa.table({
+            "entry_type": pa.array(list(sv), pa.string()),
+            "ns": pa.array(ns, pa.int64()),
+            "nb": pa.array(nb, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        events_ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=None)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("entry_type")
+        .aggregate(Sum("ns", alias_name="n_sessions"),
+                   Sum("nb", alias_name="n_bounces"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "entry_type": b["entry_type"],
+            "n_sessions": pc.cast(b["n_sessions"], pa.int64()),
+            "n_bounces": pc.cast(b["n_bounces"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("entry_type")

@@ -327,3 +327,125 @@ def test_mutual_nn_ignores_lower_ranks():
     out = mutual_nn_pairs(knn, "vec_id", "neighbor_id",
                           "cosine").to_pandas()
     assert len(out) == 0
+
+
+def test_value_histogram_hand_computed():
+    from eschergraph_ray.functions.stats import value_histogram
+
+    ev = _ev([
+        (1, 1, "a", 0, 0.0), (2, 1, "a", 0, 1.0),
+        (3, 1, "a", 0, 10.0), (4, 1, "b", 0, 10.0),
+    ])
+    # micro: 0, 1e6, 1e7, 1e7 -> lo=0, span=1e7+1; nbins=2:
+    # bins: 0, 0 (1e6*2//1e7+1=0), 1, 1
+    out = value_histogram(ev, "event_type", "value",
+                          nbins=2).to_pandas()
+    got = {(r.group, r.bin): r.n for r in out.itertuples()}
+    assert got == {("a", 0): 2, ("a", 1): 1, ("b", 1): 1}
+
+
+def test_value_histogram_max_stays_in_last_bin():
+    from eschergraph_ray.functions.stats import value_histogram
+
+    ev = _ev([(1, 1, "a", 0, 5.0), (2, 1, "a", 0, 7.0)])
+    out = value_histogram(ev, "event_type", "value",
+                          nbins=4).to_pandas()
+    assert out.bin.max() == 3  # never nbins
+
+
+def test_json_int_stats_hand_computed():
+    from eschergraph_ray.functions.stats import json_int_stats
+
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+        "props": pa.array(['{"k": 3}', '{"k": -1}', '{"k": 10}',
+                           '{"other": 9}'], pa.string()),
+    }))
+    out = json_int_stats(ds, "event_type", "props", key="k").to_pandas()
+    got = {r.group: (r.n, r.sum_v, r.min_v, r.max_v)
+           for r in out.itertuples()}
+    assert got == {"a": (2, 2, -1, 3), "b": (1, 10, 10, 10)}
+
+
+def test_bounce_rate_hand_computed():
+    from eschergraph_ray.functions.windows import session_bounce_rate
+
+    m30 = 1_800_000_000
+    ev = _ev([
+        # user 1: view then click within gap (one 2-event session)
+        (1, 1, "view", 0, 0.0), (2, 1, "click", m30, 0.0),
+        # then a lone purchase after the gap (bounce)
+        (3, 1, "purchase", 3 * m30 + 1, 0.0),
+        # user 2: single view (bounce)
+        (4, 2, "view", 0, 0.0),
+    ])
+    out = session_bounce_rate(ev, "user_id", "event_type", "ts",
+                              "event_id").to_pandas()
+    got = {r.entry_type: (r.n_sessions, r.n_bounces)
+           for r in out.itertuples()}
+    assert got == {"view": (2, 1), "purchase": (1, 1)}
+
+
+def test_bounce_rate_oracle_sf0001():
+    from eschergraph_ray.functions.windows import session_bounce_rate
+
+    ev = rd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    got = session_bounce_rate(ev, "user_id", "event_type", "ts",
+                              "event_id").to_pandas()
+    want = _con().execute("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id)
+        ),
+        s AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e
+        ),
+        per AS (
+          SELECT DISTINCT user_id, sid,
+                 first_value(event_type) OVER (
+                   PARTITION BY user_id, sid ORDER BY t, event_id
+                 ) AS entry_type,
+                 count(*) OVER (PARTITION BY user_id, sid) AS n
+          FROM s
+        )
+        SELECT entry_type,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces
+        FROM per GROUP BY 1
+    """).df()
+    _cmp(got, want)
+
+
+def test_value_histogram_oracle_sf0001():
+    from eschergraph_ray.functions.stats import value_histogram
+
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    got = value_histogram(ev, "event_type", "value",
+                          nbins=10).to_pandas()
+    want = _con().execute("""
+        WITH q AS (
+          SELECT event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS v
+          FROM events
+        ),
+        mm AS (SELECT min(v) AS lo, max(v) - min(v) + 1 AS span FROM q)
+        SELECT q.event_type AS "group",
+               CAST((q.v - mm.lo) * 10 // mm.span AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q, mm GROUP BY 1, 2
+    """).df()
+    _cmp(got, want)
