@@ -5827,6 +5827,90 @@ def _q_events_bounce_rate(sf_dir: str):
                                "event_id")
 
 
+def _q_events_day_over_day(sf_dir: str):
+    """Day-over-day audience movement (functions/stats.py
+    day_over_day_users): distinct users on 2024-01-10 vs 2024-01-11
+    plus retained/new/churned — five exact scalars. Distinct
+    (user, day-flag) pairs bucket by user&63 so the set algebra is
+    per-bucket exact; only five-integer partials shuffle."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import day_over_day_users
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return day_over_day_users(ev, "user_id", "ts",
+                              day_a=19732, day_b=19733)
+
+
+def _q_docs_phrase_search(sf_dir: str):
+    """Exact phrase search (functions/vocab.py phrase_search): docs
+    whose tokenized text contains "table hash" consecutively, with
+    occurrence counts — positional semantics past bag-of-words BM25,
+    on the house token grammar. Pure map, no shuffle; the SQL replay
+    is the position self-join."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import phrase_search
+
+    _context()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return phrase_search(docs, "doc_id", "text", "table hash")
+
+
+def _q_events_mode_value(sf_dir: str):
+    """Exact grouped mode (functions/stats.py mode_by_group): each
+    type's most frequent micro-quantized value, ties to the smallest
+    — the deterministic argmax both engines replay as row_number over
+    (n desc, v asc). (type, value)-cardinality combine + bounded
+    argmax sweep."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import mode_by_group
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return mode_by_group(ev, "event_type", "value")
+
+
+def _q_events_user_exact_ndv(sf_dir: str):
+    """EXACT distinct users per type (functions/stats.py
+    exact_group_ndv) — the precise counterpart of the HLL entries:
+    distinct (type, user) pairs shrink per batch, bucket by user&63
+    (per-bucket dedup globally exact), only per-(bucket, type)
+    partial counts shuffle."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import exact_group_ndv
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return exact_group_ndv(ev, "event_type", "user_id")
+
+
+def _q_events_last_seen(sf_dir: str):
+    """Latest-record-per-user snapshot (functions/windows.py
+    latest_per_key) — the CDC/upsert "current state" dedup: each
+    user's most recent event by (ts, id). Distributive argmax: every
+    batch keeps one candidate per user, so the only shuffle is the
+    user-cardinality candidate groupby."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import latest_per_key
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    return latest_per_key(ev, "user_id", "ts", "event_id",
+                          "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -6062,6 +6146,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": _q_events_value_histogram,
         "events_props_stats": _q_events_props_stats,
         "events_bounce_rate": _q_events_bounce_rate,
+        "events_day_over_day": _q_events_day_over_day,
+        "docs_phrase_search": _q_docs_phrase_search,
+        "events_mode_value": _q_events_mode_value,
+        "events_user_exact_ndv": _q_events_user_exact_ndv,
+        "events_last_seen": _q_events_last_seen,
     }
 
 
@@ -10974,5 +11063,90 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_bounces
         FROM per GROUP BY 1 ORDER BY 1
+    """
+    d["events_day_over_day"] = """
+        -- audience-movement replay (stats.day_over_day_users)
+        WITH a AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND epoch_us(ts) // 86400000000 = 19732
+        ),
+        b AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND epoch_us(ts) // 86400000000 = 19733
+        ),
+        r AS (SELECT count(*) AS nr FROM a JOIN b USING (user_id))
+        SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_day_a,
+               CAST((SELECT count(*) FROM b) AS BIGINT) AS n_day_b,
+               CAST(r.nr AS BIGINT) AS n_retained,
+               CAST((SELECT count(*) FROM b) - r.nr AS BIGINT)
+                 AS n_new,
+               CAST((SELECT count(*) FROM a) - r.nr AS BIGINT)
+                 AS n_churned
+        FROM r
+    """
+    d["docs_phrase_search"] = """
+        -- phrase replay (vocab.phrase_search): token positions,
+        -- consecutive-pair join on the house grammar
+        WITH tl AS (
+          SELECT doc_id, regexp_extract_all(lower(text),
+              '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]') AS toks
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id, unnest(toks) AS w,
+                 generate_subscripts(toks, 1) AS i
+          FROM tl
+        )
+        SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM t a
+        JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        WHERE a.w = 'table' AND b.w = 'hash'
+        GROUP BY 1 ORDER BY 1
+    """
+    d["events_mode_value"] = """
+        -- grouped-mode replay (stats.mode_by_group): row_number over
+        -- (n desc, v asc) per group
+        WITH c AS (
+          SELECT event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT event_type, v, n,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, v) AS rn
+          FROM c
+        )
+        SELECT event_type AS "group", v AS mode_micro, n AS n_mode
+        FROM r WHERE rn = 1 ORDER BY 1
+    """
+    d["events_user_exact_ndv"] = """
+        -- exact grouped NDV replay (stats.exact_group_ndv)
+        SELECT event_type AS "group",
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """
+    d["events_last_seen"] = """
+        -- latest-per-key replay (windows.latest_per_key)
+        WITH r AS (
+          SELECT user_id AS k, epoch_us(ts) AS ts_us, event_id,
+                 event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+                 ) AS rn
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(ts_us AS BIGINT) AS ts_us,
+               CAST(event_id AS BIGINT) AS event_id,
+               event_type, value_micro
+        FROM r WHERE rn = 1 ORDER BY k
     """
     return d

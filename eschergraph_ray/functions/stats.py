@@ -914,3 +914,198 @@ def json_int_stats(ds, group_col: str, json_col: str, key: str):
         }),
         batch_format="pyarrow",
     ).sort("group")
+
+
+def day_over_day_users(ds, user_col: str, ts_col: str,
+                       day_a: int, day_b: int,
+                       day_us: int = 86_400_000_000,
+                       n_buckets: int = 64):
+    """Day-over-day audience movement between two epoch days: distinct
+    users active on each, plus retained / new / churned counts — five
+    exact scalars (every rate is a client division).
+
+    Distinct (user, day-flag) pairs shrink per batch, bucket by
+    ``user & (n_buckets-1)`` (a user's two flags share its bucket, so
+    the per-bucket set algebra is exact), and only five-integer
+    partials shuffle."""
+    import numpy as np
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.and_(pc.is_valid(b[user_col]),
+                             pc.is_valid(b[ts_col])))
+        ts = np.asarray(
+            pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        )
+        day = ts // day_us
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ka = (day == day_a)
+        kb = (day == day_b)
+        keep = ka | kb
+        u, isb = u[keep], kb[keep]
+        pairs = np.unique(u * 2 + isb)
+        return pa.table({
+            "bucket": pa.array(
+                np.bitwise_and(pairs // 2, n_buckets - 1), pa.int64()
+            ),
+            "p": pa.array(pairs, pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        p = np.unique(g["p"].to_numpy(zero_copy_only=False))
+        u, flag = p // 2, p % 2
+        a_users = set(u[flag == 0].tolist())
+        b_users = set(u[flag == 1].tolist())
+        both = len(a_users & b_users)
+        return pa.table({
+            "na": pa.array([len(a_users)], pa.int64()),
+            "nb": pa.array([len(b_users)], pa.int64()),
+            "nr": pa.array([both], pa.int64()),
+        })
+
+    tot = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .sum(["na", "nb", "nr"])
+    )
+    na, nb, nr = (
+        (0, 0, 0) if tot is None
+        else (int(tot["sum(na)"]), int(tot["sum(nb)"]),
+              int(tot["sum(nr)"]))
+    )
+    return rd.from_arrow(pa.table({
+        "n_day_a": pa.array([na], pa.int64()),
+        "n_day_b": pa.array([nb], pa.int64()),
+        "n_retained": pa.array([nr], pa.int64()),
+        "n_new": pa.array([nb - nr], pa.int64()),
+        "n_churned": pa.array([na - nr], pa.int64()),
+    }))
+
+
+def mode_by_group(ds, group_col: str, val_col: str):
+    """Exact grouped mode: each group's most frequent micro-quantized
+    value, ties to the SMALLEST value (the deterministic argmax both
+    engines replay as ``row_number() OVER (ORDER BY n DESC, v)``).
+    Returns ``(group, mode_micro, n_mode)`` sorted by group — a
+    (group, value)-cardinality combine, then the bounded argmax
+    sweep."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(b[val_col], pa.float64()), 1e6),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"g": b[group_col], "v": v})
+        return (
+            t.group_by(["g", "v"]).aggregate([("v", "count")])
+            .rename_columns(["g", "v", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def sweep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "group": pa.array([], pa.string()),
+                "mode_micro": pa.array([], pa.int64()),
+                "n_mode": pa.array([], pa.int64()),
+            })
+        g = np.asarray(b["g"].to_pylist(), dtype=object)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # (group asc, n desc, v asc): first row per group is the mode
+        order = np.lexsort((v, -n, g))
+        g, v, n = g[order], v[order], n[order]
+        first = np.ones(len(g), bool)
+        first[1:] = g[1:] != g[:-1]
+        return pa.table({
+            "group": pa.array(list(g[first]), pa.string()),
+            "mode_micro": pa.array(v[first], pa.int64()),
+            "n_mode": pa.array(n[first], pa.int64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None
+    )
+
+
+def exact_group_ndv(ds, group_col: str, id_col: str,
+                    n_buckets: int = 64):
+    """EXACT distinct-count per group — the precise counterpart of
+    the HLL entries: distinct (group, id) pairs shrink per batch,
+    bucket by ``id & (n_buckets-1)`` (an id's rows share its bucket,
+    so per-bucket dedup is globally exact), and only per-(bucket,
+    group) partial counts shuffle. Returns ``(group, n_distinct)``
+    sorted by group."""
+    import numpy as np
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[id_col])))
+        t = pa.table({
+            "g": b[group_col],
+            "i": pc.cast(b[id_col], pa.int64()),
+        }).group_by(["g", "i"]).aggregate([])
+        ids = t["i"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(
+                np.bitwise_and(ids, n_buckets - 1), pa.int64()
+            ),
+            "g": t["g"],
+            "i": t["i"],
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        d = (
+            pa.table({"g": g["g"], "i": g["i"]})
+            .group_by(["g", "i"]).aggregate([])
+        )
+        c = d.group_by("g").aggregate([("i", "count")])
+        return pa.table({
+            "group": c["g"],
+            "n": pc.cast(c["i_count"], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("group")
+        .aggregate(Sum("n", alias_name="n_distinct"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "group": b["group"],
+            "n_distinct": pc.cast(b["n_distinct"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("group")

@@ -1032,3 +1032,50 @@ def vocab_coverage(ds, text_col: str,
         "covered_tokens": pa.array(covered, pa.int64()),
         "total_tokens": pa.array([int(total)] * len(ns), pa.int64()),
     }))
+
+
+def phrase_search(ds, id_col: str, text_col: str, phrase: str):
+    """Exact phrase search: documents whose TOKENIZED text contains
+    the phrase's token sequence consecutively, with the occurrence
+    count — positional search semantics (the step past bag-of-words
+    BM25), on the house token grammar so the SQL position-join replay
+    is exact. Returns ``(doc_id, n_occurrences)`` sorted by id.
+
+    Pure map: each batch tokenizes its docs (the compiled-regex
+    per-doc loop every vocab op uses) and counts consecutive matches
+    — no shuffle, no index; compose with the inverted index to
+    pre-filter candidates at scale."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .text import _TOKEN_RE
+
+    want = _TOKEN_RE.findall(phrase.lower())
+    if not want:
+        raise ValueError("phrase has no tokens under the grammar")
+    m = len(want)
+
+    def f(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_n = [], []
+        for i, txt in enumerate(b[text_col].to_pylist()):
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            if len(toks) < m:
+                continue
+            n = sum(
+                1 for j in range(len(toks) - m + 1)
+                if toks[j:j + m] == want
+            )
+            if n:
+                out_id.append(int(ids[i]))
+                out_n.append(n)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_occurrences": pa.array(np.asarray(out_n, np.int64),
+                                      pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")

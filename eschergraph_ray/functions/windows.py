@@ -2109,3 +2109,59 @@ def session_bounce_rate(events_ds, user_col: str, type_col: str,
         }),
         batch_format="pyarrow",
     ).sort("entry_type")
+
+
+def latest_per_key(events_ds, key_col: str, ts_col: str, id_col: str,
+                   type_col: str, val_col: str):
+    """Latest-record-per-key dedup (the "current state" snapshot every
+    CDC/upsert pipeline ends with): each key's most recent row by
+    (ts, id) — ``row_number() OVER (PARTITION BY key ORDER BY ts
+    DESC, id DESC) = 1``. Returns ``(key, ts_us, event_id, event_type,
+    value_micro)`` sorted by key.
+
+    Distributive argmax: every batch keeps one candidate row per key
+    (a per-batch lexsort + boundary pick), so the only shuffle is the
+    key-cardinality groupby of candidates; the final pick per group
+    reuses the same kernel."""
+
+    def pick(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        k = b["k"].to_numpy(zero_copy_only=False)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, -ts, k))
+        first = np.ones(len(k), bool)
+        first[1:] = k[order][1:] != k[order][:-1]
+        return b.take(pa.array(order[first]))
+
+    def prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.and_(pc.is_valid(b[key_col]),
+                             pc.is_valid(b[ts_col])))
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(b[val_col], pa.float64()), 1e6),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table({
+            "k": pc.cast(b[key_col], pa.int64()),
+            "ts_us": pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "event_id": pc.cast(b[id_col], pa.int64()),
+            "event_type": b[type_col],
+            "value_micro": v,
+        })
+        return pick(t)
+
+    return (
+        events_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(pick, batch_format="pyarrow")
+        .sort("k")
+    )

@@ -580,3 +580,37 @@ def test_vocab_coverage_oracle_sf0001():
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_phrase_search_hand_computed():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import phrase_search
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the Table  hash join",          # 1 hit (case/space fold)
+            "table hash table hash",         # 2 hits
+            "hash table",                    # reversed: no hit
+        ], pa.string()),
+    }))
+    out = phrase_search(docs, "doc_id", "text",
+                        "table hash").to_pandas()
+    assert dict(zip(out.doc_id, out.n_occurrences)) == {1: 1, 2: 2}
+
+
+def test_phrase_search_overlapping():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import phrase_search
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a a a"], pa.string()),
+    }))
+    out = phrase_search(docs, "doc_id", "text", "a a").to_pandas()
+    # sliding-window semantics: positions 0-1 and 1-2 both count
+    assert list(out.n_occurrences) == [2]

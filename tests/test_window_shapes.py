@@ -449,3 +449,90 @@ def test_value_histogram_oracle_sf0001():
         FROM q, mm GROUP BY 1, 2
     """).df()
     _cmp(got, want)
+
+
+def test_day_over_day_hand_computed():
+    from eschergraph_ray.functions.stats import day_over_day_users
+
+    day = 86_400_000_000
+    ev = _ev([
+        (1, 1, "a", 5 * day, 0.0), (2, 2, "a", 5 * day, 0.0),
+        (3, 1, "a", 6 * day, 0.0), (4, 3, "a", 6 * day, 0.0),
+        (5, 9, "a", 7 * day, 0.0),  # other day ignored
+    ])
+    out = day_over_day_users(ev, "user_id", "ts",
+                             day_a=5, day_b=6).to_pandas()
+    r = out.iloc[0]
+    assert (r.n_day_a, r.n_day_b, r.n_retained, r.n_new,
+            r.n_churned) == (2, 2, 1, 1, 1)
+
+
+def test_mode_ties_to_smallest():
+    from eschergraph_ray.functions.stats import mode_by_group
+
+    ev = _ev([
+        (1, 1, "a", 0, 2.0), (2, 1, "a", 0, 2.0),
+        (3, 1, "a", 0, 1.0), (4, 1, "a", 0, 1.0),
+        (5, 1, "a", 0, 9.0),
+    ])
+    out = mode_by_group(ev, "event_type", "value").to_pandas()
+    # 1.0 and 2.0 both appear twice; tie -> smallest value
+    assert list(out["group"]) == ["a"]
+    assert list(out.mode_micro) == [1_000_000]
+    assert list(out.n_mode) == [2]
+
+
+def test_exact_ndv_hand_computed():
+    from eschergraph_ray.functions.stats import exact_group_ndv
+
+    ev = _ev([
+        (1, 1, "a", 0, 0.0), (2, 1, "a", 0, 0.0),
+        (3, 2, "a", 0, 0.0), (4, 1, "b", 0, 0.0),
+    ])
+    out = exact_group_ndv(ev, "event_type", "user_id").to_pandas()
+    assert dict(zip(out["group"], out.n_distinct)) == {"a": 2, "b": 1}
+
+
+def test_latest_per_key_hand_computed():
+    from eschergraph_ray.functions.windows import latest_per_key
+
+    ev = _ev([
+        (1, 1, "view", 100, 1.0),
+        (2, 1, "click", 200, 2.0),       # user 1 latest
+        (3, 2, "purchase", 50, 3.0),
+        (5, 2, "view", 50, 4.0),         # same ts: higher id wins
+    ])
+    out = latest_per_key(ev, "user_id", "ts", "event_id",
+                         "event_type", "value").to_pandas()
+    got = {r.k: (r.event_id, r.event_type, r.value_micro)
+           for r in out.itertuples()}
+    assert got == {1: (2, "click", 2_000_000),
+                   2: (5, "view", 4_000_000)}
+
+
+def test_latest_per_key_oracle_sf0001():
+    from eschergraph_ray.functions.windows import latest_per_key
+
+    ev = rd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    got = latest_per_key(ev, "user_id", "ts", "event_id",
+                         "event_type", "value").to_pandas()
+    want = _con().execute("""
+        WITH r AS (
+          SELECT user_id AS k, epoch_us(ts) AS ts_us, event_id,
+                 event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+                 ) AS rn
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT CAST(k AS BIGINT) AS k, CAST(ts_us AS BIGINT) AS ts_us,
+               CAST(event_id AS BIGINT) AS event_id, event_type,
+               value_micro
+        FROM r WHERE rn = 1
+    """).df()
+    _cmp(got, want)
