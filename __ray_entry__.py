@@ -5911,6 +5911,60 @@ def _q_events_last_seen(sf_dir: str):
                           "event_type", "value")
 
 
+def _q_events_max_concurrent(sf_dir: str):
+    """Peak session concurrency per day (functions/windows.py
+    max_concurrent_sessions) — the sweep-line interval-stabbing
+    classic: sessionize per user (30-min gap), ±1 boundaries, and a
+    distributed prefix sum (per-day 3-int partials + a calendar-sized
+    driver cumsum) instead of a global sort."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import max_concurrent_sessions
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return max_concurrent_sessions(ev, "user_id", "ts", "event_id")
+
+
+def _q_events_theilsen(sf_dir: str):
+    """Per-type Theil-Sen robust trend (functions/stats.py
+    theilsen_trend): median pairwise slope over the hourly count
+    series — the outlier-proof counterpart of events_trend's OLS. The
+    stream collapses to (type, hour) cells; pair slopes are enumerated
+    per type (time-bounded quadratic, loudly guarded) and the median
+    is the discrete inverse CDF in integer micro-units."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import theilsen_trend
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return theilsen_trend(ev, "ts", "event_type")
+
+
+def _q_orders_cohort_ltv(sf_dir: str):
+    """Cohort LTV triangle (functions/relational.py cohort_ltv):
+    customers cohorted by first-order month, revenue by month-age
+    since cohort — join-free: (customer, month) combiner cells group
+    by custkey&1023 so the first-month lookup is one lexsort +
+    run-length broadcast per bucket; only (cohort, age) partials
+    shuffle afterwards."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import cohort_ltv
+
+    _context()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -6151,6 +6205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_value": _q_events_mode_value,
         "events_user_exact_ndv": _q_events_user_exact_ndv,
         "events_last_seen": _q_events_last_seen,
+        "events_max_concurrent": _q_events_max_concurrent,
+        "events_theilsen": _q_events_theilsen,
+        "orders_cohort_ltv": _q_orders_cohort_ltv,
     }
 
 
@@ -11148,5 +11205,102 @@ def oracle_sql() -> dict[str, str]:
                CAST(event_id AS BIGINT) AS event_id,
                event_type, value_micro
         FROM r WHERE rn = 1 ORDER BY k
+    """
+    d["events_max_concurrent"] = """
+        -- sweep-line replay (windows.max_concurrent_sessions):
+        -- sessionize (30-min gap), +1/-1 boundaries, deltas summed
+        -- per distinct microsecond, global running sum, per-day max
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, sid, epoch_us(min(ts)) AS st,
+                 epoch_us(max(ts)) AS en
+          FROM s GROUP BY user_id, sid
+        ),
+        b AS (
+          SELECT st AS t, 1 AS delta FROM sess
+          UNION ALL
+          SELECT en + 1, -1 FROM sess
+        ),
+        g AS (SELECT t, sum(delta) AS dd FROM b GROUP BY t),
+        r AS (
+          SELECT t, sum(dd) OVER (ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+          FROM g
+        )
+        SELECT CAST(t // 86400000000 AS BIGINT) AS day_idx,
+               CAST(max(conc) AS BIGINT) AS max_concurrent
+        FROM r GROUP BY 1 ORDER BY 1
+    """
+    d["events_theilsen"] = """
+        -- Theil-Sen replay (stats.theilsen_trend): hourly count
+        -- cells, all pair slopes as integer micro-units (one float
+        -- divide + one multiply + zero-digit round, identical IEEE
+        -- ops), discrete-inverse-CDF median
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                 count(*) AS c
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT a.event_type,
+                 CAST(round(1e6 * ((b.c - a.c) / (b.hr - a.hr)), 0)
+                      AS BIGINT) AS sm
+          FROM h a JOIN h b
+            ON a.event_type = b.event_type AND b.hr > a.hr
+        ),
+        nh AS (SELECT event_type, count(*) AS n_hours FROM h GROUP BY 1)
+        SELECT p.event_type,
+               CAST(nh.n_hours AS BIGINT) AS n_hours,
+               count(*) AS n_pairs,
+               CAST(quantile_disc(p.sm, 0.5) AS BIGINT) AS slope_micro
+        FROM p JOIN nh ON p.event_type = nh.event_type
+        GROUP BY p.event_type, nh.n_hours
+        ORDER BY p.event_type
+    """
+    d["orders_cohort_ltv"] = """
+        -- cohort-LTV replay (relational.cohort_ltv): first-order
+        -- month per customer, month-age since cohort, per-order
+        -- micro-quantized revenue summed in int64
+        WITH f AS (
+          SELECT o_custkey,
+                 min(strftime(o_orderdate, '%Y-%m')) AS cohort_month
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          GROUP BY 1
+        ),
+        o AS (
+          SELECT f.cohort_month,
+                 (CAST(substr(strftime(o.o_orderdate, '%Y-%m'), 1, 4)
+                       AS BIGINT) * 12
+                  + CAST(substr(strftime(o.o_orderdate, '%Y-%m'), 6, 2)
+                         AS BIGINT))
+               - (CAST(substr(f.cohort_month, 1, 4) AS BIGINT) * 12
+                  + CAST(substr(f.cohort_month, 6, 2) AS BIGINT))
+                   AS age_months,
+                 CAST(round(o.o_totalprice * 1e6, 0) AS BIGINT) AS v
+          FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+          WHERE o.o_orderdate IS NOT NULL
+        )
+        SELECT cohort_month, age_months,
+               count(*) AS n_orders,
+               CAST(sum(v) AS BIGINT) AS revenue_micro
+        FROM o GROUP BY 1, 2 ORDER BY 1, 2
     """
     return d

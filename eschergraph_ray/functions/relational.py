@@ -1234,3 +1234,119 @@ def order_count_distribution(customer_ds, orders_ds,
             )
         )
     return dist.sort(["custdist", "c_count"], descending=[True, True])
+
+
+def cohort_ltv(orders_ds, cust_col: str, date_col: str, price_col: str,
+               n_buckets: int = 1024):
+    """Cohort lifetime-value matrix — customers grouped by the month
+    of their FIRST order, then revenue tracked by month-age since
+    that cohort month: ``(cohort_month, age_months, n_orders,
+    revenue_micro)`` — the classic retention/LTV triangle every
+    subscription and marketplace team reads.
+
+    No join anywhere: per-batch combiners collapse orders to
+    (customer, month) cells (customer-month cardinality, the only
+    data-sized exchange); cells group by ``custkey & (n_buckets−1)``
+    so the first-month lookup is ONE lexsort + run-length broadcast
+    per bucket (never a per-customer micro-group — the round-5
+    map_groups lesson), and only (cohort, age) partials leave the
+    bucket. Revenue is per-order micro-quantized (``round(p*1e6,
+    0)``) then summed in int64. Sorted by (cohort_month, age_months).
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    from ray.data.aggregate import Sum
+
+    EPOCH_MONTHS = 1970 * 12
+
+    def cells(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.and_(pc.is_valid(b[cust_col]),
+                             pc.is_valid(b[date_col])))
+        ts = np.asarray(
+            pc.cast(pc.cast(b[date_col], pa.timestamp("us")), pa.int64())
+        ).astype("datetime64[us]")
+        m = ts.astype("datetime64[M]").astype(np.int64) + EPOCH_MONTHS
+        cust = b[cust_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.asarray(
+            pc.cast(
+                pc.round(
+                    pc.multiply(pc.cast(b[price_col], pa.float64()), 1e6),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        )
+        # combine to (cust, month) cells inside the batch
+        key = cust * 200_000 + m  # month index < 200k for any date
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, v)
+        uc, um = uk // 200_000, uk % 200_000
+        return pa.table({
+            "bucket": pa.array(np.bitwise_and(uc, n_buckets - 1),
+                               pa.int64()),
+            "cust": pa.array(uc, pa.int64()),
+            "m": pa.array(um, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "v": pa.array(s, pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        c = g["cust"].to_numpy(zero_copy_only=False)
+        m = g["m"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, c))
+        c, m, n, v = c[order], m[order], n[order], v[order]
+        first = np.ones(len(c), bool)
+        first[1:] = c[1:] != c[:-1]
+        # run-length broadcast of each customer's first (= min) month
+        cohort = np.repeat(m[first], np.diff(
+            np.append(np.flatnonzero(first), len(c))))
+        age = m - cohort
+        key = cohort * 4096 + age  # age bounded by the month span
+        uk, inv = np.unique(key, return_inverse=True)
+        nn = np.zeros(len(uk), np.int64)
+        vv = np.zeros(len(uk), np.int64)
+        np.add.at(nn, inv, n)
+        np.add.at(vv, inv, v)
+        return pa.table({
+            "cohort_m": pa.array(uk // 4096, pa.int64()),
+            "age_months": pa.array(uk % 4096, pa.int64()),
+            "n": pa.array(nn, pa.int64()),
+            "v": pa.array(vv, pa.int64()),
+        })
+
+    agg = (
+        orders_ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["cohort_m", "age_months"])
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("v", alias_name="revenue_micro"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        cm = b["cohort_m"].to_numpy(zero_copy_only=False)
+        label = (cm - EPOCH_MONTHS).astype("datetime64[M]").astype(str)
+        return pa.table({
+            "cohort_month": pa.array(label, pa.string()),
+            "age_months": pc.cast(b["age_months"], pa.int64()),
+            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            "revenue_micro": pc.cast(b["revenue_micro"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["cohort_month", "age_months"]
+    )

@@ -1109,3 +1109,96 @@ def exact_group_ndv(ds, group_col: str, id_col: str,
         }),
         batch_format="pyarrow",
     ).sort("group")
+
+
+def theilsen_trend(events_ds, ts_col: str, type_col: str,
+                   max_hours: int = 4096):
+    """Per-type Theil–Sen robust trend over the hourly event-count
+    series — the median of all pairwise slopes ``(c_j − c_i) /
+    (h_j − h_i)`` between distinct hours, the estimator that shrugs
+    off the outlier hours an OLS slope (events_trend) chases (Sen
+    1968; 29.3% breakdown point).
+
+    Shape: the stream collapses to (type, hour) count cells — the
+    only data-sized exchange — and each type's reducer enumerates its
+    own pair slopes vectorized (hour cardinality is TIME-bounded, not
+    data-bounded: a month is 720 hours ≈ 259k pairs; ``max_hours``
+    guards the quadratic loudly). Parity: counts and hour indices are
+    exact int64; each slope is ONE float64 division and ONE multiply
+    then a zero-digit half-away-from-zero round into integer
+    micro-units (identical IEEE ops in DuckDB), and the median is the
+    discrete inverse CDF (SQL ``quantile_disc(0.5)``).
+
+    Returns ``(event_type, n_hours, n_pairs, slope_micro)`` for types
+    with ≥ 2 distinct hours, sorted by type.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[type_col]),
+                       pc.is_valid(batch[ts_col]))
+        t = batch.select([type_col, ts_col]).filter(keep)
+        hr = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            HOUR_US,
+        )
+        cells = pa.table({"event_type": t[type_col], "hr": hr})
+        return (
+            cells.group_by(["event_type", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hr", "c"])
+        )
+
+    def slopes(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("hr")
+        h = pc.cast(g["hr"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(g["c"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(h)
+        if n < 2:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_hours": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+                "slope_micro": pa.array([], pa.int64()),
+            })
+        if n > max_hours:
+            raise ValueError(
+                f"theilsen_trend: {n} distinct hours exceeds "
+                f"max_hours={max_hours}; the pair enumeration is "
+                "quadratic in the series length — bucket time coarser"
+            )
+        i, j = np.triu_indices(n, k=1)
+        raw = 1e6 * ((c[j] - c[i]).astype(np.float64)
+                     / (h[j] - h[i]).astype(np.float64))
+        sm = pc.cast(
+            pc.round(pa.array(raw, pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        sm = np.sort(sm)
+        npairs = len(sm)
+        med = int(sm[(npairs + 1) // 2 - 1])
+        return pa.table({
+            "event_type": group["event_type"][:1],
+            "n_hours": pa.array([n], pa.int64()),
+            "n_pairs": pa.array([npairs], pa.int64()),
+            "slope_micro": pa.array([med], pa.int64()),
+        })
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(slopes, batch_format="pyarrow")
+        .sort("event_type")
+    )

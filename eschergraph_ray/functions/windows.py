@@ -2165,3 +2165,128 @@ def latest_per_key(events_ds, key_col: str, ts_col: str, id_col: str,
         .map_groups(pick, batch_format="pyarrow")
         .sort("k")
     )
+
+
+def max_concurrent_sessions(events_ds, user_col: str, ts_col: str,
+                            id_col: str,
+                            gap_us: int = 1_800_000_000,
+                            n_buckets: int = 64):
+    """Peak session concurrency per day — the sweep-line / interval-
+    stabbing classic ("how many sessions were open at once?"):
+    sessionize each user's stream (gap > ``gap_us``, the
+    sessionize_events rule), turn every session ``[start, end]`` into
+    a ``+1`` boundary at ``start`` and a ``-1`` at ``end + 1 µs``,
+    and report, per day with at least one boundary, the maximum of
+    the GLOBAL running sum evaluated after each distinct boundary
+    timestamp (SQL: ``max(sum(d) OVER (ORDER BY t))`` per day).
+
+    Distributed prefix sum without a global sort: session boundaries
+    come out of the user&bucket session pass (one lexsort per bucket,
+    the session_bounce_rate shuffle discipline); a per-DAY reducer
+    sorts only its own boundaries and emits a 3-int partial
+    ``(day, total_delta, max_prefix)``; the driver's cumulative sum
+    over the day-cardinality partials anchors each day's offset —
+    driver state is calendar-sized, never data-sized. Deltas at the
+    same microsecond are summed before the running total, so
+    intra-timestamp ordering can never matter.
+
+    Returns a pandas DataFrame ``(day_idx, max_concurrent)`` sorted by
+    ``day_idx`` (epoch days, ``t // 86_400_000_000``); all exact
+    int64.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    if gap_us <= 0:
+        raise ValueError("gap_us must be positive")
+    import pandas as pd
+
+    DAY_US = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        b = b.filter(pc.and_(pc.is_valid(b[user_col]),
+                             pc.is_valid(b[ts_col])))
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ts) and ts.min() < 0:
+            raise ValueError(
+                "max_concurrent_sessions requires non-negative "
+                "timestamps (epoch-day floor division)"
+            )
+        return pa.table({
+            "bucket": pa.array(np.bitwise_and(u, n_buckets - 1),
+                               pa.int64()),
+            "u": pa.array(u, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "eid": pc.cast(b[id_col], pa.int64()),
+        })
+
+    def boundaries(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        new_s = np.ones(len(u), bool)
+        new_s[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = ts[new_s]
+        # a session ends on the row BEFORE the next session start
+        end_mask = np.roll(new_s, -1)
+        if len(u):
+            end_mask[-1] = True
+        ends = ts[end_mask]
+        t = np.concatenate([starts, ends + 1])
+        d = np.concatenate([
+            np.ones(len(starts), np.int64),
+            np.full(len(ends), -1, np.int64),
+        ])
+        return pa.table({
+            "day_idx": pa.array(t // DAY_US, pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "d": pa.array(d, pa.int64()),
+        })
+
+    def day_partial(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = g["t"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        t, d = t[order], d[order]
+        # sum deltas per distinct timestamp, then prefix-sum
+        uniq, start = np.unique(t, return_index=True)
+        dd = np.add.reduceat(d, start)
+        prefix = np.cumsum(dd, dtype=np.int64)
+        return pa.table({
+            "day_idx": g["day_idx"][:1],
+            "total": pa.array([int(prefix[-1])], pa.int64()),
+            "max_rel": pa.array([int(prefix.max())], pa.int64()),
+        })
+
+    parts = (
+        events_ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=None)
+        .groupby("bucket")
+        .map_groups(boundaries, batch_format="pyarrow")
+        .groupby("day_idx")
+        .map_groups(day_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({
+            "day_idx": pd.Series([], dtype="int64"),
+            "max_concurrent": pd.Series([], dtype="int64"),
+        })
+    parts = parts.sort_values("day_idx").reset_index(drop=True)
+    offset = parts["total"].cumsum().shift(1, fill_value=0)
+    return pd.DataFrame({
+        "day_idx": parts["day_idx"].astype("int64"),
+        "max_concurrent": (offset + parts["max_rel"]).astype("int64"),
+    })

@@ -1,0 +1,271 @@
+"""Sweep-line concurrency, Theil-Sen trend, and cohort LTV
+(functions/windows.max_concurrent_sessions, stats.theilsen_trend,
+relational.cohort_ltv) — hand-computed semantics plus sf0.001 DuckDB
+oracle replays."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from eschergraph_ray.functions.relational import cohort_ltv
+from eschergraph_ray.functions.stats import theilsen_trend
+from eschergraph_ray.functions.windows import max_concurrent_sessions
+
+SF = "/root/testdata/sf0.001"
+MIN = 60_000_000
+HOUR = 3_600_000_000
+DAY = 86_400_000_000
+
+
+def _ev(rows):
+    """events-ish table from (event_id, user_id, type, ts_us)."""
+    ei, ui, ty, ts = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array(ei, pa.int64()),
+        "user_id": pa.array(ui, pa.int64()),
+        "event_type": pa.array(ty, pa.string()),
+        "ts": pa.array(np.array(ts, "datetime64[us]")),
+    }))
+
+
+# ---------------------------------------------------------------- sweep-line
+
+def test_max_concurrent_overlapping_sessions():
+    # user 1: one session [0, 10min]; user 2: [5min, 5min] (single
+    # event); user 3: [40h, 40h] on a later day.
+    ev = _ev([
+        (1, 1, "a", 0),
+        (2, 1, "a", 10 * MIN),
+        (3, 2, "a", 5 * MIN),
+        (4, 3, "a", 40 * HOUR),
+    ])
+    out = max_concurrent_sessions(ev, "user_id", "ts", "event_id")
+    assert list(out["day_idx"]) == [0, 1]
+    # day 0: sessions 1 and 2 overlap at t=5min -> 2
+    assert list(out["max_concurrent"]) == [2, 1]
+
+
+def test_max_concurrent_gap_splits_sessions():
+    # same user, 31-minute gap: two sessions, never concurrent
+    ev = _ev([
+        (1, 1, "a", 0),
+        (2, 1, "a", 31 * MIN),
+    ])
+    out = max_concurrent_sessions(ev, "user_id", "ts", "event_id")
+    assert list(out["max_concurrent"]) == [1]
+
+
+def test_max_concurrent_carryover_offset_across_days():
+    # user 1's session spans the day boundary: [23h, 25h]. user 2
+    # has a one-event session at 24h30m (day 1). Day 1's max must
+    # include the CARRIED session from day 0 (offset device).
+    ev = _ev([
+        (1, 1, "a", 23 * HOUR),
+        (2, 1, "a", 23 * HOUR + 25 * MIN),
+        (3, 1, "a", 23 * HOUR + 50 * MIN),
+        (4, 1, "a", 24 * HOUR + 15 * MIN),
+        (5, 1, "a", 24 * HOUR + 40 * MIN),
+        (6, 1, "a", 25 * HOUR),
+        (7, 2, "a", 24 * HOUR + 30 * MIN),
+    ])
+    out = max_concurrent_sessions(ev, "user_id", "ts", "event_id")
+    d = dict(zip(out["day_idx"], out["max_concurrent"]))
+    assert d[0] == 1
+    assert d[1] == 2  # carried session + user 2's
+
+
+def test_max_concurrent_sf0001_oracle():
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    out = max_concurrent_sessions(ev, "user_id", "ts", "event_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    o = con.execute("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+        ),
+        s AS (SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e),
+        sess AS (SELECT user_id, sid, epoch_us(min(ts)) AS st,
+                        epoch_us(max(ts)) AS en
+                 FROM s GROUP BY 1, 2),
+        b AS (SELECT st AS t, 1 AS d FROM sess
+              UNION ALL SELECT en + 1, -1 FROM sess),
+        g AS (SELECT t, sum(d) AS dd FROM b GROUP BY t),
+        r AS (SELECT t, sum(dd) OVER (ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) AS conc
+              FROM g)
+        SELECT CAST(t // 86400000000 AS BIGINT) AS day_idx,
+               CAST(max(conc) AS BIGINT) AS max_concurrent
+        FROM r GROUP BY 1 ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), o, check_dtype=False
+    )
+
+
+def test_max_concurrent_rejects_negative_ts():
+    ev = _ev([(1, 1, "a", 0)])
+    neg = ev.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts": pa.array(np.array([-DAY], "datetime64[us]")),
+        }),
+        batch_format="pyarrow",
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        max_concurrent_sessions(neg, "user_id", "ts", "event_id")
+
+
+# ----------------------------------------------------------------- Theil-Sen
+
+def test_theilsen_exact_line():
+    # counts 2, 4, 6 at hours 0, 1, 2: every pair slope = 2/hr
+    rows = []
+    eid = 0
+    for h, n in [(0, 2), (1, 4), (2, 6)]:
+        for _ in range(n):
+            rows.append((eid, 1, "a", h * HOUR))
+            eid += 1
+    out = theilsen_trend(_ev(rows), "ts", "event_type").to_pandas()
+    assert out.loc[0, "n_hours"] == 3
+    assert out.loc[0, "n_pairs"] == 3
+    assert out.loc[0, "slope_micro"] == 2_000_000
+
+
+def test_theilsen_outlier_resistant():
+    # counts 1,2,3,4,100 at hours 0..4: OLS would chase the spike;
+    # the pair-slope median stays near 1/hr. n=10 pairs sorted ->
+    # median = 5th smallest. Slopes: 1,1,1,1 (consecutive non-spike),
+    # 1,1,1 (skip-1), plus spike slopes 96,49,32.33,24.
+    rows = []
+    eid = 0
+    for h, n in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 100)]:
+        for _ in range(n):
+            rows.append((eid, 1, "a", h * HOUR))
+            eid += 1
+    out = theilsen_trend(_ev(rows), "ts", "event_type").to_pandas()
+    assert out.loc[0, "slope_micro"] == 1_000_000
+
+
+def test_theilsen_single_hour_type_dropped():
+    rows = [(1, 1, "solo", 0), (2, 1, "duo", 0), (3, 1, "duo", HOUR)]
+    out = theilsen_trend(_ev(rows), "ts", "event_type").to_pandas()
+    assert list(out["event_type"]) == ["duo"]
+
+
+def test_theilsen_max_hours_guard():
+    rows = [(i, 1, "a", i * HOUR) for i in range(5)]
+    with pytest.raises(ValueError, match="max_hours"):
+        theilsen_trend(_ev(rows), "ts", "event_type",
+                       max_hours=3).to_pandas()
+
+
+def test_theilsen_sf0001_oracle():
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = theilsen_trend(ev, "ts", "event_type").to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    o = con.execute("""
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT a.event_type,
+                 CAST(round(1e6 * ((b.c - a.c) / (b.hr - a.hr)), 0)
+                      AS BIGINT) AS sm
+          FROM h a JOIN h b
+            ON a.event_type = b.event_type AND b.hr > a.hr
+        ),
+        nh AS (SELECT event_type, count(*) AS n_hours FROM h GROUP BY 1)
+        SELECT p.event_type, CAST(nh.n_hours AS BIGINT) AS n_hours,
+               count(*) AS n_pairs,
+               CAST(quantile_disc(p.sm, 0.5) AS BIGINT) AS slope_micro
+        FROM p JOIN nh ON p.event_type = nh.event_type
+        GROUP BY 1, 2 ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), o, check_dtype=False
+    )
+
+
+# ---------------------------------------------------------------- cohort LTV
+
+def _orders(rows):
+    """orders-ish table from (custkey, date_str, price)."""
+    ck, dt, pr = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "o_custkey": pa.array(ck, pa.int64()),
+        "o_orderdate": pa.array(np.array(dt, "datetime64[us]")),
+        "o_totalprice": pa.array([float(x) for x in pr], pa.float64()),
+    }))
+
+
+def test_cohort_ltv_ages_and_sums():
+    orders = _orders([
+        (1, "2024-01-15", 10.0),   # cohort 2024-01, age 0
+        (1, "2024-03-02", 20.0),   # age 2
+        (2, "2024-03-20", 5.5),    # cohort 2024-03, age 0
+        (2, "2024-03-25", 4.5),    # age 0 (same month)
+    ])
+    out = cohort_ltv(orders, "o_custkey", "o_orderdate",
+                     "o_totalprice").to_pandas()
+    rows = {(r.cohort_month, r.age_months): (r.n_orders, r.revenue_micro)
+            for r in out.itertuples()}
+    assert rows[("2024-01", 0)] == (1, 10_000_000)
+    assert rows[("2024-01", 2)] == (1, 20_000_000)
+    assert rows[("2024-03", 0)] == (2, 10_000_000)
+
+
+def test_cohort_ltv_sf0001_oracle():
+    orders = rd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = cohort_ltv(orders, "o_custkey", "o_orderdate",
+                     "o_totalprice").to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    o = con.execute("""
+        WITH f AS (
+          SELECT o_custkey,
+                 min(strftime(o_orderdate, '%Y-%m')) AS cohort_month
+          FROM orders GROUP BY 1
+        ),
+        o AS (
+          SELECT f.cohort_month,
+                 (CAST(substr(strftime(o.o_orderdate, '%Y-%m'), 1, 4)
+                       AS BIGINT) * 12
+                  + CAST(substr(strftime(o.o_orderdate, '%Y-%m'), 6, 2)
+                         AS BIGINT))
+               - (CAST(substr(f.cohort_month, 1, 4) AS BIGINT) * 12
+                  + CAST(substr(f.cohort_month, 6, 2) AS BIGINT))
+                   AS age_months,
+                 CAST(round(o.o_totalprice * 1e6, 0) AS BIGINT) AS v
+          FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        )
+        SELECT cohort_month, age_months, count(*) AS n_orders,
+               CAST(sum(v) AS BIGINT) AS revenue_micro
+        FROM o GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), o, check_dtype=False
+    )
