@@ -5335,6 +5335,52 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_hll_sliding(sf_dir: str):
+    """Trailing-7-day sliding distinct users per active day via HLL
+    register max-merge (sketch.hll_sliding_distinct) — the sketch
+    MERGEABILITY showcase: each day folds once, every window is a
+    register-wise max of its days (lossless union merge), so a year of
+    sliding windows costs one scan + calendar-sized driver state. The
+    oracle replays the md5 fold, the per-(day, register) max, the
+    window merge, and the byte-stable estimator in SQL."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import hll_sliding_distinct
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return hll_sliding_distinct(ev, "user_id", "ts", window_days=7, p=10)
+
+
+def _q_docs_ipc_export(sf_dir: str):
+    """Arrow IPC (Feather v2) SINK + SOURCE coverage
+    (docfiles.write_ipc_sharded / read_documents_ipc — block-parallel
+    shards with content-hash retry-stable names; the reader composes
+    read_binary_files with an in-task pyarrow.ipc decode since Ray
+    2.49 ships no read_ipc): export the documents table to IPC, read
+    the shards back, return (doc_id, text, source). The oracle reads
+    the PARQUET view, so a green row proves the format round-trip is
+    lossless end-to-end."""
+    import shutil as _shutil
+
+    from eschergraph_ray.sources.docfiles import (
+        read_documents_ipc,
+        write_ipc_sharded,
+    )
+
+    _context()
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/eschergraph_ray/ipc-export-v1-{sftag}"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    files = write_ipc_sharded(ds, out_dir, "doc_id")
+    return read_documents_ipc(files)
+
+
 def _q_lineitem_promo_share(sf_dir: str):
     """TPC-H Q14-shaped promo revenue share per 1996 ship month
     (functions/tpch.py promo_revenue_by_month): revenue from PROMO-type
@@ -6208,6 +6254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_max_concurrent": _q_events_max_concurrent,
         "events_theilsen": _q_events_theilsen,
         "orders_cohort_ltv": _q_orders_cohort_ltv,
+        "docs_ipc_export": _q_docs_ipc_export,
+        "events_hll_sliding": _q_events_hll_sliding,
     }
 
 
@@ -10190,6 +10238,7 @@ def oracle_sql() -> dict[str, str]:
     # ORC round-trip: oracle reads the parquet view — a green row
     # proves the ORC write+read path is lossless
     d["docs_orc_export"] = "SELECT doc_id, text, source FROM documents"
+    d["docs_ipc_export"] = "SELECT doc_id, text, source FROM documents"
     # OHLC: micro-quantized int64 values; open/close by row_number over
     # (ts, event_id) — the deterministic tie-break both engines share
     d["events_ohlc_hourly"] = """
@@ -11302,5 +11351,49 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_orders,
                CAST(sum(v) AS BIGINT) AS revenue_micro
         FROM o GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["events_hll_sliding"] = """
+        -- sliding-window HLL replay (sketch.hll_sliding_distinct,
+        -- p=10): md5 fold, per-(day, register) max rank, trailing
+        -- 7-day register max-merge per active day, byte-stable
+        -- estimator (exact HUGEINT harmonic sum, floor(x+0.5))
+        WITH h AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(concat('0x',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                      AS UBIGINT) AS hv
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        r AS (
+          SELECT day, hv >> 54 AS reg,
+                 max(CASE WHEN (hv & 18014398509481983::UBIGINT) = 0 THEN 55
+                     ELSE position('1' IN lpad(bin(hv &
+                          18014398509481983::UBIGINT), 54, '0'))
+                     END) AS r
+          FROM h GROUP BY 1, 2
+        ),
+        days AS (SELECT DISTINCT day FROM r),
+        wr AS (
+          SELECT d.day AS day_idx, rr.reg, max(rr.r) AS r
+          FROM days d JOIN r rr ON rr.day BETWEEN d.day - 6 AND d.day
+          GROUP BY 1, 2
+        ),
+        est AS (
+          SELECT day_idx, count(*) AS nonzero,
+                 (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                   * CAST(1::HUGEINT << 55 AS DOUBLE)
+                   / CAST(sum(1::HUGEINT << (55 - r))
+                          + CAST(1024 - count(*) AS HUGEINT)
+                            * (1::HUGEINT << 55) AS DOUBLE) AS raw
+          FROM wr GROUP BY 1
+        )
+        SELECT day_idx,
+               CAST(1024 - nonzero AS BIGINT) AS zeros,
+               CASE WHEN raw <= 2.5 * 1024 AND (1024 - nonzero) > 0
+                    THEN CAST(floor(1024 * ln(CAST(1024 AS DOUBLE)
+                              / (1024 - nonzero)) + 0.5) AS BIGINT)
+                    ELSE CAST(floor(raw + 0.5) AS BIGINT)
+               END AS approx_n
+        FROM est ORDER BY day_idx
     """
     return d

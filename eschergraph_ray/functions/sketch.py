@@ -562,3 +562,94 @@ def content_checksum(ds, cols: list[str], sep: str = ":") -> pa.Table:
             "xor_checksum": pa.array([xor], pa.int64()),
         }
     )
+
+
+def hll_sliding_distinct(ds, col: str, ts_col: str,
+                         window_days: int = 7, p: int = 10,
+                         hashname: str = "md5",
+                         max_days: int = 20_000) -> "pa.Table":
+    """Sliding-window approximate distinct — distinct ``col`` values
+    over the trailing ``window_days``-day window ending at each active
+    day — the sketch-MERGEABILITY showcase: an exact sliding distinct
+    re-scans every window; HLL registers fold ONCE per day and every
+    window is a register-wise max of its days' sketches (Flajolet et
+    al. 2007 §4: max-merge is lossless, so the merged estimate equals
+    the estimate of the unioned stream).
+
+    Shape: per-batch rows are (day, packed 2^p registers) — calendar-
+    bounded, KBs regardless of input size; a per-day groupby
+    max-merges batch partials; the driver slides over the
+    day-cardinality register table (model state, ``max_days``-guarded)
+    and runs the byte-stable :func:`hll_estimate_replay` per window.
+    Returns (day_idx, zeros, approx_n) sorted by day — one row per day
+    PRESENT in the stream (trailing windows look back, so quiet days
+    inside the range simply don't anchor a window).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pa.compute.and_(
+            pa.compute.is_valid(batch[col]),
+            pa.compute.is_valid(batch[ts_col]),
+        )
+        t = batch.select([col, ts_col]).filter(keep)
+        ts = pa.compute.cast(
+            pa.compute.cast(t[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        days = (ts // DAY_US).tolist()
+        groups, blobs = [], []
+        if len(t):
+            groups, blobs = _fold_by_group(
+                days, t[col].to_pylist(), p, hashname
+            )
+        return pa.table({
+            "day": pa.array(groups, pa.int64()),
+            "regs": pa.array(blobs, pa.large_binary()),
+        })
+
+    def maxmerge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << p, np.uint8)
+        for buf in group["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(buf, np.uint8))
+        return pa.table({
+            "day": group["day"][:1],
+            "regs": pa.array([regs.tobytes()], pa.large_binary()),
+        })
+
+    per_day: dict = {}
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(maxmerge, batch_format="pyarrow")
+    )
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for d, buf in zip(b["day"].to_pylist(), b["regs"].to_pylist()):
+            per_day[d] = np.frombuffer(buf, np.uint8)
+            if len(per_day) > max_days:
+                raise ValueError(
+                    f"hll_sliding_distinct: >{max_days} days — driver "
+                    "register state no longer calendar-sized"
+                )
+    days = sorted(per_day)
+    out_day, out_zeros, out_n = [], [], []
+    for w in days:
+        regs = np.zeros(1 << p, np.uint8)
+        for d in days:
+            if w - window_days < d <= w:
+                regs = np.maximum(regs, per_day[d])
+        zeros, n = hll_estimate_replay(regs, p)
+        out_day.append(w)
+        out_zeros.append(zeros)
+        out_n.append(n)
+    return pa.table({
+        "day_idx": pa.array(out_day, pa.int64()),
+        "zeros": pa.array(out_zeros, pa.int64()),
+        "approx_n": pa.array(out_n, pa.int64()),
+    })

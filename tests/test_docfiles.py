@@ -144,3 +144,49 @@ def test_orc_roundtrip(ray_session, tmp_path):
     )
     want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert back.equals(want)
+
+
+def test_ipc_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.sources.docfiles import (
+        read_documents_ipc,
+        write_ipc_sharded,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(['a "q"', "รถ\nnl", "", "x,y"], pa.string()),
+            "score": pa.array([1.5, None, 0.0, -2.25], pa.float64()),
+        }
+    )
+    files = write_ipc_sharded(
+        rd.from_arrow(t).repartition(3), str(tmp_path / "ipc"), "doc_id"
+    )
+    assert len(files) >= 2  # sharded, not one giant file
+    back = (
+        read_documents_ipc(files)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(want)
+
+
+def test_ipc_retry_stable_names(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.sources.docfiles import write_ipc_sharded
+
+    t = pa.table(
+        {"doc_id": pa.array(["a", "b"], pa.string()),
+         "v": pa.array([1, 2], pa.int64())}
+    )
+    d = str(tmp_path / "ipc2")
+    f1 = write_ipc_sharded(rd.from_arrow(t), d, "doc_id")
+    f2 = write_ipc_sharded(rd.from_arrow(t), d, "doc_id")
+    assert f1 == f2

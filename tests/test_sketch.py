@@ -364,3 +364,69 @@ def test_content_checksum_duckdb_and_nulls(ray_session):
     ).df()
     assert got["n_rows"][0] == int(o["n_rows"][0])
     assert got["xor_checksum"][0] == int(o["xor_checksum"][0])
+
+
+def test_hll_sliding_merge_equals_union(ray_session):
+    """Window estimate == single-shot estimate of the unioned values
+    (max-merge losslessness), and disjoint day populations show up in
+    the window union."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import (
+        approx_distinct_by_group,
+        hll_sliding_distinct,
+    )
+
+    DAY = 86_400_000_000
+    # day 0: users 0..999; day 3: users 500..1499; day 20: users 0..99
+    rows = (
+        [(0, u) for u in range(1000)]
+        + [(3 * DAY, u) for u in range(500, 1500)]
+        + [(20 * DAY, u) for u in range(100)]
+    )
+    tbl = pa.table({
+        "ts": pa.array(
+            np.array([r[0] for r in rows], "datetime64[us]")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    out = hll_sliding_distinct(
+        rd.from_arrow(tbl), "user_id", "ts", window_days=7, p=12
+    ).to_pydict()
+    got = dict(zip(out["day_idx"], out["approx_n"]))
+    assert set(got) == {0, 3, 20}
+
+    # single-shot estimates of the exact same unions
+    flag = pa.table({
+        "g": pa.array(
+            ["d0"] * 1000 + ["d03"] * 2000,
+            pa.string()),
+        "v": pa.array(
+            list(range(1000)) + list(range(1000)) +
+            list(range(500, 1500)),
+            pa.int64()),
+    })
+    ref = approx_distinct_by_group(
+        rd.from_arrow(flag), "g", "v", p=12
+    ).to_pydict()
+    refd = dict(zip(ref["g"], ref["approx_n"]))
+    assert got[0] == refd["d0"]          # window {day 0}
+    assert got[3] == refd["d03"]         # window {day 0, day 3} union
+    # true union 0..1499 = 1500; p=12 keeps the estimate within ~5%
+    assert abs(got[3] - 1500) < 120
+    assert abs(got[20] - 100) < 15       # day 20's window sees only itself
+
+
+def test_hll_sliding_validation(ray_session):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.sketch import hll_sliding_distinct
+
+    tbl = pa.table({
+        "ts": pa.array(np.array([0], "datetime64[us]")),
+        "user_id": pa.array([1], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="window_days"):
+        hll_sliding_distinct(rd.from_arrow(tbl), "user_id", "ts",
+                             window_days=0)
+    with pytest.raises(ValueError, match="p must be"):
+        hll_sliding_distinct(rd.from_arrow(tbl), "user_id", "ts", p=2)
