@@ -5335,6 +5335,23 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_acf(sf_dir: str):
+    """Per-type autocorrelation of the hourly count series at lags
+    1..24 (stats.acf_by_group) — the seasonality fingerprint, on the
+    DENSE zero-filled hourly grid. Exact-int parity: num/den are the
+    n²-scaled mean-centered sums (Python bigint == DuckDB HUGEINT);
+    the output is one division + one multiply + a zero-digit round
+    into micro-units."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import acf_by_group
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return acf_by_group(ev, "ts", "event_type", max_lag=24)
+
+
 def _q_events_hll_sliding(sf_dir: str):
     """Trailing-7-day sliding distinct users per active day via HLL
     register max-merge (sketch.hll_sliding_distinct) — the sketch
@@ -6256,6 +6273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cohort_ltv": _q_orders_cohort_ltv,
         "docs_ipc_export": _q_docs_ipc_export,
         "events_hll_sliding": _q_events_hll_sliding,
+        "events_acf": _q_events_acf,
     }
 
 
@@ -11395,5 +11413,57 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(floor(raw + 0.5) AS BIGINT)
                END AS approx_n
         FROM est ORDER BY day_idx
+    """
+    d["events_acf"] = """
+        -- ACF replay (stats.acf_by_group): dense zero-filled hourly
+        -- grid per type, n^2-scaled mean-centered integer sums in
+        -- HUGEINT, one double division + multiply + zero-digit round
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                 count(*) AS c
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        span AS (
+          SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM h
+          GROUP BY 1
+        ),
+        grid AS (
+          SELECT event_type, unnest(generate_series(lo, hi)) AS hr
+          FROM span
+        ),
+        x AS (
+          SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c
+          FROM grid g
+          LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
+        ),
+        st AS (
+          SELECT event_type, count(*) AS n, sum(c) AS T FROM x
+          GROUP BY 1
+        ),
+        dv AS (
+          SELECT x.event_type, x.hr,
+                 CAST(st.n AS HUGEINT) * x.c - st.T AS dev
+          FROM x JOIN st USING (event_type)
+        ),
+        den AS (
+          SELECT event_type, sum(dev * dev) AS den FROM dv GROUP BY 1
+        ),
+        lags AS (SELECT l FROM generate_series(1, 24) t(l)),
+        num AS (
+          SELECT a.event_type, l.l, sum(a.dev * b.dev) AS num
+          FROM dv a
+          JOIN lags l ON true
+          JOIN dv b ON b.event_type = a.event_type
+                   AND b.hr = a.hr + l.l
+          GROUP BY 1, 2
+        )
+        SELECT n.event_type, CAST(n.l AS BIGINT) AS lag,
+               CAST(round(1e6 * (CAST(n.num AS DOUBLE)
+                    / CAST(d.den AS DOUBLE)), 0) AS BIGINT) AS acf_micro
+        FROM num n JOIN den d USING (event_type)
+        WHERE d.den > 0
+        ORDER BY 1, 2
     """
     return d

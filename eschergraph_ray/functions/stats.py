@@ -1202,3 +1202,99 @@ def theilsen_trend(events_ds, ts_col: str, type_col: str,
         .map_groups(slopes, batch_format="pyarrow")
         .sort("event_type")
     )
+
+
+def acf_by_group(events_ds, ts_col: str, type_col: str,
+                 max_lag: int = 24, max_hours: int = 100_000):
+    """Per-type autocorrelation function of the hourly count series at
+    lags 1..``max_lag`` — the seasonality fingerprint (a daily cycle
+    shows as a peak at lag 24). The series is the DENSE hourly grid
+    over each type's [min, max] hour span with zero-filled quiet hours
+    (ACF over only-active hours would silently delete the gaps that
+    make the signal).
+
+    Exact-integer parity device: with ``x_i`` the counts, ``n`` the
+    grid length and ``T = Σx``, both ``num_l = Σ (n·x_i − T)(n·x_{i+l}
+    − T)`` and ``den = Σ (n·x_i − T)²`` are exact integers (n² times
+    the usual mean-centered sums — the same quantize-then-divide trick
+    as the round-4 cosine replay), accumulated in Python arbitrary
+    precision (DuckDB HUGEINT); the output is ONE division + one
+    multiply + a zero-digit half-away round into micro-units. Types
+    with zero variance are dropped; a lag is emitted only when the
+    grid has at least one pair (n > l).
+
+    Shape: the stream collapses to (type, hour) count cells; each
+    type's reducer is time-bounded (``max_hours`` guards a degenerate
+    span). Returns ``(event_type, lag, acf_micro)`` sorted.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[type_col]),
+                       pc.is_valid(batch[ts_col]))
+        t = batch.select([type_col, ts_col]).filter(keep)
+        hr = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            HOUR_US,
+        )
+        cells = pa.table({"event_type": t[type_col], "hr": hr})
+        return (
+            cells.group_by(["event_type", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hr", "c"])
+        )
+
+    def acf(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("hr")
+        h = pc.cast(g["hr"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(g["c"], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = int(h[0]), int(h[-1])
+        n = hi - lo + 1
+        if n > max_hours:
+            raise ValueError(
+                f"acf_by_group: grid of {n} hours exceeds "
+                f"max_hours={max_hours} — bucket time coarser"
+            )
+        x = np.zeros(n, np.int64)
+        x[h - lo] = c
+        T = int(x.sum())
+        dev = [int(v) * n - T for v in x.tolist()]  # exact ints
+        den = sum(d * d for d in dev)
+        etype, lags, vals = [], [], []
+        if den > 0:
+            for l in range(1, max_lag + 1):
+                if n <= l:
+                    break
+                num = sum(a * b for a, b in zip(dev[:-l], dev[l:]))
+                raw = 1e6 * (float(num) / float(den))
+                lags.append(l)
+                vals.append(raw)
+            etype = [group["event_type"][0].as_py()] * len(lags)
+        sm = pc.cast(
+            pc.round(pa.array(vals, pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({
+            "event_type": pa.array(etype, pa.string()),
+            "lag": pa.array(lags, pa.int64()),
+            "acf_micro": sm,
+        })
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(acf, batch_format="pyarrow")
+        .sort(["event_type", "lag"])
+    )

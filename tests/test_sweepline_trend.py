@@ -269,3 +269,87 @@ def test_cohort_ltv_sf0001_oracle():
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), o, check_dtype=False
     )
+
+
+# ----------------------------------------------------------------------- ACF
+
+def test_acf_hand_case():
+    from eschergraph_ray.functions.stats import acf_by_group
+
+    # one event at hour 0, two at hour 1, three at hour 2:
+    # x=[1,2,3], dev=[-3,0,3], den=18; lag1 num=0, lag2 num=-9
+    rows = []
+    eid = 0
+    for h, n in [(0, 1), (1, 2), (2, 3)]:
+        for _ in range(n):
+            rows.append((eid, 1, "a", h * HOUR))
+            eid += 1
+    out = acf_by_group(_ev(rows), "ts", "event_type").to_pandas()
+    got = dict(zip(out["lag"], out["acf_micro"]))
+    assert got == {1: 0, 2: -500_000}
+
+
+def test_acf_zero_fills_gaps():
+    from eschergraph_ray.functions.stats import acf_by_group
+
+    # events at hours 0 and 2 only: the dense grid is [1, 0, 1]
+    rows = [(1, 1, "a", 0), (2, 1, "a", 2 * HOUR)]
+    out = acf_by_group(_ev(rows), "ts", "event_type").to_pandas()
+    got = dict(zip(out["lag"], out["acf_micro"]))
+    # dev=[1,-2,1], den=6; lag1 num=-4 -> -666667; lag2 num=1 -> 166667
+    assert got == {1: -666_667, 2: 166_667}
+
+
+def test_acf_constant_series_dropped():
+    from eschergraph_ray.functions.stats import acf_by_group
+
+    rows = [(1, 1, "a", 0), (2, 1, "a", HOUR)]  # x=[1,1]: den=0
+    out = acf_by_group(_ev(rows), "ts", "event_type").to_pandas()
+    assert len(out) == 0
+
+
+def test_acf_sf0001_oracle():
+    from eschergraph_ray.functions.stats import acf_by_group
+
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type"])
+    out = acf_by_group(ev, "ts", "event_type", max_lag=6).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    o = con.execute("""
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                 FROM h GROUP BY 1),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi)) AS hr
+                 FROM span),
+        x AS (SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c
+              FROM grid g LEFT JOIN h
+                ON h.event_type = g.event_type AND h.hr = g.hr),
+        st AS (SELECT event_type, count(*) AS n, sum(c) AS T
+               FROM x GROUP BY 1),
+        dv AS (SELECT x.event_type, x.hr,
+                      CAST(st.n AS HUGEINT) * x.c - st.T AS dev
+               FROM x JOIN st USING (event_type)),
+        den AS (SELECT event_type, sum(dev * dev) AS den
+                FROM dv GROUP BY 1),
+        lags AS (SELECT l FROM generate_series(1, 6) t(l)),
+        num AS (SELECT a.event_type, l.l, sum(a.dev * b.dev) AS num
+                FROM dv a JOIN lags l ON true
+                JOIN dv b ON b.event_type = a.event_type
+                         AND b.hr = a.hr + l.l
+                GROUP BY 1, 2)
+        SELECT n.event_type, CAST(n.l AS BIGINT) AS lag,
+               CAST(round(1e6 * (CAST(n.num AS DOUBLE)
+                    / CAST(d.den AS DOUBLE)), 0) AS BIGINT) AS acf_micro
+        FROM num n JOIN den d USING (event_type)
+        WHERE d.den > 0 ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), o, check_dtype=False
+    )
