@@ -5335,6 +5335,63 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_kg_katz(sf_dir: str):
+    """Integer Katz centrality over the built KG's level-0 edges
+    (pagerank.katz_walk_centrality, Katz 1953): Σ β^k · walk counts
+    with β=1/4, scaled by 4^iters so every score is an exact int64 —
+    the long-range-reachability complement of kg_pagerank (degree sees
+    one hop; PageRank divides influence away). Top-25 by (katz desc,
+    node)."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.pagerank import katz_walk_centrality
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    katz = katz_walk_centrality(edges, "frm_name", "to_name", iters=3)
+    return katz.sort(["katz", "node"], descending=[True, False]).limit(25)
+
+
+def _q_kg_components(sf_dir: str):
+    """Connected-component SIZE HISTOGRAM of the per-conversation
+    level-0 co-mention graphs
+    (components.partitioned_component_histogram: conversations hash
+    into buckets, one union-find per bucket — correct because edges
+    never cross conversations, so components are partition-scoped by
+    construction): how fragmented each conversation's entity graph
+    is. The oracle replays min-label propagation as a recursive CTE
+    (labels spread only while smaller than the receiving node — the
+    component min still reaches everywhere, and row growth stays
+    Σ size²)."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.components import (
+        partitioned_component_histogram,
+    )
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["conv_id", "frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    return partitioned_component_histogram(
+        edges, "frm_name", "to_name", "conv_id"
+    )
+
+
 def _q_events_acf(sf_dir: str):
     """Per-type autocorrelation of the hourly count series at lags
     1..24 (stats.acf_by_group) — the seasonality fingerprint, on the
@@ -6274,6 +6331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ipc_export": _q_docs_ipc_export,
         "events_hll_sliding": _q_events_hll_sliding,
         "events_acf": _q_events_acf,
+        "kg_katz": _q_kg_katz,
+        "kg_components": _q_kg_components,
     }
 
 
@@ -11465,5 +11524,67 @@ def oracle_sql() -> dict[str, str]:
         FROM num n JOIN den d USING (event_type)
         WHERE d.den > 0
         ORDER BY 1, 2
+    """
+    d["kg_katz"] = f"""
+        -- integer Katz replay (pagerank.katz_walk_centrality):
+        -- walk counts over the symmetrized level-0 edge multigraph,
+        -- 3 unrolled BIGINT rounds, score = 64 + 16*t1 + 4*t2 + t3
+        WITH e0 AS (
+          SELECT frm_name AS a, to_name AS b
+          FROM read_parquet('{_edges}') WHERE level = 0
+        ),
+        sym AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b AS src, a AS dst FROM e0
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM sym),
+        t1 AS (
+          SELECT s.dst AS id, CAST(count(*) AS BIGINT) AS t
+          FROM sym s GROUP BY s.dst
+        ),
+        t2 AS (
+          SELECT s.dst AS id, CAST(sum(t1.t) AS BIGINT) AS t
+          FROM sym s JOIN t1 ON t1.id = s.src GROUP BY s.dst
+        ),
+        t3 AS (
+          SELECT s.dst AS id, CAST(sum(t2.t) AS BIGINT) AS t
+          FROM sym s JOIN t2 ON t2.id = s.src GROUP BY s.dst
+        )
+        SELECT n.id AS node,
+               CAST(64 + 16 * coalesce(t1.t, 0) + 4 * coalesce(t2.t, 0)
+                    + coalesce(t3.t, 0) AS BIGINT) AS katz
+        FROM nodes n
+        LEFT JOIN t1 ON t1.id = n.id
+        LEFT JOIN t2 ON t2.id = n.id
+        LEFT JOIN t3 ON t3.id = n.id
+        ORDER BY katz DESC, node LIMIT 25
+    """
+    d["kg_components"] = f"""
+        -- per-conversation WCC replay
+        -- (components.connected_components over conv-packed ids):
+        -- recursive min-label propagation (labels spread only while
+        -- smaller than the receiver; the component min reaches every
+        -- node), then size histogram
+        WITH RECURSIVE e0 AS (
+          SELECT conv_id || chr(31) || frm_name AS a,
+                 conv_id || chr(31) || to_name AS b
+          FROM read_parquet('{_edges}') WHERE level = 0
+        ),
+        sym AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b AS src, a AS dst FROM e0
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM sym),
+        walk(id, lbl) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.id
+          WHERE w.lbl < s.dst
+        ),
+        comp AS (SELECT id, min(lbl) AS root FROM walk GROUP BY id),
+        sizes AS (SELECT root, count(*) AS sz FROM comp GROUP BY root)
+        SELECT CAST(sz AS BIGINT) AS component_size,
+               count(*) AS n_components
+        FROM sizes GROUP BY 1 ORDER BY 1
     """
     return d

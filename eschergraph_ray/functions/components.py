@@ -49,6 +49,7 @@ per-node rows, not per-component groups.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -262,3 +263,98 @@ def dedup_survivors(
         return batch.filter(pa.array(~hit))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def partitioned_component_histogram(pairs_ds, id_a: str, id_b: str,
+                                    part_col: str, n_buckets: int = 64):
+    """Connected-component SIZE HISTOGRAM of a PARTITION-SCOPED edge
+    list — ``(component_size, n_components)`` where every edge's two
+    endpoints belong to the same partition (per-conversation KG
+    subgraphs, per-tenant graphs): the caller's contract that
+    components never cross ``part_col`` is what makes this one
+    bucketed pass instead of global label-propagation rounds.
+
+    Shape: partitions hash into ``crc32(part) & (n_buckets−1)``
+    buckets (the round-5 wide-key lesson: never one micro-group per
+    partition); each bucket factorizes its (part, node) strings to
+    dense ints and runs ONE union-find over its edges — correct even
+    with many partitions per bucket, because cross-partition edges
+    don't exist to merge them — and emits (size, count) partials;
+    only those histogram-sized partials shuffle. Node ids may be any
+    string; isolated nodes (absent from the edge list) are not
+    counted, as in :func:`connected_components`.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    import zlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        part = batch[part_col]
+        a = pc.binary_join_element_wise(
+            pc.cast(part, pa.string()), pc.cast(batch[id_a], pa.string()),
+            SEP,
+        )
+        b = pc.binary_join_element_wise(
+            pc.cast(part, pa.string()), pc.cast(batch[id_b], pa.string()),
+            SEP,
+        )
+        ps = pc.cast(part, pa.string()).to_pylist()
+        uniq = {p: zlib.crc32(p.encode("utf-8")) & (n_buckets - 1)
+                for p in set(ps)}
+        bucket = pa.array([uniq[p] for p in ps], pa.int64())
+        return pa.table({"bucket": bucket, "a": a, "b": b})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        a = np.asarray(g["a"].to_pylist(), dtype=object)
+        b = np.asarray(g["b"].to_pylist(), dtype=object)
+        ids, codes = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        n = len(ids)
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ca, cb = codes[: len(a)], codes[len(a):]
+        for x, y in zip(ca.tolist(), cb.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        roots = np.fromiter((find(i) for i in range(n)), np.int64,
+                            count=n)
+        sizes = np.bincount(roots)
+        sizes = sizes[sizes > 0]
+        u, c = np.unique(sizes, return_counts=True)
+        return pa.table({
+            "component_size": pa.array(u, pa.int64()),
+            "n": pa.array(c, pa.int64()),
+        })
+
+    hist = (
+        pairs_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("component_size")
+        .aggregate(Sum("n", alias_name="n_components"))
+    )
+    return hist.map_batches(
+        lambda t: pa.table({
+            "component_size": pc.cast(t["component_size"], pa.int64()),
+            "n_components": pc.cast(t["n_components"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("component_size")

@@ -525,3 +525,239 @@ def hits_fixed_point(
             batch_format="pyarrow",
         )
     )
+
+
+def katz_walk_centrality(
+    edges_ds,
+    src_col: str,
+    dst_col: str,
+    iters: int = 3,
+    beta_denom: int = 4,
+    broadcast_nodes_below: int = 10_000_000,
+):
+    """Integer Katz centrality (Katz 1953) over the UNDIRECTED
+    multigraph of ``edges_ds`` — Σ_k β^k · (#walks of length k ending
+    at v), the centrality that credits long-range reachability where
+    degree sees one hop and PageRank divides influence away.
+
+    EXACT-RATIONAL device: with β = 1/``beta_denom`` the score scaled
+    by ``beta_denom^iters`` is a pure INTEGER:
+
+      t_0(v) = 1;  t_{k+1}(v) = Σ over incident edges (u, v) of t_k(u)
+      katz_scaled(v) = Σ_{k=0..iters} beta_denom^(iters-k) · t_k(v)
+
+    Walk counts and the geometric weights are all int64 sums — no
+    float anywhere, so DuckDB replays the unrolled recurrence verbatim
+    with BIGINT joins. A fixed small ``iters`` is the operator
+    contract (β must stay below 1/λ_max for the infinite series; a
+    truncated integer prefix sidesteps convergence entirely). Walk
+    counts grow like degree^k — overflow is checked LOUDLY per round
+    (scores must stay under 2^62).
+
+    Same two execution paths as :func:`pagerank_fixed_point`:
+    broadcast (id, t) below ``broadcast_nodes_below`` with the
+    searchsorted message pass; tagged-union groupby message passing
+    above it. Returns ``(node, katz)``.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if beta_denom < 2:
+        raise ValueError("beta_denom must be >= 2")
+
+    def sym(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        a, b = batch[src_col], batch[dst_col]
+        return pa.concat_tables(
+            [
+                pa.table({"src": a, "dst": b}),
+                pa.table({"src": b, "dst": a}),
+            ]
+        ).combine_chunks()
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("node", pa.string()), ("katz", pa.int64())]
+            ).empty_table()
+        )
+    deg = edges.groupby("src").count().materialize()
+    n_nodes = deg.count()
+    LIMIT = 1 << 62
+
+    if n_nodes <= broadcast_nodes_below:
+        pdf = deg.to_pandas()
+        ids = pdf["src"].to_numpy()
+        ids = ids[np.argsort(ids)]
+        dmax = max(int(pdf["count()"].max()), 1)
+        t = np.ones(n_nodes, np.int64)
+        acc = np.full(n_nodes, beta_denom ** iters, np.int64)
+
+        for k in range(1, iters + 1):
+            # pre-check BEFORE the wraparound: t_next <= t_max * deg_max
+            if int(t.max(initial=0)) > LIMIT // dmax:
+                raise ValueError(
+                    "katz_walk_centrality: walk counts overflow int64 "
+                    f"at round {k} — lower iters or raise beta_denom"
+                )
+            contrib_ref = ray.put((ids, t))
+
+            def msg(batch: pa.Table, _ref=contrib_ref) -> pa.Table:
+                from ..stages.chunking import pin_arrow_threads
+
+                pin_arrow_threads()
+                ids_s, tv = ray.get(_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "id": batch["dst"],
+                        "contrib": pa.array(
+                            tv[np.searchsorted(ids_s, src)], pa.int64()
+                        ),
+                    }
+                )
+
+            sums = (
+                edges.map_batches(msg, batch_format="pyarrow")
+                .groupby("id")
+                .aggregate(Sum("contrib", alias_name="s"))
+                .to_pandas()
+            )
+            t = np.zeros(n_nodes, np.int64)
+            pos = np.searchsorted(ids, sums["id"].to_numpy())
+            t[pos] = sums["s"].to_numpy(np.int64)
+            acc = acc + (beta_denom ** (iters - k)) * t
+            if int(t.max(initial=0)) >= LIMIT // beta_denom or (
+                int(acc.max(initial=0)) >= LIMIT
+            ):
+                raise ValueError(
+                    "katz_walk_centrality: walk counts overflow int64 "
+                    f"at round {k} — lower iters or raise beta_denom"
+                )
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array(ids),
+                      "katz": pa.array(acc, pa.int64())})
+        )
+
+    # ---- distributed fallback: scores stay a Dataset ----
+    scores = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "id": b["src"],
+                "t": pa.array([1] * len(b), pa.int64()),
+                "acc": pa.array([beta_denom ** iters] * len(b),
+                                pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["src"],
+                "dst": batch["dst"],
+                "t": pa.nulls(len(batch), pa.int64()),
+                "_side": pa.array([0] * len(batch), pa.int8()),
+            }
+        )
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["id"],
+                "dst": pa.nulls(len(batch), batch["id"].type),
+                "t": batch["t"],
+                "_side": pa.array([1] * len(batch), pa.int8()),
+            }
+        )
+
+    def propagate(group: pa.Table) -> pa.Table:
+        srow = group.filter(pc.equal(group["_side"], 1))
+        tv = srow["t"][0].as_py()
+        dsts = group.filter(pc.equal(group["_side"], 0))["dst"]
+        return pa.table(
+            {
+                "id": dsts.combine_chunks(),
+                "contrib": pa.array([tv] * len(dsts), pa.int64()),
+            }
+        )
+
+    dmax_row = deg.aggregate(Max("count()"))
+    dmax = max(int(dmax_row["max(count())"] or 1), 1)
+    for k in range(1, iters + 1):
+        mx_t = scores.aggregate(Max("t"))["max(t)"]
+        if mx_t is not None and int(mx_t) > LIMIT // dmax:
+            raise ValueError(
+                "katz_walk_centrality: walk counts overflow int64 at "
+                f"round {k} — lower iters or raise beta_denom"
+            )
+        sums = (
+            tagged_edges.union(
+                scores.map_batches(tag_scores, batch_format="pyarrow")
+            )
+            .groupby("key")
+            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(Sum("contrib", alias_name="s"))
+        )
+
+        def tag_sums(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": batch["id"],
+                    "s": batch["s"],
+                    "acc": pa.array([0] * len(batch), pa.int64()),
+                }
+            )
+
+        def tag_acc(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": batch["id"],
+                    "s": pa.array([0] * len(batch), pa.int64()),
+                    "acc": batch["acc"],
+                }
+            )
+
+        w = beta_denom ** (iters - k)
+        merged = (
+            sums.map_batches(tag_sums, batch_format="pyarrow")
+            .union(scores.map_batches(tag_acc, batch_format="pyarrow"))
+            .groupby("id")
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("acc", alias_name="acc"))
+        )
+        scores = merged.map_batches(
+            lambda b, _w=w: pa.table(
+                {
+                    "id": b["id"],
+                    "t": pc.cast(b["s"], pa.int64()),
+                    "acc": pc.add(
+                        pc.cast(b["acc"], pa.int64()),
+                        pc.multiply(pc.cast(b["s"], pa.int64()), _w),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        mx = scores.aggregate(Max("acc"))["max(acc)"]
+        if mx is not None and int(mx) >= LIMIT:
+            raise ValueError(
+                "katz_walk_centrality: walk counts overflow int64 at "
+                f"round {k} — lower iters or raise beta_denom"
+            )
+
+    return scores.map_batches(
+        lambda b: pa.table({"node": b["id"], "katz": b["acc"]}),
+        batch_format="pyarrow",
+    )

@@ -158,3 +158,72 @@ def test_hits_dangling_and_empty():
     got = _run_hits([("s", "t"), ("s2", "t")], iters=2)
     assert got["t"][1] == 0 and got["t"][0] == SCALE
     assert got["s"][0] == 0
+
+
+# ------------------------------------------------------------------- Katz
+
+def _katz_reference(pairs, iters=3, B=4):
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = sorted({a for a, _ in sym})
+    t = {v: 1 for v in nodes}
+    acc = {v: B ** iters for v in nodes}
+    for k in range(1, iters + 1):
+        s = {v: 0 for v in nodes}
+        for a, b in sym:
+            s[b] += t[a]
+        t = s
+        for v in nodes:
+            acc[v] += (B ** (iters - k)) * t[v]
+    return acc
+
+
+def _katz_run(pairs, **kw):
+    from eschergraph_ray.functions.pagerank import katz_walk_centrality
+
+    out = katz_walk_centrality(_edges(pairs), "a", "b", **kw)
+    return {r["node"]: r["katz"] for r in out.take_all()}
+
+
+def test_katz_hand_values_path_graph():
+    # path a-b-c: walks from each node are countable by hand
+    pairs = [("a", "b"), ("b", "c")]
+    got = _katz_run(pairs)
+    assert got == _katz_reference(pairs)
+    # ends are symmetric, middle is most central
+    assert got["a"] == got["c"]
+    assert got["b"] > got["a"]
+
+
+def test_katz_matches_reference_multigraph():
+    pairs = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "d"),
+             ("d", "a"), ("b", "d")]
+    assert _katz_run(pairs) == _katz_reference(pairs)
+
+
+def test_katz_fallback_equals_broadcast():
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    fast = _katz_run(pairs)
+    slow = _katz_run(pairs, broadcast_nodes_below=0)
+    assert fast == slow
+
+
+def test_katz_long_range_beats_degree():
+    # x and y both have degree 2, but y's neighbours are a connected
+    # clique while x hangs off two leaves: Katz ranks y above x
+    pairs = [("x", "u"), ("x", "v"),
+             ("y", "p"), ("y", "q"), ("p", "q"), ("p", "r"), ("q", "r")]
+    got = _katz_run(pairs)
+    assert got["y"] > got["x"]
+
+
+def test_katz_empty_and_overflow_guard():
+    import pytest
+
+    from eschergraph_ray.functions.pagerank import katz_walk_centrality
+
+    out = katz_walk_centrality(_edges([]), "a", "b")
+    assert out.take_all() == []
+    # a dense multigraph with huge multiplicity overflows loudly
+    pairs = [("a", "b")] * 3000
+    with pytest.raises(Exception, match="overflow"):
+        _katz_run(pairs, iters=6, beta_denom=2)

@@ -292,3 +292,36 @@ def test_rrf_fuse_semantics():
     # ordering: fused score desc, then id
     assert out["doc_id"][0] == 3
     assert out["rrf_nano"] == sorted(out["rrf_nano"], reverse=True)
+
+
+def test_partitioned_component_histogram(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.components import (
+        partitioned_component_histogram,
+    )
+
+    # conv A: path x-y-z (size 3) + pair p-q (size 2);
+    # conv B: pair x-y (size 2 — same names, DIFFERENT partition);
+    # conv C: triangle a-b-c (size 3)
+    rows = [
+        ("A", "x", "y"), ("A", "y", "z"), ("A", "p", "q"),
+        ("B", "x", "y"),
+        ("C", "a", "b"), ("C", "b", "c"), ("C", "c", "a"),
+    ]
+    t = pa.table({
+        "conv": pa.array([r[0] for r in rows], pa.string()),
+        "fa": pa.array([r[1] for r in rows], pa.string()),
+        "fb": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = partitioned_component_histogram(
+        rd.from_arrow(t), "fa", "fb", "conv"
+    ).to_pandas()
+    got = dict(zip(out["component_size"], out["n_components"]))
+    assert got == {2: 2, 3: 2}
+    # bucket count must not change the answer (many parts per bucket)
+    out2 = partitioned_component_histogram(
+        rd.from_arrow(t), "fa", "fb", "conv", n_buckets=2
+    ).to_pandas()
+    assert dict(zip(out2["component_size"], out2["n_components"])) == got
