@@ -5335,6 +5335,20 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_docs_rake_keywords(sf_dir: str):
+    """RAKE keyword extraction over the documents corpus
+    (vocab.rake_keywords, Rose et al. 2010): stopword/punct-delimited
+    candidate phrases, word score degree/freq, phrase score = Σ word
+    scores — global top-25 phrases. Vocabulary-sized (word, freq,
+    degree) combiner + guarded broadcast + one streaming phrase pass;
+    scores are int micro-units (one division + multiply + zero-digit
+    round per word)."""
+    from eschergraph_ray.functions.vocab import rake_keywords
+
+    _context()
+    return rake_keywords(_docs(sf_dir), "doc_id", "text", k=25)
+
+
 def _q_kg_katz(sf_dir: str):
     """Integer Katz centrality over the built KG's level-0 edges
     (pagerank.katz_walk_centrality, Katz 1953): Σ β^k · walk counts
@@ -6333,6 +6347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_acf": _q_events_acf,
         "kg_katz": _q_kg_katz,
         "kg_components": _q_kg_components,
+        "docs_rake_keywords": _q_docs_rake_keywords,
     }
 
 
@@ -11586,5 +11601,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(sz AS BIGINT) AS component_size,
                count(*) AS n_components
         FROM sizes GROUP BY 1 ORDER BY 1
+    """
+    d["docs_rake_keywords"] = """
+        -- RAKE replay (vocab.rake_keywords): house-grammar tokens,
+        -- stopword/non-alpha breakers, running-sum phrase ids, word
+        -- score = round(1e6 * degree/freq), phrase score = sum
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                   '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS tok,
+                 generate_subscripts(regexp_extract_all(lower(text),
+                   '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]'), 1) AS pos
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN NOT regexp_full_match(tok,
+                           '[a-z]+(''[a-z]+)?')
+                           OR tok IN ('a', 'an', 'and', 'are', 'as', 'at', 'be', 'but', 'by', 'for', 'from', 'had', 'has', 'have', 'he', 'her', 'his', 'i', 'in', 'is', 'it', 'its', 'my', 'not', 'of', 'on', 'or', 'our', 'she', 'that', 'the', 'their', 'they', 'this', 'to', 'was', 'we', 'were', 'will', 'with', 'you', 'your')
+                      THEN 1 ELSE 0 END AS brk
+          FROM toks
+        ),
+        seg AS (
+          SELECT doc_id, pos, tok, brk,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS pid
+          FROM f
+        ),
+        pw AS (SELECT doc_id, pid, pos, tok FROM seg WHERE brk = 0),
+        plen AS (SELECT doc_id, pid, count(*) AS L FROM pw
+                 GROUP BY 1, 2),
+        wstat AS (
+          SELECT tok, count(*) AS freq,
+                 CAST(sum(L) AS BIGINT) AS degree
+          FROM pw JOIN plen USING (doc_id, pid) GROUP BY tok
+        ),
+        wscore AS (
+          SELECT tok, CAST(round(1e6 * (degree / freq), 0)
+                      AS BIGINT) AS ws
+          FROM wstat
+        ),
+        ph AS (
+          SELECT pw.doc_id, pw.pid,
+                 string_agg(pw.tok, ' ' ORDER BY pw.pos) AS phrase,
+                 CAST(sum(w.ws) AS BIGINT) AS score_micro
+          FROM pw JOIN wscore w ON w.tok = pw.tok
+          GROUP BY 1, 2
+        )
+        SELECT phrase, count(*) AS n_occurrences,
+               CAST(max(score_micro) AS BIGINT) AS score_micro
+        FROM ph GROUP BY phrase
+        ORDER BY score_micro DESC, phrase LIMIT 25
     """
     return d

@@ -1079,3 +1079,161 @@ def phrase_search(ds, id_col: str, text_col: str, phrase: str):
         })
 
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+import re as _re
+
+_ALPHA_RE = _re.compile(r"[a-z]+(?:'[a-z]+)?")
+
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "had", "has", "have", "he", "her", "his", "i", "in", "is",
+    "it", "its", "my", "not", "of", "on", "or", "our", "she",
+    "that", "the", "their", "they", "this", "to", "was", "we", "were",
+    "will", "with", "you", "your",
+)
+
+
+def rake_keywords(ds, id_col: str, text_col: str, k: int = 25,
+                  max_vocab_broadcast: int = 5_000_000):
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus —
+    candidate phrases are maximal runs of content tokens (a token
+    BREAKS a phrase when it is not purely alphabetic under the house
+    grammar, or is in :data:`RAKE_STOPWORDS`); each word scores
+    ``degree / freq`` (degree = Σ length of phrases containing it,
+    freq = occurrence count — co-occurrence-rich words win), a phrase
+    scores the sum of its words' scores. Returns the global top-``k``
+    phrases ``(phrase, n_occurrences, score_micro)`` by (score desc,
+    phrase asc).
+
+    Shape: pass 1 reduces the corpus to (word, freq, degree) partials
+    (vocabulary-sized combiner — token instances never shuffle); the
+    per-word micro-scores — ONE int/int→double division, one multiply,
+    one zero-digit half-away round each, bit-identical in DuckDB — are
+    broadcast under the same loud ``max_vocab_broadcast`` guard as
+    :func:`unigram_nll`; pass 2 re-tokenizes each document streaming
+    and emits per-batch (phrase, n, score) cells, so the only other
+    shuffle is phrase-cardinality.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from .text import _TOKEN_RE
+
+    stop = frozenset(RAKE_STOPWORDS)
+    word_re = _ALPHA_RE
+
+    def _phrases(txt: str):
+        toks = _TOKEN_RE.findall((txt or "").lower())
+        cur: list[str] = []
+        for t in toks:
+            if t in stop or not word_re.fullmatch(t):
+                if cur:
+                    yield cur
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            yield cur
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        freq: "Counter[str]" = Counter()
+        deg: "Counter[str]" = Counter()
+        for txt in batch[text_col].to_pylist():
+            for ph in _phrases(txt):
+                L = len(ph)
+                for w in ph:
+                    freq[w] += 1
+                    deg[w] += L
+        words = list(freq.keys())
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "freq": pa.array([freq[w] for w in words], pa.int64()),
+            "degree": pa.array([deg[w] for w in words], pa.int64()),
+        })
+
+    wstat = (
+        ds.map_batches(pass1, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("freq", alias_name="freq"),
+                   Sum("degree", alias_name="degree"))
+        .materialize()
+    )
+    n_vocab = wstat.count()
+    empty = pa.table({
+        "phrase": pa.array([], pa.string()),
+        "n_occurrences": pa.array([], pa.int64()),
+        "score_micro": pa.array([], pa.int64()),
+    })
+    if n_vocab == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"rake_keywords: vocabulary {n_vocab} exceeds "
+            f"max_vocab_broadcast={max_vocab_broadcast} — prune the "
+            "corpus or raise the guard (the word-score table must "
+            "broadcast)"
+        )
+    wp = wstat.to_pandas()
+    words = wp["word"].to_numpy()
+    order = np.argsort(words)
+    words = words[order]
+    fr = wp["freq"].to_numpy(np.int64)[order].astype(np.float64)
+    dg = wp["degree"].to_numpy(np.int64)[order].astype(np.float64)
+    ws = pc.cast(
+        pc.round(pa.array(1e6 * (dg / fr), pa.float64()), ndigits=0,
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    model_ref = ray.put((words, ws))
+
+    def pass2(batch: pa.Table, _ref=model_ref) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        wv, sv = ray.get(_ref)
+        n: "Counter[str]" = Counter()
+        sc: dict[str, int] = {}
+        for txt in batch[text_col].to_pylist():
+            for ph in _phrases(txt):
+                key = " ".join(ph)
+                n[key] += 1
+                if key not in sc:
+                    idx = np.searchsorted(wv, np.asarray(ph, dtype=object))
+                    sc[key] = int(sv[idx].sum())
+        keys = list(n.keys())
+        return pa.table({
+            "phrase": pa.array(keys, pa.string()),
+            "n": pa.array([n[p] for p in keys], pa.int64()),
+            "score_micro": pa.array([sc[p] for p in keys], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(pass2, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(Sum("n", alias_name="n_occurrences"),
+                   Max("score_micro", alias_name="score_micro"))
+    )
+    return (
+        agg.map_batches(
+            lambda b: pa.table({
+                "phrase": b["phrase"],
+                "n_occurrences": pc.cast(b["n_occurrences"], pa.int64()),
+                "score_micro": pc.cast(b["score_micro"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort(["score_micro", "phrase"], descending=[True, False])
+        .limit(k)
+    )

@@ -614,3 +614,62 @@ def test_phrase_search_overlapping():
     out = phrase_search(docs, "doc_id", "text", "a a").to_pandas()
     # sliding-window semantics: positions 0-1 and 1-2 both count
     assert list(out.n_occurrences) == [2]
+
+
+def test_rake_keywords_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import rake_keywords
+
+    # "deep learning" appears twice as a phrase; "of", ".", and the
+    # digit break phrases; "systems" rides alone once.
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["d1", "d2"], pa.string()),
+        "text": pa.array([
+            "Deep learning of deep learning.",
+            "Learning systems 42",
+        ], pa.string()),
+    }))
+    out = rake_keywords(docs, "doc_id", "text", k=10).to_pandas()
+    rows = {r.phrase: (r.n_occurrences, r.score_micro)
+            for r in out.itertuples()}
+    # word stats: deep freq=2 deg=4 (two len-2 phrases) -> 2.0
+    #             learning freq=3 deg=5 (2+2+1... d2 "learning
+    #             systems" is len 2, so deg=2+2+2=6) -> 2.0
+    # recompute: phrases: [deep learning] x2, [learning systems],
+    # [systems]? no — "Learning systems" is one phrase len 2, "42"
+    # breaks. deep: freq 2, deg 4 -> 2.0; learning: freq 3, deg 6
+    # -> 2.0; systems: freq 1, deg 2 -> 2.0
+    assert rows["deep learning"] == (2, 4_000_000)
+    assert rows["learning systems"] == (1, 4_000_000)
+    assert "of" not in rows and "42" not in rows
+
+
+def test_rake_keywords_vocab_guard(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import rake_keywords
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["d"], pa.string()),
+        "text": pa.array(["alpha beta gamma"], pa.string()),
+    }))
+    with pytest.raises(ValueError, match="max_vocab_broadcast"):
+        rake_keywords(docs, "doc_id", "text", max_vocab_broadcast=1)
+
+
+def test_rake_keywords_sf0001_smoke(ray_session):
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import rake_keywords
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = rake_keywords(docs, "doc_id", "text", k=5).to_pandas()
+    assert len(out) == 5
+    # descending score, deterministic tiebreak
+    s = out["score_micro"].tolist()
+    assert s == sorted(s, reverse=True)
