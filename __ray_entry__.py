@@ -5335,6 +5335,43 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_markov_stationary(sf_dir: str):
+    """Iterated event-type Markov distribution
+    (windows.markov_stationary): where user journeys concentrate
+    after 3 hops — integer fixed point (per-edge floor division, the
+    pagerank device) over the per-user transition counts; the
+    |types|² model iterates in Python bigints, data-sized work is the
+    transition-count combiner only."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import markov_stationary
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return markov_stationary(ev, "user_id", "ts", "event_id",
+                             "event_type", iters=3)
+
+
+def _q_events_zorder(sf_dir: str):
+    """Z-order (Morton) clustering key over (hour, value-cents)
+    (features.zorder_key) — the multi-dimensional layout key that
+    makes 2-D range scans touch few files at 100 TB: bit interleave
+    of exact ints, distributive per-batch top-32, byte-replayable as
+    unrolled shift/mask terms in SQL."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import zorder_key
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+    return zorder_key(ev, "ts", "value", "event_id", k=32)
+
+
 def _q_docs_rake_keywords(sf_dir: str):
     """RAKE keyword extraction over the documents corpus
     (vocab.rake_keywords, Rose et al. 2010): stopword/punct-delimited
@@ -6348,6 +6385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_katz": _q_kg_katz,
         "kg_components": _q_kg_components,
         "docs_rake_keywords": _q_docs_rake_keywords,
+        "events_markov_stationary": _q_events_markov_stationary,
+        "events_zorder": _q_events_zorder,
     }
 
 
@@ -11652,5 +11691,120 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(score_micro) AS BIGINT) AS score_micro
         FROM ph GROUP BY phrase
         ORDER BY score_micro DESC, phrase LIMIT 25
+    """
+    d["events_markov_stationary"] = """
+        -- Markov fixed-point replay (windows.markov_stationary):
+        -- per-user lead() transitions, 3 unrolled integer rounds
+        -- with per-edge floor division
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND ts IS NOT NULL
+        ),
+        o AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+          FROM e
+        ),
+        c AS (
+          SELECT src, dst, count(*) AS n FROM o
+          WHERE dst IS NOT NULL GROUP BY 1, 2
+        ),
+        r AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c
+              GROUP BY 1),
+        types AS (SELECT DISTINCT event_type AS t FROM e),
+        p0 AS (SELECT t AS id, CAST(1000000 AS BIGINT) AS p FROM types),
+        p1 AS (
+          SELECT ty.t AS id, CAST(coalesce(s.v, 0) AS BIGINT) AS p
+          FROM types ty LEFT JOIN (
+            SELECT c.dst AS id,
+                   CAST(sum((CAST(p0.p AS HUGEINT) * c.n) // r.tot)
+                        AS BIGINT) AS v
+            FROM c
+            JOIN p0 ON p0.id = c.src
+            JOIN r ON r.src = c.src
+            GROUP BY c.dst
+          ) s ON s.id = ty.t
+        ),
+        p2 AS (
+          SELECT ty.t AS id, CAST(coalesce(s.v, 0) AS BIGINT) AS p
+          FROM types ty LEFT JOIN (
+            SELECT c.dst AS id,
+                   CAST(sum((CAST(p1.p AS HUGEINT) * c.n) // r.tot)
+                        AS BIGINT) AS v
+            FROM c
+            JOIN p1 ON p1.id = c.src
+            JOIN r ON r.src = c.src
+            GROUP BY c.dst
+          ) s ON s.id = ty.t
+        ),
+        p3 AS (
+          SELECT ty.t AS id, CAST(coalesce(s.v, 0) AS BIGINT) AS p
+          FROM types ty LEFT JOIN (
+            SELECT c.dst AS id,
+                   CAST(sum((CAST(p2.p AS HUGEINT) * c.n) // r.tot)
+                        AS BIGINT) AS v
+            FROM c
+            JOIN p2 ON p2.id = c.src
+            JOIN r ON r.src = c.src
+            GROUP BY c.dst
+          ) s ON s.id = ty.t
+        )
+        SELECT id AS event_type, p AS p_micro FROM p3 ORDER BY 1
+    """
+    d["events_zorder"] = """
+        -- Morton key replay (features.zorder_key): unrolled bit
+        -- interleave of (hour & 0xffff) and (cents & 0xffff)
+        WITH b AS (
+          SELECT CAST(event_id AS BIGINT) AS event_id,
+                 epoch_us(ts) // 3600000000 AS hr0,
+                 CAST(round(value * 100, 0) AS BIGINT) AS vc0
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        m AS (
+          SELECT event_id, hr0 AS hr_full, vc0 AS vc_full,
+                 hr0 & 65535 AS hr, vc0 & 65535 AS vc
+          FROM b
+        ),
+        z AS (
+          SELECT event_id, hr_full AS hr, vc_full AS v_cents,
+                 (((hr >> 0) & 1) << 0)
+                 + (((vc >> 0) & 1) << 1)
+                 + (((hr >> 1) & 1) << 2)
+                 + (((vc >> 1) & 1) << 3)
+                 + (((hr >> 2) & 1) << 4)
+                 + (((vc >> 2) & 1) << 5)
+                 + (((hr >> 3) & 1) << 6)
+                 + (((vc >> 3) & 1) << 7)
+                 + (((hr >> 4) & 1) << 8)
+                 + (((vc >> 4) & 1) << 9)
+                 + (((hr >> 5) & 1) << 10)
+                 + (((vc >> 5) & 1) << 11)
+                 + (((hr >> 6) & 1) << 12)
+                 + (((vc >> 6) & 1) << 13)
+                 + (((hr >> 7) & 1) << 14)
+                 + (((vc >> 7) & 1) << 15)
+                 + (((hr >> 8) & 1) << 16)
+                 + (((vc >> 8) & 1) << 17)
+                 + (((hr >> 9) & 1) << 18)
+                 + (((vc >> 9) & 1) << 19)
+                 + (((hr >> 10) & 1) << 20)
+                 + (((vc >> 10) & 1) << 21)
+                 + (((hr >> 11) & 1) << 22)
+                 + (((vc >> 11) & 1) << 23)
+                 + (((hr >> 12) & 1) << 24)
+                 + (((vc >> 12) & 1) << 25)
+                 + (((hr >> 13) & 1) << 26)
+                 + (((vc >> 13) & 1) << 27)
+                 + (((hr >> 14) & 1) << 28)
+                 + (((vc >> 14) & 1) << 29)
+                 + (((hr >> 15) & 1) << 30)
+                 + (((vc >> 15) & 1) << 31) AS morton
+          FROM m
+        )
+        SELECT event_id, hr, v_cents, CAST(morton AS BIGINT) AS morton
+        FROM z ORDER BY morton, event_id LIMIT 32
     """
     return d

@@ -490,3 +490,74 @@ def knn_label_agreement(knn_ds, labels_ds, id_col: str, nbr_col: str,
         )
         .sort("label")
     )
+
+
+def zorder_key(events_ds, ts_col: str, val_col: str, id_col: str,
+               k: int = 32, bits: int = 16):
+    """Z-order (Morton) clustering key over (hour, value-cents) — the
+    multi-dimensional SORT KEY a 100 TB table is physically laid out
+    by so range scans on EITHER dimension touch few files (the
+    Delta/Iceberg OPTIMIZE ZORDER primitive). Interleaves the low
+    ``bits`` bits of the hour index (even positions) and of the
+    cent-quantized value (odd positions); returns the ``k`` smallest
+    ``(event_id, hr, v_cents, morton)`` rows by (morton, id) — the
+    head of the layout order, byte-replayable because the interleave
+    is pure bit arithmetic on exact ints.
+
+    Shape: the key is computed vectorized per batch and each batch
+    keeps only its own k smallest candidates (distributive top-k), so
+    the final exact sort sees at most k × #batches rows.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    HOUR_US = 3_600_000_000
+    mask = (1 << bits) - 1
+
+    def _interleave(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """a in even bit positions, b in odd — unrolled shifts, the
+        same expression the SQL oracle writes term by term."""
+        out = np.zeros(len(a), np.int64)
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    def key(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[ts_col]),
+                       pc.is_valid(batch[val_col]))
+        t = batch.filter(keep)
+        hr = np.asarray(
+            pc.divide(
+                pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                        pa.int64()),
+                HOUR_US,
+            )
+        )
+        vc = np.asarray(
+            pc.cast(
+                pc.round(
+                    pc.multiply(pc.cast(t[val_col], pa.float64()), 100.0),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        )
+        m = _interleave(hr & mask, vc & mask)
+        out = pa.table({
+            "event_id": pc.cast(t[id_col], pa.int64()),
+            "hr": pa.array(hr, pa.int64()),
+            "v_cents": pa.array(vc, pa.int64()),
+            "morton": pa.array(m, pa.int64()),
+        })
+        idx = pc.sort_indices(out, sort_keys=[("morton", "ascending"),
+                                              ("event_id", "ascending")])
+        return out.take(idx[:k])
+
+    return (
+        events_ds.map_batches(key, batch_format="pyarrow")
+        .sort(["morton", "event_id"])
+        .limit(k)
+    )

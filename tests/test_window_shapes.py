@@ -536,3 +536,74 @@ def test_latest_per_key_oracle_sf0001():
         FROM r WHERE rn = 1
     """).df()
     _cmp(got, want)
+
+
+def test_markov_stationary_hand_case(ray_session):
+    from eschergraph_ray.functions.windows import markov_stationary
+
+    # user 1: a->b, b->a, a->b  (c: a->b 2, b->a 1); user 2: b->b
+    # r: a=2, b=2
+    HOUR = 3_600_000_000
+    ev = _ev([
+        (1, 1, "a", 0, 0.0),
+        (2, 1, "b", 1 * HOUR, 0.0),
+        (3, 1, "a", 2 * HOUR, 0.0),
+        (4, 1, "b", 3 * HOUR, 0.0),
+        (5, 2, "b", 0, 0.0),
+        (6, 2, "b", 1 * HOUR, 0.0),
+    ])
+    out = markov_stationary(ev, "user_id", "ts", "event_id",
+                            "event_type", iters=1)
+    got = dict(zip(out["event_type"], out["p_micro"]))
+    # p1(a) = (1e6 * 1) // 2 = 500000 (from b)
+    # p1(b) = (1e6 * 2) // 2 + (1e6 * 1) // 2 = 1500000
+    assert got == {"a": 500_000, "b": 1_500_000}
+
+
+def test_markov_stationary_sink_type(ray_session):
+    from eschergraph_ray.functions.windows import markov_stationary
+
+    # c only ever receives: it accumulates, a's mass drains
+    ev = _ev([
+        (1, 1, "a", 0, 0.0),
+        (2, 1, "c", 3_600_000_000, 0.0),
+    ])
+    out = markov_stationary(ev, "user_id", "ts", "event_id",
+                            "event_type", iters=2)
+    got = dict(zip(out["event_type"], out["p_micro"]))
+    # round 1: a->c moves 1e6; c has no outgoing row -> round 2 all 0
+    assert got == {"a": 0, "c": 0}
+    out1 = markov_stationary(ev, "user_id", "ts", "event_id",
+                             "event_type", iters=1)
+    got1 = dict(zip(out1["event_type"], out1["p_micro"]))
+    assert got1 == {"a": 0, "c": 1_000_000}
+
+
+def test_zorder_interleave_hand_values(ray_session):
+    from eschergraph_ray.functions.features import zorder_key
+
+    # hr=1 (bit0 even pos -> 1), cents=1 (bit0 odd pos -> 2):
+    # morton(1,1) = 3; morton(0,1)=2; morton(1,0)=1; morton(0,0)=0
+    HOUR = 3_600_000_000
+    ev = _ev([
+        (1, 1, "t", 0, 0.00),
+        (2, 1, "t", HOUR, 0.00),
+        (3, 1, "t", 0, 0.01),
+        (4, 1, "t", HOUR, 0.01),
+    ])
+    out = zorder_key(ev, "ts", "value", "event_id", k=4).to_pandas()
+    got = dict(zip(out["event_id"], out["morton"]))
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # layout order is morton, not (hr, v) or (v, hr)
+    assert list(out["event_id"]) == [1, 2, 3, 4]
+
+
+def test_zorder_negative_values_and_k(ray_session):
+    from eschergraph_ray.functions.features import zorder_key
+
+    ev = _ev([(i, 1, "t", 0, float(i) - 2.0) for i in range(5)])
+    out = zorder_key(ev, "ts", "value", "event_id", k=3).to_pandas()
+    assert len(out) == 3
+    # negative cents mask to HIGH low-16 bit patterns (two's
+    # complement), so non-negative values sort first
+    assert (out["v_cents"] >= 0).all()
