@@ -5335,6 +5335,38 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_fano(sf_dir: str):
+    """Per-type burstiness — Fano factor (variance/mean) of the dense
+    zero-filled hourly count grid (stats.fano_by_group): F≈1 Poisson,
+    F≫1 bursty. Exact ints end to end ((n·Σx²−T²)/(n·T), one double
+    division + zero-digit round into micro-units)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import fano_by_group
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return fano_by_group(ev, "ts", "event_type")
+
+
+def _q_orders_abc(sf_dir: str):
+    """ABC/Pareto customer triage (relational.abc_classes): A within
+    80% of cumulative DESC-spend, B within 95%, else C — integer
+    cross-multiplied class rule (no division), one reporting divide
+    per class; the per-key cents aggregate is the only data-sized
+    exchange."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.relational import abc_classes
+
+    _context()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return abc_classes(orders, "o_custkey", "o_totalprice")
+
+
 def _q_events_markov_stationary(sf_dir: str):
     """Iterated event-type Markov distribution
     (windows.markov_stationary): where user journeys concentrate
@@ -6387,6 +6419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rake_keywords": _q_docs_rake_keywords,
         "events_markov_stationary": _q_events_markov_stationary,
         "events_zorder": _q_events_zorder,
+        "events_fano": _q_events_fano,
+        "orders_abc": _q_orders_abc,
     }
 
 
@@ -11806,5 +11840,67 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, hr, v_cents, CAST(morton AS BIGINT) AS morton
         FROM z ORDER BY morton, event_id LIMIT 32
+    """
+    d["events_fano"] = """
+        -- Fano replay (stats.fano_by_group): dense hourly grid,
+        -- exact HUGEINT moments, one double divide + zero-digit round
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                 count(*) AS c
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        span AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                 FROM h GROUP BY 1),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi)) AS hr
+                 FROM span),
+        x AS (SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c
+              FROM grid g LEFT JOIN h
+                ON h.event_type = g.event_type AND h.hr = g.hr),
+        st AS (
+          SELECT event_type, count(*) AS n,
+                 sum(CAST(c AS HUGEINT)) AS T,
+                 sum(CAST(c AS HUGEINT) * c) AS S2
+          FROM x GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+               CAST(round(1e6 * (CAST(n * S2 - T * T AS DOUBLE)
+                    / CAST(n * T AS DOUBLE)), 0) AS BIGINT)
+                 AS fano_micro
+        FROM st ORDER BY event_type
+    """
+    d["orders_abc"] = """
+        -- ABC replay (relational.abc_classes): per-customer cents,
+        -- DESC cumulative, integer cross-multiplied class rule
+        WITH s AS (
+          SELECT o_custkey AS k,
+                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1
+        ),
+        r AS (
+          SELECT k, cents,
+                 sum(cents) OVER (ORDER BY cents DESC, k
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cents) OVER () AS total
+          FROM s
+        ),
+        cl AS (
+          SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                      WHEN cum * 100 <= total * 95 THEN 'B'
+                      ELSE 'C' END AS abc_class,
+                 cents, total
+          FROM r
+        )
+        SELECT abc_class, count(*) AS n_keys,
+               CAST(sum(cents) AS BIGINT) AS cents,
+               CAST(round(CAST(sum(cents) * 1000000 AS DOUBLE)
+                    / CAST(any_value(total) AS DOUBLE), 0) AS BIGINT)
+                 AS share_micro
+        FROM cl GROUP BY abc_class ORDER BY abc_class
     """
     return d

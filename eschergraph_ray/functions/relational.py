@@ -1350,3 +1350,104 @@ def cohort_ltv(orders_ds, cust_col: str, date_col: str, price_col: str,
     return agg.map_batches(finish, batch_format="pyarrow").sort(
         ["cohort_month", "age_months"]
     )
+
+
+def abc_classes(orders_ds, key_col: str, price_col: str,
+                a_pct: int = 80, b_pct: int = 95):
+    """ABC (Pareto) classification of keys by cumulative revenue
+    share — A while the running DESC-spend cumulative stays within
+    ``a_pct``% of total, B within ``b_pct``%, else C: the inventory /
+    curation triage the decile view (:func:`pareto_deciles`) doesn't
+    directly give. Returns ``(abc_class, n_keys, cents,
+    share_micro)`` sorted by class.
+
+    Same dataflow as pareto_deciles: the per-key cents aggregate is
+    the only data-sized exchange; the classification sweep runs once
+    over the key-cardinality table. Parity: the class rule is pure
+    integer cross-multiplication (``cum·100 ≤ total·pct`` — no
+    division), per-class share is ONE double divide + zero-digit
+    round over exact Python-int products (no int64 overflow at any
+    scale).
+    """
+    if not 0 < a_pct < b_pct < 100:
+        raise ValueError("need 0 < a_pct < b_pct < 100")
+    from ray.data.aggregate import Sum
+
+    out_schema = pa.schema([
+        ("abc_class", pa.string()),
+        ("n_keys", pa.int64()),
+        ("cents", pa.int64()),
+        ("share_micro", pa.int64()),
+    ])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = batch.filter(
+            pc.and_(pc.is_valid(batch[key_col]),
+                    pc.is_valid(batch[price_col]))
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[price_col], pa.float64()), 100.0),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({key_col: t[key_col], "cents": cents})
+
+    agg = (
+        orders_ds.map_batches(quantize, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("cents", alias_name="cents"))
+        .materialize()
+    )
+    if agg.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        key = pc.cast(batch[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = pc.cast(batch["cents"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((key, -v))
+        v = v[order]
+        cum = np.cumsum(v, dtype=np.int64)
+        total = int(cum[-1])
+        cls = np.where(
+            cum * 100 <= total * a_pct, 0,
+            np.where(cum * 100 <= total * b_pct, 1, 2),
+        )
+        rows = []
+        for ci, name in enumerate(("A", "B", "C")):
+            m = cls == ci
+            if not m.any():
+                continue
+            c_sum = int(v[m].sum())
+            share = pc.cast(
+                pc.round(
+                    pa.array([float(c_sum * 1_000_000) / float(total)],
+                             pa.float64()),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )[0].as_py()
+            rows.append((name, int(m.sum()), c_sum, share))
+        return pa.table({
+            "abc_class": pa.array([r[0] for r in rows], pa.string()),
+            "n_keys": pa.array([r[1] for r in rows], pa.int64()),
+            "cents": pa.array([r[2] for r in rows], pa.int64()),
+            "share_micro": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    return (
+        agg.repartition(1)
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+        .sort("abc_class")
+    )

@@ -1298,3 +1298,82 @@ def acf_by_group(events_ds, ts_col: str, type_col: str,
         .map_groups(acf, batch_format="pyarrow")
         .sort(["event_type", "lag"])
     )
+
+
+def fano_by_group(events_ds, ts_col: str, type_col: str,
+                  max_hours: int = 100_000):
+    """Per-type burstiness: the Fano factor (variance-to-mean ratio)
+    of the hourly count series over the dense zero-filled grid —
+    F ≈ 1 is Poisson-like arrival, F ≫ 1 is bursty, F < 1 is
+    regular/throttled. The dispersion complement of
+    :func:`acf_by_group` (same grid, same cells, one number per
+    type).
+
+    Exact-int parity: ``F = (n·Σx² − T²) / (n·T)`` — numerator and
+    denominator are exact integers (Python bigint == HUGEINT), the
+    output ONE double division then a zero-digit half-away round into
+    micro-units. Types with T = 0 can't occur (a type exists because
+    it has events). Returns ``(event_type, n_hours, fano_micro)``
+    sorted.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[type_col]),
+                       pc.is_valid(batch[ts_col]))
+        t = batch.select([type_col, ts_col]).filter(keep)
+        hr = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            HOUR_US,
+        )
+        cells = pa.table({"event_type": t[type_col], "hr": hr})
+        return (
+            cells.group_by(["event_type", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hr", "c"])
+        )
+
+    def fano(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("hr")
+        h = pc.cast(g["hr"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(g["c"], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = int(h[0]), int(h[-1])
+        n = hi - lo + 1
+        if n > max_hours:
+            raise ValueError(
+                f"fano_by_group: grid of {n} hours exceeds "
+                f"max_hours={max_hours} — bucket time coarser"
+            )
+        T = sum(int(v) for v in c.tolist())
+        S2 = sum(int(v) * int(v) for v in c.tolist())
+        num = n * S2 - T * T
+        den = n * T
+        raw = 1e6 * (float(num) / float(den))
+        fm = pc.cast(
+            pc.round(pa.array([raw], pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({
+            "event_type": group["event_type"][:1],
+            "n_hours": pa.array([n], pa.int64()),
+            "fano_micro": fm,
+        })
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(fano, batch_format="pyarrow")
+        .sort("event_type")
+    )

@@ -353,3 +353,58 @@ def test_acf_sf0001_oracle():
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), o, check_dtype=False
     )
+
+
+# ---------------------------------------------------------------- Fano / ABC
+
+def test_fano_hand_case():
+    from eschergraph_ray.functions.stats import fano_by_group
+
+    # x=[4,0,2] (gap zero-filled): T=6, S2=20, n=3
+    # F = (3*20 - 36) / (3*6) = 24/18 = 1.333333...
+    rows = [(i, 1, "a", 0) for i in range(4)] + [
+        (10, 1, "a", 2 * HOUR), (11, 1, "a", 2 * HOUR)]
+    out = fano_by_group(_ev(rows), "ts", "event_type").to_pandas()
+    assert out.loc[0, "n_hours"] == 3
+    assert out.loc[0, "fano_micro"] == 1_333_333
+
+
+def test_fano_constant_regular_series():
+    from eschergraph_ray.functions.stats import fano_by_group
+
+    # one event per hour for 4 hours: variance 0 -> F = 0
+    rows = [(i, 1, "a", i * HOUR) for i in range(4)]
+    out = fano_by_group(_ev(rows), "ts", "event_type").to_pandas()
+    assert out.loc[0, "fano_micro"] == 0
+
+
+def test_abc_hand_case():
+    from eschergraph_ray.functions.relational import abc_classes
+
+    # spends: 80, 15, 3, 2 (total 100): cum 80 (A), 95 (B), 98, 100 (C)
+    orders = _orders([
+        (1, "2024-01-01", 0.80),
+        (2, "2024-01-01", 0.15),
+        (3, "2024-01-01", 0.03),
+        (4, "2024-01-01", 0.02),
+    ])
+    out = abc_classes(orders, "o_custkey", "o_totalprice").to_pandas()
+    rows = {r.abc_class: (r.n_keys, r.cents, r.share_micro)
+            for r in out.itertuples()}
+    assert rows["A"] == (1, 80, 800_000)
+    assert rows["B"] == (1, 15, 150_000)
+    assert rows["C"] == (2, 5, 50_000)
+
+
+def test_abc_boundary_is_inclusive():
+    from eschergraph_ray.functions.relational import abc_classes
+
+    # two equal spenders: first cum = 50 <= 80 -> A; second cum = 100
+    # -> C (not B: 100 > 95). Tie broken by key asc.
+    orders = _orders([
+        (2, "2024-01-01", 0.50),
+        (1, "2024-01-01", 0.50),
+    ])
+    out = abc_classes(orders, "o_custkey", "o_totalprice").to_pandas()
+    rows = {r.abc_class: r.n_keys for r in out.itertuples()}
+    assert rows == {"A": 1, "C": 1}
