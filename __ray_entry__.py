@@ -5335,6 +5335,65 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_hourly_mv(sf_dir: str):
+    """Incremental materialized-view maintenance
+    (functions/incremental_agg.py): the hourly profile refreshed by
+    MERGING a persisted base aggregate (event_id&7 < 6, built once,
+    atomic tmp→rename) with the delta shard's aggregate — the base
+    data is never rescanned; count/cents are distributive so the
+    merge is exact. The oracle is the FULL recompute, so a green row
+    proves incremental == from-scratch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.incremental_agg import (
+        hourly_state,
+        merge_with_state,
+        persist_state,
+    )
+
+    _context()
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    state = f"/tmp/eschergraph_ray/mv-hourly-v1-{sftag}.parquet"
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+
+    def split(keep_base: bool):
+        def f(b):
+            m = pc.less(pc.bit_wise_and(pc.cast(b["event_id"], pa.int64()),
+                                        7), 6)
+            if not keep_base:
+                m = pc.invert(m)
+            return b.filter(m).drop_columns(["event_id"])
+        return f
+
+    if not os.path.exists(state):
+        base = ev.map_batches(split(True), batch_format="pyarrow")
+        persist_state(hourly_state(base, "event_type", "ts", "value"),
+                      state)
+    delta = ev.map_batches(split(False), batch_format="pyarrow")
+    return merge_with_state(state, delta, "event_type", "ts", "value")
+
+
+def _q_docs_ttr(sf_dir: str):
+    """Lexical diversity per source (vocab.type_token_ratio):
+    distinct-token / total-token ratio under the house grammar — the
+    vocabulary-richness curation gate. Exact NDV via batch-shrunk
+    (source, token) cells; one division + zero-digit round into
+    micro-units."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import type_token_ratio
+
+    _context()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    return type_token_ratio(docs, "source", "text")
+
+
 def _q_events_fano(sf_dir: str):
     """Per-type burstiness — Fano factor (variance/mean) of the dense
     zero-filled hourly count grid (stats.fano_by_group): F≈1 Poisson,
@@ -6421,6 +6480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder": _q_events_zorder,
         "events_fano": _q_events_fano,
         "orders_abc": _q_orders_abc,
+        "events_hourly_mv": _q_events_hourly_mv,
+        "docs_ttr": _q_docs_ttr,
     }
 
 
@@ -11902,5 +11963,36 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(any_value(total) AS DOUBLE), 0) AS BIGINT)
                  AS share_micro
         FROM cl GROUP BY abc_class ORDER BY abc_class
+    """
+    d["events_hourly_mv"] = """
+        -- FULL recompute: a green row proves the incremental merge
+        -- (persisted base aggregate + delta shard) == from-scratch
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["docs_ttr"] = """
+        -- TTR replay (vocab.type_token_ratio): house-grammar tokens,
+        -- exact distinct, one divide + zero-digit round
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(lower(text),
+                   '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]')) AS tok
+          FROM documents
+          WHERE source IS NOT NULL AND text IS NOT NULL
+        ),
+        st AS (
+          SELECT source, count(*) AS n_tokens,
+                 count(DISTINCT tok) AS n_types
+          FROM toks GROUP BY 1
+        )
+        SELECT source, n_tokens, n_types,
+               CAST(round(1e6 * (n_types / n_tokens), 0) AS BIGINT)
+                 AS ttr_micro
+        FROM st ORDER BY source
     """
     return d
