@@ -5335,6 +5335,62 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_warehouse_dq_audit(sf_dir: str):
+    """Deequ-style data-quality audit (functions/dq.py): uniqueness,
+    referential integrity (native left_anti on deduped key sets),
+    null and range constraints across orders/lineitem/events — one
+    (check_name, n_violations) row per constraint; every check is a
+    distributive aggregate or a key-sized join, nothing data-sized on
+    the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.dq import (
+        _dup_excess,
+        _fk_missing,
+        _null_partials,
+        _range_partials,
+        dq_audit_composed,
+    )
+
+    _context()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    li_packed = li.map_batches(
+        lambda b: pa.table({
+            "pk": pc.add(
+                pc.multiply(pc.cast(b["l_orderkey"], pa.int64()), 8),
+                pc.cast(b["l_linenumber"], pa.int64()),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    names = [
+        "events_null_user", "events_value_range_0_1000",
+        "lineitem_fk_orders", "lineitem_pk_unique",
+        "lineitem_qty_range_1_50", "orders_null_custkey",
+        "orders_pk_unique",
+    ]
+    return dq_audit_composed([
+        _null_partials(ev, "user_id", "events_null_user"),
+        _range_partials(ev, "value", 0.0, 1000.0,
+                        "events_value_range_0_1000"),
+        _fk_missing(li, "l_orderkey", orders, "o_orderkey",
+                    "lineitem_fk_orders"),
+        _dup_excess(li_packed, "pk", "lineitem_pk_unique"),
+        _range_partials(li, "l_quantity", 1.0, 50.0,
+                        "lineitem_qty_range_1_50"),
+        _null_partials(orders, "o_custkey", "orders_null_custkey"),
+        _dup_excess(orders, "o_orderkey", "orders_pk_unique"),
+    ], names)
+
+
 def _q_events_hourly_mv(sf_dir: str):
     """Incremental materialized-view maintenance
     (functions/incremental_agg.py): the hourly profile refreshed by
@@ -6482,6 +6538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_abc": _q_orders_abc,
         "events_hourly_mv": _q_events_hourly_mv,
         "docs_ttr": _q_docs_ttr,
+        "warehouse_dq_audit": _q_warehouse_dq_audit,
     }
 
 
@@ -11994,5 +12051,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(1e6 * (n_types / n_tokens), 0) AS BIGINT)
                  AS ttr_micro
         FROM st ORDER BY source
+    """
+    d["warehouse_dq_audit"] = """
+        -- constraint replay (functions/dq.py): one row per check
+        SELECT 'events_null_user' AS check_name,
+               CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+                 AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'events_value_range_0_1000',
+               CAST(count(*) FILTER (WHERE value IS NOT NULL
+                    AND (value < 0.0 OR value > 1000.0)) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+               CAST(count(*) AS BIGINT)
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem
+              WHERE l_orderkey IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = c.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem_pk_unique',
+               CAST(count(pk) - count(DISTINCT pk) AS BIGINT)
+        FROM (SELECT l_orderkey * 8 + l_linenumber AS pk FROM lineitem)
+        UNION ALL
+        SELECT 'lineitem_qty_range_1_50',
+               CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+                    AND (l_quantity < 1.0 OR l_quantity > 50.0))
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_null_custkey',
+               CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_pk_unique',
+               CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                    AS BIGINT)
+        FROM orders
+        ORDER BY check_name
     """
     return d

@@ -1,0 +1,275 @@
+"""Data-quality constraint audit — Deequ-style checks as data.
+
+A 100 TB ingest pipeline gates every shard on declarative constraints
+(null rates, key uniqueness, referential integrity, value ranges)
+BEFORE the expensive stages run; the audit's output is itself a tiny
+table — one row per check with its violation count — so it slots into
+the same oracle/lineage machinery as every other operator.
+
+Every check reduces to a distributive aggregate or a semi/anti-join:
+
+- ``null_check``      — per-batch null-count partials, one global sum.
+- ``range_check``     — per-batch out-of-range counts (vectorized
+  comparison kernels), one global sum.
+- ``unique_check``    — duplicate keys via a per-batch (key, n)
+  combiner then ``sum(n) − count(groups)`` on the key-cardinality
+  aggregate (never ships rows, only key cells).
+- ``fk_check``        — child keys with no parent via Ray's native
+  ``left_anti`` join on pre-deduplicated key sets (both sides shrink
+  to distinct keys before the join; partitions clamped to the
+  session's CPUs — the round-4 deadlock lesson).
+
+The audit is one pass per input table plus one key-sized join; no
+check ever materializes data rows on the driver.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def null_violations(ds, col: str) -> int:
+    """Rows where ``col`` is NULL — per-batch partials, one sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([b[col].null_count], pa.int64()),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n"))
+    return int(out["sum(n)"] or 0)
+
+
+def range_violations(ds, col: str, lo: float, hi: float) -> int:
+    """Non-null rows outside ``[lo, hi]`` — vectorized kernels only."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.drop_null(b[col]), pa.float64())
+        bad = pc.sum(
+            pc.cast(pc.or_(pc.less(v, lo), pc.greater(v, hi)),
+                    pa.int64())
+        ).as_py() or 0
+        return pa.table({"n": pa.array([bad], pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n"))
+    return int(out["sum(n)"] or 0)
+
+
+def unique_violations(ds, col: str) -> int:
+    """Rows beyond the first per key (``sum(n) − ndv``) — per-batch
+    (key, n) combiner, key-cardinality groupby, two tiny sums."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": pc.drop_null(b[col])})
+        return (
+            t.group_by(["k"]).aggregate([([], "count_all")])
+            .rename_columns(["k", "n"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    ndv = cells.count()
+    if ndv == 0:
+        return 0
+    total = int(cells.aggregate(Sum("n"))["sum(n)"] or 0)
+    return total - ndv
+
+
+def fk_violations(child_ds, child_col: str, parent_ds, parent_col: str,
+                  num_partitions: int = 16) -> int:
+    """DISTINCT child keys with no matching parent key — both sides
+    shrink to per-batch distinct key cells, then one key-cardinality
+    dedup groupby each and a native ``left_anti`` join (partitions
+    clamped; both sides repartitioned to normalize blocks — the
+    round-4 empty-block join lessons)."""
+    from .graph_metrics import _clamp_partitions
+
+    def keys(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"k": pc.unique(pc.drop_null(b[col]))})
+        return f
+
+    child = (
+        child_ds.map_batches(keys(child_col), batch_format="pyarrow")
+        .groupby("k").count()
+        .map_batches(lambda b: b.select(["k"]), batch_format="pyarrow")
+        .materialize()
+    )
+    parent = (
+        parent_ds.map_batches(keys(parent_col), batch_format="pyarrow")
+        .groupby("k").count()
+        .map_batches(
+            lambda b: pa.table({"pk": b["k"]}), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    if child.count() == 0:
+        return 0
+    if parent.count() == 0:
+        return child.count()
+    missing = child.repartition(4).join(
+        parent.repartition(4),
+        join_type="left_anti",
+        num_partitions=_clamp_partitions(num_partitions),
+        on=("k",),
+        right_on=("pk",),
+    )
+    return missing.count()
+
+
+def dq_audit(checks: list[tuple]) -> "pa.Table":
+    """Run ``(check_name, thunk)`` pairs and return the audit table
+    ``(check_name, n_violations)`` sorted by name — constraints as
+    data, ready for an oracle or a gate (``n_violations == 0``)."""
+    names, counts = [], []
+    for name, thunk in checks:
+        names.append(name)
+        counts.append(int(thunk()))
+    t = pa.table({
+        "check_name": pa.array(names, pa.string()),
+        "n_violations": pa.array(counts, pa.int64()),
+    })
+    return t.sort_by("check_name")
+
+
+# ---- composed single-execution audit ---------------------------------
+# The scalar helpers above are one pipeline execution EACH — fine for a
+# single gate, but an audit of a dozen checks pays a dozen plan
+# startups. The builders below express every check as a Dataset of
+# (check_name, n) partial rows, union them into ONE DAG, and reduce
+# with a single groupby — the whole audit is one streaming execution.
+
+def _null_partials(ds, col: str, name: str):
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "check_name": pa.array([name], pa.string()),
+            "n": pa.array([b[col].null_count], pa.int64()),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _range_partials(ds, col: str, lo: float, hi: float, name: str):
+    def f(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.drop_null(b[col]), pa.float64())
+        bad = pc.sum(
+            pc.cast(pc.or_(pc.less(v, lo), pc.greater(v, hi)),
+                    pa.int64())
+        ).as_py() or 0
+        return pa.table({
+            "check_name": pa.array([name], pa.string()),
+            "n": pa.array([bad], pa.int64()),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _dup_excess(ds, col: str, name: str):
+    """(name, n−1) per duplicated key — Σ == total − ndv."""
+    from ray.data.aggregate import Sum
+
+    def cells(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": pc.drop_null(b[col])})
+        return (
+            t.group_by(["k"]).aggregate([([], "count_all")])
+            .rename_columns(["k", "n"])
+        )
+
+    def excess(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n"], pa.int64())
+        ex = pc.subtract(n, 1)
+        keep = pc.greater(ex, 0)
+        ex = pc.cast(ex, pa.int64()).filter(keep)
+        return pa.table({
+            "check_name": pa.array([name] * len(ex), pa.string()),
+            "n": ex,
+        })
+
+    return (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(excess, batch_format="pyarrow")
+    )
+
+
+def _fk_missing(child_ds, child_col: str, parent_ds, parent_col: str,
+                name: str, num_partitions: int = 16):
+    """(name, batch-count) rows of distinct child keys w/o parent."""
+    from .graph_metrics import _clamp_partitions
+
+    def keys(col, out):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({out: pc.unique(pc.drop_null(b[col]))})
+        return f
+
+    child = (
+        child_ds.map_batches(keys(child_col, "k"),
+                             batch_format="pyarrow")
+        .groupby("k").count()
+        .map_batches(lambda b: b.select(["k"]), batch_format="pyarrow")
+        .materialize()
+    )
+    parent = (
+        parent_ds.map_batches(keys(parent_col, "pk"),
+                              batch_format="pyarrow")
+        .groupby("pk").count()
+        .map_batches(lambda b: b.select(["pk"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    import ray.data as rd
+
+    if child.count() == 0 or parent.count() == 0:
+        n = child.count()
+        return rd.from_arrow(pa.table({
+            "check_name": pa.array([name], pa.string()),
+            "n": pa.array([n], pa.int64()),
+        }))
+    missing = child.repartition(4).join(
+        parent.repartition(4),
+        join_type="left_anti",
+        num_partitions=_clamp_partitions(num_partitions),
+        on=("k",),
+        right_on=("pk",),
+    )
+    return missing.map_batches(
+        lambda b: pa.table({
+            "check_name": pa.array([name], pa.string()),
+            "n": pa.array([b.num_rows], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def dq_audit_composed(parts: list, check_names: list[str]):
+    """Union the partial-row Datasets, seed a zero row per declared
+    check (so an all-clean check still reports 0), reduce with ONE
+    groupby — the entire audit is a single streaming execution."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    seed = rd.from_arrow(pa.table({
+        "check_name": pa.array(sorted(check_names), pa.string()),
+        "n": pa.array([0] * len(check_names), pa.int64()),
+    }))
+    u = seed
+    for p in parts:
+        u = u.union(p)
+    agg = u.groupby("check_name").aggregate(
+        Sum("n", alias_name="n_violations"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "check_name": b["check_name"],
+            "n_violations": pc.cast(b["n_violations"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("check_name")
