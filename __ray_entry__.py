@@ -5335,6 +5335,25 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_time_to_convert(sf_dir: str):
+    """Conversion latency view→purchase (windows.time_to_convert):
+    per user, first view to first purchase at-or-after it — count +
+    median/p90 delta in exact µs. User&bucket vectorized pass, then a
+    user-cardinality quantile sweep replicating DuckDB quantile_disc's
+    floor((n−1)·q) index bit-for-bit."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import time_to_convert
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return time_to_convert(ev, "user_id", "ts", "event_type",
+                           "view", "purchase")
+
+
 def _q_warehouse_dq_audit(sf_dir: str):
     """Deequ-style data-quality audit (functions/dq.py): uniqueness,
     referential integrity (native left_anti on deduped key sets),
@@ -6539,6 +6558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_mv": _q_events_hourly_mv,
         "docs_ttr": _q_docs_ttr,
         "warehouse_dq_audit": _q_warehouse_dq_audit,
+        "events_time_to_convert": _q_events_time_to_convert,
     }
 
 
@@ -12090,5 +12110,34 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT)
         FROM orders
         ORDER BY check_name
+    """
+    d["events_time_to_convert"] = """
+        -- conversion-latency replay (windows.time_to_convert):
+        -- first view per user, first purchase at-or-after it,
+        -- quantile_disc == the Ray side's floor((n-1)q) index
+        WITH a AS (
+          SELECT user_id, min(epoch_us(ts)) AS ta
+          FROM events
+          WHERE event_type = 'view' AND user_id IS NOT NULL
+                AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        b AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS tb
+          FROM events e JOIN a ON a.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= a.ta
+          GROUP BY 1
+        ),
+        d AS (
+          SELECT a.user_id, b.tb - a.ta AS delta
+          FROM a JOIN b USING (user_id)
+        )
+        SELECT (SELECT count(*) FROM a) AS n_with_first_step,
+               count(*) AS n_converted,
+               CAST(coalesce(quantile_disc(delta, 0.5), -1) AS BIGINT)
+                 AS median_delta_us,
+               CAST(coalesce(quantile_disc(delta, 0.9), -1) AS BIGINT)
+                 AS p90_delta_us
+        FROM d
     """
     return d

@@ -2379,3 +2379,100 @@ def markov_stationary(events_ds, key_col: str, ts_col: str, id_col: str,
         "event_type": types,
         "p_micro": [p[t] for t in types],
     }).astype({"p_micro": "int64"})
+
+
+def time_to_convert(events_ds, user_col: str, ts_col: str,
+                    type_col: str, step_a: str, step_b: str,
+                    n_buckets: int = 64):
+    """Conversion latency between two funnel steps: for each user
+    with at least one ``step_a`` event, the delta from their FIRST
+    ``step_a`` to their first ``step_b`` at-or-after it — the
+    time-to-convert distribution behind every funnel (funnel_counts
+    reports WHO converts; this reports HOW FAST). Returns ONE row
+    ``(n_with_first_step, n_converted, median_delta_us,
+    p90_delta_us)``.
+
+    Shape: user&bucket grouping (one vectorized pass per bucket, the
+    session-family shuffle discipline) reduces each user to a single
+    delta row (−1 = never converted); the quantile sweep is a
+    user-cardinality single reducer (the pareto_deciles contract).
+    Parity: deltas are exact int64 µs; the quantile index replicates
+    DuckDB ``quantile_disc`` — the discrete inverse CDF, smallest
+    value whose cumulative count reaches ``q·n`` — as the EXACT
+    integer ``ceil(num·n/den) − 1`` (q shipped as a rational, no
+    float index arithmetic at all).
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+
+    def prep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.and_(pc.is_valid(b[user_col]), pc.is_valid(b[ts_col])),
+            pc.is_in(b[type_col],
+                     value_set=pa.array([step_a, step_b], pa.string())),
+        )
+        t = b.filter(keep)
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(np.bitwise_and(u, n_buckets - 1),
+                               pa.int64()),
+            "u": pa.array(u, pa.int64()),
+            "ts": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                          pa.int64()),
+            "is_a": pc.cast(pc.equal(t[type_col], step_a), pa.int8()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        isa = g["is_a"].to_numpy(zero_copy_only=False).astype(bool)
+        deltas = []
+        order = np.lexsort((ts, u))
+        u, ts, isa = u[order], ts[order], isa[order]
+        bounds = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[bounds[1:], len(u)]
+        for s, e in zip(bounds.tolist(), ends.tolist()):
+            ats = ts[s:e][isa[s:e]]
+            if len(ats) == 0:
+                continue
+            ta = int(ats[0])
+            bts = ts[s:e][(~isa[s:e]) & (ts[s:e] >= ta)]
+            deltas.append(int(bts[0]) - ta if len(bts) else -1)
+        return pa.table({"delta": pa.array(deltas, pa.int64())})
+
+    def sweep(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        d = b["delta"].to_numpy(zero_copy_only=False)
+        n_a = len(d)
+        conv = np.sort(d[d >= 0])
+        n_c = len(conv)
+
+        def q(num: int, den: int) -> int:
+            if n_c == 0:
+                return -1
+            idx = (num * n_c + den - 1) // den - 1  # ceil(q*n) - 1
+            return int(conv[idx])
+
+        return pa.table({
+            "n_with_first_step": pa.array([n_a], pa.int64()),
+            "n_converted": pa.array([n_c], pa.int64()),
+            "median_delta_us": pa.array([q(1, 2)], pa.int64()),
+            "p90_delta_us": pa.array([q(9, 10)], pa.int64()),
+        })
+
+    return (
+        events_ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=None)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(sweep, batch_format="pyarrow", batch_size=None)
+    )

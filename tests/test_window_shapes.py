@@ -607,3 +607,64 @@ def test_zorder_negative_values_and_k(ray_session):
     # negative cents mask to HIGH low-16 bit patterns (two's
     # complement), so non-negative values sort first
     assert (out["v_cents"] >= 0).all()
+
+
+def test_time_to_convert_hand_case(ray_session):
+    from eschergraph_ray.functions.windows import time_to_convert
+
+    MIN = 60_000_000
+    # user 1: view@0, purchase@5min -> 5min
+    # user 2: purchase@0 (BEFORE view@10min), never after -> -1
+    # user 3: view only -> -1; user 4: purchase only -> not counted
+    ev = _ev([
+        (1, 1, "view", 0, 0.0),
+        (2, 1, "purchase", 5 * MIN, 0.0),
+        (3, 2, "purchase", 0, 0.0),
+        (4, 2, "view", 10 * MIN, 0.0),
+        (5, 3, "view", 0, 0.0),
+        (6, 4, "purchase", 0, 0.0),
+    ])
+    out = time_to_convert(ev, "user_id", "ts", "event_type",
+                          "view", "purchase").to_pandas()
+    r = out.iloc[0]
+    assert r["n_with_first_step"] == 3
+    assert r["n_converted"] == 1
+    assert r["median_delta_us"] == 5 * MIN
+    assert r["p90_delta_us"] == 5 * MIN
+
+
+def test_time_to_convert_same_ts_counts(ray_session):
+    from eschergraph_ray.functions.windows import time_to_convert
+
+    ev = _ev([
+        (1, 1, "view", 1000, 0.0),
+        (2, 1, "purchase", 1000, 0.0),
+    ])
+    out = time_to_convert(ev, "user_id", "ts", "event_type",
+                          "view", "purchase").to_pandas()
+    assert out.iloc[0]["n_converted"] == 1
+    assert out.iloc[0]["median_delta_us"] == 0
+
+
+def test_time_to_convert_quantile_matches_duckdb_index(ray_session):
+    import duckdb
+
+    from eschergraph_ray.functions.windows import time_to_convert
+
+    # 5 converting users, deltas 1..5 minutes: DuckDB quantile_disc
+    # is the discrete inverse CDF (ceil(q*n) - 1): median idx 2 ->
+    # 3min, p90 idx ceil(4.5)-1 = 4 -> 5min
+    MIN = 60_000_000
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        rows.append((eid, u, "view", 0, 0.0)); eid += 1
+        rows.append((eid, u, "purchase", u * MIN, 0.0)); eid += 1
+    out = time_to_convert(_ev(rows), "user_id", "ts", "event_type",
+                          "view", "purchase").to_pandas()
+    assert out.iloc[0]["median_delta_us"] == 3 * MIN
+    assert out.iloc[0]["p90_delta_us"] == 5 * MIN
+    dd = duckdb.sql(
+        "SELECT quantile_disc(x, 0.9) FROM (SELECT unnest([1,2,3,4,5]) x)"
+    ).fetchone()[0]
+    assert dd == 5  # pin the engine behavior the index replicates
