@@ -85,46 +85,99 @@ def unique_violations(ds, col: str) -> int:
     return total - ndv
 
 
-def fk_violations(child_ds, child_col: str, parent_ds, parent_col: str,
-                  num_partitions: int = 16) -> int:
-    """DISTINCT child keys with no matching parent key — both sides
-    shrink to per-batch distinct key cells, then one key-cardinality
-    dedup groupby each and a native ``left_anti`` join (partitions
-    clamped; both sides repartitioned to normalize blocks — the
-    round-4 empty-block join lessons)."""
+def _parent_keys(parent_ds, parent_col: str):
+    """Distinct parent keys, batch-shrunk then deduped (one
+    execution; key-cardinality)."""
+    def keys(b: pa.Table) -> pa.Table:
+        return pa.table({"pk": pc.unique(pc.drop_null(b[parent_col]))})
+
+    return (
+        parent_ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("pk").count()
+        .map_batches(lambda b: b.select(["pk"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def _missing_child_keys(child_ds, child_col: str, parent,
+                        broadcast_parent_below: int = 5_000_000,
+                        num_partitions: int = 16):
+    """Lazy Dataset of DISTINCT child keys with no matching parent.
+
+    Fast path: the parent key set broadcasts (``ray.put`` once,
+    node-cached sorted array) and each child batch keeps only its own
+    missing keys via searchsorted membership — the only shuffle is the
+    (usually near-empty) missing-key dedup groupby. A 150k-key
+    left_anti hash join took 17 s on this box; the broadcast pass is
+    scan-bound. Join fallback above the broadcast budget.
+    """
+    import numpy as np
+    import ray
+
     from .graph_metrics import _clamp_partitions
 
-    def keys(col):
-        def f(b: pa.Table) -> pa.Table:
-            return pa.table({"k": pc.unique(pc.drop_null(b[col]))})
-        return f
+    n_parent = parent.count()
+    if n_parent <= broadcast_parent_below:
+        pk = np.sort(
+            pa.concat_tables(
+                [pa.table(b) for b in
+                 parent.iter_batches(batch_format="pyarrow")]
+            )["pk"].to_numpy(zero_copy_only=False)
+        ) if n_parent else np.array([], dtype=np.int64)
+        ref = ray.put(pk)
 
-    child = (
-        child_ds.map_batches(keys(child_col), batch_format="pyarrow")
-        .groupby("k").count()
-        .map_batches(lambda b: b.select(["k"]), batch_format="pyarrow")
-        .materialize()
-    )
-    parent = (
-        parent_ds.map_batches(keys(parent_col), batch_format="pyarrow")
-        .groupby("k").count()
-        .map_batches(
-            lambda b: pa.table({"pk": b["k"]}), batch_format="pyarrow"
+        def missing(b: pa.Table, _ref=ref) -> pa.Table:
+            pks = ray.get(_ref)
+            ck = pc.unique(pc.drop_null(b[child_col])).to_numpy(
+                zero_copy_only=False)
+            if len(pks):
+                pos = np.searchsorted(pks, ck)
+                pos = np.minimum(pos, len(pks) - 1)
+                bad = ck[pks[pos] != ck]
+            else:
+                bad = ck
+            return pa.table({"k": pa.array(bad)})
+
+        cand = child_ds.map_batches(missing, batch_format="pyarrow")
+    else:
+        def keys(b: pa.Table) -> pa.Table:
+            return pa.table({"k": pc.unique(pc.drop_null(b[child_col]))})
+
+        child = (
+            child_ds.map_batches(keys, batch_format="pyarrow")
+            .groupby("k").count()
+            .map_batches(lambda b: b.select(["k"]),
+                         batch_format="pyarrow")
+            .materialize()
         )
-        .materialize()
+        if child.count() == 0 or n_parent == 0:
+            return child
+        cand = child.repartition(4).join(
+            parent.repartition(4),
+            join_type="left_anti",
+            num_partitions=_clamp_partitions(num_partitions),
+            on=("k",),
+            right_on=("pk",),
+        )
+    # dedup across batches (fast path) / normalize (join path):
+    # missing-key cardinality == violation count, usually ~0 rows
+    return cand.groupby("k").count().map_batches(
+        lambda b: b.select(["k"]), batch_format="pyarrow"
     )
-    if child.count() == 0:
-        return 0
-    if parent.count() == 0:
-        return child.count()
-    missing = child.repartition(4).join(
-        parent.repartition(4),
-        join_type="left_anti",
-        num_partitions=_clamp_partitions(num_partitions),
-        on=("k",),
-        right_on=("pk",),
-    )
-    return missing.count()
+
+
+def fk_violations(child_ds, child_col: str, parent_ds, parent_col: str,
+                  num_partitions: int = 16,
+                  broadcast_parent_below: int = 5_000_000) -> int:
+    """DISTINCT child keys with no matching parent key — broadcast
+    parent membership below the budget (searchsorted per batch, only
+    missing keys shuffle), native ``left_anti`` join above it."""
+    parent = _parent_keys(parent_ds, parent_col)
+    return _missing_child_keys(
+        child_ds, child_col, parent,
+        broadcast_parent_below=broadcast_parent_below,
+        num_partitions=num_partitions,
+    ).count()
 
 
 def dq_audit(checks: list[tuple]) -> "pa.Table":
@@ -203,43 +256,12 @@ def _dup_excess(ds, col: str, name: str):
 
 def _fk_missing(child_ds, child_col: str, parent_ds, parent_col: str,
                 name: str, num_partitions: int = 16):
-    """(name, batch-count) rows of distinct child keys w/o parent."""
-    from .graph_metrics import _clamp_partitions
-
-    def keys(col, out):
-        def f(b: pa.Table) -> pa.Table:
-            return pa.table({out: pc.unique(pc.drop_null(b[col]))})
-        return f
-
-    child = (
-        child_ds.map_batches(keys(child_col, "k"),
-                             batch_format="pyarrow")
-        .groupby("k").count()
-        .map_batches(lambda b: b.select(["k"]), batch_format="pyarrow")
-        .materialize()
-    )
-    parent = (
-        parent_ds.map_batches(keys(parent_col, "pk"),
-                              batch_format="pyarrow")
-        .groupby("pk").count()
-        .map_batches(lambda b: b.select(["pk"]),
-                     batch_format="pyarrow")
-        .materialize()
-    )
-    import ray.data as rd
-
-    if child.count() == 0 or parent.count() == 0:
-        n = child.count()
-        return rd.from_arrow(pa.table({
-            "check_name": pa.array([name], pa.string()),
-            "n": pa.array([n], pa.int64()),
-        }))
-    missing = child.repartition(4).join(
-        parent.repartition(4),
-        join_type="left_anti",
-        num_partitions=_clamp_partitions(num_partitions),
-        on=("k",),
-        right_on=("pk",),
+    """(name, batch-count) rows of distinct child keys w/o parent —
+    the broadcast-membership device of :func:`fk_violations`, emitted
+    lazily so it fuses into the composed audit DAG."""
+    parent = _parent_keys(parent_ds, parent_col)
+    missing = _missing_child_keys(
+        child_ds, child_col, parent, num_partitions=num_partitions
     )
     return missing.map_batches(
         lambda b: pa.table({
@@ -264,7 +286,9 @@ def dq_audit_composed(parts: list, check_names: list[str]):
     u = seed
     for p in parts:
         u = u.union(p)
-    agg = u.groupby("check_name").aggregate(
+    # partials are KB-sized but block-many: coalesce before the
+    # groupby so the reduce isn't dominated by per-block fixed costs
+    agg = u.repartition(4).groupby("check_name").aggregate(
         Sum("n", alias_name="n_violations"))
     return agg.map_batches(
         lambda b: pa.table({
