@@ -5335,6 +5335,22 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_haar_energy(sf_dir: str):
+    """Multi-resolution burst profile (stats.haar_energy): Haar
+    wavelet detail energy of the hourly count series at 2h/4h/8h
+    scales — pure int64 pair sums/differences, exact integer energy
+    (HUGEINT replay), zero-padded odd tails identical on both
+    engines."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import haar_energy
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return haar_energy(ev, "ts", "event_type", levels=3)
+
+
 def _q_events_time_to_convert(sf_dir: str):
     """Conversion latency view→purchase (windows.time_to_convert):
     per user, first view to first purchase at-or-after it — count +
@@ -6559,6 +6575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ttr": _q_docs_ttr,
         "warehouse_dq_audit": _q_warehouse_dq_audit,
         "events_time_to_convert": _q_events_time_to_convert,
+        "events_haar_energy": _q_events_haar_energy,
     }
 
 
@@ -12139,5 +12156,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(quantile_disc(delta, 0.9), -1) AS BIGINT)
                  AS p90_delta_us
         FROM d
+    """
+    d["events_haar_energy"] = """
+        -- Haar replay (stats.haar_energy): absent hours contribute 0
+        -- to every pair sum/diff, so the sparse groupby == the dense
+        -- zero-filled transform; n_coeffs = ceil(n / 2^k) from span
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                 count(*) AS c
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        span AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                 FROM h GROUP BY 1),
+        b0 AS (
+          SELECT h.event_type, h.hr - s.lo AS i, h.c
+          FROM h JOIN span s ON h.event_type = s.event_type
+        ),
+        l1 AS (
+          SELECT event_type, i // 2 AS i2,
+                 CAST(sum(c) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN i % 2 = 0 THEN c ELSE -c END)
+                      AS BIGINT) AS d
+          FROM b0 GROUP BY 1, 2
+        ),
+        l2 AS (
+          SELECT event_type, i2 // 2 AS i2o,
+                 CAST(sum(a) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN i2 % 2 = 0 THEN a ELSE -a END)
+                      AS BIGINT) AS d
+          FROM l1 GROUP BY 1, 2
+        ),
+        l3 AS (
+          SELECT event_type, i2o // 2 AS i3,
+                 CAST(sum(CASE WHEN i2o % 2 = 0 THEN a ELSE -a END)
+                      AS BIGINT) AS d
+          FROM l2 GROUP BY 1, 2
+        ),
+        e1 AS (SELECT event_type,
+                      CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS e
+               FROM l1 GROUP BY 1),
+        e2 AS (SELECT event_type,
+                      CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS e
+               FROM l2 GROUP BY 1),
+        e3 AS (SELECT event_type,
+                      CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS e
+               FROM l3 GROUP BY 1)
+        SELECT s.event_type, lv.level,
+               CAST((s.hi - s.lo + 1 + (1 << lv.level) - 1)
+                    // (1 << lv.level) AS BIGINT) AS n_coeffs,
+               CASE lv.level WHEN 1 THEN e1.e WHEN 2 THEN e2.e
+                             ELSE e3.e END AS energy
+        FROM span s
+        JOIN (SELECT unnest([1, 2, 3]) AS level) lv ON true
+        LEFT JOIN e1 ON e1.event_type = s.event_type
+        LEFT JOIN e2 ON e2.event_type = s.event_type
+        LEFT JOIN e3 ON e3.event_type = s.event_type
+        ORDER BY 1, 2
     """
     return d

@@ -408,3 +408,35 @@ def test_abc_boundary_is_inclusive():
     out = abc_classes(orders, "o_custkey", "o_totalprice").to_pandas()
     rows = {r.abc_class: r.n_keys for r in out.itertuples()}
     assert rows == {"A": 1, "C": 1}
+
+
+def test_haar_energy_hand_case():
+    from eschergraph_ray.functions.stats import haar_energy
+
+    # x = [1, 2, 3]: l1 pairs (1,2),(3,0): d=[-1,3] e=10, a=[3,3]
+    # l2 pair (3,3): d=0 e=0, a=[6]; l3 pair (6,0): d=6 e=36
+    rows = []
+    eid = 0
+    for h, n in [(0, 1), (1, 2), (2, 3)]:
+        for _ in range(n):
+            rows.append((eid, 1, "a", h * HOUR))
+            eid += 1
+    out = haar_energy(_ev(rows), "ts", "event_type").to_pandas()
+    got = {r.level: (r.n_coeffs, r.energy) for r in out.itertuples()}
+    assert got == {1: (2, 10), 2: (1, 0), 3: (1, 36)}
+
+
+def test_haar_energy_scale_localization():
+    from eschergraph_ray.functions.stats import haar_energy
+
+    # strict 2-hour alternation 5,0,5,0,...: ALL detail energy at
+    # level 1, none at coarser scales
+    rows = []
+    eid = 0
+    for h in range(0, 8, 2):
+        for _ in range(5):
+            rows.append((eid, 1, "a", h * HOUR))
+            eid += 1
+    out = haar_energy(_ev(rows), "ts", "event_type").to_pandas()
+    got = {r.level: r.energy for r in out.itertuples()}
+    assert got[1] == 4 * 25 and got[2] == 0 and got[3] == 0
