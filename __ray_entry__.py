@@ -5335,6 +5335,34 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_control_chart(sf_dir: str):
+    """Shewhart SPC gate (stats.control_chart_by_group): hours of the
+    dense grid outside mean ± 3σ per type — EXACT integer test
+    (n·dev² > 9·SS cross-multiplication, no sqrt anywhere)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import control_chart_by_group
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return control_chart_by_group(ev, "ts", "event_type", k_sigma=3)
+
+
+def _q_events_coverage_gaps(sf_dir: str):
+    """Time-coverage audit (stats.coverage_gaps_by_group): span /
+    active / missing hours + longest quiet gap per type — all exact
+    int64 from the (type, hour) cells, no dense grid materialized."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import coverage_gaps_by_group
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return coverage_gaps_by_group(ev, "ts", "event_type")
+
+
 def _q_events_haar_energy(sf_dir: str):
     """Multi-resolution burst profile (stats.haar_energy): Haar
     wavelet detail energy of the hourly count series at 2h/4h/8h
@@ -6576,6 +6604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warehouse_dq_audit": _q_warehouse_dq_audit,
         "events_time_to_convert": _q_events_time_to_convert,
         "events_haar_energy": _q_events_haar_energy,
+        "events_control_chart": _q_events_control_chart,
+        "events_coverage_gaps": _q_events_coverage_gaps,
     }
 
 
@@ -12214,5 +12244,62 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN e2 ON e2.event_type = s.event_type
         LEFT JOIN e3 ON e3.event_type = s.event_type
         ORDER BY 1, 2
+    """
+    d["events_control_chart"] = """
+        -- SPC replay (stats.control_chart_by_group): dense grid,
+        -- exact HUGEINT cross-multiplied 3-sigma test (no sqrt)
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                 count(*) AS c
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        span AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                 FROM h GROUP BY 1),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi)) AS hr
+                 FROM span),
+        x AS (SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c
+              FROM grid g LEFT JOIN h
+                ON h.event_type = g.event_type AND h.hr = g.hr),
+        st AS (SELECT event_type, count(*) AS n,
+                      sum(CAST(c AS HUGEINT)) AS T
+               FROM x GROUP BY 1),
+        dv AS (SELECT x.event_type, st.n,
+                      CAST(st.n AS HUGEINT) * x.c - st.T AS dev
+               FROM x JOIN st USING (event_type)),
+        ss AS (SELECT event_type, sum(dev * dev) AS SS
+               FROM dv GROUP BY 1)
+        SELECT dv.event_type,
+               CAST(any_value(dv.n) AS BIGINT) AS n_hours,
+               CAST(count(*) FILTER (
+                 WHERE dv.n * dv.dev * dv.dev > 9 * ss.SS)
+                 AS BIGINT) AS n_out_of_control
+        FROM dv JOIN ss ON ss.event_type = dv.event_type
+        GROUP BY 1 ORDER BY 1
+    """
+    d["events_coverage_gaps"] = """
+        -- coverage replay (stats.coverage_gaps_by_group): lag gaps
+        -- over ACTIVE hours only — no dense grid anywhere
+        WITH h AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        d AS (
+          SELECT event_type, hr,
+                 hr - lag(hr) OVER (PARTITION BY event_type
+                                    ORDER BY hr) - 1 AS gap
+          FROM h
+        )
+        SELECT event_type,
+               CAST(max(hr) - min(hr) + 1 AS BIGINT) AS n_hours_span,
+               count(*) AS n_hours_active,
+               CAST(max(hr) - min(hr) + 1 - count(*) AS BIGINT)
+                 AS n_hours_missing,
+               CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap
+        FROM d GROUP BY 1 ORDER BY 1
     """
     return d

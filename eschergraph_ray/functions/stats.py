@@ -1464,3 +1464,133 @@ def haar_energy(events_ds, ts_col: str, type_col: str,
         .map_groups(wavelet, batch_format="pyarrow")
         .sort(["event_type", "level"])
     )
+
+
+def control_chart_by_group(events_ds, ts_col: str, type_col: str,
+                           k_sigma: int = 3, max_hours: int = 100_000):
+    """Shewhart control-chart violations per type: hours of the dense
+    zero-filled grid whose count falls outside mean ± k·σ — the SPC
+    gate on ingest volume. EXACT integer test, no sqrt: with dev_i =
+    n·x_i − T (n²-scaled mean-centering) and SS = Σdev², the condition
+    |x_i − μ| > k·σ becomes ``n · dev_i² > k² · SS`` — pure bigint
+    cross-multiplication both engines compare identically. Returns
+    ``(event_type, n_hours, n_out_of_control)`` sorted.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[type_col]),
+                       pc.is_valid(batch[ts_col]))
+        t = batch.select([type_col, ts_col]).filter(keep)
+        hr = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            HOUR_US,
+        )
+        cells = pa.table({"event_type": t[type_col], "hr": hr})
+        return (
+            cells.group_by(["event_type", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hr", "c"])
+        )
+
+    def chart(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("hr")
+        h = pc.cast(g["hr"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(g["c"], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = int(h[0]), int(h[-1])
+        n = hi - lo + 1
+        if n > max_hours:
+            raise ValueError(
+                f"control_chart_by_group: grid of {n} hours exceeds "
+                f"max_hours={max_hours} — bucket time coarser"
+            )
+        x = np.zeros(n, np.int64)
+        x[h - lo] = c
+        T = sum(int(v) for v in x.tolist())
+        dev = [int(v) * n - T for v in x.tolist()]
+        SS = sum(d * d for d in dev)
+        kk = k_sigma * k_sigma
+        n_out = sum(1 for d in dev if n * d * d > kk * SS)
+        return pa.table({
+            "event_type": group["event_type"][:1],
+            "n_hours": pa.array([n], pa.int64()),
+            "n_out_of_control": pa.array([n_out], pa.int64()),
+        })
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(chart, batch_format="pyarrow")
+        .sort("event_type")
+    )
+
+
+def coverage_gaps_by_group(events_ds, ts_col: str, type_col: str):
+    """Per-type time-coverage report: span hours, active hours,
+    missing hours and the LONGEST quiet gap — the missing-data audit
+    an ingestion dashboard reads before anyone trusts a trend.
+    All exact int64 from the (type, hour) cells: missing = span −
+    active; longest gap = max over consecutive ACTIVE hours of
+    (diff − 1) — no dense grid materialized anywhere. Returns
+    ``(event_type, n_hours_span, n_hours_active, n_hours_missing,
+    longest_gap)`` sorted.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[type_col]),
+                       pc.is_valid(batch[ts_col]))
+        t = batch.select([type_col, ts_col]).filter(keep)
+        hr = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            HOUR_US,
+        )
+        cells = pa.table({"event_type": t[type_col], "hr": hr})
+        return (
+            cells.group_by(["event_type", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hr", "c"])
+        )
+
+    def gaps(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("hr")
+        h = pc.cast(g["hr"], pa.int64()).to_numpy(zero_copy_only=False)
+        span = int(h[-1] - h[0] + 1)
+        active = len(h)
+        longest = int((np.diff(h) - 1).max(initial=0))
+        return pa.table({
+            "event_type": group["event_type"][:1],
+            "n_hours_span": pa.array([span], pa.int64()),
+            "n_hours_active": pa.array([active], pa.int64()),
+            "n_hours_missing": pa.array([span - active], pa.int64()),
+            "longest_gap": pa.array([longest], pa.int64()),
+        })
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(gaps, batch_format="pyarrow")
+        .sort("event_type")
+    )

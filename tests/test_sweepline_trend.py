@@ -440,3 +440,51 @@ def test_haar_energy_scale_localization():
     out = haar_energy(_ev(rows), "ts", "event_type").to_pandas()
     got = {r.level: r.energy for r in out.itertuples()}
     assert got[1] == 4 * 25 and got[2] == 0 and got[3] == 0
+
+
+def test_control_chart_hand_case():
+    from eschergraph_ray.functions.stats import control_chart_by_group
+
+    # 30 calm hours of 1 event + one 50-event spike: only the spike
+    # is out of control at 3 sigma
+    rows = []
+    eid = 0
+    for h in range(30):
+        rows.append((eid, 1, "a", h * HOUR)); eid += 1
+    for _ in range(50):
+        rows.append((eid, 1, "a", 30 * HOUR)); eid += 1
+    out = control_chart_by_group(_ev(rows), "ts",
+                                 "event_type").to_pandas()
+    assert out.loc[0, "n_hours"] == 31
+    assert out.loc[0, "n_out_of_control"] == 1
+
+
+def test_control_chart_flat_series_clean():
+    from eschergraph_ray.functions.stats import control_chart_by_group
+
+    rows = [(i, 1, "a", i * HOUR) for i in range(10)]
+    out = control_chart_by_group(_ev(rows), "ts",
+                                 "event_type").to_pandas()
+    assert out.loc[0, "n_out_of_control"] == 0
+
+
+def test_coverage_gaps_hand_case():
+    from eschergraph_ray.functions.stats import coverage_gaps_by_group
+
+    # active hours 0, 1, 5, 6: span 7, missing 3, longest gap 3
+    rows = [(i, 1, "a", h * HOUR) for i, h in enumerate([0, 1, 5, 6])]
+    out = coverage_gaps_by_group(_ev(rows), "ts",
+                                 "event_type").to_pandas()
+    r = out.iloc[0]
+    assert (r["n_hours_span"], r["n_hours_active"],
+            r["n_hours_missing"], r["longest_gap"]) == (7, 4, 3, 3)
+
+
+def test_coverage_gaps_single_hour():
+    from eschergraph_ray.functions.stats import coverage_gaps_by_group
+
+    rows = [(1, 1, "a", 0), (2, 1, "a", 1000)]
+    out = coverage_gaps_by_group(_ev(rows), "ts",
+                                 "event_type").to_pandas()
+    r = out.iloc[0]
+    assert (r["n_hours_span"], r["longest_gap"]) == (1, 0)
