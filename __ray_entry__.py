@@ -5335,6 +5335,52 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_kg_rich_club(sf_dir: str):
+    """Rich-club profile of the KG's level-0 multigraph
+    (graph_metrics.rich_club_profile, Zhou & Mondragón 2004): how
+    densely the degree>k club interconnects, k ∈ {1,2,4,8,16} — one
+    degree groupby + ONE broadcast-membership pass over the edges
+    counting every threshold at once; φ exact-int until one division
+    per threshold."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import rich_club_profile
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    return rich_club_profile(edges, "frm_name", "to_name")
+
+
+def _q_kg_degree_histogram(sf_dir: str):
+    """Log2-bucketed degree distribution of the KG's level-0
+    multigraph (graph_metrics.degree_histogram): bucket = bit_length−1
+    (pure integer, no float log), one degree groupby + one
+    bucket-cardinality combine."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import degree_histogram
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    return degree_histogram(edges, "frm_name", "to_name")
+
+
 def _q_events_control_chart(sf_dir: str):
     """Shewhart SPC gate (stats.control_chart_by_group): hours of the
     dense grid outside mean ± 3σ per type — EXACT integer test
@@ -6606,6 +6652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_haar_energy": _q_events_haar_energy,
         "events_control_chart": _q_events_control_chart,
         "events_coverage_gaps": _q_events_coverage_gaps,
+        "kg_rich_club": _q_kg_rich_club,
+        "kg_degree_histogram": _q_kg_degree_histogram,
     }
 
 
@@ -12301,5 +12349,56 @@ def oracle_sql() -> dict[str, str]:
                  AS n_hours_missing,
                CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap
         FROM d GROUP BY 1 ORDER BY 1
+    """
+    d["kg_rich_club"] = f"""
+        -- rich-club replay (graph_metrics.rich_club_profile): degree
+        -- table, per-threshold club sizes, edges with both endpoints
+        -- above k (sym double-counts, // 2), one division each
+        WITH e0 AS (
+          SELECT frm_name AS a, to_name AS b
+          FROM read_parquet('{_edges}') WHERE level = 0
+        ),
+        sym AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b AS src, a AS dst FROM e0
+        ),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+        club AS (
+          SELECT k.k, count(*) AS n_club
+          FROM deg, ks k WHERE deg.d > k.k GROUP BY 1
+        ),
+        ec AS (
+          SELECT k.k, CAST(count(*) // 2 AS BIGINT) AS e_club
+          FROM sym s
+          JOIN deg da ON da.src = s.src
+          JOIN deg db ON db.src = s.dst
+          JOIN ks k ON least(da.d, db.d) > k.k
+          GROUP BY 1
+        )
+        SELECT CAST(c.k AS BIGINT) AS k, c.n_club,
+               coalesce(ec.e_club, 0) AS e_club,
+               CAST(round(1e6 * (CAST(2 * coalesce(ec.e_club, 0)
+                    AS DOUBLE) / CAST(c.n_club * (c.n_club - 1)
+                    AS DOUBLE)), 0) AS BIGINT) AS phi_micro
+        FROM club c LEFT JOIN ec ON ec.k = c.k
+        WHERE c.n_club >= 2 ORDER BY c.k
+    """
+    d["kg_degree_histogram"] = f"""
+        -- degree-histogram replay (graph_metrics.degree_histogram):
+        -- bucket = bit length - 1 via bin(), pure integers
+        WITH e0 AS (
+          SELECT frm_name AS a, to_name AS b
+          FROM read_parquet('{_edges}') WHERE level = 0
+        ),
+        sym AS (
+          SELECT a AS src FROM e0 UNION ALL SELECT b FROM e0
+        ),
+        deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1)
+        SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+               CAST(1 << (length(bin(d)) - 1) AS BIGINT) AS min_degree,
+               count(*) AS n_nodes
+        FROM deg GROUP BY 1, 2 ORDER BY 1
     """
     return d

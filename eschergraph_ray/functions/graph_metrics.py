@@ -2006,3 +2006,155 @@ def mutual_nn_pairs(knn_ds, id_col: str, nbr_col: str, score_col: str,
             batch_format="pyarrow",
         )
     return out.sort(["id_a", "id_b"])
+
+
+def rich_club_profile(edges_ds, src_col: str, dst_col: str,
+                      thresholds: tuple = (1, 2, 4, 8, 16),
+                      broadcast_nodes_below: int = 10_000_000):
+    """Rich-club profile (Zhou & Mondragón 2004) of the UNDIRECTED
+    multigraph: for each degree threshold k, how densely the
+    degree->k "club" interconnects — φ(k) = 2·E_club / (n·(n−1)) with
+    E_club the number of edges whose BOTH endpoints have degree > k.
+    A high-φ tail means hubs preferentially wire to hubs (the KG's
+    celebrity cluster); random graphs decay. Returns ``(k, n_club,
+    e_club, phi_micro)`` for thresholds with n_club ≥ 2, sorted by k.
+
+    Shape: one degree groupby; the degree table broadcasts below the
+    budget (sorted ids + searchsorted membership per edge batch —
+    counting E_club for ALL thresholds in one pass over the edge
+    list); above it, a loud ValueError points at the join path
+    (counting by threshold via edges⋈deg twice). φ is exact-int until
+    ONE double division + multiply + zero-digit round per threshold.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def sym(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        a, b = batch[src_col], batch[dst_col]
+        return pa.concat_tables([
+            pa.table({"src": a, "dst": b}),
+            pa.table({"src": b, "dst": a}),
+        ]).combine_chunks()
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.schema([
+            ("k", pa.int64()), ("n_club", pa.int64()),
+            ("e_club", pa.int64()), ("phi_micro", pa.int64()),
+        ]).empty_table())
+    deg = edges.groupby("src").count().materialize()
+    n_nodes = deg.count()
+    if n_nodes > broadcast_nodes_below:
+        raise ValueError(
+            "rich_club_profile: degree table exceeds the broadcast "
+            "budget — use a per-threshold edges⋈degree join instead"
+        )
+    pdf = deg.to_pandas()
+    ids = pdf["src"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    d = pdf["count()"].to_numpy(np.int64)[order]
+    ref = ray.put((ids, d))
+    ks = sorted(thresholds)
+
+    def club_partial(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ids_s, dv = ray.get(_ref)
+        sd = dv[np.searchsorted(ids_s, batch["src"].to_numpy(
+            zero_copy_only=False))]
+        dd = dv[np.searchsorted(ids_s, batch["dst"].to_numpy(
+            zero_copy_only=False))]
+        m = np.minimum(sd, dd)
+        counts = [int((m > k).sum()) for k in ks]
+        return pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "e2": pa.array(counts, pa.int64()),  # both directions
+        })
+
+    e2 = (
+        edges.map_batches(club_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("e2", alias_name="e2"))
+        .to_pandas()
+    )
+    e2m = dict(zip(e2["k"].astype(int), e2["e2"].astype(int)))
+    rows = []
+    for k in ks:
+        n_club = int((d > k).sum())
+        if n_club < 2:
+            continue
+        e_club = e2m.get(k, 0) // 2  # sym counted each edge twice
+        raw = 1e6 * (float(2 * e_club) / float(n_club * (n_club - 1)))
+        phi = pc.cast(
+            pc.round(pa.array([raw], pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+        rows.append((k, n_club, e_club, phi))
+    return rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "n_club": pa.array([r[1] for r in rows], pa.int64()),
+        "e_club": pa.array([r[2] for r in rows], pa.int64()),
+        "phi_micro": pa.array([r[3] for r in rows], pa.int64()),
+    }))
+
+
+def degree_histogram(edges_ds, src_col: str, dst_col: str):
+    """Log2-bucketed degree distribution of the UNDIRECTED multigraph
+    — the first chart anyone draws of a graph: ``(bucket,
+    min_degree, n_nodes)`` where bucket = floor(log2(degree)) via
+    pure integer bit-length (no float log). One degree groupby, one
+    bucket-cardinality combine."""
+    from ray.data.aggregate import Sum
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a, b = batch[src_col], batch[dst_col]
+        return pa.concat_tables([
+            pa.table({"src": a}), pa.table({"src": b}),
+        ]).combine_chunks()
+
+    deg = (
+        edges_ds.map_batches(sym, batch_format="pyarrow")
+        .groupby("src")
+        .count()
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        d = pc.cast(b["count()"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # floor(log2(d)) as bit_length - 1 — exact integers
+        bucket = np.frompyfunc(lambda v: int(v).bit_length() - 1,
+                               1, 1)(d).astype(np.int64)
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(u, pa.int64()),
+            "n": pa.array(c, pa.int64()),
+        })
+
+    hist = (
+        deg.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_nodes"))
+    )
+    return hist.map_batches(
+        lambda b: pa.table({
+            "bucket": pc.cast(b["bucket"], pa.int64()),
+            "min_degree": pc.cast(
+                pc.shift_left(pa.array([1] * len(b), pa.int64()),
+                              pc.cast(b["bucket"], pa.int64())),
+                pa.int64()),
+            "n_nodes": pc.cast(b["n_nodes"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("bucket")

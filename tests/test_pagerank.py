@@ -227,3 +227,31 @@ def test_katz_empty_and_overflow_guard():
     pairs = [("a", "b")] * 3000
     with pytest.raises(Exception, match="overflow"):
         _katz_run(pairs, iters=6, beta_denom=2)
+
+
+# ------------------------------------------------------------ rich club
+
+def test_rich_club_hand_case():
+    from eschergraph_ray.functions.graph_metrics import rich_club_profile
+
+    # triangle a-b-c (degrees 2) + pendant d-a (a deg 3, d deg 1)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    out = rich_club_profile(_edges(pairs), "a", "b",
+                            thresholds=(1, 2)).to_pandas()
+    got = {r.k: (r.n_club, r.e_club, r.phi_micro)
+           for r in out.itertuples()}
+    # k=1 club {a,b,c}: edges among them 3, phi = 6/6 = 1.0
+    assert got[1] == (3, 3, 1_000_000)
+    # k=2 club {a} only -> dropped (n_club < 2)
+    assert 2 not in got
+
+
+def test_degree_histogram_buckets():
+    from eschergraph_ray.functions.graph_metrics import degree_histogram
+
+    # star: hub degree 4 (bucket 2), four leaves degree 1 (bucket 0)
+    pairs = [("h", f"l{i}") for i in range(4)]
+    out = degree_histogram(_edges(pairs), "a", "b").to_pandas()
+    got = {r.bucket: (r.min_degree, r.n_nodes)
+           for r in out.itertuples()}
+    assert got == {0: (1, 4), 2: (4, 1)}
