@@ -5335,6 +5335,53 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_kg_conductance(sf_dir: str):
+    """Per-community conductance of the build's Louvain partition
+    (graph_metrics.partition_conductance): φ_c = cut / min(vol,
+    2m−vol) — derived EXACTLY from the modularity decomposition's
+    integers (cut = degree_sum − 2·intra), no new distributed pass;
+    the leaky-boundary complement of kg_modularity."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import (
+        partition_conductance,
+    )
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+
+    def member_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["level"], 0)).select(
+            ["name", "community_id"]
+        )
+        return (
+            t.group_by(["name"])
+            .aggregate([("community_id", "min")])
+            .rename_columns(["name", "comm_part"])
+        )
+
+    from ray.data.aggregate import Min
+
+    membership = (
+        load_kind(out, "node")
+        .map_batches(member_partial, batch_format="pyarrow")
+        .groupby("name")
+        .aggregate(Min("comm_part", alias_name="community_id"))
+    )
+    return partition_conductance(
+        edges, membership, "frm_name", "to_name", "name", "community_id"
+    )
+
+
 def _q_kg_rich_club(sf_dir: str):
     """Rich-club profile of the KG's level-0 multigraph
     (graph_metrics.rich_club_profile, Zhou & Mondragón 2004): how
@@ -6654,6 +6701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_coverage_gaps": _q_events_coverage_gaps,
         "kg_rich_club": _q_kg_rich_club,
         "kg_degree_histogram": _q_kg_degree_histogram,
+        "kg_conductance": _q_kg_conductance,
     }
 
 
@@ -12400,5 +12448,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(1 << (length(bin(d)) - 1) AS BIGINT) AS min_degree,
                count(*) AS n_nodes
         FROM deg GROUP BY 1, 2 ORDER BY 1
+    """
+    d["kg_conductance"] = f"""
+        -- conductance replay (graph_metrics.partition_conductance):
+        -- the modularity decomposition's integers, cut = vol - 2e,
+        -- denom = min(vol, 2m - vol), one division per community
+        WITH e0 AS (
+          SELECT DISTINCT least(frm_name, to_name) AS a,
+                          greatest(frm_name, to_name) AS b
+          FROM read_parquet('{_edges}')
+          WHERE level = 0 AND frm_name <> to_name
+        ),
+        canon AS (
+          SELECT name AS node, min(community_id) AS comm
+          FROM read_parquet('{_nodes}')
+          WHERE level = 0 GROUP BY name
+        ),
+        nx AS (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                FROM nx GROUP BY node),
+        dc AS (
+          SELECT c.comm, CAST(sum(deg.d) AS BIGINT) AS degree_sum
+          FROM deg JOIN canon c ON c.node = deg.node
+          GROUP BY c.comm
+        ),
+        ec AS (
+          SELECT ca.comm, CAST(count(*) AS BIGINT) AS intra_edges
+          FROM e0 JOIN canon ca ON ca.node = e0.a
+                  JOIN canon cb ON cb.node = e0.b
+          WHERE ca.comm = cb.comm
+          GROUP BY ca.comm
+        ),
+        mm AS (SELECT CAST(sum(degree_sum) AS BIGINT) AS two_m FROM dc),
+        base AS (
+          SELECT dc.comm AS community,
+                 CAST(dc.degree_sum
+                      - 2 * coalesce(ec.intra_edges, 0) AS BIGINT)
+                   AS cut_edges,
+                 dc.degree_sum,
+                 CAST(least(dc.degree_sum,
+                            mm.two_m - dc.degree_sum) AS BIGINT)
+                   AS denom
+          FROM dc LEFT JOIN ec ON ec.comm = dc.comm CROSS JOIN mm
+        )
+        SELECT community, cut_edges, degree_sum,
+               CASE WHEN denom > 0
+                    THEN CAST(round(1e6 * (CAST(cut_edges AS DOUBLE)
+                              / CAST(denom AS DOUBLE)), 0) AS BIGINT)
+                    ELSE 0 END AS phi_micro
+        FROM base ORDER BY community
     """
     return d

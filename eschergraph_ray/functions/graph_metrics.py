@@ -2158,3 +2158,55 @@ def degree_histogram(edges_ds, src_col: str, dst_col: str):
         }),
         batch_format="pyarrow",
     ).sort("bucket")
+
+
+def partition_conductance(edges_ds, membership_ds, src_col: str,
+                          dst_col: str, node_col: str, comm_col: str,
+                          **mod_kwargs):
+    """Per-community CONDUCTANCE of a node partition — φ_c =
+    cut_c / min(vol_c, 2m − vol_c), the bottleneck quality metric
+    complementing :func:`partition_modularity` (modularity rewards
+    density, conductance exposes leaky boundaries). Everything
+    derives EXACTLY from the modularity decomposition's integers:
+    ``cut_c = degree_sum_c − 2·intra_c`` and ``2m = Σ degree_sum`` —
+    no new distributed pass at all; the community-cardinality driver
+    sweep does one double division + zero-digit round per community
+    (φ = 0 when the denominator is 0, i.e. the partition is one
+    community). Returns ``(community, cut_edges, degree_sum,
+    phi_micro)`` sorted by community.
+    """
+    mod = partition_modularity(
+        edges_ds, membership_ds, src_col, dst_col, node_col, comm_col,
+        **mod_kwargs,
+    ).to_pandas()
+    import numpy as np
+    import pandas as pd
+
+    if mod.empty:
+        return pd.DataFrame({
+            "community": pd.Series([], dtype="int64"),
+            "cut_edges": pd.Series([], dtype="int64"),
+            "degree_sum": pd.Series([], dtype="int64"),
+            "phi_micro": pd.Series([], dtype="int64"),
+        })
+    vol = mod["degree_sum"].to_numpy(np.int64)
+    intra = mod["intra_edges"].to_numpy(np.int64)
+    cut = vol - 2 * intra
+    two_m = int(vol.sum())
+    denom = np.minimum(vol, two_m - vol)
+    raw = [
+        1e6 * (float(int(c)) / float(int(dn))) if dn > 0 else 0.0
+        for c, dn in zip(cut.tolist(), denom.tolist())
+    ]
+    phi = pc.cast(
+        pc.round(pa.array(raw, pa.float64()), ndigits=0,
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    out = pd.DataFrame({
+        "community": mod["community"].to_numpy(),
+        "cut_edges": cut,
+        "degree_sum": vol,
+        "phi_micro": phi,
+    }).sort_values("community").reset_index(drop=True)
+    return out

@@ -255,3 +255,52 @@ def test_degree_histogram_buckets():
     got = {r.bucket: (r.min_degree, r.n_nodes)
            for r in out.itertuples()}
     assert got == {0: (1, 4), 2: (4, 1)}
+
+
+def test_partition_conductance_hand_case():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.graph_metrics import (
+        partition_conductance,
+    )
+
+    # two triangles bridged by one edge: per community cut=1,
+    # vol=7 (3 intra edges*2 + 1 cut), 2m=14, denom=min(7,7)=7
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"),
+             ("a", "x")]
+    edges = rd.from_arrow(pa.table({
+        "s": pa.array([p[0] for p in pairs], pa.string()),
+        "t": pa.array([p[1] for p in pairs], pa.string()),
+    }))
+    member = rd.from_arrow(pa.table({
+        "node": pa.array(list("abcxyz"), pa.string()),
+        "comm": pa.array([0, 0, 0, 1, 1, 1], pa.int64()),
+    }))
+    out = partition_conductance(edges, member, "s", "t", "node", "comm")
+    got = {r.community: (r.cut_edges, r.degree_sum, r.phi_micro)
+           for r in out.itertuples()}
+    assert got[0] == (1, 7, 142_857)  # round(1e6/7)
+    assert got[1] == (1, 7, 142_857)
+
+
+def test_partition_conductance_single_community_zero():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.graph_metrics import (
+        partition_conductance,
+    )
+
+    edges = rd.from_arrow(pa.table({
+        "s": pa.array(["a", "b"], pa.string()),
+        "t": pa.array(["b", "c"], pa.string()),
+    }))
+    member = rd.from_arrow(pa.table({
+        "node": pa.array(["a", "b", "c"], pa.string()),
+        "comm": pa.array([5, 5, 5], pa.int64()),
+    }))
+    out = partition_conductance(edges, member, "s", "t", "node", "comm")
+    assert list(out["phi_micro"]) == [0]
+    assert list(out["cut_edges"]) == [0]
