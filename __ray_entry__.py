@@ -5335,6 +5335,43 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_dedup_best_survivors(sf_dir: str):
+    """Quality-aware keep-one-per-cluster
+    (components.dedup_best_survivors): each MinHash near-dup cluster
+    keeps its LONGEST member (n_chars argmax, ties → min doc_id)
+    instead of the min-id canonical — the policy production dedup
+    wants. Members broadcast (dup-count-bounded), candidates shrink
+    to one per (batch, component) before the only shuffle, the corpus
+    is never joined."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.components import dedup_best_survivors
+
+    _context()
+    comps = _q_dedup_components(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    out = dedup_best_survivors(docs, comps, "doc_id", "n_chars")
+    return out.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+def _q_dedup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate (dedup.dup_rate_by_source):
+    share of each source's docs whose full md5(text) recurs anywhere
+    in the corpus — (md5, source) combiner cells, hash-cardinality
+    totals join, one division per source."""
+    from eschergraph_ray.functions.dedup import dup_rate_by_source
+
+    _context()
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    return dup_rate_by_source(docs, "doc_id", "source", "text")
+
+
 def _q_kg_conductance(sf_dir: str):
     """Per-community conductance of the build's Louvain partition
     (graph_metrics.partition_conductance): φ_c = cut / min(vol,
@@ -6702,6 +6739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rich_club": _q_kg_rich_club,
         "kg_degree_histogram": _q_kg_degree_histogram,
         "kg_conductance": _q_kg_conductance,
+        "dedup_best_survivors": _q_dedup_best_survivors,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
     }
 
 
@@ -12497,5 +12536,52 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(denom AS DOUBLE)), 0) AS BIGINT)
                     ELSE 0 END AS phi_micro
         FROM base ORDER BY community
+    """
+    d["dedup_best_survivors"] = f"""
+        -- quality-aware survivor replay
+        -- (components.dedup_best_survivors): same recursive WCC as
+        -- dedup_survivors, winner = argmax(n_chars, ties min id)
+        WITH RECURSIVE pairs AS ({d['dedup_minhash_neardup']}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT src AS id, src AS lbl FROM edges
+          UNION
+          SELECT e.dst AS id, r.lbl AS lbl
+          FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+        members AS (
+          SELECT c.id, c.lbl, d.n_chars
+          FROM comp c JOIN documents d ON d.doc_id = c.id
+        ),
+        r AS (
+          SELECT id, row_number() OVER (
+            PARTITION BY lbl ORDER BY n_chars DESC, id) AS rn
+          FROM members
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM r WHERE rn > 1)
+    """
+    d["dedup_rate_by_source"] = """
+        -- dup-rate replay (dedup.dup_rate_by_source): md5 content
+        -- hash, per-hash totals, per-source flagged share
+        WITH h AS (
+          SELECT source, md5(text) AS hh
+          FROM documents
+          WHERE source IS NOT NULL AND text IS NOT NULL
+        ),
+        t AS (SELECT hh, count(*) AS tot FROM h GROUP BY 1)
+        SELECT h.source, count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE t.tot > 1) AS BIGINT)
+                 AS n_dup_docs,
+               CAST(round(1e6 * (CAST(count(*) FILTER (WHERE t.tot > 1)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE)), 0)
+                    AS BIGINT) AS dup_rate_micro
+        FROM h JOIN t ON t.hh = h.hh
+        GROUP BY h.source ORDER BY h.source
     """
     return d

@@ -358,3 +358,121 @@ def partitioned_component_histogram(pairs_ds, id_a: str, id_b: str,
         }),
         batch_format="pyarrow",
     ).sort("component_size")
+
+
+def dedup_best_survivors(
+    ds,
+    components_ds,
+    id_col: str,
+    quality_col: str,
+    node_col: str = "doc_id",
+    component_col: str = "component_id",
+    max_member_broadcast: int = 200_000_000,
+):
+    """Quality-aware keep-one-per-cluster: instead of
+    :func:`dedup_survivors`' min-id canonical, each near-dup cluster
+    keeps its argmax-``quality_col`` member (ties → smallest id) —
+    the "keep the longest / highest-quality copy" policy production
+    dedup actually wants (the min-id pick can keep a truncated
+    variant).
+
+    Shape: cluster members are exactly the dup-involved ids — tiny
+    next to the corpus — so their (id, component) table broadcasts;
+    ONE streaming pass over ``ds`` (a) reads each member's quality
+    and (b) later filters, with a component-cardinality argmax in
+    between: per-batch candidate rows (component, quality, id) shrink
+    to one per component before the shuffle (the latest_per_key
+    discipline). The corpus itself is never shuffled or joined.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Min
+
+    mem = components_ds.map_batches(
+        lambda b: pa.table({
+            "node": pc.cast(b[node_col], pa.int64()),
+            "comp": pc.cast(b[component_col], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    n_members = mem.count()
+    if n_members == 0:
+        return ds.map_batches(lambda b: b, batch_format="pyarrow")
+    if n_members > max_member_broadcast:
+        raise ValueError(
+            f"{n_members} cluster members exceed max_member_broadcast="
+            f"{max_member_broadcast}; shard the member set or use a "
+            "join path"
+        )
+    mt = pa.concat_tables(
+        list(mem.iter_batches(batch_format="pyarrow"))
+    ).combine_chunks()
+    nodes = mt["node"].to_numpy(zero_copy_only=False)
+    comps = mt["comp"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes)
+    nodes, comps = nodes[order], comps[order]
+    mem_ref = ray.put((nodes, comps))
+
+    def candidates(batch: pa.Table, _ref=mem_ref) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ns, cs = ray.get(_ref)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(ns, ids)
+        hit = (pos < len(ns)) & (ns[np.minimum(pos, len(ns) - 1)] == ids)
+        if not hit.any():
+            return pa.table({
+                "comp": pa.array([], pa.int64()),
+                "key": pa.array([], pa.int64()),
+            })
+        q = pc.cast(batch[quality_col], pa.int64()).to_numpy(
+            zero_copy_only=False)[hit]
+        cids = cs[pos[hit]]
+        mids = ids[hit]
+        if len(q) and (int(q.min()) < 0 or int(q.max()) >= 1 << 29
+                       or int(mids.max()) >= 1 << 33):
+            raise ValueError(
+                "dedup_best_survivors packs (quality, id) into one "
+                "int64 min-key: needs 0 <= quality < 2^29 and "
+                "id < 2^33"
+            )
+        # argmax(quality) with ties -> min id, as ONE packed min-key:
+        # key = (-quality) * 2^33 + id
+        key = (-q) * (1 << 33) + mids
+        uk, inv = np.unique(cids, return_inverse=True)
+        best = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, inv, key)
+        return pa.table({
+            "comp": pa.array(uk, pa.int64()),
+            "key": pa.array(best, pa.int64()),
+        })
+
+    winners = (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("comp")
+        .aggregate(Min("key", alias_name="key"))
+        .to_pandas()
+    )
+    kw = winners["key"].to_numpy(np.int64)
+    win_ids = ((kw % (1 << 33)) + (1 << 33)) % (1 << 33)
+    win_set = set(int(i) for i in win_ids)
+    drop_ids = np.asarray(
+        sorted(int(n) for n in nodes if int(n) not in win_set),
+        np.int64,
+    )
+    drop_ref = ray.put(drop_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        if len(drop) == 0:
+            return batch
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(drop, ids)
+        hit = (pos < len(drop)) & (
+            drop[np.minimum(pos, len(drop) - 1)] == ids)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1372,3 +1372,98 @@ def jaccard_prefix_pairs(ds, id_col: str, text_col: str,
         cand, ds, id_col, text_col, shingle_k=shingle_k,
         threshold=threshold, num_partitions=P,
     )
+
+
+def dup_rate_by_source(ds, id_col: str, group_col: str, text_col: str,
+                       num_partitions: int = 8):
+    """Per-source exact-duplicate RATE — the curation dashboard's
+    first dedup number: for each source, how many of its documents
+    share their full content hash with ANY document in the corpus
+    (cross-source duplicates count for both sources). Returns
+    ``(source, n_docs, n_dup_docs, dup_rate_micro)`` sorted by
+    source.
+
+    Shape: one pass collapses the corpus to (md5(text), source, n)
+    cells; a hash-cardinality groupby derives per-hash totals; the
+    flagged per-(hash, source) counts re-aggregate by source. Parity:
+    md5 == DuckDB md5 (the repo's proven device), the rate is ONE
+    int/int→double division + multiply + zero-digit round.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .graph_metrics import _clamp_partitions
+
+    def cells(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(b[group_col]),
+                       pc.is_valid(b[text_col]))
+        t = b.filter(keep)
+        c: "Counter" = Counter()
+        for s, txt in zip(t[group_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            c[(hashlib.md5(txt.encode("utf-8")).hexdigest(), s)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "hh": pa.array([k[0] for k in ks], pa.string()),
+            "source": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+    hs = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["hh", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    totals = hs.groupby("hh").aggregate(Sum("n", alias_name="tot"))
+    P = _clamp_partitions(num_partitions)
+    joined = hs.repartition(P).join(
+        totals.repartition(P),
+        join_type="inner",
+        num_partitions=P,
+        on=("hh",),
+    )
+
+    def per_source(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        dup = pc.if_else(pc.greater(b["tot"], 1), b["n"],
+                         pa.array([0] * len(b), pa.int64()))
+        return pa.table({
+            "source": b["source"],
+            "nd": pc.cast(b["n"], pa.int64()),
+            "dd": pc.cast(dup, pa.int64()),
+        })
+
+    agg = (
+        joined.map_batches(per_source, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("nd", alias_name="n_docs"),
+                   Sum("dd", alias_name="n_dup_docs"))
+        .to_pandas()
+    )
+    import numpy as np
+    import pandas as pd
+
+    agg = agg.sort_values("source").reset_index(drop=True)
+    nd = agg["n_docs"].to_numpy(np.int64)
+    dd = agg["n_dup_docs"].to_numpy(np.int64)
+    raw = pa.array(1e6 * (dd.astype(np.float64) / nd.astype(np.float64)),
+                   pa.float64())
+    rate = pc.cast(
+        pc.round(raw, ndigits=0, round_mode="half_towards_infinity"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    return pd.DataFrame({
+        "source": agg["source"].to_numpy(),
+        "n_docs": nd,
+        "n_dup_docs": dd,
+        "dup_rate_micro": rate,
+    })

@@ -325,3 +325,70 @@ def test_partitioned_component_histogram(ray_session):
         rd.from_arrow(t), "fa", "fb", "conv", n_buckets=2
     ).to_pandas()
     assert dict(zip(out2["component_size"], out2["n_components"])) == got
+
+
+def test_dedup_best_survivors_keeps_longest(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.components import dedup_best_survivors
+
+    # cluster {1,2,3}: doc 2 is longest -> keep 2, drop 1 and 3;
+    # doc 4 never paired -> kept. Tie cluster {5,6}: equal quality ->
+    # min id 5 kept.
+    comps = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 5, 6], pa.int64()),
+        "component_id": pa.array([1, 1, 1, 5, 5], pa.int64()),
+    }))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "n_chars": pa.array([10, 99, 10, 1, 7, 7], pa.int64()),
+    }))
+    out = dedup_best_survivors(docs, comps, "doc_id", "n_chars")
+    assert sorted(r["doc_id"] for r in out.take_all()) == [2, 4, 5]
+
+
+def test_dedup_best_survivors_guard_and_empty(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from eschergraph_ray.functions.components import dedup_best_survivors
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "n_chars": pa.array([1, 1 << 30], pa.int64()),
+    }))
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "component_id": pa.array([], pa.int64()),
+    }))
+    # no clusters -> identity
+    out = dedup_best_survivors(docs, empty, "doc_id", "n_chars")
+    assert out.count() == 2
+    comps = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "component_id": pa.array([1, 1], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="2\\^29"):
+        dedup_best_survivors(docs, comps, "doc_id",
+                             "n_chars").take_all()
+
+
+def test_dup_rate_by_source_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.dedup import dup_rate_by_source
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "source": pa.array(["s1", "s1", "s2", "s2", "s2"], pa.string()),
+        # cross-source dup "xx" counts for BOTH sources
+        "text": pa.array(["xx", "aa", "xx", "bb", "bb"], pa.string()),
+    }))
+    out = dup_rate_by_source(docs, "doc_id", "source", "text")
+    got = {r.source: (r.n_docs, r.n_dup_docs, r.dup_rate_micro)
+           for r in out.itertuples()}
+    assert got["s1"] == (2, 1, 500_000)
+    assert got["s2"] == (3, 3, 1_000_000)
