@@ -5335,6 +5335,22 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_key_skew(sf_dir: str):
+    """Shuffle-skew audit of user_id as a partition key
+    (stats.key_skew_report): key count, max/p50/p99 rows per key,
+    top-1 share — the pre-partitioning number a 100 TB shuffle plan
+    reads first. Count-of-counts cells keep the sweep tiny; exact
+    inverse-CDF quantiles; one division."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import key_skew_report
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    return key_skew_report(ev, "user_id")
+
+
 def _q_dedup_best_survivors(sf_dir: str):
     """Quality-aware keep-one-per-cluster
     (components.dedup_best_survivors): each MinHash near-dup cluster
@@ -6741,6 +6757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conductance": _q_kg_conductance,
         "dedup_best_survivors": _q_dedup_best_survivors,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "events_key_skew": _q_events_key_skew,
     }
 
 
@@ -12583,5 +12600,22 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS dup_rate_micro
         FROM h JOIN t ON t.hh = h.hh
         GROUP BY h.source ORDER BY h.source
+    """
+    d["events_key_skew"] = """
+        -- skew replay (stats.key_skew_report): rows-per-key
+        -- distribution, quantile_disc == the exact inverse-CDF index
+        WITH pk AS (
+          SELECT user_id, count(*) AS n FROM events
+          WHERE user_id IS NOT NULL GROUP BY 1
+        )
+        SELECT count(*) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_per_key,
+               CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_per_key,
+               CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_per_key,
+               CAST(round(1e6 * (CAST(max(n) AS DOUBLE)
+                    / CAST(sum(n) AS DOUBLE)), 0) AS BIGINT)
+                 AS top1_share_micro
+        FROM pk
     """
     return d

@@ -1594,3 +1594,89 @@ def coverage_gaps_by_group(events_ds, ts_col: str, type_col: str):
         .map_groups(gaps, batch_format="pyarrow")
         .sort("event_type")
     )
+
+
+def key_skew_report(ds, key_col: str):
+    """Shuffle-skew audit of a prospective partition key — the number
+    every engine wants BEFORE it hash-partitions 100 TB by ``key``:
+    key count, max rows per key, p50/p99 rows per key, and the
+    heaviest key's share. A p99/p50 ratio near 1 shuffles evenly; a
+    fat top-1 share says salt this key.
+
+    Shape: per-batch (key, n) combiner → key-cardinality groupby →
+    the distribution collapses AGAIN to count-of-counts cells
+    ((rows-per-key value, #keys) — tiny), so the final sweep is
+    cells-sized, not key-sized. Quantiles are the discrete inverse
+    CDF (``quantile_disc``: smallest count with cum ≥ q·n, exact
+    integer index); top-1 share is ONE division. Returns one row
+    ``(n_keys, n_rows, max_per_key, p50_per_key, p99_per_key,
+    top1_share_micro)``.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def cells(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = pa.table({"k": pc.drop_null(b[key_col])})
+        return (
+            t.group_by(["k"]).aggregate([([], "count_all")])
+            .rename_columns(["k", "n"])
+        )
+
+    per_key = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def coc(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        n = pc.cast(b["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({
+            "cnt": pa.array(u, pa.int64()),
+            "keys": pa.array(c, pa.int64()),
+        })
+
+    dist = (
+        per_key.map_batches(coc, batch_format="pyarrow")
+        .groupby("cnt")
+        .aggregate(Sum("keys", alias_name="keys"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    if dist.empty:
+        return pd.DataFrame({
+            "n_keys": [0], "n_rows": [0], "max_per_key": [0],
+            "p50_per_key": [0], "p99_per_key": [0],
+            "top1_share_micro": [0],
+        }).astype("int64")
+    dist = dist.sort_values("cnt").reset_index(drop=True)
+    cnt = dist["cnt"].to_numpy(np.int64)
+    keys = dist["keys"].to_numpy(np.int64)
+    n_keys = int(keys.sum())
+    n_rows = int((cnt * keys).sum())
+    cum = np.cumsum(keys)
+
+    def q(num: int, den: int) -> int:
+        # smallest count with cum >= q * n_keys (exact integers)
+        need = (num * n_keys + den - 1) // den
+        return int(cnt[np.argmax(cum >= need)])
+
+    mx = int(cnt[-1])
+    raw = 1e6 * (float(mx) / float(n_rows))
+    top1 = pc.cast(
+        pc.round(pa.array([raw], pa.float64()), ndigits=0,
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )[0].as_py()
+    return pd.DataFrame({
+        "n_keys": [n_keys], "n_rows": [n_rows], "max_per_key": [mx],
+        "p50_per_key": [q(1, 2)], "p99_per_key": [q(99, 100)],
+        "top1_share_micro": [top1],
+    }).astype("int64")

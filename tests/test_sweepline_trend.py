@@ -488,3 +488,36 @@ def test_coverage_gaps_single_hour():
                                  "event_type").to_pandas()
     r = out.iloc[0]
     assert (r["n_hours_span"], r["longest_gap"]) == (1, 0)
+
+
+def test_key_skew_hand_case():
+    from eschergraph_ray.functions.stats import key_skew_report
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    # keys: 1x10 rows (hot), 9 keys x 1 row
+    vals = [1] * 10 + list(range(2, 11))
+    ds = rd.from_arrow(pa.table({"k": pa.array(vals, pa.int64())}))
+    out = key_skew_report(ds, "k")
+    r = out.iloc[0]
+    assert (r["n_keys"], r["n_rows"], r["max_per_key"]) == (10, 19, 10)
+    assert r["p50_per_key"] == 1      # cum >= 5 at count 1
+    assert r["p99_per_key"] == 10     # cum >= 9.9 -> needs the hot key
+    # top-1 share = round(1e6 * 10/19)
+    assert r["top1_share_micro"] == 526_316
+
+
+def test_key_skew_uniform():
+    from eschergraph_ray.functions.stats import key_skew_report
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(8)) * 3, pa.int64()),
+    }))
+    out = key_skew_report(ds, "k")
+    r = out.iloc[0]
+    assert (r["p50_per_key"], r["p99_per_key"],
+            r["max_per_key"]) == (3, 3, 3)
