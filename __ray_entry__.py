@@ -5335,6 +5335,71 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_docs_schema_evolution(sf_dir: str):
+    """Schema-evolution SOURCE coverage
+    (docfiles.read_parquet_union_by_name): two parquet shards with
+    DIFFERENT column sets (an md5 hash-split of documents — shard A
+    carries `source`, shard B carries `lang`) read back under
+    union-by-name semantics, all-null columns where a shard predates
+    a field; the aggregate proves both presence and null accounting.
+    The oracle replays the split rule from the parquet view."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.sources.docfiles import (
+        read_parquet_union_by_name,
+    )
+
+    _context()
+    sftag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/eschergraph_ray/schema-evo-v1-{sftag}"
+    fa = f"{out_dir}/shard-a.parquet"
+    fb = f"{out_dir}/shard-b.parquet"
+    if not (os.path.exists(fa) and os.path.exists(fb)):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source", "lang",
+                                   "n_chars"])
+        first = pa.array([
+            hashlib.md5(str(i).encode()).hexdigest()[0] < "8"
+            for i in t["doc_id"].to_pylist()
+        ])
+        a = t.filter(first).select(["doc_id", "source", "n_chars"])
+        b = t.filter(pc.invert(first)).select(
+            ["doc_id", "lang", "n_chars"])
+        pq.write_table(a.combine_chunks(), fa + ".tmp")
+        os.replace(fa + ".tmp", fa)
+        pq.write_table(b.combine_chunks(), fb + ".tmp")
+        os.replace(fb + ".tmp", fb)
+    ds = read_parquet_union_by_name([fa, fb])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": pa.array([b.num_rows], pa.int64()),
+            "n_source_null": pa.array([b["source"].null_count],
+                                      pa.int64()),
+            "n_lang_null": pa.array([b["lang"].null_count], pa.int64()),
+            "sum_n_chars": pa.array(
+                [pc.sum(b["n_chars"]).as_py() or 0], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_source_null", alias_name="n_source_null"),
+        Sum("n_lang_null", alias_name="n_lang_null"),
+        Sum("sum_n_chars", alias_name="sum_n_chars"),
+    )
+    import pandas as pd
+
+    return pd.DataFrame([agg]).astype("int64")
+
+
 def _q_events_key_skew(sf_dir: str):
     """Shuffle-skew audit of user_id as a partition key
     (stats.key_skew_report): key count, max/p50/p99 rows per key,
@@ -6758,6 +6823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best_survivors": _q_dedup_best_survivors,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "events_key_skew": _q_events_key_skew,
+        "docs_schema_evolution": _q_docs_schema_evolution,
     }
 
 
@@ -12617,5 +12683,18 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(sum(n) AS DOUBLE)), 0) AS BIGINT)
                  AS top1_share_micro
         FROM pk
+    """
+    d["docs_schema_evolution"] = """
+        -- union-by-name replay: shard A (md5 first hex < '8') lacks
+        -- lang, shard B lacks source — null accounting from the view
+        SELECT count(*) AS n_rows,
+               CAST(count(*) FILTER (
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       >= '8') AS BIGINT) AS n_source_null,
+               CAST(count(*) FILTER (
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       < '8') AS BIGINT) AS n_lang_null,
+               CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        FROM documents
     """
     return d

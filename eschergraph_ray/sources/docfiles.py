@@ -311,3 +311,58 @@ def read_documents_orc(files: list[str]):
         sorted(files), include_paths=False,
         override_num_blocks=len(files),
     ).map_batches(decode, batch_format="pyarrow")
+
+
+def read_parquet_union_by_name(files: list[str],
+                               override_num_blocks: int | None = None):
+    """Schema-EVOLUTION parquet source: read shards whose column sets
+    DIFFER (a pipeline added or dropped columns mid-corpus) under
+    union-by-name semantics — every output block carries the union
+    schema, with all-null columns where a shard predates a field.
+    Ray's ``read_parquet`` assumes one schema across files; this
+    composes ``read_binary_files`` (one block per file, zero-copy
+    bytes) with an in-task pyarrow decode + normalize — the same
+    custom-source recipe as :func:`read_documents_orc`. Field TYPE
+    conflicts raise loudly (evolution here means presence, not type
+    punning).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    files = sorted(files)
+    fields: dict = {}
+    for f in files:
+        s = pq.ParquetFile(f).schema_arrow
+        for fld in s:
+            prev = fields.get(fld.name)
+            if prev is not None and prev != fld.type:
+                raise ValueError(
+                    f"read_parquet_union_by_name: column {fld.name!r} "
+                    f"has conflicting types {prev} vs {fld.type}"
+                )
+            fields.setdefault(fld.name, fld.type)
+    union = pa.schema(sorted(fields.items()))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq2
+
+        tables = []
+        for buf in batch["bytes"].to_pylist():
+            t = pq2.read_table(pa.BufferReader(buf))
+            cols = []
+            for fld in union:
+                if fld.name in t.column_names:
+                    cols.append(pa.chunked_array(
+                        [pa.concat_arrays(
+                            [c.cast(fld.type) for c in
+                             t[fld.name].chunks] or
+                            [pa.array([], fld.type)])]))
+                else:
+                    cols.append(pa.nulls(len(t), fld.type))
+            tables.append(pa.table(dict(zip(union.names, cols))))
+        return pa.concat_tables(tables).combine_chunks()
+
+    return rd.read_binary_files(
+        files, include_paths=False,
+        override_num_blocks=override_num_blocks or len(files),
+    ).map_batches(decode, batch_format="pyarrow")

@@ -190,3 +190,49 @@ def test_ipc_retry_stable_names(ray_session, tmp_path):
     f1 = write_ipc_sharded(rd.from_arrow(t), d, "doc_id")
     f2 = write_ipc_sharded(rd.from_arrow(t), d, "doc_id")
     assert f1 == f2
+
+
+def test_union_by_name_fills_missing_columns(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eschergraph_ray.sources.docfiles import (
+        read_parquet_union_by_name,
+    )
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "x": pa.array(["p", "q"], pa.string()),
+    }), a)
+    pq.write_table(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "y": pa.array([7.5], pa.float64()),
+    }), b)
+    out = (
+        read_parquet_union_by_name([a, b])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert sorted(out.columns) == ["id", "x", "y"]
+    assert out["x"].isna().tolist() == [False, False, True]
+    assert out["y"].isna().tolist() == [True, True, False]
+
+
+def test_union_by_name_type_conflict_raises(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from eschergraph_ray.sources.docfiles import (
+        read_parquet_union_by_name,
+    )
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), a)
+    pq.write_table(pa.table({"id": pa.array(["x"], pa.string())}), b)
+    with pytest.raises(ValueError, match="conflicting types"):
+        read_parquet_union_by_name([a, b])
