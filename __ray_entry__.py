@@ -5335,6 +5335,55 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _media_phash_corpus_file() -> str:
+    return f"{_ORACLE_STATE}/media-phash-n64.parquet"
+
+
+def _media_phash_feats_file() -> str:
+    return f"{_ORACLE_STATE}/media-phash-feats-n64.parquet"
+
+
+def _q_media_phash_pairs(sf_dir: str):
+    """Perceptual-hash near-dup pairs over the media corpus
+    (multimodal.media_ahash_pairs): aHash per payload in an actor
+    pool, 4×8-bit LSH banding with emit-once, hamming verify — at
+    threshold ≤ 3 the banding is lossless by pigeonhole, so the
+    oracle replays plain all-pairs hamming over the side-written
+    integer features with no band logic. 16 planted exact-dup
+    payloads are the expected hits (the stub codec hashes, so only
+    exact dups land within threshold — the plumbing is the real
+    part)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.multimodal import (
+        media_ahash_pairs,
+        media_int_features,
+        synthetic_media_table,
+    )
+
+    _context()
+    base = synthetic_media_table(48)
+    dup = base.slice(0, 16)
+    dup = dup.set_column(
+        0, "media_id",
+        pa.array([f"m{48 + i:04d}" for i in range(16)], pa.string()),
+    )
+    corpus = pa.concat_tables([base, dup]).combine_chunks()
+    _write_state_parquet(corpus, _media_phash_corpus_file())
+    feats = pa.table({
+        "media_id": corpus["media_id"],
+        "feats": pa.array(
+            [media_int_features(p).tolist()
+             for p in corpus["payload"].to_pylist()],
+            pa.list_(pa.int64()),
+        ),
+    })
+    _write_state_parquet(feats, _media_phash_feats_file())
+    ds = rd.read_parquet(_media_phash_corpus_file())
+    return media_ahash_pairs(ds, threshold=3)
+
+
 def _q_docs_schema_evolution(sf_dir: str):
     """Schema-evolution SOURCE coverage
     (docfiles.read_parquet_union_by_name): two parquet shards with
@@ -6824,6 +6873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "events_key_skew": _q_events_key_skew,
         "docs_schema_evolution": _q_docs_schema_evolution,
+        "media_phash_pairs": _q_media_phash_pairs,
     }
 
 
@@ -12696,5 +12746,32 @@ def oracle_sql() -> dict[str, str]:
                        < '8') AS BIGINT) AS n_lang_null,
                CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
         FROM documents
+    """
+    d["media_phash_pairs"] = f"""
+        -- aHash replay (multimodal.media_ahash_pairs): integer-mean
+        -- sign bits over the side-written integer features, plain
+        -- all-pairs hamming (banding lossless at threshold 3)
+        WITH t AS (
+          SELECT media_id,
+                 CAST(list_sum(feats) // 32 AS BIGINT) AS thr, feats
+          FROM read_parquet('{_ORACLE_STATE}/media-phash-feats-n64.parquet')
+        ),
+        u AS (
+          SELECT media_id, thr, unnest(feats) AS v,
+                 generate_subscripts(feats, 1) AS i
+          FROM t
+        ),
+        h AS (
+          SELECT media_id,
+                 CAST(sum(CASE WHEN v > thr
+                           THEN (1::BIGINT << (i - 1))
+                           ELSE 0 END) AS BIGINT) AS ah
+          FROM u GROUP BY 1
+        )
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+        FROM h a JOIN h b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.ah, b.ah)) <= 3
+        ORDER BY 1, 2
     """
     return d

@@ -504,3 +504,131 @@ def resize_images(ds, max_dim: int = 32, concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def media_int_features(payload: bytes) -> "np.ndarray":
+    """The stub codec's PRE-normalization integer features (uint16
+    words of the blake2b digest) — the exact ints the aHash sign rule
+    and its SQL replay share. A real codec would emit quantized
+    decoder features here instead."""
+    h = hashlib.blake2b(payload or b"", digest_size=FEATURE_DIM * 2).digest()
+    return np.frombuffer(h, dtype=np.uint16).astype(np.int64)
+
+
+class MediaAHashActor:
+    """binary payload -> 32-bit aHash: bit i set when integer feature
+    i exceeds the integer-mean floor (Σf // 32) — the average-hash
+    rule on the stub codec's integer features, all exact ints so the
+    oracle replays it bit-for-bit."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "media codecs are not available in this environment"
+            )
+        hashes = []
+        for p in batch["payload"].to_pylist():
+            f = media_int_features(p)
+            thr = int(f.sum()) // FEATURE_DIM
+            bits = 0
+            for i, v in enumerate(f.tolist()):
+                if v > thr:
+                    bits |= 1 << i
+            hashes.append(bits)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "ahash": pa.array(hashes, pa.int64()),
+        })
+
+
+def media_ahash_pairs(ds, threshold: int = 3, concurrency: int = 2,
+                      batch_size: int = 32):
+    """Perceptual-hash near-dup pairs over a media corpus: aHash per
+    payload (actor pool — the codec-holding stage), then LSH banding
+    of the 32-bit hash into 4×8-bit bands (bucket groupby, EMIT-ONCE:
+    a pair surfaces only from its first matching band) and a hamming
+    verify. With ``threshold ≤ 3`` the banding is LOSSLESS by
+    pigeonhole — 3 differing bits cannot dirty all 4 bands — so the
+    SQL oracle replays plain all-pairs hamming with no band logic and
+    must agree exactly. Returns ``(id_a, id_b, hamming)`` sorted.
+
+    Scale shape: candidate generation is bucket-local (no all-pairs
+    anywhere); the verify is popcount on XOR. The stub codec means
+    only exact payload dups land within threshold — the PLUMBING
+    (actor pool, banding, emit-once, verify) is the real, tested
+    part; a real decoder drops into :class:`MediaAHashActor`.
+    """
+    if not 0 <= threshold <= 3:
+        raise ValueError(
+            "threshold must be in [0, 3] — 4 differing bits can dirty "
+            "all 4 bands and the banding would miss pairs the oracle "
+            "finds"
+        )
+    hashes = ds.map_batches(
+        MediaAHashActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ah = b["ahash"].to_numpy(zero_copy_only=False)
+        ids = b["media_id"].to_pylist()
+        rows_band, rows_key, rows_id, rows_hash = [], [], [], []
+        for mid, h in zip(ids, ah.tolist()):
+            for band in range(4):
+                rows_band.append(band)
+                rows_key.append((h >> (8 * band)) & 0xFF)
+                rows_id.append(mid)
+                rows_hash.append(h)
+        return pa.table({
+            "band": pa.array(rows_band, pa.int64()),
+            "key": pa.array(rows_key, pa.int64()),
+            "media_id": pa.array(rows_id, pa.string()),
+            "ahash": pa.array(rows_hash, pa.int64()),
+        })
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ids = g["media_id"].to_pylist()
+        ah = g["ahash"].to_numpy(zero_copy_only=False)
+        band = int(g["band"][0].as_py())
+        out_a, out_b, out_h = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b_ = sorted((ids[i], ids[j]))
+                x = int(ah[i]) ^ int(ah[j])
+                ham = bin(x).count("1")
+                if ham > threshold:
+                    continue
+                # EMIT-ONCE: only the FIRST band the pair shares emits
+                first = next(
+                    bb for bb in range(4)
+                    if ((x >> (8 * bb)) & 0xFF) == 0
+                )
+                if first != band:
+                    continue
+                out_a.append(a)
+                out_b.append(b_)
+                out_h.append(ham)
+        return pa.table({
+            "id_a": pa.array(out_a, pa.string()),
+            "id_b": pa.array(out_b, pa.string()),
+            "hamming": pa.array(out_h, pa.int64()),
+        })
+
+    return (
+        hashes.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .sort(["id_a", "id_b"])
+    )

@@ -366,3 +366,41 @@ def test_resize_strict_and_validation(ray_session):
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         ds.count()
+
+
+def test_media_ahash_pairs_finds_planted_dups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.multimodal import (
+        media_ahash_pairs,
+        synthetic_media_table,
+    )
+
+    base = synthetic_media_table(12)
+    dup = base.slice(0, 3)
+    dup = dup.set_column(
+        0, "media_id",
+        pa.array([f"m{12 + i:04d}" for i in range(3)], pa.string()),
+    )
+    corpus = pa.concat_tables([base, dup]).combine_chunks()
+    out = media_ahash_pairs(rd.from_arrow(corpus),
+                            threshold=0).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == {("m0000", "m0012"), ("m0001", "m0013"),
+                   ("m0002", "m0014")}
+    assert (out["hamming"] == 0).all()
+
+
+def test_media_ahash_threshold_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from eschergraph_ray.functions.multimodal import (
+        media_ahash_pairs,
+        synthetic_media_table,
+    )
+
+    ds = rd.from_arrow(synthetic_media_table(4))
+    with pytest.raises(ValueError, match="pigeonhole|bands"):
+        media_ahash_pairs(ds, threshold=4)
