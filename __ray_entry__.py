@@ -5335,6 +5335,46 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_kg_reciprocity(sf_dir: str):
+    """Reciprocity of the KG's directed level-0 relation graph
+    (graph_metrics.edge_reciprocity): share of distinct directed
+    edges whose reverse also exists — one canonical-pair groupby with
+    OR-combined direction flags, exact ints + one division."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import edge_reciprocity
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(prep, batch_format="pyarrow")
+    return edge_reciprocity(edges, "frm_name", "to_name")
+
+
+def _q_docs_template_prefixes(sf_dir: str):
+    """Template/boilerplate screen (vocab.template_prefixes): the
+    top-20 most common 8-token document prefixes with their source
+    spread — form letters and mirrored pages share openings long
+    before shingle overlap fires. Fully distributed: (prefix, source)
+    combiner cells → prefix roll-up, nothing doc-sized on the
+    driver."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import template_prefixes
+
+    _context()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    return template_prefixes(docs, "source", "text", k_tokens=8,
+                             top_k=20)
+
+
 def _media_phash_corpus_file() -> str:
     return f"{_ORACLE_STATE}/media-phash-n64.parquet"
 
@@ -6874,6 +6914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_key_skew": _q_events_key_skew,
         "docs_schema_evolution": _q_docs_schema_evolution,
         "media_phash_pairs": _q_media_phash_pairs,
+        "kg_reciprocity": _q_kg_reciprocity,
+        "docs_template_prefixes": _q_docs_template_prefixes,
     }
 
 
@@ -12773,5 +12815,52 @@ def oracle_sql() -> dict[str, str]:
         FROM h a JOIN h b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.ah, b.ah)) <= 3
         ORDER BY 1, 2
+    """
+    d["kg_reciprocity"] = f"""
+        -- reciprocity replay (graph_metrics.edge_reciprocity):
+        -- distinct directed non-loop edges, canonical-pair flags
+        WITH e0 AS (
+          SELECT DISTINCT frm_name AS a, to_name AS b
+          FROM read_parquet('{_edges}')
+          WHERE level = 0 AND frm_name <> to_name
+        ),
+        p AS (
+          SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+                 max(CASE WHEN a < b THEN 1 ELSE 0 END) AS f,
+                 max(CASE WHEN a > b THEN 1 ELSE 0 END) AS r
+          FROM e0 GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT CAST(sum(f) + sum(r) AS BIGINT) AS n_edges,
+                 CAST(2 * count(*) FILTER (WHERE f = 1 AND r = 1)
+                      AS BIGINT) AS n_reciprocal
+          FROM p
+        )
+        SELECT n_edges, n_reciprocal,
+               CASE WHEN n_edges = 0 THEN 0
+                    ELSE CAST(round(1e6 * (CAST(n_reciprocal AS DOUBLE)
+                              / CAST(n_edges AS DOUBLE)), 0) AS BIGINT)
+               END AS reciprocity_micro
+        FROM s
+    """
+    d["docs_template_prefixes"] = """
+        -- template-prefix replay (vocab.template_prefixes): house
+        -- grammar, first 8 tokens, source spread, deterministic cut
+        WITH toks AS (
+          SELECT source,
+                 regexp_extract_all(lower(text),
+                   '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]') AS tk
+          FROM documents
+          WHERE source IS NOT NULL AND text IS NOT NULL
+        ),
+        p AS (
+          SELECT source,
+                 array_to_string(list_slice(tk, 1, 8), ' ') AS prefix
+          FROM toks WHERE len(tk) >= 8
+        )
+        SELECT prefix, count(*) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM p GROUP BY prefix
+        ORDER BY n_docs DESC, prefix LIMIT 20
     """
     return d

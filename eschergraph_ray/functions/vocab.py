@@ -1326,3 +1326,72 @@ def type_token_ratio(ds, group_col: str, text_col: str):
         "n_types": out["n_types"].to_numpy(np.int64),
         "ttr_micro": ttr,
     }).reset_index(drop=True)
+
+
+def template_prefixes(ds, group_col: str, text_col: str,
+                      k_tokens: int = 8, top_k: int = 20):
+    """Template/boilerplate detector: the most common ``k_tokens``-token
+    document PREFIXES — form letters, scraped templates and mirrored
+    pages share their opening tokens long before any shingle overlap
+    fires, so this is the cheap first-pass screen. Only documents
+    with ≥ ``k_tokens`` tokens qualify (a short doc has no prefix to
+    share). Returns top-``top_k`` ``(prefix, n_docs, n_sources)`` by
+    (n_docs desc, prefix asc) — the source spread separates
+    one-crawler artifacts from corpus-wide boilerplate.
+
+    Shape: per-batch (prefix, source, n) combiner cells → a
+    (prefix, source)-cardinality groupby → a prefix-cardinality
+    roll-up where n_sources is the row count — fully distributed,
+    nothing doc-sized on the driver. Exact counts; tokenization is
+    the house grammar (DuckDB list_slice replay).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .text import _TOKEN_RE
+
+    def cells(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[group_col]),
+                       pc.is_valid(batch[text_col]))
+        t = batch.filter(keep)
+        c: "Counter" = Counter()
+        for s, txt in zip(t[group_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            if len(toks) < k_tokens:
+                continue
+            c[(" ".join(toks[:k_tokens]), s)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "prefix": pa.array([k[0] for k in ks], pa.string()),
+            "source": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+    t1 = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["prefix", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t2 = (
+        t1.groupby("prefix")
+        .aggregate(Sum("n", alias_name="n_docs"),
+                   Count(alias_name="n_sources"))
+    )
+    return (
+        t2.map_batches(
+            lambda b: pa.table({
+                "prefix": b["prefix"],
+                "n_docs": pc.cast(b["n_docs"], pa.int64()),
+                "n_sources": pc.cast(b["n_sources"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort(["n_docs", "prefix"], descending=[True, False])
+        .limit(top_k)
+    )

@@ -673,3 +673,27 @@ def test_rake_keywords_sf0001_smoke(ray_session):
     # descending score, deterministic tiebreak
     s = out["score_micro"].tolist()
     assert s == sorted(s, reverse=True)
+
+
+def test_template_prefixes_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import template_prefixes
+
+    tpl = "dear valued customer your account needs urgent attention"
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["s1", "s2", "s1", "s1"], pa.string()),
+        "text": pa.array([
+            tpl + " now",
+            tpl + " today",
+            "completely different opening text with enough tokens here",
+            "short",  # < 8 tokens: no prefix
+        ], pa.string()),
+    }))
+    out = template_prefixes(docs, "source", "text", k_tokens=8,
+                            top_k=5).to_pandas()
+    top = out.iloc[0]
+    assert top["prefix"] == "dear valued customer your account needs urgent attention"
+    assert (top["n_docs"], top["n_sources"]) == (2, 2)
+    assert len(out) == 2  # the short doc contributed nothing

@@ -304,3 +304,23 @@ def test_partition_conductance_single_community_zero():
     out = partition_conductance(edges, member, "s", "t", "node", "comm")
     assert list(out["phi_micro"]) == [0]
     assert list(out["cut_edges"]) == [0]
+
+
+def test_edge_reciprocity_hand_case():
+    from eschergraph_ray.functions.graph_metrics import edge_reciprocity
+
+    # a->b and b->a (reciprocal pair = 2 edges), a->c one-way,
+    # self-loop d->d excluded, duplicate a->b collapses
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("d", "d"),
+             ("a", "b")]
+    out = edge_reciprocity(_edges(pairs), "a", "b")
+    r = out.iloc[0]
+    assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+    assert r["reciprocity_micro"] == 666_667  # round(2e6/3)
+
+
+def test_edge_reciprocity_empty():
+    from eschergraph_ray.functions.graph_metrics import edge_reciprocity
+
+    out = edge_reciprocity(_edges([]), "a", "b")
+    assert list(out.iloc[0]) == [0, 0, 0]
