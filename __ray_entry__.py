@@ -5335,6 +5335,40 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_lineitem_qty_price_corr(sf_dir: str):
+    """Grouped Pearson correlation quantity×price per returnflag
+    (stats.grouped_pearson): exact integer moments (n²-scaled bigint
+    products), then ONE identical float chain per group — int→double,
+    multiply, sqrt, divide, zero-digit round. unit=1 respects the
+    int64 overflow contract."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import grouped_pearson
+
+    _context()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_pearson(li, "l_returnflag", "l_quantity",
+                           "l_extendedprice", unit=1.0)
+
+
+def _q_embeddings_dim_variance(sf_dir: str):
+    """Per-dimension variance profile of the embedding table
+    (features.dim_variance_profile): which coordinates carry signal —
+    (dim, n, Σx, Σx²) micro-quantized partials are the only exchange,
+    n²-scaled exact numerator, one division per dim."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import dim_variance_profile
+
+    _context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+    return dim_variance_profile(emb, "embedding")
+
+
 def _q_kg_reciprocity(sf_dir: str):
     """Reciprocity of the KG's directed level-0 relation graph
     (graph_metrics.edge_reciprocity): share of distinct directed
@@ -6916,6 +6950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_pairs": _q_media_phash_pairs,
         "kg_reciprocity": _q_kg_reciprocity,
         "docs_template_prefixes": _q_docs_template_prefixes,
+        "lineitem_qty_price_corr": _q_lineitem_qty_price_corr,
+        "embeddings_dim_variance": _q_embeddings_dim_variance,
     }
 
 
@@ -12862,5 +12898,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         FROM p GROUP BY prefix
         ORDER BY n_docs DESC, prefix LIMIT 20
+    """
+    d["lineitem_qty_price_corr"] = """
+        -- grouped Pearson replay (stats.grouped_pearson): integer
+        -- moments in HUGEINT, one identical float chain per group
+        WITH q AS (
+          SELECT l_returnflag AS grp,
+                 CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                 CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+        ),
+        s AS (
+          SELECT grp, count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM q GROUP BY 1
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n,
+               CAST(round(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE))), 0)
+                    AS BIGINT) AS corr_micro
+        FROM s
+        WHERE n >= 2 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0
+        ORDER BY grp
+    """
+    d["embeddings_dim_variance"] = """
+        -- per-dim variance replay (features.dim_variance_profile):
+        -- micro-quantized ints, n^2-scaled exact numerator
+        WITH u AS (
+          SELECT generate_subscripts(embedding, 1) AS dim,
+                 CAST(round(unnest(embedding) * 1e6, 0) AS BIGINT) AS q
+          FROM embeddings
+        ),
+        s AS (
+          SELECT dim, count(*) AS n,
+                 sum(CAST(q AS HUGEINT)) AS sx,
+                 sum(CAST(q AS HUGEINT) * q) AS sxx
+          FROM u GROUP BY 1
+        )
+        SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+               CAST(round(1e6 * (CAST(n * sxx - sx * sx AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * 1e6 * 1e6)), 0) AS BIGINT) AS var_micro
+        FROM s ORDER BY dim
     """
     return d

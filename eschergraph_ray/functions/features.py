@@ -561,3 +561,75 @@ def zorder_key(events_ds, ts_col: str, val_col: str, id_col: str,
         .sort(["morton", "event_id"])
         .limit(k)
     )
+
+
+def dim_variance_profile(ds, vec_col: str, unit: float = 1e6):
+    """Per-dimension variance profile of an embedding column — which
+    coordinates actually carry signal (dead dims waste index space;
+    one dominant dim says normalize). Coordinates quantize to
+    ``unit`` ints per row; per-batch (dim, n, Σx, Σx²) partials are
+    the only exchange (dim-cardinality), and the n²-scaled variance
+    numerator is exact bigint — one double division + zero-digit
+    round per dim. Returns ``(dim, n, var_micro)`` with dim 1-based
+    (generate_subscripts parity), sorted by dim; ``var`` is the
+    population variance of the QUANTIZED ints divided by unit², in
+    micro-units.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = np.asarray(col.to_pylist(), dtype=np.float64)
+        if arr.size == 0:
+            return pa.table({
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64()),
+            })
+        q = pc.cast(
+            pc.round(pa.array((arr * unit).ravel(), pa.float64()),
+                     ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False).reshape(arr.shape)
+        d = arr.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1), pa.int64()),
+            "n": pa.array([arr.shape[0]] * d, pa.int64()),
+            "sx": pa.array(q.sum(axis=0, dtype=np.int64), pa.int64()),
+            "sxx": pa.array((q * q).sum(axis=0, dtype=np.int64),
+                            pa.int64()),
+        })
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    rows = []
+    for r in cells.itertuples():
+        n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+        num = n * sxx - sx * sx          # exact bigint
+        raw = 1e6 * (float(num) / (float(n) * float(n)
+                                   * float(unit) * float(unit)))
+        micro = pc.cast(
+            pc.round(pa.array([raw], pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+        rows.append((int(r.dim), n, micro))
+    rows.sort()
+    return pd.DataFrame({
+        "dim": [r[0] for r in rows],
+        "n": [r[1] for r in rows],
+        "var_micro": [r[2] for r in rows],
+    })

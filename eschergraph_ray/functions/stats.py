@@ -1680,3 +1680,94 @@ def key_skew_report(ds, key_col: str):
         "p50_per_key": [q(1, 2)], "p99_per_key": [q(99, 100)],
         "top1_share_micro": [top1],
     }).astype("int64")
+
+
+def grouped_pearson(ds, group_col: str, x_col: str, y_col: str,
+                    unit: float = 1.0):
+    """Per-group Pearson correlation of two numeric columns — exact
+    integer moments (values quantized to ``unit`` ints per row, then
+    n²-scaled centered sums in Python bigints == HUGEINT), so the
+    only float work is the ONE expression both engines write
+    identically: ``round(1e6 · num / sqrt(dx · dy))`` (one int→double
+    each, one multiply, one sqrt, one divide, one zero-digit
+    half-away round). Groups with zero variance on either side are
+    dropped. Returns ``(group, n, corr_micro)`` sorted by group.
+
+    Shape: per-batch (group, n, Σx, Σy, Σx², Σy², Σxy) partials —
+    group-cardinality cells, one groupby, the final arithmetic on the
+    cells. OVERFLOW CONTRACT: the distributed sums are int64, so pick
+    ``unit`` with ``(unit·max|v|)² · n_rows < 2^63`` (correlation is
+    scale-invariant — coarse units lose only sub-unit resolution);
+    the driver's n²-scaled products run in Python bigints.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.and_(pc.is_valid(batch[group_col]),
+                    pc.is_valid(batch[x_col])),
+            pc.is_valid(batch[y_col]),
+        )
+        t = batch.filter(keep)
+
+        def q(col):
+            return np.asarray(pc.cast(
+                pc.round(
+                    pc.multiply(pc.cast(t[col], pa.float64()),
+                                float(unit)),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ))
+
+        x, y = q(x_col), q(y_col)
+        g = np.asarray(t[group_col].to_pylist(), dtype=object)
+        u, inv = np.unique(g, return_inverse=True)
+        out = {"g": pa.array(list(u), pa.string())}
+        for name, v in (("n", np.ones(len(x), np.int64)), ("sx", x),
+                        ("sy", y), ("sxx", x * x), ("syy", y * y),
+                        ("sxy", x * y)):
+            s = np.zeros(len(u), np.int64)
+            np.add.at(s, inv, v)
+            out[name] = pa.array(s, pa.int64())
+        return pa.table(out)
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"),
+                   Sum("sxx", alias_name="sxx"),
+                   Sum("syy", alias_name="syy"),
+                   Sum("sxy", alias_name="sxy"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    rows = []
+    for r in cells.itertuples():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        num = n * int(r.sxy) - sx * sy
+        dx = n * int(r.sxx) - sx * sx
+        dy = n * int(r.syy) - sy * sy
+        if n < 2 or dx <= 0 or dy <= 0:
+            continue
+        import math
+
+        raw = 1e6 * (float(num) / math.sqrt(float(dx) * float(dy)))
+        micro = pc.cast(
+            pc.round(pa.array([raw], pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+        rows.append((r.g, n, micro))
+    rows.sort(key=lambda t: t[0])
+    return pd.DataFrame({
+        "grp": [r[0] for r in rows],
+        "n": [r[1] for r in rows],
+        "corr_micro": [r[2] for r in rows],
+    })

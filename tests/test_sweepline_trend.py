@@ -521,3 +521,38 @@ def test_key_skew_uniform():
     r = out.iloc[0]
     assert (r["p50_per_key"], r["p99_per_key"],
             r["max_per_key"]) == (3, 3, 3)
+
+
+def test_grouped_pearson_hand_cases():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import grouped_pearson
+
+    t = pa.table({
+        "g": pa.array(["up"] * 3 + ["down"] * 3 + ["flat"] * 2,
+                      pa.string()),
+        "x": pa.array([1.0, 2, 3, 1, 2, 3, 1, 2], pa.float64()),
+        "y": pa.array([2.0, 4, 6, 6, 4, 2, 5, 5], pa.float64()),
+    })
+    out = grouped_pearson(rd.from_arrow(t), "g", "x", "y")
+    got = dict(zip(out["grp"], out["corr_micro"]))
+    assert got["up"] == 1_000_000
+    assert got["down"] == -1_000_000
+    assert "flat" not in got  # zero y-variance dropped
+
+
+def test_dim_variance_profile_hand_case():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import dim_variance_profile
+
+    # dim1: [0, 1] -> var 0.25; dim2: [0.5, 0.5] -> var 0
+    t = pa.table({
+        "embedding": pa.array([[0.0, 0.5], [1.0, 0.5]],
+                              pa.list_(pa.float32(), 2)),
+    })
+    out = dim_variance_profile(rd.from_arrow(t), "embedding")
+    got = dict(zip(out["dim"], out["var_micro"]))
+    assert got == {1: 250_000, 2: 0}
