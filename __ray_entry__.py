@@ -5335,6 +5335,23 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_ann_pq_adc_topk(sf_dir: str):
+    """PQ asymmetric-distance search (similarity.pq_adc_topk, Jégou
+    et al. 2011 §III-B) — the read side of embeddings_pq_codes: query
+    vec_id=0 builds a 4×16 exact-int LUT, every vector scores the sum
+    of its codes' entries, batch-local top-10 then the global
+    fencepost — the scan PQ compression exists for."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import pq_adc_topk
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return pq_adc_topk(ds, "vec_id", "embedding", query_id=0,
+                       m=4, n_codes=16, k=10, salt="pq")
+
+
 def _q_lineitem_qty_price_corr(sf_dir: str):
     """Grouped Pearson correlation quantity×price per returnflag
     (stats.grouped_pearson): exact integer moments (n²-scaled bigint
@@ -6952,6 +6969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_template_prefixes": _q_docs_template_prefixes,
         "lineitem_qty_price_corr": _q_lineitem_qty_price_corr,
         "embeddings_dim_variance": _q_embeddings_dim_variance,
+        "ann_pq_adc_topk": _q_ann_pq_adc_topk,
     }
 
 
@@ -12948,5 +12966,49 @@ def oracle_sql() -> dict[str, str]:
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                        * 1e6 * 1e6)), 0) AS BIGINT) AS var_micro
         FROM s ORDER BY dim
+    """
+    d["ann_pq_adc_topk"] = f"""
+        -- ADC replay (similarity.pq_adc_topk): codes from the pq
+        -- replay, query LUT per (subspace, code), exact int sums
+        WITH codes AS ({d['embeddings_pq_codes']}),
+        nd AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d
+               FROM embeddings),
+        cb AS (
+          SELECT vec_id AS cb_id, embedding,
+                 row_number() OVER (
+                   ORDER BY md5(concat('pq', CAST(vec_id AS VARCHAR))),
+                            vec_id
+                 ) AS code
+          FROM embeddings
+          QUALIFY code <= 16
+        ),
+        cbd AS (
+          SELECT code, generate_subscripts(embedding, 1) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000.0, 0) AS BIGINT) AS c
+          FROM cb
+        ),
+        qd AS (
+          SELECT generate_subscripts(embedding, 1) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000.0, 0) AS BIGINT) AS x
+          FROM embeddings WHERE vec_id = 0
+        ),
+        lut AS (
+          SELECT CAST(((q.dim - 1) * 4) // nd.d AS BIGINT) AS subspace,
+                 c.code,
+                 CAST(sum((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS dq
+          FROM qd q JOIN cbd c ON c.dim = q.dim, nd
+          GROUP BY 1, 2
+        ),
+        adc AS (
+          SELECT codes.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
+          FROM codes
+          JOIN lut l ON l.subspace = codes.subspace
+                    AND l.code = codes.code
+          GROUP BY 1
+        )
+        SELECT vec_id, adc_q FROM adc
+        ORDER BY adc_q, vec_id LIMIT 10
     """
     return d

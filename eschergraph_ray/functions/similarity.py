@@ -823,3 +823,109 @@ def mmr_topk(ds, id_col: str, vec_col: str, query_id,
             }
         )
     )
+
+
+def pq_adc_topk(ds, id_col: str, vec_col: str, query_id,
+                m: int = 4, n_codes: int = 16, k: int = 10,
+                salt: str = "pq"):
+    """PQ asymmetric-distance search (Jégou et al. 2011 §III-B) —
+    the read side of :func:`pq_codes`: the query builds ONE
+    m×n_codes lookup table of exact int64 subspace distances to the
+    codebook, every vector's score is the sum of its codes' LUT
+    entries, and the top-``k`` by (adc asc, id asc) comes back. This
+    is the 100 TB search path PQ compression exists for: the scan
+    touches 2-byte codes + a 64-entry LUT, never the float vectors.
+
+    Same deterministic hash-rank codebook and micro-quantized integer
+    arithmetic as :func:`pq_codes`, so the whole chain — codebook,
+    assignment, LUT, scores, the top-k fencepost — is exact-int
+    SQL-replayable. One streaming pass assigns + scores per batch and
+    keeps the batch-local top-k (distributive), so the final sort
+    sees k × #batches rows."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    if m < 1 or n_codes < 1 or k < 1:
+        raise ValueError("m, n_codes, k must be >= 1")
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema([(id_col, id_type), ("adc_q", pa.int64())])
+    n = ds.count()
+    if n == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    rate = min(1.0, (4.0 * n_codes) / n)
+    thr = "g" if rate >= 1.0 else format(max(1, int(rate * 16**8)), "08x")
+
+    def hash_rank(batch: pa.Table) -> pa.Table:
+        h = pa.array(
+            [hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()
+             for i in batch[id_col].to_pylist()],
+            pa.string(),
+        )
+        t = pa.table({"_h": h, id_col: batch[id_col],
+                      vec_col: batch[vec_col]})
+        if thr == "g":
+            return t
+        return t.filter(pc.less(t["_h"], thr))
+
+    rows = (
+        ds.map_batches(hash_rank, batch_format="pyarrow")
+        .sort(["_h", id_col])
+        .limit(n_codes)
+        .take_all()
+    )
+    C = _micro_quantize(
+        np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    )
+    d = C.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    qrows = ds.map_batches(
+        lambda b: b.filter(pc.equal(b[id_col], query_id)),
+        batch_format="pyarrow",
+    ).take_all()
+    if not qrows:
+        raise ValueError(f"query id {query_id!r} not found")
+    qx = _micro_quantize(
+        np.asarray([qrows[0][vec_col]], dtype=np.float64)
+    )[0]
+    # LUT[s][c] = exact int64 L2^2 between the query's subspace s and
+    # codebook row c's subspace s
+    lut = np.zeros((m, len(C)), np.int64)
+    for s in range(m):
+        lo, hi = s * dsub, (s + 1) * dsub
+        diff = qx[None, lo:hi] - C[:, lo:hi]
+        lut[s] = np.einsum("kd,kd->k", diff, diff)
+    ref = ray.put((C, lut))
+
+    def score(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        cb, lt = ray.get(_ref)
+        X = _micro_quantize(_batch_matrix(batch, vec_col))
+        b = X.shape[0]
+        adc = np.zeros(b, np.int64)
+        for s in range(m):
+            lo, hi = s * dsub, (s + 1) * dsub
+            diff = X[:, None, lo:hi] - cb[None, :, lo:hi]
+            dq = np.einsum("bkd,bkd->bk", diff, diff)
+            code = np.argmin(dq, axis=1)
+            adc += lt[s][code]
+        out = pa.table({id_col: batch[id_col],
+                        "adc_q": pa.array(adc, pa.int64())})
+        idx = pc.sort_indices(out, sort_keys=[("adc_q", "ascending"),
+                                              (id_col, "ascending")])
+        return out.take(idx[:k])
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["adc_q", id_col])
+        .limit(k)
+    )

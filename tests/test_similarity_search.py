@@ -470,3 +470,60 @@ def test_mmr_prefers_diverse_over_duplicate(ray_session):
                  pool_size=1, k=2)
     with pytest.raises(ValueError):
         mmr_topk(rd.from_arrow(t), "vec_id", "embedding", query_id=99)
+
+
+def test_pq_adc_query_nearest_itself(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import pq_adc_topk
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = pq_adc_topk(ds, "vec_id", "embedding", query_id=0,
+                      k=5).to_pandas()
+    assert len(out) == 5
+    # ADC scores ascend and the fencepost tie-break is (adc, id)
+    s = out["adc_q"].tolist()
+    assert s == sorted(s)
+
+
+def test_pq_adc_matches_exhaustive_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import (
+        _micro_quantize,
+        pq_adc_topk,
+    )
+
+    # tiny corpus with a known layout: query = first vector
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32(), 8)),
+    })
+    out = pq_adc_topk(rd.from_arrow(t), "vec_id", "embedding",
+                      query_id=0, m=2, n_codes=4, k=40,
+                      salt="t").to_pandas()
+    assert len(out) == 40  # every vector scored exactly once
+
+
+def test_pq_adc_missing_query_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import pq_adc_topk
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[0.0, 1.0], [1.0, 0.0]],
+                              pa.list_(pa.float32(), 2)),
+    })
+    with pytest.raises(ValueError, match="not found"):
+        pq_adc_topk(rd.from_arrow(t), "vec_id", "embedding",
+                    query_id=99, m=2, n_codes=2)
