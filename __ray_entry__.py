@@ -5335,6 +5335,23 @@ def _q_docs_orc_export(sf_dir: str):
     return read_documents_orc(files)
 
 
+def _q_events_stickiness(sf_dir: str):
+    """Exact DAU / trailing-30d-MAU stickiness per active day
+    (windows.dau_mau_stickiness) — the deliberate exact counterpart
+    of events_hll_sliding: (user, day) cells explode into the ≤30
+    trailing ACTIVE windows they serve (bounded fan-out, fully
+    vectorized), a per-(user, window) shrink makes distincts exact,
+    one division per day."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import dau_mau_stickiness
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return dau_mau_stickiness(ev, "user_id", "ts", window_days=30)
+
+
 def _q_ann_pq_adc_topk(sf_dir: str):
     """PQ asymmetric-distance search (similarity.pq_adc_topk, Jégou
     et al. 2011 §III-B) — the read side of embeddings_pq_codes: query
@@ -6970,6 +6987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_price_corr": _q_lineitem_qty_price_corr,
         "embeddings_dim_variance": _q_embeddings_dim_variance,
         "ann_pq_adc_topk": _q_ann_pq_adc_topk,
+        "events_stickiness": _q_events_stickiness,
     }
 
 
@@ -13010,5 +13028,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, adc_q FROM adc
         ORDER BY adc_q, vec_id LIMIT 10
+    """
+    d["events_stickiness"] = """
+        -- stickiness replay (windows.dau_mau_stickiness): exact
+        -- distincts over trailing 30-day windows anchored at ACTIVE
+        -- days, one division per day
+        WITH c AS (
+          SELECT DISTINCT user_id AS u,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        days AS (SELECT DISTINCT day FROM c),
+        w AS (
+          SELECT d.day AS day_idx,
+                 count(DISTINCT c.u) AS mau,
+                 count(DISTINCT c.u)
+                   FILTER (WHERE c.day = d.day) AS dau
+          FROM days d
+          JOIN c ON c.day BETWEEN d.day - 29 AND d.day
+          GROUP BY 1
+        )
+        SELECT day_idx, CAST(dau AS BIGINT) AS dau,
+               CAST(mau AS BIGINT) AS mau,
+               CAST(round(1e6 * (CAST(dau AS DOUBLE)
+                    / CAST(mau AS DOUBLE)), 0) AS BIGINT)
+                 AS stickiness_micro
+        FROM w ORDER BY day_idx
     """
     return d

@@ -2476,3 +2476,127 @@ def time_to_convert(events_ds, user_col: str, ts_col: str,
         .repartition(1)
         .map_batches(sweep, batch_format="pyarrow", batch_size=None)
     )
+
+
+def dau_mau_stickiness(events_ds, user_col: str, ts_col: str,
+                       window_days: int = 30):
+    """DAU / trailing-MAU stickiness per active day — the engagement
+    ratio product dashboards track. EXACT distincts (the
+    deliberate counterpart of the HLL path in
+    ``sketch.hll_sliding_distinct``): the stream collapses to active
+    (user, day) cells; each cell EXPLODES into the ≤ ``window_days``
+    trailing windows it can serve (bounded fan-out: activity ×
+    window, the cost the sketch version exists to avoid — both ship
+    so the tradeoff is measurable); distinct-per-window is exact
+    because a (user, day) cell is already deduplicated. Returns
+    ``(day_idx, dau, mau, stickiness_micro)`` for days with ≥ 1
+    event, sorted; stickiness is ONE division.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def cells(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(b[user_col]), pc.is_valid(b[ts_col]))
+        t = b.filter(keep)
+        day = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            DAY_US,
+        )
+        cell = pa.table({"u": t[user_col], "day": day})
+        return (
+            cell.group_by(["u", "day"]).aggregate([([], "count_all")])
+            .rename_columns(["u", "day", "n"])
+        )
+
+    active = (
+        events_ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["u", "day"])
+        .count()
+        .map_batches(lambda b: b.select(["u", "day"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    # the day set (calendar-sized) gates the explode: a cell serves
+    # window W only if W is an ACTIVE day in [day, day + window - 1]
+    days = sorted(v for v in (active.unique("day") or [])
+                  if v is not None)
+    import ray
+
+    days_ref = ray.put(np.asarray(days, np.int64))
+
+    def explode(b: pa.Table, _ref=days_ref) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        dv = ray.get(_ref)
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["day"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(dv, d, side="left")
+        hi = np.searchsorted(dv, d + window_days, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({
+                "u": pa.array([], pa.int64()),
+                "day_idx": pa.array([], pa.int64()),
+                "mau_c": pa.array([], pa.int64()),
+                "dau_c": pa.array([], pa.int64()),
+            })
+        # flat index trick: for row i, dv[lo[i] .. hi[i]) — fully
+        # vectorized (no per-cell Python loop in the hot path)
+        rep = np.repeat(np.arange(len(u)), counts)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        w = dv[lo[rep] + offs]
+        return pa.table({
+            "u": pa.array(u[rep], pa.int64()),
+            "day_idx": pa.array(w, pa.int64()),
+            "mau_c": pa.array(np.ones(total, np.int64)),
+            "dau_c": pa.array((w == d[rep]).astype(np.int64)),
+        })
+
+    per_user_win = (
+        active.map_batches(explode, batch_format="pyarrow")
+        .groupby(["u", "day_idx"])
+        .aggregate(Sum("mau_c", alias_name="m"),
+                   Sum("dau_c", alias_name="dd"))
+    )
+
+    def shrink(b: pa.Table) -> pa.Table:
+        # a user counts ONCE per window regardless of active days in it
+        return pa.table({
+            "day_idx": b["day_idx"],
+            "mau_c": pa.array([1] * len(b), pa.int64()),
+            "dau_c": pc.cast(pc.greater(b["dd"], 0), pa.int64()),
+        })
+
+    agg = (
+        per_user_win.map_batches(shrink, batch_format="pyarrow")
+        .groupby("day_idx")
+        .aggregate(Sum("mau_c", alias_name="mau"),
+                   Sum("dau_c", alias_name="dau"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    agg = agg.sort_values("day_idx").reset_index(drop=True)
+    mau = agg["mau"].to_numpy(np.int64)
+    dau = agg["dau"].to_numpy(np.int64)
+    raw = pa.array(1e6 * (dau.astype(np.float64) / mau.astype(np.float64)),
+                   pa.float64())
+    st = pc.cast(
+        pc.round(raw, ndigits=0, round_mode="half_towards_infinity"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    return pd.DataFrame({
+        "day_idx": agg["day_idx"].to_numpy(np.int64),
+        "dau": dau,
+        "mau": mau,
+        "stickiness_micro": st,
+    })

@@ -668,3 +668,36 @@ def test_time_to_convert_quantile_matches_duckdb_index(ray_session):
         "SELECT quantile_disc(x, 0.9) FROM (SELECT unnest([1,2,3,4,5]) x)"
     ).fetchone()[0]
     assert dd == 5  # pin the engine behavior the index replicates
+
+
+def test_dau_mau_stickiness_hand_case(ray_session):
+    from eschergraph_ray.functions.windows import dau_mau_stickiness
+
+    DAY = 86_400_000_000
+    # day 0: users 1,2; day 1: user 1; day 40: user 3 (fresh window)
+    ev = _ev([
+        (1, 1, "t", 0, 0.0),
+        (2, 2, "t", 0, 0.0),
+        (3, 1, "t", DAY, 0.0),
+        (4, 3, "t", 40 * DAY, 0.0),
+    ])
+    out = dau_mau_stickiness(ev, "user_id", "ts", window_days=30)
+    got = {r.day_idx: (r.dau, r.mau, r.stickiness_micro)
+           for r in out.itertuples()}
+    assert got[0] == (2, 2, 1_000_000)
+    assert got[1] == (1, 2, 500_000)   # trailing window carries day 0
+    assert got[40] == (1, 1, 1_000_000)
+
+
+def test_dau_mau_user_counts_once_per_window(ray_session):
+    from eschergraph_ray.functions.windows import dau_mau_stickiness
+
+    DAY = 86_400_000_000
+    # same user active on days 0 and 1: MAU at day 1 must be 1, not 2
+    ev = _ev([
+        (1, 1, "t", 0, 0.0),
+        (2, 1, "t", DAY, 0.0),
+    ])
+    out = dau_mau_stickiness(ev, "user_id", "ts", window_days=30)
+    got = {r.day_idx: r.mau for r in out.itertuples()}
+    assert got == {0: 1, 1: 1}
