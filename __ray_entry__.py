@@ -6714,6 +6714,103 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_suppliers_sole_late(sf_dir: str):
+    """TPC-H Q21-shaped sole-late suppliers (functions/tpch.py
+    sole_late_suppliers; adapted — no commit/receipt dates, late =
+    any lineitem shipped >60d after the order date): suppliers who
+    were the ONLY late supplier on a multi-supplier order, top-25 by
+    (numwait desc, name). lineitem shrinks to distinct (order, supp,
+    max ship) in a packed-int combiner; the per-order EXISTS pair
+    runs C-side in an orderkey&63 bucket groupby; names attach via
+    the broadcast-filtered supplier scan."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import sole_late_suppliers
+
+    _context()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pydict()
+    return sole_late_suppliers(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name",
+                                 "s_nationkey"]),
+        nation_name={
+            int(k): str(v)
+            for k, v in zip(nat["n_nationkey"], nat["n_name"])
+        },
+        grace_days=60, k=25,
+    )
+
+
+def _q_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9-shaped profit attribution (functions/tpch.py
+    profit_by_nation_year; adapted — no partsupp, supply cost =
+    0.6 * retailprice * qty): per supplier nation per order year,
+    exact int64 micro profit over the '%bolt%'-named part subset.
+    Part prices and supplier nations broadcast as sorted arrays; one
+    hash join (order year); (nation, year)-packed combiner."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import profit_by_nation_year
+
+    _context()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"])
+    import pyarrow.compute as _pc
+    keep = _pc.match_substring(part["p_name"], "bolt")
+    part = part.filter(keep)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pydict()
+    return profit_by_nation_year(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey",
+                                 "l_suppkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"]),
+        part_keys=part["p_partkey"].to_numpy(),
+        part_retail=part["p_retailprice"].to_numpy(),
+        supp_keys=sup["s_suppkey"].to_numpy(),
+        supp_nat=sup["s_nationkey"].to_numpy().astype("int64"),
+        nation_name={
+            int(k): str(v)
+            for k, v in zip(nat["n_nationkey"], nat["n_name"])
+        },
+        cost_factor=0.6,
+    )
+
+
+def _q_lineitem_delay_bands(sf_dir: str):
+    """TPC-H Q12-shaped priority counting (functions/tpch.py
+    shipping_delay_bands; adapted — no shipmode, lineitems band by
+    floor-years of shipping delay clamped to [-7, 7]): per band, the
+    high-priority (URGENT/HIGH) vs low lineitem counts. One hash
+    join, then a packed (band, is_high) counting combiner onto <=30
+    cells."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import shipping_delay_bands
+
+    _context()
+    return shipping_delay_bands(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"]),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # WINDOW-ROTATION POLICY: the grading driver verifies the FIRST 50
     # entries in registration order. With >50 queries registered, each
@@ -6988,6 +7085,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_dim_variance": _q_embeddings_dim_variance,
         "ann_pq_adc_topk": _q_ann_pq_adc_topk,
         "events_stickiness": _q_events_stickiness,
+        "suppliers_sole_late": _q_suppliers_sole_late,
+        "profit_by_nation_year": _q_profit_by_nation_year,
+        "lineitem_delay_bands": _q_lineitem_delay_bands,
     }
 
 
@@ -13055,5 +13155,75 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(mau AS DOUBLE)), 0) AS BIGINT)
                  AS stickiness_micro
         FROM w ORDER BY day_idx
+    """
+    d["suppliers_sole_late"] = """
+        -- Q21-adapted replay (tpch.sole_late_suppliers): late = any
+        -- lineitem shipped >60d after the order date; sole late
+        -- supplier on a multi-supplier order
+        WITH ls AS (
+          SELECT l_orderkey AS ok, l_suppkey AS sk,
+                 max(CASE WHEN epoch_us(l_shipdate)
+                          > epoch_us(o_orderdate) + 5184000000000
+                     THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2
+        ),
+        od AS (
+          SELECT ok, count(*) AS ns, sum(late) AS nl,
+                 min(CASE WHEN late = 1 THEN sk END) AS lsk
+          FROM ls GROUP BY 1
+        ),
+        w AS (
+          SELECT lsk AS sk, count(*) AS numwait
+          FROM od WHERE ns >= 2 AND nl = 1 GROUP BY 1
+        )
+        SELECT s_name, n_name AS nation,
+               CAST(numwait AS BIGINT) AS numwait
+        FROM w
+        JOIN supplier ON s_suppkey = sk
+        JOIN nation ON n_nationkey = s_nationkey
+        ORDER BY numwait DESC, s_name LIMIT 25
+    """
+    d["profit_by_nation_year"] = """
+        -- Q9-adapted replay (tpch.profit_by_nation_year): cost =
+        -- 0.6 * retailprice * qty, both terms micro-quantized before
+        -- the integer aggregate
+        WITH pk AS (
+          SELECT p_partkey, p_retailprice FROM part
+          WHERE p_name LIKE '%bolt%'
+        ),
+        l AS (
+          SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                 CAST(round(l_extendedprice * (1.0 - l_discount)
+                            * 1000000.0, 0) AS BIGINT)
+                 - CAST(round(p_retailprice * l_quantity * 0.6
+                              * 1000000.0, 0) AS BIGINT) AS profit
+          FROM lineitem
+          JOIN pk ON p_partkey = l_partkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+        )
+        SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+               CAST(sum(profit) AS BIGINT) AS profit_micro
+        FROM l GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """
+    d["lineitem_delay_bands"] = """
+        -- Q12-adapted replay (tpch.shipping_delay_bands): band =
+        -- floor(double delta / year_us) clamped to [-7, 7]; one
+        -- identical IEEE divide+floor in both engines
+        WITH j AS (
+          SELECT greatest(least(CAST(floor(
+                   CAST(epoch_us(l_shipdate)
+                        - epoch_us(o_orderdate) AS DOUBLE)
+                   / 31536000000000.0) AS BIGINT), 7), -7)
+                 AS delay_band,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS hi
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT delay_band, CAST(sum(hi) AS BIGINT) AS high_count,
+               CAST(count(*) - sum(hi) AS BIGINT) AS low_count
+        FROM j GROUP BY 1 ORDER BY delay_band
     """
     return d

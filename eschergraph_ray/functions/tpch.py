@@ -1278,3 +1278,403 @@ def forecast_revenue_change(lineitem_ds, date_lo_us: int,
         "n_items": pa.array([n], pa.int64()),
         "revenue_micro": pa.array([r], pa.int64()),
     }))
+
+
+def sole_late_suppliers(lineitem_ds, orders_ds, supplier_ds,
+                        nation_name: dict, grace_days: int = 60,
+                        k: int = 25, num_partitions: int = 8,
+                        n_buckets: int = 64):
+    """TPC-H Q21 shape (adapted: this schema has no
+    l_commitdate/l_receiptdate, so a supplier is "late" on an order
+    when ANY of its lineitems shipped more than ``grace_days`` after
+    the order date): suppliers who were the SOLE late supplier on a
+    multi-supplier order, ranked by how many orders they alone kept
+    waiting — ``(s_name, nation, numwait)`` top-k by
+    (numwait desc, s_name).
+
+    The EXISTS/NOT-EXISTS pair collapses to per-order set algebra:
+    n_suppliers >= 2 and n_late_suppliers == 1. lineitem shrinks to
+    distinct (orderkey, suppkey, max shipdate) via a packed-int64
+    per-batch combiner + one int-key groupby, meets orders in a
+    distributed hash join, then an ``orderkey & (n_buckets-1)``
+    bucket groupby does the per-order counting C-side (every row of
+    an order shares its bucket, so the per-bucket pass is exact —
+    the CLAUDE.md wide-key-shuffle device). Survivors are
+    supplier-cardinality; names attach via the broadcast-filtered
+    supplier scan (no JoinOperator)."""
+    P = _clamp_partitions(num_partitions)
+    grace_us = int(grace_days) * 86_400_000_000
+    mask = int(n_buckets) - 1
+    if n_buckets & mask:
+        raise ValueError("n_buckets must be a power of two")
+    empty = pa.table({
+        "s_name": pa.array([], pa.string()),
+        "nation": pa.array([], pa.string()),
+        "numwait": pa.array([], pa.int64()),
+    })
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(ok) and (ok.max() >= 1 << 43 or sk.max() >= 1 << 20
+                        or ok.min() < 0 or sk.min() < 0):
+            raise ValueError("orderkey/suppkey outside the packed range")
+        key = ok * (1 << 20) + sk
+        u, inv = np.unique(key, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({
+            "pk": pa.array(u, pa.int64()),
+            "ms": pa.array(mx, pa.int64()),
+        })
+
+    pairs = (
+        lineitem_ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .max("ms")
+        .map_batches(
+            lambda b: pa.table({
+                "l_orderkey": pc.divide(b["pk"], 1 << 20),
+                "l_suppkey": pc.bit_wise_and(b["pk"], (1 << 20) - 1),
+                "ms": pc.cast(b["max(ms)"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    odates = (
+        orders_ds.map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "od": pc.cast(b["o_orderdate"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+    )
+    joined = pairs.join(
+        odates, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        late = pc.greater(b["ms"], pc.add(b["od"], grace_us))
+        return pa.table({
+            "bucket": pa.array(ok & mask, pa.int64()),
+            "ok": pa.array(ok, pa.int64()),
+            "sk": b["l_suppkey"],
+            "late": pc.cast(late, pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        late = g["late"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ok, sk, late = ok[order], sk[order], late[order]
+        uo, start, cnt = np.unique(ok, return_index=True,
+                                   return_counts=True)
+        nl = np.add.reduceat(late, start)
+        qual = (cnt >= 2) & (nl == 1)
+        if not qual.any():
+            return pa.table({
+                "sk": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        # the sole late supplier of each qualifying order
+        lok = ok[late == 1]
+        lsk = sk[late == 1]
+        pos = np.searchsorted(lok, uo[qual])
+        winners = lsk[pos]
+        u, c = np.unique(winners, return_counts=True)
+        return pa.table({
+            "sk": pa.array(u, pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        joined.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("sk")
+        .sum("n")
+        .materialize()
+    )
+    if agg.count() == 0:
+        return rd.from_arrow(empty)
+    wt = pa.concat_tables(
+        list(agg.iter_batches(batch_format="pyarrow"))
+    ).combine_chunks()
+    keys = wt["sk"].to_numpy(zero_copy_only=False)
+    numwait = wt["sum(n)"].to_numpy(zero_copy_only=False)
+    sup = _collect_matching(
+        supplier_ds, "s_suppkey", keys,
+        prep=lambda b: b.select(["s_suppkey", "s_name", "s_nationkey"]),
+    )
+    if sup is None:
+        return rd.from_arrow(empty)
+    sup = sup.sort_by("s_suppkey")
+    sup_keys = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(sup_keys, keys)
+    names = np.asarray(sup["s_name"].to_pylist(), dtype=object)[idx]
+    nats = sup["s_nationkey"].to_numpy(zero_copy_only=False)[idx]
+    out = pa.table({
+        "s_name": pa.array([str(x) for x in names], pa.string()),
+        "nation": pa.array(
+            [nation_name[int(x)] for x in nats], pa.string()
+        ),
+        "numwait": pa.array(numwait.astype(np.int64), pa.int64()),
+    })
+    out = out.sort_by([("numwait", "descending"), ("s_name", "ascending")])
+    return rd.from_arrow(out.slice(0, k))
+
+
+def profit_by_nation_year(lineitem_ds, orders_ds,
+                          part_keys: np.ndarray,
+                          part_retail: np.ndarray,
+                          supp_keys: np.ndarray,
+                          supp_nat: np.ndarray,
+                          nation_name: dict,
+                          cost_factor: float = 0.6,
+                          num_partitions: int = 8):
+    """TPC-H Q9 shape (adapted: no partsupp table, so supply cost is
+    the synthetic ``p_retailprice * quantity * cost_factor``): profit
+    per supplier nation per order year over the name-matched part
+    subset — ``(nation, o_year, profit_micro)`` sorted by
+    (nation, o_year desc).
+
+    Part keys/prices and supplier->nation arrive as broadcast sorted
+    arrays (dimension house rule); the lineitem scan filters, prices
+    and pre-aggregates per (orderkey, nation) in a packed-int64
+    combiner, meets orders for the year in ONE distributed hash join,
+    then collapses onto the tiny (nation, year) key space. Profit is
+    exact int64 micro-units: revenue via the shared one-op rounding
+    chain, cost via the identical ``round(retail * qty * factor *
+    1e6)`` chain."""
+    P = _clamp_partitions(num_partitions)
+    pk_sorted = np.sort(np.asarray(part_keys, dtype=np.int64))
+    order_pk = np.argsort(np.asarray(part_keys, dtype=np.int64))
+    retail = np.asarray(part_retail, dtype=np.float64)[order_pk]
+    sk_order = np.argsort(np.asarray(supp_keys, dtype=np.int64))
+    sk_sorted = np.asarray(supp_keys, dtype=np.int64)[sk_order]
+    snat = np.asarray(supp_nat, dtype=np.int64)[sk_order]
+    empty = pa.table({
+        "nation": pa.array([], pa.string()),
+        "o_year": pa.array([], pa.int64()),
+        "profit_micro": pa.array([], pa.int64()),
+    })
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(lpk, pk_sorted)
+        b = b.filter(pa.array(keep))
+        if b.num_rows == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "s_nationkey": pa.array([], pa.int64()),
+                "profit": pa.array([], pa.int64()),
+            })
+        lpk = lpk[keep]
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        rev = _rev_micro(b)
+        cost_f = retail[np.searchsorted(pk_sorted, lpk)] * qty \
+            * cost_factor * 1e6
+        cost = np.asarray(
+            pc.round(pa.array(cost_f), ndigits=0,
+                     round_mode="half_towards_infinity")
+        ).astype(np.int64)
+        profit = rev - cost
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        nat = snat[np.searchsorted(
+            sk_sorted, b["l_suppkey"].to_numpy(zero_copy_only=False)
+        )]
+        if len(ok) and (ok.max() >= 1 << 52 or nat.max() >= 2048
+                        or nat.min() < 0):
+            raise ValueError("orderkey/nationkey outside the packed range")
+        key = ok * 2048 + nat
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, profit)
+        return pa.table({
+            "l_orderkey": pa.array(u // 2048, pa.int64()),
+            "s_nationkey": pa.array(u % 2048, pa.int64()),
+            "profit": pa.array(s, pa.int64()),
+        })
+
+    lines = (
+        lineitem_ds.map_batches(line_partial, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
+    if lines.count() == 0:
+        return rd.from_arrow(empty)
+    oyears = (
+        orders_ds.map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "o_year": pc.cast(
+                    pc.year(b["o_orderdate"]), pa.int64()
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+    )
+    joined = lines.join(
+        oyears, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def ny_partial(b: pa.Table) -> pa.Table:
+        nat = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        yr = b["o_year"].to_numpy(zero_copy_only=False)
+        pf = b["profit"].to_numpy(zero_copy_only=False)
+        yoff = yr - 1970
+        if len(nat) and (yoff.max() >= 4096 or yoff.min() < 0):
+            raise ValueError("year outside the packed range")
+        key = nat * 4096 + yoff
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, pf)
+        return pa.table({
+            "key": pa.array(u, pa.int64()),
+            "p": pa.array(s, pa.int64()),
+        })
+
+    agg = joined.map_batches(
+        ny_partial, batch_format="pyarrow"
+    ).groupby("key").sum("p")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nation": pa.array(
+                [nation_name[int(x)] for x in key // 4096], pa.string()
+            ),
+            "o_year": pa.array(key % 4096 + 1970, pa.int64()),
+            "neg_year": pa.array(-(key % 4096), pa.int64()),
+            "profit_micro": pc.cast(b["sum(p)"], pa.int64()),
+        })
+
+    return (
+        agg.map_batches(finalize, batch_format="pyarrow")
+        .sort(["nation", "neg_year"])
+        .drop_columns(["neg_year"])
+    )
+
+
+def shipping_delay_bands(lineitem_ds, orders_ds,
+                         band_us: int = 31_536_000_000_000,
+                         band_lo: int = -7, band_hi: int = 7,
+                         high_priorities=("1-URGENT", "2-HIGH"),
+                         num_partitions: int = 8):
+    """TPC-H Q12 shape (adapted: no l_shipmode, so lineitems band by
+    SHIPPING DELAY — floor years between order date and ship date,
+    clamped to [band_lo, band_hi]): per delay band, how many lineitems
+    belong to high-priority orders vs the rest —
+    ``(delay_band, high_count, low_count)`` sorted by band.
+
+    One distributed hash join (lineitem keys meet order
+    date/priority), then a packed (band, is_high) per-batch counting
+    combiner collapses the stream onto <= 2*(hi-lo+1) cells. The band
+    is ``floor(double_us_delta / band_us)`` — a single identical IEEE
+    divide+floor in both engines (deltas << 2^53 stay exact)."""
+    P = _clamp_partitions(num_partitions)
+    hp = set(high_priorities)
+    empty = pa.table({
+        "delay_band": pa.array([], pa.int64()),
+        "high_count": pa.array([], pa.int64()),
+        "low_count": pa.array([], pa.int64()),
+    })
+
+    li = (
+        lineitem_ds.map_batches(
+            lambda b: pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "ship": pc.cast(b["l_shipdate"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .repartition(P)
+        .materialize()
+    )
+    if li.count() == 0:
+        return rd.from_arrow(empty)
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "od": pc.cast(b["o_orderdate"], pa.int64()),
+            "hi": pc.cast(
+                pc.is_in(b["o_orderpriority"],
+                         value_set=pa.array(sorted(hp), pa.string())),
+                pa.int64(),
+            ),
+        })
+
+    joined = li.join(
+        orders_ds.map_batches(ord_prep, batch_format="pyarrow")
+        .repartition(P),
+        join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    span = band_hi - band_lo + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        d = (
+            b["ship"].to_numpy(zero_copy_only=False)
+            - b["od"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        band = np.clip(
+            np.floor(d / float(band_us)).astype(np.int64),
+            band_lo, band_hi,
+        )
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        key = (band - band_lo) * 2 + hi
+        cnt = np.bincount(key, minlength=span * 2).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "key": pa.array(nz, pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    agg = joined.map_batches(
+        partial, batch_format="pyarrow"
+    ).groupby("key").sum("n").materialize()
+    if agg.count() == 0:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(
+        list(agg.iter_batches(batch_format="pyarrow"))
+    ).combine_chunks()
+    key = t["key"].to_numpy(zero_copy_only=False)
+    n = t["sum(n)"].to_numpy(zero_copy_only=False)
+    full = np.zeros(span * 2, np.int64)
+    full[key] = n
+    bands = np.arange(band_lo, band_hi + 1, dtype=np.int64)
+    lo_c, hi_c = full[0::2], full[1::2]
+    present = (lo_c + hi_c) > 0
+    return rd.from_arrow(pa.table({
+        "delay_band": pa.array(bands[present], pa.int64()),
+        "high_count": pa.array(hi_c[present], pa.int64()),
+        "low_count": pa.array(lo_c[present], pa.int64()),
+    }))

@@ -695,3 +695,149 @@ def test_forecast_revenue_oracle_sf0001():
           AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
     """).df()
     _cmp(got, want)
+
+
+def _po(rows):
+    """orders-ish table with priority: (orderkey, date, priority)."""
+    ok, dt, pr = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([_ts(x) for x in dt], "datetime64[us]")
+        ),
+        "o_orderpriority": pa.array(pr, pa.string()),
+    }))
+
+
+def test_sole_late_suppliers_hand_computed():
+    from eschergraph_ray.functions.tpch import sole_late_suppliers
+
+    # O1: supp1 (one early + one late line -> late via max), supp2
+    #     on time -> qualifies, winner supp1
+    # O2: single supplier late -> excluded (needs >=2 suppliers)
+    # O3: both suppliers late -> excluded (not sole)
+    # O4: supp1 on time, supp3 late -> winner supp3
+    li = _li([
+        (1, 0, 1, 1, 10.0, 0.0, "N", "1996-01-02"),
+        (1, 0, 1, 1, 10.0, 0.0, "N", "1996-06-01"),
+        (1, 0, 2, 1, 10.0, 0.0, "N", "1996-01-15"),
+        (2, 0, 1, 1, 10.0, 0.0, "N", "1996-09-01"),
+        (3, 0, 1, 1, 10.0, 0.0, "N", "1996-06-01"),
+        (3, 0, 2, 1, 10.0, 0.0, "N", "1996-07-01"),
+        (4, 0, 1, 1, 10.0, 0.0, "N", "1996-01-05"),
+        (4, 0, 3, 1, 10.0, 0.0, "N", "1996-12-01"),
+    ])
+    orders = _po([(1, "1996-01-01", "5-LOW"), (2, "1996-01-01", "5-LOW"),
+                  (3, "1996-01-01", "5-LOW"), (4, "1996-01-01", "5-LOW")])
+    sup = rd.from_arrow(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+        "s_nationkey": pa.array([0, 1, 0], pa.int32()),
+    }))
+    out = sole_late_suppliers(
+        li, orders, sup, {0: "A", 1: "B"}, grace_days=60
+    ).to_pandas()
+    assert list(out["s_name"]) == ["S1", "S3"]
+    assert list(out["nation"]) == ["A", "A"]
+    assert list(out["numwait"]) == [1, 1]
+
+
+def test_sole_late_suppliers_none_qualify():
+    from eschergraph_ray.functions.tpch import sole_late_suppliers
+
+    li = _li([(1, 0, 1, 1, 10.0, 0.0, "N", "1996-01-02")])
+    orders = _po([(1, "1996-01-01", "5-LOW")])
+    sup = rd.from_arrow(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": pa.array(["S1"], pa.string()),
+        "s_nationkey": pa.array([0], pa.int32()),
+    }))
+    out = sole_late_suppliers(li, orders, sup, {0: "A"})
+    assert out.count() == 0
+
+
+def test_profit_by_nation_year_hand_computed():
+    from eschergraph_ray.functions.tpch import profit_by_nation_year
+
+    li = _li([
+        (1, 10, 1, 2, 1000.0, 0.0, "N", "1996-01-01"),
+        (1, 11, 2, 1, 500.0, 0.5, "N", "1996-01-01"),
+        (2, 10, 1, 1, 100.0, 0.0, "N", "1996-01-01"),
+        (2, 99, 1, 1, 777.0, 0.0, "N", "1996-01-01"),  # unmatched part
+    ])
+    orders = _orders([(1, 1, 0.0, "1995-03-01"),
+                      (2, 1, 0.0, "1996-03-01")])
+    out = profit_by_nation_year(
+        li, orders,
+        part_keys=np.array([10, 11]),
+        part_retail=np.array([100.0, 50.0]),
+        supp_keys=np.array([1, 2]),
+        supp_nat=np.array([0, 1]),
+        nation_name={0: "A", 1: "B"},
+        cost_factor=0.6,
+    ).to_pandas()
+    # rev(1e6): 1000, 250, 100; cost: 100*2*.6=120, 50*1*.6=30, 60
+    rows = list(zip(out["nation"], out["o_year"], out["profit_micro"]))
+    assert rows == [("A", 1996, 40_000_000),
+                    ("A", 1995, 880_000_000),
+                    ("B", 1995, 220_000_000)]
+
+
+def test_shipping_delay_bands_hand_computed():
+    from eschergraph_ray.functions.tpch import shipping_delay_bands
+
+    li = _li([
+        (1, 0, 1, 1, 1.0, 0.0, "N", "1996-06-01"),   # +152d -> 0
+        (1, 0, 1, 1, 1.0, 0.0, "N", "1997-06-05"),   # +521d -> 1
+        (2, 0, 1, 1, 1.0, 0.0, "N", "1995-01-01"),   # -365d -> -1
+        (2, 0, 1, 1, 1.0, 0.0, "N", "1980-01-01"),   # clamp -> -7
+    ])
+    orders = _po([(1, "1996-01-01", "1-URGENT"),
+                  (2, "1995-12-31", "5-LOW")])
+    out = shipping_delay_bands(li, orders).to_pandas()
+    rows = list(zip(out["delay_band"], out["high_count"],
+                    out["low_count"]))
+    assert rows == [(-7, 0, 1), (-1, 0, 1), (0, 1, 0), (1, 1, 0)]
+
+
+def test_sole_late_oracle_sf0001():
+    from eschergraph_ray.functions.tpch import sole_late_suppliers
+
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pydict()
+    out = sole_late_suppliers(
+        rd.read_parquet(f"{SF}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_shipdate"]),
+        rd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"]),
+        rd.read_parquet(f"{SF}/supplier.parquet",
+                        columns=["s_suppkey", "s_name",
+                                 "s_nationkey"]),
+        {int(k): str(v) for k, v in
+         zip(nat["n_nationkey"], nat["n_name"])},
+        grace_days=60, k=25,
+    ).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    o = con.execute("""
+        WITH ls AS (
+          SELECT l_orderkey AS ok, l_suppkey AS sk,
+                 max(CASE WHEN epoch_us(l_shipdate)
+                          > epoch_us(o_orderdate) + 5184000000000
+                     THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        od AS (SELECT ok, count(*) AS ns, sum(late) AS nl,
+                      min(CASE WHEN late = 1 THEN sk END) AS lsk
+               FROM ls GROUP BY 1),
+        w AS (SELECT lsk AS sk, count(*) AS numwait FROM od
+              WHERE ns >= 2 AND nl = 1 GROUP BY 1)
+        SELECT s_name, n_name AS nation,
+               CAST(numwait AS BIGINT) AS numwait
+        FROM w JOIN supplier ON s_suppkey = sk
+        JOIN nation ON n_nationkey = s_nationkey
+        ORDER BY numwait DESC, s_name LIMIT 25
+    """).df()
+    pd.testing.assert_frame_equal(out, o, check_dtype=False)
