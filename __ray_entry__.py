@@ -6714,6 +6714,54 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_docs_readability(sf_dir: str):
+    """Per-source Flesch-style readability rollup
+    (functions/textstats.py readability_by_source): words /
+    sentence-runs / vowel-group syllables as three RE2 counter scans
+    summed in a source-cardinality combiner; wps/spw/Flesch as the
+    one-float-chain micro device."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.textstats import (
+        readability_by_source,
+    )
+
+    _context()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    return readability_by_source(docs, "source", "text")
+
+
+def _q_docs_hapax(sf_dir: str):
+    """Per-source hapax-legomenon profile (functions/vocab.py
+    hapax_by_source): corpus frequency-1 tokens attributed to their
+    single source + per-source vocabulary, via ONE crc32(token)
+    int-bucket groupby — no token-keyed string shuffle."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import hapax_by_source
+
+    _context()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    return hapax_by_source(docs, "source", "text")
+
+
+def _q_events_user_hhi(sf_dir: str):
+    """Herfindahl user-concentration per event type
+    (functions/stats.py user_concentration_hhi): exact Σn_u²/N² in
+    int64 via the user&63 bucket device — is one whale driving the
+    type's volume."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import user_concentration_hhi
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return user_concentration_hhi(ev, "event_type", "user_id")
+
+
 def _q_suppliers_sole_late(sf_dir: str):
     """TPC-H Q21-shaped sole-late suppliers (functions/tpch.py
     sole_late_suppliers; adapted — no commit/receipt dates, late =
@@ -7088,6 +7136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_sole_late": _q_suppliers_sole_late,
         "profit_by_nation_year": _q_profit_by_nation_year,
         "lineitem_delay_bands": _q_lineitem_delay_bands,
+        "docs_readability": _q_docs_readability,
+        "docs_hapax": _q_docs_hapax,
+        "events_user_hhi": _q_events_user_hhi,
     }
 
 
@@ -13225,5 +13276,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT delay_band, CAST(sum(hi) AS BIGINT) AS high_count,
                CAST(count(*) - sum(hi) AS BIGINT) AS low_count
         FROM j GROUP BY 1 ORDER BY delay_band
+    """
+    d["docs_readability"] = """
+        -- lexical-difficulty replay (textstats.readability_by_source):
+        -- four regexp counters, int sums, one-division micro ratios
+        WITH p AS (
+          SELECT source,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z]+(''[A-Za-z]+)?')) AS w,
+                 len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y,
+                 len(regexp_extract_all(text, '[A-Za-z]')) AS c,
+                 len(regexp_extract_all(text, '[A-Za-z]{7,}')) AS lw
+          FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
+        ),
+        a AS (
+          SELECT source, count(*) AS n_docs, sum(w) AS words,
+                 sum(y) AS syllables, sum(c) AS alpha_chars,
+                 sum(lw) AS long_words
+          FROM p GROUP BY 1
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(words AS BIGINT) AS words,
+               CAST(syllables AS BIGINT) AS syllables,
+               CAST(alpha_chars AS BIGINT) AS alpha_chars,
+               CAST(long_words AS BIGINT) AS long_words,
+               CAST(round(1e6 * (CAST(syllables AS DOUBLE) / words),
+                          0) AS BIGINT) AS spw_micro,
+               CAST(round(1e6 * (CAST(alpha_chars AS DOUBLE) / words),
+                          0) AS BIGINT) AS awl_micro,
+               CAST(round(1e6 * (CAST(long_words AS DOUBLE) / words),
+                          0) AS BIGINT) AS long_ratio_micro
+        FROM a WHERE words > 0 ORDER BY source
+    """
+    d["docs_hapax"] = """
+        -- hapax replay (vocab.hapax_by_source): corpus freq-1 tokens
+        -- belong to exactly one source (min(source) is THE source)
+        WITH wl AS (
+          SELECT source, regexp_extract_all(lower(text),
+              '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]') AS ws
+          FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
+        ),
+        tok AS (SELECT source, unnest(ws) AS t FROM wl),
+        tot AS (
+          SELECT t, count(*) AS n, min(source) AS src
+          FROM tok GROUP BY 1
+        ),
+        hap AS (
+          SELECT src AS source, count(*) AS h
+          FROM tot WHERE n = 1 GROUP BY 1
+        ),
+        voc AS (
+          SELECT source, count(DISTINCT t) AS v FROM tok GROUP BY 1
+        )
+        SELECT voc.source, CAST(v AS BIGINT) AS vocab,
+               CAST(coalesce(h, 0) AS BIGINT) AS hapax,
+               CAST(round(1e6 * (CAST(coalesce(h, 0) AS DOUBLE)
+                    / CAST(v AS DOUBLE)), 0) AS BIGINT)
+                 AS hapax_rate_micro
+        FROM voc LEFT JOIN hap ON hap.source = voc.source
+        ORDER BY voc.source
+    """
+    d["events_user_hhi"] = """
+        -- HHI replay (stats.user_concentration_hhi): exact int
+        -- Σn_u², one division per group
+        WITH c AS (
+          SELECT event_type, user_id, count(*) AS n FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT event_type, count(*) AS n_users, sum(n) AS total,
+                 sum(CAST(n AS HUGEINT) * n) AS sq
+          FROM c GROUP BY 1
+        )
+        SELECT event_type AS "group",
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(total AS BIGINT) AS total,
+               CAST(round(1e6 * (CAST(sq AS DOUBLE)
+                    / (CAST(total AS DOUBLE) * total)), 0) AS BIGINT)
+                 AS hhi_micro
+        FROM s ORDER BY 1
     """
     return d

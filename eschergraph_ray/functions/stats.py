@@ -1771,3 +1771,105 @@ def grouped_pearson(ds, group_col: str, x_col: str, y_col: str,
         "n": [r[1] for r in rows],
         "corr_micro": [r[2] for r in rows],
     })
+
+
+def user_concentration_hhi(ds, group_col: str, user_col: str,
+                           n_buckets: int = 64):
+    """Herfindahl–Hirschman concentration of per-user activity within
+    each group: ``HHI = Σ (n_u / N)² = Σ n_u² / N²`` over the users
+    active in the group — ``(group, n_users, total, hhi_micro)``
+    sorted by group. The standard "is one whale driving this event
+    type" diagnostic, complementing the Gini and entropy profiles.
+
+    Shape: per-batch Arrow (group, user) count partials tagged with
+    ``user & (n_buckets-1)``, one int-bucket groupby whose per-bucket
+    pass finishes each (group, user) cell exactly (a user's rows
+    share its bucket) and emits (group, n_users, total, Σn²)
+    partials, then a group-cardinality groupby-sum. Exact int64
+    throughout; the single division happens once per group."""
+    import numpy as np
+
+    mask = int(n_buckets) - 1
+    if n_buckets & mask:
+        raise ValueError("n_buckets must be a power of two")
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ok = pc.and_(pc.is_valid(b[group_col]),
+                     pc.is_valid(b[user_col]))
+        b = b.filter(ok)
+        t = pa.table({
+            "g": b[group_col],
+            "u": pc.cast(b[user_col], pa.int64()),
+        })
+        c = t.group_by(["g", "u"]).aggregate([([], "count_all")])
+        return pa.table({
+            "bucket": pc.bit_wise_and(c["u"], mask),
+            "g": c["g"],
+            "u": c["u"],
+            "n": pc.cast(c["count_all"], pa.int64()),
+        })
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        t = t.combine_chunks()
+        gcode = pc.dictionary_encode(t["g"])
+        if isinstance(gcode, pa.ChunkedArray):
+            gcode = gcode.combine_chunks()
+        gi = np.asarray(gcode.indices, dtype=np.int64)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ng = len(gcode.dictionary)
+        # finish each (group, user) cell: combine cross-batch rows
+        order = np.lexsort((u, gi))
+        gi, u, n = gi[order], u[order], n[order]
+        new = np.ones(len(gi), bool)
+        if len(gi) > 1:
+            new[1:] = (gi[1:] != gi[:-1]) | (u[1:] != u[:-1])
+        starts = np.flatnonzero(new)
+        cell_n = np.add.reduceat(n, starts) if len(starts) else n[:0]
+        cell_g = gi[starts]
+        nu = np.bincount(cell_g, minlength=ng).astype(np.int64)
+        tot = np.zeros(ng, np.int64)
+        np.add.at(tot, cell_g, cell_n)
+        sq = np.zeros(ng, np.int64)
+        np.add.at(sq, cell_g, cell_n * cell_n)
+        return pa.table({
+            "g": gcode.dictionary,
+            "nu": pa.array(nu, pa.int64()),
+            "tot": pa.array(tot, pa.int64()),
+            "sq": pa.array(sq, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("g")
+        .sum(["nu", "tot", "sq"])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nu = b["sum(nu)"].to_numpy(zero_copy_only=False)
+        tot = b["sum(tot)"].to_numpy(zero_copy_only=False)
+        sq = b["sum(sq)"].to_numpy(zero_copy_only=False)
+        hhi = 1e6 * (sq.astype(np.float64)
+                     / (tot.astype(np.float64) * tot))
+        return pa.table({
+            "group": b["g"],
+            "n_users": pa.array(nu, pa.int64()),
+            "total": pa.array(tot, pa.int64()),
+            "hhi_micro": pc.cast(
+                pc.round(pa.array(hhi), ndigits=0,
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            ),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "group"
+    )

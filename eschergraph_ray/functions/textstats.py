@@ -720,3 +720,99 @@ def gini_concentration(ds, key_col: str):
             "gini_micro": gini,
         }
     )
+
+
+def readability_by_source(ds, source_col: str, text_col: str,
+                          long_chars: int = 7):
+    """Per-source lexical-difficulty profile: alpha-token words,
+    vowel-group "syllables", alpha chars, and long words (>=
+    ``long_chars`` letters), plus syllables-per-word, average word
+    length, and long-word share in integer micro-units —
+    ``(source, n_docs, words, syllables, alpha_chars, long_words,
+    spw_micro, awl_micro, long_ratio_micro)`` sorted by source.
+
+    These are the Flesch-Kincaid / LIX ingredients that stay
+    well-defined on corpora without sentence punctuation (this
+    repo's synthetic corpus has none — a sentence-based score would
+    be degenerate; sentence segmentation is the caller's extension
+    point). All four counters are single RE2
+    ``count_substring_regex`` scans (byte-equal to DuckDB
+    ``len(regexp_extract_all(...))``; the greedy ``{7,}`` run
+    matches each long word once), summed per source in a per-batch
+    Arrow combiner — the shuffle moves source-cardinality partials
+    only. Ratios are the one-division micro device. Sources with
+    zero words are dropped."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ok = pc.and_(pc.is_valid(b[source_col]),
+                     pc.is_valid(b[text_col]))
+        b = b.filter(ok)
+        t = pa.table({
+            "source": b[source_col],
+            "d": pa.array(np.ones(b.num_rows, np.int64)),
+            "w": pc.cast(pc.count_substring_regex(
+                b[text_col], r"[A-Za-z]+('[A-Za-z]+)?"), pa.int64()),
+            "y": pc.cast(pc.count_substring_regex(
+                b[text_col], r"[aeiouyAEIOUY]+"), pa.int64()),
+            "c": pc.cast(pc.count_substring_regex(
+                b[text_col], r"[A-Za-z]"), pa.int64()),
+            "lw": pc.cast(pc.count_substring_regex(
+                b[text_col], r"[A-Za-z]{%d,}" % int(long_chars)),
+                pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [("d", "sum"), ("w", "sum"), ("y", "sum"), ("c", "sum"),
+             ("lw", "sum")]
+        )
+        return g.rename_columns(["source", "d", "w", "y", "c", "lw"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["d", "w", "y", "c", "lw"])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nd = b["sum(d)"].to_numpy(zero_copy_only=False)
+        w = b["sum(w)"].to_numpy(zero_copy_only=False)
+        y = b["sum(y)"].to_numpy(zero_copy_only=False)
+        c = b["sum(c)"].to_numpy(zero_copy_only=False)
+        lw = b["sum(lw)"].to_numpy(zero_copy_only=False)
+        keep = w > 0
+        nd, w, y, c, lw = nd[keep], w[keep], y[keep], c[keep], lw[keep]
+        src = pa.array(
+            np.asarray(b["source"].to_pylist(), object)[keep].tolist(),
+            pa.string(),
+        )
+        wf = w.astype(np.float64)
+
+        def _micro(x):
+            return pc.cast(
+                pc.round(pa.array(x), ndigits=0,
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+
+        return pa.table({
+            "source": src,
+            "n_docs": pa.array(nd, pa.int64()),
+            "words": pa.array(w, pa.int64()),
+            "syllables": pa.array(y, pa.int64()),
+            "alpha_chars": pa.array(c, pa.int64()),
+            "long_words": pa.array(lw, pa.int64()),
+            "spw_micro": _micro(1e6 * (y.astype(np.float64) / wf)),
+            "awl_micro": _micro(1e6 * (c.astype(np.float64) / wf)),
+            "long_ratio_micro": _micro(
+                1e6 * (lw.astype(np.float64) / wf)
+            ),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "source"
+    )

@@ -1395,3 +1395,117 @@ def template_prefixes(ds, group_col: str, text_col: str,
         .sort(["n_docs", "prefix"], descending=[True, False])
         .limit(top_k)
     )
+
+
+def hapax_by_source(ds, source_col: str, text_col: str,
+                    n_buckets: int = 256):
+    """Per-source hapax-legomenon profile: vocabulary size (distinct
+    tokens appearing in the source) and hapax count (corpus-wide
+    frequency-1 tokens, attributed to their single source) —
+    ``(source, vocab, hapax, hapax_rate_micro)`` sorted by source.
+
+    Long-tail health diagnostic for tokenizer/vocab curation: a
+    source whose hapax rate spikes is full of typos, random ids, or
+    boilerplate mutations. The repo-wide token grammar keeps the
+    DuckDB replay exact.
+
+    Shape: per-batch (token, source, n) Counter partials, then ONE
+    ``crc32(token) & (n_buckets-1)`` int-bucket groupby — a token's
+    every row lands in its bucket, so corpus totals (hapax test) and
+    distinct (token, source) pairs (vocab) are both exact C-side,
+    and only (source, vocab, hapax) partials leave the buckets. No
+    token-keyed string shuffle, no driver state."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from zlib import crc32
+
+    mask = int(n_buckets) - 1
+    if n_buckets & mask:
+        raise ValueError("n_buckets must be a power of two")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ok = pc.and_(pc.is_valid(batch[source_col]),
+                     pc.is_valid(batch[text_col]))
+        batch = batch.filter(ok)
+        srcs = batch[source_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        c: "Counter[tuple]" = Counter()
+        from .text import _TOKEN_RE
+
+        for src, txt in zip(srcs, texts):
+            for tok in _TOKEN_RE.findall((txt or "").lower()):
+                c[(tok, src)] += 1
+        toks = [k[0] for k in c]
+        return pa.table({
+            "bucket": pa.array(
+                [crc32(t.encode()) & mask for t in toks], pa.int64()
+            ),
+            "token": pa.array(toks, pa.string()),
+            "source": pa.array([k[1] for k in c], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = g.combine_chunks()
+        tcode = pc.dictionary_encode(g["token"])
+        if isinstance(tcode, pa.ChunkedArray):
+            tcode = tcode.combine_chunks()
+        scode = pc.dictionary_encode(g["source"])
+        if isinstance(scode, pa.ChunkedArray):
+            scode = scode.combine_chunks()
+        ti = np.asarray(tcode.indices, dtype=np.int64)
+        si = np.asarray(scode.indices, dtype=np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        n_src = len(scode.dictionary)
+        tot = np.zeros(int(ti.max()) + 1 if len(ti) else 0, np.int64)
+        np.add.at(tot, ti, n)
+        # hapax: corpus freq 1 -> its one row names the source
+        hap_rows = (tot[ti] == 1) & (n == 1)
+        hap = np.bincount(si[hap_rows], minlength=n_src).astype(
+            np.int64
+        )
+        # vocab: distinct (token, source) pairs per source
+        pairs = np.unique(ti * n_src + si)
+        voc = np.bincount(pairs % n_src, minlength=n_src).astype(
+            np.int64
+        )
+        return pa.table({
+            "source": scode.dictionary,
+            "v": pa.array(voc, pa.int64()),
+            "h": pa.array(hap, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["v", "h"])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        v = b["sum(v)"].to_numpy(zero_copy_only=False)
+        h = b["sum(h)"].to_numpy(zero_copy_only=False)
+        rate = 1e6 * (h.astype(np.float64) / v.astype(np.float64))
+        return pa.table({
+            "source": b["source"],
+            "vocab": pa.array(v, pa.int64()),
+            "hapax": pa.array(h, pa.int64()),
+            "hapax_rate_micro": pc.cast(
+                pc.round(pa.array(rate), ndigits=0,
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            ),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "source"
+    )

@@ -404,3 +404,52 @@ def test_media_ahash_threshold_guard(ray_session):
     ds = rd.from_arrow(synthetic_media_table(4))
     with pytest.raises(ValueError, match="pigeonhole|bands"):
         media_ahash_pairs(ds, threshold=4)
+
+
+def test_readability_by_source_hand_computed():
+    from eschergraph_ray.functions.textstats import readability_by_source
+
+    ds = rd.from_arrow(pa.table({
+        "source": ["a", "a", "b", None],
+        "text": ["hello world", "elephantine cat", "i", "skip"],
+    }))
+    out = readability_by_source(ds, "source", "text").to_pandas()
+    a = out[out["source"] == "a"].iloc[0]
+    # words: hello world elephantine cat = 4; vowel runs:
+    # e,o | o | e,e,a,i,e | a = 9; alpha chars 10 + 14; long: 1
+    assert (a["n_docs"], a["words"], a["syllables"],
+            a["alpha_chars"], a["long_words"]) == (2, 4, 9, 24, 1)
+    assert a["spw_micro"] == 2_250_000
+    assert a["awl_micro"] == 6_000_000
+    assert a["long_ratio_micro"] == 250_000
+    b = out[out["source"] == "b"].iloc[0]
+    assert (b["words"], b["syllables"], b["long_words"]) == (1, 1, 0)
+    assert len(out) == 2  # null source dropped
+
+
+def test_hapax_by_source_hand_computed():
+    from eschergraph_ray.functions.vocab import hapax_by_source
+
+    ds = rd.from_arrow(pa.table({
+        "source": ["a", "b"],
+        "text": ["x x y", "Y z"],
+    }))
+    out = hapax_by_source(ds, "source", "text").to_pandas()
+    rows = {r.source: (r.vocab, r.hapax, r.hapax_rate_micro)
+            for r in out.itertuples()}
+    # lowercased totals: x=2, y=2, z=1 -> hapax {z} in b
+    assert rows == {"a": (2, 0, 0), "b": (2, 1, 500_000)}
+
+
+def test_user_concentration_hhi_hand_computed():
+    from eschergraph_ray.functions.stats import user_concentration_hhi
+
+    ds = rd.from_arrow(pa.table({
+        "event_type": ["A", "A", "A", "A", "B"],
+        "user_id": pa.array([1, 1, 1, 2, 1], pa.int64()),
+    }))
+    out = user_concentration_hhi(ds, "event_type", "user_id").to_pandas()
+    rows = {r.group: (r.n_users, r.total, r.hhi_micro)
+            for r in out.itertuples()}
+    # A: counts 3,1 -> (9+1)/16 = 0.625
+    assert rows == {"A": (2, 4, 625_000), "B": (1, 1, 1_000_000)}
