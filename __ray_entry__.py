@@ -6714,6 +6714,37 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_kg_diameter(sf_dir: str):
+    """Double-sweep BFS diameter estimate of the built KG
+    (graph_metrics.diameter_double_sweep): BFS from the max-degree
+    level-0 entity, re-seed at the farthest node, report the second
+    sweep's (hop, n_nodes) layer histogram — max hop is the classic
+    diameter lower bound. Small-dense KG takes the two-numpy-sweep
+    fast path; the distributed frontier loop is exercised in pytest
+    with small_edge_cutoff=0. Oracle: two chained recursive CTEs
+    over the build's own edge parquet."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import (
+        diameter_double_sweep,
+    )
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return diameter_double_sweep(edges, "frm_name", "to_name",
+                                 max_hops=16)
+
+
 def _q_docs_readability(sf_dir: str):
     """Per-source Flesch-style readability rollup
     (functions/textstats.py readability_by_source): words /
@@ -7139,6 +7170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_readability": _q_docs_readability,
         "docs_hapax": _q_docs_hapax,
         "events_user_hhi": _q_events_user_hhi,
+        "kg_diameter": _q_kg_diameter,
     }
 
 
@@ -13358,5 +13390,41 @@ def oracle_sql() -> dict[str, str]:
                     / (CAST(total AS DOUBLE) * total)), 0) AS BIGINT)
                  AS hhi_micro
         FROM s ORDER BY 1
+    """
+    d["kg_diameter"] = f"""
+        -- double-sweep replay (graph_metrics.diameter_double_sweep):
+        -- two chained recursive-CTE BFS passes, shared seed contract
+        WITH RECURSIVE e0 AS (
+          SELECT DISTINCT least(frm_name, to_name) AS a,
+                 greatest(frm_name, to_name) AS b
+          FROM read_parquet('{_edges}')
+          WHERE level = 0 AND frm_name <> to_name
+        ),
+        sym AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b AS src, a AS dst FROM e0
+        ),
+        deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+        seed AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 1),
+        r1(node, hop) AS (
+          SELECT id, 0 FROM seed
+          UNION
+          SELECT s.dst, r.hop + 1
+          FROM r1 r JOIN sym s ON s.src = r.node
+          WHERE r.hop < 16
+        ),
+        d1 AS (SELECT node, min(hop) AS hop FROM r1 GROUP BY node),
+        far AS (SELECT node FROM d1 ORDER BY hop DESC, node LIMIT 1),
+        r2(node, hop) AS (
+          SELECT node, 0 FROM far
+          UNION
+          SELECT s.dst, r.hop + 1
+          FROM r2 r JOIN sym s ON s.src = r.node
+          WHERE r.hop < 16
+        ),
+        d2 AS (SELECT node, min(hop) AS hop FROM r2 GROUP BY node)
+        SELECT CAST(hop AS BIGINT) AS hop,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM d2 GROUP BY hop ORDER BY hop
     """
     return d

@@ -2291,3 +2291,87 @@ def edge_reciprocity(edges_ds, src_col: str, dst_col: str):
         "n_edges": [e], "n_reciprocal": [rr],
         "reciprocity_micro": [micro],
     }).astype("int64")
+
+
+def diameter_double_sweep(edges_ds, src_col: str, dst_col: str,
+                          max_hops: int = 16,
+                          num_partitions: int = _DEFAULT_PARTITIONS,
+                          small_edge_cutoff: int = 200_000):
+    """Double-sweep BFS diameter estimate (Magnien–Latapy–Habib 2009
+    lower bound) over the undirected simple graph: BFS from the
+    deterministic max-degree seed (ties -> smallest name), re-seed at
+    the farthest reached node (max hop, ties -> smallest name), BFS
+    again, and return the SECOND sweep's layer histogram
+    ``(hop, n_nodes)`` sorted by hop — its max hop is the classic
+    diameter lower bound, and the layer profile shows the graph's
+    depth structure at a glance.
+
+    Both sweeps bound at ``max_hops`` (identically replayed by the
+    recursive-CTE oracle). Below ``small_edge_cutoff`` normalized
+    edges the whole graph is driver model state and two numpy sweeps
+    replace ~2·max_hops rounds of join fixed costs (the
+    bfs_layers/kcore dense-path precedent); above it both sweeps run
+    the shared distributed frontier loop (:func:`_bfs_dist`), whose
+    per-round shuffle touches frontier-adjacent edges only. Force the
+    distributed path in tests with small_edge_cutoff=0."""
+    import numpy as np
+
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    P = _clamp_partitions(num_partitions)
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    node_type = edges_ds.schema().base_schema.field(src_col).type
+    out_schema = pa.schema(
+        [pa.field("hop", pa.int64()), pa.field("n_nodes", pa.int64())]
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if edges.count() <= small_edge_cutoff:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow"))
+        )
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(
+            np.concatenate([a, b]), return_inverse=True
+        )
+        ea, eb = inv[: len(a)], inv[len(a):]
+        deg = np.bincount(ea, minlength=len(nodes)) + np.bincount(
+            eb, minlength=len(nodes)
+        )
+        # nodes sorted ascending; argmax takes the FIRST max -> the
+        # smallest name among ties (the shared seed contract)
+        seed = int(np.argmax(deg))
+        hop1 = _np_bfs_hops(len(nodes), ea, eb, seed, max_hops)
+        far = int(np.argmax(hop1))  # max hop, first occurrence
+        hop2 = _np_bfs_hops(len(nodes), ea, eb, far, max_hops)
+        reach = hop2[hop2 >= 0]
+        hist = np.bincount(reach).astype(np.int64)
+        nz = np.flatnonzero(hist)
+        return rd.from_arrow(pa.table({
+            "hop": pa.array(nz, pa.int64()),
+            "n_nodes": pa.array(hist[nz], pa.int64()),
+        }))
+
+    deg = _explode_endpoints(edges).groupby("node").count()
+    seed = deg.sort(
+        ["count()", "node"], descending=[True, False]
+    ).limit(1).take_all()[0]["node"]
+    lay1 = _bfs_dist(edges, seed, max_hops, node_type, P)
+    far = lay1.sort(
+        ["hop", "node"], descending=[True, False]
+    ).limit(1).take_all()[0]["node"]
+    lay2 = _bfs_dist(edges, far, max_hops, node_type, P)
+    return (
+        lay2.groupby("hop")
+        .count()
+        .map_batches(
+            lambda t: pa.table({
+                "hop": pc.cast(t["hop"], pa.int64()),
+                "n_nodes": pc.cast(t["count()"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("hop")
+    )

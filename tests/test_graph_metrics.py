@@ -513,3 +513,49 @@ def test_harmonic_empty_and_validation(ray_session):
     }
     with pytest.raises(ValueError, match=">= 1"):
         harmonic_centrality_seeds(empty, "s", "d", max_hops=0)
+
+
+def test_diameter_double_sweep_path_graph():
+    from eschergraph_ray.functions.graph_metrics import (
+        diameter_double_sweep,
+    )
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["n1", "n2", "n3"],
+        "dst": ["n2", "n3", "n4"],
+    }))
+    out = diameter_double_sweep(edges, "src", "dst").to_pandas()
+    # seed = n2 (deg 2, smallest name among ties with n3); sweep 1
+    # farthest = n4; sweep 2 from n4 walks the whole path
+    assert list(out["hop"]) == [0, 1, 2, 3]
+    assert list(out["n_nodes"]) == [1, 1, 1, 1]
+
+
+def test_diameter_double_sweep_paths_agree():
+    from eschergraph_ray.functions.graph_metrics import (
+        diameter_double_sweep,
+    )
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "d", "a", "x"],
+        "dst": ["b", "c", "d", "e", "c", "y"],
+    }))
+    import pandas as pd
+
+    fast = diameter_double_sweep(edges, "src", "dst").to_pandas()
+    dist = diameter_double_sweep(
+        edges, "src", "dst", small_edge_cutoff=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_diameter_double_sweep_empty():
+    from eschergraph_ray.functions.graph_metrics import (
+        diameter_double_sweep,
+    )
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["a"], pa.string()),
+        "dst": pa.array(["a"], pa.string()),  # self-loop only
+    }))
+    assert diameter_double_sweep(edges, "src", "dst").count() == 0
