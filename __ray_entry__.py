@@ -6714,6 +6714,27 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_embeddings_cos_histogram(sf_dir: str):
+    """Pairwise-cosine distribution profile
+    (similarity.cosine_pair_histogram): 100 md5-hash-rank sampled
+    vectors, all 4950 pairwise cosines over micro-quantized int
+    dots/norms, 20 equal bins over [-1, 1] — the anisotropy /
+    threshold-calibration diagnostic before cosine dedup. One
+    streaming prefiltered scan; the quadratic part is
+    sample-bounded."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.similarity import (
+        cosine_pair_histogram,
+    )
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return cosine_pair_histogram(ds, "vec_id", "embedding",
+                                 sample_n=100, nbins=20)
+
+
 def _q_kg_diameter(sf_dir: str):
     """Double-sweep BFS diameter estimate of the built KG
     (graph_metrics.diameter_double_sweep): BFS from the max-degree
@@ -7171,6 +7192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hapax": _q_docs_hapax,
         "events_user_hhi": _q_events_user_hhi,
         "kg_diameter": _q_kg_diameter,
+        "embeddings_cos_histogram": _q_embeddings_cos_histogram,
     }
 
 
@@ -13426,5 +13448,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(hop AS BIGINT) AS hop,
                CAST(count(*) AS BIGINT) AS n_nodes
         FROM d2 GROUP BY hop ORDER BY hop
+    """
+    d["embeddings_cos_histogram"] = """
+        -- cosine-histogram replay (similarity.cosine_pair_histogram):
+        -- md5-rank sample, exact int micro dots/norms, one float
+        -- chain + one floor per pair
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 row_number() OVER (
+                   ORDER BY md5(concat('cosh',
+                                       CAST(vec_id AS VARCHAR))),
+                            vec_id
+                 ) AS rn
+          FROM embeddings
+          QUALIFY rn <= 100
+        ),
+        q AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000.0, 0) AS BIGINT) AS v
+          FROM s
+        ),
+        nrm AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY 1),
+        p AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(sum(a.v * b.v) AS BIGINT) AS num
+          FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id < b.vec_id
+          GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT CAST(p.num AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE))
+                    * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+          FROM p
+          JOIN nrm na ON na.vec_id = p.ia
+          JOIN nrm nb ON nb.vec_id = p.ib
+          WHERE na.nn > 0 AND nb.nn > 0
+        )
+        SELECT least(greatest(CAST(floor((cos + 1.0) / 2.0 * 20)
+                                   AS BIGINT), 0), 19) AS bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM c GROUP BY 1 ORDER BY 1
     """
     return d

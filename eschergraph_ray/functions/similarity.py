@@ -929,3 +929,81 @@ def pq_adc_topk(ds, id_col: str, vec_col: str, query_id,
         .sort(["adc_q", id_col])
         .limit(k)
     )
+
+
+def cosine_pair_histogram(ds, id_col: str, vec_col: str,
+                          sample_n: int = 100, nbins: int = 20,
+                          salt: str = "cosh"):
+    """Pairwise-cosine distribution profile on a deterministic uniform
+    sample: the ``sample_n`` md5-hash-rank-smallest vectors, all
+    C(n,2) pairwise cosines, bucketed over [-1, 1] into ``nbins``
+    equal bins — ``(bin, n_pairs)`` sorted by bin. The standard
+    "how spread is my embedding space" diagnostic (anisotropy /
+    collapse check) a curation pipeline runs before cosine-threshold
+    dedup: it calibrates where the near-dup threshold sits in the
+    corpus's own similarity mass.
+
+    Scale shape: the scan is one streaming pass (adaptive
+    hash-threshold prefilter, the pq_codes sampling device); the
+    quadratic part is sample-bounded driver math. Parity: coordinates
+    micro-quantize to int64, so dots and norms are EXACT integers;
+    each cosine is then ONE identical float chain
+    ``num / (sqrt(na) * sqrt(nb))`` and the bin is one identical
+    ``floor((c + 1) / 2 * nbins)`` — no float association order
+    anywhere."""
+    import hashlib
+
+    import ray.data as rd
+
+    if sample_n < 2 or nbins < 1:
+        raise ValueError("sample_n >= 2 and nbins >= 1 required")
+    out_schema = pa.schema(
+        [pa.field("bin", pa.int64()), pa.field("n_pairs", pa.int64())]
+    )
+    n = ds.count()
+    if n < 2:
+        return rd.from_arrow(out_schema.empty_table())
+    rate = min(1.0, (4.0 * sample_n) / n)
+    thr = "g" if rate >= 1.0 else format(max(1, int(rate * 16**8)), "08x")
+
+    def hash_rank(batch: pa.Table) -> pa.Table:
+        h = pa.array(
+            [
+                hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()
+                for i in batch[id_col].to_pylist()
+            ],
+            pa.string(),
+        )
+        t = pa.table(
+            {"_h": h, id_col: batch[id_col], vec_col: batch[vec_col]}
+        )
+        if thr == "g":
+            return t
+        return t.filter(pc.less(t["_h"], thr))
+
+    rows = (
+        ds.map_batches(hash_rank, batch_format="pyarrow")
+        .sort(["_h", id_col])
+        .limit(sample_n)
+        .take_all()
+    )
+    if len(rows) < 2:
+        return rd.from_arrow(out_schema.empty_table())
+    Q = _micro_quantize(
+        np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    )
+    g = Q @ Q.T  # exact int64 (micro dots ~1e12 * d << 2^63)
+    nn = np.diag(g).astype(np.float64)
+    iu, ju = np.triu_indices(len(rows), k=1)
+    keep = (nn[iu] > 0) & (nn[ju] > 0)
+    iu, ju = iu[keep], ju[keep]
+    cosv = g[iu, ju].astype(np.float64) / (np.sqrt(nn[iu])
+                                           * np.sqrt(nn[ju]))
+    raw = np.floor((cosv + 1.0) / 2.0 * nbins)
+    bins = np.clip(raw.astype(np.int64), 0, nbins - 1)
+    cnt = np.bincount(bins, minlength=nbins).astype(np.int64)
+    nz = np.flatnonzero(cnt)
+    return rd.from_arrow(pa.table({
+        "bin": pa.array(nz, pa.int64()),
+        "n_pairs": pa.array(cnt[nz], pa.int64()),
+    }))

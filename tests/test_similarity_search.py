@@ -527,3 +527,32 @@ def test_pq_adc_missing_query_raises(ray_session):
     with pytest.raises(ValueError, match="not found"):
         pq_adc_topk(rd.from_arrow(t), "vec_id", "embedding",
                     query_id=99, m=2, n_codes=2)
+
+
+def test_cosine_pair_histogram_hand_computed():
+    from eschergraph_ray.functions.similarity import (
+        cosine_pair_histogram,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, 0.0]],
+    }))
+    out = cosine_pair_histogram(ds, "vec_id", "embedding",
+                                sample_n=10, nbins=20).to_pandas()
+    rows = dict(zip(out["bin"], out["n_pairs"]))
+    # (1,2) and (2,3): cos 0 -> bin 10; (1,3): cos 1 -> clipped 19;
+    # pairs with the zero vector are dropped
+    assert rows == {10: 2, 19: 1}
+
+
+def test_cosine_pair_histogram_too_small():
+    from eschergraph_ray.functions.similarity import (
+        cosine_pair_histogram,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1], pa.int64()),
+        "embedding": [[1.0, 0.0]],
+    }))
+    assert cosine_pair_histogram(ds, "vec_id", "embedding").count() == 0
