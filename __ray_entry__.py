@@ -6714,6 +6714,23 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_embeddings_top_direction(sf_dir: str):
+    """Dominant principal direction via power iteration on the exact
+    integer Gram (features.top_direction_power): 3 matvecs in
+    arbitrary-precision ints (HUGEINT in the replay), one identical
+    float renormalization chain per iteration, max-|v|=1e6 scaling —
+    the anisotropy/whitening diagnostic. The only data pass is the
+    distributed int64 Gram partial reduce."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import top_direction_power
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    return top_direction_power(ds, "embedding", iters=3)
+
+
 def _q_embeddings_cos_histogram(sf_dir: str):
     """Pairwise-cosine distribution profile
     (similarity.cosine_pair_histogram): 100 md5-hash-rank sampled
@@ -7193,6 +7210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hhi": _q_events_user_hhi,
         "kg_diameter": _q_kg_diameter,
         "embeddings_cos_histogram": _q_embeddings_cos_histogram,
+        "embeddings_top_direction": _q_embeddings_top_direction,
     }
 
 
@@ -13489,5 +13507,54 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT), 0), 19) AS bin,
                CAST(count(*) AS BIGINT) AS n_pairs
         FROM c GROUP BY 1 ORDER BY 1
+    """
+    d["embeddings_top_direction"] = f"""
+        -- power-iteration replay (features.top_direction_power):
+        -- exact HUGEINT matvecs over the Gram replay, 3 unrolled
+        -- iterations, one float renormalization chain each (the
+        -- pagerank unrolled-recurrence precedent)
+        WITH g AS (
+          SELECT dim_i AS i, dim_j AS j, CAST(g AS HUGEINT) AS g
+          FROM ({d['embeddings_gram']})
+        ),
+        v0 AS (
+          SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v
+          FROM g
+        ),
+        w1 AS (
+          SELECT g.i AS dim, sum(g.g * v0.v) AS w
+          FROM g JOIN v0 ON v0.dim = g.j GROUP BY 1
+        ),
+        m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        v1 AS (
+          SELECT dim, CAST(round(CAST(w AS DOUBLE) * 1000000.0
+                                 / CAST(m AS DOUBLE), 0) AS HUGEINT)
+                 AS v
+          FROM w1, m1
+        ),
+        w2 AS (
+          SELECT g.i AS dim, sum(g.g * v1.v) AS w
+          FROM g JOIN v1 ON v1.dim = g.j GROUP BY 1
+        ),
+        m2 AS (SELECT max(abs(w)) AS m FROM w2),
+        v2 AS (
+          SELECT dim, CAST(round(CAST(w AS DOUBLE) * 1000000.0
+                                 / CAST(m AS DOUBLE), 0) AS HUGEINT)
+                 AS v
+          FROM w2, m2
+        ),
+        w3 AS (
+          SELECT g.i AS dim, sum(g.g * v2.v) AS w
+          FROM g JOIN v2 ON v2.dim = g.j GROUP BY 1
+        ),
+        m3 AS (SELECT max(abs(w)) AS m FROM w3),
+        v3 AS (
+          SELECT dim, CAST(round(CAST(w AS DOUBLE) * 1000000.0
+                                 / CAST(m AS DOUBLE), 0) AS HUGEINT)
+                 AS v
+          FROM w3, m3
+        )
+        SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_micro
+        FROM v3 ORDER BY dim
     """
     return d

@@ -633,3 +633,52 @@ def dim_variance_profile(ds, vec_col: str, unit: float = 1e6):
         "n": [r[1] for r in rows],
         "var_micro": [r[2] for r in rows],
     })
+
+
+def top_direction_power(ds, vec_col: str, iters: int = 3,
+                        unit: float = 1e6):
+    """Top principal direction of the embedding cloud via power
+    iteration on the EXACT integer Gram matrix — ``(dim, v_micro)``
+    sorted by dim, the dominant eigenvector scaled to max |v| = 1e6.
+    The one-vector PCA a curation pipeline uses to detect an
+    anisotropic/collapsed embedding space (one direction hoarding
+    variance) and to whiten before cosine dedup.
+
+    Parity discipline: the Gram accumulates distributed as exact
+    int64 (:func:`gram_matrix_micro` — the only pass over the data);
+    each of the ``iters`` matvecs then runs in arbitrary-precision
+    Python ints on the d-sized model state (the SQL replay uses
+    HUGEINT — both exact, no float association order), and each
+    renormalization is ONE identical float chain
+    ``round(double(w) * 1e6 / double(max|w|), 0)``. v0 = 1e6
+    everywhere makes the sign deterministic."""
+    import ray.data as rd
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    out_schema = pa.schema(
+        [pa.field("dim", pa.int64()), pa.field("v_micro", pa.int64())]
+    )
+    g = gram_matrix_micro(ds, vec_col, unit)
+    d = g.shape[0]
+    if d == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    G = [[int(x) for x in row] for row in g]
+    v = [1_000_000] * d
+    for _ in range(int(iters)):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        scaled = [float(x) * 1e6 / float(m) for x in w]
+        v = [
+            int(r) for r in pc.cast(
+                pc.round(pa.array(scaled, pa.float64()), ndigits=0,
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            ).to_pylist()
+        ]
+    return rd.from_arrow(pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+        "v_micro": pa.array(v, pa.int64()),
+    }))

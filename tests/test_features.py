@@ -255,3 +255,43 @@ def test_knn_label_agreement_hand(ray_session):
         ).take_all()
     }
     assert out == {0: (2, 2), 1: (1, 0)}
+
+
+def test_top_direction_power_hand_computed():
+    from eschergraph_ray.functions.features import top_direction_power
+
+    ds = rd.from_arrow(pa.table({
+        "embedding": [[2.0, 0.0], [2.0, 0.0], [0.0, 1.0]],
+    }))
+    out = top_direction_power(ds, "embedding", iters=3).to_pandas()
+    # Gram/1e12 = [[8,0],[0,1]]; each matvec scales dim1 down by 8:
+    # 1e6 -> 125000 -> 15625 -> 1953.125 (rounds half-inf to 1953)
+    assert list(out["dim"]) == [0, 1]
+    assert list(out["v_micro"]) == [1_000_000, 1953]
+
+
+def test_top_direction_power_matches_eigh():
+    import numpy as np
+
+    from eschergraph_ray.functions.features import top_direction_power
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 8))
+    base[:, 2] *= 6.0  # dominant axis
+    ds = rd.from_arrow(pa.table({"embedding": base.tolist()}))
+    out = top_direction_power(ds, "embedding", iters=8).to_pandas()
+    v = out["v_micro"].to_numpy().astype(float)
+    v /= np.linalg.norm(v)
+    g = (base.T @ base)
+    w, vecs = np.linalg.eigh(g)
+    top = vecs[:, -1]
+    assert abs(float(v @ top)) > 0.999
+
+
+def test_top_direction_power_empty():
+    from eschergraph_ray.functions.features import top_direction_power
+
+    ds = rd.from_arrow(pa.table({
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    assert top_direction_power(ds, "embedding").count() == 0
