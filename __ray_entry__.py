@@ -6714,6 +6714,46 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_events_markov_entropy(sf_dir: str):
+    """Entropy rate of the event-type Markov chain
+    (windows.markov_entropy_rate): per-edge micro-nat logs over
+    exact transition counts, weighted by the integer stationary
+    distribution with the pagerank per-edge floor-division device —
+    the journey-predictability scalar. Data-sized work is the shared
+    transition combiner; the |types|² model iterates in Python
+    bigints."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import markov_entropy_rate
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return markov_entropy_rate(ev, "user_id", "ts", "event_id",
+                               "event_type", iters=3)
+
+
+def _q_docs_simhash_hamming(sf_dir: str):
+    """Pairwise SimHash Hamming histogram on a 256-doc md5-rank
+    sample (dedup.simhash_hamming_histogram): calibrates the
+    near-dup banding cutoff against the corpus's own similarity
+    mass. Streaming prefiltered sample scan; SimHash only on the
+    sample; sample-bounded popcount math."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.dedup import (
+        simhash_hamming_histogram,
+    )
+
+    _context()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return simhash_hamming_histogram(docs, "doc_id", "text",
+                                     sample_n=256)
+
+
 def _q_embeddings_top_direction(sf_dir: str):
     """Dominant principal direction via power iteration on the exact
     integer Gram (features.top_direction_power): 3 matvecs in
@@ -7211,6 +7251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_diameter": _q_kg_diameter,
         "embeddings_cos_histogram": _q_embeddings_cos_histogram,
         "embeddings_top_direction": _q_embeddings_top_direction,
+        "events_markov_entropy": _q_events_markov_entropy,
+        "docs_simhash_hamming": _q_docs_simhash_hamming,
     }
 
 
@@ -13556,5 +13598,70 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_micro
         FROM v3 ORDER BY dim
+    """
+    d["events_markov_entropy"] = f"""
+        -- entropy-rate replay (windows.markov_entropy_rate): micro-nat
+        -- edge logs (bigram-NLL device) weighted by the stationary
+        -- replay with per-edge floor division (pagerank device)
+        WITH pi AS ({d['events_markov_stationary']}),
+        e AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND ts IS NOT NULL
+        ),
+        o AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+          FROM e
+        ),
+        c AS (
+          SELECT src, dst, count(*) AS n FROM o
+          WHERE dst IS NOT NULL GROUP BY 1, 2
+        ),
+        r AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c
+              GROUP BY 1),
+        q AS (
+          SELECT c.src, c.n, r.tot,
+                 CAST(round(ln(CAST(c.n AS DOUBLE) / r.tot) * 1e6, 0)
+                      AS BIGINT) AS q
+          FROM c JOIN r USING (src)
+        ),
+        s AS (
+          SELECT CAST(sum((CAST(pi.p_micro AS HUGEINT) * q.n * (-q.q))
+                          // q.tot) AS HUGEINT) AS t
+          FROM q JOIN pi ON pi.event_type = q.src
+        )
+        SELECT (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                FROM e) AS n_types,
+               (SELECT CAST(sum(n) AS BIGINT) FROM c)
+                 AS n_transitions,
+               CAST(t // 1000000 AS BIGINT) AS entropy_rate_micro
+        FROM s
+    """
+    d["docs_simhash_hamming"] = f"""
+        -- SimHash hamming-histogram replay
+        -- (dedup.simhash_hamming_histogram): md5-rank sample, the
+        -- dedup_simhash_documents recomputation, pairwise
+        -- bit_count(xor) — the signed storage bias XORs out
+        WITH sh AS ({d['dedup_simhash_documents']}),
+        samp AS (
+          SELECT sh.doc_id, sh.simhash,
+                 row_number() OVER (
+                   ORDER BY md5(concat('shh',
+                                       CAST(sh.doc_id AS VARCHAR))),
+                            sh.doc_id
+                 ) AS rn
+          FROM sh
+          QUALIFY rn <= 256
+        ),
+        p AS (
+          SELECT bit_count(xor(a.simhash, b.simhash)) AS h
+          FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+        )
+        SELECT CAST(h AS BIGINT) AS hamming,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1 ORDER BY 1
     """
     return d

@@ -1467,3 +1467,74 @@ def dup_rate_by_source(ds, id_col: str, group_col: str, text_col: str,
         "n_dup_docs": dd,
         "dup_rate_micro": rate,
     })
+
+
+def simhash_hamming_histogram(ds, id_col: str, text_col: str,
+                              sample_n: int = 256, salt: str = "shh"):
+    """Pairwise SimHash Hamming-distance distribution on a
+    deterministic md5-rank sample — ``(hamming, n_pairs)`` sorted by
+    distance. The banding-parameter calibration companion to
+    :func:`simhash_near_pairs`: it shows where the corpus's
+    similarity mass sits relative to the ``max_hamming`` cutoff
+    (choose bands from the valley, not by folklore).
+
+    Scale shape: the sample selection is one streaming prefiltered
+    scan (the pq_codes adaptive hash-threshold device), SimHash runs
+    only on the sampled rows, and the quadratic popcount is
+    sample-bounded driver math on 64-bit ints. The signed int64
+    storage bias (value − 2^63) XORs out pairwise, so distances need
+    no unbiasing."""
+    import hashlib
+
+    import ray.data as rd
+
+    if sample_n < 2:
+        raise ValueError("sample_n must be >= 2")
+    out_schema = pa.schema([
+        pa.field("hamming", pa.int64()),
+        pa.field("n_pairs", pa.int64()),
+    ])
+    n = ds.count()
+    if n < 2:
+        return rd.from_arrow(out_schema.empty_table())
+    rate = min(1.0, (4.0 * sample_n) / n)
+    thr = "g" if rate >= 1.0 else format(max(1, int(rate * 16**8)), "08x")
+
+    def hash_rank(batch: pa.Table) -> pa.Table:
+        h = pa.array(
+            [
+                hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()
+                for i in batch[id_col].to_pylist()
+            ],
+            pa.string(),
+        )
+        t = pa.table(
+            {"_h": h, id_col: batch[id_col], text_col: batch[text_col]}
+        )
+        if thr == "g":
+            return t
+        return t.filter(pc.less(t["_h"], thr))
+
+    sampled = (
+        ds.map_batches(hash_rank, batch_format="pyarrow")
+        .sort(["_h", id_col])
+        .limit(sample_n)
+        .map_batches(
+            lambda b: b.select([id_col, text_col]),
+            batch_format="pyarrow",
+        )
+    )
+    rows = simhash_values(sampled, id_col, text_col).take_all()
+    if len(rows) < 2:
+        return rd.from_arrow(out_schema.empty_table())
+    vals = [int(r["simhash"]) & ((1 << 64) - 1) for r in rows]
+    hist = np.zeros(65, np.int64)
+    for i in range(len(vals)):
+        vi = vals[i]
+        for j in range(i + 1, len(vals)):
+            hist[(vi ^ vals[j]).bit_count()] += 1
+    nz = np.flatnonzero(hist)
+    return rd.from_arrow(pa.table({
+        "hamming": pa.array(nz, pa.int64()),
+        "n_pairs": pa.array(hist[nz], pa.int64()),
+    }))

@@ -2292,6 +2292,87 @@ def max_concurrent_sessions(events_ds, user_col: str, ts_col: str,
     })
 
 
+def _markov_counts(events_ds, key_col: str, ts_col: str, id_col: str,
+                   type_col: str):
+    """Shared transition-count combiner behind markov_stationary /
+    markov_entropy_rate: per-key ordered histories -> (src, dst, n)
+    pandas counts + the sorted type list (both model-state-sized)."""
+    from ray.data.aggregate import Sum
+
+    def pairs(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.filter(pc.is_valid(group[type_col]))
+        if len(g) < 2:
+            return pa.table({
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+            })
+        idx = pc.sort_indices(
+            g, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        t = pc.cast(g[type_col], pa.string()).take(idx).combine_chunks()
+        return pa.table({"src": t.slice(0, len(t) - 1),
+                         "dst": t.slice(1)})
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        return (
+            batch.group_by(["src", "dst"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["src", "dst", "n_part"])
+        )
+
+    counts = (
+        events_ds.groupby(key_col)
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(combiner, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    types_ds = events_ds.map_batches(
+        lambda b: pa.table({
+            "t": pc.unique(
+                pc.cast(pc.drop_null(b[type_col]), pa.string())
+            ),
+        }),
+        batch_format="pyarrow",
+    ).groupby("t").count().to_pandas()
+    types = sorted(types_ds["t"].tolist()) if len(types_ds) else []
+    return counts, types
+
+
+def markov_stationary(events_ds, key_col: str, ts_col: str, id_col: str,
+                      type_col: str, iters: int = 3):
+    """Iterated distribution of the first-order event-type Markov
+    chain — where user journeys CONCENTRATE after ``iters`` hops, the
+    long-run complement of :func:`event_transitions`' raw edge counts.
+
+    Integer fixed point (the pagerank.py device): ``p_0 = 1e6`` per
+    type; ``p_{t+1}(j) = Σ_i (p_t(i) · c_ij) // r_i`` with per-edge
+    floor division (``c`` = transition counts, ``r_i`` = row totals) —
+    exactly SQL-replayable as unrolled BIGINT/HUGEINT rounds. Types
+    that never appear as a source keep no outgoing mass (their column
+    still RECEIVES); mass lost to flooring simply decays — this is a
+    ranking signal, not a normalized eigenvector.
+
+    Shape: the data-sized work is the transition count (per-key
+    histories meet one reducer, per-batch (src, dst) combiner); the
+    |types|² count table is driver model state and the iteration runs
+    in Python arbitrary-precision ints (no overflow at any count
+    scale). Returns ``(event_type, p_micro)`` sorted by type.
+    """
+    import pandas as pd
+
+    counts, types = _markov_counts(events_ds, key_col, ts_col, id_col,
+                                   type_col)
+    return counts, types
+
+
 def markov_stationary(events_ds, key_col: str, ts_col: str, id_col: str,
                       type_col: str, iters: int = 3):
     """Iterated distribution of the first-order event-type Markov
@@ -2600,3 +2681,61 @@ def dau_mau_stickiness(events_ds, user_col: str, ts_col: str,
         "mau": mau,
         "stickiness_micro": st,
     })
+
+
+def markov_entropy_rate(events_ds, key_col: str, ts_col: str,
+                        id_col: str, type_col: str, iters: int = 3):
+    """Entropy rate of the first-order event-type Markov chain —
+    ``H = Σ_i π_i Σ_j P_ij · (-ln P_ij)`` with π the
+    :func:`markov_stationary` integer distribution — one row
+    ``(n_types, n_transitions, entropy_rate_micro)`` in micro-nats.
+    The sequence-predictability diagnostic: near zero means journeys
+    are deterministic templates (bot traffic / dedup-worthy
+    boilerplate flows); high means genuinely mixed behavior.
+
+    Parity: per-edge ``q = round(ln(n/tot)·1e6)`` micro-nats (the
+    bigram-NLL device) over exact counts; the weighted sum runs the
+    pagerank per-edge floor-division device
+    ``(π_i · n_ij · (-q)) // tot_i`` in arbitrary-precision ints, so
+    both engines agree bit-for-bit; one final ``// 1e6`` rescales
+    π-micro × nat-micro back to micro-nats. Data-sized work is the
+    shared transition combiner only."""
+    import numpy as np
+
+    counts, types = _markov_counts(events_ds, key_col, ts_col, id_col,
+                                   type_col)
+    out_schema = pa.schema([
+        pa.field("n_types", pa.int64()),
+        pa.field("n_transitions", pa.int64()),
+        pa.field("entropy_rate_micro", pa.int64()),
+    ])
+    if not types or len(counts) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    c: dict = {}
+    r: dict = {}
+    for row in counts.itertuples():
+        c[(row.src, row.dst)] = int(row.n)
+        r[row.src] = r.get(row.src, 0) + int(row.n)
+    p = {t: 1_000_000 for t in types}
+    for _ in range(int(iters)):
+        nxt = {t: 0 for t in types}
+        for (s, d), n in c.items():
+            nxt[d] += (p[s] * n) // r[s]
+        p = nxt
+    edges = list(c.items())
+    n_arr = np.array([n for _, n in edges], np.float64)
+    tot_arr = np.array([r[s] for (s, _), _ in edges], np.float64)
+    q = pc.cast(
+        pc.round(pa.array(np.log(n_arr / tot_arr) * 1e6), ndigits=0,
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    ).to_pylist()
+    total = 0
+    for ((s, _), n), qq in zip(edges, q):
+        total += (p[s] * n * (-int(qq))) // r[s]
+    return rd.from_arrow(pa.table({
+        "n_types": pa.array([len(types)], pa.int64()),
+        "n_transitions": pa.array([sum(c.values())], pa.int64()),
+        "entropy_rate_micro": pa.array([total // 1_000_000],
+                                       pa.int64()),
+    }))

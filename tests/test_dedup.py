@@ -372,3 +372,29 @@ def test_jaccard_prefix_pairs_exact_vs_bruteforce(ray_session):
             rd.from_arrow(tbl), "doc_id", "text", shingle_k=3,
             threshold=0.5, prefix_df_cutoff=1,
         )
+
+
+def test_simhash_hamming_histogram_identical_and_total():
+    from eschergraph_ray.functions.dedup import simhash_hamming_histogram
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha beta gamma", "alpha beta gamma",
+                 "zzz qqq completely different words"],
+    }))
+    out = simhash_hamming_histogram(ds, "doc_id", "text",
+                                    sample_n=16).to_pandas()
+    rows = dict(zip(out["hamming"], out["n_pairs"]))
+    assert rows.get(0) == 1           # the identical pair
+    assert sum(rows.values()) == 3    # C(3,2)
+    assert all(h <= 64 for h in rows)
+
+
+def test_simhash_hamming_histogram_too_small():
+    from eschergraph_ray.functions.dedup import simhash_hamming_histogram
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": ["only one"],
+    }))
+    assert simhash_hamming_histogram(ds, "doc_id", "text").count() == 0

@@ -701,3 +701,41 @@ def test_dau_mau_user_counts_once_per_window(ray_session):
     out = dau_mau_stickiness(ev, "user_id", "ts", window_days=30)
     got = {r.day_idx: r.mau for r in out.itertuples()}
     assert got == {0: 1, 1: 1}
+
+
+def test_markov_entropy_rate_hand_case(ray_session):
+    from eschergraph_ray.functions.windows import markov_entropy_rate
+
+    # u1: A,A,B -> (A,A),(A,B); u2: A,A -> (A,A)
+    # c: (A,A)=2, (A,B)=1; r[A]=3
+    # q(A,A)=round(ln(2/3)*1e6)=-405465; q(A,B)=-1098612
+    # pi after 3 iters: A=296296, B=148148
+    # total = (296296*2*405465)//3 + (296296*1*1098612)//3
+    #       = 80091771760 + 108504780384 = 188596552144 -> //1e6
+    ev = _ev([
+        (1, 1, "A", 0, 0.0),
+        (2, 1, "A", 1 * HOUR, 0.0),
+        (3, 1, "B", 2 * HOUR, 0.0),
+        (4, 2, "A", 0, 0.0),
+        (5, 2, "A", 1 * HOUR, 0.0),
+    ])
+    out = markov_entropy_rate(ev, "user_id", "ts", "event_id",
+                              "event_type", iters=3).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n_types"], r["n_transitions"]) == (2, 3)
+    assert r["entropy_rate_micro"] == 188_596
+
+
+def test_markov_entropy_rate_deterministic_chain_is_zero(ray_session):
+    from eschergraph_ray.functions.windows import markov_entropy_rate
+
+    ev = _ev([
+        (1, 1, "A", 0, 0.0),
+        (2, 1, "B", 1 * HOUR, 0.0),
+        (3, 1, "A", 2 * HOUR, 0.0),
+        (4, 1, "B", 3 * HOUR, 0.0),
+    ])
+    out = markov_entropy_rate(ev, "user_id", "ts", "event_id",
+                              "event_type").to_pandas()
+    assert out.iloc[0]["entropy_rate_micro"] == 0
