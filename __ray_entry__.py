@@ -6714,6 +6714,38 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_kg_betweenness(sf_dir: str):
+    """Single-seed Brandes dependency over the built KG
+    (graph_metrics.brandes_dependency_topk): exact integer
+    shortest-path counts down the BFS DAG from the max-degree
+    entity, micro-quantized dependency accumulation with per-edge
+    floor division — which entities broker the hub's shortest paths
+    (the per-source pass of sampled betweenness). Small-dense KG
+    takes the numpy level passes; the distributed per-level join
+    path is exercised in pytest with small_edge_cutoff=0. Oracle:
+    level-unrolled recursive-CTE replay."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import (
+        brandes_dependency_topk,
+    )
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return brandes_dependency_topk(edges, "frm_name", "to_name",
+                                   max_levels=4, k=25)
+
+
 def _q_events_markov_entropy(sf_dir: str):
     """Entropy rate of the event-type Markov chain
     (windows.markov_entropy_rate): per-edge micro-nat logs over
@@ -7253,6 +7285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_top_direction": _q_embeddings_top_direction,
         "events_markov_entropy": _q_events_markov_entropy,
         "docs_simhash_hamming": _q_docs_simhash_hamming,
+        "kg_betweenness": _q_kg_betweenness,
     }
 
 
@@ -13663,5 +13696,107 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(h AS BIGINT) AS hamming,
                CAST(count(*) AS BIGINT) AS n_pairs
         FROM p GROUP BY 1 ORDER BY 1
+    """
+    d["kg_betweenness"] = f"""
+        -- Brandes single-seed replay
+        -- (graph_metrics.brandes_dependency_topk): recursive-CTE BFS
+        -- levels, level-unrolled HUGEINT sigma pass, then the
+        -- dependency pass with per-edge floor division
+        WITH RECURSIVE e0 AS (
+          SELECT DISTINCT least(frm_name, to_name) AS a,
+                 greatest(frm_name, to_name) AS b
+          FROM read_parquet('{_edges}')
+          WHERE level = 0 AND frm_name <> to_name
+        ),
+        sym AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b AS src, a AS dst FROM e0
+        ),
+        deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+        seed AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 1),
+        r1(node, hop) AS (
+          SELECT id, 0 FROM seed
+          UNION
+          SELECT s.dst, r.hop + 1
+          FROM r1 r JOIN sym s ON s.src = r.node
+          WHERE r.hop < 4
+        ),
+        lv AS (SELECT node, min(hop) AS hop FROM r1 GROUP BY node),
+        dag AS (
+          SELECT s.src AS u, s.dst AS v, a.hop AS hu, b.hop AS hv
+          FROM sym s
+          JOIN lv a ON a.node = s.src
+          JOIN lv b ON b.node = s.dst
+          WHERE b.hop = a.hop + 1
+        ),
+        s0 AS (SELECT id AS node, CAST(1 AS HUGEINT) AS sig FROM seed),
+        s1 AS (
+          SELECT d.v AS node, CAST(sum(s0.sig) AS HUGEINT) AS sig
+          FROM dag d JOIN s0 ON s0.node = d.u
+          WHERE d.hv = 1 GROUP BY 1
+        ),
+        s2 AS (
+          SELECT d.v AS node, CAST(sum(s1.sig) AS HUGEINT) AS sig
+          FROM dag d JOIN s1 ON s1.node = d.u
+          WHERE d.hv = 2 GROUP BY 1
+        ),
+        s3 AS (
+          SELECT d.v AS node, CAST(sum(s2.sig) AS HUGEINT) AS sig
+          FROM dag d JOIN s2 ON s2.node = d.u
+          WHERE d.hv = 3 GROUP BY 1
+        ),
+        s4 AS (
+          SELECT d.v AS node, CAST(sum(s3.sig) AS HUGEINT) AS sig
+          FROM dag d JOIN s3 ON s3.node = d.u
+          WHERE d.hv = 4 GROUP BY 1
+        ),
+        d4 AS (SELECT node, CAST(0 AS HUGEINT) AS dep FROM s4),
+        d3 AS (
+          SELECT s3.node, CAST(coalesce(x.s, 0) AS HUGEINT) AS dep
+          FROM s3 LEFT JOIN (
+            SELECT d.u AS node,
+                   sum((su.sig * (1000000 + coalesce(dd.dep, 0)))
+                       // sv.sig) AS s
+            FROM dag d
+            JOIN s3 su ON su.node = d.u
+            JOIN s4 sv ON sv.node = d.v
+            LEFT JOIN d4 dd ON dd.node = d.v
+            WHERE d.hu = 3 GROUP BY 1
+          ) x ON x.node = s3.node
+        ),
+        d2 AS (
+          SELECT s2.node, CAST(coalesce(x.s, 0) AS HUGEINT) AS dep
+          FROM s2 LEFT JOIN (
+            SELECT d.u AS node,
+                   sum((su.sig * (1000000 + coalesce(dd.dep, 0)))
+                       // sv.sig) AS s
+            FROM dag d
+            JOIN s2 su ON su.node = d.u
+            JOIN s3 sv ON sv.node = d.v
+            LEFT JOIN d3 dd ON dd.node = d.v
+            WHERE d.hu = 2 GROUP BY 1
+          ) x ON x.node = s2.node
+        ),
+        d1 AS (
+          SELECT s1.node, CAST(coalesce(x.s, 0) AS HUGEINT) AS dep
+          FROM s1 LEFT JOIN (
+            SELECT d.u AS node,
+                   sum((su.sig * (1000000 + coalesce(dd.dep, 0)))
+                       // sv.sig) AS s
+            FROM dag d
+            JOIN s1 su ON su.node = d.u
+            JOIN s2 sv ON sv.node = d.v
+            LEFT JOIN d2 dd ON dd.node = d.v
+            WHERE d.hu = 1 GROUP BY 1
+          ) x ON x.node = s1.node
+        ),
+        allout AS (
+          SELECT node, dep FROM d1
+          UNION ALL SELECT node, dep FROM d2
+          UNION ALL SELECT node, dep FROM d3
+          UNION ALL SELECT node, dep FROM d4
+        )
+        SELECT node, CAST(dep AS BIGINT) AS dep_micro
+        FROM allout ORDER BY dep DESC, node LIMIT 25
     """
     return d

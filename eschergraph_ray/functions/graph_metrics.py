@@ -2375,3 +2375,299 @@ def diameter_double_sweep(edges_ds, src_col: str, dst_col: str,
         )
         .sort("hop")
     )
+
+
+def brandes_dependency_topk(edges_ds, src_col: str, dst_col: str,
+                            max_levels: int = 4, k: int = 25,
+                            num_partitions: int = _DEFAULT_PARTITIONS,
+                            small_edge_cutoff: int = 200_000):
+    """Single-seed Brandes dependency scores (Brandes 2001 §4 — the
+    per-source pass of betweenness centrality) over the undirected
+    simple graph, seeded at the deterministic max-degree node (ties
+    -> smallest name): ``δ(v) = Σ_{w: succ} (σ_v/σ_w) · (1 + δ(w))``
+    accumulated over the shortest-path DAG out to ``max_levels`` —
+    top-k ``(node, dep_micro)`` by (dep desc, node). Betweenness
+    proper is the mean of this pass over sampled seeds
+    (Brandes–Pich 2007); the one-seed pass is itself the "which
+    nodes broker the hub's shortest paths" diagnostic.
+
+    Parity discipline: σ (shortest-path counts) are exact integers
+    accumulated level-by-level; δ quantizes to micro with the
+    pagerank per-edge floor-division device
+    ``(σ_v · (1e6 + δ_w)) // σ_w`` — order-free integer sums, no
+    float anywhere, replayed by a level-unrolled SQL oracle. Bounding
+    at ``max_levels`` truncates deeper dependencies identically in
+    both engines.
+
+    Below ``small_edge_cutoff`` normalized edges the graph is driver
+    model state (numpy level passes); above, levels come from the
+    shared :func:`_bfs_dist` frontier loop and each σ/δ level pass is
+    one clamped hash join + int-key groupby over hop-tagged edges —
+    per level the shuffle moves only the edges bridging two adjacent
+    layers. Force the distributed path in tests with
+    small_edge_cutoff=0."""
+    import numpy as np
+
+    if max_levels < 1:
+        raise ValueError("max_levels must be >= 1")
+    P = _clamp_partitions(num_partitions)
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    node_type = edges_ds.schema().base_schema.field(src_col).type
+    out_schema = pa.schema(
+        [pa.field("node", node_type),
+         pa.field("dep_micro", pa.int64())]
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if edges.count() <= small_edge_cutoff:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow"))
+        )
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(
+            np.concatenate([a, b]), return_inverse=True
+        )
+        ea, eb = inv[: len(a)], inv[len(a):]
+        deg = np.bincount(ea, minlength=len(nodes)) + np.bincount(
+            eb, minlength=len(nodes)
+        )
+        seed = int(np.argmax(deg))
+        hop = _np_bfs_hops(len(nodes), ea, eb, seed, max_levels)
+        # forward σ pass: edges oriented down the BFS DAG
+        fa = np.concatenate([ea, eb])
+        fb = np.concatenate([eb, ea])
+        down = (hop[fa] >= 0) & (hop[fb] == hop[fa] + 1)
+        fa, fb = fa[down], fb[down]
+        sig = np.zeros(len(nodes), np.int64)
+        sig[seed] = 1
+        for lv in range(1, max_levels + 1):
+            m = hop[fb] == lv
+            if not m.any():
+                break
+            np.add.at(sig, fb[m], sig[fa[m]])
+        if sig.max() > (1 << 62):
+            raise ValueError("shortest-path counts overflow int64")
+        # backward δ pass (micro, per-edge floor division)
+        delta = np.zeros(len(nodes), np.int64)
+        for lv in range(max_levels - 1, -1, -1):
+            m = (hop[fa] == lv) & (sig[fb] > 0)
+            if not m.any():
+                continue
+            term = (sig[fa[m]] * (1_000_000 + delta[fb[m]])) // sig[fb[m]]
+            np.add.at(delta, fa[m], term)
+        keep = (hop >= 0) & (np.arange(len(nodes)) != seed)
+        out = pa.table({
+            "node": pa.array(nodes[keep]).cast(node_type),
+            "dep_micro": pa.array(delta[keep], pa.int64()),
+        })
+        out = out.sort_by([("dep_micro", "descending"),
+                           ("node", "ascending")])
+        return rd.from_arrow(out.slice(0, k))
+
+    # ---- distributed path ----
+    deg = _explode_endpoints(edges).groupby("node").count()
+    seed = deg.sort(
+        ["count()", "node"], descending=[True, False]
+    ).limit(1).take_all()[0]["node"]
+    lv = _bfs_dist(edges, seed, max_levels, node_type, P).materialize()
+
+    # hop-tag both endpoints once; keep only DAG edges (hop+1 steps),
+    # oriented parent -> child, both directions considered
+    both = edges.map_batches(
+        lambda t: pa.table({
+            "u": pa.chunked_array(
+                list(t["a"].chunks) + list(t["b"].chunks),
+                type=t["a"].type),
+            "v": pa.chunked_array(
+                list(t["b"].chunks) + list(t["a"].chunks),
+                type=t["a"].type),
+        }),
+        batch_format="pyarrow",
+    ).repartition(P)
+    hu = both.join(
+        lv.map_batches(lambda t: t.rename_columns(["node", "hu"]),
+                       batch_format="pyarrow").repartition(P),
+        join_type="inner", num_partitions=P, on=("u",),
+        right_on=("node",),
+    )
+    dag = hu.join(
+        lv.map_batches(lambda t: t.rename_columns(["node2", "hv"]),
+                       batch_format="pyarrow").repartition(P),
+        join_type="inner", num_partitions=P, on=("v",),
+        right_on=("node2",),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["hv"], pc.add(t["hu"], 1))
+        ).select(["u", "v", "hu", "hv"]),
+        batch_format="pyarrow",
+    ).repartition(P).materialize()
+
+    sig_schema = pa.schema(
+        [pa.field("node", node_type), pa.field("sig", pa.int64())]
+    )
+    sig = rd.from_arrow(pa.table({
+        "node": pa.array([seed], node_type),
+        "sig": pa.array([1], pa.int64()),
+    }))
+    sig_levels = {0: sig}
+    for l_ in range(1, max_levels + 1):
+        # materialize+count+repartition: a sparse level filter can
+        # emit schema-less empty blocks that crash the Acero join
+        # (the dedup._nonempty_pairs device)
+        lvl_edges = dag.map_batches(
+            lambda t, ll=l_: t.filter(pc.equal(t["hv"], ll)),
+            batch_format="pyarrow",
+        ).materialize()
+        if lvl_edges.count() == 0:
+            break
+        step = (
+            lvl_edges.repartition(P)
+            .join(sig_levels[l_ - 1].repartition(P),
+                  join_type="inner", num_partitions=P,
+                  on=("u",), right_on=("node",))
+            .map_batches(
+                lambda t: pa.table({"node": t["v"], "s": t["sig"]}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .sum("s")
+            .map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "sig": pc.cast(t["sum(s)"], pa.int64()),
+                }),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if step.count() == 0:
+            break
+        sig_levels[l_] = step
+
+    deepest = max(sig_levels)
+    delta_levels = {}
+    zero = rd.from_arrow(pa.table({
+        "node": pa.array([], node_type),
+        "dep": pa.array([], pa.int64()),
+    }))
+    delta_levels[deepest] = zero
+    for l_ in range(deepest - 1, -1, -1):
+        if l_ + 1 not in sig_levels:
+            delta_levels[l_] = zero
+            continue
+        down = dag.map_batches(
+            lambda t, ll=l_: t.filter(pc.equal(t["hu"], ll)),
+            batch_format="pyarrow",
+        ).repartition(P).materialize()
+        if down.count() == 0:
+            delta_levels[l_] = zero
+            continue
+        j = down.repartition(P).join(
+            sig_levels[l_].map_batches(
+                lambda t: t.rename_columns(["nu", "sig_u"]),
+                batch_format="pyarrow",
+            ).repartition(P),
+            join_type="inner", num_partitions=P,
+            on=("u",), right_on=("nu",),
+        )
+        # normalize blocks between chained joins: a join can emit
+        # schema-less empty partitions that crash the next Acero join
+        j = j.materialize().repartition(P).join(
+            sig_levels[l_ + 1].map_batches(
+                lambda t: t.rename_columns(["nv", "sig_v"]),
+                batch_format="pyarrow",
+            ).repartition(P),
+            join_type="inner", num_partitions=P,
+            on=("v",), right_on=("nv",),
+        )
+        dl = delta_levels[l_ + 1].materialize()
+        if dl.count() > 0:
+            j = j.materialize().repartition(P).join(
+                dl.map_batches(
+                    lambda t: t.rename_columns(["nd", "dep_w"]),
+                    batch_format="pyarrow",
+                ).repartition(P),
+                join_type="left_outer", num_partitions=P,
+                on=("v",), right_on=("nd",),
+            )
+
+            def term_d(t: pa.Table) -> pa.Table:
+                su = t["sig_u"].to_numpy(zero_copy_only=False)
+                sv = t["sig_v"].to_numpy(zero_copy_only=False)
+                dw = pc.cast(
+                    pc.coalesce(t["dep_w"], pa.scalar(0, pa.int64())),
+                    pa.int64(),
+                ).to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "node": t["u"],
+                    "d": pa.array((su * (1_000_000 + dw)) // sv,
+                                  pa.int64()),
+                })
+        else:
+            def term_d(t: pa.Table) -> pa.Table:
+                su = t["sig_u"].to_numpy(zero_copy_only=False)
+                sv = t["sig_v"].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "node": t["u"],
+                    "d": pa.array((su * 1_000_000) // sv, pa.int64()),
+                })
+        agg = (
+            j.map_batches(term_d, batch_format="pyarrow")
+            .groupby("node")
+            .sum("d")
+            .map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "dep": pc.cast(t["sum(d)"], pa.int64()),
+                }),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        delta_levels[l_] = agg
+
+    # assemble: every reachable non-seed node, δ defaulting to 0
+    parts = []
+    for l_ in range(1, deepest + 1):
+        if l_ not in sig_levels:
+            break
+        nodes_l = sig_levels[l_].map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow"
+        )
+        dl = delta_levels.get(l_, zero).materialize()
+        if dl.count() > 0:
+            full = nodes_l.repartition(P).join(
+                dl.map_batches(
+                    lambda t: t.rename_columns(["nd", "dep"]),
+                    batch_format="pyarrow",
+                ).repartition(P),
+                join_type="left_outer", num_partitions=P,
+                on=("node",), right_on=("nd",),
+            ).map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "dep_micro": pc.cast(
+                        pc.coalesce(t["dep"], pa.scalar(0, pa.int64())),
+                        pa.int64(),
+                    ),
+                }),
+                batch_format="pyarrow",
+            )
+        else:
+            full = nodes_l.map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "dep_micro": pa.array([0] * t.num_rows, pa.int64()),
+                }),
+                batch_format="pyarrow",
+            )
+        parts.append(full)
+    if not parts:
+        return rd.from_arrow(out_schema.empty_table())
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.union(p_)
+    return out.sort(["dep_micro", "node"],
+                    descending=[True, False]).limit(k)

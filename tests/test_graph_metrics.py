@@ -559,3 +559,53 @@ def test_diameter_double_sweep_empty():
         "dst": pa.array(["a"], pa.string()),  # self-loop only
     }))
     assert diameter_double_sweep(edges, "src", "dst").count() == 0
+
+
+def test_brandes_dependency_star_with_tail():
+    from eschergraph_ray.functions.graph_metrics import (
+        brandes_dependency_topk,
+    )
+
+    # star h-{x1,x2,x3} plus tail x3-y: seed=h; x3 brokers y
+    edges = rd.from_arrow(pa.table({
+        "src": ["h", "h", "h", "x3"],
+        "dst": ["x1", "x2", "x3", "y"],
+    }))
+    out = brandes_dependency_topk(edges, "src", "dst").to_pandas()
+    assert list(out["node"]) == ["x3", "x1", "x2", "y"]
+    assert list(out["dep_micro"]) == [1_000_000, 0, 0, 0]
+
+
+def test_brandes_dependency_split_paths():
+    from eschergraph_ray.functions.graph_metrics import (
+        brandes_dependency_topk,
+    )
+
+    # s(seed, deg 3) -> {a, b, t}; a-c, b-c: two shortest paths s->c
+    # via a and b; sigma(c)=2 -> a and b each get (1*(1e6+0))//2
+    edges = rd.from_arrow(pa.table({
+        "src": ["s", "s", "s", "a", "b"],
+        "dst": ["a", "b", "t", "c", "c"],
+    }))
+    out = brandes_dependency_topk(edges, "src", "dst").to_pandas()
+    got = dict(zip(out["node"], out["dep_micro"]))
+    assert got == {"a": 500_000, "b": 500_000, "t": 0, "c": 0}
+
+
+def test_brandes_dependency_paths_agree():
+    import numpy as np
+    import pandas as pd
+
+    from eschergraph_ray.functions.graph_metrics import (
+        brandes_dependency_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    src = [f"n{int(i):02d}" for i in rng.integers(0, 40, 120)]
+    dst = [f"n{int(i):02d}" for i in rng.integers(0, 40, 120)]
+    e2 = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    fast = brandes_dependency_topk(e2, "src", "dst", k=100).to_pandas()
+    dist = brandes_dependency_topk(
+        e2, "src", "dst", k=100, small_edge_cutoff=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(fast, dist)
