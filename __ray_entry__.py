@@ -6714,6 +6714,74 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_events_value_hour_ols(sf_dir: str):
+    """Per-type OLS regression of event value on hour-of-day
+    (stats.grouped_ols): exact integer moments, slope/intercept as
+    the only float chains — the 'does value drift across the day'
+    trend test, sharper than a correlation when the effect size
+    matters."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import grouped_ols
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        ep = pc.cast(b["ts"], pa.int64())
+        hour = pc.divide(ep, 3_600_000_000)
+        # (epoch // 3600e6) % 24 — positive epochs, modulo via
+        # subtract-multiply (pyarrow has no modulo kernel)
+        h24 = pc.subtract(
+            hour, pc.multiply(pc.divide(hour, 24), 24)
+        )
+        return pa.table({
+            "event_type": b["event_type"],
+            "hour": h24,
+            "value": b["value"],
+        })
+
+    return grouped_ols(ev.map_batches(add_hour, batch_format="pyarrow"),
+                       "event_type", "hour", "value",
+                       unit_x=1.0, unit_y=100.0)
+
+
+def _q_events_value_winsorized(sf_dir: str):
+    """Per-type winsorized mean of event value
+    (stats.winsorized_mean_by_group): exact inverse-CDF p5/p95
+    bounds, clamped integer total, one division — the robust
+    location estimate whales can't poison."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import winsorized_mean_by_group
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return winsorized_mean_by_group(ev, "event_type", "value",
+                                    p_lo=5, p_hi=95)
+
+
+def _q_embeddings_variance_explained(sf_dir: str):
+    """Variance share of the dominant principal direction
+    (features.variance_explained_top): (vᵀGv/vᵀv)/trace(G) over the
+    exact integer Gram — the scalar anisotropy verdict paired with
+    embeddings_top_direction."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.features import (
+        variance_explained_top,
+    )
+
+    _context()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    return variance_explained_top(ds, "embedding", iters=3)
+
+
 def _q_kg_betweenness(sf_dir: str):
     """Single-seed Brandes dependency over the built KG
     (graph_metrics.brandes_dependency_topk): exact integer
@@ -7286,6 +7354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_entropy": _q_events_markov_entropy,
         "docs_simhash_hamming": _q_docs_simhash_hamming,
         "kg_betweenness": _q_kg_betweenness,
+        "events_value_hour_ols": _q_events_value_hour_ols,
+        "events_value_winsorized": _q_events_value_winsorized,
+        "embeddings_variance_explained": _q_embeddings_variance_explained,
     }
 
 
@@ -13798,5 +13869,101 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, CAST(dep AS BIGINT) AS dep_micro
         FROM allout ORDER BY dep DESC, node LIMIT 25
+    """
+    d["events_value_hour_ols"] = """
+        -- grouped OLS replay (stats.grouped_ols): HUGEINT moments,
+        -- slope/intercept one float chain each
+        WITH q AS (
+          SELECT event_type AS grp,
+                 (epoch_us(ts) // 3600000000) % 24 AS x,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS y
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL
+        ),
+        s AS (
+          SELECT grp, count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM q GROUP BY 1
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n,
+               CAST(round(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)), 0)
+                    AS BIGINT) AS slope_micro,
+               CAST(round(1e6 * ((CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / n), 0) AS BIGINT)
+                 AS intercept_micro
+        FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0
+        ORDER BY grp
+    """
+    d["events_value_winsorized"] = """
+        -- winsorized-mean replay (stats.winsorized_mean_by_group):
+        -- inverse-CDF bounds (smallest v with 100·cum >= p·n),
+        -- clamped integer total, one division
+        WITH q AS (
+          SELECT event_type AS grp,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS v
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ),
+        cells AS (SELECT grp, v, count(*) AS cnt FROM q GROUP BY 1, 2),
+        st AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM cells
+               GROUP BY 1),
+        cum AS (
+          SELECT grp, v, cnt,
+                 sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum
+          FROM cells
+        ),
+        lo AS (
+          SELECT c.grp, min(v) AS lo FROM cum c JOIN st USING (grp)
+          WHERE 100 * cum >= 5 * n GROUP BY 1
+        ),
+        hi AS (
+          SELECT c.grp, min(v) AS hi FROM cum c JOIN st USING (grp)
+          WHERE 100 * cum >= 95 * n GROUP BY 1
+        ),
+        w AS (
+          SELECT c.grp,
+                 CAST(sum(greatest(least(c.v, hi.hi), lo.lo) * c.cnt)
+                      AS BIGINT) AS tot
+          FROM cells c JOIN lo USING (grp) JOIN hi USING (grp)
+          GROUP BY 1
+        )
+        SELECT w.grp AS event_type, st.n,
+               CAST(lo.lo AS BIGINT) AS lo_cents,
+               CAST(hi.hi AS BIGINT) AS hi_cents,
+               CAST(round(CAST(tot AS DOUBLE) / st.n, 0) AS BIGINT)
+                 AS wmean_cents
+        FROM w JOIN st USING (grp) JOIN lo USING (grp)
+        JOIN hi USING (grp)
+        ORDER BY 1
+    """
+    d["embeddings_variance_explained"] = f"""
+        -- anisotropy replay (features.variance_explained_top):
+        -- (vGv/vv)/tr(G) over the gram + top-direction replays,
+        -- exact HUGEINT quadratic forms, one float chain
+        WITH v AS ({d['embeddings_top_direction']}),
+        g AS (
+          SELECT dim_i AS i, dim_j AS j, CAST(g AS HUGEINT) AS g
+          FROM ({d['embeddings_gram']})
+        ),
+        num AS (
+          SELECT sum(g.g * va.v_micro * vb.v_micro) AS s
+          FROM g JOIN v va ON va.dim = g.i JOIN v vb ON vb.dim = g.j
+        ),
+        den AS (
+          SELECT sum(CAST(v_micro AS HUGEINT) * v_micro) AS s FROM v
+        ),
+        tr AS (SELECT sum(g) AS s FROM g WHERE i = j)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS d,
+               CAST(round(1e6 * ((CAST(num.s AS DOUBLE)
+                    / CAST(den.s AS DOUBLE)) / CAST(tr.s AS DOUBLE)),
+                    0) AS BIGINT) AS explained_micro
+        FROM num, den, tr
     """
     return d

@@ -635,6 +635,30 @@ def dim_variance_profile(ds, vec_col: str, unit: float = 1e6):
     })
 
 
+def _power_iter(g, iters: int) -> list:
+    """The shared power-iteration loop over an exact int Gram: v0 =
+    1e6 everywhere; each matvec runs in arbitrary-precision Python
+    ints (== HUGEINT) and each renormalization is the ONE identical
+    float chain ``round(double(w) * 1e6 / double(max|w|), 0)``."""
+    d = g.shape[0]
+    G = [[int(x) for x in row] for row in g]
+    v = [1_000_000] * d
+    for _ in range(iters):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        scaled = [float(x) * 1e6 / float(m) for x in w]
+        v = [
+            int(r) for r in pc.cast(
+                pc.round(pa.array(scaled, pa.float64()), ndigits=0,
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            ).to_pylist()
+        ]
+    return v
+
+
 def top_direction_power(ds, vec_col: str, iters: int = 3,
                         unit: float = 1e6):
     """Top principal direction of the embedding cloud via power
@@ -663,22 +687,51 @@ def top_direction_power(ds, vec_col: str, iters: int = 3,
     d = g.shape[0]
     if d == 0:
         return rd.from_arrow(out_schema.empty_table())
-    G = [[int(x) for x in row] for row in g]
-    v = [1_000_000] * d
-    for _ in range(int(iters)):
-        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
-        m = max(abs(x) for x in w)
-        if m == 0:
-            break
-        scaled = [float(x) * 1e6 / float(m) for x in w]
-        v = [
-            int(r) for r in pc.cast(
-                pc.round(pa.array(scaled, pa.float64()), ndigits=0,
-                         round_mode="half_towards_infinity"),
-                pa.int64(),
-            ).to_pylist()
-        ]
+    v = _power_iter(g, int(iters))
     return rd.from_arrow(pa.table({
         "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
         "v_micro": pa.array(v, pa.int64()),
+    }))
+
+
+def variance_explained_top(ds, vec_col: str, iters: int = 3,
+                           unit: float = 1e6):
+    """Share of total variance (uncentered second moment) carried by
+    the dominant principal direction — one row
+    ``(d, explained_micro)`` with
+    ``explained = (vᵀGv / vᵀv) / trace(G)`` over the exact integer
+    Gram and the :func:`top_direction_power` eigenvector. The scalar
+    anisotropy verdict: near 1e6 means the embedding space has
+    collapsed onto one axis (cosine thresholds become meaningless);
+    near 1e6/d means isotropic.
+
+    All three quadratic forms are exact Python-int sums (HUGEINT in
+    the replay); the result is one identical float chain. The only
+    data pass is the distributed Gram partial reduce."""
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        pa.field("d", pa.int64()),
+        pa.field("explained_micro", pa.int64()),
+    ])
+    g = gram_matrix_micro(ds, vec_col, unit)
+    d = g.shape[0]
+    if d == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    v = _power_iter(g, int(iters))
+    G = [[int(x) for x in row] for row in g]
+    num = sum(G[i][j] * v[i] * v[j] for i in range(d) for j in range(d))
+    den = sum(x * x for x in v)
+    tr = sum(G[i][i] for i in range(d))
+    if den == 0 or tr <= 0:
+        return rd.from_arrow(out_schema.empty_table())
+    raw = 1e6 * ((float(num) / float(den)) / float(tr))
+    ex = pc.cast(
+        pc.round(pa.array([raw], pa.float64()), ndigits=0,
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )[0].as_py()
+    return rd.from_arrow(pa.table({
+        "d": pa.array([d], pa.int64()),
+        "explained_micro": pa.array([ex], pa.int64()),
     }))

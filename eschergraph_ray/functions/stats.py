@@ -1873,3 +1873,177 @@ def user_concentration_hhi(ds, group_col: str, user_col: str,
     return agg.map_batches(finalize, batch_format="pyarrow").sort(
         "group"
     )
+
+
+def grouped_ols(ds, group_col: str, x_col: str, y_col: str,
+                unit_x: float = 1.0, unit_y: float = 1.0):
+    """Per-group simple linear regression (OLS) — exact integer
+    moments (the :func:`grouped_pearson` discipline), then slope and
+    intercept as the only float chains both engines write
+    identically: ``slope = (nΣxy − ΣxΣy) / (nΣxx − Σx²)``,
+    ``intercept = (Σy − slope·Σx) / n`` — each micro-quantized with
+    one zero-digit round. Groups with n < 2 or zero x-variance are
+    dropped. Returns ``(grp, n, slope_micro, intercept_micro)``
+    sorted by group.
+
+    Shape: per-batch (group, n, Σx, Σy, Σx², Σxy) partials —
+    group-cardinality cells, one groupby, driver arithmetic in Python
+    bigints (== HUGEINT). Same overflow contract as grouped_pearson:
+    pick units with ``(unit·max|v|)² · n_rows < 2^63``."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.and_(pc.is_valid(batch[group_col]),
+                    pc.is_valid(batch[x_col])),
+            pc.is_valid(batch[y_col]),
+        )
+        t = batch.filter(keep)
+
+        def q(col, unit):
+            return np.asarray(pc.cast(
+                pc.round(
+                    pc.multiply(pc.cast(t[col], pa.float64()),
+                                float(unit)),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ))
+
+        x, y = q(x_col, unit_x), q(y_col, unit_y)
+        g = np.asarray(t[group_col].to_pylist(), dtype=object)
+        u, inv = np.unique(g, return_inverse=True)
+        out = {"g": pa.array(list(u), pa.string())}
+        for name, v in (("n", np.ones(len(x), np.int64)), ("sx", x),
+                        ("sy", y), ("sxx", x * x), ("sxy", x * y)):
+            s = np.zeros(len(u), np.int64)
+            np.add.at(s, inv, v)
+            out[name] = pa.array(s, pa.int64())
+        return pa.table(out)
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"),
+                   Sum("sxx", alias_name="sxx"),
+                   Sum("sxy", alias_name="sxy"))
+        .to_pandas()
+    )
+
+    def _micro(raw: float) -> int:
+        return pc.cast(
+            pc.round(pa.array([raw], pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+
+    rows = []
+    for r in cells.itertuples():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        num = n * int(r.sxy) - sx * sy
+        dx = n * int(r.sxx) - sx * sx
+        if n < 2 or dx <= 0:
+            continue
+        slope = _micro(1e6 * (float(num) / float(dx)))
+        intercept = _micro(
+            1e6 * ((float(sy) - (float(num) / float(dx)) * float(sx))
+                   / float(n))
+        )
+        rows.append((r.g, n, slope, intercept))
+    rows.sort(key=lambda t: t[0])
+    return pd.DataFrame({
+        "grp": [r[0] for r in rows],
+        "n": [r[1] for r in rows],
+        "slope_micro": [r[2] for r in rows],
+        "intercept_micro": [r[3] for r in rows],
+    }).astype({"n": "int64", "slope_micro": "int64",
+               "intercept_micro": "int64"})
+
+
+def winsorized_mean_by_group(ds, group_col: str, val_col: str,
+                             p_lo: int = 5, p_hi: int = 95,
+                             cents: int = 100):
+    """Per-group winsorized mean — values clamped to the group's
+    exact inverse-CDF [p_lo, p_hi] percentile bounds before
+    averaging: ``(group, n, lo_cents, hi_cents, wmean_cents)`` sorted
+    by group. The classic outlier-robust location estimate a
+    curation pipeline uses when a median is too coarse but whales
+    would poison a plain mean.
+
+    Shape: the :func:`group_quantiles` device — per-batch (group,
+    value, count) histogram partials are the only data-sized
+    exchange; each group's sweep (both bounds + the clamped total,
+    all exact int64) runs over its value-cardinality histogram in
+    one reducer. The mean is one division + zero-digit round."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    if not (0 < p_lo < p_hi <= 100):
+        raise ValueError("need 0 < p_lo < p_hi <= 100")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.is_valid(batch[group_col]), pc.is_valid(batch[val_col])
+        )
+        t = batch.select([group_col, val_col]).filter(keep)
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[val_col], pa.float64()),
+                            float(cents)),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        cells = pa.table({group_col: t[group_col], "v": v})
+        return (
+            cells.group_by([group_col, "v"])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, "v", "cnt"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = group.sort_by("v")
+        v = pc.cast(g["v"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(g["cnt"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = int(c.sum())
+        cum = np.cumsum(c, dtype=np.int64)
+        lo = int(v[np.argmax(100 * cum >= p_lo * n)])
+        hi = int(v[np.argmax(100 * cum >= p_hi * n)])
+        tot = int((np.clip(v, lo, hi) * c).sum())
+        wmean = pc.cast(
+            pc.round(pa.array([float(tot) / float(n)], pa.float64()),
+                     ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+        return pa.table({
+            group_col: group[group_col][:1],
+            "n": pa.array([n], pa.int64()),
+            "lo_cents": pa.array([lo], pa.int64()),
+            "hi_cents": pa.array([hi], pa.int64()),
+            "wmean_cents": pa.array([wmean], pa.int64()),
+        })
+
+    return (
+        cells.groupby(group_col)
+        .map_groups(sweep, batch_format="pyarrow")
+        .sort(group_col)
+    )

@@ -295,3 +295,15 @@ def test_top_direction_power_empty():
         "embedding": pa.array([], pa.list_(pa.float32())),
     }))
     assert top_direction_power(ds, "embedding").count() == 0
+
+
+def test_variance_explained_top_two_axis():
+    from eschergraph_ray.functions.features import variance_explained_top
+
+    ds = rd.from_arrow(pa.table({
+        "embedding": [[2.0, 0.0], [2.0, 0.0], [0.0, 1.0]],
+    }))
+    out = variance_explained_top(ds, "embedding", iters=3).to_pandas()
+    assert out.iloc[0]["d"] == 2
+    # G/1e12 = [[8,0],[0,1]] -> top axis carries ~8/9 of the trace
+    assert 880_000 < out.iloc[0]["explained_micro"] < 895_000

@@ -739,3 +739,34 @@ def test_markov_entropy_rate_deterministic_chain_is_zero(ray_session):
     out = markov_entropy_rate(ev, "user_id", "ts", "event_id",
                               "event_type").to_pandas()
     assert out.iloc[0]["entropy_rate_micro"] == 0
+
+
+def test_grouped_ols_hand_case(ray_session):
+    from eschergraph_ray.functions.stats import grouped_ols
+
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", "a", "b", "c", "c"],
+        "x": pa.array([0.0, 1.0, 2.0, 5.0, 1.0, 1.0], pa.float64()),
+        "y": pa.array([1.0, 3.0, 5.0, 9.0, 2.0, 4.0], pa.float64()),
+    }))
+    out = grouped_ols(ds, "g", "x", "y")
+    # a: perfect line y=2x+1; b: n=1 dropped; c: zero x-var dropped
+    assert list(out["grp"]) == ["a"]
+    assert list(out["slope_micro"]) == [2_000_000]
+    assert list(out["intercept_micro"]) == [1_000_000]
+
+
+def test_winsorized_mean_hand_case(ray_session):
+    from eschergraph_ray.functions.stats import winsorized_mean_by_group
+
+    ds = rd.from_arrow(pa.table({
+        "g": ["a"] * 4,
+        "v": pa.array([0.01, 0.02, 0.03, 1.00], pa.float64()),
+    }))
+    out = winsorized_mean_by_group(ds, "g", "v", p_lo=25,
+                                   p_hi=75).to_pandas()
+    r = out.iloc[0]
+    # cents [1,2,3,100]: lo=p25=1, hi=p75=3; clamped total 9 -> 2.25
+    # rounds half-inf to 2
+    assert (r["n"], r["lo_cents"], r["hi_cents"],
+            r["wmean_cents"]) == (4, 1, 3, 2)
