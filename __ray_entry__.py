@@ -6714,6 +6714,26 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_dedup_minhash_calibration(sf_dir: str):
+    """MinHash estimator calibration over the LSH candidate pairs
+    (dedup.minhash_calibration_histogram): signature-agreement
+    estimate minus exact shingle Jaccard, 100k-micro error bins —
+    are 64 permutations enough before trusting the 0.5 threshold.
+    Candidates/signatures/shingles all from the production near-dup
+    path (byte-identical buckets, packed-binary payload joins)."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.dedup import (
+        minhash_calibration_histogram,
+    )
+
+    _context()
+    _sidewrite_minhash_params()  # lets the SQL oracle replay the perms
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return minhash_calibration_histogram(docs, "doc_id", "text")
+
+
 def _q_events_value_hour_ols(sf_dir: str):
     """Per-type OLS regression of event value on hour-of-day
     (stats.grouped_ols): exact integer moments, slope/intercept as
@@ -7357,6 +7377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hour_ols": _q_events_value_hour_ols,
         "events_value_winsorized": _q_events_value_winsorized,
         "embeddings_variance_explained": _q_embeddings_variance_explained,
+        "dedup_minhash_calibration": _q_dedup_minhash_calibration,
     }
 
 
@@ -13965,5 +13986,94 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(den.s AS DOUBLE)) / CAST(tr.s AS DOUBLE)),
                     0) AS BIGINT) AS explained_micro
         FROM num, den, tr
+    """
+    d["dedup_minhash_calibration"] = f"""
+        -- calibration replay (dedup.minhash_calibration_histogram):
+        -- the dedup_minhash_neardup candidate skeleton, per-pair
+        -- signature agreement (exact int floor) minus exact Jaccard
+        -- micro, one float floor per pair for the bin
+        WITH wl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        words AS (
+          SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+          FROM wl WHERE len(ws) >= 3
+        ),
+        grams AS (
+          SELECT DISTINCT a.doc_id,
+                 md5_number_lower(a.w || ' ' || b.w || ' ' || c.w) AS x
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        ),
+        short AS (
+          SELECT doc_id, md5_number_lower(array_to_string(ws, ' ')) AS x
+          FROM wl WHERE len(ws) BETWEEN 1 AND 2
+        ),
+        sh AS (SELECT * FROM grams UNION SELECT * FROM short),
+        sig AS (
+          SELECT s.doc_id, p.perm_id,
+                 min(CAST(((CAST(p.av AS HUGEINT) * CAST(s.x AS HUGEINT))
+                           % 18446744073709551616 + p.bv)
+                          % 18446744073709551616
+                          % 2305843009213693951 AS BIGINT)) AS v
+          FROM sh s, read_parquet('{_mh}') p
+          GROUP BY s.doc_id, p.perm_id
+        ),
+        bands AS (
+          SELECT doc_id, perm_id // 4 AS band_id,
+                 list(v ORDER BY perm_id) AS bkey
+          FROM sig GROUP BY doc_id, perm_id // 4
+        ),
+        bsize AS (
+          SELECT band_id, bkey, count(*) AS nb
+          FROM bands GROUP BY band_id, bkey
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x
+          JOIN bsize s ON s.band_id = x.band_id AND s.bkey = x.bkey
+                      AND s.nb <= 2000
+          JOIN bands y ON x.band_id = y.band_id AND x.bkey = y.bkey
+                      AND x.doc_id < y.doc_id
+        ),
+        eq AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(count(*) FILTER (WHERE sa.v = sb.v) AS BIGINT)
+                   AS eq
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+                     AND sb.perm_id = sa.perm_id
+          GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b2 ON b2.doc_id = c.id_b AND b2.x = a.x
+          GROUP BY c.id_a, c.id_b
+        ),
+        diff AS (
+          SELECT (e.eq * 1000000) // 64
+                 - CAST(round(1e6 * (CAST(coalesce(i.n_common, 0)
+                        AS DOUBLE)
+                      / (sa.n + sb.n - coalesce(i.n_common, 0))), 0)
+                      AS BIGINT) AS dv
+          FROM cand c
+          JOIN eq e ON e.id_a = c.id_a AND e.id_b = c.id_b
+          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          JOIN sizes sa ON sa.doc_id = c.id_a
+          JOIN sizes sb ON sb.doc_id = c.id_b
+        )
+        SELECT greatest(least(CAST(floor(CAST(dv AS DOUBLE)
+                                         / 100000.0) AS BIGINT), 9),
+                        -10) AS err_bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM diff GROUP BY 1 ORDER BY 1
     """
     return d

@@ -1538,3 +1538,107 @@ def simhash_hamming_histogram(ds, id_col: str, text_col: str,
         "hamming": pa.array(nz, pa.int64()),
         "n_pairs": pa.array(hist[nz], pa.int64()),
     }))
+
+
+def minhash_calibration_histogram(ds, id_col: str, text_col: str,
+                                  num_perm: int = 64, bands: int = 16,
+                                  shingle_k: int = 3, seed: int = 7,
+                                  df_cutoff: int = 2000,
+                                  bin_micro: int = 100_000,
+                                  bin_lo: int = -10, bin_hi: int = 9):
+    """MinHash-estimate vs exact-Jaccard calibration over the LSH
+    candidate pairs: per pair, the signature agreement estimate
+    ``(eq · 1e6) // num_perm`` minus the exact shingle Jaccard in
+    micro, bucketed into ``bin_micro``-wide error bins —
+    ``(err_bin, n_pairs)`` sorted by bin. THE parameter-tuning op for
+    the near-dup family: it shows whether 64 permutations are enough
+    for the corpus's similarity range (estimator bias/variance in one
+    table) before anyone trusts a 0.5 threshold.
+
+    Shape: candidates come from the production LSH path (same
+    df_cutoff, byte-identical buckets); signatures and shingle sets
+    attach as packed-binary payloads via the established distributed
+    pair joins (no driver pair state); the estimate is pure int
+    (floor division), the exact side is one division + zero-digit
+    round, the bin one float floor — all replayed by the oracle."""
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        pa.field("err_bin", pa.int64()),
+        pa.field("n_pairs", pa.int64()),
+    ])
+    cand = _nonempty_pairs(
+        minhash_lsh_candidates(ds, id_col, text_col, num_perm, bands,
+                               shingle_k, seed, df_cutoff)
+    )
+    if cand is None:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def pack_sig(batch: pa.Table) -> pa.Table:
+        blobs = [
+            np.asarray(s, dtype=np.int64).tobytes()
+            for s in batch["signature"].to_pylist()
+        ]
+        return pa.table({
+            id_col: batch[id_col],
+            "sigblob": pa.array(blobs, pa.large_binary()),
+        })
+
+    sigs = (
+        minhash_signatures(ds, id_col, text_col, num_perm, shingle_k,
+                           seed)
+        .map_batches(pack_sig, batch_format="pyarrow")
+        .materialize()
+    )
+    shs = shingle_signatures(ds, id_col, text_col, shingle_k).materialize()
+    j = _attach_payload(cand, sigs, "id_a", id_col, "sigblob", "sig_a")
+    j = _attach_payload(j, sigs, "id_b", id_col, "sigblob", "sig_b")
+    j = _attach_payload(j, shs, "id_a", id_col, "shingles", "sh_a")
+    j = _attach_payload(j, shs, "id_b", id_col, "shingles", "sh_b")
+    span = bin_hi - bin_lo + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        bins = np.zeros(span, np.int64)
+        for sa_b, sb_b, ha_b, hb_b in zip(
+            batch["sig_a"].to_pylist(), batch["sig_b"].to_pylist(),
+            batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist(),
+        ):
+            sa = np.frombuffer(sa_b, dtype=np.int64)
+            sb = np.frombuffer(sb_b, dtype=np.int64)
+            ha = np.frombuffer(ha_b, dtype=np.uint64)
+            hb = np.frombuffer(hb_b, dtype=np.uint64)
+            if len(ha) == 0 or len(hb) == 0:
+                continue
+            eq = int((sa == sb).sum())
+            est = (eq * 1_000_000) // num_perm
+            inter = len(np.intersect1d(ha, hb, assume_unique=True))
+            jac = 1e6 * (float(inter)
+                         / float(len(ha) + len(hb) - inter))
+            exact = int(pc.round(
+                pa.array([jac], pa.float64()), ndigits=0,
+                round_mode="half_towards_infinity",
+            ).cast(pa.int64())[0].as_py())
+            b = int(np.floor(float(est - exact) / float(bin_micro)))
+            bins[min(max(b, bin_lo), bin_hi) - bin_lo] += 1
+        nz = np.flatnonzero(bins)
+        return pa.table({
+            "err_bin": pa.array(nz + bin_lo, pa.int64()),
+            "n": pa.array(bins[nz], pa.int64()),
+        })
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("err_bin")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table({
+                "err_bin": t["err_bin"],
+                "n_pairs": pc.cast(t["sum(n)"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("err_bin")
+    )

@@ -398,3 +398,33 @@ def test_simhash_hamming_histogram_too_small():
         "text": ["only one"],
     }))
     assert simhash_hamming_histogram(ds, "doc_id", "text").count() == 0
+
+
+def test_minhash_calibration_identical_docs_bin_zero():
+    from eschergraph_ray.functions.dedup import (
+        minhash_calibration_histogram,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": [text, text],
+    }))
+    out = minhash_calibration_histogram(ds, "doc_id", "text").to_pandas()
+    # identical docs: estimate == exact == 1e6 -> error bin 0
+    rows = dict(zip(out["err_bin"], out["n_pairs"]))
+    assert rows == {0: 1}
+
+
+def test_minhash_calibration_no_candidates_empty():
+    from eschergraph_ray.functions.dedup import (
+        minhash_calibration_histogram,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["completely different words here entirely",
+                 "nothing shared with the other document at all"],
+    }))
+    out = minhash_calibration_histogram(ds, "doc_id", "text")
+    assert out.count() == 0
