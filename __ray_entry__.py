@@ -6714,6 +6714,51 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_events_ab_ttest(sf_dir: str):
+    """Welch's t between purchase and view event values
+    (stats.welch_ttest): exact integer moments, t and the
+    Welch–Satterthwaite df as single float chains — the A/B
+    primitive."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import welch_ttest
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return welch_ttest(ev, "event_type", "value", "purchase", "view")
+
+
+def _q_events_type_dow_chisq(sf_dir: str):
+    """Chi-square independence of event type × day-of-week
+    (stats.chi_square_independence): contingency combiner, per-cell
+    micro terms over exact counts, order-free integer statistic —
+    the 'did the weekly mix drift' test pairing the exact-MI op."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import chi_square_independence
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def add_dow(b: pa.Table) -> pa.Table:
+        day = pc.add(pc.divide(pc.cast(b["ts"], pa.int64()),
+                               86_400_000_000), 4)
+        dow = pc.subtract(day, pc.multiply(pc.divide(day, 7), 7))
+        return pa.table({
+            "event_type": b["event_type"],
+            "dow": pc.cast(dow, pa.int64()),
+        })
+
+    return chi_square_independence(
+        ev.map_batches(add_dow, batch_format="pyarrow"),
+        "event_type", "dow",
+    )
+
+
 def _q_dedup_minhash_calibration(sf_dir: str):
     """MinHash estimator calibration over the LSH candidate pairs
     (dedup.minhash_calibration_histogram): signature-agreement
@@ -7378,6 +7423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized": _q_events_value_winsorized,
         "embeddings_variance_explained": _q_embeddings_variance_explained,
         "dedup_minhash_calibration": _q_dedup_minhash_calibration,
+        "events_ab_ttest": _q_events_ab_ttest,
+        "events_type_dow_chisq": _q_events_type_dow_chisq,
     }
 
 
@@ -14075,5 +14122,85 @@ def oracle_sql() -> dict[str, str]:
                         -10) AS err_bin,
                CAST(count(*) AS BIGINT) AS n_pairs
         FROM diff GROUP BY 1 ORDER BY 1
+    """
+    d["events_ab_ttest"] = """
+        -- Welch replay (stats.welch_ttest): HUGEINT moments, t and
+        -- df each one identical float chain
+        WITH q AS (
+          SELECT CASE WHEN event_type = 'purchase' THEN 'a'
+                 ELSE 'b' END AS g,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS v
+          FROM events
+          WHERE value IS NOT NULL
+                AND event_type IN ('purchase', 'view')
+        ),
+        s AS (
+          SELECT g, count(*) AS n,
+                 sum(CAST(v AS HUGEINT)) AS sv,
+                 sum(CAST(v AS HUGEINT) * v) AS svv
+          FROM q GROUP BY 1
+        ),
+        ab AS (
+          SELECT max(CASE WHEN g = 'a' THEN n END) AS na,
+                 max(CASE WHEN g = 'a' THEN sv END) AS sa,
+                 max(CASE WHEN g = 'a' THEN svv END) AS sa2,
+                 max(CASE WHEN g = 'b' THEN n END) AS nb,
+                 max(CASE WHEN g = 'b' THEN sv END) AS sb,
+                 max(CASE WHEN g = 'b' THEN svv END) AS sb2
+          FROM s
+        ),
+        m AS (
+          SELECT na, nb,
+                 CAST(na * sa2 - sa * sa AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * (na - 1)) AS va,
+                 CAST(nb * sb2 - sb * sb AS DOUBLE)
+                   / (CAST(nb AS DOUBLE) * (nb - 1)) AS vb,
+                 CAST(sa AS DOUBLE) / na AS ma,
+                 CAST(sb AS DOUBLE) / nb AS mb
+          FROM ab WHERE na >= 2 AND nb >= 2
+        ),
+        u AS (SELECT *, va / na + vb / nb AS uu FROM m)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(round(1e6 * ((ma - mb) / sqrt(uu)), 0) AS BIGINT)
+                 AS t_micro,
+               CAST(round(1e6 * ((uu * uu)
+                    / ((va / na) * (va / na) / (na - 1)
+                       + (vb / nb) * (vb / nb) / (nb - 1))), 0)
+                    AS BIGINT) AS df_micro
+        FROM u WHERE uu > 0
+    """
+    d["events_type_dow_chisq"] = """
+        -- chi-square replay (stats.chi_square_independence):
+        -- contingency cells, per-cell micro terms, integer sum
+        WITH q AS (
+          SELECT event_type AS x,
+                 (epoch_us(ts) // 86400000000 + 4) % 7 AS y
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ),
+        cells AS (SELECT x, y, count(*) AS n FROM q GROUP BY 1, 2),
+        rx AS (SELECT x, sum(n) AS r FROM cells GROUP BY 1),
+        cy AS (SELECT y, sum(n) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT sum(n) AS nn FROM cells),
+        cell AS (
+          -- full cross product: zero cells contribute their e
+          SELECT CAST(round(1e6 * (((CAST(coalesce(cells.n, 0)
+                   AS DOUBLE)
+                   - CAST(rx.r * cy.c AS DOUBLE) / tot.nn)
+                   * (CAST(coalesce(cells.n, 0) AS DOUBLE)
+                      - CAST(rx.r * cy.c AS DOUBLE) / tot.nn))
+                   / (CAST(rx.r * cy.c AS DOUBLE) / tot.nn)), 0)
+                   AS BIGINT) AS qq
+          FROM rx CROSS JOIN cy CROSS JOIN tot
+          LEFT JOIN cells ON cells.x = rx.x AND cells.y = cy.y
+        )
+        SELECT (SELECT CAST(nn AS BIGINT) FROM tot) AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM rx) AS nx,
+               (SELECT CAST(count(*) AS BIGINT) FROM cy) AS ny,
+               (SELECT CAST((count(*) - 1) AS BIGINT) FROM rx)
+                 * (SELECT CAST((count(*) - 1) AS BIGINT) FROM cy)
+                 AS dof,
+               CAST(sum(qq) AS BIGINT) AS chi2_micro
+        FROM cell
     """
     return d

@@ -2047,3 +2047,167 @@ def winsorized_mean_by_group(ds, group_col: str, val_col: str,
         .map_groups(sweep, batch_format="pyarrow")
         .sort(group_col)
     )
+
+
+def welch_ttest(ds, group_col: str, val_col: str, group_a: str,
+                group_b: str, cents: int = 100):
+    """Welch's unequal-variance t-test between two segments — one row
+    ``(n_a, n_b, t_micro, df_micro)``: the A/B-comparison primitive
+    (did 'purchase' values shift vs 'view'?) computed from EXACT
+    integer moments. Values quantize to ``cents`` ints per row; the
+    per-group (n, Σv, Σv²) cells are the only exchange; t and the
+    Welch–Satterthwaite df are each ONE identical float expression
+    over the six integers. Returns an empty table when either group
+    has n < 2 or zero variance-sum denominator."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    out_schema = pa.schema([
+        pa.field("n_a", pa.int64()), pa.field("n_b", pa.int64()),
+        pa.field("t_micro", pa.int64()), pa.field("df_micro", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.is_valid(batch[val_col]),
+            pc.is_in(batch[group_col],
+                     value_set=pa.array([group_a, group_b])),
+        )
+        t = batch.select([group_col, val_col]).filter(keep)
+        v = np.asarray(pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[val_col], pa.float64()),
+                            float(cents)),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ))
+        isa = np.asarray(
+            pc.equal(t[group_col], group_a)
+        ).astype(np.int64)
+        rows = []
+        for tag, m in (("a", isa == 1), ("b", isa == 0)):
+            rows.append((tag, int(m.sum()), int(v[m].sum()),
+                         int((v[m] * v[m]).sum())))
+        return pa.table({
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "sv": pa.array([r[2] for r in rows], pa.int64()),
+            "svv": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sv"),
+                   Sum("svv", alias_name="svv"))
+        .to_pandas()
+    )
+    import ray.data as rd
+
+    mm = {r.g: (int(r.n), int(r.sv), int(r.svv))
+          for r in cells.itertuples()}
+    na, sa, sa2 = mm.get("a", (0, 0, 0))
+    nb, sb, sb2 = mm.get("b", (0, 0, 0))
+    if na < 2 or nb < 2:
+        return rd.from_arrow(out_schema.empty_table())
+    va = na * sa2 - sa * sa
+    vb = nb * sb2 - sb * sb
+    Va = float(va) / (float(na) * (na - 1))
+    Vb = float(vb) / (float(nb) * (nb - 1))
+    u = Va / na + Vb / nb
+    if u <= 0:
+        return rd.from_arrow(out_schema.empty_table())
+    import math
+
+    tstat = (float(sa) / na - float(sb) / nb) / math.sqrt(u)
+    dfw = (u * u) / ((Va / na) * (Va / na) / (na - 1)
+                     + (Vb / nb) * (Vb / nb) / (nb - 1))
+
+    def _micro(x):
+        return pc.cast(
+            pc.round(pa.array([x], pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+
+    return rd.from_arrow(pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "t_micro": pa.array([_micro(1e6 * tstat)], pa.int64()),
+        "df_micro": pa.array([_micro(1e6 * dfw)], pa.int64()),
+    }))
+
+
+def chi_square_independence(ds, x_col: str, y_col: str):
+    """Pearson chi-square independence statistic between two
+    bounded-cardinality columns — one row
+    ``(n, nx, ny, dof, chi2_micro)``: the drift/association test
+    behind 'did the type mix change by weekday'. The contingency
+    table is the only data pass (the mutual_information combiner
+    shape); per cell, ``round(1e6·(o−e)²/e)`` is one identical float
+    chain over exact counts (e = rx·cy/N with the HUGEINT product
+    converted once), and the statistic is the order-free integer sum
+    of the cell terms."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[x_col]),
+                       pc.is_valid(batch[y_col]))
+        t = batch.select([x_col, y_col]).filter(keep)
+        c = t.group_by([x_col, y_col]).aggregate([([], "count_all")])
+        return c.rename_columns(["x", "y", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        pa.field("n", pa.int64()), pa.field("nx", pa.int64()),
+        pa.field("ny", pa.int64()), pa.field("dof", pa.int64()),
+        pa.field("chi2_micro", pa.int64()),
+    ])
+    if len(cells) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    rx: dict = {}
+    cy: dict = {}
+    obs: dict = {}
+    for r in cells.itertuples():
+        rx[r.x] = rx.get(r.x, 0) + int(r.n)
+        cy[r.y] = cy.get(r.y, 0) + int(r.n)
+        obs[(r.x, r.y)] = int(r.n)
+    N = sum(rx.values())
+    total = 0
+    # full cross product: ZERO cells contribute e, not nothing —
+    # skipping them understates the statistic exactly when the
+    # association is strongest
+    for xk, rv in rx.items():
+        for yk, cv in cy.items():
+            e = float(rv * cv) / float(N)
+            o = float(obs.get((xk, yk), 0))
+            q = pc.cast(
+                pc.round(pa.array([1e6 * (((o - e) * (o - e)) / e)],
+                                  pa.float64()),
+                         ndigits=0,
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            )[0].as_py()
+            total += int(q)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([N], pa.int64()),
+        "nx": pa.array([len(rx)], pa.int64()),
+        "ny": pa.array([len(cy)], pa.int64()),
+        "dof": pa.array([(len(rx) - 1) * (len(cy) - 1)], pa.int64()),
+        "chi2_micro": pa.array([total], pa.int64()),
+    }))

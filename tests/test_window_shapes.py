@@ -770,3 +770,47 @@ def test_winsorized_mean_hand_case(ray_session):
     # rounds half-inf to 2
     assert (r["n"], r["lo_cents"], r["hi_cents"],
             r["wmean_cents"]) == (4, 1, 3, 2)
+
+
+def test_welch_ttest_hand_case(ray_session):
+    from eschergraph_ray.functions.stats import welch_ttest
+
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", "b", "b"],
+        "v": pa.array([1.0, 3.0, 2.0, 2.0], pa.float64()),
+    }))
+    out = welch_ttest(ds, "g", "v", "a", "b").to_pandas()
+    r = out.iloc[0]
+    # equal means -> t = 0; Vb = 0 so df collapses to na-1 = 1
+    assert (r["n_a"], r["n_b"], r["t_micro"], r["df_micro"]) == (
+        2, 2, 0, 1_000_000)
+
+
+def test_welch_ttest_degenerate_empty(ray_session):
+    from eschergraph_ray.functions.stats import welch_ttest
+
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "b"],
+        "v": pa.array([1.0, 2.0], pa.float64()),
+    }))
+    assert welch_ttest(ds, "g", "v", "a", "b").count() == 0
+
+
+def test_chi_square_hand_cases(ray_session):
+    from eschergraph_ray.functions.stats import chi_square_independence
+
+    indep = rd.from_arrow(pa.table({
+        "x": ["A"] * 20 + ["B"] * 20,
+        "y": ([0] * 10 + [1] * 10) * 2,
+    }))
+    out = chi_square_independence(indep, "x", "y").to_pandas().iloc[0]
+    assert (out["n"], out["nx"], out["ny"], out["dof"],
+            out["chi2_micro"]) == (40, 2, 2, 1, 0)
+
+    dep = rd.from_arrow(pa.table({
+        "x": ["A"] * 20 + ["B"] * 20,
+        "y": [0] * 20 + [1] * 20,
+    }))
+    out = chi_square_independence(dep, "x", "y").to_pandas().iloc[0]
+    # every cell |o-e| = 10, e = 10 -> chi2 = 4 * 10 = 40
+    assert out["chi2_micro"] == 40_000_000
