@@ -6714,6 +6714,30 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_kg_transitivity(sf_dir: str):
+    """Global transitivity of the built KG
+    (graph_metrics.transitivity): 3·triangles / wedges over the
+    level-0 simple graph — the scalar clustering summary composing
+    the exact triangle and degree devices."""
+    import pyarrow.compute as pc
+
+    from eschergraph_ray.functions.graph_metrics import transitivity
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = load_kind(out, "edge").map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return transitivity(edges, "frm_name", "to_name")
+
+
 def _q_events_ab_ttest(sf_dir: str):
     """Welch's t between purchase and view event values
     (stats.welch_ttest): exact integer moments, t and the
@@ -7425,6 +7449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_calibration": _q_dedup_minhash_calibration,
         "events_ab_ttest": _q_events_ab_ttest,
         "events_type_dow_chisq": _q_events_type_dow_chisq,
+        "kg_transitivity": _q_kg_transitivity,
     }
 
 
@@ -14202,5 +14227,36 @@ def oracle_sql() -> dict[str, str]:
                  AS dof,
                CAST(sum(qq) AS BIGINT) AS chi2_micro
         FROM cell
+    """
+    d["kg_transitivity"] = f"""
+        -- transitivity replay (graph_metrics.transitivity): the
+        -- kg_triangles triple-enumeration plus degree wedges
+        WITH e0 AS (
+          SELECT DISTINCT least(frm_name, to_name) AS a,
+                          greatest(frm_name, to_name) AS b
+          FROM read_parquet('{_edges}')
+          WHERE level = 0 AND frm_name <> to_name
+        ),
+        tri AS (
+          SELECT count(*) AS t
+          FROM e0 e1
+          JOIN e0 e2 ON e2.a = e1.b
+          JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        deg AS (
+          SELECT node, count(*) AS d
+          FROM (SELECT a AS node FROM e0
+                UNION ALL SELECT b FROM e0)
+          GROUP BY 1
+        ),
+        w AS (
+          SELECT CAST(sum(CAST(d AS HUGEINT) * (d - 1)) // 2
+                      AS BIGINT) AS wedges
+          FROM deg
+        )
+        SELECT CAST(tri.t AS BIGINT) AS triangles, w.wedges,
+               CAST(round(1e6 * (3.0 * tri.t / w.wedges), 0)
+                    AS BIGINT) AS transitivity_micro
+        FROM tri, w WHERE w.wedges > 0
     """
     return d

@@ -2671,3 +2671,62 @@ def brandes_dependency_topk(edges_ds, src_col: str, dst_col: str,
         out = out.union(p_)
     return out.sort(["dep_micro", "node"],
                     descending=[True, False]).limit(k)
+
+
+def transitivity(edges_ds, src_col: str, dst_col: str,
+                 num_partitions: int = _DEFAULT_PARTITIONS,
+                 fastpath_max_nodes: int = 2048):
+    """Global transitivity (closed-triple ratio) of the undirected
+    simple graph — one row ``(triangles, wedges,
+    transitivity_micro)`` with ``transitivity = 3T / W``,
+    ``W = Σ d(d−1)/2``. The one-number clustering summary that pairs
+    the per-node :func:`triangle_counts` / clustering-coefficient
+    family: how much of the KG's wedge mass actually closes.
+
+    Composes the existing exact devices: T from the triangle pipeline
+    (dense matmul fast path / oriented-join fallback — per-node
+    counts sum to 3T), W from one degree aggregation with per-batch
+    int64 ``Σ d(d−1)`` partials. One float chain at the end. int64
+    contract: Σ d² over nodes must stay below 2^63 (a 3·10^9-degree
+    hub breaks it — at that point the graph has bigger problems)."""
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        pa.field("triangles", pa.int64()),
+        pa.field("wedges", pa.int64()),
+        pa.field("transitivity_micro", pa.int64()),
+    ])
+    tri = triangle_counts(edges_ds, src_col, dst_col,
+                          num_partitions=num_partitions,
+                          fastpath_max_nodes=fastpath_max_nodes)
+    ts = tri.sum("n_triangles")
+    t3 = 0 if ts is None else int(ts)
+    edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    deg = _explode_endpoints(edges).groupby("node").count()
+
+    def wedge_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = b["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "w": pa.array([int((d * (d - 1)).sum())], pa.int64()),
+        })
+
+    ws = deg.map_batches(wedge_partial, batch_format="pyarrow").sum("w")
+    wedges = 0 if ws is None else int(ws) // 2
+    if wedges == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    t = t3 // 3
+    raw = 1e6 * (3.0 * float(t) / float(wedges))
+    micro = pc.cast(
+        pc.round(pa.array([raw], pa.float64()), ndigits=0,
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )[0].as_py()
+    return rd.from_arrow(pa.table({
+        "triangles": pa.array([t], pa.int64()),
+        "wedges": pa.array([wedges], pa.int64()),
+        "transitivity_micro": pa.array([micro], pa.int64()),
+    }))

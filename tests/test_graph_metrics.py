@@ -609,3 +609,27 @@ def test_brandes_dependency_paths_agree():
         e2, "src", "dst", k=100, small_edge_cutoff=0
     ).to_pandas()
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_transitivity_triangle_plus_pendant():
+    from eschergraph_ray.functions.graph_metrics import transitivity
+
+    # triangle a-b-c plus pendant d on a: T=1; degrees 3,2,2,1 ->
+    # wedges = (6+2+2+0)/2 = 5 -> 3/5
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "a"],
+        "dst": ["b", "c", "a", "d"],
+    }))
+    out = transitivity(edges, "src", "dst").to_pandas().iloc[0]
+    assert (out["triangles"], out["wedges"]) == (1, 5)
+    assert out["transitivity_micro"] == 600_000
+
+
+def test_transitivity_no_wedges_empty():
+    from eschergraph_ray.functions.graph_metrics import transitivity
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["a"], pa.string()),
+        "dst": pa.array(["a"], pa.string()),
+    }))
+    assert transitivity(edges, "src", "dst").count() == 0
