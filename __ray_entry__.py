@@ -6714,6 +6714,60 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_kg_degree_gini(sf_dir: str):
+    """Degree inequality of the built KG
+    (textstats.gini_concentration over the exploded simple-graph
+    endpoints): is the entity graph hub-dominated — the scalar
+    companion of the degree histogram / rich-club profile. One
+    groupby to node-cardinality degree counts, one sorted streaming
+    rank pass, exact int numerator, one division."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.graph_metrics import (
+        _explode_endpoints,
+        _normalized_edges,
+    )
+    from eschergraph_ray.functions.textstats import gini_concentration
+    from eschergraph_ray.pipelines.build import load_kind
+
+    import pyarrow.compute as pc
+
+    _context()
+    out = _build_for(sf_dir, "q")
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["frm_name", "to_name"]
+        )
+
+    edges = _normalized_edges(
+        load_kind(out, "edge").map_batches(prep, batch_format="pyarrow"),
+        "frm_name", "to_name",
+    )
+    return rd.from_arrow(
+        gini_concentration(_explode_endpoints(edges), "node")
+    )
+
+
+def _q_ann_recall_eval(sf_dir: str):
+    """Recall of the LSH-bucketed ANN vs the exact brute-force top-10
+    for the shared query vector — ``(n_common, recall_micro)``. The
+    eval every approximate index needs before it replaces the exact
+    scan; composes the two production query paths verbatim so the
+    measured recall is the deployed recall."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    _context()
+    brute = _q_ann_topk(sf_dir).to_pandas()
+    lsh = _q_ann_lsh_topk(sf_dir).to_pandas()
+    common = len(set(brute["vec_id"]) & set(lsh["vec_id"]))
+    return rd.from_arrow(pa.table({
+        "n_common": pa.array([common], pa.int64()),
+        "recall_micro": pa.array([common * 100_000], pa.int64()),
+    }))
+
+
 def _q_kg_transitivity(sf_dir: str):
     """Global transitivity of the built KG
     (graph_metrics.transitivity): 3·triangles / wedges over the
@@ -7450,6 +7504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_ttest": _q_events_ab_ttest,
         "events_type_dow_chisq": _q_events_type_dow_chisq,
         "kg_transitivity": _q_kg_transitivity,
+        "kg_degree_gini": _q_kg_degree_gini,
+        "ann_recall_eval": _q_ann_recall_eval,
     }
 
 
@@ -14258,5 +14314,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(1e6 * (3.0 * tri.t / w.wedges), 0)
                     AS BIGINT) AS transitivity_micro
         FROM tri, w WHERE w.wedges > 0
+    """
+    d["kg_degree_gini"] = f"""
+        -- degree-Gini replay (gini_concentration over KG degrees):
+        -- row_number over (degree, node), exact int numerator
+        WITH e0 AS (
+          SELECT DISTINCT least(frm_name, to_name) AS a,
+                          greatest(frm_name, to_name) AS b
+          FROM read_parquet('{_edges}')
+          WHERE level = 0 AND frm_name <> to_name
+        ),
+        c AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS x
+          FROM (SELECT a AS node FROM e0
+                UNION ALL SELECT b FROM e0)
+          GROUP BY 1
+        ),
+        r AS (
+          SELECT x, row_number() OVER (ORDER BY x, node) AS i FROM c
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS t,
+                 CAST(sum(i * x) AS BIGINT) AS s
+          FROM r
+        )
+        SELECT n AS n_keys, t AS total,
+               CAST(round(1e6 * CAST(2 * s - (n + 1) * t AS DOUBLE)
+                     / CAST(n * t AS DOUBLE), 0) AS BIGINT)
+                 AS gini_micro
+        FROM m WHERE n > 0 AND t > 0
+    """
+    d["ann_recall_eval"] = f"""
+        -- recall replay (ann_recall_eval): the two production ANN
+        -- replays intersected — exact count / 10 as exact micro
+        WITH b AS ({d['ann_topk_cosine']}),
+        l AS ({d['ann_lsh_topk']}),
+        c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_common
+          FROM b JOIN l ON b.vec_id = l.vec_id
+        )
+        SELECT n_common, CAST(n_common * 100000 AS BIGINT)
+                 AS recall_micro
+        FROM c
     """
     return d

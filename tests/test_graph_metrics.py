@@ -633,3 +633,23 @@ def test_transitivity_no_wedges_empty():
         "dst": pa.array(["a"], pa.string()),
     }))
     assert transitivity(edges, "src", "dst").count() == 0
+
+
+def test_degree_gini_path_graph():
+    import ray.data as rd2
+
+    from eschergraph_ray.functions.graph_metrics import (
+        _explode_endpoints,
+        _normalized_edges,
+    )
+    from eschergraph_ray.functions.textstats import gini_concentration
+
+    edges = _normalized_edges(rd.from_arrow(pa.table({
+        "src": ["a", "b"], "dst": ["b", "c"],
+    })), "src", "dst")
+    out = gini_concentration(
+        _explode_endpoints(edges), "node"
+    ).to_pandas().iloc[0]
+    # degrees sorted [1,1,2]: S=9, n=3, T=4 -> (18-16)/12 = 1/6
+    assert (out["n_keys"], out["total"], out["gini_micro"]) == (
+        3, 4, 166_667)
