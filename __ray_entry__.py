@@ -6714,6 +6714,171 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_customers_k_anonymity(sf_dir: str):
+    """k-anonymity audit of the customer table under the
+    (nationkey, mktsegment) quasi-identifier — one row
+    ``(n_rows, n_groups, k_anonymity, rows_below_5, min_share_micro)``.
+    The data-governance gate a release pipeline runs before
+    publishing joined aggregates: k = the smallest equivalence
+    class; rows_below_5 = re-identifiable mass at the usual k=5 bar.
+    One QI-cardinality combiner groupby; driver math on the tiny
+    class-size table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    _context()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b["c_nationkey"]),
+                       pc.is_valid(b["c_mktsegment"]))
+        t = b.filter(keep)
+        c = t.group_by(["c_nationkey", "c_mktsegment"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "nk": pc.cast(c["c_nationkey"], pa.int64()),
+            "seg": c["c_mktsegment"],
+            "n": pc.cast(c["count_all"], pa.int64()),
+        })
+
+    sizes = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nk", "seg"])
+        .sum("n")
+        .to_pandas()
+    )
+    out_schema = pa.schema([
+        pa.field("n_rows", pa.int64()), pa.field("n_groups", pa.int64()),
+        pa.field("k_anonymity", pa.int64()),
+        pa.field("rows_below_5", pa.int64()),
+        pa.field("min_share_micro", pa.int64()),
+    ])
+    if len(sizes) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    ns = [int(x) for x in sizes["sum(n)"]]
+    total = sum(ns)
+    k = min(ns)
+    below = sum(x for x in ns if x < 5)
+    share = pc.cast(
+        pc.round(pa.array([1e6 * (float(k) / float(total))],
+                          pa.float64()),
+                 ndigits=0, round_mode="half_towards_infinity"),
+        pa.int64(),
+    )[0].as_py()
+    return rd.from_arrow(pa.table({
+        "n_rows": pa.array([total], pa.int64()),
+        "n_groups": pa.array([len(ns)], pa.int64()),
+        "k_anonymity": pa.array([k], pa.int64()),
+        "rows_below_5": pa.array([below], pa.int64()),
+        "min_share_micro": pa.array([share], pa.int64()),
+    }))
+
+
+def _q_kg_growth_curve(sf_dir: str):
+    """KG growth curve: new entities per first-seen day plus the
+    cumulative vocabulary size — the 'is the entity space
+    saturating' lifecycle diagnostic pairing kg_entity_lifespan
+    (same conv-t0 ⨝ level-0 mention join; one name-keyed min, one
+    day-cardinality groupby, a driver cumsum over the tiny day
+    table)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.pipelines.build import load_kind
+    from eschergraph_ray.sources.transcripts import (
+        sf_to_n_convs,
+        transcripts_parquet_dir,
+    )
+
+    _context()
+    out = _build_for(sf_dir, "q")
+    src = transcripts_parquet_dir(sf_to_n_convs(sf_dir), seed=SEED)
+
+    conv_t0 = (
+        rd.read_parquet(src, columns=["conv_id", "ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {"conv_id": b["conv_id"],
+                 "t": pc.cast(b["ts"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("conv_id")
+        .min("t")
+        .map_batches(
+            lambda b: b.rename_columns(["conv_id", "t0"]),
+            batch_format="pyarrow",
+        )
+        .repartition(8)
+    )
+
+    def prep(b):
+        return b.filter(pc.equal(b["level"], 0)).select(
+            ["conv_id", "name"]
+        )
+
+    nodes = (
+        load_kind(out, "node")
+        .map_batches(prep, batch_format="pyarrow")
+        .repartition(8)
+    )
+    first = (
+        nodes.join(conv_t0, join_type="inner", num_partitions=8,
+                   on=("conv_id",))
+        .groupby("name")
+        .min("t0")
+    )
+    days = (
+        first.map_batches(
+            lambda b: pa.table({
+                "day_idx": pc.divide(
+                    pc.cast(b["min(t0)"], pa.int64()), 86_400_000_000
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("day_idx")
+        .count()
+        .sort("day_idx")
+    )
+    tbl = pa.concat_tables(
+        list(days.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"day_idx": pa.array([], pa.int64()),
+                      "count()": pa.array([], pa.int64())})]
+    )
+    import numpy as np
+
+    new = pc.cast(tbl["count()"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    return rd.from_arrow(pa.table({
+        "day_idx": pc.cast(tbl["day_idx"], pa.int64()),
+        "new_entities": pa.array(new, pa.int64()),
+        "cum_entities": pa.array(np.cumsum(new), pa.int64()),
+    }))
+
+
+def _q_events_holt_forecast(sf_dir: str):
+    """Holt linear-trend forecast of each type's hourly volume
+    (windows.holt_forecast_by_type): integer-exact level/trend
+    recurrence (floor-division device; DuckDB's truncating `//`
+    emulated with the positive-mod identity), 1h and 24h horizons.
+    Data-sized work is one (type, hour) combiner; the sequential
+    recurrence runs on the model-state-sized series."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import holt_forecast_by_type
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return holt_forecast_by_type(ev, "event_type", "ts")
+
+
 def _q_kg_degree_gini(sf_dir: str):
     """Degree inequality of the built KG
     (textstats.gini_concentration over the exploded simple-graph
@@ -7506,6 +7671,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transitivity": _q_kg_transitivity,
         "kg_degree_gini": _q_kg_degree_gini,
         "ann_recall_eval": _q_ann_recall_eval,
+        "events_holt_forecast": _q_events_holt_forecast,
+        "kg_growth_curve": _q_kg_growth_curve,
+        "customers_k_anonymity": _q_customers_k_anonymity,
     }
 
 
@@ -14357,5 +14525,96 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_common, CAST(n_common * 100000 AS BIGINT)
                  AS recall_micro
         FROM c
+    """
+    d["events_holt_forecast"] = """
+        -- Holt replay (windows.holt_forecast_by_type): recursive-CTE
+        -- recurrence, HUGEINT, Python-floor division emulated with
+        -- the positive-mod identity (DuckDB // truncates on
+        -- negatives — probed)
+        WITH RECURSIVE hc AS (
+          SELECT event_type AS t,
+                 epoch_us(ts) // 3600000000 AS hr, count(*) AS y
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT t, CAST(y AS HUGEINT) AS y,
+                 row_number() OVER (PARTITION BY t ORDER BY hr) AS i,
+                 count(*) OVER (PARTITION BY t) AS n
+          FROM hc
+        ),
+        init AS (
+          SELECT a.t, a.n, a.y * 1000000 AS l,
+                 (b.y - a.y) * 1000000 AS b, CAST(1 AS BIGINT) AS i
+          FROM idx a JOIN idx b ON b.t = a.t AND b.i = 2
+          WHERE a.i = 1 AND a.n >= 2
+        ),
+        rec AS (
+          SELECT t, n, l, b, i FROM init
+          UNION ALL
+          SELECT r.t, r.n, q2.l2, q4.b2, r.i + 1
+          FROM rec r
+          JOIN idx x ON x.t = r.t AND x.i = r.i + 1,
+          LATERAL (SELECT 1 * x.y * 1000000 + 4 * (r.l + r.b)
+                   AS la) q1,
+          LATERAL (SELECT (q1.la - ((q1.la % 5) + 5) % 5) // 5
+                   AS l2) q2,
+          LATERAL (SELECT 1 * (q2.l2 - r.l) + 9 * r.b AS tb) q3,
+          LATERAL (SELECT (q3.tb - ((q3.tb % 10) + 10) % 10) // 10
+                   AS b2) q4
+        )
+        SELECT t AS event_type, CAST(n AS BIGINT) AS n_hours,
+               CAST(l AS BIGINT) AS level_micro,
+               CAST(b AS BIGINT) AS trend_micro,
+               CAST(l + b AS BIGINT) AS forecast_1h,
+               CAST(l + 24 * b AS BIGINT) AS forecast_24h
+        FROM rec WHERE i = n ORDER BY 1
+    """
+    d["kg_growth_curve"] = f"""
+        -- growth replay (kg_growth_curve): per-entity first conv-t0
+        -- day + running vocabulary total
+        WITH ct AS (
+          SELECT conv_id, CAST(min(epoch_us(ts)) AS BIGINT) AS t0
+          FROM read_parquet('{_transcripts_glob_sf001()}')
+          GROUP BY conv_id
+        ),
+        d AS (
+          SELECT DISTINCT name, conv_id
+          FROM read_parquet('{_nodes}') WHERE level = 0
+        ),
+        f AS (
+          SELECT d.name, min(ct.t0) AS f0
+          FROM d JOIN ct ON d.conv_id = ct.conv_id GROUP BY 1
+        ),
+        dd AS (
+          SELECT f0 // 86400000000 AS day_idx, count(*) AS ne
+          FROM f GROUP BY 1
+        )
+        SELECT CAST(day_idx AS BIGINT) AS day_idx,
+               CAST(ne AS BIGINT) AS new_entities,
+               CAST(sum(ne) OVER (ORDER BY day_idx) AS BIGINT)
+                 AS cum_entities
+        FROM dd ORDER BY day_idx
+    """
+    d["customers_k_anonymity"] = """
+        -- k-anonymity replay (customers_k_anonymity): equivalence
+        -- classes under (nationkey, mktsegment), exact ints + one
+        -- division
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n
+          FROM customer
+          WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(n) AS BIGINT) AS k_anonymity,
+               CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0)
+                    AS BIGINT) AS rows_below_5,
+               CAST(round(1e6 * (CAST(min(n) AS DOUBLE)
+                    / CAST(sum(n) AS DOUBLE)), 0) AS BIGINT)
+                 AS min_share_micro
+        FROM g
     """
     return d

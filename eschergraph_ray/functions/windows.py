@@ -2739,3 +2739,97 @@ def markov_entropy_rate(events_ds, key_col: str, ts_col: str,
         "entropy_rate_micro": pa.array([total // 1_000_000],
                                        pa.int64()),
     }))
+
+
+def holt_forecast_by_type(events_ds, type_col: str, ts_col: str,
+                          alpha=(1, 5), beta=(1, 10)):
+    """Holt's linear (level + trend) exponential smoothing over each
+    type's hourly count series, with an integer-exact recurrence —
+    ``(event_type, n_hours, level_micro, trend_micro, forecast_1h,
+    forecast_24h)`` sorted by type. The classic short-horizon volume
+    forecast (capacity planning / anomaly baselines), made bit-exact
+    across engines: with ``alpha = a/p``, ``beta = b/q``,
+
+        l_t = fld(a·y_t·1e6 + (p−a)·(l_{t−1} + b_{t−1}), p)
+        b_t = fld(b·(l_t − l_{t−1}) + (q−b)·b_{t−1}, q)
+
+    where ``fld`` is FLOOR division (Python ``//``; the SQL replay
+    emulates it with the positive-mod identity, since DuckDB ``//``
+    truncates toward zero on negatives — probed, not assumed). Init:
+    l₁ = y₁·1e6, b₁ = (y₂−y₁)·1e6; types with fewer than 2 active
+    hours are dropped. Forecasts are l + h·b.
+
+    Shape: the hourly count table is the only data-sized work
+    (per-batch packed (type, hour) combiner + one groupby); the
+    recurrence is inherently sequential, so it runs driver-side over
+    the model-state-sized series (the markov/pagerank precedent) —
+    in Python ints, matching the oracle's recursive CTE step for
+    step."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    a_num, a_den = int(alpha[0]), int(alpha[1])
+    b_num, b_den = int(beta[0]), int(beta[1])
+    if not (0 < a_num < a_den and 0 < b_num < b_den):
+        raise ValueError("alpha and beta must be proper fractions")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[type_col]),
+                       pc.is_valid(batch[ts_col]))
+        t = batch.filter(keep)
+        hr = pc.divide(pc.cast(t[ts_col], pa.int64()), 3_600_000_000)
+        cells = pa.table({"t": pc.cast(t[type_col], pa.string()),
+                          "hr": hr})
+        return (
+            cells.group_by(["t", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["t", "hr", "y"])
+        )
+
+    hourly = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["t", "hr"])
+        .aggregate(Sum("y", alias_name="y"))
+        .to_pandas()
+    )
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        pa.field("event_type", pa.string()),
+        pa.field("n_hours", pa.int64()),
+        pa.field("level_micro", pa.int64()),
+        pa.field("trend_micro", pa.int64()),
+        pa.field("forecast_1h", pa.int64()),
+        pa.field("forecast_24h", pa.int64()),
+    ])
+    if len(hourly) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    rows = []
+    for typ, g in hourly.groupby("t"):
+        ys = [int(v) for v in
+              g.sort_values("hr")["y"].tolist()]
+        n = len(ys)
+        if n < 2:
+            continue
+        level = ys[0] * 1_000_000
+        trend = (ys[1] - ys[0]) * 1_000_000
+        for t_ in range(1, n):
+            prev = level
+            level = (a_num * ys[t_] * 1_000_000
+                     + (a_den - a_num) * (level + trend)) // a_den
+            trend = (b_num * (level - prev)
+                     + (b_den - b_num) * trend) // b_den
+        rows.append((str(typ), n, level, trend, level + trend,
+                     level + 24 * trend))
+    rows.sort(key=lambda r: r[0])
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_hours": pa.array([r[1] for r in rows], pa.int64()),
+        "level_micro": pa.array([r[2] for r in rows], pa.int64()),
+        "trend_micro": pa.array([r[3] for r in rows], pa.int64()),
+        "forecast_1h": pa.array([r[4] for r in rows], pa.int64()),
+        "forecast_24h": pa.array([r[5] for r in rows], pa.int64()),
+    }))

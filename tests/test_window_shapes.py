@@ -814,3 +814,35 @@ def test_chi_square_hand_cases(ray_session):
     out = chi_square_independence(dep, "x", "y").to_pandas().iloc[0]
     # every cell |o-e| = 10, e = 10 -> chi2 = 4 * 10 = 40
     assert out["chi2_micro"] == 40_000_000
+
+
+def test_holt_forecast_hand_cases(ray_session):
+    from eschergraph_ray.functions.windows import holt_forecast_by_type
+
+    # type A: [10, 12] -> l=12e6, b=2e6; type B decreasing [10, 7, 3]
+    # exercises the negative-trend floor-division branch
+    rows = []
+    eid = 0
+    for typ, counts in (("A", [10, 12]), ("B", [10, 7, 3])):
+        for h, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, 1, typ, h * HOUR, 0.0))
+                eid += 1
+    ev = _ev(rows)
+    out = holt_forecast_by_type(ev, "event_type", "ts").to_pandas()
+    a = out[out["event_type"] == "A"].iloc[0]
+    assert (a["n_hours"], a["level_micro"], a["trend_micro"],
+            a["forecast_1h"], a["forecast_24h"]) == (
+        2, 12_000_000, 2_000_000, 14_000_000, 60_000_000)
+    b = out[out["event_type"] == "B"].iloc[0]
+    assert (b["level_micro"], b["trend_micro"]) == (3_800_000,
+                                                    -3_020_000)
+    assert b["forecast_1h"] == 780_000
+    assert b["forecast_24h"] == 3_800_000 - 24 * 3_020_000
+
+
+def test_holt_forecast_single_hour_dropped(ray_session):
+    from eschergraph_ray.functions.windows import holt_forecast_by_type
+
+    ev = _ev([(1, 1, "A", 0, 0.0)])
+    assert holt_forecast_by_type(ev, "event_type", "ts").count() == 0
