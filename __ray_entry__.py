@@ -6714,6 +6714,22 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_docs_bpe_merges(sf_dir: str):
+    """First BPE merge candidates (vocab.bpe_first_merges, Sennrich
+    2016 §3.2): adjacent char-pair counts over the token multiset —
+    pair extraction runs on the vocabulary-sized (token, n) table,
+    never the corpus; top-20 by (count desc, pair). The
+    tokenizer-seeding op."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import bpe_first_merges
+
+    _context()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return bpe_first_merges(docs, "text", k=20)
+
+
 def _q_customers_k_anonymity(sf_dir: str):
     """k-anonymity audit of the customer table under the
     (nationkey, mktsegment) quasi-identifier — one row
@@ -7674,6 +7690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt_forecast": _q_events_holt_forecast,
         "kg_growth_curve": _q_kg_growth_curve,
         "customers_k_anonymity": _q_customers_k_anonymity,
+        "docs_bpe_merges": _q_docs_bpe_merges,
     }
 
 
@@ -14616,5 +14633,34 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(sum(n) AS DOUBLE)), 0) AS BIGINT)
                  AS min_share_micro
         FROM g
+    """
+    d["docs_bpe_merges"] = """
+        -- BPE-step-1 replay (vocab.bpe_first_merges): pair counts
+        -- over distinct tokens weighted by occurrence, positional
+        -- char self-join (repeated in-token pairs count per
+        -- position)
+        WITH wl AS (
+          SELECT regexp_extract_all(lower(text),
+              '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]') AS ws
+          FROM documents WHERE text IS NOT NULL
+        ),
+        tok AS (SELECT unnest(ws) AS t FROM wl),
+        tc AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+        ch AS (
+          SELECT t, n, regexp_extract_all(t, '.') AS cs
+          FROM tc WHERE len(t) >= 2
+        ),
+        e AS (
+          SELECT t, n, unnest(cs) AS c,
+                 generate_subscripts(cs, 1) AS i
+          FROM ch
+        ),
+        p AS (
+          SELECT a.t, a.n, a.c || b.c AS pair
+          FROM e a JOIN e b ON b.t = a.t AND b.i = a.i + 1
+        )
+        SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1
+        ORDER BY n_pairs DESC, pair LIMIT 20
     """
     return d

@@ -130,6 +130,12 @@ def main() -> None:
         "orders_segment_drift",
         "docs_ascii_auc",
         "embeddings_centroid_outliers",
+        # round-5 eighth-session representatives (non-kg only)
+        "suppliers_sole_late",
+        "docs_hapax",
+        "events_user_hhi",
+        "dedup_minhash_calibration",
+        "events_holt_forecast",
     ):
         if name in qmap:
             queries[name] = round(bench_query(qmap[name]), 3)

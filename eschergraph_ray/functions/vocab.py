@@ -1509,3 +1509,54 @@ def hapax_by_source(ds, source_col: str, text_col: str,
     return agg.map_batches(finalize, batch_format="pyarrow").sort(
         "source"
     )
+
+
+def bpe_first_merges(ds, text_col: str, k: int = 20):
+    """The first iteration of BPE tokenizer training: adjacent
+    character-pair counts over the corpus token MULTISET (each
+    distinct token's pairs weighted by its occurrence count) — the
+    top-k ``(pair, n_pairs)`` by (count desc, pair) are exactly the
+    candidates the first merge would choose from (Sennrich et al.
+    2016 §3.2). The op a pipeline runs to seed/vet a tokenizer
+    against its own corpus.
+
+    Shape: :func:`token_counts` shrinks the corpus to its
+    vocabulary-sized (token, n) table — the only data-sized pass —
+    then pair extraction runs over DISTINCT tokens (a token's pairs
+    never depend on its contexts), and a pair-cardinality groupby
+    finishes. Repeated pairs inside one token ("aaa" -> "aa" twice)
+    count per position, matching the SQL positional self-join."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    tc = token_counts(ds, text_col)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        c: "Counter[str]" = Counter()
+        for t, n in zip(b["token"].to_pylist(), b["n"].to_pylist()):
+            for i in range(len(t) - 1):
+                c[t[i:i + 2]] += int(n)
+        return pa.table({
+            "pair": pa.array(list(c.keys()), pa.string()),
+            "np": pa.array(list(c.values()), pa.int64()),
+        })
+
+    return (
+        tc.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("np", alias_name="n_pairs"))
+        .map_batches(
+            lambda t: pa.table({
+                "pair": t["pair"],
+                "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort(["n_pairs", "pair"], descending=[True, False])
+        .limit(k)
+    )

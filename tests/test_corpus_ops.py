@@ -697,3 +697,16 @@ def test_template_prefixes_hand_case(ray_session):
     assert top["prefix"] == "dear valued customer your account needs urgent attention"
     assert (top["n_docs"], top["n_sources"]) == (2, 2)
     assert len(out) == 2  # the short doc contributed nothing
+
+
+def test_bpe_first_merges_hand_case(ray_session):
+    from eschergraph_ray.functions.vocab import bpe_first_merges
+
+    # "aaa" x2 docs -> token 'aaa' n=2, pairs 'aa' twice per token
+    # -> 4; "ab ab" -> token 'ab' n=2 -> 'ab': 2
+    ds = rd.from_arrow(pa.table({
+        "text": ["aaa", "aaa", "ab ab"],
+    }))
+    out = bpe_first_merges(ds, "text", k=5).to_pandas()
+    rows = list(zip(out["pair"], out["n_pairs"]))
+    assert rows == [("aa", 4), ("ab", 2)]
