@@ -1484,8 +1484,6 @@ def simhash_hamming_histogram(ds, id_col: str, text_col: str,
     sample-bounded driver math on 64-bit ints. The signed int64
     storage bias (value − 2^63) XORs out pairwise, so distances need
     no unbiasing."""
-    import hashlib
-
     import ray.data as rd
 
     if sample_n < 2:
@@ -1497,33 +1495,9 @@ def simhash_hamming_histogram(ds, id_col: str, text_col: str,
     n = ds.count()
     if n < 2:
         return rd.from_arrow(out_schema.empty_table())
-    rate = min(1.0, (4.0 * sample_n) / n)
-    thr = "g" if rate >= 1.0 else format(max(1, int(rate * 16**8)), "08x")
+    from .similarity import hash_rank_sample
 
-    def hash_rank(batch: pa.Table) -> pa.Table:
-        h = pa.array(
-            [
-                hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()
-                for i in batch[id_col].to_pylist()
-            ],
-            pa.string(),
-        )
-        t = pa.table(
-            {"_h": h, id_col: batch[id_col], text_col: batch[text_col]}
-        )
-        if thr == "g":
-            return t
-        return t.filter(pc.less(t["_h"], thr))
-
-    sampled = (
-        ds.map_batches(hash_rank, batch_format="pyarrow")
-        .sort(["_h", id_col])
-        .limit(sample_n)
-        .map_batches(
-            lambda b: b.select([id_col, text_col]),
-            batch_format="pyarrow",
-        )
-    )
+    sampled = hash_rank_sample(ds, id_col, [text_col], sample_n, salt)
     rows = simhash_values(sampled, id_col, text_col).take_all()
     if len(rows) < 2:
         return rd.from_arrow(out_schema.empty_table())

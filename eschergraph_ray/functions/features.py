@@ -647,7 +647,12 @@ def _power_iter(g, iters: int) -> list:
         w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
         m = max(abs(x) for x in w)
         if m == 0:
-            break
+            # the SQL replay would divide by zero here — fail loudly
+            # on both engines instead of silently diverging
+            raise ValueError(
+                "all-zero Gram matrix: no principal direction "
+                "(is the embedding column all zeros?)"
+            )
         scaled = [float(x) * 1e6 / float(m) for x in w]
         v = [
             int(r) for r in pc.cast(
@@ -724,7 +729,11 @@ def variance_explained_top(ds, vec_col: str, iters: int = 3,
     den = sum(x * x for x in v)
     tr = sum(G[i][i] for i in range(d))
     if den == 0 or tr <= 0:
-        return rd.from_arrow(out_schema.empty_table())
+        # matches _power_iter's loud zero-Gram contract (the SQL
+        # replay divides by zero on this input)
+        raise ValueError(
+            "degenerate Gram (zero trace or zero eigenvector norm)"
+        )
     raw = 1e6 * ((float(num) / float(den)) / float(tr))
     ex = pc.cast(
         pc.round(pa.array([raw], pa.float64()), ndigits=0,

@@ -2446,15 +2446,29 @@ def brandes_dependency_topk(edges_ds, src_col: str, dst_col: str,
             m = hop[fb] == lv
             if not m.any():
                 break
+            # pre-add guard (np.add.at wraps silently): a node's new
+            # sigma is bounded by max-parent-sigma * in-edges
+            if int(sig[fa[m]].max()) * int(m.sum()) >= (1 << 62):
+                raise ValueError(
+                    "shortest-path counts would overflow int64; "
+                    "lower max_levels or densify-prune the graph"
+                )
             np.add.at(sig, fb[m], sig[fa[m]])
-        if sig.max() > (1 << 62):
-            raise ValueError("shortest-path counts overflow int64")
         # backward δ pass (micro, per-edge floor division)
         delta = np.zeros(len(nodes), np.int64)
         for lv in range(max_levels - 1, -1, -1):
             m = (hop[fa] == lv) & (sig[fb] > 0)
             if not m.any():
                 continue
+            # per-edge product + per-node sum bound, checked in exact
+            # Python ints BEFORE the wrapped numpy ops
+            bound = (int(sig[fa[m]].max())
+                     * (1_000_000 + int(delta[fb[m]].max()))
+                     * int(m.sum()))
+            if bound >= (1 << 62):
+                raise ValueError(
+                    "dependency accumulation would overflow int64"
+                )
             term = (sig[fa[m]] * (1_000_000 + delta[fb[m]])) // sig[fb[m]]
             np.add.at(delta, fa[m], term)
         keep = (hop >= 0) & (np.arange(len(nodes)) != seed)
@@ -2544,6 +2558,15 @@ def brandes_dependency_topk(edges_ds, src_col: str, dst_col: str,
         )
         if step.count() == 0:
             break
+        # the distributed Sum wraps silently too: negative or
+        # implausibly-large sigma means an upstream overflow
+        mval = step.max("sig")
+        if mval is not None and (int(mval) < 0
+                                 or int(mval) > (1 << 55)):
+            raise ValueError(
+                "shortest-path counts would overflow int64; lower "
+                "max_levels or densify-prune the graph"
+            )
         sig_levels[l_] = step
 
     deepest = max(sig_levels)
@@ -2600,6 +2623,12 @@ def brandes_dependency_topk(edges_ds, src_col: str, dst_col: str,
                     pc.coalesce(t["dep_w"], pa.scalar(0, pa.int64())),
                     pa.int64(),
                 ).to_numpy(zero_copy_only=False)
+                if len(su) and (int(su.max())
+                                * (1_000_000 + int(dw.max()))
+                                * len(su)) >= (1 << 62):
+                    raise ValueError(
+                        "dependency accumulation would overflow int64"
+                    )
                 return pa.table({
                     "node": t["u"],
                     "d": pa.array((su * (1_000_000 + dw)) // sv,
@@ -2696,14 +2725,18 @@ def transitivity(edges_ds, src_col: str, dst_col: str,
         pa.field("wedges", pa.int64()),
         pa.field("transitivity_micro", pa.int64()),
     ])
-    tri = triangle_counts(edges_ds, src_col, dst_col,
-                          num_partitions=num_partitions,
-                          fastpath_max_nodes=fastpath_max_nodes)
-    ts = tri.sum("n_triangles")
-    t3 = 0 if ts is None else int(ts)
+    # normalize ONCE and share: the triangle pipeline accepts the
+    # pre-normalized edge list, and empty input short-circuits before
+    # any triangle work
     edges = _normalized_edges(edges_ds, src_col, dst_col).materialize()
     if edges.count() == 0:
         return rd.from_arrow(out_schema.empty_table())
+    tri = triangle_counts(edges, "a", "b",
+                          num_partitions=num_partitions,
+                          fastpath_max_nodes=fastpath_max_nodes,
+                          pre_normalized=True)
+    ts = tri.sum("n_triangles")
+    t3 = 0 if ts is None else int(ts)
     deg = _explode_endpoints(edges).groupby("node").count()
 
     def wedge_partial(b: pa.Table) -> pa.Table:

@@ -931,6 +931,50 @@ def pq_adc_topk(ds, id_col: str, vec_col: str, query_id,
     )
 
 
+def hash_rank_sample(ds, id_col: str, carry_cols: list,
+                     sample_n: int, salt: str):
+    """The shared md5 hash-rank uniform-sample device (used inline by
+    pq_codes / train_ivf_centroids before it was extracted): keep the
+    ``sample_n`` rows with the smallest ``md5(salt + str(id))`` hex,
+    ties to the smallest id — exactly replayable as SQL
+    ``row_number() OVER (ORDER BY md5(...), id)``. An adaptive
+    hex-threshold PRE-filter keeps the sort input at ~4x the sample
+    size regardless of corpus size; the final sort+limit is exact.
+    Returns the sampled Dataset with ``[id_col, *carry_cols]``."""
+    import hashlib
+
+    n = ds.count()
+    rate = min(1.0, (4.0 * sample_n) / max(1, n))
+    thr = "g" if rate >= 1.0 else format(max(1, int(rate * 16**8)),
+                                         "08x")
+
+    def hash_rank(batch: pa.Table) -> pa.Table:
+        h = pa.array(
+            [
+                hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()
+                for i in batch[id_col].to_pylist()
+            ],
+            pa.string(),
+        )
+        cols = {"_h": h, id_col: batch[id_col]}
+        for c in carry_cols:
+            cols[c] = batch[c]
+        t = pa.table(cols)
+        if thr == "g":
+            return t
+        return t.filter(pc.less(t["_h"], thr))
+
+    return (
+        ds.map_batches(hash_rank, batch_format="pyarrow")
+        .sort(["_h", id_col])
+        .limit(sample_n)
+        .map_batches(
+            lambda b: b.select([id_col] + list(carry_cols)),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def cosine_pair_histogram(ds, id_col: str, vec_col: str,
                           sample_n: int = 100, nbins: int = 20,
                           salt: str = "cosh"):
@@ -951,8 +995,6 @@ def cosine_pair_histogram(ds, id_col: str, vec_col: str,
     ``num / (sqrt(na) * sqrt(nb))`` and the bin is one identical
     ``floor((c + 1) / 2 * nbins)`` — no float association order
     anywhere."""
-    import hashlib
-
     import ray.data as rd
 
     if sample_n < 2 or nbins < 1:
@@ -963,30 +1005,8 @@ def cosine_pair_histogram(ds, id_col: str, vec_col: str,
     n = ds.count()
     if n < 2:
         return rd.from_arrow(out_schema.empty_table())
-    rate = min(1.0, (4.0 * sample_n) / n)
-    thr = "g" if rate >= 1.0 else format(max(1, int(rate * 16**8)), "08x")
-
-    def hash_rank(batch: pa.Table) -> pa.Table:
-        h = pa.array(
-            [
-                hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()
-                for i in batch[id_col].to_pylist()
-            ],
-            pa.string(),
-        )
-        t = pa.table(
-            {"_h": h, id_col: batch[id_col], vec_col: batch[vec_col]}
-        )
-        if thr == "g":
-            return t
-        return t.filter(pc.less(t["_h"], thr))
-
-    rows = (
-        ds.map_batches(hash_rank, batch_format="pyarrow")
-        .sort(["_h", id_col])
-        .limit(sample_n)
-        .take_all()
-    )
+    rows = hash_rank_sample(ds, id_col, [vec_col], sample_n,
+                            salt).take_all()
     if len(rows) < 2:
         return rd.from_arrow(out_schema.empty_table())
     Q = _micro_quantize(

@@ -1429,7 +1429,15 @@ def sole_late_suppliers(lineitem_ds, orders_ds, supplier_ds,
         return rd.from_arrow(empty)
     sup = sup.sort_by("s_suppkey")
     sup_keys = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    # inner-join semantics: a winner suppkey missing from the dim is
+    # dropped (the oracle's JOIN supplier does the same)
     idx = np.searchsorted(sup_keys, keys)
+    hit = (idx < len(sup_keys)) & (
+        sup_keys[np.minimum(idx, len(sup_keys) - 1)] == keys
+    )
+    keys, numwait, idx = keys[hit], numwait[hit], idx[hit]
+    if len(keys) == 0:
+        return rd.from_arrow(empty)
     names = np.asarray(sup["s_name"].to_pylist(), dtype=object)[idx]
     nats = sup["s_nationkey"].to_numpy(zero_copy_only=False)[idx]
     out = pa.table({
@@ -1502,9 +1510,17 @@ def profit_by_nation_year(lineitem_ds, orders_ds,
         ).astype(np.int64)
         profit = rev - cost
         ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
-        nat = snat[np.searchsorted(
-            sk_sorted, b["l_suppkey"].to_numpy(zero_copy_only=False)
-        )]
+        # validate the supplier FK like the oracle's inner join: a
+        # suppkey absent from the dim is DROPPED, never misattributed
+        # (raw searchsorted would alias it onto a neighbor or crash)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk_sorted, sk)
+        hit = (pos < len(sk_sorted)) & (
+            sk_sorted[np.minimum(pos, len(sk_sorted) - 1)] == sk
+        )
+        if not hit.all():
+            ok, profit, pos = ok[hit], profit[hit], pos[hit]
+        nat = snat[pos]
         if len(ok) and (ok.max() >= 1 << 52 or nat.max() >= 2048
                         or nat.min() < 0):
             raise ValueError("orderkey/nationkey outside the packed range")

@@ -2326,15 +2326,25 @@ def _markov_counts(events_ds, key_col: str, ts_col: str, id_col: str,
             .rename_columns(["src", "dst", "n_part"])
         )
 
+    valid = events_ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b[type_col]),
+                        pc.is_valid(b[key_col])),
+                pc.is_valid(b[ts_col]),
+            )
+        ),
+        batch_format="pyarrow",
+    )
     counts = (
-        events_ds.groupby(key_col)
+        valid.groupby(key_col)
         .map_groups(pairs, batch_format="pyarrow")
         .map_batches(combiner, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .aggregate(Sum("n_part", alias_name="n"))
         .to_pandas()
     )
-    types_ds = events_ds.map_batches(
+    types_ds = valid.map_batches(
         lambda b: pa.table({
             "t": pc.unique(
                 pc.cast(pc.drop_null(b[type_col]), pa.string())
@@ -2370,76 +2380,6 @@ def markov_stationary(events_ds, key_col: str, ts_col: str, id_col: str,
 
     counts, types = _markov_counts(events_ds, key_col, ts_col, id_col,
                                    type_col)
-    return counts, types
-
-
-def markov_stationary(events_ds, key_col: str, ts_col: str, id_col: str,
-                      type_col: str, iters: int = 3):
-    """Iterated distribution of the first-order event-type Markov
-    chain — where user journeys CONCENTRATE after ``iters`` hops, the
-    long-run complement of :func:`event_transitions`' raw edge counts.
-
-    Integer fixed point (the pagerank.py device): ``p_0 = 1e6`` per
-    type; ``p_{t+1}(j) = Σ_i (p_t(i) · c_ij) // r_i`` with per-edge
-    floor division (``c`` = transition counts, ``r_i`` = row totals) —
-    exactly SQL-replayable as unrolled BIGINT/HUGEINT rounds. Types
-    that never appear as a source keep no outgoing mass (their column
-    still RECEIVES); mass lost to flooring simply decays — this is a
-    ranking signal, not a normalized eigenvector.
-
-    Shape: the data-sized work is the transition count (per-key
-    histories meet one reducer, per-batch (src, dst) combiner); the
-    |types|² count table is driver model state and the iteration runs
-    in Python arbitrary-precision ints (no overflow at any count
-    scale). Returns ``(event_type, p_micro)`` sorted by type.
-    """
-    import pandas as pd
-    from ray.data.aggregate import Sum
-
-    def pairs(group: pa.Table) -> pa.Table:
-        from ..stages.chunking import pin_arrow_threads
-
-        pin_arrow_threads()
-        g = group.filter(pc.is_valid(group[type_col]))
-        if len(g) < 2:
-            return pa.table({
-                "src": pa.array([], pa.string()),
-                "dst": pa.array([], pa.string()),
-            })
-        idx = pc.sort_indices(
-            g, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
-        )
-        t = pc.cast(g[type_col], pa.string()).take(idx).combine_chunks()
-        return pa.table({"src": t.slice(0, len(t) - 1),
-                         "dst": t.slice(1)})
-
-    def combiner(batch: pa.Table) -> pa.Table:
-        from ..stages.chunking import pin_arrow_threads
-
-        pin_arrow_threads()
-        return (
-            batch.group_by(["src", "dst"])
-            .aggregate([([], "count_all")])
-            .rename_columns(["src", "dst", "n_part"])
-        )
-
-    counts = (
-        events_ds.groupby(key_col)
-        .map_groups(pairs, batch_format="pyarrow")
-        .map_batches(combiner, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Sum("n_part", alias_name="n"))
-        .to_pandas()
-    )
-    types_ds = events_ds.map_batches(
-        lambda b: pa.table({
-            "t": pc.unique(
-                pc.cast(pc.drop_null(b[type_col]), pa.string())
-            ),
-        }),
-        batch_format="pyarrow",
-    ).groupby("t").count().to_pandas()
-    types = sorted(types_ds["t"].tolist()) if len(types_ds) else []
     if not types:
         return pd.DataFrame({
             "event_type": pd.Series([], dtype="object"),
