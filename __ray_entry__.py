@@ -6714,6 +6714,21 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_events_holt_backtest(sf_dir: str):
+    """One-step-holdout backtest of the Holt forecast
+    (windows.holt_backtest_by_type): train on n−1 active hours,
+    score against the held-out last hour — signed error + APE per
+    type. The eval that must accompany events_holt_forecast."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.windows import holt_backtest_by_type
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return holt_backtest_by_type(ev, "event_type", "ts")
+
+
 def _q_docs_bpe_merges(sf_dir: str):
     """First BPE merge candidates (vocab.bpe_first_merges, Sennrich
     2016 §3.2): adjacent char-pair counts over the token multiset —
@@ -7691,6 +7706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_growth_curve": _q_kg_growth_curve,
         "customers_k_anonymity": _q_customers_k_anonymity,
         "docs_bpe_merges": _q_docs_bpe_merges,
+        "events_holt_backtest": _q_events_holt_backtest,
     }
 
 
@@ -14662,5 +14678,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs
         FROM p GROUP BY 1
         ORDER BY n_pairs DESC, pair LIMIT 20
+    """
+    d["events_holt_backtest"] = """
+        -- backtest replay (windows.holt_backtest_by_type): the Holt
+        -- recursive CTE stopped one step early, scored against the
+        -- held-out last active hour
+        WITH RECURSIVE hc AS (
+          SELECT event_type AS t,
+                 epoch_us(ts) // 3600000000 AS hr, count(*) AS y
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT t, CAST(y AS HUGEINT) AS y,
+                 row_number() OVER (PARTITION BY t ORDER BY hr) AS i,
+                 count(*) OVER (PARTITION BY t) AS n
+          FROM hc
+        ),
+        init AS (
+          SELECT a.t, a.n, a.y * 1000000 AS l,
+                 (b.y - a.y) * 1000000 AS b, CAST(1 AS BIGINT) AS i
+          FROM idx a JOIN idx b ON b.t = a.t AND b.i = 2
+          WHERE a.i = 1 AND a.n >= 3
+        ),
+        rec AS (
+          SELECT t, n, l, b, i FROM init
+          UNION ALL
+          SELECT r.t, r.n, q2.l2, q4.b2, r.i + 1
+          FROM rec r
+          JOIN idx x ON x.t = r.t AND x.i = r.i + 1
+                    AND r.i + 1 <= r.n - 1
+          , LATERAL (SELECT 1 * x.y * 1000000 + 4 * (r.l + r.b)
+                     AS la) q1,
+          LATERAL (SELECT (q1.la - ((q1.la % 5) + 5) % 5) // 5
+                   AS l2) q2,
+          LATERAL (SELECT 1 * (q2.l2 - r.l) + 9 * r.b AS tb) q3,
+          LATERAL (SELECT (q3.tb - ((q3.tb % 10) + 10) % 10) // 10
+                   AS b2) q4
+        ),
+        fin AS (
+          SELECT r.t, r.n, r.l + r.b AS fc,
+                 x.y * 1000000 AS actual
+          FROM rec r
+          JOIN idx x ON x.t = r.t AND x.i = r.n
+          WHERE r.i = r.n - 1 AND x.y > 0
+        )
+        SELECT t AS event_type, CAST(n AS BIGINT) AS n_hours,
+               CAST(fc AS BIGINT) AS forecast_1h,
+               CAST(actual AS BIGINT) AS actual_micro,
+               CAST(fc - actual AS BIGINT) AS err_micro,
+               CAST(round(1e6 * (CAST(abs(fc - actual) AS DOUBLE)
+                    / CAST(actual AS DOUBLE)), 0) AS BIGINT)
+                 AS ape_micro
+        FROM fin ORDER BY 1
     """
     return d

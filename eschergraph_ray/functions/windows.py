@@ -2681,6 +2681,23 @@ def markov_entropy_rate(events_ds, key_col: str, ts_col: str,
     }))
 
 
+def _holt_recurrence(ys, upto: int, a_num: int, a_den: int,
+                     b_num: int, b_den: int):
+    """The shared integer Holt level/trend recurrence over
+    ``ys[:upto]`` (init l1 = y1, b1 = y2 - y1; floor division ==
+    Python ``//`` == the oracle's positive-mod emulation). Requires
+    upto >= 2."""
+    level = ys[0] * 1_000_000
+    trend = (ys[1] - ys[0]) * 1_000_000
+    for t_ in range(1, upto):
+        prev = level
+        level = (a_num * ys[t_] * 1_000_000
+                 + (a_den - a_num) * (level + trend)) // a_den
+        trend = (b_num * (level - prev)
+                 + (b_den - b_num) * trend) // b_den
+    return level, trend
+
+
 def holt_forecast_by_type(events_ds, type_col: str, ts_col: str,
                           alpha=(1, 5), beta=(1, 10)):
     """Holt's linear (level + trend) exponential smoothing over each
@@ -2754,14 +2771,8 @@ def holt_forecast_by_type(events_ds, type_col: str, ts_col: str,
         n = len(ys)
         if n < 2:
             continue
-        level = ys[0] * 1_000_000
-        trend = (ys[1] - ys[0]) * 1_000_000
-        for t_ in range(1, n):
-            prev = level
-            level = (a_num * ys[t_] * 1_000_000
-                     + (a_den - a_num) * (level + trend)) // a_den
-            trend = (b_num * (level - prev)
-                     + (b_den - b_num) * trend) // b_den
+        level, trend = _holt_recurrence(ys, n, a_num, a_den, b_num,
+                                        b_den)
         rows.append((str(typ), n, level, trend, level + trend,
                      level + 24 * trend))
     rows.sort(key=lambda r: r[0])
@@ -2772,4 +2783,91 @@ def holt_forecast_by_type(events_ds, type_col: str, ts_col: str,
         "trend_micro": pa.array([r[3] for r in rows], pa.int64()),
         "forecast_1h": pa.array([r[4] for r in rows], pa.int64()),
         "forecast_24h": pa.array([r[5] for r in rows], pa.int64()),
+    }))
+
+
+def holt_backtest_by_type(events_ds, type_col: str, ts_col: str,
+                          alpha=(1, 5), beta=(1, 10)):
+    """One-step-holdout backtest of :func:`holt_forecast_by_type`:
+    train the integer Holt recurrence on each type's first n−1 active
+    hours, forecast one step, and score it against the held-out last
+    hour — ``(event_type, n_hours, forecast_1h, actual_micro,
+    err_micro, ape_micro)`` sorted by type. The eval that must
+    accompany any forecast op: a model nobody backtests is a random
+    number generator with confidence.
+
+    Same hourly-count pass and shared :func:`_holt_recurrence`
+    (types with fewer than 3 active hours are dropped — the holdout
+    needs a 2-hour training prefix); the absolute-percentage error
+    is one division + zero-digit round. "Next step" means the next
+    ACTIVE hour in the series, exactly as the forecast op defines
+    its horizon."""
+    from ray.data.aggregate import Sum
+
+    a_num, a_den = int(alpha[0]), int(alpha[1])
+    b_num, b_den = int(beta[0]), int(beta[1])
+    if not (0 < a_num < a_den and 0 < b_num < b_den):
+        raise ValueError("alpha and beta must be proper fractions")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(pc.is_valid(batch[type_col]),
+                       pc.is_valid(batch[ts_col]))
+        t = batch.filter(keep)
+        hr = pc.divide(pc.cast(t[ts_col], pa.int64()), 3_600_000_000)
+        cells = pa.table({"t": pc.cast(t[type_col], pa.string()),
+                          "hr": hr})
+        return (
+            cells.group_by(["t", "hr"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["t", "hr", "y"])
+        )
+
+    hourly = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["t", "hr"])
+        .aggregate(Sum("y", alias_name="y"))
+        .to_pandas()
+    )
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        pa.field("event_type", pa.string()),
+        pa.field("n_hours", pa.int64()),
+        pa.field("forecast_1h", pa.int64()),
+        pa.field("actual_micro", pa.int64()),
+        pa.field("err_micro", pa.int64()),
+        pa.field("ape_micro", pa.int64()),
+    ])
+    if len(hourly) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    rows = []
+    for typ, g in hourly.groupby("t"):
+        ys = [int(v) for v in g.sort_values("hr")["y"].tolist()]
+        n = len(ys)
+        if n < 3 or ys[-1] == 0:
+            continue
+        level, trend = _holt_recurrence(ys, n - 1, a_num, a_den,
+                                        b_num, b_den)
+        fc = level + trend
+        actual = ys[-1] * 1_000_000
+        err = fc - actual
+        ape = pc.cast(
+            pc.round(pa.array(
+                [1e6 * (float(abs(err)) / float(actual))],
+                pa.float64()),
+                ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+        rows.append((str(typ), n, fc, actual, err, ape))
+    rows.sort(key=lambda r: r[0])
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_hours": pa.array([r[1] for r in rows], pa.int64()),
+        "forecast_1h": pa.array([r[2] for r in rows], pa.int64()),
+        "actual_micro": pa.array([r[3] for r in rows], pa.int64()),
+        "err_micro": pa.array([r[4] for r in rows], pa.int64()),
+        "ape_micro": pa.array([r[5] for r in rows], pa.int64()),
     }))

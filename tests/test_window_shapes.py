@@ -846,3 +846,22 @@ def test_holt_forecast_single_hour_dropped(ray_session):
 
     ev = _ev([(1, 1, "A", 0, 0.0)])
     assert holt_forecast_by_type(ev, "event_type", "ts").count() == 0
+
+
+def test_holt_backtest_hand_case(ray_session):
+    from eschergraph_ray.functions.windows import holt_backtest_by_type
+
+    # A: [10, 12, 14] -> train on [10, 12]: l=12e6, b=2e6 ->
+    # forecast 14e6 == actual -> err 0, ape 0
+    rows = []
+    eid = 0
+    for h, c in enumerate([10, 12, 14]):
+        for _ in range(c):
+            rows.append((eid, 1, "A", h * HOUR, 0.0))
+            eid += 1
+    out = holt_backtest_by_type(
+        _ev(rows), "event_type", "ts"
+    ).to_pandas().iloc[0]
+    assert (out["n_hours"], out["forecast_1h"], out["actual_micro"],
+            out["err_micro"], out["ape_micro"]) == (
+        3, 14_000_000, 14_000_000, 0, 0)
