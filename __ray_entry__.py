@@ -6714,6 +6714,22 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_events_js_divergence(sf_dir: str):
+    """Jensen–Shannon divergence between purchase and view
+    hour-of-day profiles (stats.js_divergence_hours): bounded
+    symmetric drift in micro-nats, per-hour cells quantized then
+    integer-summed — did purchase traffic move to different hours."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import js_divergence_hours
+
+    _context()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return js_divergence_hours(ev, "event_type", "ts",
+                               "purchase", "view")
+
+
 def _q_events_holt_backtest(sf_dir: str):
     """One-step-holdout backtest of the Holt forecast
     (windows.holt_backtest_by_type): train on n−1 active hours,
@@ -7707,6 +7723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_k_anonymity": _q_customers_k_anonymity,
         "docs_bpe_merges": _q_docs_bpe_merges,
         "events_holt_backtest": _q_events_holt_backtest,
+        "events_js_divergence": _q_events_js_divergence,
     }
 
 
@@ -14732,5 +14749,53 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(actual AS DOUBLE)), 0) AS BIGINT)
                  AS ape_micro
         FROM fin ORDER BY 1
+    """
+    d["events_js_divergence"] = """
+        -- JS replay (stats.js_divergence_hours): per-hour micro-nat
+        -- cells over exact counts, order-free integer sum
+        WITH q AS (
+          SELECT event_type AS g,
+                 (epoch_us(ts) // 3600000000) % 24 AS h
+          FROM events
+          WHERE ts IS NOT NULL
+                AND event_type IN ('purchase', 'view')
+        ),
+        c AS (SELECT g, h, count(*) AS n FROM q GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(sum(n) FILTER (WHERE g = 'purchase')
+                      AS BIGINT) AS pa,
+                 CAST(sum(n) FILTER (WHERE g = 'view')
+                      AS BIGINT) AS pb
+          FROM c
+        ),
+        hs AS (
+          SELECT h,
+                 CAST(coalesce(sum(n) FILTER (WHERE g = 'purchase'),
+                               0) AS BIGINT) AS ca,
+                 CAST(coalesce(sum(n) FILTER (WHERE g = 'view'), 0)
+                      AS BIGINT) AS cb
+          FROM c GROUP BY 1
+        ),
+        cell AS (
+          SELECT CAST(round(1e6 * (0.5 * (
+                   (CASE WHEN ca > 0
+                    THEN (CAST(ca AS DOUBLE) / pa)
+                         * ln((CAST(ca AS DOUBLE) / pa)
+                              / ((CAST(ca AS DOUBLE) / pa
+                                  + CAST(cb AS DOUBLE) / pb) / 2.0))
+                    ELSE 0.0 END)
+                 + (CASE WHEN cb > 0
+                    THEN (CAST(cb AS DOUBLE) / pb)
+                         * ln((CAST(cb AS DOUBLE) / pb)
+                              / ((CAST(ca AS DOUBLE) / pa
+                                  + CAST(cb AS DOUBLE) / pb) / 2.0))
+                    ELSE 0.0 END))), 0) AS BIGINT) AS qq
+          FROM hs, tot
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM hs) AS n_hours,
+               (SELECT pa FROM tot) AS total_a,
+               (SELECT pb FROM tot) AS total_b,
+               CAST(sum(qq) AS BIGINT) AS js_micro
+        FROM cell
     """
     return d

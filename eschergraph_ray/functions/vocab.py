@@ -1560,3 +1560,90 @@ def bpe_first_merges(ds, text_col: str, k: int = 20):
         .sort(["n_pairs", "pair"], descending=[True, False])
         .limit(k)
     )
+
+
+def hapax_docs_topk(ds, id_col: str, text_col: str, k: int = 20,
+                    n_buckets: int = 256):
+    """Documents carrying the most corpus-hapax tokens — top-k
+    ``(doc_id, hapax)`` by (count desc, id). The doc-granularity
+    companion of :func:`hapax_by_source`: a document stuffed with
+    frequency-1 tokens is OCR garbage, random ids, or heavy typo
+    noise — exactly what a curation pass quarantines first.
+
+    Same crc32(token) int-bucket shape: per-batch distinct
+    (token, doc, n) partials, per-bucket corpus totals decide
+    hapax-ness exactly (a token's rows share its bucket; the single
+    occurrence names its document), then a doc-keyed count groupby
+    and a k-row sort."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from zlib import crc32
+
+    mask = int(n_buckets) - 1
+    if n_buckets & mask:
+        raise ValueError("n_buckets must be a power of two")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ok = pc.and_(pc.is_valid(batch[id_col]),
+                     pc.is_valid(batch[text_col]))
+        batch = batch.filter(ok)
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        c: "Counter[tuple]" = Counter()
+        from .text import _TOKEN_RE
+
+        for i, txt in zip(ids, texts):
+            for tok in _TOKEN_RE.findall((txt or "").lower()):
+                c[(tok, i)] += 1
+        toks = [kk[0] for kk in c]
+        return pa.table({
+            "bucket": pa.array(
+                [crc32(t.encode()) & mask for t in toks], pa.int64()
+            ),
+            "token": pa.array(toks, pa.string()),
+            "doc": pa.array([kk[1] for kk in c], pa.int64()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = g.combine_chunks()
+        tcode = pc.dictionary_encode(g["token"])
+        if isinstance(tcode, pa.ChunkedArray):
+            tcode = tcode.combine_chunks()
+        ti = np.asarray(tcode.indices, dtype=np.int64)
+        doc = g["doc"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        tot = np.zeros(int(ti.max()) + 1 if len(ti) else 0, np.int64)
+        np.add.at(tot, ti, n)
+        hap_rows = (tot[ti] == 1) & (n == 1)
+        hd = doc[hap_rows]
+        u, cnt = np.unique(hd, return_counts=True)
+        return pa.table({
+            "doc": pa.array(u, pa.int64()),
+            "h": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("doc")
+        .sum("h")
+        .map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc"],
+                "hapax": pc.cast(t["sum(h)"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort(["hapax", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

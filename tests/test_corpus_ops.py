@@ -710,3 +710,23 @@ def test_bpe_first_merges_hand_case(ray_session):
     out = bpe_first_merges(ds, "text", k=5).to_pandas()
     rows = list(zip(out["pair"], out["n_pairs"]))
     assert rows == [("aa", 4), ("ab", 2)]
+
+
+def test_hapax_docs_topk_planted(ray_session):
+    from eschergraph_ray.functions.vocab import hapax_docs_topk
+
+    # 'zzzqx' and 'qqqzx' each appear once (doc 3); 'common' repeats.
+    # The synthetic driver corpus has a CLOSED vocabulary (no corpus
+    # hapaxes at all), so this op ships as a library function with a
+    # planted-hapax test instead of a registry query.
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["common words here", "common words here too",
+                 "common zzzqx qqqzx"],
+    }))
+    out = hapax_docs_topk(ds, "doc_id", "text", k=5).to_pandas()
+    rows = list(zip(out["doc_id"], out["hapax"]))
+    # doc 3 carries both hapaxes; docs 1/2 carry one each
+    # ('here'/'too'? 'here' appears twice, 'too' once in doc 2)
+    assert rows[0] == (3, 2)
+    assert (2, 1) in rows

@@ -865,3 +865,27 @@ def test_holt_backtest_hand_case(ray_session):
     assert (out["n_hours"], out["forecast_1h"], out["actual_micro"],
             out["err_micro"], out["ape_micro"]) == (
         3, 14_000_000, 14_000_000, 0, 0)
+
+
+def test_js_divergence_hand_cases(ray_session):
+    from eschergraph_ray.functions.stats import js_divergence_hours
+
+    # identical hour profiles -> JS = 0
+    same = _ev([
+        (1, 1, "purchase", 0, 0.0), (2, 1, "view", 0, 0.0),
+        (3, 1, "purchase", 1 * HOUR, 0.0), (4, 1, "view", 1 * HOUR, 0.0),
+    ])
+    out = js_divergence_hours(same, "event_type", "ts",
+                              "purchase", "view").to_pandas().iloc[0]
+    assert (out["n_hours"], out["total_a"], out["total_b"],
+            out["js_micro"]) == (2, 2, 2, 0)
+
+    # disjoint hours -> JS = ln 2 (693147 micro-nats; 2 cells of
+    # 0.5*ln2 = 346574 each after rounding -> 693148)
+    disj = _ev([
+        (1, 1, "purchase", 0, 0.0),
+        (2, 1, "view", 1 * HOUR, 0.0),
+    ])
+    out = js_divergence_hours(disj, "event_type", "ts",
+                              "purchase", "view").to_pandas().iloc[0]
+    assert abs(out["js_micro"] - 693_147) <= 2
