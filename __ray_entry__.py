@@ -6714,6 +6714,24 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_events_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test of each type's value sequence
+    (stats.runs_test_by_group): is the above/below-median sign
+    pattern random in time order — exact inverse-CDF medians, one
+    ordered per-group pass, z as a single float chain."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.stats import runs_test_by_group
+
+    _context()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    )
+    return runs_test_by_group(ev, "event_type", "ts", "event_id",
+                              "value")
+
+
 def _q_events_js_divergence(sf_dir: str):
     """Jensen–Shannon divergence between purchase and view
     hour-of-day profiles (stats.js_divergence_hours): bounded
@@ -7724,6 +7742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": _q_docs_bpe_merges,
         "events_holt_backtest": _q_events_holt_backtest,
         "events_js_divergence": _q_events_js_divergence,
+        "events_runs_test": _q_events_runs_test,
     }
 
 
@@ -14797,5 +14816,59 @@ def oracle_sql() -> dict[str, str]:
                (SELECT pb FROM tot) AS total_b,
                CAST(sum(qq) AS BIGINT) AS js_micro
         FROM cell
+    """
+    d["events_runs_test"] = """
+        -- runs-test replay (stats.runs_test_by_group): inverse-CDF
+        -- median, lag() sign changes over (ts, event_id) order, z as
+        -- one float chain
+        WITH q AS (
+          SELECT event_type AS g, ts, event_id,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS v
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+                AND ts IS NOT NULL AND event_id IS NOT NULL
+        ),
+        cells AS (SELECT g, v, count(*) AS cnt FROM q GROUP BY 1, 2),
+        st AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM cells
+               GROUP BY 1),
+        cum AS (
+          SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v)
+                 AS cum
+          FROM cells
+        ),
+        med AS (
+          SELECT c.g, min(v) AS m FROM cum c JOIN st USING (g)
+          WHERE 100 * cum >= 50 * n GROUP BY 1
+        ),
+        s AS (
+          SELECT q.g, CASE WHEN q.v > med.m THEN 1 ELSE 0 END AS a,
+                 lag(CASE WHEN q.v > med.m THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY q.g
+                         ORDER BY q.ts, q.event_id) AS pa
+          FROM q JOIN med ON med.g = q.g
+        ),
+        agg AS (
+          SELECT g, count(*) AS n, CAST(sum(a) AS BIGINT) AS na,
+                 CAST(1 + count(*) FILTER (WHERE pa IS NOT NULL
+                                           AND a <> pa) AS BIGINT)
+                   AS r
+          FROM s GROUP BY 1
+        ),
+        fin AS (
+          SELECT g, n, na, n - na AS nb, r FROM agg
+          WHERE n >= 2 AND na > 0 AND n - na > 0
+        ),
+        z AS (
+          SELECT g, n, na, r,
+                 2.0 * na * nb / n + 1.0 AS mu,
+                 (2.0 * na * nb * (2.0 * na * nb - n))
+                   / (CAST(n AS DOUBLE) * n * (n - 1)) AS s2
+          FROM fin
+        )
+        SELECT g AS "group", CAST(n AS BIGINT) AS n, na AS n_above,
+               r AS runs,
+               CAST(round(1e6 * ((CAST(r AS DOUBLE) - mu)
+                    / sqrt(s2)), 0) AS BIGINT) AS z_micro
+        FROM z WHERE s2 > 0 ORDER BY 1
     """
     return d

@@ -2292,3 +2292,147 @@ def js_divergence_hours(ds, type_col: str, ts_col: str,
         "total_b": pa.array([Pb], pa.int64()),
         "js_micro": pa.array([total], pa.int64()),
     }))
+
+
+def runs_test_by_group(ds, group_col: str, ts_col: str, id_col: str,
+                       val_col: str, cents: int = 100):
+    """Wald–Wolfowitz runs test per group: is the above/below-median
+    sign sequence of each type's values RANDOM in time order, or does
+    it cluster (regime switching, batching artifacts, feedback)?
+    Returns ``(group, n, n_above, runs, z_micro)`` sorted by group —
+    z is the normal-approximation statistic
+    ``(R − μ)/σ``, μ = 2n₁n₂/n + 1.
+
+    Two passes: the exact inverse-CDF median per group (the
+    group_quantiles histogram device — value-cardinality cells, one
+    reducer per group), then one ordered per-group pass ((ts, id)
+    sort inside ``map_groups``, Arrow out) counting sign changes.
+    Values quantize to cents; ties sit BELOW the median (v > m is
+    'above' — replayed identically). Groups where either side is
+    empty or n < 2 are dropped; z is one identical float chain over
+    four integers."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.and_(pc.is_valid(batch[group_col]),
+                    pc.is_valid(batch[val_col])),
+            pc.and_(pc.is_valid(batch[ts_col]),
+                    pc.is_valid(batch[id_col])),
+        )
+        t = batch.filter(keep)
+        v = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(t[val_col], pa.float64()),
+                            float(cents)),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        cells = pa.table({group_col: t[group_col], "v": v})
+        return (
+            cells.group_by([group_col, "v"])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, "v", "cnt"])
+        )
+
+    cells = (
+        ds.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby([group_col, "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        pa.field("group", pa.string()), pa.field("n", pa.int64()),
+        pa.field("n_above", pa.int64()), pa.field("runs", pa.int64()),
+        pa.field("z_micro", pa.int64()),
+    ])
+    if len(cells) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    medians: dict = {}
+    for g, gg in cells.groupby(group_col):
+        vv = gg.sort_values("v")
+        v = vv["v"].to_numpy()
+        c = vv["cnt"].to_numpy()
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        medians[g] = int(v[np.argmax(100 * cum >= 50 * n)])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t[val_col]), pc.is_valid(t[ts_col])),
+            pc.is_valid(t[id_col]),
+        )
+        t = t.filter(keep)
+        if t.num_rows < 2:
+            return pa.table({
+                "g": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()),
+                "r": pa.array([], pa.int64()),
+            })
+        g = str(t[group_col][0].as_py())
+        m = medians.get(g)
+        idx = pc.sort_indices(
+            t, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        v = np.asarray(pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.cast(pc.take(t[val_col], idx), pa.float64()),
+                    float(cents)),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ))
+        sign = (v > m).astype(np.int64)
+        runs = 1 + int((sign[1:] != sign[:-1]).sum())
+        return pa.table({
+            "g": pa.array([g], pa.string()),
+            "n": pa.array([len(v)], pa.int64()),
+            "na": pa.array([int(sign.sum())], pa.int64()),
+            "r": pa.array([runs], pa.int64()),
+        })
+
+    agg = (
+        ds.groupby(group_col)
+        .map_groups(per_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for rr in agg.itertuples():
+        n, na, r = int(rr.n), int(rr.na), int(rr.r)
+        n2 = n - na
+        if n < 2 or na == 0 or n2 == 0:
+            continue
+        mu = 2.0 * na * n2 / n + 1.0
+        s2 = (2.0 * na * n2 * (2.0 * na * n2 - n)) \
+            / (float(n) * n * (n - 1))
+        if s2 <= 0:
+            continue
+        import math
+
+        z = (float(r) - mu) / math.sqrt(s2)
+        zm = pc.cast(
+            pc.round(pa.array([1e6 * z], pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+        rows.append((rr.g, n, na, r, zm))
+    rows.sort(key=lambda x: x[0])
+    return rd.from_arrow(pa.table({
+        "group": pa.array([x[0] for x in rows], pa.string()),
+        "n": pa.array([x[1] for x in rows], pa.int64()),
+        "n_above": pa.array([x[2] for x in rows], pa.int64()),
+        "runs": pa.array([x[3] for x in rows], pa.int64()),
+        "z_micro": pa.array([x[4] for x in rows], pa.int64()),
+    }))

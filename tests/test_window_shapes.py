@@ -889,3 +889,27 @@ def test_js_divergence_hand_cases(ray_session):
     out = js_divergence_hours(disj, "event_type", "ts",
                               "purchase", "view").to_pandas().iloc[0]
     assert abs(out["js_micro"] - 693_147) <= 2
+
+
+def test_runs_test_hand_cases(ray_session):
+    from eschergraph_ray.functions.stats import runs_test_by_group
+
+    # alternating [1, 3, 1, 3]: median (inverse CDF p50) = 1 cents
+    # v>m signs 0,1,0,1 -> runs 4, na=2
+    # mu = 2*2*2/4 + 1 = 3; s2 = (8*(8-4))/(16*3) = 2/3
+    # z = (4-3)/sqrt(2/3) = 1.224745 -> 1224745
+    ev = _ev([
+        (1, 1, "A", 0, 0.01),
+        (2, 1, "A", 1 * HOUR, 0.03),
+        (3, 1, "A", 2 * HOUR, 0.01),
+        (4, 1, "A", 3 * HOUR, 0.03),
+    ])
+    out = runs_test_by_group(ev, "event_type", "ts", "event_id",
+                             "value").to_pandas().iloc[0]
+    assert (out["n"], out["n_above"], out["runs"]) == (4, 2, 4)
+    assert abs(out["z_micro"] - 1_224_745) <= 1
+
+    # constant values -> everything 'below' -> group dropped
+    const = _ev([(1, 1, "B", 0, 0.02), (2, 1, "B", HOUR, 0.02)])
+    assert runs_test_by_group(const, "event_type", "ts", "event_id",
+                              "value").count() == 0
