@@ -6714,6 +6714,23 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_lineitem_vwap_monthly(sf_dir: str):
+    """Monthly volume-weighted average revenue per unit
+    (tpch.vwap_by_month): the price index — month-cardinality int64
+    combiner, shared revenue micro chain, one division per month."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.tpch import vwap_by_month
+
+    _context()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    return vwap_by_month(li)
+
+
 def _q_events_runs_test(sf_dir: str):
     """Wald–Wolfowitz runs test of each type's value sequence
     (stats.runs_test_by_group): is the above/below-median sign
@@ -7743,6 +7760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt_backtest": _q_events_holt_backtest,
         "events_js_divergence": _q_events_js_divergence,
         "events_runs_test": _q_events_runs_test,
+        "lineitem_vwap_monthly": _q_lineitem_vwap_monthly,
     }
 
 
@@ -14870,5 +14888,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(1e6 * ((CAST(r AS DOUBLE) - mu)
                     / sqrt(s2)), 0) AS BIGINT) AS z_micro
         FROM z WHERE s2 > 0 ORDER BY 1
+    """
+    d["lineitem_vwap_monthly"] = """
+        -- VWAP replay (tpch.vwap_by_month): shared revenue micro
+        -- chain, integer sums, one division per month
+        WITH q AS (
+          SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 1e6,
+                            0) AS BIGINT) AS rev
+          FROM lineitem
+        ),
+        a AS (
+          SELECT ship_month, count(*) AS n, sum(qty) AS q,
+                 sum(rev) AS r
+          FROM q GROUP BY 1
+        )
+        SELECT ship_month, CAST(n AS BIGINT) AS n_items,
+               CAST(q AS BIGINT) AS qty,
+               CAST(r AS BIGINT) AS revenue_micro,
+               CAST(round(CAST(r AS DOUBLE) / CAST(q AS DOUBLE), 0)
+                    AS BIGINT) AS vwap_micro
+        FROM a WHERE q > 0 ORDER BY ship_month
     """
     return d

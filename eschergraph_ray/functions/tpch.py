@@ -1694,3 +1694,69 @@ def shipping_delay_bands(lineitem_ds, orders_ds,
         "high_count": pa.array(hi_c[present], pa.int64()),
         "low_count": pa.array(lo_c[present], pa.int64()),
     }))
+
+
+def vwap_by_month(lineitem_ds):
+    """Volume-weighted average revenue per unit by ship month —
+    ``(ship_month, n_items, qty, revenue_micro, vwap_micro)`` sorted
+    by month: the monthly price index (total discounted revenue over
+    total quantity). One per-batch (month, n, Σqty, Σrev) int64
+    combiner onto month-cardinality cells; revenue uses the shared
+    one-op micro chain; the VWAP is one division + zero-digit
+    round."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.chunking import pin_arrow_threads
+
+        pin_arrow_threads()
+        ts = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        months = _month_str(np.asarray(ts))
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rev = _rev_micro(b)
+        u, inv = np.unique(months, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        qs = np.zeros(len(u), np.int64)
+        np.add.at(qs, inv, qty)
+        rs = np.zeros(len(u), np.int64)
+        np.add.at(rs, inv, rev)
+        return pa.table({
+            "ship_month": pa.array(u.tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "q": pa.array(qs, pa.int64()),
+            "r": pa.array(rs, pa.int64()),
+        })
+
+    agg = (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_month")
+        .sum(["n", "q", "r"])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        q = b["sum(q)"].to_numpy(zero_copy_only=False)
+        r = b["sum(r)"].to_numpy(zero_copy_only=False)
+        keep = q > 0
+        vwap = pc.cast(
+            pc.round(
+                pa.array(r[keep].astype(np.float64)
+                         / q[keep].astype(np.float64)),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "ship_month": t["ship_month"],
+            "n_items": pc.cast(t["sum(n)"], pa.int64()),
+            "qty": pc.cast(t["sum(q)"], pa.int64()),
+            "revenue_micro": pc.cast(t["sum(r)"], pa.int64()),
+            "vwap_micro": vwap,
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "ship_month"
+    )

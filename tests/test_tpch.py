@@ -841,3 +841,20 @@ def test_sole_late_oracle_sf0001():
         ORDER BY numwait DESC, s_name LIMIT 25
     """).df()
     pd.testing.assert_frame_equal(out, o, check_dtype=False)
+
+
+def test_vwap_by_month_hand_computed():
+    from eschergraph_ray.functions.tpch import vwap_by_month
+
+    li = _li([
+        (1, 0, 1, 2, 100.0, 0.0, "N", "1996-01-05"),
+        (2, 0, 1, 3, 300.0, 0.5, "N", "1996-01-20"),
+        (3, 0, 1, 4, 100.0, 0.0, "N", "1996-02-01"),
+    ])
+    out = vwap_by_month(li).to_pandas()
+    jan = out[out["ship_month"] == "1996-01"].iloc[0]
+    # rev = 100e6 + 150e6 = 250e6 over qty 5 -> 50e6/unit
+    assert (jan["n_items"], jan["qty"], jan["revenue_micro"],
+            jan["vwap_micro"]) == (2, 5, 250_000_000, 50_000_000)
+    feb = out[out["ship_month"] == "1996-02"].iloc[0]
+    assert feb["vwap_micro"] == 25_000_000
