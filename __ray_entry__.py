@@ -6714,6 +6714,22 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_docs_zipf_slope(sf_dir: str):
+    """Zipf's-law fit over the top-100 token frequencies
+    (vocab.zipf_slope): OLS of ln(freq) on ln(rank), micro-nat
+    cells + the grouped_ols integer-moment chains — boilerplate
+    drifts the slope toward 0, id/noise drifts it steeper than
+    −1."""
+    import ray.data as rd
+
+    from eschergraph_ray.functions.vocab import zipf_slope
+
+    _context()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return zipf_slope(docs, "text", k=100)
+
+
 def _q_lineitem_vwap_monthly(sf_dir: str):
     """Monthly volume-weighted average revenue per unit
     (tpch.vwap_by_month): the price index — month-cardinality int64
@@ -7761,6 +7777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_js_divergence": _q_events_js_divergence,
         "events_runs_test": _q_events_runs_test,
         "lineitem_vwap_monthly": _q_lineitem_vwap_monthly,
+        "docs_zipf_slope": _q_docs_zipf_slope,
     }
 
 
@@ -14910,5 +14927,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(CAST(r AS DOUBLE) / CAST(q AS DOUBLE), 0)
                     AS BIGINT) AS vwap_micro
         FROM a WHERE q > 0 ORDER BY ship_month
+    """
+    d["docs_zipf_slope"] = """
+        -- Zipf replay (vocab.zipf_slope): shared top-k tie-break,
+        -- micro-nat ln cells, HUGEINT OLS moments, one chain each
+        WITH wl AS (
+          SELECT regexp_extract_all(lower(text),
+              '[A-Za-z]+(''[A-Za-z]+)?|\\d+|[^\\w\\s]') AS ws
+          FROM documents WHERE text IS NOT NULL
+        ),
+        tok AS (SELECT unnest(ws) AS t FROM wl),
+        tc AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+        top AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, t) AS i
+          FROM tc QUALIFY i <= 100
+        ),
+        pts AS (
+          SELECT CAST(round(ln(CAST(i AS DOUBLE)) * 1e6, 0)
+                      AS BIGINT) AS x,
+                 CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0)
+                      AS BIGINT) AS y
+          FROM top
+        ),
+        s AS (
+          SELECT count(*) AS k,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM pts
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(round(1e6 * (CAST(k * sxy - sx * sy AS DOUBLE)
+                    / CAST(k * sxx - sx * sx AS DOUBLE)), 0)
+                    AS BIGINT) AS slope_micro,
+               CAST(round((CAST(sy AS DOUBLE)
+                    - (CAST(k * sxy - sx * sy AS DOUBLE)
+                       / CAST(k * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / k, 0) AS BIGINT)
+                 AS intercept_micro
+        FROM s WHERE k >= 2 AND k * sxx - sx * sx > 0
     """
     return d

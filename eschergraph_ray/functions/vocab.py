@@ -1647,3 +1647,66 @@ def hapax_docs_topk(ds, id_col: str, text_col: str, k: int = 20,
         .sort(["hapax", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def zipf_slope(ds, text_col: str, k: int = 100):
+    """Zipf's-law fit over the top-``k`` token frequencies: OLS slope
+    of ``ln(freq)`` on ``ln(rank)`` — one row
+    ``(k, slope_micro, intercept_micro)``. Natural language sits near
+    slope −1; a corpus drifting toward 0 is template/boilerplate
+    (flat head), drifting steeper is id/noise-heavy. The corpus-law
+    diagnostic that pairs :func:`vocab_topk`.
+
+    Parity: ranks come from the shared (n desc, token) tie-broken
+    top-k; each point quantizes ``ln`` to micro-nats (one identical
+    float op per cell), then the regression runs the grouped_ols
+    integer-moment device in Python bigints with the identical
+    slope/intercept float chains."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        pa.field("k", pa.int64()),
+        pa.field("slope_micro", pa.int64()),
+        pa.field("intercept_micro", pa.int64()),
+    ])
+    rows = vocab_topk(ds, text_col, k).take_all()
+    n = len(rows)
+    if n < 2:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def _micro_ln(v: float) -> int:
+        return pc.cast(
+            pc.round(pa.array([math.log(v) * 1e6], pa.float64()),
+                     ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+
+    xs = [_micro_ln(float(i + 1)) for i in range(n)]
+    ys = [_micro_ln(float(r["n"])) for r in rows]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    if den <= 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def _micro(raw: float) -> int:
+        return pc.cast(
+            pc.round(pa.array([raw], pa.float64()), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )[0].as_py()
+
+    slope = _micro(1e6 * (float(num) / float(den)))
+    intercept = _micro(
+        (float(sy) - (float(num) / float(den)) * float(sx)) / float(n)
+    )
+    return rd.from_arrow(pa.table({
+        "k": pa.array([n], pa.int64()),
+        "slope_micro": pa.array([slope], pa.int64()),
+        "intercept_micro": pa.array([intercept], pa.int64()),
+    }))

@@ -730,3 +730,22 @@ def test_hapax_docs_topk_planted(ray_session):
     # ('here'/'too'? 'here' appears twice, 'too' once in doc 2)
     assert rows[0] == (3, 2)
     assert (2, 1) in rows
+
+
+def test_zipf_slope_hand_case(ray_session):
+    from eschergraph_ray.functions.vocab import zipf_slope
+
+    # freqs 4, 2, 1 at ranks 1, 2, 3: LS slope of ln-ln is ~ -1.234
+    ds = rd.from_arrow(pa.table({
+        "text": ["a a a a b b c"],
+    }))
+    out = zipf_slope(ds, "text", k=10).to_pandas().iloc[0]
+    assert out["k"] == 3
+    assert -1_240_000 < out["slope_micro"] < -1_228_000
+
+
+def test_zipf_slope_degenerate_empty(ray_session):
+    from eschergraph_ray.functions.vocab import zipf_slope
+
+    ds = rd.from_arrow(pa.table({"text": ["solo"]}))
+    assert zipf_slope(ds, "text").count() == 0
