@@ -6714,6 +6714,56 @@ def _q_orders_cohort_ltv(sf_dir: str):
     return cohort_ltv(orders, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+def _q_kg_property_coverage(sf_dir: str):
+    """Property-coverage histogram of the built KG: how many level-0
+    entities carry 0, 1, 2, ... properties — the schema-completeness
+    diagnostic (a KG whose mass sits in the 0 bucket extracted
+    relations but no attributes). Two entity-cardinality aggregates
+    + a left join that keeps the 0 bucket honest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from eschergraph_ray.pipelines.build import load_kind
+
+    _context()
+    out = _build_for(sf_dir, "q")
+    names = (
+        load_kind(out, "node")
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["level"], 0)).select(["name"]),
+            batch_format="pyarrow",
+        )
+        .groupby("name")
+        .count()
+    )
+    # properties exist only at level 0 by construction (their level
+    # column is NULL in the union schema — no filter on either side)
+    props = (
+        load_kind(out, "property")
+        .map_batches(
+            lambda b: b.select(["node_name"]),
+            batch_format="pyarrow",
+        )
+        .groupby("node_name")
+        .count()
+    )
+    # entity-cardinality tables (the KG's closed vocabulary — the
+    # dashboard/dense-KG precedent): finish the histogram driver-side
+    pcounts = {
+        r["node_name"]: int(r["count()"]) for r in props.take_all()
+    }
+    hist: dict = {}
+    for r in names.take_all():
+        np_ = pcounts.get(r["name"], 0)
+        hist[np_] = hist.get(np_, 0) + 1
+    ks = sorted(hist)
+    return rd.from_arrow(pa.table({
+        "n_props": pa.array(ks, pa.int64()),
+        "n_entities": pa.array([hist[k] for k in ks], pa.int64()),
+    }))
+
+
 def _q_docs_zipf_slope(sf_dir: str):
     """Zipf's-law fit over the top-100 token frequencies
     (vocab.zipf_slope): OLS of ln(freq) on ln(rank), micro-nat
@@ -7778,6 +7828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": _q_events_runs_test,
         "lineitem_vwap_monthly": _q_lineitem_vwap_monthly,
         "docs_zipf_slope": _q_docs_zipf_slope,
+        "kg_property_coverage": _q_kg_property_coverage,
     }
 
 
@@ -14967,5 +15018,27 @@ def oracle_sql() -> dict[str, str]:
                       * CAST(sx AS DOUBLE)) / k, 0) AS BIGINT)
                  AS intercept_micro
         FROM s WHERE k >= 2 AND k * sxx - sx * sx > 0
+    """
+    d["kg_property_coverage"] = f"""
+        -- coverage replay (kg_property_coverage): level-0 entities
+        -- left-joined to their property counts, 0 bucket kept
+        WITH n0 AS (
+          SELECT DISTINCT name FROM read_parquet('{_nodes}')
+          WHERE level = 0
+        ),
+        pcnt AS (
+          -- properties are level-0 only (their level column is NULL
+          -- in the union schema) — no level filter
+          SELECT node_name, count(*) AS np
+          FROM read_parquet('{_props}')
+          GROUP BY 1
+        ),
+        j AS (
+          SELECT n0.name, coalesce(pcnt.np, 0) AS np
+          FROM n0 LEFT JOIN pcnt ON pcnt.node_name = n0.name
+        )
+        SELECT CAST(np AS BIGINT) AS n_props,
+               CAST(count(*) AS BIGINT) AS n_entities
+        FROM j GROUP BY 1 ORDER BY 1
     """
     return d
